@@ -1,0 +1,162 @@
+"""Merge engines: the PK-table merge-on-read transforms.
+
+Reference factory: paimon-core/.../table/PrimaryKeyTableUtils.java:52; engines:
+- deduplicate: DeduplicateMergeFunction.java:31-84
+- first-row:   FirstRowMergeFunction.java:33
+- partial-update: PartialUpdateMergeFunction.java:57-474
+- aggregation: AggregateMergeFunction.java:44
+
+The reference folds rows per key inside an LSM loser-tree iterator
+(SortMergeReaderWithLoserTree.java:34). Spark-first re-expression: one
+``groupBy(partition..., pk...)`` per read with max_by/min_by/aggregate
+expressions — hash aggregate with partial (map-side) aggregation, AQE-sized
+shuffle, codegen; no per-row Python.
+
+Fold order = (user sequence fields..., _SEQUENCE_NUMBER) — `sequence.field`
+semantics per CoreOptions.java:535 with the commit LSN as tiebreak, matching
+UserDefinedSeqComparator + KeyValue.sequenceNumber ordering. Nulls order
+first (a null user-seq loses to any non-null), matching null-as-smallest
+comparators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.aggregates import AGGREGATORS, AggCtx
+from .metadata.schema import TableSchema
+from .types import ADD_KINDS, DELETE, SEQUENCE_NUMBER, VALUE_KIND
+
+LEVEL_COL = "__level"
+
+
+def order_struct(schema: TableSchema) -> Column:
+    cols = [F.col(c) for c in schema.core_options.sequence_field]
+    cols.append(F.col(SEQUENCE_NUMBER))
+    return F.struct(*cols)
+
+
+def merge_key(schema: TableSchema) -> list[str]:
+    """Group keys for the merge: partition keys + trimmed primary keys."""
+    return list(schema.partition_keys) + schema.trimmed_primary_keys()
+
+
+def apply_merge(df: DataFrame, schema: TableSchema) -> DataFrame:
+    engine = schema.core_options.merge_engine
+    if engine == "deduplicate":
+        return _dedup(df, schema, latest=True)
+    if engine == "first-row":
+        return _dedup(df, schema, latest=False)
+    if engine == "partial-update":
+        return _partial_update(df, schema)
+    if engine == "aggregation":
+        return _aggregation(df, schema)
+    raise ValueError(engine)
+
+
+def _user_columns(schema: TableSchema) -> list[str]:
+    return schema.field_names()
+
+
+def _prepare(df: DataFrame, schema: TableSchema) -> DataFrame:
+    if schema.core_options.ignore_delete:
+        df = df.filter(~F.col(VALUE_KIND).isin(DELETE))
+    return df
+
+
+def _dedup(df: DataFrame, schema: TableSchema, latest: bool) -> DataFrame:
+    """deduplicate / first-row via a single hash aggregation.
+
+    max_by(struct(all columns), order) keeps the row with the max (min) fold
+    order per key — equivalent to the reference's keep-last (keep-first) fold,
+    but executed as groupBy so Spark does map-side combine instead of a
+    global window sort. If the surviving row is a DELETE the key disappears
+    (DeduplicateMergeFunction drop-delete path / DropDeleteReader).
+    """
+    df = _prepare(df, schema)
+    keys = merge_key(schema)
+    ord_ = order_struct(schema)
+    payload_cols = [c for c in df.columns if c not in keys]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    pick = F.max_by(payload, ord_) if latest else F.min_by(payload, ord_)
+    out = df.groupBy(*keys).agg(pick.alias("__row"))
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("__row")[c])
+    out = out.drop("__row")
+    out = out.filter(F.col(VALUE_KIND).isin(*ADD_KINDS))
+    return out.select(*_user_columns(schema), SEQUENCE_NUMBER, VALUE_KIND)
+
+
+def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """partial-update: last non-null per column; sequence-groups gate their
+    columns on the group's own sequence fields (PartialUpdateMergeFunction
+    updateWithSequenceGroup: a passing group update overwrites with the new
+    value *even when null*; rows whose group-seq fields are all null are
+    skipped for that group)."""
+    opts = schema.core_options
+    df = _prepare(df, schema)
+    keys = merge_key(schema)
+    ord_ = order_struct(schema)
+    groups = opts.sequence_groups()  # seq-field -> [cols]
+
+    col_group: dict[str, str] = {}
+    for seq_field, cols in groups.items():
+        for c in cols + [seq_field]:
+            col_group[c] = seq_field
+
+    aggs = []
+    is_add = F.col(VALUE_KIND).isin(*ADD_KINDS)
+    for name in schema.field_names():
+        if name in keys:
+            continue
+        c = F.col(name)
+        agg_fn = opts.field_aggregate_function(name)
+        if agg_fn is not None and name not in col_group:
+            raise NotImplementedError(
+                "aggregation inside partial-update requires a sequence-group "
+                "(reference: 'Must use sequence group for aggregation functions')")
+        if name in col_group:
+            g = col_group[name]
+            g_ord = F.when(F.col(g).isNotNull(), F.struct(F.col(g), F.col(SEQUENCE_NUMBER)))
+            aggs.append(F.max_by(c, F.when(is_add, g_ord)).alias(name))
+        else:
+            aggs.append(F.max_by(c, F.when(is_add & c.isNotNull(), ord_)).alias(name))
+    aggs.append(F.max(F.col(SEQUENCE_NUMBER)).alias(SEQUENCE_NUMBER))
+    if opts.partial_update_remove_record_on_delete:
+        aggs.append(F.max_by(F.col(VALUE_KIND), ord_).alias("__last_kind"))
+        out = df.groupBy(*keys).agg(*aggs)
+        out = out.filter(F.col("__last_kind").isin(*ADD_KINDS)).drop("__last_kind")
+    else:
+        out = df.groupBy(*keys).agg(*aggs)
+    out = out.withColumn(VALUE_KIND, F.lit("+I"))
+    return out.select(*_user_columns(schema), SEQUENCE_NUMBER, VALUE_KIND)
+
+
+def _aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """aggregation engine: per-field aggregate from the registry
+    (AggregateMergeFunction.java:44 + FieldAggregator.java:59-112).
+    Default function when unspecified: last_non_null_value (the reference's
+    default 'fields.default-aggregate-function' fallback)."""
+    opts = schema.core_options
+    df = _prepare(df, schema)
+    keys = merge_key(schema)
+    ord_ = order_struct(schema)
+    is_add = F.col(VALUE_KIND).isin(*ADD_KINDS)
+    level = F.col(LEVEL_COL) if LEVEL_COL in df.columns else F.lit(0)
+    default_fn = opts.raw.get("fields.default-aggregate-function", "last_non_null_value")
+
+    aggs = []
+    for f in schema.fields:
+        if f.name in keys:
+            continue
+        fn_name = opts.field_aggregate_function(f.name) or default_fn
+        if fn_name not in AGGREGATORS:
+            raise ValueError(f"unknown aggregate function {fn_name!r} for field {f.name}")
+        ctx = AggCtx(order=ord_, is_add=is_add, level=level, dtype=f.type,
+                     options=opts.raw, field=f.name)
+        aggs.append(AGGREGATORS[fn_name](F.col(f.name), ctx).alias(f.name))
+    aggs.append(F.max(F.col(SEQUENCE_NUMBER)).alias(SEQUENCE_NUMBER))
+    out = df.groupBy(*keys).agg(*aggs)
+    out = out.withColumn(VALUE_KIND, F.lit("+I"))
+    return out.select(*_user_columns(schema), SEQUENCE_NUMBER, VALUE_KIND)

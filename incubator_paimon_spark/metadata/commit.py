@@ -1,0 +1,149 @@
+"""ACID snapshot commit with conflict detection.
+
+Mirrors paimon-core/src/main/java/org/apache/paimon/operation/
+FileStoreCommitImpl.java:101 (two-phase: write manifests, then CAS-create
+snapshot-N+1 with retry) and its conflict check (:261-305, noConflictsOrFail):
+a commit that DELETEs files must fail if a concurrent commit already removed
+them; APPEND-only commits never conflict and simply retry the CAS.
+
+Exactly-once for streaming: commits carry a ``commit_identifier`` (batch id);
+a retried identifier by the same user is a no-op, mirroring
+TableCommitImpl.filterAndCommit.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from ..types import (COMMIT_APPEND, COMMIT_COMPACT, COMMIT_OVERWRITE,
+                     ENTRY_ADD, ENTRY_DELETE)
+from .manifest import ManifestEntry, ManifestStore, live_entries, merge_entries
+from .snapshot import Snapshot, SnapshotManager
+
+
+class ConflictError(RuntimeError):
+    pass
+
+
+@dataclass
+class CommitMessage:
+    """Per-task result shipped back to the driver (CommitMessageImpl):
+    new data files + compaction's (before, after) file sets + changelog."""
+
+    add: list[ManifestEntry] = dc_field(default_factory=list)
+    delete: list[ManifestEntry] = dc_field(default_factory=list)
+    changelog: list[ManifestEntry] = dc_field(default_factory=list)
+
+
+# how many manifest files a snapshot may accumulate before we rewrite them
+# into one "full" manifest (reference: manifest.full-compaction-threshold-size)
+_MANIFEST_FULL_COMPACTION_COUNT = 20
+
+
+class FileStoreCommit:
+    def __init__(self, table_path: str, commit_user: str = "user"):
+        self.snapshots = SnapshotManager(table_path)
+        self.manifests = ManifestStore(table_path)
+        self.commit_user = commit_user
+
+    # ------------------------------------------------------------------
+    def commit(
+        self,
+        message: CommitMessage,
+        schema_id: int,
+        kind: str = COMMIT_APPEND,
+        commit_identifier: int = -1,
+        watermark: int | None = None,
+        next_sequence_number: int | None = None,
+        max_retries: int = 20,
+    ) -> Snapshot | None:
+        """Returns the committed Snapshot, or None when this identifier was
+        already committed (exactly-once replay)."""
+        for _ in range(max_retries):
+            latest = self.snapshots.latest()
+
+            if commit_identifier >= 0 and latest is not None:
+                if self._already_committed(commit_identifier):
+                    return None
+
+            base_entries = None  # lazily materialized for conflict check
+            if message.delete:
+                base_entries = self._base_entries(latest)
+                self._check_conflicts(message, base_entries)
+
+            new_id = (latest.id if latest else 0) + 1
+
+            # base manifest list = all manifests visible in previous snapshot
+            prev_manifests = []
+            if latest is not None:
+                prev_manifests.extend(self.manifests.read_manifest_list(latest.base_manifest_list))
+                prev_manifests.extend(self.manifests.read_manifest_list(latest.delta_manifest_list))
+
+            # periodic full manifest compaction keeps planning O(live files)
+            if len(prev_manifests) >= _MANIFEST_FULL_COMPACTION_COUNT:
+                if base_entries is None:
+                    base_entries = self._base_entries(latest)
+                live = [ManifestEntry(ENTRY_ADD, e.partition, e.bucket, e.file)
+                        for e in live_entries(base_entries)]
+                prev_manifests = [self.manifests.write_manifest(live)] if live else []
+
+            base_list = self.manifests.write_manifest_list(prev_manifests)
+            delta = message.add + message.delete
+            delta_list = self.manifests.write_manifest_list(
+                [self.manifests.write_manifest(delta)] if delta else [])
+            changelog_list = None
+            if message.changelog:
+                changelog_list = self.manifests.write_manifest_list(
+                    [self.manifests.write_manifest(message.changelog)])
+
+            add_rows = sum(e.file.row_count for e in message.add)
+            del_rows = sum(e.file.row_count for e in message.delete)
+            prev_total = latest.total_record_count if latest else 0
+            prev_seq = latest.next_sequence_number if latest else 0
+
+            snapshot = Snapshot(
+                id=new_id,
+                schema_id=schema_id,
+                base_manifest_list=base_list,
+                delta_manifest_list=delta_list,
+                changelog_manifest_list=changelog_list,
+                commit_user=self.commit_user,
+                commit_identifier=commit_identifier,
+                commit_kind=kind,
+                total_record_count=prev_total + add_rows - del_rows,
+                delta_record_count=add_rows - del_rows,
+                changelog_record_count=sum(e.file.row_count for e in message.changelog),
+                watermark=watermark if watermark is not None else (latest.watermark if latest else None),
+                next_sequence_number=(next_sequence_number
+                                      if next_sequence_number is not None else prev_seq),
+            )
+            if self.snapshots.try_commit(snapshot):
+                return snapshot
+            time.sleep(0.01)  # lost CAS; replan from fresh latest
+        raise ConflictError(f"commit failed after {max_retries} retries")
+
+    # ------------------------------------------------------------------
+    def _base_entries(self, latest: Snapshot | None) -> list[ManifestEntry]:
+        if latest is None:
+            return []
+        entries = self.manifests.read_all_entries(latest.base_manifest_list)
+        entries.extend(self.manifests.read_all_entries(latest.delta_manifest_list))
+        return entries
+
+    def _check_conflicts(self, message: CommitMessage, base_entries: list[ManifestEntry]):
+        """Deleted files must still be live (FileStoreCommitImpl.java:261-305)."""
+        live = {e.identifier()[0:3] for e in live_entries(base_entries)}
+        for e in message.delete:
+            key = e.identifier()[0:3]
+            if key not in live:
+                raise ConflictError(
+                    f"conflict: file {e.file.file_name} was removed by a concurrent commit")
+
+    def _already_committed(self, identifier: int) -> bool:
+        for s in reversed(self.snapshots.list_all()):
+            if s.commit_identifier == identifier and s.commit_user == self.commit_user:
+                return True
+            if 0 <= s.commit_identifier < identifier:
+                return False
+        return False

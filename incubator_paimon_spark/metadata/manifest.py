@@ -1,0 +1,161 @@
+"""Manifest files, manifest lists and entry merging.
+
+Mirrors paimon-core/src/main/java/org/apache/paimon/manifest/
+{ManifestList.java:40, ManifestFile.java:48, ManifestEntry.java:41-48} and
+DataFileMeta (paimon-core/.../io/DataFileMeta.java:54-109).
+
+Storage choice: manifests are JSON (one file per commit increment) because the
+driver-side planner consumes them whole, exactly like the reference plans on
+the driver from avro manifests. At 100 TB a table has O(10^5) data files →
+O(10^2) MB of manifest JSON; the planner also exposes the entries as a Spark
+DataFrame (see system_tables.$files) so pruning can be pushed to executors
+when a metadata scan ever outgrows the driver.
+
+``merge_entries`` implements ADD/DELETE cancellation — the §2.7 set-op analog
+(paimon-core/.../manifest/FileEntry.java mergeEntries).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+
+from ..types import ENTRY_ADD, ENTRY_DELETE
+from .util import atomic_write_json, new_uuid, read_json
+
+
+@dataclass
+class DataFileMeta:
+    """Per-file metadata (DataFileMeta.java:54-109). Paths are relative to the
+    table root so tables stay relocatable."""
+
+    file_name: str  # relative path: [<part>/...]bucket-<n>/<file>.parquet
+    file_size: int
+    row_count: int
+    min_seq: int = 0
+    max_seq: int = 0
+    schema_id: int = 0
+    level: int = 0
+    # value stats: {col: {"min":.., "max":.., "null_count":..}}
+    stats: dict = dc_field(default_factory=dict)
+    creation_time_millis: int = 0
+    delete_row_count: int = 0
+    # row kind breakdown for changelog files: {"+I": n, ...}
+    row_kind_counts: dict = dc_field(default_factory=dict)
+
+    def to_json(self):
+        return {
+            "fileName": self.file_name,
+            "fileSize": self.file_size,
+            "rowCount": self.row_count,
+            "minSequenceNumber": self.min_seq,
+            "maxSequenceNumber": self.max_seq,
+            "schemaId": self.schema_id,
+            "level": self.level,
+            "stats": self.stats,
+            "creationTimeMillis": self.creation_time_millis,
+            "deleteRowCount": self.delete_row_count,
+            "rowKindCounts": self.row_kind_counts,
+        }
+
+    @staticmethod
+    def from_json(j):
+        return DataFileMeta(
+            file_name=j["fileName"],
+            file_size=j["fileSize"],
+            row_count=j["rowCount"],
+            min_seq=j.get("minSequenceNumber", 0),
+            max_seq=j.get("maxSequenceNumber", 0),
+            schema_id=j.get("schemaId", 0),
+            level=j.get("level", 0),
+            stats=j.get("stats", {}),
+            creation_time_millis=j.get("creationTimeMillis", 0),
+            delete_row_count=j.get("deleteRowCount", 0),
+            row_kind_counts=j.get("rowKindCounts", {}),
+        )
+
+
+@dataclass
+class ManifestEntry:
+    """(kind, partition, bucket, file) — ManifestEntry.java:41-48."""
+
+    kind: str  # ADD | DELETE
+    partition: dict  # {col: value} ({} for unpartitioned)
+    bucket: int
+    file: DataFileMeta
+
+    def identifier(self):
+        return (tuple(sorted(self.partition.items())), self.bucket, self.file.file_name)
+
+    def to_json(self):
+        return {"kind": self.kind, "partition": self.partition, "bucket": self.bucket,
+                "file": self.file.to_json()}
+
+    @staticmethod
+    def from_json(j):
+        return ManifestEntry(j["kind"], j.get("partition", {}), j.get("bucket", 0),
+                             DataFileMeta.from_json(j["file"]))
+
+
+def merge_entries(entries: list[ManifestEntry]) -> list[ManifestEntry]:
+    """Collapse ADD/DELETE pairs (FileEntry.mergeEntries). A DELETE with no
+    preceding ADD is kept (it deletes a file from an older manifest)."""
+    out: dict = {}
+    for e in entries:
+        ident = e.identifier()
+        if e.kind == ENTRY_ADD:
+            if ident in out and out[ident].kind == ENTRY_DELETE:
+                # DELETE then ADD of same file should not happen in one chain
+                raise ValueError(f"ADD after DELETE for {ident}")
+            out[ident] = e
+        else:
+            prev = out.pop(ident, None)
+            if prev is None:
+                out[ident] = e  # unmatched DELETE: cancels an older manifest's ADD
+            elif prev.kind == ENTRY_DELETE:
+                out[ident] = prev
+    return list(out.values())
+
+
+def live_entries(entries: list[ManifestEntry]) -> list[ManifestEntry]:
+    """merge + keep only surviving ADDs (the live file set of a snapshot)."""
+    return [e for e in merge_entries(entries) if e.kind == ENTRY_ADD]
+
+
+class ManifestStore:
+    """Reads/writes manifest files + manifest lists under <table>/manifest."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.dir = os.path.join(table_path, "manifest")
+
+    # --- manifest files ---
+
+    def write_manifest(self, entries: list[ManifestEntry]) -> str:
+        name = f"manifest-{new_uuid()}.json"
+        ok = atomic_write_json(os.path.join(self.dir, name),
+                               [e.to_json() for e in entries])
+        assert ok, "uuid collision writing manifest"
+        return name
+
+    def read_manifest(self, name: str) -> list[ManifestEntry]:
+        return [ManifestEntry.from_json(j) for j in read_json(os.path.join(self.dir, name))]
+
+    # --- manifest lists ---
+
+    def write_manifest_list(self, manifest_names: list[str]) -> str:
+        name = f"manifest-list-{new_uuid()}.json"
+        ok = atomic_write_json(os.path.join(self.dir, name), manifest_names)
+        assert ok, "uuid collision writing manifest list"
+        return name
+
+    def read_manifest_list(self, name: str | None) -> list[str]:
+        if not name:
+            return []
+        return read_json(os.path.join(self.dir, name))
+
+    def read_all_entries(self, manifest_list: str | None) -> list[ManifestEntry]:
+        out = []
+        for m in self.read_manifest_list(manifest_list):
+            out.extend(self.read_manifest(m))
+        return out

@@ -1,0 +1,81 @@
+"""Filesystem + JSON helpers for the metadata layer.
+
+Atomicity contract mirrors the reference's RenamingSnapshotCommit: a metadata
+file becomes visible via an atomic link/rename that *fails* if the target
+already exists, which is the CAS primitive the whole commit protocol rests on
+(paimon-core/.../utils/SnapshotManager + FileStoreCommitImpl.java:101).
+
+On object stores without atomic rename the reference falls back to a catalog
+lock; our scale story is the same (plug a lock provider into ``atomic_write_json``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import date, datetime
+
+
+class _Enc(json.JSONEncoder):
+    def default(self, o):
+        if isinstance(o, datetime):
+            return {"__dt__": o.isoformat()}
+        if isinstance(o, date):
+            return {"__d__": o.isoformat()}
+        if isinstance(o, bytes):
+            return {"__b__": o.hex()}
+        return super().default(o)
+
+
+def _decode_hook(d):
+    if "__dt__" in d:
+        return datetime.fromisoformat(d["__dt__"])
+    if "__d__" in d:
+        return date.fromisoformat(d["__d__"])
+    if "__b__" in d:
+        return bytes.fromhex(d["__b__"])
+    return d
+
+
+def dumps(obj) -> str:
+    return json.dumps(obj, cls=_Enc)
+
+
+def loads(s: str):
+    return json.loads(s, object_hook=_decode_hook)
+
+
+def atomic_write_json(path: str, obj) -> bool:
+    """Atomically create `path` with JSON content. Returns False if it exists
+    (lost the CAS race); the caller retries from a fresh snapshot."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(dumps(obj))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)  # atomic create-if-absent on POSIX
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def write_text(path: str, text: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)  # overwriting rename (used for hint files only)
+
+
+def read_json(path: str):
+    with open(path) as f:
+        return loads(f.read())
+
+
+def new_uuid() -> str:
+    return uuid.uuid4().hex

@@ -1,0 +1,238 @@
+"""Scan planning + merge-on-read DataFrame construction.
+
+Reference flow (SURVEY §3.1): snapshot → manifest entries → partition/stats
+prune → splits (DataTableBatchScan.java:34, SnapshotReaderImpl.java:66,
+AbstractFileStoreScan stats skipping, MergeTreeSplitGenerator.java:38) →
+per-split merge readers (MergeFileSplitRead.java:73-286).
+
+Spark-first: planning stays a driver-side Python pass over manifest JSON
+(same as the reference's driver planning); *execution* is one declarative
+DataFrame — `spark.read.parquet(raw files) UNION merge(grouped files)` — so
+Catalyst/Tungsten own pushdown, codegen and shuffle. The planner's output is
+just file lists, which keeps the 100 TB story: executors never list or plan,
+they read exactly the pruned files.
+
+Merge avoidance parity: buckets whose files all sit at the max LSM level are
+"rawConvertible" (DataSplit.java:66) and bypass the merge aggregation
+entirely; `read_optimized=True` reads only max-level files
+(ReadOptimizedTable.java:53).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .merge_engines import LEVEL_COL, apply_merge
+from .metadata.manifest import ManifestEntry, live_entries
+from .metadata.schema import TableSchema
+from .metadata.snapshot import Snapshot
+from .predicate import Predicate, split_by_fields
+from .types import ROW_KIND, SEQUENCE_NUMBER, VALUE_KIND
+
+
+@dataclass
+class ScanPlan:
+    snapshot: Snapshot | None
+    entries: list[ManifestEntry] = dc_field(default_factory=list)
+    residual: Predicate | None = None
+
+    @property
+    def total_rows(self) -> int:
+        return sum(e.file.row_count for e in self.entries)
+
+
+class TableScan:
+    """Batch scan planner with time travel + pruning."""
+
+    def __init__(self, table, snapshot_id=None, tag=None, timestamp_ms=None,
+                 read_optimized=False):
+        self.table = table
+        self.snapshot_id = snapshot_id
+        self.tag = tag
+        self.timestamp_ms = timestamp_ms
+        self.read_optimized = read_optimized
+
+    # -- snapshot resolution (startup scanners, §2.1 scan modes) --
+    def resolve_snapshot(self) -> Snapshot | None:
+        t = self.table
+        if self.tag is not None:
+            return t.tag_snapshot(self.tag)
+        if self.snapshot_id is not None:
+            return t.snapshots.read(self.snapshot_id)
+        if self.timestamp_ms is not None:
+            return t.snapshots.snapshot_for_timestamp(self.timestamp_ms)
+        return t.snapshots.latest()
+
+    def plan(self, predicate: Predicate | None = None, limit: int | None = None) -> ScanPlan:
+        t = self.table
+        snapshot = self.resolve_snapshot()
+        if snapshot is None:
+            return ScanPlan(None, [], predicate)
+        entries = live_entries(
+            t.manifests.read_all_entries(snapshot.base_manifest_list)
+            + t.manifests.read_all_entries(snapshot.delta_manifest_list))
+
+        schema = t.schema_at(snapshot.schema_id)
+        if self.read_optimized and schema.primary_keys:
+            max_level = schema.core_options.num_levels - 1
+            entries = [e for e in entries if e.file.level == max_level]
+
+        residual = predicate
+        if predicate is not None:
+            part_pred, rest = split_by_fields(predicate, set(schema.partition_keys))
+            if part_pred is not None:
+                entries = [e for e in entries if part_pred.test_value(e.partition)]
+            # stats-based file skipping (AbstractFileStoreScan.java:519)
+            entries = [e for e in entries if _stats_keep(e, predicate)]
+            residual = predicate  # keep full predicate as residual (cheap, exact)
+
+        if limit is not None and not schema.primary_keys:
+            # limit pushdown: stop listing once enough raw rows (append only,
+            # PaimonScanBuilder.scala:29-35)
+            picked, total = [], 0
+            for e in entries:
+                picked.append(e)
+                total += e.file.row_count
+                if total >= limit:
+                    break
+            entries = picked
+        return ScanPlan(snapshot, entries, residual)
+
+
+def _stats_keep(e: ManifestEntry, pred: Predicate) -> bool:
+    stats = dict(e.file.stats)
+    stats["_row_count"] = e.file.row_count
+    flat = {c: s for c, s in stats.items() if isinstance(s, dict)}
+    flat["_row_count"] = e.file.row_count
+    try:
+        return pred.test_stats(flat)
+    except TypeError:
+        return True  # incomparable stats (e.g. truncated) — keep file
+
+
+def _with_system_cols(schema: T.StructType, pk: bool) -> T.StructType:
+    fields = list(schema.fields)
+    if pk:
+        fields.append(T.StructField(SEQUENCE_NUMBER, T.LongType(), True))
+        fields.append(T.StructField(VALUE_KIND, T.StringType(), True))
+    return T.StructType(fields)
+
+
+def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
+                  target_schema: TableSchema, with_level: bool = False) -> DataFrame | None:
+    """Union of data files, evolved to `target_schema` by field id
+    (SchemaEvolutionUtil.createIndexMapping :78 / createDataProjection :266).
+    Files are grouped by (schemaId, level); each group gets one parquet scan
+    with an explicit schema, then a cast/rename/reorder projection."""
+    if not entries:
+        return None
+    is_pk = bool(target_schema.primary_keys)
+    groups: dict[tuple[int, int], list[str]] = {}
+    for e in entries:
+        key = (e.file.schema_id, e.file.level if with_level else 0)
+        groups.setdefault(key, []).append(os.path.join(table.path, e.file.file_name))
+
+    out = None
+    for (schema_id, level), paths in sorted(groups.items()):
+        file_schema = table.schema_at(schema_id)
+        read_schema = _with_system_cols(file_schema.spark_schema(), is_pk)
+        df = spark.read.schema(read_schema).parquet(*paths)
+        df = evolve(df, file_schema, target_schema, is_pk)
+        if with_level:
+            df = df.withColumn(LEVEL_COL, F.lit(level))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def evolve(df: DataFrame, file_schema: TableSchema, target: TableSchema, is_pk: bool) -> DataFrame:
+    if file_schema.id == target.id:
+        return df
+    by_id = {f.id: f for f in file_schema.fields}
+    cols = []
+    for f in target.fields:
+        old = by_id.get(f.id)
+        if old is not None:
+            cols.append(F.col(old.name).cast(f.type).alias(f.name))
+        else:
+            default = target.core_options.field_default_value(f.name)
+            base = F.lit(default) if default is not None else F.lit(None)
+            cols.append(base.cast(f.type).alias(f.name))
+    if is_pk:
+        cols.append(F.col(SEQUENCE_NUMBER))
+        cols.append(F.col(VALUE_KIND))
+    return df.select(*cols)
+
+
+def plan_to_df(
+    spark: SparkSession,
+    table,
+    plan: ScanPlan,
+    projection: list[str] | None = None,
+    with_system_cols: bool = False,
+    audit_log: bool = False,
+) -> DataFrame:
+    """Build the result DataFrame for a plan: raw-convertible buckets read
+    directly; others go through the merge engine; union both."""
+    schema = (table.schema if plan.snapshot is None
+              else table.schema_at(plan.snapshot.schema_id))
+    is_pk = bool(schema.primary_keys)
+    empty_schema = _with_system_cols(schema.spark_schema(), is_pk and (with_system_cols or audit_log or True))
+
+    if not plan.entries:
+        out = spark.createDataFrame([], _with_system_cols(schema.spark_schema(), is_pk))
+    elif not is_pk:
+        out = read_files_df(spark, table, plan.entries, schema)
+    elif audit_log:
+        # $audit_log: no merge, expose rowkind (AuditLogTable.java:79-105)
+        out = read_files_df(spark, table, plan.entries, schema)
+    else:
+        max_level = schema.core_options.num_levels - 1
+        needs_agg_level = schema.core_options.merge_engine == "aggregation"
+        raw_buckets, merge_buckets = _split_raw_buckets(plan.entries, max_level)
+        parts = []
+        if merge_buckets:
+            df = read_files_df(spark, table, merge_buckets, schema,
+                               with_level=needs_agg_level)
+            merged = apply_merge(df, schema)
+            parts.append(merged)
+        if raw_buckets:
+            raw = read_files_df(spark, table, raw_buckets, schema)
+            parts.append(raw.select(*[f.name for f in schema.fields],
+                                    SEQUENCE_NUMBER, VALUE_KIND))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+
+    if audit_log and is_pk:
+        out = out.withColumn(ROW_KIND, F.col(VALUE_KIND))
+
+    if plan.residual is not None:
+        out = out.filter(plan.residual.to_column())
+
+    if not with_system_cols and not audit_log and is_pk:
+        out = out.drop(SEQUENCE_NUMBER, VALUE_KIND)
+    if projection:
+        keep = list(projection) + ([ROW_KIND] if audit_log and is_pk else [])
+        out = out.select(*keep)
+    return out
+
+
+def _split_raw_buckets(entries, max_level):
+    """rawConvertible: a (partition,bucket) whose files all sit at max level
+    holds exactly one sorted run with no deletes → no merge needed."""
+    by_bucket: dict = {}
+    for e in entries:
+        key = (tuple(sorted((k, str(v)) for k, v in e.partition.items())), e.bucket)
+        by_bucket.setdefault(key, []).append(e)
+    raw, merge = [], []
+    for _key, es in by_bucket.items():
+        if all(e.file.level == max_level for e in es):
+            raw.extend(es)
+        else:
+            merge.extend(es)
+    return raw, merge

@@ -1,0 +1,414 @@
+"""Table abstraction: metadata managers + read/write builders.
+
+Mirrors paimon-core/src/main/java/org/apache/paimon/table/Table.java:41
+(read/write builders, tags, branches, rollback) with the two concrete kinds
+folded into one class switched on `primary_keys`:
+- AppendOnlyFileStoreTable.java:50 (no pk, no merge)
+- PrimaryKeyFileStoreTable.java:52 (LSM merge-on-read)
+
+All reads return Spark DataFrames; all metadata stays JSON under the table
+path (schema/, snapshot/, manifest/, tag/, branch/, consumer/).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .metadata.commit import FileStoreCommit
+from .metadata.manifest import ManifestStore, live_entries
+from .metadata.schema import SchemaManager, TableSchema
+from .metadata.snapshot import Snapshot, SnapshotManager
+from .metadata.util import atomic_write_json, read_json
+from .predicate import Predicate
+from .read import ScanPlan, TableScan, plan_to_df
+from .write import BatchTableWrite
+
+BRANCH_DIR = "branch"
+TAG_DIR = "tag"
+
+
+class Table:
+    def __init__(self, path: str, branch: str | None = None):
+        self.root_path = path
+        self.branch = branch
+        self.path = path if branch is None else os.path.join(path, BRANCH_DIR, branch)
+        self.schemas = SchemaManager(self.path)
+        self.snapshots = SnapshotManager(self.path)
+        self.manifests = ManifestStore(self.path)
+        self.commit = FileStoreCommit(self.path)
+        self._schema_cache: dict[int, TableSchema] = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return os.path.basename(self.root_path)
+
+    @property
+    def schema(self) -> TableSchema:
+        s = self.schemas.latest()
+        if s is None:
+            raise FileNotFoundError(f"no schema at {self.path}")
+        return s
+
+    def schema_at(self, schema_id: int) -> TableSchema:
+        if schema_id not in self._schema_cache:
+            self._schema_cache[schema_id] = self.schemas.read(schema_id)
+        return self._schema_cache[schema_id]
+
+    @property
+    def options(self):
+        return self.schema.core_options
+
+    def is_primary_key_table(self) -> bool:
+        return bool(self.schema.primary_keys)
+
+    # ------------------------------------------------------------------
+    # write / read builders
+    def new_write(self) -> BatchTableWrite:
+        return BatchTableWrite(self)
+
+    def write(self, spark: SparkSession, df: DataFrame, **kw):
+        """Append/upsert `df` as one commit. kw: overwrite, dynamic_overwrite,
+        commit_identifier, watermark."""
+        return self.new_write().write(spark, df, **kw)
+
+    def new_scan(self, snapshot_id=None, tag=None, timestamp_ms=None,
+                 read_optimized=False) -> TableScan:
+        return TableScan(self, snapshot_id=snapshot_id, tag=tag,
+                         timestamp_ms=timestamp_ms, read_optimized=read_optimized)
+
+    def read(
+        self,
+        spark: SparkSession,
+        predicate: Predicate | None = None,
+        projection: list[str] | None = None,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+        timestamp_ms: int | None = None,
+        read_optimized: bool = False,
+        limit: int | None = None,
+        with_system_cols: bool = False,
+    ) -> DataFrame:
+        scan = self.new_scan(snapshot_id, tag, timestamp_ms, read_optimized)
+        plan = scan.plan(predicate, limit)
+        df = plan_to_df(spark, self, plan, projection, with_system_cols)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def to_view(self, spark: SparkSession, view_name: str | None = None, **kw) -> str:
+        """Register a temp view so plain spark.sql() can query the table."""
+        name = view_name or self.name
+        self.read(spark, **kw).createOrReplaceTempView(name)
+        return name
+
+    # ------------------------------------------------------------------
+    # live file entries of a snapshot
+    def entries_at(self, snapshot: Snapshot | None = None):
+        s = snapshot or self.snapshots.latest()
+        if s is None:
+            return []
+        return live_entries(
+            self.manifests.read_all_entries(s.base_manifest_list)
+            + self.manifests.read_all_entries(s.delta_manifest_list))
+
+    def delta_entries(self, snapshot: Snapshot):
+        """ADD entries introduced by exactly this snapshot."""
+        return [e for e in self.manifests.read_all_entries(snapshot.delta_manifest_list)
+                if e.kind == "ADD"]
+
+    def changelog_entries(self, snapshot: Snapshot):
+        return self.manifests.read_all_entries(snapshot.changelog_manifest_list)
+
+    # ------------------------------------------------------------------
+    # tags (TagAutoCreation.java:48, Table.java:78-116): full snapshot copy
+    def create_tag(self, name: str, snapshot_id: int | None = None):
+        sid = snapshot_id if snapshot_id is not None else self.snapshots.latest_id()
+        if sid is None:
+            raise RuntimeError("cannot tag an empty table")
+        snap = self.snapshots.read(sid)
+        ok = atomic_write_json(os.path.join(self.path, TAG_DIR, f"tag-{name}"), snap.to_json())
+        if not ok:
+            raise ValueError(f"tag {name!r} already exists")
+
+    def delete_tag(self, name: str):
+        try:
+            os.unlink(os.path.join(self.path, TAG_DIR, f"tag-{name}"))
+        except FileNotFoundError:
+            pass
+
+    def list_tags(self) -> list[str]:
+        d = os.path.join(self.path, TAG_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(n[len("tag-"):] for n in os.listdir(d) if n.startswith("tag-"))
+
+    def tag_snapshot(self, name: str) -> Snapshot:
+        return Snapshot.from_json(read_json(os.path.join(self.path, TAG_DIR, f"tag-{name}")))
+
+    # ------------------------------------------------------------------
+    # branches: copy-on-write fork of metadata; data files are shared with the
+    # main table via relative-path reads against the branch dir, so we
+    # materialize links for referenced files (metadata copy, zero data copy).
+    def create_branch(self, name: str, tag: str | None = None, snapshot_id: int | None = None):
+        if self.branch is not None:
+            raise ValueError("create branches from the main table")
+        if tag is not None:
+            snap = self.tag_snapshot(tag)
+        else:
+            sid = snapshot_id if snapshot_id is not None else self.snapshots.latest_id()
+            snap = self.snapshots.read(sid) if sid is not None else None
+        bdir = os.path.join(self.path, BRANCH_DIR, name)
+        if os.path.exists(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(os.path.join(bdir, "schema"))
+        # copy schemas up to branch point
+        for s in self.schemas.list_all():
+            if snap is None or s.id <= snap.schema_id:
+                shutil.copy(os.path.join(self.path, "schema", f"schema-{s.id}"),
+                            os.path.join(bdir, "schema", f"schema-{s.id}"))
+        if snap is not None:
+            # copy the snapshot + its manifests; link referenced data files
+            os.makedirs(os.path.join(bdir, "snapshot"))
+            os.makedirs(os.path.join(bdir, "manifest"))
+            names = (self.manifests.read_manifest_list(snap.base_manifest_list)
+                     + self.manifests.read_manifest_list(snap.delta_manifest_list))
+            for m in names + [snap.base_manifest_list, snap.delta_manifest_list]:
+                if m:
+                    shutil.copy(os.path.join(self.path, "manifest", m),
+                                os.path.join(bdir, "manifest", m))
+            for e in self.entries_at(snap):
+                src = os.path.join(self.path, e.file.file_name)
+                dst = os.path.join(bdir, e.file.file_name)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if not os.path.exists(dst):
+                    os.link(src, dst)
+            branch_snap = Snapshot.from_json(snap.to_json())
+            branch_snap.id = snap.id
+            SnapshotManager(bdir).try_commit(branch_snap)
+        return Table(self.root_path, branch=name)
+
+    def branch_table(self, name: str) -> "Table":
+        return Table(self.root_path, branch=name)
+
+    def list_branches(self) -> list[str]:
+        d = os.path.join(self.path, BRANCH_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n)))
+
+    def fast_forward(self, branch: str):
+        """Replace main metadata with the branch's (FastForwardProcedure)."""
+        bt = self.branch_table(branch)
+        b_latest = bt.snapshots.latest()
+        if b_latest is None:
+            raise RuntimeError(f"branch {branch!r} has no snapshots")
+        for sub in ("snapshot", "manifest", "schema"):
+            src_dir = os.path.join(bt.path, sub)
+            dst_dir = os.path.join(self.path, sub)
+            if not os.path.isdir(src_dir):
+                continue
+            for n in os.listdir(src_dir):
+                src, dst = os.path.join(src_dir, n), os.path.join(dst_dir, n)
+                if n == "LATEST" or not os.path.exists(dst):
+                    shutil.copy(src, dst)
+        for e in bt.entries_at(b_latest):
+            src = os.path.join(bt.path, e.file.file_name)
+            dst = os.path.join(self.path, e.file.file_name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):
+                os.link(src, dst)
+        # drop main snapshots newer than the branch head
+        for sid in [s.id for s in self.snapshots.list_all() if s.id > b_latest.id]:
+            self.snapshots.delete(sid)
+        from .metadata.util import write_text
+        write_text(os.path.join(self.path, "snapshot", "LATEST"), str(b_latest.id))
+
+    # ------------------------------------------------------------------
+    def rollback_to(self, snapshot_id: int | None = None, tag: str | None = None):
+        """Delete snapshots newer than the target (RollbackHelper)."""
+        if tag is not None:
+            target = self.tag_snapshot(tag)
+            if not self.snapshots.exists(target.id):
+                self.snapshots.try_commit(target)
+            snapshot_id = target.id
+        assert snapshot_id is not None
+        for s in self.snapshots.list_all():
+            if s.id > snapshot_id:
+                self.snapshots.delete(s.id)
+        from .metadata.util import write_text
+        write_text(os.path.join(self.path, "snapshot", "LATEST"), str(snapshot_id))
+
+    # ------------------------------------------------------------------
+    # consumers (ConsumerManager.java:40)
+    def consumer_path(self, consumer_id: str) -> str:
+        return os.path.join(self.path, "consumer", f"consumer-{consumer_id}")
+
+    def read_consumer(self, consumer_id: str) -> int | None:
+        try:
+            return read_json(self.consumer_path(consumer_id))["nextSnapshot"]
+        except FileNotFoundError:
+            return None
+
+    def write_consumer(self, consumer_id: str, next_snapshot: int):
+        from .metadata.util import write_text, dumps
+        write_text(self.consumer_path(consumer_id), dumps({"nextSnapshot": next_snapshot}))
+
+    def list_consumers(self) -> dict[str, int]:
+        d = os.path.join(self.path, "consumer")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for n in os.listdir(d):
+            if n.startswith("consumer-"):
+                out[n[len("consumer-"):]] = read_json(os.path.join(d, n))["nextSnapshot"]
+        return out
+
+    # ------------------------------------------------------------------
+    def run_post_commit_hooks(self, spark: SparkSession, snapshot: Snapshot):
+        """Inline maintenance triggered by commits, like the reference's
+        write-time compaction + expiration piggyback."""
+        opts = self.options
+        if opts.write_only:
+            return
+        # full-compaction.delta-commits (CoreOptions.java:833)
+        fc = opts.full_compaction_delta_commits
+        if fc and self.is_primary_key_table() and snapshot.commit_kind == "APPEND":
+            appends_since = 0
+            for s in reversed(self.snapshots.list_all()):
+                if s.commit_kind == "COMPACT":
+                    break
+                if s.commit_kind in ("APPEND", "OVERWRITE"):
+                    appends_since += 1
+            if appends_since >= fc:
+                from .compact import compact_table
+                compact_table(spark, self, full=True)
+
+    # ------------------------------------------------------------------
+    # convenience dispatchers into sibling modules
+    def compact(self, spark, full=False, predicate=None, order_by=None, strategy=None):
+        from .compact import compact_table
+        return compact_table(spark, self, full=full, predicate=predicate,
+                             order_by=order_by, strategy=strategy)
+
+    def expire_snapshots(self, retain_max=None, retain_min=None, older_than_ms=None):
+        from .maintenance import expire_snapshots
+        return expire_snapshots(self, retain_max=retain_max, retain_min=retain_min,
+                                older_than_ms=older_than_ms)
+
+    def remove_orphan_files(self, older_than_ms=None, dry_run=False):
+        from .maintenance import remove_orphan_files
+        return remove_orphan_files(self, older_than_ms=older_than_ms, dry_run=dry_run)
+
+    def system(self, spark: SparkSession, name: str) -> DataFrame:
+        from .system_tables import system_table
+        return system_table(spark, self, name)
+
+    def delete_where(self, spark, predicate, **kw):
+        from .row_ops import delete_where
+        return delete_where(spark, self, predicate, **kw)
+
+    def update_where(self, spark, predicate, assignments, **kw):
+        from .row_ops import update_where
+        return update_where(spark, self, predicate, assignments, **kw)
+
+    def merge_into(self, spark, source_df, on, **kw):
+        from .row_ops import merge_into
+        return merge_into(spark, self, source_df, on, **kw)
+
+    def truncate(self, spark=None):
+        from .row_ops import truncate
+        return truncate(self)
+
+    def incremental(self, spark, start, end=None, changelog=False) -> DataFrame:
+        from .streaming.source import incremental_between
+        return incremental_between(spark, self, start, end, changelog=changelog)
+
+
+# ----------------------------------------------------------------------
+class Catalog:
+    """Filesystem catalog: <warehouse>/<db>.db/<table> (FileSystemCatalog)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _db_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, f"{db}.db")
+
+    def create_database(self, db: str, ignore_if_exists: bool = True):
+        p = self._db_path(db)
+        if os.path.exists(p) and not ignore_if_exists:
+            raise ValueError(f"database {db} exists")
+        os.makedirs(p, exist_ok=True)
+
+    def list_databases(self) -> list[str]:
+        return sorted(n[:-3] for n in os.listdir(self.warehouse) if n.endswith(".db"))
+
+    def list_tables(self, db: str) -> list[str]:
+        p = self._db_path(db)
+        if not os.path.isdir(p):
+            return []
+        return sorted(n for n in os.listdir(p)
+                      if os.path.isdir(os.path.join(p, n, "schema")))
+
+    def create_table(
+        self,
+        identifier: str,  # "db.table"
+        schema: T.StructType,
+        partition_keys=None,
+        primary_keys=None,
+        options=None,
+        comment=None,
+        ignore_if_exists: bool = False,
+    ) -> Table:
+        db, name = identifier.split(".", 1)
+        self.create_database(db)
+        path = os.path.join(self._db_path(db), name)
+        mgr = SchemaManager(path)
+        if mgr.latest_id() is not None:
+            if ignore_if_exists:
+                return Table(path)
+            raise ValueError(f"table {identifier} already exists")
+        ts = TableSchema.create(schema, partition_keys, primary_keys, options, comment)
+        _validate(ts)
+        mgr.commit_new(ts)
+        return Table(path)
+
+    def get_table(self, identifier: str) -> Table:
+        db, name = identifier.split(".", 1)
+        path = os.path.join(self._db_path(db), name)
+        t = Table(path)
+        _ = t.schema  # raises if missing
+        return t
+
+    def drop_table(self, identifier: str, ignore_if_not_exists: bool = True):
+        db, name = identifier.split(".", 1)
+        path = os.path.join(self._db_path(db), name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif not ignore_if_not_exists:
+            raise ValueError(f"table {identifier} does not exist")
+
+    def rename_table(self, old: str, new: str):
+        db1, n1 = old.split(".", 1)
+        db2, n2 = new.split(".", 1)
+        os.rename(os.path.join(self._db_path(db1), n1),
+                  os.path.join(self._db_path(db2), n2))
+
+
+def _validate(ts: TableSchema):
+    opts = ts.core_options
+    _ = opts.merge_engine
+    _ = opts.changelog_producer
+    if opts.merge_engine != "deduplicate" and not ts.primary_keys:
+        raise ValueError("merge-engine requires primary keys")
+    for pk in ts.primary_keys:
+        if pk in ts.partition_keys and len(ts.primary_keys) == 1:
+            raise ValueError("primary key must not equal partition key only")
+    if opts.sequence_field and len(opts.sequence_field) > 1:
+        raise NotImplementedError("multiple sequence.field columns: planned")

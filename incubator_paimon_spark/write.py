@@ -1,0 +1,296 @@
+"""Batch write path: bucket distribution → parquet files → snapshot commit.
+
+Reference flow (SURVEY §3.3): WriteIntoPaimonTable.scala:35 →
+PaimonSparkWriter.scala:61-204 (repartition by partition+bucket) →
+MergeTreeWriter/AppendOnlyWriter per task → CommitMessage →
+FileStoreCommitImpl 2PC.
+
+Spark-first: one `df.write.partitionBy(...)` job lays the files out; Spark's
+shuffle replaces the reference's hand-rolled channel computer, and its sort +
+spill replaces SortBufferWriteBuffer. Per-file stats come from parquet footers
+collected *in a distributed pass* (metadata-only reads). The driver then only
+moves O(#files) paths into the table layout and runs the commit protocol —
+the same driver workload the reference has, so a 1000-executor / 100 TB write
+keeps the driver out of the data path entirely.
+
+Bucket hash: pmod(murmur3(bucket key), n) via F.hash — a fixed, documented
+hash so the same key always lands in the same bucket across jobs (parity with
+the reference's stable bucket arithmetic, not byte-identical to its Java
+hashCode).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.parse
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .metadata.commit import CommitMessage, FileStoreCommit
+from .metadata.manifest import DataFileMeta, ManifestEntry, live_entries
+from .metadata.schema import TableSchema
+from .metadata.stats import collect_file_stats
+from .metadata.util import new_uuid
+from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, ENTRY_ADD, ENTRY_DELETE,
+                    INSERT, ROW_KIND, SEQUENCE_NUMBER, VALUE_KIND)
+
+BUCKET_DIR = "bucket-{b}"
+PT_PREFIX = "__pt_"
+BUCKET_COL = "__bucket"
+
+
+def align_to_schema(df: DataFrame, schema: TableSchema, keep_row_kind: bool = True) -> DataFrame:
+    """Cast/reorder input columns to the table schema (PaimonAnalysis.scala:37)."""
+    cols = []
+    for f in schema.fields:
+        if f.name not in df.columns:
+            raise ValueError(f"input missing column {f.name!r}; df has {df.columns}")
+        cols.append(F.col(f.name).cast(f.type).alias(f.name))
+    if keep_row_kind and ROW_KIND in df.columns:
+        cols.append(F.col(ROW_KIND))
+    return df.select(*cols)
+
+
+def bucket_expr(schema: TableSchema, num_buckets: int):
+    keys = schema.bucket_keys()
+    if not keys or num_buckets <= 0:
+        return F.lit(0)
+    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets))
+
+
+def partition_value_from_dir(name: str, dtype: T.DataType):
+    """Decode one `col=value` staging dir component into a typed value."""
+    raw = urllib.parse.unquote(name.split("=", 1)[1])
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    t = dtype.typeName()
+    if t in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "date":
+        return date.fromisoformat(raw)
+    if t in ("timestamp", "timestamp_ntz"):
+        return datetime.fromisoformat(raw)
+    if t == "boolean":
+        return raw == "true"
+    return raw
+
+
+class BatchTableWrite:
+    """One write() == one commit (snapshot). Thread-safe use: one instance per job."""
+
+    def __init__(self, table):
+        self.table = table
+
+    # ------------------------------------------------------------------
+    def write(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        overwrite=None,           # None | True (all) | {col: value} static spec
+        dynamic_overwrite: bool = False,
+        commit_identifier: int = -1,
+        watermark: int | None = None,
+        level: int = 0,
+        extra_delete_entries=None,
+        commit_kind: str | None = None,
+        changelog_from_input: bool | None = None,
+    ):
+        table = self.table
+        schema: TableSchema = table.schema
+        opts = schema.core_options
+        latest = table.snapshots.latest()
+        seq_base = latest.next_sequence_number if latest else 0
+
+        has_row_kind = ROW_KIND in df.columns
+        df = align_to_schema(df, schema)
+
+        is_pk = bool(schema.primary_keys)
+        if is_pk:
+            kind = F.col(ROW_KIND) if has_row_kind else F.lit(INSERT)
+            df = df.withColumn(VALUE_KIND, kind)
+            if has_row_kind:
+                df = df.drop(ROW_KIND)
+            # commit LSN: per-commit base + intra-batch monotonic id. Unique and
+            # increasing within the commit; across commits ordered by base.
+            df = df.withColumn(SEQUENCE_NUMBER,
+                               (F.lit(seq_base) + F.monotonically_increasing_id()).cast("long"))
+        elif has_row_kind:
+            df = df.drop(ROW_KIND)
+
+        num_buckets = opts.bucket
+        pt_cols = [f"{PT_PREFIX}{c}" for c in schema.partition_keys]
+        for c in schema.partition_keys:
+            df = df.withColumn(f"{PT_PREFIX}{c}", F.col(c))
+
+        layout_cols = list(pt_cols)
+        if is_pk and num_buckets > 0:
+            df = df.withColumn(BUCKET_COL, bucket_expr(schema, num_buckets))
+            layout_cols.append(BUCKET_COL)
+            # co-locate each bucket in one task; sort by key+seq so every data
+            # file is a sorted run (MergeTreeWriter's sorted level-0 flush)
+            df = df.repartition(*[F.col(c) for c in layout_cols])
+            df = df.sortWithinPartitions(*(schema.trimmed_primary_keys() + [SEQUENCE_NUMBER]))
+        else:
+            df = df.withColumn(BUCKET_COL, F.lit(0))
+            layout_cols.append(BUCKET_COL)
+
+        staging = os.path.join(table.path, ".staging", new_uuid())
+        (df.write.mode("overwrite")
+           .partitionBy(*layout_cols)
+           .parquet(staging))
+
+        adds = self._collect_entries(spark, staging, schema, level)
+        self._move_into_layout(staging, adds, table.path)
+
+        deletes = list(extra_delete_entries or [])
+        kind = commit_kind or COMMIT_APPEND
+        if overwrite is not None or dynamic_overwrite:
+            kind = COMMIT_OVERWRITE
+            deletes += self._overwrite_deletes(overwrite, dynamic_overwrite, adds)
+
+        max_seq = max((a.file.max_seq for a in adds), default=seq_base - 1)
+        changelog = []
+        produce_input_changelog = (
+            changelog_from_input
+            if changelog_from_input is not None
+            else (is_pk and has_row_kind and opts.changelog_producer == "input")
+        )
+        if produce_input_changelog:
+            # `input` producer: the written files double as changelog files
+            # (CoreOptions.java:2107-2118 "input")
+            changelog = [ManifestEntry(ENTRY_ADD, a.partition, a.bucket, a.file) for a in adds]
+
+        msg = CommitMessage(add=adds, delete=deletes, changelog=changelog)
+        snap = table.commit.commit(
+            msg,
+            schema_id=schema.id,
+            kind=kind,
+            commit_identifier=commit_identifier,
+            watermark=watermark,
+            next_sequence_number=max_seq + 1,
+        )
+        if snap is not None:
+            table.run_post_commit_hooks(spark, snap)
+        return snap
+
+    # ------------------------------------------------------------------
+    def _collect_entries(self, spark, staging: str, schema: TableSchema, level: int):
+        """Walk staging output, collect footer stats distributedly, build ADD
+        entries with final (relative) file names."""
+        files = []
+        for root, _dirs, names in os.walk(staging):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(os.path.join(root, n))
+        if not files:
+            return []
+
+        stats_mode = schema.core_options.metadata_stats_mode
+        if len(files) > 4:
+            sc = spark.sparkContext
+            stats_list = (sc.parallelize(files, min(len(files), 64))
+                          .map(lambda p: (p, collect_file_stats(p, stats_mode)))
+                          .collect())
+            stats_by_path = dict(stats_list)
+        else:
+            stats_by_path = {p: collect_file_stats(p, stats_mode) for p in files}
+
+        pt_types = {f"{PT_PREFIX}{c}": schema.field_by_name(c).type
+                    for c in schema.partition_keys}
+        now = int(time.time() * 1000)
+        entries = []
+        for i, path in enumerate(sorted(files)):
+            rel = os.path.relpath(path, staging)
+            comps = rel.split(os.sep)[:-1]
+            partition, bucket = {}, 0
+            for comp in comps:
+                key = comp.split("=", 1)[0]
+                if key == BUCKET_COL:
+                    bucket = int(comp.split("=", 1)[1])
+                elif key in pt_types:
+                    col = key[len(PT_PREFIX):]
+                    partition[col] = partition_value_from_dir(comp, pt_types[key])
+            st = stats_by_path[path]
+            seq_stats = st["cols"].get(SEQUENCE_NUMBER, {})
+            part_dir = "/".join(
+                f"{c}={_dir_value(partition[c])}" for c in schema.partition_keys)
+            bucket_dir = BUCKET_DIR.format(b=bucket)
+            fname = f"data-{new_uuid()}-{i}.parquet"
+            rel_final = "/".join(x for x in (part_dir, bucket_dir, fname) if x)
+            meta = DataFileMeta(
+                file_name=rel_final,
+                file_size=os.path.getsize(path),
+                row_count=st["_row_count"],
+                min_seq=seq_stats.get("min", 0) or 0,
+                max_seq=seq_stats.get("max", 0) or 0,
+                schema_id=schema.id,
+                level=level,
+                stats=st["cols"],
+                creation_time_millis=now,
+            )
+            entries.append(_AddEntry(path, partition, bucket, meta))
+        return entries
+
+    @staticmethod
+    def _move_into_layout(staging: str, adds, table_path: str):
+        for e in adds:
+            dst = os.path.join(table_path, e.file.file_name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(e.staging_path, dst)
+        # clean staging skeleton
+        for root, dirs, names in os.walk(staging, topdown=False):
+            for n in names:
+                try:
+                    os.unlink(os.path.join(root, n))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+
+    # ------------------------------------------------------------------
+    def _overwrite_deletes(self, overwrite, dynamic, adds):
+        """OVERWRITE commit: retract currently-live files for the target
+        partitions (WriteIntoPaimonTable + PaimonDynamicPartitionOverwrite)."""
+        table = self.table
+        latest = table.snapshots.latest()
+        if latest is None:
+            return []
+        entries = live_entries(
+            table.manifests.read_all_entries(latest.base_manifest_list)
+            + table.manifests.read_all_entries(latest.delta_manifest_list))
+        if dynamic:
+            new_parts = {tuple(sorted(a.partition.items())) for a in adds}
+            victims = [e for e in entries
+                       if tuple(sorted(e.partition.items())) in new_parts]
+        elif overwrite is True or overwrite is None or overwrite == {}:
+            victims = entries
+        else:
+            victims = [e for e in entries
+                       if all(e.partition.get(k) == v for k, v in overwrite.items())]
+        return [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file) for e in victims]
+
+
+class _AddEntry(ManifestEntry):
+    """ADD entry that remembers its staging path until moved."""
+
+    def __init__(self, staging_path, partition, bucket, file):
+        super().__init__(ENTRY_ADD, partition, bucket, file)
+        self.staging_path = staging_path
+
+
+def _dir_value(v) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    return urllib.parse.quote(str(v), safe="")
