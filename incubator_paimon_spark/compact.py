@@ -1,0 +1,306 @@
+"""LSM compaction: universal picker arithmetic + rewrite jobs.
+
+Picker mirrors paimon-core/src/main/java/org/apache/paimon/mergetree/compact/
+UniversalCompaction.java:70-160 exactly (size-amplification, size-ratio,
+run-count triggers, output-level choice of createUnit :179-205). Runs are
+ordered NEWEST first: each level-0 file is its own sorted run (newest = max
+sequence), then one run per level 1..maxLevel — matching Levels.java:38.
+
+Execution is Spark-first: the chosen runs of each (partition, bucket) are read
+as one DataFrame, pushed through the merge engine (hash aggregation), and
+rewritten at the output level via the normal write path — the rewrite
+parallelism is per-bucket Spark tasks, so compacting 10k buckets of a 100 TB
+table is one job, not 10k driver loops. Sort compaction (z-order / order)
+follows CompactProcedure.java:99-218 + TableSorter.java:86-90.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge_engines import apply_merge
+from .metadata.manifest import ManifestEntry
+from .read import read_files_df
+from .types import COMMIT_COMPACT, ENTRY_DELETE
+from .predicate import Predicate
+
+
+@dataclass
+class SortedRun:
+    level: int
+    files: list  # ManifestEntry
+    @property
+    def total_size(self) -> int:
+        return sum(e.file.file_size for e in self.files)
+
+
+def bucket_sorted_runs(entries: list[ManifestEntry]) -> list[SortedRun]:
+    """Runs for one bucket, newest first (level-0 file = one run each,
+    ordered by max_seq desc; then levels ascending)."""
+    level0 = sorted((e for e in entries if e.file.level == 0),
+                    key=lambda e: e.file.max_seq, reverse=True)
+    runs = [SortedRun(0, [e]) for e in level0]
+    by_level: dict[int, list[ManifestEntry]] = {}
+    for e in entries:
+        if e.file.level > 0:
+            by_level.setdefault(e.file.level, []).append(e)
+    for lvl in sorted(by_level):
+        runs.append(SortedRun(lvl, by_level[lvl]))
+    return runs
+
+
+def pick_compaction(runs: list[SortedRun], max_level: int,
+                    max_size_amp: int, size_ratio: int,
+                    num_run_trigger: int) -> tuple[int, list[SortedRun]] | None:
+    """UniversalCompaction.pick — returns (output_level, runs_to_merge)."""
+    if not runs:
+        return None
+    # 1. size amplification (pickForSizeAmp)
+    if len(runs) >= num_run_trigger:
+        candidate_size = sum(r.total_size for r in runs[:-1])
+        earliest = runs[-1].total_size
+        if candidate_size * 100 > max_size_amp * earliest:
+            return max_level, list(runs)
+    # 2. size ratio (pickForSizeRatio)
+    if len(runs) >= num_run_trigger:
+        unit = _pick_for_size_ratio(runs, max_level, size_ratio, 1)
+        if unit is not None:
+            return unit
+    # 3. run count
+    if len(runs) > num_run_trigger:
+        candidate_count = len(runs) - num_run_trigger + 1
+        return _pick_for_size_ratio(runs, max_level, size_ratio, candidate_count,
+                                    force=True)
+    return None
+
+
+def _pick_for_size_ratio(runs, max_level, size_ratio, candidate_count, force=False):
+    candidate_size = sum(r.total_size for r in runs[:candidate_count])
+    for i in range(candidate_count, len(runs)):
+        nxt = runs[i]
+        if candidate_size * (100.0 + size_ratio) / 100.0 < nxt.total_size:
+            break
+        candidate_size += nxt.total_size
+        candidate_count += 1
+    if force or candidate_count > 1:
+        return _create_unit(runs, max_level, candidate_count)
+    return None
+
+
+def _create_unit(runs, max_level, run_count):
+    """createUnit: output level = next run's level - 1 (never 0); merging
+    everything outputs at max level."""
+    if run_count == len(runs):
+        output_level = max_level
+    else:
+        output_level = max(0, runs[run_count].level - 1)
+    if output_level == 0:
+        for i in range(run_count, len(runs)):
+            nxt = runs[i]
+            run_count += 1
+            if nxt.level != 0:
+                output_level = nxt.level
+                break
+    if run_count == len(runs):
+        output_level = max_level
+    return output_level, runs[:run_count]
+
+
+# ----------------------------------------------------------------------
+def compact_table(spark: SparkSession, table, full: bool = False,
+                  predicate: Predicate | None = None,
+                  order_by: list[str] | None = None,
+                  strategy: str | None = None):
+    """CALL sys.compact parity (CompactProcedure.java:99-218).
+
+    - PK tables: universal (or full) merge per bucket.
+    - Append tables: small-file rewrite per partition; with order_by +
+      strategy in {order, zorder} a sort compaction rewrites the selected
+      partitions clustered by the given columns.
+    Returns the COMPACT snapshot (or None when nothing to do)."""
+    if order_by or strategy:
+        return _sort_compact(spark, table, order_by or [], strategy or "order",
+                             predicate)
+    if table.is_primary_key_table():
+        return _compact_pk(spark, table, full, predicate)
+    return _compact_append(spark, table, predicate)
+
+
+def _group_by_bucket(entries):
+    by_bucket: dict = {}
+    for e in entries:
+        key = (tuple(sorted(e.partition.items())), e.bucket)
+        by_bucket.setdefault(key, []).append(e)
+    return by_bucket
+
+
+def _compact_pk(spark, table, full, predicate):
+    schema = table.schema
+    opts = schema.core_options
+    max_level = opts.num_levels - 1
+    entries = table.entries_at()
+    if predicate is not None:
+        from .predicate import split_by_fields
+        part_pred, _ = split_by_fields(predicate, set(schema.partition_keys))
+        if part_pred is not None:
+            entries = [e for e in entries if part_pred.test_value(e.partition)]
+
+    to_rewrite: list[tuple[int, list[ManifestEntry]]] = []
+    for _key, bucket_entries in _group_by_bucket(entries).items():
+        runs = bucket_sorted_runs(bucket_entries)
+        if full:
+            if len(runs) == 1 and runs[0].level == max_level:
+                continue  # already fully compacted
+            unit = (max_level, runs)
+        else:
+            unit = pick_compaction(runs, max_level,
+                                   opts.compaction_max_size_amplification_percent,
+                                   opts.compaction_size_ratio,
+                                   opts.num_sorted_run_compaction_trigger)
+        if unit is None:
+            continue
+        out_level, chosen = unit
+        files = [e for r in chosen for e in r.files]
+        if len(files) == 0:
+            continue
+        to_rewrite.append((out_level, files))
+
+    if not to_rewrite:
+        return None
+
+    # group rewrites by output level so each level is one Spark job
+    by_level: dict[int, list[ManifestEntry]] = {}
+    for lvl, files in to_rewrite:
+        by_level.setdefault(lvl, []).extend(files)
+
+    snap = None
+    for out_level, files in sorted(by_level.items()):
+        df = read_files_df(spark, table, files, schema, with_level=True)
+        merged = apply_merge(df, schema, drop_deletes=(out_level == max_level))
+        merged = _record_level_expire(merged, opts)
+        deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+                   for e in files]
+        snap = table.new_write().write(
+            spark, merged, level=out_level, extra_delete_entries=deletes,
+            commit_kind=COMMIT_COMPACT, preserve_system_cols=True)
+    return snap
+
+
+def _record_level_expire(df: DataFrame, opts) -> DataFrame:
+    """record-level.expire-time: rows expire during compaction
+    (io/RecordLevelExpire.java:35)."""
+    ttl = opts.record_level_expire_time_ms
+    field = opts.record_level_time_field
+    if ttl and field:
+        cutoff = F.lit(int((time.time() * 1000 - ttl) / 1000)).cast("timestamp")
+        df = df.filter(F.col(field).cast("timestamp") >= cutoff)
+    return df
+
+
+def _compact_append(spark, table, predicate):
+    """Append-table compaction: rewrite partitions whose file count exceeds
+    the trigger into target-size files (AppendOnlyCompactManager)."""
+    schema = table.schema
+    opts = schema.core_options
+    entries = table.entries_at()
+    if predicate is not None:
+        from .predicate import split_by_fields
+        part_pred, _ = split_by_fields(predicate, set(schema.partition_keys))
+        if part_pred is not None:
+            entries = [e for e in entries if part_pred.test_value(e.partition)]
+    trigger = opts.num_sorted_run_compaction_trigger
+    victims = []
+    for _key, es in _group_by_bucket(entries).items():
+        small = [e for e in es if e.file.file_size < opts.target_file_size]
+        if len(small) > trigger:
+            victims.extend(small)
+    if not victims:
+        return None
+    df = read_files_df(spark, table, victims, schema)
+    deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+               for e in victims]
+    return table.new_write().write(
+        spark, df, extra_delete_entries=deletes,
+        commit_kind=COMMIT_COMPACT, preserve_system_cols=True)
+
+
+# ----------------------------------------------------------------------
+def zorder_value(cols: list[str], bits: int = 16):
+    """Z-value as a Column: interleave the top `bits` bits of each column's
+    rank-normalized value. Pure Spark expressions (no Python UDF): each
+    column is min-max scaled to [0, 2^bits) using window-free aggregates
+    computed by the caller; here we interleave via bit arithmetic.
+
+    Matches the intent of SparkZOrderUDF.java / ZIndexer.java:63 — cluster
+    correlated columns for data skipping — not its byte layout.
+    """
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits - 1, -1, -1):
+        for ci, c in enumerate(cols):
+            src_bit = F.shiftright(F.col(c).cast("long"), bit) & F.lit(1)
+            pos = bit * n + (n - 1 - ci)
+            z = z | F.shiftleft(src_bit, pos)
+    return z
+
+
+def _sort_compact(spark, table, order_by, strategy, predicate):
+    """Sort compaction (order / zorder): full rewrite of the selected
+    partitions, clustered by order_by columns, committed as COMPACT.
+
+    Scale path: repartitionByRange on the cluster key gives contiguous,
+    balanced output files whose min/max stats make later predicate pruning
+    effective — the whole point of z-ordering at 100 TB."""
+    schema = table.schema
+    opts = schema.core_options
+    max_level = opts.num_levels - 1
+    entries = table.entries_at()
+    if predicate is not None:
+        from .predicate import split_by_fields
+        part_pred, _ = split_by_fields(predicate, set(schema.partition_keys))
+        if part_pred is not None:
+            entries = [e for e in entries if part_pred.test_value(e.partition)]
+    if not entries:
+        return None
+    is_pk = table.is_primary_key_table()
+    df = read_files_df(spark, table, entries, schema, with_level=is_pk)
+    if is_pk:
+        df = apply_merge(df, schema, drop_deletes=True)
+
+    if strategy == "zorder":
+        # min-max scale each column to [0, 2^16) then interleave bits.
+        # One tiny agg job for the bounds; no global window (scale-safe).
+        bounds = df.agg(*[F.min(F.col(c).cast("double")).alias(f"mn_{c}")
+                          for c in order_by],
+                        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}")
+                          for c in order_by]).collect()[0]
+        norm_cols = []
+        for c in order_by:
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+            nc = f"__z_{c}"
+            scaled = ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                      * ((1 << 16) - 1))
+            df = df.withColumn(nc, F.coalesce(scaled, F.lit(0.0)).cast("long"))
+            norm_cols.append(nc)
+        df = df.withColumn("__z", zorder_value(norm_cols))
+        df = df.repartitionByRange(F.col("__z")).sortWithinPartitions("__z")
+        df = df.drop("__z", *norm_cols)
+    elif strategy == "order":
+        df = df.repartitionByRange(*[F.col(c) for c in order_by]) \
+               .sortWithinPartitions(*order_by)
+    elif strategy == "hilbert":
+        raise NotImplementedError("hilbert curve sort: planned (zorder available)")
+    else:
+        raise ValueError(f"unknown sort strategy {strategy!r}")
+
+    deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+               for e in entries]
+    return table.new_write().write(
+        spark, df, level=max_level if is_pk else 0,
+        extra_delete_entries=deletes, commit_kind=COMMIT_COMPACT,
+        preserve_system_cols=is_pk)

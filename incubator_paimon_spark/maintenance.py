@@ -1,0 +1,159 @@
+"""Maintenance jobs: snapshot/partition expiration, orphan files.
+
+Reference: table/ExpireSnapshotsImpl.java (+ retention options
+CoreOptions.java:229-244), operation/PartitionExpire.java:45,
+operation/OrphanFilesClean.java. All driver-side metadata arithmetic +
+O(#deleted files) unlinks — no data reads.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+from .metadata.manifest import ManifestEntry
+from .metadata.commit import CommitMessage
+from .types import COMMIT_OVERWRITE, ENTRY_DELETE
+
+
+def _referenced_by(table, snapshots) -> tuple[set, set]:
+    """(manifest names, data file names) referenced by the given snapshots."""
+    manifests, files = set(), set()
+    for s in snapshots:
+        for ml in (s.base_manifest_list, s.delta_manifest_list,
+                   s.changelog_manifest_list):
+            if not ml:
+                continue
+            manifests.add(ml)
+            for m in table.manifests.read_manifest_list(ml):
+                manifests.add(m)
+                for e in table.manifests.read_manifest(m):
+                    files.add(e.file.file_name)
+    return manifests, files
+
+
+def expire_snapshots(table, retain_max=None, retain_min=None, older_than_ms=None):
+    """Delete expired snapshots + files referenced only by them. Respects
+    consumer progress (ConsumerManager) and never touches tagged snapshots'
+    files (tags hold full snapshot copies)."""
+    opts = table.options
+    retain_max = retain_max if retain_max is not None else opts.snapshot_num_retained_max
+    retain_min = retain_min if retain_min is not None else opts.snapshot_num_retained_min
+    cutoff = (older_than_ms if older_than_ms is not None
+              else int(time.time() * 1000) - opts.snapshot_time_retained_ms)
+
+    snaps = table.snapshots.list_all()
+    if len(snaps) <= retain_min:
+        return 0
+    min_consumer = min(table.list_consumers().values(), default=None)
+
+    keep_from = len(snaps) - retain_min  # index of first definitely-kept
+    expire = []
+    for i, s in enumerate(snaps):
+        if i >= keep_from:
+            break
+        if len(snaps) - len(expire) <= retain_min:
+            break
+        # too young AND within retain_max → keep
+        if s.time_millis >= cutoff and len(snaps) - i <= retain_max:
+            break
+        if min_consumer is not None and s.id >= min_consumer:
+            break
+        expire.append(s)
+    if not expire:
+        return 0
+
+    keep = [s for s in snaps if s.id > expire[-1].id]
+    tag_snaps = [table.tag_snapshot(t) for t in table.list_tags()]
+    keep_manifests, keep_files = _referenced_by(table, keep + tag_snaps)
+    exp_manifests, exp_files = _referenced_by(table, expire)
+
+    for f in exp_files - keep_files:
+        p = os.path.join(table.path, f)
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
+    for m in exp_manifests - keep_manifests:
+        try:
+            os.unlink(os.path.join(table.path, "manifest", m))
+        except FileNotFoundError:
+            pass
+    for s in expire:
+        table.snapshots.delete(s.id)
+    return len(expire)
+
+
+def expire_partitions(table, expiration_time_ms=None, timestamp_formatter=None):
+    """Drop partitions whose (date-parsed) value is older than the TTL
+    (PartitionExpire.java:45, option CoreOptions.java:684). Commits an
+    OVERWRITE snapshot deleting their files."""
+    opts = table.options
+    ttl = expiration_time_ms or opts.partition_expiration_time_ms
+    if not ttl:
+        return None
+    fmt = timestamp_formatter or opts.partition_timestamp_formatter
+    pt_keys = table.schema.partition_keys
+    if not pt_keys:
+        return None
+    time_col = pt_keys[-1]  # convention: last partition key is the time key
+    cutoff = datetime.now().timestamp() * 1000 - ttl
+
+    victims = []
+    for e in table.entries_at():
+        v = e.partition.get(time_col)
+        if v is None:
+            continue
+        if isinstance(v, datetime):
+            ts = v.timestamp() * 1000
+        elif hasattr(v, "isoformat"):  # date
+            ts = datetime(v.year, v.month, v.day).timestamp() * 1000
+        else:
+            try:
+                ts = datetime.strptime(str(v), fmt).timestamp() * 1000
+            except ValueError:
+                continue
+        if ts < cutoff:
+            victims.append(e)
+    if not victims:
+        return None
+    msg = CommitMessage(delete=[ManifestEntry(ENTRY_DELETE, e.partition,
+                                              e.bucket, e.file) for e in victims])
+    return table.commit.commit(msg, schema_id=table.schema.id,
+                               kind=COMMIT_OVERWRITE)
+
+
+def remove_orphan_files(table, older_than_ms=None, dry_run=False):
+    """Delete data/manifest files referenced by no snapshot/tag/branch
+    (RemoveOrphanFilesProcedure; default 1-day safety margin like the
+    reference, so in-flight commits are never clobbered)."""
+    margin = older_than_ms if older_than_ms is not None else 24 * 3600 * 1000
+    cutoff = time.time() - margin / 1000
+
+    snaps = table.snapshots.list_all()
+    tag_snaps = [table.tag_snapshot(t) for t in table.list_tags()]
+    manifests, files = _referenced_by(table, snaps + tag_snaps)
+
+    orphans = []
+    for root, _dirs, names in os.walk(table.path):
+        rel_root = os.path.relpath(root, table.path)
+        if rel_root.split(os.sep)[0] in ("schema", "snapshot", "tag", "branch",
+                                         "consumer", ".staging"):
+            continue
+        for n in names:
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, table.path)
+            if rel_root == "manifest":
+                if n not in manifests and os.path.getmtime(full) < cutoff:
+                    orphans.append(full)
+            elif n.endswith(".parquet"):
+                if rel not in files and os.path.getmtime(full) < cutoff:
+                    orphans.append(full)
+    if not dry_run:
+        for p in orphans:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+    return orphans

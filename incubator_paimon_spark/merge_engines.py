@@ -42,10 +42,14 @@ def merge_key(schema: TableSchema) -> list[str]:
     return list(schema.partition_keys) + schema.trimmed_primary_keys()
 
 
-def apply_merge(df: DataFrame, schema: TableSchema) -> DataFrame:
+def apply_merge(df: DataFrame, schema: TableSchema, drop_deletes: bool = True) -> DataFrame:
+    """drop_deletes=False is the intermediate-compaction mode: a surviving
+    DELETE row must be kept so it can still cancel rows in older (higher)
+    levels not part of the rewrite (DropDeleteReader applies only when the
+    merge covers the whole key range down to the max level)."""
     engine = schema.core_options.merge_engine
     if engine == "deduplicate":
-        return _dedup(df, schema, latest=True)
+        return _dedup(df, schema, latest=True, drop_deletes=drop_deletes)
     if engine == "first-row":
         return _dedup(df, schema, latest=False)
     if engine == "partial-update":
@@ -65,7 +69,8 @@ def _prepare(df: DataFrame, schema: TableSchema) -> DataFrame:
     return df
 
 
-def _dedup(df: DataFrame, schema: TableSchema, latest: bool) -> DataFrame:
+def _dedup(df: DataFrame, schema: TableSchema, latest: bool,
+           drop_deletes: bool = True) -> DataFrame:
     """deduplicate / first-row via a single hash aggregation.
 
     max_by(struct(all columns), order) keeps the row with the max (min) fold
@@ -84,7 +89,8 @@ def _dedup(df: DataFrame, schema: TableSchema, latest: bool) -> DataFrame:
     for c in payload_cols:
         out = out.withColumn(c, F.col("__row")[c])
     out = out.drop("__row")
-    out = out.filter(F.col(VALUE_KIND).isin(*ADD_KINDS))
+    if drop_deletes:
+        out = out.filter(F.col(VALUE_KIND).isin(*ADD_KINDS))
     return out.select(*_user_columns(schema), SEQUENCE_NUMBER, VALUE_KIND)
 
 

@@ -1,0 +1,140 @@
+"""CALL-style procedure dispatcher.
+
+Mirrors paimon-spark SparkProcedures.java:59-72 (the `CALL sys.<name>(...)`
+surface). SQL-less equivalent: ``call(spark, catalog, "sys.compact",
+table="db.t", ...)``; each procedure maps onto the library APIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def call(spark: SparkSession, catalog, name: str, **args):
+    proc = name.split(".")[-1].lower()
+    fn = _PROCEDURES.get(proc)
+    if fn is None:
+        raise ValueError(f"unknown procedure {name!r}; have {sorted(_PROCEDURES)}")
+    return fn(spark, catalog, **args)
+
+
+def _t(catalog, table):
+    return catalog.get_table(table) if isinstance(table, str) else table
+
+
+def _compact(spark, catalog, table, full=False, order_strategy=None,
+             order_by=None, where=None, **_):
+    if isinstance(order_by, str):
+        order_by = [c.strip() for c in order_by.split(",")]
+    return _t(catalog, table).compact(spark, full=full, predicate=where,
+                                      order_by=order_by, strategy=order_strategy)
+
+
+def _expire_snapshots(spark, catalog, table, retain_max=None, retain_min=None,
+                      older_than=None, **_):
+    return _t(catalog, table).expire_snapshots(retain_max=retain_max,
+                                               retain_min=retain_min,
+                                               older_than_ms=older_than)
+
+
+def _expire_partitions(spark, catalog, table, expiration_time=None,
+                       timestamp_formatter=None, **_):
+    from .maintenance import expire_partitions
+    from .options import parse_duration_ms
+    ms = parse_duration_ms(expiration_time) if expiration_time else None
+    return expire_partitions(_t(catalog, table), expiration_time_ms=ms,
+                             timestamp_formatter=timestamp_formatter)
+
+
+def _create_tag(spark, catalog, table, tag, snapshot=None, **_):
+    return _t(catalog, table).create_tag(tag, snapshot_id=snapshot)
+
+
+def _delete_tag(spark, catalog, table, tag, **_):
+    return _t(catalog, table).delete_tag(tag)
+
+
+def _rollback(spark, catalog, table, version=None, tag=None, **_):
+    return _t(catalog, table).rollback_to(snapshot_id=version, tag=tag)
+
+
+def _create_branch(spark, catalog, table, branch, tag=None, snapshot=None, **_):
+    return _t(catalog, table).create_branch(branch, tag=tag, snapshot_id=snapshot)
+
+
+def _delete_branch(spark, catalog, table, branch, **_):
+    import shutil, os
+    t = _t(catalog, table)
+    shutil.rmtree(os.path.join(t.path, "branch", branch), ignore_errors=True)
+
+
+def _fast_forward(spark, catalog, table, branch, **_):
+    return _t(catalog, table).fast_forward(branch)
+
+
+def _remove_orphan_files(spark, catalog, table, older_than=None, dry_run=False, **_):
+    from .options import parse_duration_ms
+    ms = parse_duration_ms(older_than) if older_than else None
+    return _t(catalog, table).remove_orphan_files(older_than_ms=ms, dry_run=dry_run)
+
+
+def _reset_consumer(spark, catalog, table, consumer_id, next_snapshot_id=None, **_):
+    t = _t(catalog, table)
+    if next_snapshot_id is None:
+        import os
+        try:
+            os.unlink(t.consumer_path(consumer_id))
+        except FileNotFoundError:
+            pass
+    else:
+        t.write_consumer(consumer_id, next_snapshot_id)
+
+
+def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
+                   options=None, **_):
+    """Import an existing Parquet directory as snapshot 1 without rewriting
+    data (MigrateTableProcedure / migrate/). Files are hard-linked into the
+    table layout; stats come from their footers."""
+    import os
+    from .metadata.manifest import DataFileMeta, ManifestEntry
+    from .metadata.commit import CommitMessage
+    from .metadata.stats import collect_file_stats
+    from .metadata.util import new_uuid
+    from .types import ENTRY_ADD
+
+    sample = spark.read.parquet(source_dir)
+    t = catalog.create_table(table, sample.schema, partition_keys=partition_keys,
+                             options=options)
+    files = []
+    for root, _d, names in os.walk(source_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    adds = []
+    for i, p in enumerate(sorted(files)):
+        st = collect_file_stats(p)
+        rel = f"bucket-0/data-{new_uuid()}-{i}.parquet"
+        dst = os.path.join(t.path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(p, dst)
+        adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
+            file_name=rel, file_size=os.path.getsize(p),
+            row_count=st["_row_count"], stats=st["cols"])))
+    t.commit.commit(CommitMessage(add=adds), schema_id=0)
+    return t
+
+
+_PROCEDURES = {
+    "compact": _compact,
+    "expire_snapshots": _expire_snapshots,
+    "expire_partitions": _expire_partitions,
+    "create_tag": _create_tag,
+    "delete_tag": _delete_tag,
+    "rollback": _rollback,
+    "create_branch": _create_branch,
+    "delete_branch": _delete_branch,
+    "fast_forward": _fast_forward,
+    "remove_orphan_files": _remove_orphan_files,
+    "reset_consumer": _reset_consumer,
+    "migrate_table": _migrate_table,
+}

@@ -1,0 +1,212 @@
+"""Row-level mutations: DELETE / UPDATE / MERGE INTO / TRUNCATE.
+
+Reference commands:
+- DeleteFromPaimonTableCommand.scala:45-151 — PK path appends -D rows;
+  non-PK path rewrites only the touched files (copy-on-write)
+- UpdatePaimonTableCommand.scala:38-77
+- MergeIntoPaimonTable.scala:41-257
+- PaimonTruncateTableCommand.scala
+
+Spark-first: the PK paths are plain changelog writes (no file surgery); the
+non-PK paths plan the touched files with the same stats pruning the scan
+uses, so a predicate DELETE on a 100 TB table rewrites only the files whose
+min/max overlap the predicate — everything else is untouched metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .metadata.manifest import ManifestEntry, live_entries
+from .predicate import Predicate, split_by_fields
+from .read import read_files_df, _stats_keep
+from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, DELETE, ENTRY_DELETE,
+                    ROW_KIND, SEQUENCE_NUMBER, UPDATE_AFTER, VALUE_KIND)
+
+
+def _touched_entries(table, predicate: Predicate | None):
+    entries = table.entries_at()
+    if predicate is None:
+        return entries
+    schema = table.schema
+    part_pred, _ = split_by_fields(predicate, set(schema.partition_keys))
+    if part_pred is not None:
+        entries = [e for e in entries if part_pred.test_value(e.partition)]
+    return [e for e in entries if _stats_keep(e, predicate)]
+
+
+def delete_where(spark: SparkSession, table, predicate: Predicate,
+                 commit_identifier: int = -1):
+    cond = predicate.to_column()
+    if table.is_primary_key_table():
+        # PK path: write -D rows for matching keys (merge-on-read cancels them)
+        victims = table.read(spark, predicate=predicate)
+        victims = victims.withColumn(ROW_KIND, F.lit(DELETE))
+        return table.new_write().write(spark, victims,
+                                       commit_identifier=commit_identifier)
+    # non-PK: copy-on-write rewrite of touched files only
+    touched = _touched_entries(table, predicate)
+    if not touched:
+        return None
+    schema = table.schema
+    df = read_files_df(spark, table, touched, schema)
+    kept = df.filter(~F.coalesce(cond, F.lit(False)))
+    deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+               for e in touched]
+    return table.new_write().write(
+        spark, kept, extra_delete_entries=deletes,
+        commit_identifier=commit_identifier, preserve_system_cols=False)
+
+
+def update_where(spark: SparkSession, table, predicate: Predicate | None,
+                 assignments: dict[str, Column | object],
+                 commit_identifier: int = -1):
+    """assignments: {col: Column-or-literal} applied where predicate holds."""
+    set_exprs = {k: (v if isinstance(v, Column) else F.lit(v))
+                 for k, v in assignments.items()}
+    cond = predicate.to_column() if predicate is not None else F.lit(True)
+    if table.is_primary_key_table():
+        for pk in table.schema.primary_keys:
+            if pk in set_exprs:
+                raise ValueError(f"cannot update primary key column {pk!r}")
+        rows = table.read(spark, predicate=predicate)
+        for k, v in set_exprs.items():
+            rows = rows.withColumn(k, v.cast(table.schema.field_by_name(k).type))
+        rows = rows.withColumn(ROW_KIND, F.lit(UPDATE_AFTER))
+        return table.new_write().write(spark, rows,
+                                       commit_identifier=commit_identifier)
+    touched = _touched_entries(table, predicate)
+    if not touched:
+        return None
+    schema = table.schema
+    df = read_files_df(spark, table, touched, schema)
+    out = df
+    for k, v in set_exprs.items():
+        out = out.withColumn(
+            k, F.when(F.coalesce(cond, F.lit(False)),
+                      v.cast(schema.field_by_name(k).type)).otherwise(F.col(k)))
+    deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+               for e in touched]
+    return table.new_write().write(
+        spark, out, extra_delete_entries=deletes,
+        commit_identifier=commit_identifier)
+
+
+def merge_into(
+    spark: SparkSession,
+    table,
+    source: DataFrame,
+    on: list[str] | Column,
+    matched_update: dict[str, Column] | str | None = None,   # "*" = update all
+    matched_update_condition: Column | None = None,
+    matched_delete: bool = False,
+    matched_delete_condition: Column | None = None,
+    not_matched_insert: dict[str, Column] | str | None = "*",
+    not_matched_insert_condition: Column | None = None,
+    not_matched_by_source_delete: bool = False,
+    commit_identifier: int = -1,
+):
+    """MERGE INTO for PK tables (MergeIntoPaimonTable.scala:41-257).
+
+    Joins source↔target once and emits a changelog (+I/+U/-D) that the normal
+    PK write path applies — the reference's row-level-op design re-expressed
+    as a DataFrame program. `on` is the PK join (list of key columns, or an
+    arbitrary equi-join Column whose keys cover the PK).
+    """
+    if not table.is_primary_key_table():
+        raise ValueError("MERGE INTO requires a primary-key table")
+    schema = table.schema
+    pks = schema.primary_keys
+    target = table.read(spark)
+
+    t = target.withColumn("__t_exists", F.lit(True)).alias("t")
+    s = source.withColumn("__s_exists", F.lit(True)).alias("s")
+    if isinstance(on, Column):
+        join_cond = on
+    else:
+        join_cond = None
+        for k in on:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            join_cond = c if join_cond is None else (join_cond & c)
+
+    how = "full_outer" if not_matched_by_source_delete else "right_outer" \
+        if not_matched_insert is not None else "inner"
+    joined = t.join(s, join_cond, how)
+
+    t_key = F.col("t.__t_exists")
+    s_key = F.col("s.__s_exists")
+    matched = t_key.isNotNull() & s_key.isNotNull()
+    not_matched = t_key.isNull() & s_key.isNotNull()
+    not_matched_by_source = t_key.isNotNull() & s_key.isNull()
+
+    branches = []
+
+    def _proj(spec, side_default):
+        cols = []
+        for f in schema.fields:
+            if spec == "*":
+                cols.append(F.col(f"{side_default}.{f.name}").cast(f.type).alias(f.name))
+            elif isinstance(spec, dict) and f.name in spec:
+                cols.append(spec[f.name].cast(f.type).alias(f.name))
+            else:
+                cols.append(F.col(f"t.{f.name}").cast(f.type).alias(f.name))
+        return cols
+
+    out_parts = []
+    if matched_update is not None:
+        cond = matched
+        if matched_update_condition is not None:
+            cond = cond & matched_update_condition
+        upd_spec = "s" if matched_update == "*" else matched_update
+        proj = _proj(matched_update if matched_update != "*" else "*", "s")
+        out_parts.append(joined.filter(cond)
+                         .select(*proj, F.lit(UPDATE_AFTER).alias(ROW_KIND)))
+    if matched_delete:
+        cond = matched
+        if matched_delete_condition is not None:
+            cond = cond & matched_delete_condition
+        if matched_update is not None:
+            upd_cond = matched_update_condition if matched_update_condition is not None else F.lit(True)
+            cond = cond & ~upd_cond  # update clause wins when both match
+        proj = _proj(None, "t")
+        out_parts.append(joined.filter(cond)
+                         .select(*proj, F.lit(DELETE).alias(ROW_KIND)))
+    if not_matched_insert is not None:
+        cond = not_matched
+        if not_matched_insert_condition is not None:
+            cond = cond & not_matched_insert_condition
+        spec = "*" if not_matched_insert == "*" else not_matched_insert
+        cols = []
+        for f in schema.fields:
+            if spec == "*":
+                cols.append(F.col(f"s.{f.name}").cast(f.type).alias(f.name))
+            elif f.name in spec:
+                cols.append(spec[f.name].cast(f.type).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.type).alias(f.name))
+        out_parts.append(joined.filter(cond)
+                         .select(*cols, F.lit("+I").alias(ROW_KIND)))
+    if not_matched_by_source_delete:
+        proj = _proj(None, "t")
+        out_parts.append(joined.filter(not_matched_by_source)
+                         .select(*proj, F.lit(DELETE).alias(ROW_KIND)))
+
+    if not out_parts:
+        raise ValueError("MERGE INTO needs at least one WHEN clause")
+    changelog = out_parts[0]
+    for p in out_parts[1:]:
+        changelog = changelog.unionByName(p)
+    return table.new_write().write(spark, changelog,
+                                   commit_identifier=commit_identifier)
+
+
+def truncate(table):
+    """TRUNCATE TABLE: one OVERWRITE commit deleting every live file."""
+    from .metadata.commit import CommitMessage
+    entries = table.entries_at()
+    msg = CommitMessage(delete=[ManifestEntry(ENTRY_DELETE, e.partition,
+                                              e.bucket, e.file)
+                                for e in entries])
+    return table.commit.commit(msg, schema_id=table.schema.id,
+                               kind=COMMIT_OVERWRITE)

@@ -1,0 +1,160 @@
+"""System tables: metadata exposed as DataFrames.
+
+Reference: paimon-core/src/main/java/org/apache/paimon/table/system/
+(SnapshotsTable.java:73, FilesTable.java:82, AuditLogTable.java:79-105,
+ReadOptimizedTable.java:53, SystemTableLoader). Addressed as
+``table.system(spark, "$snapshots")`` — same `$name` suffixes as the
+reference's `t$snapshots` SQL surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .read import plan_to_df
+
+
+def system_table(spark: SparkSession, table, name: str) -> DataFrame:
+    name = name.lstrip("$")
+    fn = _TABLES.get(name)
+    if fn is None:
+        raise ValueError(f"unknown system table ${name}; have {sorted(_TABLES)}")
+    return fn(spark, table)
+
+
+def _snapshots(spark, table):
+    rows = [(s.id, s.schema_id, s.commit_user, s.commit_identifier, s.commit_kind,
+             s.time_millis, s.base_manifest_list, s.delta_manifest_list,
+             s.changelog_manifest_list, s.total_record_count, s.delta_record_count,
+             s.changelog_record_count, s.watermark)
+            for s in table.snapshots.list_all()]
+    return spark.createDataFrame(rows, """snapshot_id long, schema_id long,
+        commit_user string, commit_identifier long, commit_kind string,
+        commit_time long, base_manifest_list string, delta_manifest_list string,
+        changelog_manifest_list string, total_record_count long,
+        delta_record_count long, changelog_record_count long, watermark long""")
+
+
+def _schemas(spark, table):
+    rows = []
+    for s in table.schemas.list_all():
+        rows.append((s.id,
+                     json.dumps([f.to_json() for f in s.fields]),
+                     json.dumps(s.partition_keys),
+                     json.dumps(s.primary_keys),
+                     json.dumps(s.options), s.comment or "", s.time_millis))
+    return spark.createDataFrame(rows, """schema_id long, fields string,
+        partition_keys string, primary_keys string, options string,
+        comment string, update_time long""")
+
+
+def _options(spark, table):
+    rows = [(k, v) for k, v in sorted(table.schema.options.items())]
+    return spark.createDataFrame(rows or [("", "")],
+                                 "key string, value string").filter("key <> ''")
+
+
+def _files(spark, table):
+    rows = []
+    for e in table.entries_at():
+        f = e.file
+        rows.append((json.dumps(e.partition, default=str), e.bucket, f.file_name,
+                     "parquet", f.schema_id, f.level, f.row_count, f.file_size,
+                     f.min_seq, f.max_seq, f.creation_time_millis,
+                     json.dumps(f.stats, default=str)))
+    return spark.createDataFrame(rows, """partition string, bucket int,
+        file_path string, file_format string, schema_id long, level int,
+        record_count long, file_size_in_bytes long, min_sequence_number long,
+        max_sequence_number long, creation_time long, stats string""")
+
+
+def _manifests(spark, table):
+    latest = table.snapshots.latest()
+    rows = []
+    if latest:
+        for name in (table.manifests.read_manifest_list(latest.base_manifest_list)
+                     + table.manifests.read_manifest_list(latest.delta_manifest_list)):
+            entries = table.manifests.read_manifest(name)
+            adds = sum(1 for e in entries if e.kind == "ADD")
+            dels = len(entries) - adds
+            rows.append((name, len(entries), adds, dels, latest.schema_id))
+    return spark.createDataFrame(rows, """file_name string, num_entries long,
+        num_added_files long, num_deleted_files long, schema_id long""")
+
+
+def _partitions(spark, table):
+    agg: dict = {}
+    for e in table.entries_at():
+        key = json.dumps(e.partition, sort_keys=True, default=str)
+        a = agg.setdefault(key, [0, 0, 0, 0])
+        a[0] += e.file.row_count
+        a[1] += e.file.file_size
+        a[2] += 1
+        a[3] = max(a[3], e.file.creation_time_millis)
+    rows = [(k, v[0], v[1], v[2], v[3]) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(rows, """partition string, record_count long,
+        file_size_in_bytes long, file_count long, last_update_time long""")
+
+
+def _buckets(spark, table):
+    agg: dict = {}
+    for e in table.entries_at():
+        key = (json.dumps(e.partition, sort_keys=True, default=str), e.bucket)
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += e.file.row_count
+        a[1] += e.file.file_size
+        a[2] += 1
+    rows = [(k[0], k[1], v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(rows, """partition string, bucket int,
+        record_count long, file_size_in_bytes long, file_count long""")
+
+
+def _tags(spark, table):
+    rows = []
+    for name in table.list_tags():
+        s = table.tag_snapshot(name)
+        rows.append((name, s.id, s.schema_id, s.time_millis, s.total_record_count))
+    return spark.createDataFrame(rows, """tag_name string, snapshot_id long,
+        schema_id long, commit_time long, record_count long""")
+
+
+def _branches(spark, table):
+    rows = [(b,) for b in table.list_branches()]
+    return spark.createDataFrame(rows, "branch_name string") if rows else \
+        spark.createDataFrame([], "branch_name string")
+
+
+def _consumers(spark, table):
+    rows = [(cid, nxt) for cid, nxt in table.list_consumers().items()]
+    return spark.createDataFrame(rows, "consumer_id string, next_snapshot_id long") \
+        if rows else spark.createDataFrame([], "consumer_id string, next_snapshot_id long")
+
+
+def _audit_log(spark, table):
+    """Raw rows with rowkind, no merge (AuditLogTable.java:79-105)."""
+    plan = table.new_scan().plan()
+    return plan_to_df(spark, table, plan, audit_log=True)
+
+
+def _read_optimized(spark, table):
+    """Only max-level files — no merge cost (ReadOptimizedTable.java:53)."""
+    plan = table.new_scan(read_optimized=True).plan()
+    return plan_to_df(spark, table, plan)
+
+
+_TABLES = {
+    "snapshots": _snapshots,
+    "schemas": _schemas,
+    "options": _options,
+    "files": _files,
+    "manifests": _manifests,
+    "partitions": _partitions,
+    "buckets": _buckets,
+    "tags": _tags,
+    "branches": _branches,
+    "consumers": _consumers,
+    "audit_log": _audit_log,
+    "read_optimized": _read_optimized,
+}

@@ -100,6 +100,7 @@ class BatchTableWrite:
         extra_delete_entries=None,
         commit_kind: str | None = None,
         changelog_from_input: bool | None = None,
+        preserve_system_cols: bool = False,
     ):
         table = self.table
         schema: TableSchema = table.schema
@@ -108,10 +109,17 @@ class BatchTableWrite:
         seq_base = latest.next_sequence_number if latest else 0
 
         has_row_kind = ROW_KIND in df.columns
-        df = align_to_schema(df, schema)
-
         is_pk = bool(schema.primary_keys)
-        if is_pk:
+        if preserve_system_cols:
+            # compaction / rewrite path: rows already carry _SEQUENCE_NUMBER
+            # and _VALUE_KIND; keep them verbatim
+            keep = [f.name for f in schema.fields]
+            if is_pk:
+                keep += [SEQUENCE_NUMBER, VALUE_KIND]
+            df = df.select(*keep)
+        else:
+            df = align_to_schema(df, schema)
+        if is_pk and not preserve_system_cols:
             kind = F.col(ROW_KIND) if has_row_kind else F.lit(INSERT)
             df = df.withColumn(VALUE_KIND, kind)
             if has_row_kind:
@@ -120,7 +128,7 @@ class BatchTableWrite:
             # increasing within the commit; across commits ordered by base.
             df = df.withColumn(SEQUENCE_NUMBER,
                                (F.lit(seq_base) + F.monotonically_increasing_id()).cast("long"))
-        elif has_row_kind:
+        elif has_row_kind and not preserve_system_cols:
             df = df.drop(ROW_KIND)
 
         num_buckets = opts.bucket
@@ -155,6 +163,8 @@ class BatchTableWrite:
             deletes += self._overwrite_deletes(overwrite, dynamic_overwrite, adds)
 
         max_seq = max((a.file.max_seq for a in adds), default=seq_base - 1)
+        if preserve_system_cols:
+            max_seq = max(max_seq, seq_base - 1)  # never move the LSN backward
         changelog = []
         produce_input_changelog = (
             changelog_from_input
