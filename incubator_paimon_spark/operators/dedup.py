@@ -1,0 +1,211 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY §7.1 step 8 / BASELINE north-star).
+
+Scale design (100 TB corpus, 1000 executors):
+- exact dedup = one hash-groupBy — a single shuffle on a 16-byte key.
+- MinHash/LSH: signatures are pure Column expressions over shingle arrays
+  (no Python); candidate generation is `explode(bands) → groupBy(band,
+  band_hash)` — the classic shuffle-then-self-join-within-bucket plan whose
+  cost is O(candidates), never O(n²). Buckets with one member are dropped
+  before the join; hot buckets can be salted (AQE skew join handles the rest).
+- SimHash: 32-bit signature, near-dups via banded prefix match.
+- embedding near-dup: brute-force within LSH sign-buckets (random-hyperplane
+  signs derived deterministically from md5 so results are reproducible and
+  oracle-checkable).
+
+The 32-bit hash everywhere is `int(md5(x)[0:8], 16)` — chosen because both
+Spark (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+(`('0x'||substr(md5(x),1,8))::BIGINT`) compute the identical value, making
+every operator oracle-verifiable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+
+def h32(col: Column) -> Column:
+    """Deterministic 32-bit hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of a text column."""
+    ws = words(col)
+    cnt = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
+
+
+# ----------------------------------------------------------------------
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, dup_count, keep_id).
+    keep_id = min id (the canonical survivor)."""
+    return (df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+              .groupBy("text_hash")
+              .agg(F.count("*").alias("dup_count"),
+                   F.min(id_col).alias("keep_id"))
+              .filter(F.col("dup_count") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    w = F.min_by(F.struct(*df.columns), F.col(id_col))
+    return (df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+              .agg(w.alias("__r")).select("__r.*"))
+
+
+# ----------------------------------------------------------------------
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<long> of length num_hashes: element i is
+    min over shingles of h32(i || ':' || shingle)."""
+    sh = shingles(col, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(
+            sh, lambda s, i=i: h32(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3,
+                      min_est_jaccard: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, scored by the
+    signature-agreement Jaccard estimate. Returns (id_a, id_b, est_jaccard).
+
+    Plan shape: signatures (scan-side) → explode bands (×bands rows) →
+    groupBy band bucket → pairs within buckets → distinct → score. All
+    shuffles are on small keys; no O(n²) stage.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws(",", *[F.element_at(F.col("sig"), b * rows + r + 1)
+                                          for r in range(rows)])).alias("bh"))
+        for b in range(bands)
+    ])
+    exploded = base.select("id", "sig", F.explode(band_arr).alias("b")) \
+                   .select("id", "sig", F.col("b.band").alias("band"),
+                           F.col("b.bh").alias("bh"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bh") == F.col("r.bh"))
+                       & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    agree = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                       lambda a, b: a == b), lambda x: x))
+    est = agree.cast("double") / F.lit(num_hashes)
+    return (pairs.withColumn("est_jaccard", F.round(est, 4))
+                 .filter(F.col("est_jaccard") >= min_est_jaccard)
+                 .select("id_a", "id_b", "est_jaccard"))
+
+
+# ----------------------------------------------------------------------
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int = 3, min_jaccard: float = 0.5,
+                        num_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates: (id_a, id_b, jaccard).
+    LSH proposes, exact set intersection disposes — no false positives."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
+                             bands=bands, shingle_n=shingle_n,
+                             min_est_jaccard=0.0)
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), shingle_n).alias("sh"))
+    j = (cand.join(sh.withColumnRenamed("sh", "sh_a").withColumnRenamed("id", "id_a"), "id_a")
+             .join(sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id_b"), "id_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (j.withColumn("jaccard", F.round(jac, 4))
+             .filter(F.col("jaccard") >= min_jaccard)
+             .select("id_a", "id_b", "jaccard"))
+
+
+# ----------------------------------------------------------------------
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash of whitespace tokens: sum ±1 per bit over token hashes, then
+    sign. Pure expressions; 32 bits keeps it in one long."""
+    hashes = F.transform(words(col), lambda w: h32(w))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(F.bit_get(h, j) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1))))
+    return F.aggregate(
+        F.zip_with(bit_votes, F.sequence(F.lit(0), F.lit(bits - 1)),
+                   lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long"))
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
+                      prefix_bits: int = 16) -> DataFrame:
+    """Near-dup candidates whose SimHash agrees on the top prefix_bits:
+    (id_a, id_b, hamming). Banding on the prefix keeps the join bucketed."""
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    s = s.withColumn("bucket", F.shiftright(F.col("sh"), 32 - prefix_bits))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+    x = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    hamming = F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)), F.lit(0),
+        lambda acc, j: acc + F.bit_get(x, j).cast("int"))
+    return pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                        hamming.alias("hamming"))
+
+
+# ----------------------------------------------------------------------
+def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
+                        threshold: float = 0.95,
+                        num_planes: int = 0) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine similarity.
+
+    num_planes=0: exact all-pairs (use only at modest n or within blocks).
+    num_planes>0: random-hyperplane LSH buckets (deterministic planes from
+    md5(plane,dim)) — pairs are only compared inside a bucket, the 100 TB
+    path; recall < 1 by design."""
+    from .similarity import cosine
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if num_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        sign_bits = []
+        for p in range(num_planes):
+            # plane weights in [-1,1): deterministic from md5 → reproducible
+            weights = [(_h32_py(f"{p}:{d}") % 2001 - 1000) / 1000.0
+                       for d in range(dim)]
+            warr = F.array(*[F.lit(w) for w in weights])
+            dot = F.aggregate(F.zip_with(F.col("v"), warr, lambda a, b: a * b),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+        bucket = sign_bits[0]
+        for sb in sign_bits[1:]:
+            bucket = bucket * 2 + sb
+        v = v.withColumn("bucket", bucket)
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.id") < F.col("b.id")))
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                         F.round(sim, 4).alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))
+
+
+def _h32_py(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)

@@ -1,0 +1,99 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (per the build brief): the engine treats media as `binary` columns
+with a metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched pandas functions over ``mapInPandas`` so each executor
+processes whole record batches. The actual codec step is STUBBED (no
+image/audio libs in this container): ``decode=fake`` produces deterministic
+features derived from the bytes so the Spark-side plumbing — schema,
+partitioning, batch iteration, UDF signatures — is real and tested;
+``decode=real`` raises NotImplementedError where libjpeg/ffmpeg would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("uri", T.StringType(), True),
+    T.StructField("media_type", T.StringType(), True),  # image | audio | video
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+
+def attach_media_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Cheap metadata without decoding: size + content hash (JVM-side)."""
+    return (df.withColumn("media_size", F.length(F.col(bytes_col)))
+              .withColumn("media_md5", F.md5(F.col(bytes_col))))
+
+
+def _fake_feature(buf: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decoded embedding: md5-seeded floats."""
+    out = []
+    h = buf or b""
+    for i in range(dim):
+        d = hashlib.md5(h + i.to_bytes(2, "big")).digest()
+        out.append(int.from_bytes(d[:4], "big") / 2**32)
+    return out
+
+
+def extract_features(df: DataFrame, bytes_col: str = "bytes", dim: int = 8,
+                     decode: str = "fake") -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Output adds `features array<float>`. decode="real" is the seam where an
+    image/audio decoder plugs in; it raises here because the container has
+    no codec libraries.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real media decoding needs PIL/ffmpeg (not in this container); "
+            "use decode='fake' for the deterministic test path")
+
+    fields = df.schema.fields + [T.StructField("features",
+                                               T.ArrayType(T.FloatType()), True)]
+    out_schema = T.StructType(fields)
+
+    def batches(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["features"] = [
+                _fake_feature(b if isinstance(b, (bytes, bytearray)) else bytes(b or b""), dim)
+                for b in pdf[bytes_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def frame_sample(df: DataFrame, bytes_col: str = "bytes", every: int = 4,
+                 frame_size: int = 256) -> DataFrame:
+    """'Video' frame sampling over the raw byte stream: split bytes into
+    frame_size chunks, keep every Nth — one output row per kept frame.
+    Chunking is the real plumbing; a real decoder replaces the splitter."""
+    chunks = F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest((F.length(F.col(bytes_col)) - 1) / frame_size, F.lit(0)).cast("int")),
+        lambda i: F.struct(
+            i.alias("frame_no"),
+            F.substring(F.col(bytes_col), i * frame_size + 1, frame_size).alias("frame")))
+    kept = F.filter(chunks, lambda c: c["frame_no"] % every == 0)
+    return (df.withColumn("__f", F.explode(kept))
+              .withColumn("frame_no", F.col("__f.frame_no"))
+              .withColumn("frame", F.col("__f.frame"))
+              .drop("__f", bytes_col))
+
+
+def resize_stub(df: DataFrame, bytes_col: str = "bytes",
+                width: int = 224, height: int = 224) -> DataFrame:
+    """Resize placeholder: tags rows with the target geometry and truncates
+    the payload deterministically (real image lib would transform pixels)."""
+    return (df.withColumn("resize_w", F.lit(width))
+              .withColumn("resize_h", F.lit(height))
+              .withColumn(bytes_col, F.substring(F.col(bytes_col), 1, width * height // 64)))

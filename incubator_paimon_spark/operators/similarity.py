@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one scan + one narrow
+top-k — Spark's TakeOrderedAndProject, no full sort). The IVF variant is the
+100 TB path: k-means-lite centroids (deterministic seed rows), vectors
+pre-assigned to their nearest centroid at index-build time (a bucketed
+layout), queries probe only nprobe centroid buckets.
+
+All dot products are `zip_with` + `aggregate` higher-order expressions —
+JVM-side, no Python serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, query: list[float], k: int,
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine to a literal query vector: (id, cosine)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine(F.col(vec_col), q)
+    return (df.select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col))
+              .limit(k))
+
+
+def knn_join(left: DataFrame, right: DataFrame, vec_col: str, k: int,
+             left_id: str = "id", right_id: str = "id") -> DataFrame:
+    """For each left row, its k nearest right rows by cosine. Broadcast the
+    smaller (right) side; per-left top-k via window (scale: right side must
+    fit broadcast; otherwise use ivf_search per query batch)."""
+    from pyspark.sql import Window as W
+    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"))
+    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"))
+    joined = l.join(F.broadcast(r))
+    sim = cosine(F.col("qv"), F.col("nv"))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (joined.select("qid", "nid", F.round(sim, 4).alias("cosine"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= k).drop("rn"))
+
+
+# ----------------------------------------------------------------------
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
+                  num_centroids: int = 16) -> DataFrame:
+    """Deterministic IVF 'centroids': the vectors whose id hashes to the
+    smallest values (reservoir-free, reproducible). One refinement step of
+    k-means (mean of assigned vectors) sharpens them without iteration."""
+    seeds = (df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+               .orderBy(F.md5(F.col("cid").cast("string")))
+               .limit(num_centroids))
+    assigned = assign_ivf(df, seeds, vec_col, id_col)
+    dim = len(df.select(vec_col).first()[0])
+    # mean per cluster, element-wise
+    agg = assigned.groupBy("centroid_id").agg(
+        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)])
+    return agg.select(F.col("centroid_id").alias("cid"),
+                      F.array(*[F.col(f"c{i}").cast("float") for i in range(dim)]).alias("cv"))
+
+
+def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine): adds
+    `centroid_id`. Centroids are broadcast — the join is shuffle-free."""
+    c = F.broadcast(centroids)
+    joined = df.join(c)
+    sim = cosine(F.col(vec_col), F.col("cv"))
+    pick = F.max_by(F.col("cid"), sim)
+    best = joined.groupBy(id_col).agg(pick.alias("centroid_id"))
+    return df.join(best, id_col)
+
+
+def ivf_search(indexed: DataFrame, centroids: DataFrame, vec_col: str,
+               query: list[float], k: int, nprobe: int = 4,
+               id_col: str = "vec_id") -> DataFrame:
+    """ANN search: probe the nprobe closest centroids' buckets only.
+    `indexed` = output of assign_ivf (ideally written bucketed by
+    centroid_id so the probe prunes files via our bucket layout)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probe = (centroids.select("cid", F.round(cosine(F.col("cv"), q), 6).alias("csim"))
+                      .orderBy(F.col("csim").desc()).limit(nprobe))
+    probe_ids = [r["cid"] for r in probe.collect()]
+    cand = indexed.filter(F.col("centroid_id").isin(probe_ids))
+    sim = cosine(F.col(vec_col), q)
+    return (cand.select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))

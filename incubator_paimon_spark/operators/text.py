@@ -1,0 +1,119 @@
+"""Text analysis operators for LLM data pipelines (SURVEY §7.1 step 8).
+
+All pure Column expressions (JVM-side, codegen'd) — no Python UDFs — so they
+run at scan speed over 100 TB of documents. Every operator has a matching
+ANSI/DuckDB SQL form used by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small multilingual stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "los", "las", "que", "es", "un", "una", "por", "con", "para"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"],
+}
+
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-approximation: word-chunks + punctuation + digit runs, the usual
+    ~4-chars-per-token heuristic refined by an explicit regex split."""
+    pieces = F.split(F.trim(col), r"(?=[^\w\s])|(?<=[^\w\s])|\s+")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or QUALITY_STOPWORDS)])
+    ws = words(col)
+    n = F.size(ws)
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    cleaned = F.regexp_replace(col, r"[^\w\s]", "")
+    return F.when(n > 0, (n - F.length(cleaned)).cast("double") / n).otherwise(0.0)
+
+
+def digit_ratio(col: Column) -> Column:
+    n = F.length(col)
+    cleaned = F.regexp_replace(col, r"[0-9]", "")
+    return F.when(n > 0, (n - F.length(cleaned)).cast("double") / n).otherwise(0.0)
+
+
+def mean_word_length(col: Column) -> Column:
+    ws = words(col)
+    n = F.size(ws)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(n > 0, total.cast("double") / n).otherwise(0.0)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length saturation, healthy mean
+    word length, some-but-not-too-many stopwords, low punctuation/digit
+    noise. Deterministic, SQL-expressible (oracle mirrors it exactly)."""
+    len_score = F.least(F.length(col).cast("double") / F.lit(400.0), F.lit(1.0))
+    mwl = mean_word_length(col)
+    mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(col)
+    sw_score = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    noise = punct_ratio(col) + digit_ratio(col)
+    noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2)
+    return F.round((len_score * 0.3 + mwl_score * 0.2 + sw_score * 0.25
+                    + noise_score * 0.25), 4)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language ID with deterministic tie-break (first language
+    in LANG_STOPWORDS order wins ties)."""
+    ws = F.transform(words(col), lambda w: F.lower(w))
+    scores = []
+    for lang, sws in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in sws])
+        scores.append((lang, F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))))
+    best = None
+    best_score = None
+    for lang, sc in reversed(scores):  # reversed so earlier langs win ties
+        if best is None:
+            best, best_score = F.lit(lang), sc
+        else:
+            best = F.when(sc >= best_score, F.lit(lang)).otherwise(best)
+            best_score = F.when(sc >= best_score, sc).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace/case-normalized text —
+    stable under reformatting, the cheap exact-near-dup key."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
+    """Winnowing-style fingerprint: minimum 32-bit hash over word n-gram
+    shingles (robust to local edits)."""
+    ws = words(col)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, window)))
+    hashes = F.transform(shingles, lambda s:
+                         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    return F.array_min(hashes)
