@@ -1,38 +1,551 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` covers the SURVEY.md §2 operator inventory: general SQL the
+reference delegates to the host engine (scans, joins, aggregation, windows,
+set ops — served by Spark over the raw parquet), the Paimon-table semantics
+our engine owns (PK merge engines, time travel, incremental/changelog reads,
+row-level ops, compaction, schema evolution, overwrite), and the
+LLM-pipeline operators (dedup family, similarity search, text analysis).
+
+Engine-semantics queries build small fixture tables (from the same parquet
+inputs) in a temp warehouse via incubator_paimon_spark, then read them back;
+their oracles express the *semantics* (window dedup, partial-update fold,
+state diff) directly in DuckDB SQL over the raw tables. Column names and
+float rounding match the oracle exactly (the driver hash-compares values
+with columns sorted by name).
 """
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_spark import Catalog, P
+from incubator_paimon_spark.operators import dedup as D
+from incubator_paimon_spark.operators import similarity as S
+from incubator_paimon_spark.operators import text as TX
+
+_WAREHOUSES: dict[str, dict] = {}
+_NANOS_CACHE: dict[str, DataFrame] = {}
+
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]  # fixed, public
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table. Spark's vectorized reader rejects parquet
+    TIMESTAMP(NANOS) (events.parquet); fall back to an Arrow-side cast to
+    microseconds — same truncation DuckDB applies, so oracles agree."""
+    path = f"{sf_dir}/{name}.parquet"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pq.ParquetFile(path).schema_arrow
+    if not any(pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema):
+        return spark.read.parquet(path)
+    if path not in _NANOS_CACHE:
+        tbl = pq.read_table(path)
+        fields = [pa.field(f.name, pa.timestamp("us") if pa.types.is_timestamp(f.type)
+                           and f.type.unit == "ns" else f.type) for f in schema]
+        tbl = tbl.cast(pa.schema(fields), safe=False)  # ns→us truncation, like DuckDB
+        _NANOS_CACHE[path] = spark.createDataFrame(tbl.to_pandas())
+    return _NANOS_CACHE[path]
+
+
+# ----------------------------------------------------------------------
+# fixture tables (built once per sf_dir, shared across queries)
+# ----------------------------------------------------------------------
+def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir in _WAREHOUSES:
+        return _WAREHOUSES[sf_dir]
+    wh = tempfile.mkdtemp(prefix="pmn_entry_wh_")
+    atexit.register(shutil.rmtree, wh, True)
+    cat = Catalog(wh)
+    fx = {"cat": cat}
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    # F2-style dedup PK table: commit1 = sentinel balances, commit2 upserts
+    # real rows for custkey%3==0 → merged state mixes both commits
+    t = cat.create_table("fx.customer_pk", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "4"})
+    t.write(spark, customer.withColumn("c_acctbal", F.lit(-1.0)))
+    t.write(spark, customer.filter(F.col("c_custkey") % 3 == 0))
+    fx["customer_pk"] = t
+
+    # PK latest-event table keyed (user_id, event_type), sequence.field=event_id
+    t = cat.create_table("fx.events_latest", events.schema,
+                         primary_keys=["user_id", "event_type"],
+                         options={"bucket": "4", "sequence.field": "event_id"})
+    mid = events.agg(F.max("event_id")).first()[0] // 2
+    t.write(spark, events.filter(F.col("event_id") > mid))   # later rows first:
+    t.write(spark, events.filter(F.col("event_id") <= mid))  # seq field must win
+    fx["events_latest"] = t
+
+    # first-row engine on the same key
+    t = cat.create_table("fx.events_first", events.schema,
+                         primary_keys=["user_id", "event_type"],
+                         options={"bucket": "4", "sequence.field": "event_id",
+                                  "merge-engine": "first-row"})
+    t.write(spark, events.filter(F.col("event_id") > mid))
+    t.write(spark, events.filter(F.col("event_id") <= mid))
+    fx["events_first"] = t
+
+    # partial-update: two half-filled commits fuse into complete rows
+    pu_schema = orders.select("o_orderkey", "o_totalprice", "o_orderpriority").schema
+    t = cat.create_table("fx.orders_partial", pu_schema, primary_keys=["o_orderkey"],
+                         options={"bucket": "4", "merge-engine": "partial-update"})
+    t.write(spark, orders.select("o_orderkey", "o_totalprice",
+                                 F.lit(None).cast("string").alias("o_orderpriority")))
+    t.write(spark, orders.select("o_orderkey",
+                                 F.lit(None).cast("double").alias("o_totalprice"),
+                                 "o_orderpriority"))
+    fx["orders_partial"] = t
+
+    # aggregation engine: per-order rollup of lineitem
+    agg_in = lineitem.select(F.col("l_orderkey"), F.col("l_quantity"),
+                             F.col("l_extendedprice"), F.lit(1).cast("long").alias("cnt"))
+    t = cat.create_table("fx.order_rollup", agg_in.schema, primary_keys=["l_orderkey"],
+                         options={"bucket": "4", "merge-engine": "aggregation",
+                                  "fields.l_quantity.aggregate-function": "sum",
+                                  "fields.l_extendedprice.aggregate-function": "max",
+                                  "fields.cnt.aggregate-function": "sum"})
+    t.write(spark, agg_in)
+    fx["order_rollup"] = t
+
+    # time travel / incremental: two commits split by orderkey parity
+    t = cat.create_table("fx.orders_travel", orders.schema)
+    t.write(spark, orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.write(spark, orders.filter(F.col("o_orderkey") % 2 == 1))
+    fx["orders_travel"] = t
+
+    # mutation chain on a PK table: delete → update → full compact
+    t = cat.create_table("fx.customer_mut", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "4"})
+    t.write(spark, customer)                                   # snapshot 1
+    t.delete_where(spark, P.eq("c_nationkey", 7))              # snapshot 2
+    t.update_where(spark, P.eq("c_mktsegment", "BUILDING"),    # snapshot 3
+                   {"c_acctbal": F.col("c_acctbal") + 1000.0})
+    t.compact(spark, full=True)                                # snapshot 4
+    fx["customer_mut"] = t
+
+    # MERGE INTO: upsert modified + brand-new rows
+    t = cat.create_table("fx.customer_merge", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "4"})
+    t.write(spark, customer)
+    source = customer.filter(F.col("c_custkey") % 5 == 0) \
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500.0) \
+        .unionByName(customer.filter(F.col("c_custkey") % 5 == 1)
+                     .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+                     .withColumn("c_name", F.lit("new")))
+    t.merge_into(spark, source, on=["c_custkey"],
+                 matched_update="*", not_matched_insert="*")
+    fx["customer_merge"] = t
+
+    # dynamic partition overwrite on a status-partitioned append table
+    t = cat.create_table("fx.orders_part", orders.schema,
+                         partition_keys=["o_orderstatus"])
+    t.write(spark, orders)
+    repl = orders.filter(F.col("o_orderstatus") == "F") \
+                 .withColumn("o_totalprice", F.lit(0.0))
+    t.write(spark, repl, dynamic_overwrite=True)
+    fx["orders_part"] = t
+
+    # schema evolution: v0(two cols) → add column + rename + widen → v2 rows
+    ev0 = orders.select("o_orderkey", "o_totalprice").schema
+    t = cat.create_table("fx.orders_evolve", ev0)
+    t.write(spark, orders.select("o_orderkey", "o_totalprice")
+            .filter(F.col("o_orderkey") % 2 == 0))
+    t.schemas.add_column("o_orderpriority",
+                         __import__("pyspark.sql.types", fromlist=["StringType"]).StringType())
+    t.schemas.rename_column("o_totalprice", "price")
+    t2 = cat.get_table("fx.orders_evolve")
+    t2.write(spark, orders.select("o_orderkey",
+                                  F.col("o_totalprice").alias("price"),
+                                  "o_orderpriority")
+             .filter(F.col("o_orderkey") % 2 == 1))
+    fx["orders_evolve"] = t2
+
+    _WAREHOUSES[sf_dir] = fx
+    return fx
+
+
+# ----------------------------------------------------------------------
+# flagship
+# ----------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PK upsert + merge-on-read + join + aggregation on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    fx = _fixtures(spark, sf_dir)
+    merged = fx["customer_pk"].read(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return (merged.join(orders, merged.c_custkey == orders.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("c_mktsegment"))
+
+
+# ----------------------------------------------------------------------
+# host-engine SQL queries (Spark executes; reference delegates these too)
+# ----------------------------------------------------------------------
+def q_pricing_summary(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .groupBy("l_orderkey")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+             .limit(10))
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(s, l.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(n), (c.c_nationkey == n.n_nationkey)
+                   & (s.s_nationkey == n.n_nationkey))
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q_revenue_forecast(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_shipdate") >= "1994-01-01")
+                     & (F.col("l_shipdate") < "1995-01-01")
+                     & (F.col("l_discount").between(0.05, 0.07))
+                     & (F.col("l_quantity") < 24))
+             .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                  .alias("revenue"),
+                  F.count("*").alias("n_rows")))
+
+
+def q_top_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .groupBy("c_custkey", "c_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+             .limit(20))
+
+
+def q_order_rank_window(spark, sf_dir):
+    from pyspark.sql import Window as W
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                           F.col("o_orderkey"))
+    return (o.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3)
+             .select("o_custkey", "o_orderkey", "rk",
+                     F.round("o_totalprice", 2).alias("price")))
+
+
+def q_cube_rollup(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.cube("l_returnflag", "l_linestatus")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
+def q_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(F.count("*").alias("n_inactive"))
+
+
+def q_uncommitted_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    never = p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+    return never.groupBy("p_brand").agg(F.count("*").alias("n_parts"),
+                                        F.round(F.sum("p_retailprice"), 2).alias("value"))
+
+
+def q_above_avg_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice")).first()[0]
+    return (o.filter(F.col("o_totalprice") > avg_price)
+             .groupBy("o_orderstatus")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.avg("o_totalprice"), 2).alias("avg_price")))
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative sum)."""
+    from pyspark.sql import Window as W
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts")
+           - F.unix_micros(F.lag("ts").over(w))) > 1800 * 1_000_000
+    e2 = e.withColumn("new_sess", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    e3 = e2.withColumn("sess_id", F.sum("new_sess").over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+    return (e3.groupBy("user_id", "sess_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sess_value"))
+              .groupBy("user_id")
+              .agg(F.count("*").alias("n_sessions"),
+                   F.max("n_events").alias("max_events"),
+                   F.round(F.sum("sess_value"), 2).alias("total_value")))
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("value"), 2).alias("v"))
+             .select(F.unix_timestamp("h").alias("hour_epoch"), "event_type", "n", "v"))
+
+
+# ----------------------------------------------------------------------
+# engine-semantics queries (incubator_paimon_spark owns these)
+# ----------------------------------------------------------------------
+def q_pk_upsert(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_pk"].read(spark)
+    return df.select("c_custkey", "c_name", "c_nationkey",
+                     F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+
+
+def q_pk_latest_event(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["events_latest"].read(spark)
+    return df.select("user_id", "event_type", "event_id",
+                     F.round("value", 2).alias("value"))
+
+
+def q_pk_first_event(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["events_first"].read(spark)
+    return df.select("user_id", "event_type", "event_id",
+                     F.round("value", 2).alias("value"))
+
+
+def q_partial_update(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["orders_partial"].read(spark)
+    return df.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+                     "o_orderpriority")
+
+
+def q_agg_engine(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["order_rollup"].read(spark)
+    return df.select("l_orderkey", F.round("l_quantity", 2).alias("sum_qty"),
+                     F.round("l_extendedprice", 2).alias("max_price"),
+                     F.col("cnt").alias("n_items"))
+
+
+def q_time_travel(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["orders_travel"].read(spark, snapshot_id=1)
+    return df.select("o_orderkey", "o_custkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_incremental(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["orders_travel"].incremental(spark, 1, 2)
+    return df.select("o_orderkey", "o_custkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_delete_update_compact(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_mut"].read(spark)
+    return df.select("c_custkey", "c_nationkey",
+                     F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+
+
+def q_changelog_diff(spark, sf_dir):
+    """State-diff changelog between snapshot 1 (initial load) and snapshot 3
+    (after delete + update) — the lookup/full-compaction producer semantics."""
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_mut"].incremental(spark, 1, 3, changelog=True)
+    return df.select("_row_kind", "c_custkey",
+                     F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def q_merge_into(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_merge"].read(spark)
+    return df.select("c_custkey", "c_name",
+                     F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def q_dynamic_overwrite(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["orders_part"].read(spark)
+    return df.select("o_orderkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_partition_prune(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["orders_part"].read(spark, predicate=P.eq("o_orderstatus", "O"))
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+def q_schema_evolution(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["orders_evolve"].read(spark)
+    return df.select("o_orderkey", F.round("price", 2).alias("price"),
+                     "o_orderpriority")
+
+
+# ----------------------------------------------------------------------
+# LLM-pipeline operators
+# ----------------------------------------------------------------------
+def q_doc_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    TX.token_count(F.col("text")).alias("n_tokens"),
+                    F.length("text").alias("n_chars_actual"),
+                    TX.fingerprint(F.col("text")).alias("fp"),
+                    TX.quantize(TX.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+                    TX.quantize(TX.punct_ratio(F.col("text")), 4).alias("punct_ratio"))
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(TX.lang_id(F.col("text")).alias("lang_pred"))
+             .groupBy("lang_pred").agg(F.count("*").alias("n")))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup over a corpus with synthetic duplicates (documents ∪
+    re-keyed copy of every 3rd doc)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0) \
+           .withColumn("doc_id", F.col("doc_id") + 1000000)
+    corpus = d.unionByName(dup)
+    return D.exact_duplicates(corpus, "text", "doc_id") \
+            .select("text_hash", "dup_count", "keep_id")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=4,
+                               shingle_n=3, min_est_jaccard=0.7)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3,
+                                 min_jaccard=0.5, num_hashes=16, bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, "embedding", QUERY_VEC, 10)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    # deterministic subset bounds the all-pairs cost; 0.4 ≈ the top of this
+    # corpus's cosine distribution so the result is non-trivial
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return D.embedding_near_dups(e, "embedding", "vec_id", threshold=0.4)
+
+
+def q_ivf_search(spark, sf_dir):
+    """ANN (IVF, nprobe=all → exact parity with brute force top-k)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(e, "embedding", "vec_id", 8)
+    idx = S.assign_ivf(e, cents, "embedding", "vec_id")
+    return S.ivf_search(idx, cents, "embedding", QUERY_VEC, 10, nprobe=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # host-engine SQL surface
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "revenue_forecast": q_revenue_forecast,
+        "top_customers": q_top_customers,
+        "order_rank_window": q_order_rank_window,
+        "cube_rollup": q_cube_rollup,
+        "semi_anti": q_semi_anti,
+        "uncommitted_parts": q_uncommitted_parts,
+        "above_avg_orders": q_above_avg_orders,
+        "events_sessions": q_events_sessions,
+        "events_hourly": q_events_hourly,
+        # engine semantics
+        "pk_upsert": q_pk_upsert,
+        "pk_latest_event": q_pk_latest_event,
+        "pk_first_event": q_pk_first_event,
+        "partial_update": q_partial_update,
+        "agg_engine": q_agg_engine,
+        "time_travel": q_time_travel,
+        "incremental": q_incremental,
+        "delete_update_compact": q_delete_update_compact,
+        "changelog_diff": q_changelog_diff,
+        "merge_into": q_merge_into,
+        "dynamic_overwrite": q_dynamic_overwrite,
+        "partition_prune": q_partition_prune,
+        "schema_evolution": q_schema_evolution,
+        # LLM pipeline
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_search": q_ivf_search,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from oracles import ORACLES
+    return dict(ORACLES)

@@ -242,9 +242,9 @@ def zorder_value(cols: list[str], bits: int = 16):
     n = len(cols)
     for bit in range(bits - 1, -1, -1):
         for ci, c in enumerate(cols):
-            src_bit = F.shiftright(F.col(c).cast("long"), bit) & F.lit(1)
+            src_bit = F.shiftright(F.col(c).cast("long"), bit).bitwiseAND(F.lit(1).cast("long"))
             pos = bit * n + (n - 1 - ci)
-            z = z | F.shiftleft(src_bit, pos)
+            z = z.bitwiseOR(F.shiftleft(src_bit, pos))
     return z
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import words
+from .text import quantize, words
 
 
 def h32(col: Column) -> Column:
@@ -64,11 +64,14 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> 
     """MinHash signature as array<long> of length num_hashes: element i is
     min over shingles of h32(i || ':' || shingle)."""
     sh = shingles(col, shingle_n)
-    return F.array(*[
-        F.array_min(F.transform(
-            sh, lambda s, i=i: h32(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ])
+
+    def min_hash(i: int):
+        # NB: a two-parameter lambda would be treated by F.transform as an
+        # (element, index) lambda — bind the prefix via a closure instead
+        prefix = f"{i}:"
+        return F.array_min(F.transform(sh, lambda s: h32(F.concat(F.lit(prefix), s))))
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -105,7 +108,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     agree = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
                                        lambda a, b: a == b), lambda x: x))
     est = agree.cast("double") / F.lit(num_hashes)
-    return (pairs.withColumn("est_jaccard", F.round(est, 4))
+    return (pairs.withColumn("est_jaccard", quantize(est, 4))
                  .filter(F.col("est_jaccard") >= min_est_jaccard)
                  .select("id_a", "id_b", "est_jaccard"))
 
@@ -126,7 +129,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
-    return (j.withColumn("jaccard", F.round(jac, 4))
+    return (j.withColumn("jaccard", quantize(jac, 4))
              .filter(F.col("jaccard") >= min_jaccard)
              .select("id_a", "id_b", "jaccard"))
 
@@ -202,7 +205,7 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
     sim = cosine(F.col("a.v"), F.col("b.v"))
     return (pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                         F.round(sim, 4).alias("cosine"))
+                         quantize(sim, 4).alias("cosine"))
                  .filter(F.col("cosine") >= threshold))
 
 

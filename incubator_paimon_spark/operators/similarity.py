@@ -15,15 +15,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import quantize
+
 
 def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    # cast to double BEFORE multiplying: float32 intermediate products would
+    # make results engine-dependent (the DuckDB oracle replicates this order)
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, x: acc + x.cast("double")))
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, x: acc + x))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -35,7 +39,7 @@ def cosine_topk(df: DataFrame, vec_col: str, query: list[float], k: int,
     """Exact top-k by cosine to a literal query vector: (id, cosine)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     sim = cosine(F.col(vec_col), q)
-    return (df.select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+    return (df.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
               .orderBy(F.col("cosine").desc(), F.col(id_col))
               .limit(k))
 
@@ -51,7 +55,7 @@ def knn_join(left: DataFrame, right: DataFrame, vec_col: str, k: int,
     joined = l.join(F.broadcast(r))
     sim = cosine(F.col("qv"), F.col("nv"))
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
-    return (joined.select("qid", "nid", F.round(sim, 4).alias("cosine"))
+    return (joined.select("qid", "nid", quantize(sim, 4).alias("cosine"))
                   .withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") <= k).drop("rn"))
 
@@ -97,5 +101,5 @@ def ivf_search(indexed: DataFrame, centroids: DataFrame, vec_col: str,
     probe_ids = [r["cid"] for r in probe.collect()]
     cand = indexed.filter(F.col("centroid_id").isin(probe_ids))
     sim = cosine(F.col(vec_col), q)
-    return (cand.select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+    return (cand.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
                 .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))

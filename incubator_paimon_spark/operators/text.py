@@ -10,6 +10,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+
+def quantize(col: Column, digits: int = 4) -> Column:
+    """floor(x*10^d + 0.5)/10^d — deterministic half-up rounding built from
+    IEEE ops both Spark and DuckDB compute bit-identically (plain round()
+    differs between engines exactly at representation boundaries)."""
+    scale = float(10 ** digits)
+    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+
 # small multilingual stopword lists for the n-gram/stopword language heuristic
 LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
@@ -77,8 +85,8 @@ def quality_score(col: Column) -> Column:
     sw_score = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
     noise = punct_ratio(col) + digit_ratio(col)
     noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2)
-    return F.round((len_score * 0.3 + mwl_score * 0.2 + sw_score * 0.25
-                    + noise_score * 0.25), 4)
+    return quantize(len_score * 0.3 + mwl_score * 0.2 + sw_score * 0.25
+                    + noise_score * 0.25, 4)
 
 
 def lang_id(col: Column) -> Column:

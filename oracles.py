@@ -1,0 +1,477 @@
+"""DuckDB oracle SQL for every entry in __spark_entry__.queries().
+
+Each statement runs against the driver's pre-registered views (region nation
+customer supplier part orders lineitem events documents embeddings) and must
+hash-match the Spark result: same column names, same rounding, same types
+(DuckDB HUGEINT sums are cast to BIGINT).
+
+The engine-semantics oracles express what the fixture tables in
+__spark_entry__._fixtures *mean* (window dedup, partial-update fold, state
+diff, overwrite effect) directly over the raw tables — an independent
+derivation, not a re-run of the engine.
+
+The LLM-operator oracles replicate the operators' exact arithmetic: the
+shared 32-bit hash is ('0x'||substr(md5(x),1,8))::BIGINT == Spark
+conv(substring(md5(x),1,8),16,10).
+"""
+
+from __future__ import annotations
+
+# fixed query vector, duplicated from __spark_entry__ (kept in sync by test)
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+_WORDS = ("CASE WHEN length(trim({t})) = 0 THEN [] "
+          "ELSE string_split_regex(trim({t}), '\\s+') END")
+
+
+def _q(expr: str, digits: int = 4) -> str:
+    """floor(x*10^d + 0.5)/10^d — bit-identical to Spark's quantize()
+    (plain round() diverges between engines at representation boundaries)."""
+    scale = 10 ** digits
+    return f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_QUALITY_STOPWORDS = ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for', 'on', 'with']
+
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "los", "las", "que", "es", "un", "una", "por", "con", "para"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"],
+}
+
+
+def _sql_list(xs):
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+def _stop_ratio(words_expr, stopwords):
+    hits = (f"len(list_filter({words_expr}, "
+            f"w -> list_contains({_sql_list(stopwords)}, lower(w))))")
+    n = f"len({words_expr})"
+    return f"(CASE WHEN {n} > 0 THEN {hits}::DOUBLE / {n} ELSE 0.0 END)"
+
+
+def _punct_ratio(t):
+    return (f"(CASE WHEN length({t}) > 0 THEN (length({t}) - "
+            f"length(regexp_replace({t}, '[^\\w\\s]', '', 'g')))::DOUBLE / length({t}) "
+            f"ELSE 0.0 END)")
+
+
+def _digit_ratio(t):
+    return (f"(CASE WHEN length({t}) > 0 THEN (length({t}) - "
+            f"length(regexp_replace({t}, '[0-9]', '', 'g')))::DOUBLE / length({t}) "
+            f"ELSE 0.0 END)")
+
+
+def _minhash_sql(num_hashes, bands, shingle_n, table="documents",
+                 id_col="doc_id", text_col="text"):
+    """Shared WITH-prefix: words → shingles → minhash signature → banded
+    buckets → candidate pairs (sig_a, sig_b attached)."""
+    rows = num_hashes // bands
+    w = _WORDS.format(t=text_col)
+    sig_items = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _H32.format(x="'{}:' || s".format(i)) + "))"
+        for i in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        parts = " || ',' || ".join(f"sig[{b*rows + r + 1}]::VARCHAR" for r in range(rows))
+        band_selects.append(
+            f"SELECT id, sig, {b} AS band, md5({parts}) AS bh FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id, {w} AS ws FROM {table}
+), sh AS (
+  SELECT id, list_distinct(list_transform(
+      range(1, greatest(len(ws) - {shingle_n} + 1, 1) + 1),
+      i -> array_to_string(ws[i:i+{shingle_n - 1}], ' '))) AS shingles
+  FROM w
+), sig AS (
+  SELECT id, [{sig_items}] AS sig FROM sh
+), banded AS (
+  {banded}
+), pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+)"""
+
+
+def _cosine_sql(vec_expr, qv):
+    dim = len(qv)
+    q = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"i -> {vec_expr}[i]::DOUBLE * ({q})[i]))")
+    nv = (f"sqrt(list_sum(list_transform({vec_expr}, "
+          f"x -> x::DOUBLE * x::DOUBLE)))")
+    nq = f"sqrt(list_sum(list_transform({q}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"({dot} / ({nv} * {nq}))"
+
+
+def _pair_cosine_sql(a, b):
+    dot = (f"list_sum(list_transform(range(1, 65), "
+           f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+    na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _lang_case():
+    langs = list(_LANG_STOPWORDS)
+    scores = {
+        lang: (f"len(list_filter(lws, w -> list_contains("
+               f"{_sql_list(sws)}, w)))")
+        for lang, sws in _LANG_STOPWORDS.items()
+    }
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{l2}" for l2 in langs[i + 1:])
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return score_cols, case, best
+
+
+_sc, _case, _best = _lang_case()
+
+ORACLES: dict[str, str] = {}
+
+# ---------------------------------------------------------------- host SQL
+ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["shipping_priority"] = """
+SELECT l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["local_supplier_volume"] = """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+ORACLES["revenue_forecast"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["top_customers"] = """
+SELECT c_custkey, c_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["order_rank_window"] = """
+SELECT o_custkey, o_orderkey, rk, round(o_totalprice, 2) AS price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+ORACLES["cube_rollup"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["semi_anti"] = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+ORACLES["uncommitted_parts"] = """
+SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice), 2) AS value
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+ORACLES["above_avg_orders"] = """
+SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+ORACLES["events_sessions"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM e
+), g AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         round(sum(value), 2) AS sess_value
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+       round(sum(sess_value), 2) AS total_value
+FROM g GROUP BY user_id
+"""
+
+ORACLES["events_hourly"] = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*) AS n, round(sum(value), 2) AS v
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+# ------------------------------------------------------- engine semantics
+ORACLES["pk_upsert"] = """
+SELECT c_custkey, c_name, c_nationkey,
+  round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -1.0 END, 2) AS c_acctbal,
+  c_mktsegment
+FROM customer
+"""
+
+ORACLES["pk_latest_event"] = """
+SELECT user_id, event_type, max(event_id) AS event_id,
+       round(arg_max(value, event_id), 2) AS value
+FROM events GROUP BY user_id, event_type
+"""
+
+ORACLES["pk_first_event"] = """
+SELECT user_id, event_type, min(event_id) AS event_id,
+       round(arg_min(value, event_id), 2) AS value
+FROM events GROUP BY user_id, event_type
+"""
+
+ORACLES["partial_update"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM orders
+"""
+
+ORACLES["agg_engine"] = """
+SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty,
+       round(max(l_extendedprice), 2) AS max_price,
+       count(*)::BIGINT AS n_items
+FROM lineitem GROUP BY l_orderkey
+"""
+
+ORACLES["time_travel"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+ORACLES["incremental"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+ORACLES["delete_update_compact"] = """
+SELECT c_custkey, c_nationkey,
+  round(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000.0
+             ELSE c_acctbal END, 2) AS c_acctbal,
+  c_mktsegment
+FROM customer WHERE c_nationkey <> 7
+"""
+
+ORACLES["changelog_diff"] = """
+SELECT '-D' AS _row_kind, c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer WHERE c_nationkey = 7
+UNION ALL
+SELECT '-U', c_custkey, round(c_acctbal, 2)
+FROM customer WHERE c_nationkey <> 7 AND c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT '+U', c_custkey, round(c_acctbal + 1000.0, 2)
+FROM customer WHERE c_nationkey <> 7 AND c_mktsegment = 'BUILDING'
+"""
+
+ORACLES["merge_into"] = """
+SELECT c_custkey, c_name,
+  round(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 500.0
+             ELSE c_acctbal END, 2) AS c_acctbal
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, 'new', round(c_acctbal, 2)
+FROM customer WHERE c_custkey % 5 = 1
+"""
+
+ORACLES["dynamic_overwrite"] = """
+SELECT o_orderkey, o_orderstatus,
+  round(CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END, 2)
+    AS o_totalprice
+FROM orders
+"""
+
+ORACLES["partition_prune"] = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderstatus
+"""
+
+ORACLES["schema_evolution"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price,
+       NULL::VARCHAR AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, round(o_totalprice, 2), o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+# ---------------------------------------------------------- LLM operators
+_w_text = _WORDS.format(t="text")
+
+ORACLES["doc_stats"] = f"""
+SELECT doc_id,
+  len({_w_text})::INT AS n_tokens,
+  length(text)::INT AS n_chars_actual,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+  {_q(_stop_ratio(_w_text, _QUALITY_STOPWORDS))} AS stop_ratio,
+  {_q(_punct_ratio('text'))} AS punct_ratio
+FROM documents
+"""
+
+_mwl = (f"(CASE WHEN len({_w_text}) > 0 THEN "
+        f"list_sum(list_transform({_w_text}, w -> length(w)))::DOUBLE / len({_w_text}) "
+        f"ELSE 0.0 END)")
+
+ORACLES["doc_quality"] = f"""
+WITH q AS (
+  SELECT doc_id,
+    least(length(text)::DOUBLE / 400.0, 1.0) AS len_score,
+    (CASE WHEN {_mwl} >= 3.0 AND {_mwl} <= 10.0 THEN 1.0 ELSE 0.5 END) AS mwl_score,
+    (CASE WHEN {_stop_ratio(_w_text, _QUALITY_STOPWORDS)} >= 0.05
+           AND {_stop_ratio(_w_text, _QUALITY_STOPWORDS)} <= 0.6
+          THEN 1.0 ELSE 0.5 END) AS sw_score,
+    greatest(0.0, 1.0 - ({_punct_ratio('text')} + {_digit_ratio('text')}) * 2) AS noise_score
+  FROM documents
+)
+SELECT doc_id,
+  {_q('len_score * 0.3 + mwl_score * 0.2 + sw_score * 0.25 + noise_score * 0.25')} AS quality
+FROM q
+"""
+
+ORACLES["lang_id"] = f"""
+WITH scored AS (
+  SELECT list_transform({_w_text}, w -> lower(w)) AS lws FROM documents
+), s2 AS (
+  SELECT {_sc} FROM scored
+)
+SELECT (CASE WHEN {_best} > 0 THEN {_case} ELSE 'und' END) AS lang_pred,
+       count(*) AS n
+FROM s2 GROUP BY 1
+"""
+
+ORACLES["exact_dedup"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+_EST = _q("len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0")
+ORACLES["minhash_pairs"] = _minhash_sql(16, 4, 3) + f"""
+SELECT id_a, id_b, {_EST} AS est_jaccard
+FROM pairs
+WHERE {_EST} >= 0.7
+"""
+
+_JAC = _q("CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 "
+          "THEN len(list_filter(sh_a, x -> list_contains(sh_b, x)))::DOUBLE "
+          "/ len(list_distinct(list_concat(sh_a, sh_b))) ELSE 0.0 END")
+ORACLES["ngram_jaccard"] = _minhash_sql(16, 8, 3) + f"""
+, withsh AS (
+  SELECT p.id_a, p.id_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM pairs p
+  JOIN sh a ON a.id = p.id_a
+  JOIN sh b ON b.id = p.id_b
+)
+SELECT id_a, id_b, {_JAC} AS jaccard
+FROM withsh
+WHERE {_JAC} >= 0.5
+"""
+
+ORACLES["simhash"] = f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform({_w_text}, x -> {_H32.format(x='x')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  coalesce(list_sum(list_transform(range(0, 32), j ->
+    CASE WHEN coalesce(list_sum(list_transform(hs,
+           h -> CASE WHEN (h // (2 ** j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         THEN (2 ** j)::BIGINT ELSE 0 END)), 0)::BIGINT AS simhash
+FROM h
+"""
+
+_QV_LIT = "[" + ", ".join(repr(float(x)) for x in QUERY_VEC) + "]"
+
+ORACLES["cosine_topk"] = f"""
+SELECT vec_id, {_q(_cosine_sql('embedding', QUERY_VEC))} AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+ORACLES["ivf_search"] = ORACLES["cosine_topk"]
+
+ORACLES["embedding_neardup"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  {_q(_pair_cosine_sql('a.embedding', 'b.embedding'))} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_q(_pair_cosine_sql('a.embedding', 'b.embedding'))} >= 0.4
+"""

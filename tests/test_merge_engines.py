@@ -1,0 +1,143 @@
+"""Merge-engine semantics vs explicit oracles — mirrors the reference's
+PartialUpdateMergeFunctionTest / FieldAggregatorTest expectations (F4/F5
+fixtures in FIXTURES.md)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_paimon_spark.types import ROW_KIND
+
+
+def _schema(ddl):
+    return T.StructType.fromDDL(ddl)
+
+
+def test_dedup_latest_wins_and_delete_drops(spark, catalog):
+    t = catalog.create_table(
+        "db.d", _schema("k bigint, v string"), primary_keys=["k"],
+        options={"bucket": "2"})
+    t.write(spark, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.write(spark, spark.createDataFrame([(1, "a2")], "k long, v string"))
+    t.write(spark, spark.createDataFrame([(2, "b", "-D")],
+                                         "k long, v string, _row_kind string"))
+    out = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert out == {1: "a2"}
+
+
+def test_sequence_field_overrides_commit_order(spark, catalog):
+    t = catalog.create_table(
+        "db.sf", _schema("k bigint, v string, seq bigint"), primary_keys=["k"],
+        options={"bucket": "1", "sequence.field": "seq"})
+    t.write(spark, spark.createDataFrame([(1, "newer", 10)], "k long, v string, seq long"))
+    t.write(spark, spark.createDataFrame([(1, "older", 5)], "k long, v string, seq long"))
+    out = t.read(spark).collect()
+    assert out[0]["v"] == "newer"  # higher user seq wins despite later commit
+
+
+def test_first_row(spark, catalog):
+    t = catalog.create_table(
+        "db.fr", _schema("k bigint, v string"), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "first-row"})
+    t.write(spark, spark.createDataFrame([(1, "first"), (2, "x")], "k long, v string"))
+    t.write(spark, spark.createDataFrame([(1, "second")], "k long, v string"))
+    out = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert out == {1: "first", 2: "x"}
+
+
+def test_partial_update_last_non_null(spark, catalog):
+    t = catalog.create_table(
+        "db.pu", _schema("k bigint, a int, b string"), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update"})
+    t.write(spark, spark.createDataFrame([(1, 10, None)], "k long, a int, b string"))
+    t.write(spark, spark.createDataFrame([(1, None, "x")], "k long, a int, b string"))
+    r = t.read(spark).collect()[0]
+    assert (r["a"], r["b"]) == (10, "x")
+
+
+def test_partial_update_sequence_groups(spark, catalog):
+    """F4: group columns gated by their own sequence; a passing group update
+    overwrites even with NULL; rows with null group-seq skipped for that
+    group (PartialUpdateMergeFunction.updateWithSequenceGroup)."""
+    t = catalog.create_table(
+        "db.sg", _schema("k bigint, a int, b int, g1 int, c string, g2 int"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update",
+                 "fields.g1.sequence-group": "a,b",
+                 "fields.g2.sequence-group": "c"})
+    rows = "k long, a int, b int, g1 int, c string, g2 int"
+    t.write(spark, spark.createDataFrame([(1, 1, 1, 10, "c1", 20)], rows))
+    # stale g1 (5 < 10): a,b ignored; fresh g2 (25 > 20): c updates
+    t.write(spark, spark.createDataFrame([(1, 9, 9, 5, "c2", 25)], rows))
+    # fresh g1 (15): a,b update, b explicitly NULL overwrites; g2 null → skip
+    t.write(spark, spark.createDataFrame([(1, 7, None, 15, "zz", None)], rows))
+    r = t.read(spark).collect()[0]
+    assert (r["a"], r["b"], r["g1"], r["c"], r["g2"]) == (7, None, 15, "c2", 25)
+
+
+def test_aggregation_engine_field_functions(spark, catalog):
+    ddl = ("k bigint, s bigint, mx int, mn int, lv string, lnn string, "
+           "fv string, cnt bigint, ba boolean, bo boolean, la string, "
+           "col array<string>, pr double")
+    t = catalog.create_table(
+        "db.ag", _schema(ddl), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.s.aggregate-function": "sum",
+                 "fields.mx.aggregate-function": "max",
+                 "fields.mn.aggregate-function": "min",
+                 "fields.lv.aggregate-function": "last_value",
+                 "fields.lnn.aggregate-function": "last_non_null_value",
+                 "fields.fv.aggregate-function": "first_value",
+                 "fields.cnt.aggregate-function": "count",
+                 "fields.ba.aggregate-function": "bool_and",
+                 "fields.bo.aggregate-function": "bool_or",
+                 "fields.la.aggregate-function": "listagg",
+                 "fields.col.aggregate-function": "collect",
+                 "fields.pr.aggregate-function": "product"})
+    mk = lambda *vals: spark.createDataFrame([vals], ddl)
+    t.write(spark, mk(1, 10, 5, 5, "v1", "n1", "f1", 1, True, False, "x", ["a"], 2.0))
+    t.write(spark, mk(1, 20, 9, 2, None, None, "f2", 1, True, True, "y", ["b", "a"], 3.0))
+    r = t.read(spark).collect()[0]
+    assert r["s"] == 30
+    assert r["mx"] == 9 and r["mn"] == 2
+    assert r["lv"] is None            # last_value: null overwrites
+    assert r["lnn"] == "n1"           # last_non_null keeps older non-null
+    assert r["fv"] == "f1"
+    assert r["cnt"] == 2
+    assert r["ba"] is True and r["bo"] is True
+    assert r["la"] == "x,y"
+    assert r["col"] == ["a", "b", "a"]
+    assert r["pr"] == 6.0
+
+
+def test_aggregation_count_survives_compaction(spark, catalog):
+    """Partial count states from compacted files must sum, not re-count."""
+    t = catalog.create_table(
+        "db.cnt", _schema("k bigint, c bigint"), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.c.aggregate-function": "count"})
+    for _ in range(3):
+        t.write(spark, spark.createDataFrame([(1, 1)], "k long, c long"))
+    t.compact(spark, full=True)
+    t.write(spark, spark.createDataFrame([(1, 1)], "k long, c long"))
+    assert t.read(spark).collect()[0]["c"] == 4
+
+
+def test_aggregation_sum_retracts(spark, catalog):
+    t = catalog.create_table(
+        "db.rt", _schema("k bigint, s bigint"), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.s.aggregate-function": "sum"})
+    t.write(spark, spark.createDataFrame([(1, 10), (1, 5)], "k long, s long"))
+    t.write(spark, spark.createDataFrame(
+        [(1, 5, "-D")], "k long, s long, _row_kind string"))
+    assert t.read(spark).collect()[0]["s"] == 10
+
+
+def test_ignore_delete_option(spark, catalog):
+    t = catalog.create_table(
+        "db.igd", _schema("k bigint, v string"), primary_keys=["k"],
+        options={"bucket": "1", "ignore-delete": "true"})
+    t.write(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.write(spark, spark.createDataFrame([(1, "a", "-D")],
+                                         "k long, v string, _row_kind string"))
+    assert t.read(spark).count() == 1  # delete ignored

@@ -1,0 +1,190 @@
+"""Unit tests for the metadata kernel — no Spark needed.
+
+Mirrors the reference's core unit suites (SURVEY §5.1): manifest entry
+merging, snapshot CAS, schema evolution constraints, compaction picker
+arithmetic (UniversalCompactionTest scenarios), predicate stats pruning.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from incubator_paimon_spark.compact import SortedRun, pick_compaction
+from incubator_paimon_spark.metadata.commit import (CommitMessage, ConflictError,
+                                                    FileStoreCommit)
+from incubator_paimon_spark.metadata.manifest import (DataFileMeta, ManifestEntry,
+                                                      live_entries, merge_entries)
+from incubator_paimon_spark.metadata.schema import SchemaManager, TableSchema
+from incubator_paimon_spark.metadata.snapshot import SnapshotManager
+from incubator_paimon_spark.options import CoreOptions, parse_bytes, parse_duration_ms
+from incubator_paimon_spark.predicate import P
+
+
+def _meta(name, size=100, level=0, seq=(0, 0)):
+    return DataFileMeta(file_name=name, file_size=size, row_count=10,
+                        min_seq=seq[0], max_seq=seq[1], level=level)
+
+
+def _add(name, **kw):
+    return ManifestEntry("ADD", {}, 0, _meta(name, **kw))
+
+
+def _del(name, **kw):
+    return ManifestEntry("DELETE", {}, 0, _meta(name, **kw))
+
+
+class TestManifestMerge:
+    def test_add_delete_cancel(self):
+        out = merge_entries([_add("a"), _add("b"), _del("a")])
+        assert [e.file.file_name for e in out] == ["b"]
+
+    def test_unmatched_delete_kept(self):
+        out = merge_entries([_del("old")])
+        assert len(out) == 1 and out[0].kind == "DELETE"
+
+    def test_live_entries(self):
+        live = live_entries([_add("a"), _del("a"), _add("b"), _del("zzz")])
+        assert [e.file.file_name for e in live] == ["b"]
+
+
+class TestSchema:
+    def _schema(self, tmp_path):
+        mgr = SchemaManager(str(tmp_path))
+        st = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.IntegerType())])
+        mgr.commit_new(TableSchema.create(st, primary_keys=["id"]))
+        return mgr
+
+    def test_evolution_chain(self, tmp_path):
+        mgr = self._schema(tmp_path)
+        mgr.add_column("w", T.StringType())
+        mgr.rename_column("v", "v2")
+        mgr.update_column_type("v2", T.LongType())
+        latest = mgr.latest()
+        assert latest.id == 3
+        assert [f.name for f in latest.fields] == ["id", "v2", "w"]
+        # field ids stable across rename
+        assert latest.field_by_name("v2").id == 1
+
+    def test_illegal_narrowing(self, tmp_path):
+        mgr = self._schema(tmp_path)
+        with pytest.raises(ValueError):
+            mgr.update_column_type("v", T.ByteType())
+
+    def test_drop_pk_rejected(self, tmp_path):
+        mgr = self._schema(tmp_path)
+        with pytest.raises(ValueError):
+            mgr.drop_column("id")
+
+    def test_duplicate_add_rejected(self, tmp_path):
+        mgr = self._schema(tmp_path)
+        with pytest.raises(ValueError):
+            mgr.add_column("v", T.StringType())
+
+
+class TestCommit:
+    def test_cas_and_conflict(self, tmp_path):
+        path = str(tmp_path)
+        c = FileStoreCommit(path)
+        c.commit(CommitMessage(add=[_add("f1")]), schema_id=0)
+        c.commit(CommitMessage(add=[_add("f2")]), schema_id=0)
+        sm = SnapshotManager(path)
+        assert sm.latest_id() == 2
+        # deleting a live file works (compaction)
+        c.commit(CommitMessage(add=[_add("f3")], delete=[_del("f1")]), schema_id=0)
+        # deleting an already-deleted file conflicts
+        with pytest.raises(ConflictError):
+            c.commit(CommitMessage(delete=[_del("f1")]), schema_id=0)
+
+    def test_exactly_once_identifier(self, tmp_path):
+        c = FileStoreCommit(str(tmp_path))
+        s1 = c.commit(CommitMessage(add=[_add("f1")]), schema_id=0, commit_identifier=7)
+        s2 = c.commit(CommitMessage(add=[_add("f1b")]), schema_id=0, commit_identifier=7)
+        assert s1 is not None and s2 is None  # replay filtered
+
+    def test_record_counts(self, tmp_path):
+        c = FileStoreCommit(str(tmp_path))
+        s = c.commit(CommitMessage(add=[_add("f1"), _add("f2")]), schema_id=0)
+        assert s.total_record_count == 20 and s.delta_record_count == 20
+
+
+class TestUniversalCompaction:
+    """Pure arithmetic vs UniversalCompaction.java:70-160 behavior."""
+
+    def test_below_trigger_no_pick(self):
+        runs = [SortedRun(0, [_add(f"f{i}")]) for i in range(3)]
+        assert pick_compaction(runs, 5, 200, 1, 5) is None
+
+    def test_size_amplification_full(self):
+        # candidate(sum of newer)=400 vs earliest=100 → 400*100 > 200*100
+        runs = [SortedRun(0, [_add(f"f{i}", size=100)]) for i in range(4)] \
+            + [SortedRun(5, [_add("base", size=100)])]
+        out = pick_compaction(runs, 5, 200, 1, 5)
+        assert out is not None
+        level, chosen = out
+        assert level == 5 and len(chosen) == 5  # full
+
+    def test_size_ratio_partial(self):
+        # big old run prevents amp trigger; size-ratio merges the small prefix
+        runs = [SortedRun(0, [_add(f"f{i}", size=10)]) for i in range(4)] \
+            + [SortedRun(5, [_add("base", size=100000)])]
+        out = pick_compaction(runs, 5, 200, 1, 5)
+        assert out is not None
+        level, chosen = out
+        assert len(chosen) == 4 and level == 4  # next run level 5 → output 4
+
+    def test_run_count_trigger(self):
+        runs = [SortedRun(0, [_add(f"f{i}", size=10 ** (6 - i))]) for i in range(6)]
+        out = pick_compaction(runs, 5, 10**9, 1, 5)
+        assert out is not None  # runs(6) > trigger(5)
+
+
+class TestPredicate:
+    def test_stats_pruning(self):
+        stats = {"x": {"min": 10, "max": 20, "null_count": 0}, "_row_count": 100}
+        assert P.eq("x", 15).test_stats(stats)
+        assert not P.eq("x", 25).test_stats(stats)
+        assert not P.gt("x", 20).test_stats(stats)
+        assert P.ge("x", 20).test_stats(stats)
+        assert not P.lt("x", 10).test_stats(stats)
+        assert P.isin("x", [1, 15]).test_stats(stats)
+        assert not P.isin("x", [1, 2]).test_stats(stats)
+        assert not P.is_null("x").test_stats(stats)
+        assert P.is_not_null("x").test_stats(stats)
+
+    def test_all_null_column(self):
+        stats = {"x": {"null_count": 100}, "_row_count": 100}
+        assert P.is_null("x").test_stats(stats)
+        assert not P.is_not_null("x").test_stats(stats)
+        assert not P.eq("x", 1).test_stats(stats)
+
+    def test_compound(self):
+        stats = {"x": {"min": 10, "max": 20, "null_count": 0},
+                 "y": {"min": "a", "max": "c", "null_count": 0}, "_row_count": 5}
+        assert (P.ge("x", 15) & P.le("y", "b")).test_stats(stats)
+        assert not (P.gt("x", 30) | P.gt("y", "d")).test_stats(stats)
+
+    def test_partition_value_eval(self):
+        assert P.eq("dt", "2024-01-01").test_value({"dt": "2024-01-01"})
+        assert not (P.eq("dt", "2024-01-01") & P.eq("b", 2)).test_value(
+            {"dt": "2024-01-01", "b": 3})
+
+
+class TestOptions:
+    def test_parse(self):
+        o = CoreOptions({"bucket": "8", "merge-engine": "aggregation",
+                         "fields.x.aggregate-function": "sum",
+                         "fields.g.sequence-group": "a,b",
+                         "snapshot.time-retained": "2 h"})
+        assert o.bucket == 8
+        assert o.merge_engine == "aggregation"
+        assert o.field_aggregate_function("x") == "sum"
+        assert o.sequence_groups() == {"g": ["a", "b"]}
+        assert o.snapshot_time_retained_ms == 7_200_000
+        assert parse_bytes("128mb") == 128 * 1024 * 1024
+        assert parse_duration_ms("90 s") == 90_000
+
+    def test_unknown_engine_rejected(self):
+        with pytest.raises(ValueError):
+            _ = CoreOptions({"merge-engine": "nope"}).merge_engine

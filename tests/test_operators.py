@@ -1,0 +1,124 @@
+"""LLM-pipeline operator tests at sf0.001 with explicit oracles."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from incubator_paimon_spark.operators import dedup as D
+from incubator_paimon_spark.operators import multimodal as M
+from incubator_paimon_spark.operators import similarity as S
+from incubator_paimon_spark.operators import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_token_count_matches_python(spark):
+    d = _docs(spark).limit(50)
+    rows = d.select("text", TX.token_count(F.col("text")).alias("n")).collect()
+    for r in rows:
+        assert r["n"] == len(r["text"].split())
+
+
+def test_fingerprint_stable_under_reformat(spark):
+    df = spark.createDataFrame([("a  b\tc",), ("A b C",)], "text string")
+    fps = [r[0] for r in df.select(TX.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_seeded_neardups_found(spark):
+    d = _docs(spark)
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", min_est_jaccard=0.7)
+    assert pairs.count() > 0  # corpus seeds near-duplicates
+    # est_jaccard within [0,1] and high for found pairs
+    assert pairs.filter("est_jaccard < 0.7 OR est_jaccard > 1.0").count() == 0
+
+
+def test_minhash_signature_matches_python(spark):
+    d = _docs(spark).filter("doc_id = 0")
+    sig = d.select(D.minhash_signature(F.col("text"), 4, 3).alias("s")).first()["s"]
+    text = d.first()["text"]
+    ws = text.split()
+    shingles = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+    for i in range(4):
+        expect = min(int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16)
+                     for s in shingles)
+        assert sig[i] == expect
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame([(1, "same"), (5, "same"), (3, "other")],
+                               "doc_id long, text string")
+    kept = D.dedup_exact(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    groups = D.exact_duplicates(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 1
+
+
+def test_simhash_close_texts_close_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated corpus")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", D.simhash(F.col("text")).alias("sh")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.5] * 64
+    top = S.cosine_topk(e, "embedding", q, 5).collect()
+    pdf = e.toPandas()
+    qv = np.array(q)
+    sims = pdf["embedding"].apply(
+        lambda v: float(np.dot(np.array(v, dtype=float), qv)
+                        / (np.linalg.norm(np.array(v, dtype=float)) * np.linalg.norm(qv))))
+    expect = sims.sort_values(ascending=False).head(5)
+    got_ids = [r["vec_id"] for r in top]
+    assert set(got_ids) == set(pdf.loc[expect.index, "vec_id"])
+
+
+def test_ivf_recall_reasonable(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    exact = {r["vec_id"] for r in S.cosine_topk(e, "embedding", q, 10).collect()}
+    cents = S.ivf_centroids(e, "embedding", "vec_id", 8)
+    idx = S.assign_ivf(e, cents, "embedding", "vec_id")
+    approx = {r["vec_id"] for r in
+              S.ivf_search(idx, cents, "embedding", q, 10, nprobe=4).collect()}
+    assert len(exact & approx) >= 5  # ≥50% recall at nprobe=half
+
+
+def test_multimodal_plumbing(spark):
+    d = _docs(spark).limit(20).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("bytes"))
+    feats = M.extract_features(d, dim=4)
+    rows = feats.collect()
+    assert all(len(r["features"]) == 4 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in M.extract_features(d, dim=4).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+    frames = M.frame_sample(d, every=2, frame_size=32)
+    assert frames.count() > 20
+    assert frames.filter("frame_no % 2 <> 0").count() == 0
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        M.extract_features(d, decode="real")
+
+
+def test_quality_and_langid_ranges(spark):
+    d = _docs(spark)
+    out = d.select(TX.quality_score(F.col("text")).alias("q"),
+                   TX.lang_id(F.col("text")).alias("l"))
+    assert out.filter("q < 0 OR q > 1").count() == 0
+    assert out.filter("l NOT IN ('en','de','fr','es','zh','und')").count() == 0

@@ -1,0 +1,188 @@
+"""End-to-end table tests (append + PK) mirroring the reference's Spark
+ITCases (SURVEY §5.3: DDLTestBase, InsertOverwriteTableTest,
+UpdateTableTestBase, DeleteFromTableTestBase, MergeIntoTableTestBase,
+SparkTimeTravelITCase, CompactProcedureTestBase)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_paimon_spark import P
+
+
+def test_append_lifecycle(spark, catalog, orders):
+    o = orders.withColumn("dt", F.to_date(F.date_trunc("month", "o_orderdate")))
+    t = catalog.create_table("db.orders", o.schema, partition_keys=["dt"])
+    t.write(spark, o.filter(F.col("o_orderkey") % 2 == 0))
+    t.write(spark, o.filter(F.col("o_orderkey") % 2 == 1))
+    assert t.read(spark).count() == o.count()
+    assert t.read(spark, snapshot_id=1).count() == o.filter("o_orderkey % 2 = 0").count()
+
+    # partition pruning prunes the plan, not just rows
+    d = o.select("dt").distinct().limit(1).collect()[0][0]
+    full_plan = t.new_scan().plan()
+    pruned = t.new_scan().plan(P.eq("dt", d))
+    assert len(pruned.entries) < len(full_plan.entries)
+    assert t.read(spark, predicate=P.eq("dt", d)).count() == \
+        o.filter(F.col("dt") == F.lit(d)).count()
+
+
+def test_stats_file_skipping(spark, catalog, customer):
+    t = catalog.create_table("db.c", customer.schema)
+    # two commits with disjoint custkey ranges → stats prune one file
+    t.write(spark, customer.filter("c_custkey <= 75"))
+    t.write(spark, customer.filter("c_custkey > 75"))
+    plan = t.new_scan().plan(P.le("c_custkey", 10))
+    assert len(plan.entries) == 1
+
+
+def test_overwrite_static_and_dynamic(spark, catalog, orders):
+    t = catalog.create_table("db.o", orders.schema, partition_keys=["o_orderstatus"])
+    t.write(spark, orders)
+    # dynamic: only the F partition replaced
+    repl = orders.filter("o_orderstatus = 'F'").withColumn("o_totalprice", F.lit(1.0))
+    t.write(spark, repl, dynamic_overwrite=True)
+    out = t.read(spark)
+    assert out.filter("o_orderstatus = 'F' AND o_totalprice <> 1.0").count() == 0
+    assert out.count() == orders.count()
+    # static overwrite all
+    t.write(spark, orders.limit(10), overwrite=True)
+    assert t.read(spark).count() == 10
+
+
+def test_pk_upsert_and_bucket_pruning(spark, catalog, customer):
+    t = catalog.create_table("db.pk", customer.schema, primary_keys=["c_custkey"],
+                             options={"bucket": "4"})
+    t.write(spark, customer)
+    t.write(spark, customer.limit(30).withColumn("c_acctbal", F.lit(9.0)))
+    out = t.read(spark)
+    assert out.count() == customer.count()
+    assert out.filter("c_acctbal = 9.0").count() == 30
+
+
+def test_pk_delete_rows(spark, catalog, customer):
+    t = catalog.create_table("db.pk2", customer.schema, primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    t.write(spark, customer)
+    t.delete_where(spark, P.lt("c_custkey", 20))
+    assert t.read(spark).count() == customer.filter("c_custkey >= 20").count()
+    # audit log still shows the -D rows
+    audit = t.system(spark, "$audit_log")
+    assert audit.filter("_row_kind = '-D'").count() > 0
+
+
+def test_append_cow_delete_update(spark, catalog, customer):
+    t = catalog.create_table("db.ap", customer.schema)
+    t.write(spark, customer)
+    t.delete_where(spark, P.lt("c_custkey", 50))
+    assert t.read(spark).count() == customer.filter("c_custkey >= 50").count()
+    t.update_where(spark, P.ge("c_custkey", 140), {"c_mktsegment": "XX"})
+    assert t.read(spark, predicate=P.eq("c_mktsegment", "XX")).count() == \
+        customer.filter("c_custkey >= 140").count()
+
+
+def test_merge_into_clauses(spark, catalog, customer):
+    t = catalog.create_table("db.mi", customer.schema, primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    t.write(spark, customer)
+    src = customer.filter("c_custkey % 2 = 0").withColumn("c_acctbal", F.lit(1.0)) \
+        .unionByName(customer.filter("c_custkey % 2 = 1")
+                     .withColumn("c_custkey", F.col("c_custkey") + 10000))
+    t.merge_into(spark, src, on=["c_custkey"],
+                 matched_update="*", not_matched_insert="*")
+    out = t.read(spark)
+    assert out.filter("c_acctbal = 1.0").count() == customer.filter("c_custkey % 2 = 0").count()
+    assert out.filter("c_custkey > 10000").count() == customer.filter("c_custkey % 2 = 1").count()
+
+    # matched_delete
+    t.merge_into(spark, customer.filter("c_custkey % 2 = 0"), on=["c_custkey"],
+                 matched_update=None, matched_delete=True, not_matched_insert=None)
+    assert out.count() == t.read(spark).count() + customer.filter("c_custkey % 2 = 0").count()
+
+
+def test_compaction_and_read_optimized(spark, catalog, customer):
+    t = catalog.create_table("db.cp", customer.schema, primary_keys=["c_custkey"],
+                             options={"bucket": "2",
+                                      "num-sorted-run.compaction-trigger": "3"})
+    for i in range(4):
+        t.write(spark, customer.filter(F.col("c_custkey") % 4 == i))
+    assert t.compact(spark) is not None
+    max_level = t.options.num_levels - 1
+    assert {e.file.level for e in t.entries_at()} == {max_level}
+    assert t.read(spark).count() == customer.count()
+    # read-optimized == full read after full compaction
+    assert t.system(spark, "$read_optimized").count() == customer.count()
+
+
+def test_tags_rollback_branches(spark, catalog, customer):
+    t = catalog.create_table("db.tg", customer.schema)
+    t.write(spark, customer.limit(50))
+    t.create_tag("v1")
+    t.write(spark, customer)
+    assert t.read(spark, tag="v1").count() == 50
+    assert t.system(spark, "$tags").count() == 1
+
+    b = t.create_branch("dev", tag="v1")
+    b.write(spark, customer.limit(10))
+    assert b.read(spark).count() == 60
+    assert t.read(spark).count() == 50 + customer.count()  # main untouched
+
+    t.rollback_to(snapshot_id=1)
+    assert t.read(spark).count() == 50
+
+
+def test_expire_snapshots_keeps_reads_valid(spark, catalog, customer):
+    t = catalog.create_table("db.ex", customer.schema, primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    for i in range(5):
+        t.write(spark, customer.limit(20 + i))
+    n = t.expire_snapshots(retain_max=2, retain_min=2, older_than_ms=0)
+    assert n == 3
+    assert t.read(spark).count() == customer.limit(24).count()
+    # expired snapshot files physically gone, live ones present
+    assert t.remove_orphan_files(older_than_ms=10**15, dry_run=True) == []
+
+
+def test_truncate(spark, catalog, customer):
+    t = catalog.create_table("db.tr", customer.schema)
+    t.write(spark, customer)
+    t.truncate()
+    assert t.read(spark).count() == 0
+    assert t.snapshots.latest().commit_kind == "OVERWRITE"
+
+
+def test_schema_evolution_read(spark, catalog, orders):
+    from pyspark.sql import types as T
+    t = catalog.create_table("db.ev", orders.select("o_orderkey", "o_totalprice").schema)
+    t.write(spark, orders.select("o_orderkey", "o_totalprice").limit(100))
+    t.schemas.add_column("note", T.StringType())
+    t.schemas.rename_column("o_totalprice", "price")
+    t2 = catalog.get_table("db.ev")
+    t2.write(spark, orders.select((F.col("o_orderkey") + 100000).alias("o_orderkey"),
+                                  F.col("o_totalprice").alias("price"),
+                                  F.lit("x").alias("note")).limit(5))
+    out = t2.read(spark)
+    assert out.columns == ["o_orderkey", "price", "note"]
+    assert out.count() == 105
+    assert out.filter("note IS NULL").count() == 100
+
+
+def test_system_tables(spark, catalog, customer):
+    t = catalog.create_table("db.st", customer.schema, primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    t.write(spark, customer)
+    t.write(spark, customer.limit(5))
+    assert t.system(spark, "$snapshots").count() == 2
+    assert t.system(spark, "$schemas").count() == 1
+    assert t.system(spark, "$files").count() > 0
+    assert t.system(spark, "$buckets").count() <= 2
+    assert t.system(spark, "$options").filter("key = 'bucket'").count() == 1
+    with pytest.raises(ValueError):
+        t.system(spark, "$nope")
+
+
+def test_zorder_sort_compaction(spark, catalog, orders):
+    t = catalog.create_table("db.zo", orders.schema)
+    t.write(spark, orders)
+    t.compact(spark, order_by=["o_custkey", "o_totalprice"], strategy="zorder")
+    assert t.read(spark).count() == orders.count()
+    assert t.snapshots.latest().commit_kind == "COMPACT"
