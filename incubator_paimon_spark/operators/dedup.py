@@ -32,6 +32,18 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots. Signature/shingle computation is CPU-bound per row;
+    a handful of big parquet files would otherwise pin the whole corpus to
+    a handful of cores. The pre-shuffle moves only raw text once and is
+    amortized across every downstream hash pass."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct) of a text column."""
     ws = words(col)
@@ -60,18 +72,38 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; a*h+b stays < 2^63 for h < 2^32
+
+
+def minhash_perms(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the permutation family
+    h_i(x) = (a_i*x + b_i) mod P — derived from md5 so the DuckDB oracle
+    can regenerate the identical family."""
+    return [(_h32_py(f"a:{i}") % (MINHASH_P - 1) + 1,
+             _h32_py(f"b:{i}") % MINHASH_P)
+            for i in range(num_hashes)]
+
+
+def minhash_from_hashes(hs: Column, num_hashes: int) -> Column:
+    """Signature from a precomputed array<long> of shingle hashes. One md5
+    per shingle happened upstream; each signature element is a cheap
+    integer-permutation min — 16 hash functions cost 16 array scans, not
+    16 md5 passes (the naive form recomputed the shingle+md5 pipeline per
+    function because Catalyst does not CSE across lambda functions)."""
+    def perm_min(a: int, b: int) -> Column:
+        # NB: F.transform treats extra (defaulted) lambda params as
+        # element/index args — bind a, b via a closure instead
+        return F.array_min(
+            F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P))
+
+    return F.array(*[perm_min(a, b) for a, b in minhash_perms(num_hashes)])
+
+
 def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<long> of length num_hashes: element i is
-    min over shingles of h32(i || ':' || shingle)."""
-    sh = shingles(col, shingle_n)
-
-    def min_hash(i: int):
-        # NB: a two-parameter lambda would be treated by F.transform as an
-        # (element, index) lambda — bind the prefix via a closure instead
-        prefix = f"{i}:"
-        return F.array_min(F.transform(sh, lambda s: h32(F.concat(F.lit(prefix), s))))
-
-    return F.array(*[min_hash(i) for i in range(num_hashes)])
+    """MinHash signature as array<long>: element i is min over shingle
+    hashes h of (a_i*h + b_i) mod (2^31-1), h = h32(shingle)."""
+    return minhash_from_hashes(F.transform(shingles(col, shingle_n), h32),
+                               num_hashes)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -85,9 +117,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     groupBy band bucket → pairs within buckets → distinct → score. All
     shuffles are on small keys; no O(n²) stage.
     """
+    df = ensure_parallelism(df)
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # materialize shingle hashes in their own projection so the expensive
+    # shingle+md5 pipeline runs once per row (CollapseProject keeps a
+    # non-cheap alias referenced 16× in the child projection)
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.transform(shingles(F.col(text_col), shingle_n),
+                                  h32).alias("hs"))
+              .select("id", minhash_from_hashes(F.col("hs"),
+                                                num_hashes).alias("sig")))
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat_ws(",", *[F.element_at(F.col("sig"), b * rows + r + 1)
@@ -119,6 +158,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         num_hashes: int = 16, bands: int = 8) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates: (id_a, id_b, jaccard).
     LSH proposes, exact set intersection disposes — no false positives."""
+    df = ensure_parallelism(df)
     cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
                              bands=bands, shingle_n=shingle_n,
                              min_est_jaccard=0.0)
@@ -156,7 +196,8 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
                       prefix_bits: int = 16) -> DataFrame:
     """Near-dup candidates whose SimHash agrees on the top prefix_bits:
     (id_a, id_b, hamming). Banding on the prefix keeps the join bucketed."""
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    s = ensure_parallelism(df).select(F.col(id_col).alias("id"),
+                                      simhash(F.col(text_col)).alias("sh"))
     s = s.withColumn("bucket", F.shiftright(F.col("sh"), 32 - prefix_bits))
     a, b = s.alias("a"), s.alias("b")
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -181,7 +222,8 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     path; recall < 1 by design."""
     from .similarity import cosine
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
+                                      F.col(vec_col).alias("v"))
     if num_planes > 0:
         dim = len(df.select(vec_col).first()[0])
         sign_bits = []

@@ -66,16 +66,29 @@ def _digit_ratio(t):
             f"ELSE 0.0 END)")
 
 
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_perms(num_hashes):
+    """Same (a, b) permutation family as operators.dedup.minhash_perms."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [(h(f"a:{i}") % (_MINHASH_P - 1) + 1, h(f"b:{i}") % _MINHASH_P)
+            for i in range(num_hashes)]
+
+
 def _minhash_sql(num_hashes, bands, shingle_n, table="documents",
                  id_col="doc_id", text_col="text"):
-    """Shared WITH-prefix: words → shingles → minhash signature → banded
-    buckets → candidate pairs (sig_a, sig_b attached)."""
+    """Shared WITH-prefix: words → shingles → shingle hashes → permutation
+    minhash signature → banded buckets → candidate pairs."""
     rows = num_hashes // bands
     w = _WORDS.format(t=text_col)
     sig_items = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _H32.format(x="'{}:' || s".format(i)) + "))"
-        for i in range(num_hashes))
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MINHASH_P}))"
+        for a, b in _minhash_perms(num_hashes))
     band_selects = []
     for b in range(bands):
         parts = " || ',' || ".join(f"sig[{b*rows + r + 1}]::VARCHAR" for r in range(rows))
@@ -91,7 +104,9 @@ WITH w AS (
       i -> array_to_string(ws[i:i+{shingle_n - 1}], ' '))) AS shingles
   FROM w
 ), sig AS (
-  SELECT id, [{sig_items}] AS sig FROM sh
+  SELECT id, [{sig_items}] AS sig FROM (
+    SELECT id, list_transform(shingles, s -> {_H32.format(x='s')}) AS hs
+    FROM sh)
 ), banded AS (
   {banded}
 ), pairs AS (

@@ -43,9 +43,9 @@ def test_minhash_signature_matches_python(spark):
     text = d.first()["text"]
     ws = text.split()
     shingles = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
-    for i in range(4):
-        expect = min(int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16)
-                     for s in shingles)
+    hashes = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+    for i, (a, b) in enumerate(D.minhash_perms(4)):
+        expect = min((a * h + b) % D.MINHASH_P for h in hashes)
         assert sig[i] == expect
 
 
