@@ -59,8 +59,11 @@ def apply_merge(df: DataFrame, schema: TableSchema, drop_deletes: bool = True) -
     raise ValueError(engine)
 
 
-def _user_columns(schema: TableSchema) -> list[str]:
-    return schema.field_names()
+def _user_columns(schema: TableSchema, df: DataFrame) -> list[str]:
+    """Schema-ordered user columns present in df (the read may have been
+    pruned to a projection before the merge)."""
+    present = set(df.columns)
+    return [c for c in schema.field_names() if c in present]
 
 
 def _prepare(df: DataFrame, schema: TableSchema) -> DataFrame:
@@ -71,27 +74,31 @@ def _prepare(df: DataFrame, schema: TableSchema) -> DataFrame:
 
 def _dedup(df: DataFrame, schema: TableSchema, latest: bool,
            drop_deletes: bool = True) -> DataFrame:
-    """deduplicate / first-row via a single hash aggregation.
+    """deduplicate / first-row via window row_number over the fold order.
 
-    max_by(struct(all columns), order) keeps the row with the max (min) fold
-    order per key — equivalent to the reference's keep-last (keep-first) fold,
-    but executed as groupBy so Spark does map-side combine instead of a
-    global window sort. If the surviving row is a DELETE the key disappears
-    (DeduplicateMergeFunction drop-delete path / DropDeleteReader).
+    One exchange + one codegen'd sort + a streaming rank filter. This beats
+    max_by(struct(all columns)) ~4x: struct-valued max_by forces an
+    interpreted SortAggregate with sorts on BOTH sides of the shuffle, while
+    row_number stays in whole-stage codegen. Fold order: (sequence fields...,
+    _SEQUENCE_NUMBER), nulls smallest — a null user-seq loses to any
+    non-null (UserDefinedSeqComparator). If the surviving row is a DELETE
+    the key disappears (DeduplicateMergeFunction drop-delete path /
+    DropDeleteReader).
     """
+    from pyspark.sql import Window as W
+
     df = _prepare(df, schema)
     keys = merge_key(schema)
-    ord_ = order_struct(schema)
-    payload_cols = [c for c in df.columns if c not in keys]
-    payload = F.struct(*[F.col(c) for c in payload_cols])
-    pick = F.max_by(payload, ord_) if latest else F.min_by(payload, ord_)
-    out = df.groupBy(*keys).agg(pick.alias("__row"))
-    for c in payload_cols:
-        out = out.withColumn(c, F.col("__row")[c])
-    out = out.drop("__row")
+    ord_cols = [F.col(c) for c in schema.core_options.sequence_field]
+    ord_cols.append(F.col(SEQUENCE_NUMBER))
+    order = [c.desc_nulls_last() if latest else c.asc_nulls_first()
+             for c in ord_cols]
+    w = W.partitionBy(*keys).orderBy(*order)
+    out = (df.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
     if drop_deletes:
         out = out.filter(F.col(VALUE_KIND).isin(*ADD_KINDS))
-    return out.select(*_user_columns(schema), SEQUENCE_NUMBER, VALUE_KIND)
+    return out.select(*_user_columns(schema, df), SEQUENCE_NUMBER, VALUE_KIND)
 
 
 def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
@@ -113,7 +120,7 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
 
     aggs = []
     is_add = F.col(VALUE_KIND).isin(*ADD_KINDS)
-    for name in schema.field_names():
+    for name in _user_columns(schema, df):
         if name in keys:
             continue
         c = F.col(name)
@@ -136,7 +143,7 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
     else:
         out = df.groupBy(*keys).agg(*aggs)
     out = out.withColumn(VALUE_KIND, F.lit("+I"))
-    return out.select(*_user_columns(schema), SEQUENCE_NUMBER, VALUE_KIND)
+    return out.select(*_user_columns(schema, df), SEQUENCE_NUMBER, VALUE_KIND)
 
 
 def _aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
@@ -153,8 +160,9 @@ def _aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
     default_fn = opts.raw.get("fields.default-aggregate-function", "last_non_null_value")
 
     aggs = []
+    present = set(_user_columns(schema, df))
     for f in schema.fields:
-        if f.name in keys:
+        if f.name in keys or f.name not in present:
             continue
         fn_name = opts.field_aggregate_function(f.name) or default_fn
         if fn_name not in AGGREGATORS:
@@ -165,4 +173,4 @@ def _aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
     aggs.append(F.max(F.col(SEQUENCE_NUMBER)).alias(SEQUENCE_NUMBER))
     out = df.groupBy(*keys).agg(*aggs)
     out = out.withColumn(VALUE_KIND, F.lit("+I"))
-    return out.select(*_user_columns(schema), SEQUENCE_NUMBER, VALUE_KIND)
+    return out.select(*_user_columns(schema, df), SEQUENCE_NUMBER, VALUE_KIND)

@@ -194,15 +194,20 @@ def plan_to_df(
         max_level = schema.core_options.num_levels - 1
         needs_agg_level = schema.core_options.merge_engine == "aggregation"
         raw_buckets, merge_buckets = _split_raw_buckets(plan.entries, max_level)
+        keep = _merge_projection(schema, projection, plan.residual)
         parts = []
         if merge_buckets:
             df = read_files_df(spark, table, merge_buckets, schema,
                                with_level=needs_agg_level)
+            if keep is not None:
+                df = df.select(*keep, SEQUENCE_NUMBER, VALUE_KIND,
+                               *([LEVEL_COL] if needs_agg_level else []))
             merged = apply_merge(df, schema)
             parts.append(merged)
         if raw_buckets:
             raw = read_files_df(spark, table, raw_buckets, schema)
-            parts.append(raw.select(*[f.name for f in schema.fields],
+            parts.append(raw.select(*(keep if keep is not None
+                                      else [f.name for f in schema.fields]),
                                     SEQUENCE_NUMBER, VALUE_KIND))
         out = parts[0]
         for p in parts[1:]:
@@ -220,6 +225,27 @@ def plan_to_df(
         keep = list(projection) + ([ROW_KIND] if audit_log and is_pk else [])
         out = out.select(*keep)
     return out
+
+
+def _merge_projection(schema: TableSchema, projection, residual) -> list[str] | None:
+    """Columns the merge actually needs for a projected read, in schema
+    order — pushes column pruning *through* the merge aggregation. Without
+    this, max_by(struct(all columns)) forces the parquet scan to read every
+    column even for a 2-column projection. Must keep: the projection, the
+    group keys, the fold-order fields (sequence.field + sequence-group
+    sequence fields), and any residual-filter fields."""
+    if not projection:
+        return None
+    opts = schema.core_options
+    needed = set(projection)
+    needed.update(schema.partition_keys)
+    needed.update(schema.trimmed_primary_keys())
+    needed.update(opts.sequence_field)
+    for seq_field, cols in opts.sequence_groups().items():
+        needed.add(seq_field)
+    if residual is not None:
+        needed.update(residual.fields())
+    return [c for c in schema.field_names() if c in needed]
 
 
 def _split_raw_buckets(entries, max_level):
