@@ -172,6 +172,28 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
              .filter(F.col("o_orderkey") % 2 == 1))
     fx["orders_evolve"] = t2
 
+    # dynamic bucket (bucket=-1): same upsert pattern as customer_pk but
+    # buckets assigned from the hash index (HashBucketAssigner parity)
+    t = cat.create_table("fx.customer_dyn", customer.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "-1",
+                                  "dynamic-bucket.target-row-num": "500"})
+    t.write(spark, customer.withColumn("c_acctbal", F.lit(-1.0)))
+    t.write(spark, customer.filter(F.col("c_custkey") % 3 == 0))
+    fx["customer_dyn"] = t
+
+    # cross-partition upsert: pk excludes the partition key; keys %7 move to
+    # a new partition and must vanish from their old one (GlobalIndexAssigner)
+    t = cat.create_table("fx.customer_xp", customer.schema,
+                         partition_keys=["c_mktsegment"],
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "-1",
+                                  "dynamic-bucket.target-row-num": "500"})
+    t.write(spark, customer)
+    t.write(spark, customer.filter(F.col("c_custkey") % 7 == 0)
+                           .withColumn("c_mktsegment", F.lit("MOVED")))
+    fx["customer_xp"] = t
+
     _WAREHOUSES[sf_dir] = fx
     return fx
 
@@ -373,6 +395,19 @@ def q_agg_engine(spark, sf_dir):
                      F.col("cnt").alias("n_items"))
 
 
+def q_dynamic_bucket(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_dyn"].read(spark)
+    return df.select("c_custkey", "c_name", "c_nationkey",
+                     F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+
+
+def q_cross_partition(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_xp"].read(spark)
+    return df.select("c_custkey", "c_mktsegment", "c_name")
+
+
 def q_time_travel(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["orders_travel"].read(spark, snapshot_id=1)
@@ -524,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_first_event": q_pk_first_event,
         "partial_update": q_partial_update,
         "agg_engine": q_agg_engine,
+        "dynamic_bucket": q_dynamic_bucket,
+        "cross_partition": q_cross_partition,
         "time_travel": q_time_travel,
         "incremental": q_incremental,
         "delete_update_compact": q_delete_update_compact,

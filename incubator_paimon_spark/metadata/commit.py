@@ -56,6 +56,7 @@ class FileStoreCommit:
         commit_identifier: int = -1,
         watermark: int | None = None,
         next_sequence_number: int | None = None,
+        index_manifest: str | None = None,
         max_retries: int = 20,
     ) -> Snapshot | None:
         """Returns the committed Snapshot, or None when this identifier was
@@ -117,6 +118,8 @@ class FileStoreCommit:
                 watermark=watermark if watermark is not None else (latest.watermark if latest else None),
                 next_sequence_number=(next_sequence_number
                                       if next_sequence_number is not None else prev_seq),
+                index_manifest=(index_manifest if index_manifest is not None
+                                else (latest.index_manifest if latest else None)),
             )
             if self.snapshots.try_commit(snapshot):
                 return snapshot

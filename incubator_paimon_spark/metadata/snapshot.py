@@ -31,6 +31,7 @@ class Snapshot:
     changelog_record_count: int = 0
     watermark: int | None = None
     next_sequence_number: int = 0
+    index_manifest: str | None = None
 
     def to_json(self):
         return {
@@ -49,6 +50,7 @@ class Snapshot:
             "changelogRecordCount": self.changelog_record_count,
             "watermark": self.watermark,
             "nextSequenceNumber": self.next_sequence_number,
+            "indexManifest": self.index_manifest,
         }
 
     @staticmethod
@@ -68,6 +70,7 @@ class Snapshot:
             changelog_record_count=j.get("changelogRecordCount", 0),
             watermark=j.get("watermark"),
             next_sequence_number=j.get("nextSequenceNumber", 0),
+            index_manifest=j.get("indexManifest"),
         )
 
 

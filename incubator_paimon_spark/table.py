@@ -40,6 +40,8 @@ class Table:
         self.snapshots = SnapshotManager(self.path)
         self.manifests = ManifestStore(self.path)
         self.commit = FileStoreCommit(self.path)
+        from .metadata.index import IndexStore
+        self.index = IndexStore(self.path)
         self._schema_cache: dict[int, TableSchema] = {}
 
     # ------------------------------------------------------------------

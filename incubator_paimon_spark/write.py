@@ -35,8 +35,9 @@ from .metadata.manifest import DataFileMeta, ManifestEntry, live_entries
 from .metadata.schema import TableSchema
 from .metadata.stats import collect_file_stats
 from .metadata.util import new_uuid
-from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, ENTRY_ADD, ENTRY_DELETE,
-                    INSERT, ROW_KIND, SEQUENCE_NUMBER, VALUE_KIND)
+from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, DELETE, ENTRY_ADD,
+                    ENTRY_DELETE, INSERT, ROW_KIND, SEQUENCE_NUMBER,
+                    VALUE_KIND)
 
 BUCKET_DIR = "bucket-{b}"
 PT_PREFIX = "__pt_"
@@ -60,6 +61,127 @@ def bucket_expr(schema: TableSchema, num_buckets: int):
     if not keys or num_buckets <= 0:
         return F.lit(0)
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets))
+
+
+def assign_dynamic_buckets(spark: SparkSession, table, df: DataFrame,
+                           schema: TableSchema):
+    """HASH_DYNAMIC / CROSS_PARTITION bucket assignment, batch-shaped.
+
+    HASH_DYNAMIC (HashBucketAssigner.java:37): existing keys keep their
+    indexed bucket; new distinct keys fill the partition's last bucket up to
+    dynamic-bucket.target-row-num, then spill into fresh buckets.
+
+    CROSS_PARTITION (GlobalIndexAssigner.java:76) — active when the primary
+    key does not contain the partition keys: the index is global per key; a
+    key arriving with a different partition emits a retraction (-D) row into
+    its OLD (partition, bucket) so the key moves, and the index entry is
+    replaced by a newer version (max-ver wins on read).
+
+    All joins/windows — the index is a DataFrame, never driver-materialized,
+    so a 10^9-key index stays distributed.
+
+    Returns (df_with_bucket_col, new_index_df | None, retractions_df | None);
+    retraction rows (cross-partition moves) already carry BUCKET_COL.
+    """
+    from pyspark.sql import Window as W
+
+    opts = schema.core_options
+    target = opts.dynamic_bucket_target_row_num
+    pks = schema.trimmed_primary_keys()
+    part_cols = list(schema.partition_keys)
+    cross = bool(part_cols) and not set(part_cols) <= set(schema.primary_keys)
+    ver = int(time.time() * 1000)
+
+    df = df.withColumn("__kh", F.hash(*[F.col(k) for k in pks]))
+    idx = table.index.read_df(spark, table.snapshots.latest(), schema,
+                              global_key=cross)
+    old = idx.select(
+        F.col("kh").alias("__kh"),
+        *[F.col(c).alias(f"__old_{c}") for c in part_cols],
+        F.col("bucket").alias("__old_bucket"))
+    if cross:
+        df = df.join(old, "__kh", "left")
+        same_part = F.lit(True)
+        for c in part_cols:
+            same_part = same_part & F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        df = df.withColumn("__moved",
+                           F.col("__old_bucket").isNotNull() & ~same_part)
+        keep_bucket = F.when(F.col("__moved"), F.lit(None)) \
+                       .otherwise(F.col("__old_bucket"))
+    else:
+        cond = [df["__kh"] == old["__kh"]] + \
+               [df[c] == F.col(f"__old_{c}") for c in part_cols]
+        df = df.join(old, cond, "left").drop(old["__kh"])
+        df = df.withColumn("__moved", F.lit(False))
+        keep_bucket = F.col("__old_bucket")
+    df = df.withColumn("__keep_bucket", keep_bucket)
+
+    # keys needing a (re)assignment in their current partition
+    new_keys = (df.filter(F.col("__keep_bucket").isNull())
+                  .select("__kh", *part_cols).distinct())
+    # per-partition fill state: last bucket id + how many keys it holds
+    if part_cols:
+        per_part = idx.groupBy(*part_cols).agg(F.max("bucket").alias("__maxb"))
+        joined = idx.join(per_part, part_cols)
+    else:
+        per_part = idx.agg(F.max("bucket").alias("__maxb"))
+        joined = idx.crossJoin(per_part)
+    last_load = (joined.filter(F.col("bucket") == F.col("__maxb"))
+                 .groupBy(*part_cols)
+                 .agg(F.max("bucket").alias("__maxb"),
+                      F.count("*").alias("__load")))
+    w = W.partitionBy(*part_cols).orderBy("__kh")
+    if part_cols:
+        assigned = new_keys.join(last_load, part_cols, "left")
+    else:
+        # unpartitioned: last_load is 0-or-1 rows; crossJoin with an empty
+        # right side would drop new_keys, so fall back to null fill state
+        assigned = (new_keys.crossJoin(last_load)
+                    if last_load.limit(1).count() > 0
+                    else new_keys
+                    .withColumn("__maxb", F.lit(None).cast("int"))
+                    .withColumn("__load", F.lit(None).cast("long")))
+    assigned = (assigned
+                .withColumn("__maxb", F.coalesce(F.col("__maxb"), F.lit(0)))
+                .withColumn("__load", F.coalesce(F.col("__load"), F.lit(0)))
+                .withColumn("__slot", F.col("__load") + F.row_number().over(w) - 1)
+                .withColumn("__new_bucket",
+                            (F.col("__maxb")
+                             + F.floor(F.col("__slot") / target)).cast("int"))
+                .select("__kh", *part_cols, "__new_bucket"))
+    # both the data write and the index write consume `assigned` — cache so
+    # the distinct+window assignment job runs once
+    assigned = assigned.cache()
+    df = (df.join(assigned, ["__kh"] + part_cols, "left")
+            .withColumn(BUCKET_COL,
+                        F.coalesce(F.col("__keep_bucket"),
+                                   F.col("__new_bucket")).cast("int")))
+
+    retractions = None
+    if cross:
+        moved_rows = df.filter(F.col("__moved"))
+        # -D rows into the key's OLD (partition, bucket): pk values from the
+        # incoming row, partition values from the index, payload nulls
+        cols = []
+        for f in schema.fields:
+            if f.name in pks:
+                cols.append(F.col(f.name).alias(f.name))
+            elif f.name in part_cols:
+                cols.append(F.col(f"__old_{f.name}").cast(f.type).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.type).alias(f.name))
+        cols.append(F.col(SEQUENCE_NUMBER))
+        cols.append(F.lit(DELETE).alias(VALUE_KIND))
+        cols.append(F.col("__old_bucket").cast("int").alias(BUCKET_COL))
+        retractions = moved_rows.select(*cols)
+
+    new_index = assigned.select(
+        F.col("__kh").alias("kh"), *part_cols,
+        F.col("__new_bucket").alias("bucket"),
+        F.lit(ver).alias("ver"))
+    df = df.drop("__kh", "__keep_bucket", "__old_bucket", "__new_bucket",
+                 "__moved", *[f"__old_{c}" for c in part_cols])
+    return df, new_index, retractions
 
 
 def partition_value_from_dir(name: str, dtype: T.DataType):
@@ -137,7 +259,20 @@ class BatchTableWrite:
             df = df.withColumn(f"{PT_PREFIX}{c}", F.col(c))
 
         layout_cols = list(pt_cols)
-        if is_pk and num_buckets > 0:
+        new_index = None
+        if is_pk and num_buckets == -1:
+            df, new_index, retractions = assign_dynamic_buckets(
+                spark, table, df, schema)
+            if retractions is not None:
+                # cross-partition moves: -D rows land in the OLD partition
+                for c in schema.partition_keys:
+                    retractions = retractions.withColumn(
+                        f"{PT_PREFIX}{c}", F.col(c))
+                df = df.unionByName(retractions)
+            layout_cols.append(BUCKET_COL)
+            df = df.repartition(*[F.col(c) for c in layout_cols])
+            df = df.sortWithinPartitions(*(schema.trimmed_primary_keys() + [SEQUENCE_NUMBER]))
+        elif is_pk and num_buckets > 0:
             df = df.withColumn(BUCKET_COL, bucket_expr(schema, num_buckets))
             layout_cols.append(BUCKET_COL)
             # co-locate each bucket in one task; sort by key+seq so every data
@@ -155,6 +290,12 @@ class BatchTableWrite:
 
         adds = self._collect_entries(spark, staging, schema, level)
         self._move_into_layout(staging, adds, table.path)
+
+        index_manifest = None
+        if new_index is not None and new_index.limit(1).count() > 0:
+            old_files = table.index.read_files(latest)
+            new_dir = table.index.write_index_dir(new_index)
+            index_manifest = table.index.write_manifest(old_files + [new_dir])
 
         deletes = list(extra_delete_entries or [])
         kind = commit_kind or COMMIT_APPEND
@@ -184,6 +325,7 @@ class BatchTableWrite:
             commit_identifier=commit_identifier,
             watermark=watermark,
             next_sequence_number=max_seq + 1,
+            index_manifest=index_manifest,
         )
         if snap is not None:
             table.run_post_commit_hooks(spark, snap)

@@ -295,6 +295,20 @@ SELECT c_custkey, c_name, c_nationkey,
 FROM customer
 """
 
+ORACLES["dynamic_bucket"] = """
+SELECT c_custkey, c_name, c_nationkey,
+  round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -1.0 END, 2) AS c_acctbal,
+  c_mktsegment
+FROM customer
+"""
+
+ORACLES["cross_partition"] = """
+SELECT c_custkey,
+  CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+  c_name
+FROM customer
+"""
+
 ORACLES["pk_latest_event"] = """
 SELECT user_id, event_type, max(event_id) AS event_id,
        round(arg_max(value, event_id), 2) AS value

@@ -186,3 +186,55 @@ def test_zorder_sort_compaction(spark, catalog, orders):
     t.compact(spark, order_by=["o_custkey", "o_totalprice"], strategy="zorder")
     assert t.read(spark).count() == orders.count()
     assert t.snapshots.latest().commit_kind == "COMPACT"
+
+
+def test_dynamic_bucket_assignment(spark, catalog, customer):
+    t = catalog.create_table("db.dyn", customer.schema, primary_keys=["c_custkey"],
+                             options={"bucket": "-1",
+                                      "dynamic-bucket.target-row-num": "20"})
+    t.write(spark, customer.filter("c_custkey < 50"))
+    idx = t.index.read_df(spark, t.snapshots.latest(), t.schema)
+    d1 = sorted((r["bucket"], r["cnt"]) for r in
+                idx.groupBy("bucket").agg(F.count("*").alias("cnt")).collect())
+    assert d1 == [(0, 20), (1, 20), (2, 10)], d1
+
+    upd = customer.filter("c_custkey < 20").withColumn("c_acctbal", F.lit(9.99))
+    new = customer.filter("c_custkey >= 100")  # 50 new keys
+    t.write(spark, upd.unionByName(new))
+    idx2 = t.index.read_df(spark, t.snapshots.latest(), t.schema)
+    d2 = sorted((r["bucket"], r["cnt"]) for r in
+                idx2.groupBy("bucket").agg(F.count("*").alias("cnt")).collect())
+    # existing keys keep buckets; bucket 2 fills to 20, then 3, 4 (last=10)
+    assert d2 == [(0, 20), (1, 20), (2, 20), (3, 20), (4, 20)], d2
+    # a key never moves buckets
+    assert idx2.groupBy("kh").agg(F.countDistinct("bucket").alias("n")) \
+               .filter("n > 1").count() == 0
+    out = t.read(spark)
+    assert out.count() == 100
+    assert out.filter("c_acctbal = 9.99").count() == 20
+
+
+def test_cross_partition_upsert(spark, catalog, customer):
+    """PK excludes the partition key -> GlobalIndexAssigner semantics: a key
+    arriving in a new partition retracts its old-partition row."""
+    t = catalog.create_table("db.xp", customer.schema,
+                             partition_keys=["c_mktsegment"],
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "-1",
+                                      "dynamic-bucket.target-row-num": "100"})
+    t.write(spark, customer)
+    n_keys = customer.select("c_custkey").distinct().count()
+    assert t.read(spark).count() == n_keys
+
+    # move 30 keys into a different partition
+    moved = customer.filter("c_custkey < 30") \
+                    .withColumn("c_mktsegment", F.lit("MOVED"))
+    t.write(spark, moved)
+    out = t.read(spark)
+    assert out.count() == n_keys  # still one row per key
+    assert out.filter("c_mktsegment = 'MOVED'").count() == 30
+    # the old partitions no longer contain the moved keys
+    assert out.filter("c_custkey < 30 AND c_mktsegment <> 'MOVED'").count() == 0
+    # audit log shows the retractions
+    audit = t.system(spark, "$audit_log")
+    assert audit.filter("_row_kind = '-D'").count() == 30
