@@ -172,6 +172,15 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
              .filter(F.col("o_orderkey") % 2 == 1))
     fx["orders_evolve"] = t2
 
+    # deletion vectors on an append table: delete + update without rewrite
+    t = cat.create_table("fx.customer_dv", customer.schema,
+                         options={"deletion-vectors.enabled": "true"})
+    t.write(spark, customer)
+    t.delete_where(spark, P.lt("c_custkey", 100))
+    t.update_where(spark, P.eq("c_mktsegment", "MACHINERY"),
+                   {"c_acctbal": 777.0})
+    fx["customer_dv"] = t
+
     # dynamic bucket (bucket=-1): same upsert pattern as customer_pk but
     # buckets assigned from the hash index (HashBucketAssigner parity)
     t = cat.create_table("fx.customer_dyn", customer.schema,
@@ -395,6 +404,13 @@ def q_agg_engine(spark, sf_dir):
                      F.col("cnt").alias("n_items"))
 
 
+def q_deletion_vectors(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_dv"].read(spark)
+    return df.select("c_custkey", "c_name",
+                     F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+
+
 def q_dynamic_bucket(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["customer_dyn"].read(spark)
@@ -559,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_first_event": q_pk_first_event,
         "partial_update": q_partial_update,
         "agg_engine": q_agg_engine,
+        "deletion_vectors": q_deletion_vectors,
         "dynamic_bucket": q_dynamic_bucket,
         "cross_partition": q_cross_partition,
         "time_travel": q_time_travel,

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .merge_engines import apply_merge
 from .metadata.manifest import ManifestEntry
-from .read import read_files_df
+from .read import read_append_entries, read_files_df
 from .types import COMMIT_COMPACT, ENTRY_DELETE
 from .predicate import Predicate
 
@@ -220,7 +220,11 @@ def _compact_append(spark, table, predicate):
             victims.extend(small)
     if not victims:
         return None
-    df = read_files_df(spark, table, victims, schema)
+    # apply deletion vectors while rewriting: deleted rows are physically
+    # dropped and the replacement files are DV-free (stale DV rows are inert
+    # because data file names are never reused)
+    df = read_append_entries(spark, table, victims, schema,
+                             table.snapshots.latest())
     deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
                for e in victims]
     return table.new_write().write(
@@ -267,9 +271,12 @@ def _sort_compact(spark, table, order_by, strategy, predicate):
     if not entries:
         return None
     is_pk = table.is_primary_key_table()
-    df = read_files_df(spark, table, entries, schema, with_level=is_pk)
     if is_pk:
+        df = read_files_df(spark, table, entries, schema, with_level=True)
         df = apply_merge(df, schema, drop_deletes=True)
+    else:
+        df = read_append_entries(spark, table, entries, schema,
+                                 table.snapshots.latest())
 
     if strategy == "zorder":
         # min-max scale each column to [0, 2^16) then interleave bits.

@@ -57,6 +57,7 @@ class FileStoreCommit:
         watermark: int | None = None,
         next_sequence_number: int | None = None,
         index_manifest: str | None = None,
+        dv_manifest: str | None | type(...) = ...,
         max_retries: int = 20,
     ) -> Snapshot | None:
         """Returns the committed Snapshot, or None when this identifier was
@@ -120,6 +121,8 @@ class FileStoreCommit:
                                       if next_sequence_number is not None else prev_seq),
                 index_manifest=(index_manifest if index_manifest is not None
                                 else (latest.index_manifest if latest else None)),
+                dv_manifest=(dv_manifest if dv_manifest is not ...
+                             else (latest.dv_manifest if latest else None)),
             )
             if self.snapshots.try_commit(snapshot):
                 return snapshot

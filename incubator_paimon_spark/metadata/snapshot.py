@@ -32,6 +32,7 @@ class Snapshot:
     watermark: int | None = None
     next_sequence_number: int = 0
     index_manifest: str | None = None
+    dv_manifest: str | None = None
 
     def to_json(self):
         return {
@@ -51,6 +52,7 @@ class Snapshot:
             "watermark": self.watermark,
             "nextSequenceNumber": self.next_sequence_number,
             "indexManifest": self.index_manifest,
+            "deletionVectorsManifest": self.dv_manifest,
         }
 
     @staticmethod
@@ -71,6 +73,7 @@ class Snapshot:
             watermark=j.get("watermark"),
             next_sequence_number=j.get("nextSequenceNumber", 0),
             index_manifest=j.get("indexManifest"),
+            dv_manifest=j.get("deletionVectorsManifest"),
         )
 
 

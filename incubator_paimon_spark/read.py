@@ -123,12 +123,21 @@ def _with_system_cols(schema: T.StructType, pk: bool) -> T.StructType:
     return T.StructType(fields)
 
 
+METADATA_FILE = "__meta_file"
+METADATA_POS = "__meta_pos"
+
+
 def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
-                  target_schema: TableSchema, with_level: bool = False) -> DataFrame | None:
+                  target_schema: TableSchema, with_level: bool = False,
+                  with_metadata: bool = False) -> DataFrame | None:
     """Union of data files, evolved to `target_schema` by field id
     (SchemaEvolutionUtil.createIndexMapping :78 / createDataProjection :266).
     Files are grouped by (schemaId, level); each group gets one parquet scan
-    with an explicit schema, then a cast/rename/reorder projection."""
+    with an explicit schema, then a cast/rename/reorder projection.
+
+    with_metadata adds (__meta_file, __meta_pos): table-relative file name +
+    parquet row index — the deletion-vector application key and the
+    `__paimon_file_path`/`__paimon_row_index` metadata columns."""
     if not entries:
         return None
     is_pk = bool(target_schema.primary_keys)
@@ -137,11 +146,17 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
         key = (e.file.schema_id, e.file.level if with_level else 0)
         groups.setdefault(key, []).append(os.path.join(table.path, e.file.file_name))
 
+    prefix = "file:" + table.path.rstrip("/") + "/"
     out = None
     for (schema_id, level), paths in sorted(groups.items()):
         file_schema = table.schema_at(schema_id)
         read_schema = _with_system_cols(file_schema.spark_schema(), is_pk)
         df = spark.read.schema(read_schema).parquet(*paths)
+        if with_metadata:
+            df = (df.withColumn(
+                METADATA_FILE,
+                F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")))
+                .withColumn(METADATA_POS, F.col("_metadata.row_index")))
         df = evolve(df, file_schema, target_schema, is_pk)
         if with_level:
             df = df.withColumn(LEVEL_COL, F.lit(level))
@@ -165,6 +180,9 @@ def evolve(df: DataFrame, file_schema: TableSchema, target: TableSchema, is_pk: 
     if is_pk:
         cols.append(F.col(SEQUENCE_NUMBER))
         cols.append(F.col(VALUE_KIND))
+    for extra in (METADATA_FILE, METADATA_POS):
+        if extra in df.columns:
+            cols.append(F.col(extra))
     return df.select(*cols)
 
 
@@ -186,7 +204,8 @@ def plan_to_df(
     if not plan.entries:
         out = spark.createDataFrame([], _with_system_cols(schema.spark_schema(), is_pk))
     elif not is_pk:
-        out = read_files_df(spark, table, plan.entries, schema)
+        out = read_append_entries(spark, table, plan.entries, schema,
+                                  plan.snapshot)
     elif audit_log:
         # $audit_log: no merge, expose rowkind (AuditLogTable.java:79-105)
         out = read_files_df(spark, table, plan.entries, schema)
@@ -224,6 +243,29 @@ def plan_to_df(
     if projection:
         keep = list(projection) + ([ROW_KIND] if audit_log and is_pk else [])
         out = out.select(*keep)
+    return out
+
+
+def read_append_entries(spark: SparkSession, table, entries, schema,
+                        snapshot) -> DataFrame | None:
+    """Append-table read with deletion vectors applied: only DV-covered
+    files pay the anti-join; clean files take the plain vectorized path."""
+    covered = table.dv.covered_files(snapshot)
+    if not covered:
+        return read_files_df(spark, table, entries, schema)
+    from .metadata.deletion import apply_dv_filter
+    dv_entries = [e for e in entries if e.file.file_name in covered]
+    clean = [e for e in entries if e.file.file_name not in covered]
+    parts = []
+    if dv_entries:
+        df = read_files_df(spark, table, dv_entries, schema, with_metadata=True)
+        df = apply_dv_filter(spark, table, df, snapshot)
+        parts.append(df.drop(METADATA_FILE, METADATA_POS))
+    if clean:
+        parts.append(read_files_df(spark, table, clean, schema))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
     return out
 
 

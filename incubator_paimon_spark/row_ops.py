@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from .metadata.manifest import ManifestEntry, live_entries
 from .predicate import Predicate, split_by_fields
-from .read import read_files_df, _stats_keep
+from .read import (METADATA_FILE, METADATA_POS, read_files_df,
+                   _stats_keep)
 from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, DELETE, ENTRY_DELETE,
                     ROW_KIND, SEQUENCE_NUMBER, UPDATE_AFTER, VALUE_KIND)
 
@@ -45,11 +46,16 @@ def delete_where(spark: SparkSession, table, predicate: Predicate,
         victims = victims.withColumn(ROW_KIND, F.lit(DELETE))
         return table.new_write().write(spark, victims,
                                        commit_identifier=commit_identifier)
-    # non-PK: copy-on-write rewrite of touched files only
+    schema = table.schema
     touched = _touched_entries(table, predicate)
     if not touched:
         return None
-    schema = table.schema
+    if schema.core_options.deletion_vectors_enabled:
+        # DV path (MVW: merge-on-write deletes without rewriting data files,
+        # BitmapDeletionVector + ApplyDeletionVectorReader): record the
+        # matching (file, pos) pairs; files stay untouched
+        return _dv_delete(spark, table, touched, cond, commit_identifier)
+    # non-PK: copy-on-write rewrite of touched files only
     df = read_files_df(spark, table, touched, schema)
     kept = df.filter(~F.coalesce(cond, F.lit(False)))
     deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
@@ -57,6 +63,38 @@ def delete_where(spark: SparkSession, table, predicate: Predicate,
     return table.new_write().write(
         spark, kept, extra_delete_entries=deletes,
         commit_identifier=commit_identifier, preserve_system_cols=False)
+
+
+def _dv_positions(spark, table, touched, cond):
+    """(file_name, pos) pairs matching cond among live (non-DV-deleted)
+    rows of the touched files."""
+    from .read import read_append_entries
+    schema = table.schema
+    snapshot = table.snapshots.latest()
+    covered = table.dv.covered_files(snapshot)
+    from .metadata.deletion import apply_dv_filter
+    df = read_files_df(spark, table, touched, schema, with_metadata=True)
+    if covered & {e.file.file_name for e in touched}:
+        df = apply_dv_filter(spark, table, df, snapshot)
+    return df.filter(F.coalesce(cond, F.lit(False))).select(
+        F.col(METADATA_FILE).alias("file_name"),
+        F.col(METADATA_POS).alias("pos"))
+
+
+def _dv_delete(spark, table, touched, cond, commit_identifier):
+    from .metadata.commit import CommitMessage
+    snapshot = table.snapshots.latest()
+    hits = _dv_positions(spark, table, touched, cond).cache()
+    hit_files = [r[0] for r in hits.select("file_name").distinct().collect()]
+    if not hit_files:
+        return None
+    m = table.dv.read_manifest(snapshot)
+    new_dir = table.dv.write_dv_dir(hits)
+    name = table.dv.write_manifest(m["dirs"] + [new_dir],
+                                   m["files"] + hit_files)
+    return table.commit.commit(
+        CommitMessage(), schema_id=table.schema.id, kind=COMMIT_APPEND,
+        commit_identifier=commit_identifier, dv_manifest=name)
 
 
 def update_where(spark: SparkSession, table, predicate: Predicate | None,
@@ -76,10 +114,28 @@ def update_where(spark: SparkSession, table, predicate: Predicate | None,
         rows = rows.withColumn(ROW_KIND, F.lit(UPDATE_AFTER))
         return table.new_write().write(spark, rows,
                                        commit_identifier=commit_identifier)
+    schema = table.schema
     touched = _touched_entries(table, predicate)
     if not touched:
         return None
-    schema = table.schema
+    if schema.core_options.deletion_vectors_enabled:
+        # DV update: mark old positions deleted + append updated copies of
+        # ONLY the matching rows, atomically in one commit
+        snapshot = table.snapshots.latest()
+        hits = _dv_positions(spark, table, touched, cond).cache()
+        hit_files = [r[0] for r in hits.select("file_name").distinct().collect()]
+        if not hit_files:
+            return None
+        from .read import read_append_entries
+        rows = read_append_entries(spark, table, touched, schema, snapshot)             .filter(F.coalesce(cond, F.lit(False)))
+        for k, v in set_exprs.items():
+            rows = rows.withColumn(k, v.cast(schema.field_by_name(k).type))
+        m = table.dv.read_manifest(snapshot)
+        new_dir = table.dv.write_dv_dir(hits)
+        name = table.dv.write_manifest(m["dirs"] + [new_dir],
+                                       m["files"] + hit_files)
+        return table.new_write().write(
+            spark, rows, commit_identifier=commit_identifier, dv_manifest=name)
     df = read_files_df(spark, table, touched, schema)
     out = df
     for k, v in set_exprs.items():

@@ -42,6 +42,8 @@ class Table:
         self.commit = FileStoreCommit(self.path)
         from .metadata.index import IndexStore
         self.index = IndexStore(self.path)
+        from .metadata.deletion import DvStore
+        self.dv = DvStore(self.path)
         self._schema_cache: dict[int, TableSchema] = {}
 
     # ------------------------------------------------------------------

@@ -223,6 +223,7 @@ class BatchTableWrite:
         commit_kind: str | None = None,
         changelog_from_input: bool | None = None,
         preserve_system_cols: bool = False,
+        dv_manifest=...,
     ):
         table = self.table
         schema: TableSchema = table.schema
@@ -326,6 +327,7 @@ class BatchTableWrite:
             watermark=watermark,
             next_sequence_number=max_seq + 1,
             index_manifest=index_manifest,
+            dv_manifest=dv_manifest,
         )
         if snap is not None:
             table.run_post_commit_hooks(spark, snap)

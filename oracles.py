@@ -295,6 +295,14 @@ SELECT c_custkey, c_name, c_nationkey,
 FROM customer
 """
 
+ORACLES["deletion_vectors"] = """
+SELECT c_custkey, c_name,
+  round(CASE WHEN c_mktsegment = 'MACHINERY' THEN 777.0 ELSE c_acctbal END, 2)
+    AS c_acctbal,
+  c_mktsegment
+FROM customer WHERE c_custkey >= 100
+"""
+
 ORACLES["dynamic_bucket"] = """
 SELECT c_custkey, c_name, c_nationkey,
   round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -1.0 END, 2) AS c_acctbal,

@@ -238,3 +238,33 @@ def test_cross_partition_upsert(spark, catalog, customer):
     # audit log shows the retractions
     audit = t.system(spark, "$audit_log")
     assert audit.filter("_row_kind = '-D'").count() == 30
+
+
+def test_deletion_vectors(spark, catalog, customer):
+    t = catalog.create_table("db.dv", customer.schema,
+                             options={"deletion-vectors.enabled": "true"})
+    t.write(spark, customer)
+    files_before = {e.file.file_name for e in t.entries_at()}
+
+    t.delete_where(spark, P.lt("c_custkey", 30))
+    assert {e.file.file_name for e in t.entries_at()} == files_before, \
+        "DV delete must not rewrite data files"
+    assert t.read(spark).count() == 120
+    assert t.read(spark).filter("c_custkey < 30").count() == 0
+
+    t.delete_where(spark, P.ge("c_custkey", 140))  # accumulate
+    assert t.read(spark).count() == 110
+
+    t.update_where(spark, P.eq("c_mktsegment", "BUILDING"),
+                   {"c_acctbal": 777.0})
+    out = t.read(spark)
+    assert out.count() == 110
+    bld = out.filter("c_mktsegment = 'BUILDING'")
+    assert bld.count() == bld.filter("c_acctbal = 777.0").count()
+
+    # per-snapshot DVs: time travel sees the pre-delete state
+    assert t.read(spark, snapshot_id=1).count() == 150
+    # physical rewrite keeps results identical
+    t.compact(spark)
+    assert t.read(spark).count() == 110
+    assert t.read(spark).filter("c_custkey < 30").count() == 0
