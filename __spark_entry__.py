@@ -172,6 +172,35 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
              .filter(F.col("o_orderkey") % 2 == 1))
     fx["orders_evolve"] = t2
 
+    # CDC ingestion: debezium JSON feed -> parse -> changelog write.
+    # commit1 inserts all customers, commit2 updates %4 keys, commit3
+    # deletes %9 keys — final state = SQL CASE over raw customer
+    from incubator_paimon_spark import cdc as _cdc
+    cust_struct = F.struct(*[F.col(f.name) for f in customer.schema.fields])
+    null_row = F.lit(None).cast(customer.schema)
+    t = cat.create_table("fx.customer_cdc", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "4"})
+    ins = customer.select(F.to_json(F.struct(
+        null_row.alias("before"), cust_struct.alias("after"),
+        F.lit("c").alias("op"))).alias("value"))
+    _cdc.write_changelog(spark, t,
+                         _cdc.parse_cdc(ins, "debezium", customer.schema))
+    upd_after = F.struct(*[(F.col(f.name) + 100).alias(f.name)
+                           if f.name == "c_acctbal" else F.col(f.name)
+                           for f in customer.schema.fields])
+    upd = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        F.to_json(F.struct(cust_struct.alias("before"),
+                           upd_after.alias("after"),
+                           F.lit("u").alias("op"))).alias("value"))
+    _cdc.write_changelog(spark, t,
+                         _cdc.parse_cdc(upd, "debezium", customer.schema))
+    dels = customer.filter(F.col("c_custkey") % 9 == 0).select(
+        F.to_json(F.struct(cust_struct.alias("before"), null_row.alias("after"),
+                           F.lit("d").alias("op"))).alias("value"))
+    _cdc.write_changelog(spark, t,
+                         _cdc.parse_cdc(dels, "debezium", customer.schema))
+    fx["customer_cdc"] = t
+
     # deletion vectors on an append table: delete + update without rewrite
     t = cat.create_table("fx.customer_dv", customer.schema,
                          options={"deletion-vectors.enabled": "true"})
@@ -404,6 +433,13 @@ def q_agg_engine(spark, sf_dir):
                      F.col("cnt").alias("n_items"))
 
 
+def q_cdc_ingest(spark, sf_dir):
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_cdc"].read(spark)
+    return df.select("c_custkey", "c_name",
+                     F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+
+
 def q_deletion_vectors(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["customer_dv"].read(spark)
@@ -575,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_first_event": q_pk_first_event,
         "partial_update": q_partial_update,
         "agg_engine": q_agg_engine,
+        "cdc_ingest": q_cdc_ingest,
         "deletion_vectors": q_deletion_vectors,
         "dynamic_bucket": q_dynamic_bucket,
         "cross_partition": q_cross_partition,

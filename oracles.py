@@ -295,6 +295,14 @@ SELECT c_custkey, c_name, c_nationkey,
 FROM customer
 """
 
+ORACLES["cdc_ingest"] = """
+SELECT c_custkey, c_name,
+  round(CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100 ELSE c_acctbal END, 2)
+    AS c_acctbal,
+  c_mktsegment
+FROM customer WHERE c_custkey % 9 <> 0
+"""
+
 ORACLES["deletion_vectors"] = """
 SELECT c_custkey, c_name,
   round(CASE WHEN c_mktsegment = 'MACHINERY' THEN 777.0 ELSE c_acctbal END, 2)
