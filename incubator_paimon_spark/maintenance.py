@@ -157,3 +157,70 @@ def remove_orphan_files(table, older_than_ms=None, dry_run=False):
             except FileNotFoundError:
                 pass
     return orphans
+
+
+# ----------------------------------------------------------------------
+def auto_create_tags(table, snapshot):
+    """tag.automatic-creation (TagAutoCreation.java:48): create a period tag
+    per commit from the watermark or processing time; retain at most
+    tag.num-retained-max automatic tags."""
+    opts = table.options.raw
+    mode = opts.get("tag.automatic-creation", "none")
+    if mode == "none":
+        return None
+    if mode == "watermark":
+        base_ms = snapshot.watermark
+        if base_ms is None:
+            return None
+    else:  # process-time
+        base_ms = snapshot.time_millis
+    delay_ms = 0
+    period = opts.get("tag.creation-period", "daily")
+    dt = datetime.fromtimestamp((base_ms - delay_ms) / 1000)
+    if period == "hourly":
+        name = dt.strftime("%Y-%m-%d %H")
+    elif period == "daily":
+        name = dt.strftime("%Y-%m-%d")
+    else:  # two-hours etc. → treat as hourly buckets of 2
+        name = dt.strftime("%Y-%m-%d %H")
+    if name in table.list_tags():
+        return None
+    table.create_tag(name, snapshot_id=snapshot.id)
+    retained = int(opts.get("tag.num-retained-max", "0") or 0)
+    if retained > 0:
+        tags = table.list_tags()
+        for old in tags[:-retained]:
+            table.delete_tag(old)
+    return name
+
+
+def expire_changelogs(table, older_than_ms=None, retain_max=None):
+    """Delete changelog files of snapshots beyond the changelog retention
+    (ExpireChangelogImpl): snapshot JSONs stay (time travel intact), but
+    their changelog manifests + files are unlinked, so changelog reads
+    beyond the retention fail — matching the reference's contract."""
+    snaps = table.snapshots.list_all()
+    cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000)
+    victims = [s for s in snaps
+               if s.changelog_manifest_list and s.time_millis < cutoff]
+    if retain_max is not None and len(victims) > retain_max:
+        victims = victims[:len(victims) - retain_max]
+    removed = 0
+    # never delete a changelog data file that doubles as a live data file
+    # (changelog-producer=input registers the SAME files in both manifests)
+    live = {e.file.file_name for e in table.entries_at()}
+    for s in victims:
+        for m in table.manifests.read_manifest_list(s.changelog_manifest_list):
+            for e in table.manifests.read_manifest(m):
+                if e.file.file_name in live:
+                    continue
+                try:
+                    os.unlink(os.path.join(table.path, e.file.file_name))
+                except FileNotFoundError:
+                    pass
+            try:
+                os.unlink(os.path.join(table.path, "manifest", m))
+            except FileNotFoundError:
+                pass
+        removed += 1
+    return removed

@@ -58,6 +58,7 @@ class FileStoreCommit:
         next_sequence_number: int | None = None,
         index_manifest: str | None = None,
         dv_manifest: str | None | type(...) = ...,
+        statistics: str | None | type(...) = ...,
         max_retries: int = 20,
     ) -> Snapshot | None:
         """Returns the committed Snapshot, or None when this identifier was
@@ -123,6 +124,8 @@ class FileStoreCommit:
                                 else (latest.index_manifest if latest else None)),
                 dv_manifest=(dv_manifest if dv_manifest is not ...
                              else (latest.dv_manifest if latest else None)),
+                statistics=(statistics if statistics is not ...
+                            else (latest.statistics if latest else None)),
             )
             if self.snapshots.try_commit(snapshot):
                 return snapshot

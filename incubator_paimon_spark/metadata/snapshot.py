@@ -33,6 +33,7 @@ class Snapshot:
     next_sequence_number: int = 0
     index_manifest: str | None = None
     dv_manifest: str | None = None
+    statistics: str | None = None
 
     def to_json(self):
         return {
@@ -53,6 +54,7 @@ class Snapshot:
             "nextSequenceNumber": self.next_sequence_number,
             "indexManifest": self.index_manifest,
             "deletionVectorsManifest": self.dv_manifest,
+            "statistics": self.statistics,
         }
 
     @staticmethod
@@ -74,6 +76,7 @@ class Snapshot:
             next_sequence_number=j.get("nextSequenceNumber", 0),
             index_manifest=j.get("indexManifest"),
             dv_manifest=j.get("deletionVectorsManifest"),
+            statistics=j.get("statistics"),
         )
 
 

@@ -124,6 +124,26 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
     return t
 
 
+def _expire_changelogs(spark, catalog, table, older_than=None, retain_max=None, **_):
+    from .maintenance import expire_changelogs
+    return expire_changelogs(_t(catalog, table), older_than_ms=older_than,
+                             retain_max=retain_max)
+
+
+def _create_tag_from_timestamp(spark, catalog, table, tag, timestamp, **_):
+    t = _t(catalog, table)
+    snap = t.snapshots.earliest_snapshot_after(timestamp)
+    if snap is None:
+        raise ValueError(f"no snapshot at or after {timestamp}")
+    return t.create_tag(tag, snapshot_id=snap.id)
+
+
+def _analyze(spark, catalog, table, cols=None, **_):
+    if isinstance(cols, str):
+        cols = [c.strip() for c in cols.split(",")]
+    return _t(catalog, table).analyze(spark, cols)
+
+
 _PROCEDURES = {
     "compact": _compact,
     "expire_snapshots": _expire_snapshots,
@@ -136,5 +156,8 @@ _PROCEDURES = {
     "fast_forward": _fast_forward,
     "remove_orphan_files": _remove_orphan_files,
     "reset_consumer": _reset_consumer,
+    "expire_changelogs": _expire_changelogs,
+    "create_tag_from_timestamp": _create_tag_from_timestamp,
+    "analyze": _analyze,
     "migrate_table": _migrate_table,
 }

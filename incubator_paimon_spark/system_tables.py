@@ -132,6 +132,26 @@ def _consumers(spark, table):
         if rows else spark.createDataFrame([], "consumer_id string, next_snapshot_id long")
 
 
+def _statistics(spark, table):
+    """One row per analyzed column ($statistics / Statistics.java)."""
+    from .analyze import read_statistics
+    st = read_statistics(table)
+    rows = []
+    if st:
+        for c, cs in st["colStats"].items():
+            rows.append((st["snapshotId"], st["schemaId"],
+                         st["mergedRecordCount"], c,
+                         cs.get("distinctCount"), cs.get("nullCount"),
+                         str(cs.get("min")) if cs.get("min") is not None else None,
+                         str(cs.get("max")) if cs.get("max") is not None else None,
+                         float(cs["avgLen"]) if cs.get("avgLen") is not None else None,
+                         cs.get("maxLen")))
+    return spark.createDataFrame(rows, """snapshot_id long, schema_id long,
+        merged_record_count long, column string, distinct_count long,
+        null_count long, min string, max string, avg_len double,
+        max_len long""")
+
+
 def _audit_log(spark, table):
     """Raw rows with rowkind, no merge (AuditLogTable.java:79-105)."""
     plan = table.new_scan().plan()
@@ -156,5 +176,6 @@ _TABLES = {
     "branches": _branches,
     "consumers": _consumers,
     "audit_log": _audit_log,
+    "statistics": _statistics,
     "read_optimized": _read_optimized,
 }

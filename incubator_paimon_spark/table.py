@@ -104,6 +104,11 @@ class Table:
             df = df.limit(limit)
         return df
 
+    def analyze(self, spark: SparkSession, cols: list[str] | None = None):
+        """ANALYZE TABLE (PaimonAnalyzeTableColumnCommand parity)."""
+        from .analyze import analyze_table
+        return analyze_table(spark, self, cols)
+
     def to_view(self, spark: SparkSession, view_name: str | None = None, **kw) -> str:
         """Register a temp view so plain spark.sql() can query the table."""
         name = view_name or self.name
@@ -291,6 +296,9 @@ class Table:
             if appends_since >= fc:
                 from .compact import compact_table
                 compact_table(spark, self, full=True)
+        # tag.automatic-creation (TagAutoCreation.java:48)
+        from .maintenance import auto_create_tags
+        auto_create_tags(self, snapshot)
 
     # ------------------------------------------------------------------
     # convenience dispatchers into sibling modules

@@ -1,0 +1,79 @@
+"""Maintenance features: tag automation, record-level TTL, changelog
+expiration, ANALYZE (TagAutoCreation.java:48, RecordLevelExpire.java:35,
+ExpireChangelogImpl, PaimonAnalyzeTableColumnCommand)."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from incubator_paimon_spark.procedures import call
+
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    import __spark_entry__ as E
+    return E._t(spark, SF_DIR, "events")
+
+
+def test_tag_automation(spark, catalog, customer):
+    t = catalog.create_table("db.tags", customer.schema,
+                             options={"tag.automatic-creation": "process-time",
+                                      "tag.creation-period": "daily",
+                                      "tag.num-retained-max": "3"})
+    t.write(spark, customer.limit(10))
+    tags = t.list_tags()
+    assert len(tags) == 1
+    assert t.read(spark, tag=tags[0]).count() == 10
+    t.write(spark, customer.limit(5))   # same period → no duplicate tag
+    assert len(t.list_tags()) == 1
+
+
+def test_record_level_ttl_on_compaction(spark, catalog):
+    ev = _events(spark)
+    t = catalog.create_table("db.ttl", ev.schema, primary_keys=["event_id"],
+                             options={"bucket": "2",
+                                      "record-level.expire-time": "1 s",
+                                      "record-level.time-field": "ts"})
+    t.write(spark, ev.limit(200))
+    assert t.read(spark).count() > 0
+    t.compact(spark, full=True)
+    assert t.read(spark).count() == 0  # fixture events are years old
+
+
+def test_expire_changelogs_keeps_data(spark, catalog, customer):
+    t = catalog.create_table("db.cl", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2",
+                                      "changelog-producer": "input"})
+    t.write(spark, customer.withColumn("_row_kind", F.lit("+I")))
+    assert t.snapshots.latest().changelog_manifest_list
+    n = call(spark, catalog, "sys.expire_changelogs", table="db.cl",
+             older_than=int(time.time() * 1000) + 10_000)
+    assert n == 1
+    # input-producer changelog shares data files — table reads unaffected
+    assert t.read(spark).count() == customer.count()
+
+
+def test_analyze_statistics(spark, catalog, customer):
+    t = catalog.create_table("db.an", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    t.write(spark, customer)
+    snap = t.analyze(spark)
+    assert snap.commit_kind == "ANALYZE"
+    st = {r["column"]: r for r in t.system(spark, "$statistics").collect()}
+    assert st["c_custkey"]["null_count"] == 0
+    assert abs(st["c_custkey"]["distinct_count"] - customer.count()) < 20
+    assert st["c_name"]["avg_len"] is not None
+    assert t.read(spark).count() == customer.count()  # ANALYZE is metadata-only
+
+
+def test_procedure_registry_covers_surface(catalog):
+    from incubator_paimon_spark.procedures import _PROCEDURES
+    for name in ("compact", "expire_snapshots", "expire_partitions",
+                 "create_tag", "delete_tag", "rollback", "create_branch",
+                 "delete_branch", "fast_forward", "remove_orphan_files",
+                 "reset_consumer", "migrate_table", "expire_changelogs",
+                 "create_tag_from_timestamp", "analyze"):
+        assert name in _PROCEDURES, name
