@@ -1,0 +1,186 @@
+"""Native Spark integration: `spark.read.format("paimon")` and
+`spark.readStream.format("paimon")` via the Python DataSource API.
+
+Parity surface:
+- batch read ↔ paimon-spark SparkTable/PaimonScan (DSv2), including
+  merge-on-read per bucket
+- micro-batch stream ↔ PaimonMicroBatchStream.scala:32 with offsets =
+  snapshot ids (PaimonSourceOffset), scan.mode latest/from-snapshot, and
+  changelog rows (`read.changelog` option ↔ $audit_log semantics)
+
+Execution model: batch partitions() maps one InputPartition per
+(partition, bucket) — the merge is bucket-local by construction (fixed,
+dynamic AND cross-partition modes all keep a key inside one bucket, with
+moves expressed as in-bucket retractions), so per-partition pandas dedup is
+a CORRECT global merge. Data moves as Arrow RecordBatches, not Python rows.
+
+The streaming reader is driver-side (SimpleDataSourceStreamReader): right
+for control-plane-sized micro-batches; bulk backfills should use
+`incremental_between`/`Table.read` which stay entirely JVM-side.
+
+Register once per session:
+    from incubator_paimon_spark.datasource import register
+    register(spark)
+    df = spark.read.format("paimon").load(path)
+    st = spark.readStream.format("paimon").option("read.changelog", "true").load(path)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
+from pyspark.sql import types as T
+
+from .types import ADD_KINDS, SEQUENCE_NUMBER, VALUE_KIND
+
+ROW_KIND_COL = "_row_kind"
+
+
+def register(spark):
+    spark.dataSource.register(PaimonDataSource)
+
+
+def _load_table(options):
+    from .table import Table
+    path = options.get("path")
+    if not path:
+        raise ValueError("paimon source needs a path")
+    return Table(path)
+
+
+@dataclass
+class _Split(InputPartition):
+    files: list
+    pks: list
+    seq_fields: list
+    user_cols: list
+    changelog: bool
+
+
+class PaimonDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "paimon"
+
+    def _changelog(self) -> bool:
+        return str(self.options.get("read.changelog", "false")).lower() == "true"
+
+    def schema(self):
+        t = _load_table(self.options)
+        st = t.schema.spark_schema()
+        if self._changelog():
+            st = T.StructType(list(st.fields)
+                              + [T.StructField(ROW_KIND_COL, T.StringType())])
+        return st
+
+    def reader(self, schema):
+        return PaimonBatchReader(self.options, self._changelog())
+
+    def simpleStreamReader(self, schema):
+        return PaimonStreamReader(self.options, self._changelog())
+
+
+class PaimonBatchReader(DataSourceReader):
+    def __init__(self, options, changelog):
+        self.options = options
+        self.changelog = changelog
+        self.table = _load_table(options)
+
+    def partitions(self):
+        t = self.table
+        schema = t.schema
+        snapshot_id = self.options.get("snapshot-id")
+        plan = t.new_scan(snapshot_id=int(snapshot_id) if snapshot_id else None).plan()
+        user_cols = schema.field_names()
+        pks = schema.trimmed_primary_keys() if not self.changelog else []
+        by_bucket = {}
+        for e in plan.entries:
+            key = (tuple(sorted((k, str(v)) for k, v in e.partition.items())),
+                   e.bucket)
+            by_bucket.setdefault(key, []).append(
+                os.path.join(t.path, e.file.file_name))
+        return [_Split(files=files, pks=pks,
+                       seq_fields=schema.core_options.sequence_field,
+                       user_cols=user_cols, changelog=self.changelog)
+                for files, in [(v,) for v in by_bucket.values()]]
+
+    def read(self, split):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        tables = [pq.read_table(f) for f in split.files]
+        tbl = pa.concat_tables(tables, promote_options="default")
+        cols = list(split.user_cols)
+        if split.pks and SEQUENCE_NUMBER in tbl.column_names:
+            # bucket-local merge-on-read: keep max (seq_fields, _SEQ) per key,
+            # drop keys whose survivor is a DELETE
+            df = tbl.to_pandas()
+            order = split.seq_fields + [SEQUENCE_NUMBER]
+            df = df.sort_values(order, kind="stable")
+            df = df.groupby(split.pks, as_index=False, sort=False).tail(1)
+            df = df[df[VALUE_KIND].isin(list(ADD_KINDS))]
+            tbl = pa.Table.from_pandas(df[cols], preserve_index=False)
+        elif split.changelog and VALUE_KIND in tbl.column_names:
+            names = {c: c for c in cols}
+            arrays = [tbl[c] for c in cols] + [tbl[VALUE_KIND]]
+            tbl = pa.table(dict(zip(cols + [ROW_KIND_COL], arrays)))
+        else:
+            tbl = tbl.select(cols)
+        yield from tbl.to_batches()
+
+
+class PaimonStreamReader(SimpleDataSourceStreamReader):
+    """Offsets = {"snapshot_id": last consumed}; each batch is the delta of
+    the snapshots committed since (DataTableStreamScan nextPlan loop)."""
+
+    def __init__(self, options, changelog):
+        self.options = options
+        self.changelog = changelog
+        self.table = _load_table(options)
+
+    def initialOffset(self):
+        mode = self.options.get("scan.mode", "latest")
+        t = self.table
+        if mode == "from-snapshot":
+            sid = int(self.options.get("scan.snapshot-id", "1")) - 1
+        elif mode == "earliest":
+            sid = (t.snapshots.earliest_id() or 1) - 1
+        else:  # latest: only new commits
+            sid = t.snapshots.latest_id() or 0
+        return {"snapshot_id": sid}
+
+    def read(self, start):
+        t = self.table
+        latest = t.snapshots.latest_id() or 0
+        if latest <= start["snapshot_id"]:
+            return iter([]), start
+        end = {"snapshot_id": latest}
+        return self.readBetweenOffsets(start, end), end
+
+    def readBetweenOffsets(self, start, end):
+        # returns a list iterator (not a generator): the engine's prefetch
+        # cache copy.copy()s the iterator for replay
+        import pyarrow.parquet as pq
+        t = self.table
+        schema = t.schema
+        cols = schema.field_names()
+        rows = []
+        for sid in range(start["snapshot_id"] + 1, end["snapshot_id"] + 1):
+            if not t.snapshots.exists(sid):
+                continue
+            snap = t.snapshots.read(sid)
+            entries = (t.changelog_entries(snap)
+                       or t.delta_entries(snap))
+            for e in entries:
+                tbl = pq.read_table(os.path.join(t.path, e.file.file_name))
+                have_kind = VALUE_KIND in tbl.column_names
+                for row in tbl.to_pylist():
+                    vals = [row.get(c) for c in cols]
+                    if self.changelog:
+                        vals.append(row.get(VALUE_KIND, "+I") if have_kind
+                                    else "+I")
+                    rows.append(tuple(vals))
+        return iter(rows)
