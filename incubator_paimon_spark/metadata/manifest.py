@@ -42,6 +42,10 @@ class DataFileMeta:
     delete_row_count: int = 0
     # row kind breakdown for changelog files: {"+I": n, ...}
     row_kind_counts: dict = dc_field(default_factory=dict)
+    # bloom-filter file index: {col: sorted bit positions} or {col: None}
+    # when saturated (BloomFilterFileIndex.java:48, embedded in the manifest
+    # like the reference's embedded_index)
+    file_index: dict = dc_field(default_factory=dict)
 
     def to_json(self):
         return {
@@ -56,6 +60,7 @@ class DataFileMeta:
             "creationTimeMillis": self.creation_time_millis,
             "deleteRowCount": self.delete_row_count,
             "rowKindCounts": self.row_kind_counts,
+            "fileIndex": self.file_index,
         }
 
     @staticmethod
@@ -72,6 +77,7 @@ class DataFileMeta:
             creation_time_millis=j.get("creationTimeMillis", 0),
             delete_row_count=j.get("deleteRowCount", 0),
             row_kind_counts=j.get("rowKindCounts", {}),
+            file_index=j.get("fileIndex", {}),
         )
 
 

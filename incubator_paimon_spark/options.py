@@ -200,6 +200,11 @@ class CoreOptions:
 
     # --- misc ---
     @property
+    def bloom_filter_columns(self) -> list[str]:
+        v = self.raw.get("file-index.bloom-filter.columns", "")
+        return [c.strip() for c in v.split(",") if c.strip()]
+
+    @property
     def metadata_stats_mode(self) -> str:
         """none | counts | truncate(N) | full (statistics/*.java:25-32)."""
         return self.raw.get("metadata.stats-mode", "truncate(16)")

@@ -89,6 +89,8 @@ class TableScan:
                 entries = [e for e in entries if part_pred.test_value(e.partition)]
             # stats-based file skipping (AbstractFileStoreScan.java:519)
             entries = [e for e in entries if _stats_keep(e, predicate)]
+            # bloom-filter file index (BloomFilterFileIndex.java:48)
+            entries = [e for e in entries if _bloom_keep(e, predicate)]
             residual = predicate  # keep full predicate as residual (cheap, exact)
 
         if limit is not None and not schema.primary_keys:
@@ -113,6 +115,38 @@ def _stats_keep(e: ManifestEntry, pred: Predicate) -> bool:
         return pred.test_stats(flat)
     except TypeError:
         return True  # incomparable stats (e.g. truncated) — keep file
+
+
+def _bloom_pos(value, i: int, m: int) -> int:
+    import hashlib
+    return int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
+
+
+def _bloom_keep(e: ManifestEntry, pred: Predicate) -> bool:
+    """False = the file's bloom index proves no row can match."""
+    fi = e.file.file_index
+    if not fi:
+        return True
+    from .predicate import And, Leaf, Or
+    from .write import BLOOM_K, BLOOM_M
+
+    def contains(ps, value) -> bool:
+        return all(_bloom_pos(value, i, BLOOM_M) in ps for i in range(BLOOM_K))
+
+    def check(p) -> bool:
+        if isinstance(p, And):
+            return all(check(c) for c in p.children)
+        if isinstance(p, Or):
+            return any(check(c) for c in p.children)
+        if isinstance(p, Leaf) and p.field in fi and fi[p.field] is not None:
+            ps = set(fi[p.field])
+            if p.op == "eq":
+                return contains(ps, p.literal)
+            if p.op == "in":
+                return any(contains(ps, v) for v in p.literal)
+        return True
+
+    return check(pred)
 
 
 def _with_system_cols(schema: T.StructType, pk: bool) -> T.StructType:
@@ -193,6 +227,7 @@ def plan_to_df(
     projection: list[str] | None = None,
     with_system_cols: bool = False,
     audit_log: bool = False,
+    file_metadata: bool = False,
 ) -> DataFrame:
     """Build the result DataFrame for a plan: raw-convertible buckets read
     directly; others go through the merge engine; union both."""
@@ -205,7 +240,12 @@ def plan_to_df(
         out = spark.createDataFrame([], _with_system_cols(schema.spark_schema(), is_pk))
     elif not is_pk:
         out = read_append_entries(spark, table, plan.entries, schema,
-                                  plan.snapshot)
+                                  plan.snapshot, keep_metadata=file_metadata)
+        if file_metadata and out is not None:
+            # __paimon_file_path / __paimon_row_index metadata columns
+            # (PaimonMetadataColumn.scala:42-48)
+            out = (out.withColumnRenamed(METADATA_FILE, "__paimon_file_path")
+                      .withColumnRenamed(METADATA_POS, "__paimon_row_index"))
     elif audit_log:
         # $audit_log: no merge, expose rowkind (AuditLogTable.java:79-105)
         out = read_files_df(spark, table, plan.entries, schema)
@@ -242,16 +282,19 @@ def plan_to_df(
         out = out.drop(SEQUENCE_NUMBER, VALUE_KIND)
     if projection:
         keep = list(projection) + ([ROW_KIND] if audit_log and is_pk else [])
+        if file_metadata and "__paimon_file_path" in out.columns:
+            keep += ["__paimon_file_path", "__paimon_row_index"]
         out = out.select(*keep)
     return out
 
 
 def read_append_entries(spark: SparkSession, table, entries, schema,
-                        snapshot) -> DataFrame | None:
+                        snapshot, keep_metadata: bool = False) -> DataFrame | None:
     """Append-table read with deletion vectors applied: only DV-covered
-    files pay the anti-join; clean files take the plain vectorized path."""
+    files pay the anti-join; clean files take the plain vectorized path.
+    keep_metadata keeps (__meta_file, __meta_pos) on every row."""
     covered = table.dv.covered_files(snapshot)
-    if not covered:
+    if not covered and not keep_metadata:
         return read_files_df(spark, table, entries, schema)
     from .metadata.deletion import apply_dv_filter
     dv_entries = [e for e in entries if e.file.file_name in covered]
@@ -260,9 +303,12 @@ def read_append_entries(spark: SparkSession, table, entries, schema,
     if dv_entries:
         df = read_files_df(spark, table, dv_entries, schema, with_metadata=True)
         df = apply_dv_filter(spark, table, df, snapshot)
-        parts.append(df.drop(METADATA_FILE, METADATA_POS))
+        if not keep_metadata:
+            df = df.drop(METADATA_FILE, METADATA_POS)
+        parts.append(df)
     if clean:
-        parts.append(read_files_df(spark, table, clean, schema))
+        parts.append(read_files_df(spark, table, clean, schema,
+                                   with_metadata=keep_metadata))
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)

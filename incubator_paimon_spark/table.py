@@ -96,10 +96,12 @@ class Table:
         read_optimized: bool = False,
         limit: int | None = None,
         with_system_cols: bool = False,
+        file_metadata: bool = False,
     ) -> DataFrame:
         scan = self.new_scan(snapshot_id, tag, timestamp_ms, read_optimized)
         plan = scan.plan(predicate, limit)
-        df = plan_to_df(spark, self, plan, projection, with_system_cols)
+        df = plan_to_df(spark, self, plan, projection, with_system_cols,
+                        file_metadata=file_metadata)
         if limit is not None:
             df = df.limit(limit)
         return df

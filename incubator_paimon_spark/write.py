@@ -290,6 +290,10 @@ class BatchTableWrite:
            .parquet(staging))
 
         adds = self._collect_entries(spark, staging, schema, level)
+        bloom_cols = [c for c in opts.bloom_filter_columns
+                      if c in schema.field_names()]
+        if bloom_cols and adds:
+            _attach_bloom_index(spark, staging, adds, bloom_cols)
         self._move_into_layout(staging, adds, table.path)
 
         index_manifest = None
@@ -430,6 +434,44 @@ class BatchTableWrite:
             victims = [e for e in entries
                        if all(e.partition.get(k) == v for k, v in overwrite.items())]
         return [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file) for e in victims]
+
+
+BLOOM_M = 2048   # bits per (file, column)
+BLOOM_K = 2      # hash functions
+
+
+def _attach_bloom_index(spark, staging, adds, cols):
+    """Per-file per-column bloom positions, computed in ONE distributed pass
+    over the freshly written staging files (BloomFilterFileIndex.java:48).
+    The hash family is h32(i ':' value) mod M — the md5-based h32 shared
+    with the planner (plan-time membership check is pure Python hashlib).
+    Saturated filters (>M/2 set bits) are stored as None = no pruning."""
+    from .operators.dedup import h32
+
+    paths = [e.staging_path for e in adds]
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("__f"),
+        *[F.col(c).cast("string").alias(c) for c in cols])
+    pos_structs = []
+    for c in cols:
+        for i in range(BLOOM_K):
+            pos = (h32(F.concat(F.lit(f"{i}:"), F.col(c))) % BLOOM_M).cast("int")
+            pos_structs.append(F.struct(F.lit(c).alias("c"), pos.alias("p")))
+    rows = (df.select("__f", F.explode(F.array(*pos_structs)).alias("e"))
+              .filter(F.col("e.p").isNotNull())
+              .groupBy("__f", "e.c")
+              .agg(F.collect_set("e.p").alias("ps"))
+              .collect())
+    by_file: dict = {}
+    for r in rows:
+        fp = r["__f"]
+        fp = fp[5:] if fp.startswith("file:") else fp
+        by_file.setdefault(fp, {})[r["c"]] = sorted(r["ps"])
+    for e in adds:
+        idx = by_file.get(e.staging_path, {})
+        e.file.file_index = {
+            c: (None if ps and len(ps) > BLOOM_M // 2 else ps)
+            for c, ps in idx.items()}
 
 
 class _AddEntry(ManifestEntry):

@@ -268,3 +268,28 @@ def test_deletion_vectors(spark, catalog, customer):
     t.compact(spark)
     assert t.read(spark).count() == 110
     assert t.read(spark).filter("c_custkey < 30").count() == 0
+
+
+def test_bloom_filter_file_index(spark, catalog, customer):
+    t = catalog.create_table("db.bl", customer.schema,
+                             options={"file-index.bloom-filter.columns": "c_name"})
+    t.write(spark, customer.filter("c_custkey < 50"))
+    t.write(spark, customer.filter("c_custkey >= 50 AND c_custkey < 100"))
+    t.write(spark, customer.filter("c_custkey >= 100"))
+    name = customer.filter("c_custkey = 120").first()["c_name"]
+    assert len(t.new_scan().plan(P.eq("c_name", name)).entries) == 1
+    assert t.read(spark, predicate=P.eq("c_name", name)).count() == 1
+    # absent value -> all files pruned (min/max alone can't do this)
+    assert len(t.new_scan().plan(P.eq("c_name", "no-such-name")).entries) == 0
+    two = [r["c_name"] for r in
+           customer.filter("c_custkey IN (3, 120)").collect()]
+    assert t.read(spark, predicate=P.isin("c_name", two)).count() == 2
+
+
+def test_paimon_metadata_columns(spark, catalog, customer):
+    t = catalog.create_table("db.mc", customer.schema)
+    t.write(spark, customer)
+    df = t.read(spark, file_metadata=True)
+    r = df.select("__paimon_file_path", "__paimon_row_index").first()
+    assert r["__paimon_file_path"].endswith(".parquet")
+    assert df.count() == customer.count()
