@@ -394,6 +394,36 @@ def q_events_hourly(spark, sf_dir):
              .select(F.unix_timestamp("h").alias("hour_epoch"), "event_type", "n", "v"))
 
 
+def _media(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode("text", "utf-8").alias("bytes"))
+
+
+def q_media_meta(spark, sf_dir):
+    from incubator_paimon_spark.operators import multimodal as MM
+    m = MM.attach_media_meta(_media(spark, sf_dir))
+    return m.select("media_id", "media_size", "media_md5")
+
+
+def q_media_frames(spark, sf_dir):
+    from incubator_paimon_spark.operators import multimodal as MM
+    m = MM.frame_sample(_media(spark, sf_dir), every=4, frame_size=256)
+    return (m.groupBy("media_id")
+             .agg(F.count("*").alias("n_frames"),
+                  F.sum(F.length("frame")).alias("frame_bytes")))
+
+
+def q_media_features(spark, sf_dir):
+    from incubator_paimon_spark.operators import multimodal as MM
+    from incubator_paimon_spark.operators.text import quantize
+    m = MM.extract_features(_media(spark, sf_dir), dim=4)
+    return m.select(
+        "media_id",
+        *[quantize(F.element_at("features", i + 1).cast("double"), 4)
+          .alias(f"f{i}") for i in range(4)])
+
+
 # ----------------------------------------------------------------------
 # engine-semantics queries (incubator_paimon_spark owns these)
 # ----------------------------------------------------------------------
@@ -624,6 +654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_prune": q_partition_prune,
         "schema_evolution": q_schema_evolution,
         # LLM pipeline
+        "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,

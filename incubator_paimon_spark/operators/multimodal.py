@@ -34,11 +34,13 @@ def attach_media_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 
 
 def _fake_feature(buf: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a decoded embedding: md5-seeded floats."""
+    """Deterministic stand-in for a decoded embedding: md5-seeded floats.
+    The ':i' ASCII suffix keeps the derivation reproducible in any engine
+    (the DuckDB oracle recomputes it with md5(text || ':i'))."""
     out = []
     h = buf or b""
     for i in range(dim):
-        d = hashlib.md5(h + i.to_bytes(2, "big")).digest()
+        d = hashlib.md5(h + f":{i}".encode()).digest()
         out.append(int.from_bytes(d[:4], "big") / 2**32)
     return out
 

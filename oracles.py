@@ -520,3 +520,45 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_q(_pair_cosine_sql('a.embedding', 'b.embedding'))} >= 0.4
 """
+
+
+# ------------------------------------------------------------- multimodal
+ORACLES["media_meta"] = """
+SELECT doc_id AS media_id,
+  octet_length(text::BLOB) AS media_size,
+  md5(text) AS media_md5
+FROM documents
+"""
+
+# frame arithmetic mirror of multimodal.frame_sample(every=4, frame_size=256):
+# chunk i of [0..floor(max(len-1,0)/256)], kept when i % 4 == 0;
+# frame i length = clamp(len - i*256, 0, 256)
+ORACLES["media_frames"] = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+    octet_length(text::BLOB) AS len,
+    floor(greatest(octet_length(text::BLOB) - 1, 0) / 256.0)::BIGINT AS top
+  FROM documents
+)
+SELECT media_id,
+  len(list_filter(range(0, top + 1), i -> i % 4 = 0)) AS n_frames,
+  list_sum(list_transform(list_filter(range(0, top + 1), i -> i % 4 = 0),
+    i -> least(256, greatest(len - i * 256, 0))))::BIGINT AS frame_bytes
+FROM f
+"""
+
+# _fake_feature mirror: f_i = int(md5(bytes || i as 2 BE bytes)[:4]) / 2^32,
+# stored as float32 then quantized — ::FLOAT reproduces the precision loss
+def _feature_sql(i):
+    h = f"md5(text || ':{i}')"
+    v = f"(('0x' || substr({h}, 1, 8))::BIGINT / 4294967296.0)"
+    return _q(f"{v}::FLOAT::DOUBLE", 4)
+
+ORACLES["media_features"] = f"""
+SELECT doc_id AS media_id,
+  {_feature_sql(0)} AS f0,
+  {_feature_sql(1)} AS f1,
+  {_feature_sql(2)} AS f2,
+  {_feature_sql(3)} AS f3
+FROM documents
+"""
