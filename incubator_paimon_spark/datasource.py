@@ -157,8 +157,30 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
         latest = t.snapshots.latest_id() or 0
         if latest <= start["snapshot_id"]:
             return iter([]), start
-        end = {"snapshot_id": latest}
+        # read limits (PaimonReadLimits): bound one trigger by snapshots/rows
+        max_snaps = self.options.get("read.stream.maxSnapshotsPerTrigger")
+        max_rows = self.options.get("read.stream.maxRowsPerTrigger")
+        end_id = latest
+        if max_snaps:
+            end_id = min(end_id, start["snapshot_id"] + int(max_snaps))
+        if max_rows:
+            budget, sid = int(max_rows), start["snapshot_id"]
+            while sid < end_id:
+                sid += 1
+                if t.snapshots.exists(sid):
+                    budget -= max(t.snapshots.read(sid).delta_record_count, 0)
+                if budget <= 0:
+                    break  # always include at least one snapshot
+            end_id = sid
+        end = {"snapshot_id": end_id}
         return self.readBetweenOffsets(start, end), end
+
+    def commit(self, end):
+        # durable consumer progress (ConsumerManager.java:40): protects the
+        # un-consumed snapshots from expiration
+        cid = self.options.get("consumer-id")
+        if cid:
+            self.table.write_consumer(cid, end["snapshot_id"] + 1)
 
     def readBetweenOffsets(self, start, end):
         # returns a list iterator (not a generator): the engine's prefetch

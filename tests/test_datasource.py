@@ -68,3 +68,41 @@ def test_stream_changelog_and_resume(spark, catalog, customer):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_read_limits_and_consumer(spark, catalog, customer):
+    import glob
+    import time as _time
+    t = catalog.create_table("db.dslim", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    for i in range(4):
+        t.write(spark, customer.filter(f"c_custkey % 4 = {i}"))
+    out = tempfile.mkdtemp(prefix="pmn_dsl_o_")
+    ck = tempfile.mkdtemp(prefix="pmn_dsl_ck_")
+    try:
+        st = (spark.readStream.format("paimon")
+              .option("scan.mode", "earliest")
+              .option("read.stream.maxSnapshotsPerTrigger", "1")
+              .option("consumer-id", "ci1").load(t.path))
+        q = (st.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(processingTime="1 second").start())
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= customer.count():
+                    break
+            except Exception:
+                pass
+            _time.sleep(2)
+        q.stop()
+        assert spark.read.parquet(out).count() == customer.count()
+        # one snapshot per trigger (PaimonReadLimits parity)
+        assert len(glob.glob(ck + "/offsets/*")) >= 4
+        # durable consumer progress advanced (conservative: lags the
+        # in-flight batch, which is exactly the expiration-safe bound)
+        assert (t.read_consumer("ci1") or 0) >= 2
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
