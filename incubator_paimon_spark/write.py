@@ -350,7 +350,9 @@ class BatchTableWrite:
             return []
 
         stats_mode = schema.core_options.metadata_stats_mode
-        if len(files) > 4:
+        # footer reads are ~5ms each; a distributed pass only pays off once
+        # the driver loop would rival the ~1.5s Python-RDD job spin-up
+        if len(files) > 64:
             sc = spark.sparkContext
             stats_list = (sc.parallelize(files, min(len(files), 64))
                           .map(lambda p: (p, collect_file_stats(p, stats_mode)))
