@@ -31,8 +31,10 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamArrowWriter,
                                     InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 from pyspark.sql import types as T
 
 from .types import ADD_KINDS, SEQUENCE_NUMBER, VALUE_KIND
@@ -82,6 +84,9 @@ class PaimonDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return PaimonStreamReader(self.options, self._changelog())
+
+    def streamWriter(self, schema, overwrite):
+        return PaimonStreamWriter(self.options)
 
 
 class PaimonBatchReader(DataSourceReader):
@@ -206,3 +211,77 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
                                     else "+I")
                     rows.append(tuple(vals))
         return iter(rows)
+
+
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    paths: list
+
+
+class PaimonStreamWriter(DataSourceStreamArrowWriter):
+    """writeStream.format("paimon") sink for append (bucket-unaware) tables.
+
+    Executors write parquet micro-batch files into a staging dir; commit()
+    moves them into the table layout and snapshots with commit_identifier =
+    batchId — replaying a batch after failure is a metadata no-op, the same
+    exactly-once contract as ExactlyOnceBatchSink / TableCommitImpl
+    filterAndCommit. PK tables need the bucket shuffle the writer API cannot
+    express — use streaming.write_stream (foreachBatch) for those.
+    """
+
+    def __init__(self, options):
+        self.options = options
+        self.table_path = options.get("path")
+        t = _load_table(options)
+        if t.schema.primary_keys:
+            raise ValueError(
+                "writeStream.format('paimon') supports append tables; "
+                "PK tables need the bucket shuffle - use "
+                "incubator_paimon_spark.streaming.write_stream (foreachBatch)")
+        self.staging = os.path.join(self.table_path, ".staging-stream")
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .metadata.util import new_uuid
+        os.makedirs(self.staging, exist_ok=True)
+        batches = list(iterator)
+        if not batches:
+            return _WroteFiles(paths=[])
+        tbl = pa.Table.from_batches(batches)
+        path = os.path.join(self.staging, f"data-{new_uuid()}.parquet")
+        pq.write_table(tbl, path)
+        return _WroteFiles(paths=[path])
+
+    def commit(self, messages, batch_id):
+        import time as _t
+        from .metadata.commit import CommitMessage
+        from .metadata.manifest import DataFileMeta, ManifestEntry
+        from .metadata.stats import collect_file_stats
+        from .types import ENTRY_ADD
+
+        t = _load_table(self.options)
+        schema = t.schema
+        adds = []
+        now = int(_t.time() * 1000)
+        for i, m in enumerate(m2 for m2 in messages if m2 is not None):
+            for path in m.paths:
+                st = collect_file_stats(path, schema.core_options.metadata_stats_mode)
+                rel = f"bucket-0/{os.path.basename(path)}"
+                dst = os.path.join(t.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(path, dst)
+                adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
+                    file_name=rel, file_size=os.path.getsize(dst),
+                    row_count=st["_row_count"], schema_id=schema.id,
+                    stats=st["cols"], creation_time_millis=now)))
+        t.commit.commit(CommitMessage(add=adds), schema_id=schema.id,
+                        commit_identifier=batch_id)
+
+    def abort(self, messages, batch_id):
+        for m in (m2 for m2 in messages if m2 is not None):
+            for path in getattr(m, "paths", []):
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass

@@ -10,6 +10,30 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def call_sql(spark: SparkSession, catalog, statement: str):
+    """Parse + dispatch a `CALL sys.<proc>(k => v, ...)` SQL string
+    (PaimonSqlExtensions.g4 CALL surface without a parser dependency)."""
+    import re
+
+    m = re.match(r"\s*CALL\s+([\w.]+)\s*\((.*)\)\s*$", statement,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"not a CALL statement: {statement!r}")
+    name, arg_src = m.group(1), m.group(2).strip()
+    args = {}
+    if arg_src:
+        for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", arg_src):
+            k, v = part.split("=>")
+            k, v = k.strip(), v.strip()
+            if v.startswith("'") and v.endswith("'"):
+                args[k] = v[1:-1]
+            elif v.lower() in ("true", "false"):
+                args[k] = v.lower() == "true"
+            else:
+                args[k] = int(v) if v.lstrip("-").isdigit() else v
+    return call(spark, catalog, name, **args)
+
+
 def call(spark: SparkSession, catalog, name: str, **args):
     proc = name.split(".")[-1].lower()
     fn = _PROCEDURES.get(proc)

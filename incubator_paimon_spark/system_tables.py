@@ -132,6 +132,24 @@ def _consumers(spark, table):
         if rows else spark.createDataFrame([], "consumer_id string, next_snapshot_id long")
 
 
+def _aggregation_fields(spark, table):
+    """Per-field aggregate configuration ($aggregation_fields)."""
+    schema = table.schema
+    opts = schema.core_options
+    default_fn = opts.raw.get("fields.default-aggregate-function", "last_non_null_value")
+    rows = []
+    for f in schema.fields:
+        fn = opts.field_aggregate_function(f.name)
+        if f.name in schema.primary_keys:
+            fn = "primary-key"
+        elif fn is None and opts.merge_engine == "aggregation":
+            fn = default_fn
+        rows.append((f.name, f.type.simpleString(), fn,
+                     opts.field_ignore_retract(f.name)))
+    return spark.createDataFrame(rows, """field_name string, field_type string,
+        function string, ignore_retract boolean""")
+
+
 def _statistics(spark, table):
     """One row per analyzed column ($statistics / Statistics.java)."""
     from .analyze import read_statistics
@@ -177,5 +195,6 @@ _TABLES = {
     "consumers": _consumers,
     "audit_log": _audit_log,
     "statistics": _statistics,
+    "aggregation_fields": _aggregation_fields,
     "read_optimized": _read_optimized,
 }

@@ -106,3 +106,44 @@ def test_stream_read_limits_and_consumer(spark, catalog, customer):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_sink_paimon_to_paimon(spark, catalog, customer):
+    src = catalog.create_table("db.sksrc", customer.schema)
+    src.write(spark, customer)
+    sink = catalog.create_table("db.sksink", customer.schema)
+    ck = tempfile.mkdtemp(prefix="pmn_sk_ck_")
+    try:
+        st = (spark.readStream.format("paimon")
+              .option("scan.mode", "earliest").load(src.path))
+
+        def run():
+            q = (st.writeStream.format("paimon").option("path", sink.path)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        run()
+        assert sink.read(spark).count() == customer.count()
+        assert sink.snapshots.latest().commit_identifier >= 0
+        src.write(spark, customer.limit(20))
+        run()  # resume: only the delta lands, exactly once
+        assert sink.read(spark).count() == customer.count() + 20
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_call_sql_and_aggregation_fields(spark, catalog, customer):
+    from incubator_paimon_spark.procedures import call_sql
+    t = catalog.create_table("db.cs", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2",
+                                      "merge-engine": "aggregation",
+                                      "fields.c_acctbal.aggregate-function": "sum"})
+    af = {r["field_name"]: r["function"]
+          for r in t.system(spark, "$aggregation_fields").collect()}
+    assert af["c_acctbal"] == "sum"
+    assert af["c_custkey"] == "primary-key"
+    t.write(spark, customer)
+    call_sql(spark, catalog, "CALL sys.compact(table => 'db.cs', full => true)")
+    assert t.snapshots.latest().commit_kind == "COMPACT"
