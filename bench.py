@@ -96,6 +96,38 @@ def main():
           lambda: S.cosine_topk(emb, "embedding", E.QUERY_VEC, 10).collect())
     timed("exact_dedup", lambda: D.exact_duplicates(docs, "text", "doc_id").count())
 
+    # --- row-level ops + new write modes
+    from incubator_paimon_spark import P
+    orders = E._t(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    tdv = cat.create_table("bench.dv", orders.schema,
+                           options={"deletion-vectors.enabled": "true"})
+    tdv.write(spark, orders)
+    timed("dv_delete", lambda: tdv.delete_where(spark, P.lt("o_orderkey", 1000)))
+    timed("dv_read", lambda: tdv.read(spark).count())
+
+    tdyn = cat.create_table("bench.dyn", orders.schema,
+                            primary_keys=["o_orderkey"],
+                            options={"bucket": "-1",
+                                     "dynamic-bucket.target-row-num":
+                                         str(max(n_orders // 16, 1)),
+                                     "dynamic-bucket.assigner-parallelism":
+                                         "16"})
+    timed("dynamic_bucket_write", lambda: tdyn.write(spark, orders))
+    extra["dyn_write_rows_per_sec"] = round(
+        n_orders / times["dynamic_bucket_write"])
+
+    tz = cat.create_table("bench.zo", lineitem.schema)
+    tz.write(spark, lineitem)
+    timed("zorder_compact",
+          lambda: tz.compact(spark, order_by=["l_orderkey", "l_partkey"],
+                             strategy="zorder"))
+    timed("incremental_read",
+          lambda: __import__(
+              "incubator_paimon_spark.streaming.source",
+              fromlist=["incremental_between"])
+          .incremental_between(spark, t, 1, 2).count())
+
     shutil.rmtree(wh, ignore_errors=True)
 
     total = round(sum(times.values()), 3)

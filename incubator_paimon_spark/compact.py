@@ -260,6 +260,11 @@ def _sort_compact(spark, table, order_by, strategy, predicate):
     balanced output files whose min/max stats make later predicate pruning
     effective — the whole point of z-ordering at 100 TB."""
     schema = table.schema
+    if schema.primary_keys:
+        # parity: CompactProcedure only sort-compacts append tables — a PK
+        # bucket write would re-sort by key and undo the clustering
+        raise ValueError("sort compaction (order/zorder) requires an "
+                         "append table (CompactProcedure.java:99-218)")
     opts = schema.core_options
     max_level = opts.num_levels - 1
     entries = table.entries_at()
@@ -270,13 +275,8 @@ def _sort_compact(spark, table, order_by, strategy, predicate):
             entries = [e for e in entries if part_pred.test_value(e.partition)]
     if not entries:
         return None
-    is_pk = table.is_primary_key_table()
-    if is_pk:
-        df = read_files_df(spark, table, entries, schema, with_level=True)
-        df = apply_merge(df, schema, drop_deletes=True)
-    else:
-        df = read_append_entries(spark, table, entries, schema,
-                                 table.snapshots.latest())
+    df = read_append_entries(spark, table, entries, schema,
+                             table.snapshots.latest())
 
     if strategy == "zorder":
         # min-max scale each column to [0, 2^16) then interleave bits.
@@ -308,6 +308,5 @@ def _sort_compact(spark, table, order_by, strategy, predicate):
     deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
                for e in entries]
     return table.new_write().write(
-        spark, df, level=max_level if is_pk else 0,
-        extra_delete_entries=deletes, commit_kind=COMMIT_COMPACT,
-        preserve_system_cols=is_pk)
+        spark, df, level=0, extra_delete_entries=deletes,
+        commit_kind=COMMIT_COMPACT, preserve_system_cols=False)

@@ -46,6 +46,10 @@ class CoreOptions:
     def dynamic_bucket_target_row_num(self) -> int:
         return int(self.raw.get("dynamic-bucket.target-row-num", "2000000"))
 
+    @property
+    def dynamic_bucket_assigner_parallelism(self) -> int:
+        return int(self.raw.get("dynamic-bucket.assigner-parallelism", "8"))
+
     # --- merge engine (CoreOptions.java:307, enum :1937-1944) ---
     @property
     def merge_engine(self) -> str:

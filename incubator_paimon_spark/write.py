@@ -116,38 +116,33 @@ def assign_dynamic_buckets(spark: SparkSession, table, df: DataFrame,
         keep_bucket = F.col("__old_bucket")
     df = df.withColumn("__keep_bucket", keep_bucket)
 
-    # keys needing a (re)assignment in their current partition
+    # keys needing a (re)assignment in their current partition, spread
+    # over A parallel assigners that each own buckets b % A == a
+    # (HashBucketAssigner: assignment parallelism without coordination —
+    # also kills the single-partition global window an exact sequential
+    # fill would need)
+    A = opts.dynamic_bucket_assigner_parallelism
+    assigner = F.pmod(F.col("__kh"), F.lit(A)).cast("int")
     new_keys = (df.filter(F.col("__keep_bucket").isNull())
-                  .select("__kh", *part_cols).distinct())
-    # per-partition fill state: last bucket id + how many keys it holds
-    if part_cols:
-        per_part = idx.groupBy(*part_cols).agg(F.max("bucket").alias("__maxb"))
-        joined = idx.join(per_part, part_cols)
-    else:
-        per_part = idx.agg(F.max("bucket").alias("__maxb"))
-        joined = idx.crossJoin(per_part)
-    last_load = (joined.filter(F.col("bucket") == F.col("__maxb"))
-                 .groupBy(*part_cols)
+                  .select("__kh", *part_cols).distinct()
+                  .withColumn("__a", assigner))
+    # per (partition, assigner) fill state: last owned bucket + its key count
+    idx_a = idx.withColumn("__a", F.pmod(F.col("bucket"), F.lit(A)).cast("int"))
+    state_keys = part_cols + ["__a"]
+    per_part = idx_a.groupBy(*state_keys).agg(F.max("bucket").alias("__maxb"))
+    last_load = (idx_a.join(per_part, state_keys)
+                 .filter(F.col("bucket") == F.col("__maxb"))
+                 .groupBy(*state_keys)
                  .agg(F.max("bucket").alias("__maxb"),
                       F.count("*").alias("__load")))
-    w = W.partitionBy(*part_cols).orderBy("__kh")
-    if part_cols:
-        assigned = new_keys.join(last_load, part_cols, "left")
-    else:
-        # unpartitioned: last_load is 0-or-1 rows; crossJoin with an empty
-        # right side would drop new_keys, so fall back to null fill state
-        assigned = (new_keys.crossJoin(last_load)
-                    if last_load.limit(1).count() > 0
-                    else new_keys
-                    .withColumn("__maxb", F.lit(None).cast("int"))
-                    .withColumn("__load", F.lit(None).cast("long")))
-    assigned = (assigned
-                .withColumn("__maxb", F.coalesce(F.col("__maxb"), F.lit(0)))
+    w = W.partitionBy(*(part_cols + ["__a"])).orderBy("__kh")
+    assigned = (new_keys.join(last_load, state_keys, "left")
+                .withColumn("__maxb", F.coalesce(F.col("__maxb"), F.col("__a")))
                 .withColumn("__load", F.coalesce(F.col("__load"), F.lit(0)))
                 .withColumn("__slot", F.col("__load") + F.row_number().over(w) - 1)
                 .withColumn("__new_bucket",
-                            (F.col("__maxb")
-                             + F.floor(F.col("__slot") / target)).cast("int"))
+                            (F.col("__maxb") + F.lit(A) *
+                             F.floor(F.col("__slot") / target)).cast("int"))
                 .select("__kh", *part_cols, "__new_bucket"))
     # both the data write and the index write consume `assigned` — cache so
     # the distinct+window assignment job runs once

@@ -191,7 +191,8 @@ def test_zorder_sort_compaction(spark, catalog, orders):
 def test_dynamic_bucket_assignment(spark, catalog, customer):
     t = catalog.create_table("db.dyn", customer.schema, primary_keys=["c_custkey"],
                              options={"bucket": "-1",
-                                      "dynamic-bucket.target-row-num": "20"})
+                                      "dynamic-bucket.target-row-num": "20",
+                                      "dynamic-bucket.assigner-parallelism": "1"})
     t.write(spark, customer.filter("c_custkey < 50"))
     idx = t.index.read_df(spark, t.snapshots.latest(), t.schema)
     d1 = sorted((r["bucket"], r["cnt"]) for r in
@@ -293,3 +294,28 @@ def test_paimon_metadata_columns(spark, catalog, customer):
     r = df.select("__paimon_file_path", "__paimon_row_index").first()
     assert r["__paimon_file_path"].endswith(".parquet")
     assert df.count() == customer.count()
+
+
+
+def test_dynamic_bucket_parallel_assigners(spark, catalog, customer):
+    """A>1: each assigner owns buckets b % A == a; keys stay stable and no
+    bucket exceeds the target."""
+    t = catalog.create_table("db.dynp", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "-1",
+                                      "dynamic-bucket.target-row-num": "20",
+                                      "dynamic-bucket.assigner-parallelism": "4"})
+    t.write(spark, customer)
+    idx = t.index.read_df(spark, t.snapshots.latest(), t.schema)
+    per_bucket = {r["bucket"]: r["cnt"] for r in
+                  idx.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert all(c <= 20 for c in per_bucket.values()), per_bucket
+    # ownership invariant: bucket of a key == its assigner mod A
+    bad = idx.filter(F.pmod(F.col("bucket"), F.lit(4))
+                     != F.pmod(F.col("kh"), F.lit(4))).count()
+    assert bad == 0
+    # upsert: keys keep buckets
+    t.write(spark, customer.withColumn("c_acctbal", F.lit(1.0)))
+    idx2 = t.index.read_df(spark, t.snapshots.latest(), t.schema)
+    assert idx2.count() == customer.count()
+    assert t.read(spark).count() == customer.count()
