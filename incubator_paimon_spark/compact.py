@@ -252,6 +252,67 @@ def zorder_value(cols: list[str], bits: int = 16):
     return z
 
 
+def _hilbert_transpose(X, bits: int):
+    """Vectorized Skilling transform: (N, n) uint64 coords in [0, 2^bits) →
+    Hilbert index per row (int64). Public-domain algorithm from John
+    Skilling, "Programming the Hilbert curve", AIP Conf. Proc. 707 (2004);
+    same curve the reference's hilbert sorter walks
+    (paimon-common/.../sort/hilbert/)."""
+    import numpy as np
+
+    X = X.astype(np.uint64).copy()
+    n = X.shape[1]
+    one = np.uint64(1)
+    M = one << np.uint64(bits - 1)
+    Q = M
+    while Q > one:
+        P = Q - one
+        for i in range(n):
+            upper = (X[:, i] & Q) != 0
+            X[upper, 0] ^= P
+            lo = ~upper
+            t = (X[lo, 0] ^ X[lo, i]) & P
+            X[lo, 0] ^= t
+            X[lo, i] ^= t
+        Q >>= one
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), dtype=np.uint64)
+    Q = M
+    while Q > one:
+        m = (X[:, n - 1] & Q) != 0
+        t[m] ^= Q - one
+        Q >>= one
+    for i in range(n):
+        X[:, i] ^= t
+    h = np.zeros(len(X), dtype=np.uint64)
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << one) | ((X[:, i] >> np.uint64(b)) & one)
+    return h.astype(np.int64)
+
+
+def hilbert_value(cols: list[str], bits: int = 16):
+    """Hilbert index as a Column. Unlike the z-value this can't be a pure
+    bit-interleave expression, so it rides an Arrow-batched pandas UDF —
+    acceptable here because sort compaction is a rewrite job, not the read
+    hot path. Caller scales inputs to [0, 2^16)."""
+    n = len(cols)
+    bits = min(bits, 62 // n)  # index must fit in a signed long
+    shift = 16 - bits
+
+    def _h(*series):
+        import numpy as np
+        import pandas as pd
+        X = np.stack([s.to_numpy(dtype=np.uint64) for s in series], axis=1)
+        if shift:
+            X >>= np.uint64(shift)
+        return pd.Series(_hilbert_transpose(X, bits))
+
+    udf = F.pandas_udf(_h, "long")
+    return udf(*[F.col(c) for c in cols])
+
+
 def _sort_compact(spark, table, order_by, strategy, predicate):
     """Sort compaction (order / zorder): full rewrite of the selected
     partitions, clustered by order_by columns, committed as COMPACT.
@@ -278,8 +339,8 @@ def _sort_compact(spark, table, order_by, strategy, predicate):
     df = read_append_entries(spark, table, entries, schema,
                              table.snapshots.latest())
 
-    if strategy == "zorder":
-        # min-max scale each column to [0, 2^16) then interleave bits.
+    if strategy in ("zorder", "hilbert"):
+        # min-max scale each column to [0, 2^16) then space-fill-encode.
         # One tiny agg job for the bounds; no global window (scale-safe).
         bounds = df.agg(*[F.min(F.col(c).cast("double")).alias(f"mn_{c}")
                           for c in order_by],
@@ -294,14 +355,13 @@ def _sort_compact(spark, table, order_by, strategy, predicate):
                       * ((1 << 16) - 1))
             df = df.withColumn(nc, F.coalesce(scaled, F.lit(0.0)).cast("long"))
             norm_cols.append(nc)
-        df = df.withColumn("__z", zorder_value(norm_cols))
+        fill = zorder_value if strategy == "zorder" else hilbert_value
+        df = df.withColumn("__z", fill(norm_cols))
         df = df.repartitionByRange(F.col("__z")).sortWithinPartitions("__z")
         df = df.drop("__z", *norm_cols)
     elif strategy == "order":
         df = df.repartitionByRange(*[F.col(c) for c in order_by]) \
                .sortWithinPartitions(*order_by)
-    elif strategy == "hilbert":
-        raise NotImplementedError("hilbert curve sort: planned (zorder available)")
     else:
         raise ValueError(f"unknown sort strategy {strategy!r}")
 

@@ -424,5 +424,3 @@ def _validate(ts: TableSchema):
     for pk in ts.primary_keys:
         if pk in ts.partition_keys and len(ts.primary_keys) == 1:
             raise ValueError("primary key must not equal partition key only")
-    if opts.sequence_field and len(opts.sequence_field) > 1:
-        raise NotImplementedError("multiple sequence.field columns: planned")

@@ -141,3 +141,21 @@ def test_ignore_delete_option(spark, catalog):
     t.write(spark, spark.createDataFrame([(1, "a", "-D")],
                                          "k long, v string, _row_kind string"))
     assert t.read(spark).count() == 1  # delete ignored
+
+
+def test_multiple_sequence_fields(spark, catalog):
+    """Fold order = (seq1, seq2, _SEQUENCE_NUMBER) lexicographic
+    (UserDefinedSeqComparator over several sequence.field columns)."""
+    t = catalog.create_table(
+        "db.sf2", _schema("k bigint, v string, s1 bigint, s2 bigint"),
+        primary_keys=["k"], options={"bucket": "1", "sequence.field": "s1,s2"})
+    t.write(spark, spark.createDataFrame(
+        [(1, "low-major", 1, 99), (2, "a", 5, 5)],
+        "k long, v string, s1 long, s2 long"))
+    t.write(spark, spark.createDataFrame(
+        [(1, "high-major", 2, 0), (2, "b", 5, 4)],
+        "k long, v string, s1 long, s2 long"))
+    out = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    # k=1: s1 dominates (2 > 1) even though s2 is smaller
+    # k=2: s1 ties, first commit's s2=5 beats 4 despite later commit
+    assert out == {1: "high-major", 2: "a"}

@@ -319,3 +319,27 @@ def test_dynamic_bucket_parallel_assigners(spark, catalog, customer):
     idx2 = t.index.read_df(spark, t.snapshots.latest(), t.schema)
     assert idx2.count() == customer.count()
     assert t.read(spark).count() == customer.count()
+
+
+def test_hilbert_curve_properties():
+    """Skilling transform sanity: on a full 2^bits x 2^bits grid the index
+    is a bijection and consecutive indices are Manhattan-adjacent cells."""
+    import numpy as np
+    from incubator_paimon_spark.compact import _hilbert_transpose
+    bits = 4
+    side = 1 << bits
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    X = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    h = _hilbert_transpose(X, bits)
+    assert sorted(h.tolist()) == list(range(side * side))
+    order = np.argsort(h)
+    steps = np.abs(np.diff(X[order], axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+
+def test_hilbert_sort_compaction(spark, catalog, orders):
+    t = catalog.create_table("db.hil", orders.schema)
+    t.write(spark, orders)
+    t.compact(spark, order_by=["o_custkey", "o_totalprice"], strategy="hilbert")
+    assert t.read(spark).count() == orders.count()
+    assert t.snapshots.latest().commit_kind == "COMPACT"
