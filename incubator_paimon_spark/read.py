@@ -50,12 +50,14 @@ class TableScan:
     """Batch scan planner with time travel + pruning."""
 
     def __init__(self, table, snapshot_id=None, tag=None, timestamp_ms=None,
-                 read_optimized=False):
+                 read_optimized=False, scan_mode=None, watermark=None):
         self.table = table
         self.snapshot_id = snapshot_id
         self.tag = tag
         self.timestamp_ms = timestamp_ms
         self.read_optimized = read_optimized
+        self.scan_mode = scan_mode
+        self.watermark = watermark
 
     # -- snapshot resolution (startup scanners, §2.1 scan modes) --
     def resolve_snapshot(self) -> Snapshot | None:
@@ -66,6 +68,21 @@ class TableScan:
             return t.snapshots.read(self.snapshot_id)
         if self.timestamp_ms is not None:
             return t.snapshots.snapshot_for_timestamp(self.timestamp_ms)
+        if self.watermark is not None or self.scan_mode == "from-watermark":
+            # StaticFromWatermarkStartingScanner: earliest snapshot whose
+            # watermark >= T
+            for s in t.snapshots.list_all():
+                if s.watermark is not None and s.watermark >= self.watermark:
+                    return s
+            return None
+        if self.scan_mode == "compacted-full":
+            # StaticFromCompactedStartingScanner: latest COMPACT snapshot,
+            # else fall back to latest
+            latest = None
+            for s in t.snapshots.list_all():
+                if s.commit_kind == "COMPACT":
+                    latest = s
+            return latest if latest is not None else t.snapshots.latest()
         return t.snapshots.latest()
 
     def plan(self, predicate: Predicate | None = None, limit: int | None = None) -> ScanPlan:

@@ -81,9 +81,10 @@ class Table:
         return self.new_write().write(spark, df, **kw)
 
     def new_scan(self, snapshot_id=None, tag=None, timestamp_ms=None,
-                 read_optimized=False) -> TableScan:
+                 read_optimized=False, scan_mode=None, watermark=None) -> TableScan:
         return TableScan(self, snapshot_id=snapshot_id, tag=tag,
-                         timestamp_ms=timestamp_ms, read_optimized=read_optimized)
+                         timestamp_ms=timestamp_ms, read_optimized=read_optimized,
+                         scan_mode=scan_mode, watermark=watermark)
 
     def read(
         self,
@@ -97,8 +98,11 @@ class Table:
         limit: int | None = None,
         with_system_cols: bool = False,
         file_metadata: bool = False,
+        scan_mode: str | None = None,
+        watermark: int | None = None,
     ) -> DataFrame:
-        scan = self.new_scan(snapshot_id, tag, timestamp_ms, read_optimized)
+        scan = self.new_scan(snapshot_id, tag, timestamp_ms, read_optimized,
+                             scan_mode=scan_mode, watermark=watermark)
         plan = scan.plan(predicate, limit)
         df = plan_to_df(spark, self, plan, projection, with_system_cols,
                         file_metadata=file_metadata)

@@ -343,3 +343,19 @@ def test_hilbert_sort_compaction(spark, catalog, orders):
     t.compact(spark, order_by=["o_custkey", "o_totalprice"], strategy="hilbert")
     assert t.read(spark).count() == orders.count()
     assert t.snapshots.latest().commit_kind == "COMPACT"
+
+
+def test_scan_mode_compacted_full_and_from_watermark(spark, catalog, orders):
+    """StaticFromCompactedStartingScanner / StaticFromWatermarkStartingScanner."""
+    t = catalog.create_table("db.sm", orders.schema,
+                             primary_keys=["o_orderkey"], options={"bucket": "2"})
+    t.write(spark, orders.limit(100), watermark=1000)
+    t.compact(spark, full=True)           # snapshot 2: COMPACT
+    t.write(spark, orders.limit(300), watermark=2000)  # snapshot 3
+    # compacted-full pins the latest COMPACT snapshot → sees only 100 rows
+    assert t.read(spark, scan_mode="compacted-full").count() == 100
+    assert t.read(spark).count() == 300
+    # from-watermark: earliest snapshot with watermark >= T
+    assert t.read(spark, watermark=1500).count() == 300
+    assert t.read(spark, watermark=500).count() == 100
+    assert t.read(spark, watermark=99999).count() == 0
