@@ -123,6 +123,13 @@ def main():
     extra["dyn_write_rows_per_sec"] = round(
         n_orders / times["dynamic_bucket_write"])
 
+    torc = cat.create_table("bench.orc", lineitem.schema,
+                            primary_keys=["l_orderkey", "l_linenumber"],
+                            options={"bucket": "16", "file.format": "orc"})
+    timed("orc_write", lambda: torc.write(spark, lineitem))
+    extra["orc_write_rows_per_sec"] = round(n_lineitem / times["orc_write"])
+    timed("orc_read", lambda: torc.read(spark).count(), reps=3)
+
     tz = cat.create_table("bench.zo", lineitem.schema)
     tz.write(spark, lineitem)
     timed("zorder_compact",

@@ -147,7 +147,7 @@ def remove_orphan_files(table, older_than_ms=None, dry_run=False):
             if rel_root == "manifest":
                 if n not in manifests and os.path.getmtime(full) < cutoff:
                     orphans.append(full)
-            elif n.endswith(".parquet"):
+            elif n.endswith((".parquet", ".orc")):
                 if rel not in files and os.path.getmtime(full) < cutoff:
                     orphans.append(full)
     if not dry_run:

@@ -74,7 +74,11 @@ class TableSchema:
         return CoreOptions(self.options)
 
     def spark_schema(self) -> T.StructType:
-        return T.StructType([T.StructField(f.name, f.type, f.nullable) for f in self.fields])
+        # CHAR(n)/VARCHAR(n) compute as plain strings (SparkTypeUtils does
+        # the same mapping); length is enforced at write (align_to_schema)
+        return T.StructType([
+            T.StructField(f.name, _runtime_type(f.type), f.nullable)
+            for f in self.fields])
 
     def field_names(self) -> list[str]:
         return [f.name for f in self.fields]
@@ -260,3 +264,9 @@ def _can_widen(old: T.DataType, new: T.DataType) -> bool:
     if o == "decimal" and n == "decimal":
         return new.precision >= old.precision and new.scale >= old.scale
     return n in _WIDEN.get(o, set())
+
+
+def _runtime_type(t: T.DataType) -> T.DataType:
+    if isinstance(t, (T.CharType, T.VarcharType)):
+        return T.StringType()
+    return t

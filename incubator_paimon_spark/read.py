@@ -192,17 +192,18 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
     if not entries:
         return None
     is_pk = bool(target_schema.primary_keys)
-    groups: dict[tuple[int, int], list[str]] = {}
+    groups: dict[tuple[int, int, str], list[str]] = {}
     for e in entries:
-        key = (e.file.schema_id, e.file.level if with_level else 0)
+        fmt = "orc" if e.file.file_name.endswith(".orc") else "parquet"
+        key = (e.file.schema_id, e.file.level if with_level else 0, fmt)
         groups.setdefault(key, []).append(os.path.join(table.path, e.file.file_name))
 
     prefix = "file:" + table.path.rstrip("/") + "/"
     out = None
-    for (schema_id, level), paths in sorted(groups.items()):
+    for (schema_id, level, fmt), paths in sorted(groups.items()):
         file_schema = table.schema_at(schema_id)
         read_schema = _with_system_cols(file_schema.spark_schema(), is_pk)
-        df = spark.read.schema(read_schema).parquet(*paths)
+        df = spark.read.schema(read_schema).format(fmt).load(paths)
         if with_metadata:
             df = (df.withColumn(
                 METADATA_FILE,
@@ -218,16 +219,18 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
 def evolve(df: DataFrame, file_schema: TableSchema, target: TableSchema, is_pk: bool) -> DataFrame:
     if file_schema.id == target.id:
         return df
+    from .metadata.schema import _runtime_type
     by_id = {f.id: f for f in file_schema.fields}
     cols = []
     for f in target.fields:
+        rt = _runtime_type(f.type)
         old = by_id.get(f.id)
         if old is not None:
-            cols.append(F.col(old.name).cast(f.type).alias(f.name))
+            cols.append(F.col(old.name).cast(rt).alias(f.name))
         else:
             default = target.core_options.field_default_value(f.name)
             base = F.lit(default) if default is not None else F.lit(None)
-            cols.append(base.cast(f.type).alias(f.name))
+            cols.append(base.cast(rt).alias(f.name))
     if is_pk:
         cols.append(F.col(SEQUENCE_NUMBER))
         cols.append(F.col(VALUE_KIND))

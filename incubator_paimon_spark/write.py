@@ -50,7 +50,20 @@ def align_to_schema(df: DataFrame, schema: TableSchema, keep_row_kind: bool = Tr
     for f in schema.fields:
         if f.name not in df.columns:
             raise ValueError(f"input missing column {f.name!r}; df has {df.columns}")
-        cols.append(F.col(f.name).cast(f.type).alias(f.name))
+        if isinstance(f.type, (T.CharType, T.VarcharType)):
+            # length check at write (CHAR/VARCHAR, SURVEY §1.2): reject
+            # over-length values; CHAR additionally right-pads to n
+            n = f.type.length
+            c = F.col(f.name).cast("string")
+            msg = F.concat(
+                F.lit(f"value too long for {f.name} "
+                      f"{f.type.simpleString()}: "), c)
+            c = F.when(F.length(c) > n, F.raise_error(msg)).otherwise(c)
+            if isinstance(f.type, T.CharType):
+                c = F.rpad(c, n, " ")
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.col(f.name).cast(f.type).alias(f.name))
     if keep_row_kind and ROW_KIND in df.columns:
         cols.append(F.col(ROW_KIND))
     return df.select(*cols)
@@ -282,7 +295,8 @@ class BatchTableWrite:
         staging = os.path.join(table.path, ".staging", new_uuid())
         (df.write.mode("overwrite")
            .partitionBy(*layout_cols)
-           .parquet(staging))
+           .format(opts.file_format)
+           .save(staging))
 
         adds = self._collect_entries(spark, staging, schema, level)
         bloom_cols = [c for c in opts.bloom_filter_columns
@@ -336,18 +350,25 @@ class BatchTableWrite:
     def _collect_entries(self, spark, staging: str, schema: TableSchema, level: int):
         """Walk staging output, collect footer stats distributedly, build ADD
         entries with final (relative) file names."""
+        fmt = schema.core_options.file_format
+        suffix = ".orc" if fmt == "orc" else ".parquet"
         files = []
         for root, _dirs, names in os.walk(staging):
             for n in names:
-                if n.endswith(".parquet"):
+                if n.endswith(suffix):
                     files.append(os.path.join(root, n))
         if not files:
             return []
 
         stats_mode = schema.core_options.metadata_stats_mode
-        # footer reads are ~5ms each; a distributed pass only pays off once
-        # the driver loop would rival the ~1.5s Python-RDD job spin-up
-        if len(files) > 64:
+        if fmt != "parquet":
+            # no cheap footer API for ORC via pyarrow — one distributed agg
+            # job over the staging dir computes per-file stats instead
+            stats_by_path = _collect_stats_spark(spark, files, fmt, schema,
+                                                 stats_mode)
+        elif len(files) > 64:
+            # footer reads are ~5ms each; a distributed pass only pays off
+            # once the driver loop rivals the ~1.5s Python-RDD job spin-up
             sc = spark.sparkContext
             stats_list = (sc.parallelize(files, min(len(files), 64))
                           .map(lambda p: (p, collect_file_stats(p, stats_mode)))
@@ -376,7 +397,7 @@ class BatchTableWrite:
             part_dir = "/".join(
                 f"{c}={_dir_value(partition[c])}" for c in schema.partition_keys)
             bucket_dir = BUCKET_DIR.format(b=bucket)
-            fname = f"data-{new_uuid()}-{i}.parquet"
+            fname = f"data-{new_uuid()}-{i}{suffix}"
             rel_final = "/".join(x for x in (part_dir, bucket_dir, fname) if x)
             meta = DataFileMeta(
                 file_name=rel_final,
@@ -437,6 +458,50 @@ BLOOM_M = 2048   # bits per (file, column)
 BLOOM_K = 2      # hash functions
 
 
+def _collect_stats_spark(spark, files: list[str], fmt: str, schema,
+                         stats_mode: str) -> dict:
+    """Per-file column stats for formats without a pyarrow footer API (ORC):
+    ONE distributed agg grouped by _metadata.file_path — same numbers as the
+    footer path, O(files) rows back to the driver."""
+    from .metadata.stats import _jsonable, _truncate
+
+    df = spark.read.format(fmt).load(files)
+    want_minmax = stats_mode not in ("none", "counts")
+    simple = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__rc")]
+    for c, dt in simple.items():
+        if stats_mode == "none":
+            continue
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"__n_{c}"))
+        if want_minmax and not dt.startswith(("array", "map", "struct",
+                                              "binary")):
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = (df.groupBy(F.col("_metadata.file_path").alias("__f"))
+              .agg(*aggs).collect())
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        local = urllib.parse.unquote(urllib.parse.urlparse(d["__f"]).path)
+        cols = {}
+        for c in simple:
+            if stats_mode == "none":
+                continue
+            entry = {"null_count": d[f"__n_{c}"] or 0}
+            mn, mx = d.get(f"__mn_{c}"), d.get(f"__mx_{c}")
+            if mn is not None:
+                tmn = _truncate(mn, stats_mode, is_max=False)
+                tmx = _truncate(mx, stats_mode, is_max=True)
+                if tmn is not None:
+                    entry["min"] = _jsonable(tmn)
+                if tmx is not None:
+                    entry["max"] = _jsonable(tmx)
+            cols[c] = entry
+        out[local] = {"_row_count": d["__rc"], "cols": cols}
+    return out
+
+
 def _attach_bloom_index(spark, staging, adds, cols):
     """Per-file per-column bloom positions, computed in ONE distributed pass
     over the freshly written staging files (BloomFilterFileIndex.java:48).
@@ -446,7 +511,8 @@ def _attach_bloom_index(spark, staging, adds, cols):
     from .operators.dedup import h32
 
     paths = [e.staging_path for e in adds]
-    df = spark.read.parquet(*paths).select(
+    fmt = "orc" if paths and paths[0].endswith(".orc") else "parquet"
+    df = spark.read.format(fmt).load(paths).select(
         F.col("_metadata.file_path").alias("__f"),
         *[F.col(c).cast("string").alias(c) for c in cols])
     pos_structs = []

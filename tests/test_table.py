@@ -359,3 +359,44 @@ def test_scan_mode_compacted_full_and_from_watermark(spark, catalog, orders):
     assert t.read(spark, watermark=1500).count() == 300
     assert t.read(spark, watermark=500).count() == 100
     assert t.read(spark, watermark=99999).count() == 0
+
+
+def test_orc_file_format(spark, catalog, customer):
+    """file.format=orc: write, stats-based pruning, merge-on-read, compact."""
+    t = catalog.create_table("db.orc", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2", "file.format": "orc"})
+    t.write(spark, customer)
+    t.write(spark, customer.limit(10).withColumn("c_acctbal", F.lit(9.9)))
+    assert t.read(spark).count() == customer.count()
+    assert t.read(spark).filter("c_acctbal = 9.9").count() >= 10
+    files = [e.file.file_name for e in t.entries_at()]
+    assert all(f.endswith(".orc") for f in files), files
+    # stats survived: manifest min/max prune on c_custkey
+    plan = t.new_scan().plan(P.eq("c_custkey", -12345))
+    assert len(plan.entries) == 0
+    t.compact(spark, full=True)
+    assert t.read(spark).count() == customer.count()
+    with pytest.raises(ValueError):
+        catalog.create_table("db.av", customer.schema,
+                             options={"file.format": "avro"})
+
+
+def test_char_varchar_length_enforcement(spark, catalog):
+    from pyspark.sql import types as T
+    import pyspark.errors
+    sch = T.StructType([T.StructField("k", T.LongType(), False),
+                        T.StructField("code", T.CharType(3)),
+                        T.StructField("name", T.VarcharType(5))])
+    t = catalog.create_table("db.cv", sch)
+    t.write(spark, spark.createDataFrame([(1, "ab", "hello")], "k long, code string, name string"))
+    r = t.read(spark).collect()[0]
+    assert r["code"] == "ab "       # CHAR(3) right-padded
+    assert r["name"] == "hello"
+    with pytest.raises(Exception) as ei:
+        t.write(spark, spark.createDataFrame([(2, "toolong", "x")],
+                                             "k long, code string, name string"))
+    assert "too long" in str(ei.value)
+    # reopened table round-trips the declared types
+    t2 = catalog.get_table("db.cv")
+    assert t2.schema.field_by_name("code").type.simpleString() == "char(3)"
