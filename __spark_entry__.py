@@ -232,6 +232,20 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
                            .withColumn("c_mktsegment", F.lit("MOVED")))
     fx["customer_xp"] = t
 
+    # ORC PK table (file.format=orc): sentinel first commit, partial upsert
+    t = cat.create_table("fx.orders_orc", orders.schema,
+                         primary_keys=["o_orderkey"],
+                         options={"bucket": "4", "file.format": "orc"})
+    t.write(spark, orders.withColumn("o_totalprice", F.lit(-1.0)))
+    t.write(spark, orders.filter(F.col("o_orderkey") % 5 == 0))
+    fx["orders_orc"] = t
+
+    # hilbert sort compaction: clustering must not change query results
+    t = cat.create_table("fx.lineitem_hilbert", lineitem.schema)
+    t.write(spark, lineitem)
+    t.compact(spark, order_by=["l_orderkey", "l_partkey"], strategy="hilbert")
+    fx["lineitem_hilbert"] = t
+
     _WAREHOUSES[sf_dir] = fx
     return fx
 
@@ -490,6 +504,25 @@ def q_cross_partition(spark, sf_dir):
     return df.select("c_custkey", "c_mktsegment", "c_name")
 
 
+def q_orc_format(spark, sf_dir):
+    """file.format=orc merge-on-read (OrcFileFormat.java:63 parity)."""
+    fx = _fixtures(spark, sf_dir)
+    df = fx["orders_orc"].read(spark)
+    return df.select("o_orderkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_hilbert_cluster(spark, sf_dir):
+    """Aggregation over a hilbert-sort-compacted table — clustering is a
+    physical rewrite only (sort/hilbert/, CompactProcedure order_strategy)."""
+    fx = _fixtures(spark, sf_dir)
+    df = fx["lineitem_hilbert"].read(spark)
+    return (df.groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                   F.min("l_orderkey").alias("min_ok")))
+
+
 def q_time_travel(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["orders_travel"].read(spark, snapshot_id=1)
@@ -645,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deletion_vectors": q_deletion_vectors,
         "dynamic_bucket": q_dynamic_bucket,
         "cross_partition": q_cross_partition,
+        "orc_format": q_orc_format,
+        "hilbert_cluster": q_hilbert_cluster,
         "time_travel": q_time_travel,
         "incremental": q_incremental,
         "delete_update_compact": q_delete_update_compact,

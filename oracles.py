@@ -349,6 +349,21 @@ SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty,
 FROM lineitem GROUP BY l_orderkey
 """
 
+ORACLES["orc_format"] = """
+SELECT o_orderkey, o_orderstatus,
+  round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice ELSE -1.0 END, 2)
+    AS o_totalprice
+FROM orders
+"""
+
+ORACLES["hilbert_cluster"] = """
+SELECT l_returnflag,
+  count(*)::BIGINT AS cnt,
+  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+  min(l_orderkey) AS min_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
 ORACLES["time_travel"] = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        round(o_totalprice, 2) AS o_totalprice
