@@ -104,6 +104,12 @@ class TableScan:
             part_pred, rest = split_by_fields(predicate, set(schema.partition_keys))
             if part_pred is not None:
                 entries = [e for e in entries if part_pred.test_value(e.partition)]
+            # bucket pruning: equality on every bucket key pins the single
+            # bucket a fixed-hash write placed the row in
+            # (ScanBucketFilter / ReadBuilder.withBucketFilter :111)
+            b = _pinned_bucket(schema, predicate)
+            if b is not None:
+                entries = [e for e in entries if e.bucket == b]
             # stats-based file skipping (AbstractFileStoreScan.java:519)
             entries = [e for e in entries if _stats_keep(e, predicate)]
             # bloom-filter file index (BloomFilterFileIndex.java:48)
@@ -121,6 +127,39 @@ class TableScan:
                     break
             entries = picked
         return ScanPlan(snapshot, entries, residual)
+
+
+def _top_level_equalities(pred: Predicate) -> dict:
+    """field → literal from the top-level AND of eq leaves (conservative:
+    an OR anywhere at the top defeats extraction)."""
+    from .predicate import And, Leaf
+
+    out: dict = {}
+    def walk(p):
+        if isinstance(p, And):
+            for c in p.children:
+                walk(c)
+        elif isinstance(p, Leaf) and p.op == "eq":
+            out[p.field] = p.literal
+    walk(pred)
+    return out
+
+
+def _pinned_bucket(schema: TableSchema, pred: Predicate) -> int | None:
+    """The single bucket all matching rows live in, or None (no pruning)."""
+    keys = schema.bucket_keys()
+    nb = schema.core_options.bucket
+    if not keys or nb <= 0:
+        return None
+    eqs = _top_level_equalities(pred)
+    if not all(k in eqs and eqs[k] is not None for k in keys):
+        return None
+    from .murmur import spark_hash
+    types = [schema.field_by_name(k).type.simpleString() for k in keys]
+    h = spark_hash([eqs[k] for k in keys], types)
+    if h is None:
+        return None
+    return h % nb  # pmod: Python % is already non-negative for nb > 0
 
 
 def _stats_keep(e: ManifestEntry, pred: Predicate) -> bool:

@@ -400,3 +400,40 @@ def test_char_varchar_length_enforcement(spark, catalog):
     # reopened table round-trips the declared types
     t2 = catalog.get_table("db.cv")
     assert t2.schema.field_by_name("code").type.simpleString() == "char(3)"
+
+
+def test_murmur_matches_spark_hash(spark):
+    """Driver-side murmur3 must equal F.hash (seed 42) for pruning to be safe."""
+    from incubator_paimon_spark.murmur import spark_hash
+    import datetime
+    rows = [(1, 2**40 + 7, "hello", datetime.date(2021, 3, 4)),
+            (-5, -9999999999, "", datetime.date(1969, 12, 31)),
+            (0, 0, "日本語テキスト", datetime.date(1970, 1, 1)),
+            (2**31 - 1, -(2**62), "x" * 37, datetime.date(2038, 1, 19))]
+    df = spark.createDataFrame(rows, "i int, l long, s string, d date")
+    got = df.select(
+        F.hash("i").alias("hi"), F.hash("l").alias("hl"),
+        F.hash("s").alias("hs"), F.hash("d").alias("hd"),
+        F.hash("i", "l", "s").alias("hm")).collect()
+    for (i, l, s, d), r in zip(rows, got):
+        assert spark_hash([i], ["int"]) == r["hi"]
+        assert spark_hash([l], ["bigint"]) == r["hl"]
+        assert spark_hash([s], ["string"]) == r["hs"]
+        assert spark_hash([d], ["date"]) == r["hd"]
+        assert spark_hash([i, l, s], ["int", "bigint", "string"]) == r["hm"]
+
+
+def test_bucket_pruning(spark, catalog, customer):
+    """PK equality scans exactly one bucket's files (ScanBucketFilter)."""
+    t = catalog.create_table("db.bp", customer.schema,
+                             primary_keys=["c_custkey"], options={"bucket": "8"})
+    t.write(spark, customer)
+    all_entries = t.new_scan().plan().entries
+    plan = t.new_scan().plan(P.eq("c_custkey", 77))
+    buckets = {e.bucket for e in plan.entries}
+    assert len(buckets) == 1, buckets
+    assert len(plan.entries) < len(all_entries)
+    got = t.read(spark, predicate=P.eq("c_custkey", 77)).collect()
+    assert len(got) == 1 and got[0]["c_custkey"] == 77
+    # non-equality predicates must not prune buckets
+    assert len(t.new_scan().plan(P.lt("c_custkey", 77)).entries) == len(all_entries)
