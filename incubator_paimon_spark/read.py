@@ -110,10 +110,31 @@ class TableScan:
             b = _pinned_bucket(schema, predicate)
             if b is not None:
                 entries = [e for e in entries if e.bucket == b]
-            # stats-based file skipping (AbstractFileStoreScan.java:519)
-            entries = [e for e in entries if _stats_keep(e, predicate)]
-            # bloom-filter file index (BloomFilterFileIndex.java:48)
-            entries = [e for e in entries if _bloom_keep(e, predicate)]
+            # stats-based file skipping (AbstractFileStoreScan.java:519) +
+            # bloom-filter file index (BloomFilterFileIndex.java:48).
+            # On PK tables, per-file value-column pruning is NOT merge-safe:
+            # a file holding the newest version of a key may fail the value
+            # predicate while an older file's stale version passes, so pruning
+            # the new file resurrects the stale row. Mirror KeyValueFileStoreScan
+            # (filterByStats keys-only; filterWholeBucketByStats for values):
+            # prune per-file only with key/partition fields, and apply value
+            # fields per whole bucket (every file in the bucket must fail).
+            if schema.primary_keys:
+                safe = set(schema.trimmed_primary_keys()) | set(schema.partition_keys)
+                key_pred, value_pred = split_by_fields(predicate, safe)
+                if key_pred is not None:
+                    entries = [e for e in entries
+                               if _stats_keep(e, key_pred) and _bloom_keep(e, key_pred)]
+                if (value_pred is not None and
+                        schema.core_options.merge_engine in ("deduplicate", "first-row")):
+                    # For these engines the merged row IS one input row, so if
+                    # every file in a bucket fails, no merged row can match.
+                    # partial-update/aggregation combine fields across files —
+                    # value pruning there is unsafe even per-bucket; skip it.
+                    entries = _prune_whole_buckets(entries, value_pred)
+            else:
+                entries = [e for e in entries
+                           if _stats_keep(e, predicate) and _bloom_keep(e, predicate)]
             residual = predicate  # keep full predicate as residual (cheap, exact)
 
         if limit is not None and not schema.primary_keys:
@@ -160,6 +181,22 @@ def _pinned_bucket(schema: TableSchema, pred: Predicate) -> int | None:
     if h is None:
         return None
     return h % nb  # pmod: Python % is already non-negative for nb > 0
+
+
+def _prune_whole_buckets(entries: list[ManifestEntry], value_pred: Predicate) -> list[ManifestEntry]:
+    """Drop a (partition, bucket) only when EVERY file in it fails the
+    value-column predicate — merge-safe because dropping all versions of
+    every key in the bucket cannot resurrect a stale version
+    (KeyValueFileStoreScan.filterWholeBucketByStats / filterByValueFilter)."""
+    by_bucket: dict = {}
+    for e in entries:
+        key = (tuple(sorted((k, str(v)) for k, v in e.partition.items())), e.bucket)
+        by_bucket.setdefault(key, []).append(e)
+    out = []
+    for es in by_bucket.values():
+        if any(_stats_keep(e, value_pred) and _bloom_keep(e, value_pred) for e in es):
+            out.extend(es)
+    return out
 
 
 def _stats_keep(e: ManifestEntry, pred: Predicate) -> bool:

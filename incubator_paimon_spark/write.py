@@ -35,9 +35,9 @@ from .metadata.manifest import DataFileMeta, ManifestEntry, live_entries
 from .metadata.schema import TableSchema
 from .metadata.stats import collect_file_stats
 from .metadata.util import new_uuid
-from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, DELETE, ENTRY_ADD,
-                    ENTRY_DELETE, INSERT, ROW_KIND, SEQUENCE_NUMBER,
-                    VALUE_KIND)
+from .types import (ALL_KINDS, COMMIT_APPEND, COMMIT_OVERWRITE, DELETE,
+                    ENTRY_ADD, ENTRY_DELETE, INSERT, ROW_KIND,
+                    SEQUENCE_NUMBER, VALUE_KIND)
 
 BUCKET_DIR = "bucket-{b}"
 PT_PREFIX = "__pt_"
@@ -251,7 +251,25 @@ class BatchTableWrite:
         else:
             df = align_to_schema(df, schema)
         if is_pk and not preserve_system_cols:
-            kind = F.col(ROW_KIND) if has_row_kind else F.lit(INSERT)
+            rk_field = opts.rowkind_field
+            if rk_field is not None:
+                # rowkind.field: a STRING data column carries the row-kind
+                # short string; it stays part of the row
+                # (RowKindGenerator.java:38-66, CoreOptions.java:544)
+                fld = schema.field_by_name(rk_field)
+                if fld is None:
+                    raise ValueError(
+                        f"rowkind.field {rk_field!r} not in table schema")
+                if not fld.type.simpleString().startswith(("string", "varchar", "char")):
+                    raise ValueError(
+                        f"rowkind.field {rk_field!r} must be a string type, "
+                        f"got {fld.type.simpleString()}")
+                kind = (F.when(F.col(rk_field).isin(*ALL_KINDS), F.col(rk_field))
+                        .otherwise(F.raise_error(F.concat(
+                            F.lit("invalid row kind in rowkind.field: "),
+                            F.coalesce(F.col(rk_field), F.lit("NULL"))))))
+            else:
+                kind = F.col(ROW_KIND) if has_row_kind else F.lit(INSERT)
             df = df.withColumn(VALUE_KIND, kind)
             if has_row_kind:
                 df = df.drop(ROW_KIND)

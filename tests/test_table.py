@@ -437,3 +437,51 @@ def test_bucket_pruning(spark, catalog, customer):
     assert len(got) == 1 and got[0]["c_custkey"] == 77
     # non-equality predicates must not prune buckets
     assert len(t.new_scan().plan(P.lt("c_custkey", 77)).entries) == len(all_entries)
+
+
+def test_pk_value_filter_merge_safe(spark, catalog, customer):
+    """Value-column stats pruning must not resurrect stale versions: write
+    v=1 then upsert v=2; querying v=1 must return 0 rows even though the
+    v=2 file's stats fail the predicate (KeyValueFileStoreScan keys-only
+    per-file filter + whole-bucket value filter)."""
+    t = catalog.create_table("db.stale", customer.schema,
+                             primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer.withColumn("c_acctbal", F.lit(1.0)))
+    t.write(spark, customer.withColumn("c_acctbal", F.lit(2.0)))
+    # the old-version file must NOT satisfy the query
+    assert t.read(spark, predicate=P.eq("c_acctbal", 1.0)).count() == 0
+    assert t.read(spark, predicate=P.eq("c_acctbal", 2.0)).count() == customer.count()
+    # whole-bucket value pruning still fires when NO file can match
+    assert t.new_scan().plan(P.eq("c_acctbal", 99.0)).entries == []
+    # key-field pruning still applies per-file
+    assert t.new_scan().plan(P.gt("c_custkey", 10**9)).entries == []
+
+
+def test_rowkind_field(spark, catalog, customer):
+    """rowkind.field: a string data column drives +I/-U/+U/-D semantics
+    (RowKindGenerator.java:38-66)."""
+    from pyspark.sql import types as T
+    sch = T.StructType(list(customer.schema.fields) +
+                       [T.StructField("op", T.StringType(), True)])
+    t = catalog.create_table("db.rk", sch, primary_keys=["c_custkey"],
+                             options={"rowkind.field": "op"})
+    t.write(spark, customer.withColumn("op", F.lit("+I")))
+    # -D deletes keys < 20, +U bumps acctbal for keys 20..29
+    changes = (customer.filter("c_custkey < 30")
+               .withColumn("op", F.when(F.col("c_custkey") < 20, "-D").otherwise("+U"))
+               .withColumn("c_acctbal", F.lit(777.0)))
+    t.write(spark, changes)
+    out = t.read(spark)
+    assert out.filter("c_custkey < 20").count() == 0
+    got = out.filter("c_custkey >= 20 AND c_custkey < 30")
+    assert got.count() == 10 and got.filter("c_acctbal = 777.0").count() == 10
+    assert out.count() == customer.count() - 20
+    # invalid kind value raises
+    with pytest.raises(Exception):
+        t.write(spark, customer.limit(1).withColumn("op", F.lit("??")))
+    # non-string rowkind.field rejected
+    with pytest.raises(ValueError):
+        t2 = catalog.create_table("db.rk2", customer.schema,
+                                  primary_keys=["c_custkey"],
+                                  options={"rowkind.field": "c_acctbal"})
+        t2.write(spark, customer)
