@@ -240,6 +240,22 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
     t.write(spark, orders.filter(F.col("o_orderkey") % 5 == 0))
     fx["orders_orc"] = t
 
+    # rowkind.field: a data column carries the row kind (+I/-U/+U/-D);
+    # commit2 deletes %6==0 keys and updates %6==1 keys through that column
+    # (RowKindGenerator.java:38-66, CoreOptions.java:544)
+    rk_in = customer.withColumn("op", F.lit("+I"))
+    t = cat.create_table("fx.customer_rk", rk_in.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "4", "rowkind.field": "op"})
+    t.write(spark, rk_in)
+    commit2 = (customer.filter(F.col("c_custkey") % 6 == 0)
+               .withColumn("op", F.lit("-D"))
+               .unionByName(customer.filter(F.col("c_custkey") % 6 == 1)
+                            .withColumn("c_acctbal", F.col("c_acctbal") + 250.0)
+                            .withColumn("op", F.lit("+U"))))
+    t.write(spark, commit2)
+    fx["customer_rk"] = t
+
     # hilbert sort compaction: clustering must not change query results
     t = cat.create_table("fx.lineitem_hilbert", lineitem.schema)
     t.write(spark, lineitem)
@@ -484,6 +500,14 @@ def q_cdc_ingest(spark, sf_dir):
                      F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
 
 
+def q_rowkind_field(spark, sf_dir):
+    """rowkind.field merged read: -D rows vanish, +U rows win."""
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_rk"].read(spark)
+    return df.select("c_custkey", "c_name",
+                     F.round("c_acctbal", 2).alias("c_acctbal"), "op")
+
+
 def q_deletion_vectors(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["customer_dv"].read(spark)
@@ -675,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_update": q_partial_update,
         "agg_engine": q_agg_engine,
         "cdc_ingest": q_cdc_ingest,
+        "rowkind_field": q_rowkind_field,
         "deletion_vectors": q_deletion_vectors,
         "dynamic_bucket": q_dynamic_bucket,
         "cross_partition": q_cross_partition,

@@ -256,10 +256,11 @@ class BatchTableWrite:
                 # rowkind.field: a STRING data column carries the row-kind
                 # short string; it stays part of the row
                 # (RowKindGenerator.java:38-66, CoreOptions.java:544)
-                fld = schema.field_by_name(rk_field)
-                if fld is None:
+                try:
+                    fld = schema.field_by_name(rk_field)
+                except KeyError:
                     raise ValueError(
-                        f"rowkind.field {rk_field!r} not in table schema")
+                        f"rowkind.field {rk_field!r} not in table schema") from None
                 if not fld.type.simpleString().startswith(("string", "varchar", "char")):
                     raise ValueError(
                         f"rowkind.field {rk_field!r} must be a string type, "

@@ -303,6 +303,14 @@ SELECT c_custkey, c_name,
 FROM customer WHERE c_custkey % 9 <> 0
 """
 
+ORACLES["rowkind_field"] = """
+SELECT c_custkey, c_name,
+  round(CASE WHEN c_custkey % 6 = 1 THEN c_acctbal + 250.0 ELSE c_acctbal END, 2)
+    AS c_acctbal,
+  CASE WHEN c_custkey % 6 = 1 THEN '+U' ELSE '+I' END AS op
+FROM customer WHERE c_custkey % 6 <> 0
+"""
+
 ORACLES["deletion_vectors"] = """
 SELECT c_custkey, c_name,
   round(CASE WHEN c_mktsegment = 'MACHINERY' THEN 777.0 ELSE c_acctbal END, 2)
