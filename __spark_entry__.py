@@ -666,7 +666,16 @@ def q_embedding_neardup(spark, sf_dir):
     # deterministic subset bounds the all-pairs cost; 0.4 ≈ the top of this
     # corpus's cosine distribution so the result is non-trivial
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    return D.embedding_near_dups(e, "embedding", "vec_id", threshold=0.4)
+    return D.embedding_near_dups(e, "embedding", "vec_id", threshold=0.4,
+                                 exact=True)
+
+
+def q_embedding_lsh(spark, sf_dir):
+    """The 100 TB path: random-hyperplane LSH buckets, pairs compared only
+    inside a bucket (recall < 1 by design; oracle regenerates the planes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(e, "embedding", "vec_id", threshold=0.2,
+                                 num_planes=8)
 
 
 def q_ivf_search(spark, sf_dir):
@@ -726,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh": q_embedding_lsh,
         "ivf_search": q_ivf_search,
     }
 

@@ -213,25 +213,26 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
 # ----------------------------------------------------------------------
 def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                         threshold: float = 0.95,
-                        num_planes: int = 0) -> DataFrame:
+                        num_planes: int = 8, *,
+                        exact: bool = False) -> DataFrame:
     """Embedding near-duplicate pairs by cosine similarity.
 
-    num_planes=0: exact all-pairs (use only at modest n or within blocks).
-    num_planes>0: random-hyperplane LSH buckets (deterministic planes from
+    Default: random-hyperplane LSH buckets (deterministic planes from
     md5(plane,dim)) — pairs are only compared inside a bucket, the 100 TB
-    path; recall < 1 by design."""
+    path; recall < 1 by design. exact=True opts into the all-pairs
+    cartesian — O(n²), only for modest n or within pre-blocked groups."""
     from .similarity import cosine
 
+    if not exact and num_planes <= 0:
+        raise ValueError("num_planes must be > 0 (or pass exact=True "
+                         "to opt into the all-pairs comparison)")
     v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("v"))
-    if num_planes > 0:
+    if not exact:
         dim = len(df.select(vec_col).first()[0])
         sign_bits = []
         for p in range(num_planes):
-            # plane weights in [-1,1): deterministic from md5 → reproducible
-            weights = [(_h32_py(f"{p}:{d}") % 2001 - 1000) / 1000.0
-                       for d in range(dim)]
-            warr = F.array(*[F.lit(w) for w in weights])
+            warr = F.array(*[F.lit(w) for w in lsh_plane_weights(p, dim)])
             dot = F.aggregate(F.zip_with(F.col("v"), warr, lambda a, b: a * b),
                               F.lit(0.0), lambda acc, x: acc + x)
             sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
@@ -249,6 +250,13 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     return (pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                          quantize(sim, 4).alias("cosine"))
                  .filter(F.col("cosine") >= threshold))
+
+
+def lsh_plane_weights(plane: int, dim: int) -> list[float]:
+    """Hyperplane `plane`'s weights in [-1, 1): deterministic from
+    md5(plane:dim) so any engine (e.g. a SQL oracle) can regenerate them."""
+    return [(_h32_py(f"{plane}:{d}") % 2001 - 1000) / 1000.0
+            for d in range(dim)]
 
 
 def _h32_py(s: str) -> int:

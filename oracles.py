@@ -545,6 +545,31 @@ WHERE {_q(_pair_cosine_sql('a.embedding', 'b.embedding'))} >= 0.4
 """
 
 
+def _lsh_bucket_sql(col: str, num_planes: int = 8, dim: int = 64) -> str:
+    """Regenerate dedup.lsh_plane_weights' md5-seeded hyperplanes and fold
+    sign bits MSB-first, mirroring embedding_near_dups' bucket expression
+    (term order matches Spark's left fold so float sums agree bit-for-bit)."""
+    from incubator_paimon_spark.operators.dedup import lsh_plane_weights
+    parts = []
+    for p in range(num_planes):
+        w = lsh_plane_weights(p, dim)
+        dot = " + ".join(f"{col}[{i + 1}]::DOUBLE * ({w[i]!r})"
+                         for i in range(dim))
+        parts.append(f"(CASE WHEN ({dot}) >= 0 "
+                     f"THEN {1 << (num_planes - 1 - p)} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+ORACLES["embedding_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  {_q(_pair_cosine_sql('a.embedding', 'b.embedding'))} AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_q(_pair_cosine_sql('a.embedding', 'b.embedding'))} >= 0.2
+"""
+
+
 # ------------------------------------------------------------- multimodal
 ORACLES["media_meta"] = """
 SELECT doc_id AS media_id,
