@@ -119,6 +119,28 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
     t.write(spark, agg_in)
     fx["order_rollup"] = t
 
+    # nested_update aggregation: orders fold into ARRAY<ROW> per customer;
+    # commit2 upserts %10 keys (price+1), commit3 retracts %7 keys via -D
+    no_in = orders.select(
+        "o_custkey",
+        F.array(F.struct(F.col("o_orderkey"), F.col("o_totalprice"))).alias("orders"))
+    t = cat.create_table("fx.customer_nested", no_in.schema,
+                         primary_keys=["o_custkey"],
+                         options={"bucket": "4", "merge-engine": "aggregation",
+                                  "fields.orders.aggregate-function": "nested_update",
+                                  "fields.orders.nested-key": "o_orderkey"})
+    t.write(spark, no_in)
+    t.write(spark, orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_custkey",
+        F.array(F.struct(F.col("o_orderkey"),
+                         (F.col("o_totalprice") + 1.0).alias("o_totalprice"))).alias("orders")))
+    t.write(spark, orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey",
+        F.array(F.struct(F.col("o_orderkey"),
+                         F.lit(0.0).alias("o_totalprice"))).alias("orders"),
+        F.lit("-D").alias("_row_kind")))
+    fx["customer_nested"] = t
+
     # time travel / incremental: two commits split by orderkey parity
     t = cat.create_table("fx.orders_travel", orders.schema)
     t.write(spark, orders.filter(F.col("o_orderkey") % 2 == 0))
@@ -493,6 +515,17 @@ def q_agg_engine(spark, sf_dir):
                      F.col("cnt").alias("n_items"))
 
 
+def q_nested_update(spark, sf_dir):
+    """nested_update fold: per-customer order array after upsert + retract;
+    exploded sorted so the value hash is order-deterministic."""
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_nested"].read(spark)
+    ex = df.select(F.col("o_custkey").alias("custkey"),
+                   F.posexplode(F.array_sort("orders")).alias("pos", "o"))
+    return ex.select("custkey", "pos", F.col("o.o_orderkey").alias("okey"),
+                     F.round("o.o_totalprice", 2).alias("price"))
+
+
 def q_cdc_ingest(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["customer_cdc"].read(spark)
@@ -707,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_first_event": q_pk_first_event,
         "partial_update": q_partial_update,
         "agg_engine": q_agg_engine,
+        "nested_update": q_nested_update,
         "cdc_ingest": q_cdc_ingest,
         "rowkind_field": q_rowkind_field,
         "deletion_vectors": q_deletion_vectors,

@@ -144,6 +144,60 @@ def agg_primary_key(c, ctx):
     return F.first(c)
 
 
+def agg_nested_update(c, ctx):
+    """nested_update: the field is ARRAY<ROW> representing a nested table
+    (FieldNestedUpdateAgg.java:45). With ``fields.<f>.nested-key`` set,
+    add-rows upsert by key and retract-rows delete by key; without it,
+    add-rows append and retract-rows remove equal elements.
+
+    One interleaved fold over the seq-ordered (is_add, array) steps — a
+    retract between two adds of the same key must only cancel the earlier
+    add (agg/retract calls interleave in the reference's merge loop).
+    Keep-last dedup runs once at the end: concat keeps every add, each
+    retract step filters the accumulator, and the final pass keeps the
+    latest row per key. Deterministic order: position of last occurrence.
+    """
+    nested_key: list[str] = []
+    if ctx.options:
+        nk = ctx.options.get(f"fields.{ctx.field}.nested-key")
+        if nk:
+            nested_key = [s.strip() for s in nk.split(",")]
+
+    pair = F.when(c.isNotNull(), F.struct(ctx.order.alias("o"),
+                                          ctx.is_add.alias("add"),
+                                          c.alias("v")))
+    steps = F.transform(F.array_sort(F.collect_list(pair)),
+                        lambda s: F.struct(s["add"].alias("add"),
+                                           s["v"].alias("v")))
+    empty = F.array().cast(ctx.dtype)
+
+    if nested_key:
+        def kproj(x):
+            return F.struct(*[x[k] for k in nested_key])
+
+        folded = F.aggregate(
+            steps, empty,
+            lambda acc, st: F.when(st["add"], F.concat(acc, st["v"]))
+            .otherwise(F.filter(acc, lambda x: ~F.exists(
+                st["v"], lambda y: kproj(x).eqNullSafe(kproj(y))))))
+        # keep-last per key: element i survives iff no later element shares
+        # its key (group-local O(n²) over an in-memory array)
+        result = F.filter(folded, lambda x, i: ~F.exists(
+            F.slice(folded, i + F.lit(2), F.size(folded)),
+            lambda y: kproj(x).eqNullSafe(kproj(y))))
+    else:
+        folded = F.aggregate(
+            steps, empty,
+            lambda acc, st: F.when(st["add"], F.concat(acc, st["v"]))
+            .otherwise(F.filter(acc, lambda x: ~F.exists(
+                st["v"], lambda y: x.eqNullSafe(y)))))
+        result = folded
+    # all-null / retract-only input folds to NULL like the reference's
+    # null accumulator (never seeded by an add)
+    has_add = F.exists(steps, lambda s: s["add"])
+    return F.when(has_add, result).otherwise(F.lit(None).cast(ctx.dtype))
+
+
 AGGREGATORS = {
     "sum": agg_sum,
     "product": agg_product,
@@ -161,4 +215,5 @@ AGGREGATORS = {
     "collect": agg_collect,
     "merge_map": agg_merge_map,
     "primary-key": agg_primary_key,
+    "nested_update": agg_nested_update,
 }

@@ -295,6 +295,19 @@ SELECT c_custkey, c_name, c_nationkey,
 FROM customer
 """
 
+ORACLES["nested_update"] = """
+WITH kept AS (
+  SELECT o_custkey, o_orderkey,
+    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT o_custkey AS custkey,
+  (row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1)::INT AS pos,
+  o_orderkey AS okey, round(price, 2) AS price
+FROM kept
+"""
+
 ORACLES["cdc_ingest"] = """
 SELECT c_custkey, c_name,
   round(CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100 ELSE c_acctbal END, 2)

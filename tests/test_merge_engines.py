@@ -159,3 +159,38 @@ def test_multiple_sequence_fields(spark, catalog):
     # k=1: s1 dominates (2 > 1) even though s2 is smaller
     # k=2: s1 ties, first commit's s2=5 beats 4 despite later commit
     assert out == {1: "high-major", 2: "a"}
+
+
+def test_nested_update_keyed_upsert_and_retract(spark, catalog):
+    """nested_update with nested-key: adds upsert by key, -D retracts by
+    key, and a retract between two adds only cancels the earlier add
+    (FieldNestedUpdateAgg.java:45 agg/retract interleaving)."""
+    ddl = "k bigint, nested array<struct<id:bigint,v:string>>"
+    t = catalog.create_table(
+        "db.nu", _schema(ddl), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.nested.aggregate-function": "nested_update",
+                 "fields.nested.nested-key": "id"})
+    mk = lambda rows, extra="": spark.createDataFrame(rows, ddl + extra)
+    t.write(spark, mk([(1, [(10, "a"), (11, "b")])]))
+    t.write(spark, mk([(1, [(10, "a2")])]))                # upsert id=10
+    t.write(spark, mk([(1, [(11, None)], "-D")],
+                      extra=", _row_kind string"))          # retract id=11
+    t.write(spark, mk([(1, [(11, "b2")])]))                # re-add id=11
+    got = sorted((r["id"], r["v"]) for r in t.read(spark).collect()[0]["nested"])
+    assert got == [(10, "a2"), (11, "b2")]
+
+
+def test_nested_update_keyless_append_and_remove(spark, catalog):
+    """Without nested-key: adds append; retract removes equal elements."""
+    ddl = "k bigint, nested array<struct<id:bigint,v:string>>"
+    t = catalog.create_table(
+        "db.nu2", _schema(ddl), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.nested.aggregate-function": "nested_update"})
+    t.write(spark, spark.createDataFrame([(1, [(10, "a"), (10, "a")])], ddl))
+    t.write(spark, spark.createDataFrame([(1, [(11, "b")])], ddl))
+    t.write(spark, spark.createDataFrame(
+        [(1, [(10, "a")], "-D")], ddl + ", _row_kind string"))
+    got = [(r["id"], r["v"]) for r in t.read(spark).collect()[0]["nested"]]
+    assert got == [(11, "b")]  # removeIf drops every equal copy
