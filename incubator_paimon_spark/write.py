@@ -106,8 +106,32 @@ def assign_dynamic_buckets(spark: SparkSession, table, df: DataFrame,
     ver = int(time.time() * 1000)
 
     df = df.withColumn("__kh", F.hash(*[F.col(k) for k in pks]))
-    idx = table.index.read_df(spark, table.snapshots.latest(), schema,
-                              global_key=cross)
+    latest_snap = table.snapshots.latest()
+    A = opts.dynamic_bucket_assigner_parallelism
+    assigner = F.pmod(F.col("__kh"), F.lit(A)).cast("int")
+    if not table.index.read_files(latest_snap):
+        # first commit / no index yet: every key is new — skip the index
+        # joins entirely (probing four empty relations costs ~4s of stage
+        # overhead at local scale and buys nothing)
+        w = W.partitionBy(*(part_cols + ["__a"])).orderBy("__kh")
+        assigned = (df.select("__kh", *part_cols).distinct()
+                    .withColumn("__a", assigner)
+                    .withColumn("__slot", F.row_number().over(w) - 1)
+                    .withColumn("__new_bucket",
+                                (F.col("__a") + F.lit(A) *
+                                 F.floor(F.col("__slot") / target)).cast("int"))
+                    .select("__kh", *part_cols, "__new_bucket"))
+        assigned = assigned.cache()
+        df = (df.join(assigned, ["__kh"] + part_cols)
+                .withColumn(BUCKET_COL, F.col("__new_bucket")))
+        new_index = assigned.select(
+            F.col("__kh").alias("kh"), *part_cols,
+            F.col("__new_bucket").alias("bucket"),
+            F.lit(ver).alias("ver"))
+        df = df.drop("__kh", "__new_bucket")
+        return df, new_index, None
+
+    idx = table.index.read_df(spark, latest_snap, schema, global_key=cross)
     old = idx.select(
         F.col("kh").alias("__kh"),
         *[F.col(c).alias(f"__old_{c}") for c in part_cols],
@@ -134,20 +158,18 @@ def assign_dynamic_buckets(spark: SparkSession, table, df: DataFrame,
     # (HashBucketAssigner: assignment parallelism without coordination —
     # also kills the single-partition global window an exact sequential
     # fill would need)
-    A = opts.dynamic_bucket_assigner_parallelism
-    assigner = F.pmod(F.col("__kh"), F.lit(A)).cast("int")
     new_keys = (df.filter(F.col("__keep_bucket").isNull())
                   .select("__kh", *part_cols).distinct()
                   .withColumn("__a", assigner))
-    # per (partition, assigner) fill state: last owned bucket + its key count
+    # per (partition, assigner) fill state: last owned bucket + its key
+    # count, in two chained aggregations (map-side combined) — no self-join
     idx_a = idx.withColumn("__a", F.pmod(F.col("bucket"), F.lit(A)).cast("int"))
     state_keys = part_cols + ["__a"]
-    per_part = idx_a.groupBy(*state_keys).agg(F.max("bucket").alias("__maxb"))
-    last_load = (idx_a.join(per_part, state_keys)
-                 .filter(F.col("bucket") == F.col("__maxb"))
-                 .groupBy(*state_keys)
+    per_bucket = (idx_a.groupBy(*state_keys, "bucket")
+                  .agg(F.count("*").alias("__cnt")))
+    last_load = (per_bucket.groupBy(*state_keys)
                  .agg(F.max("bucket").alias("__maxb"),
-                      F.count("*").alias("__load")))
+                      F.max_by("__cnt", "bucket").alias("__load")))
     w = W.partitionBy(*(part_cols + ["__a"])).orderBy("__kh")
     assigned = (new_keys.join(last_load, state_keys, "left")
                 .withColumn("__maxb", F.coalesce(F.col("__maxb"), F.col("__a")))
