@@ -147,17 +147,20 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
     t.write(spark, orders.filter(F.col("o_orderkey") % 2 == 1))
     fx["orders_travel"] = t
 
-    # mutation chain on a PK table: delete → update → full compact
+    # mutation chain on a PK table: delete → update → full compact,
+    # driven through the SQL DML surface (sql.py)
     t = cat.create_table("fx.customer_mut", customer.schema,
                          primary_keys=["c_custkey"], options={"bucket": "4"})
     t.write(spark, customer)                                   # snapshot 1
-    t.delete_where(spark, P.eq("c_nationkey", 7))              # snapshot 2
-    t.update_where(spark, P.eq("c_mktsegment", "BUILDING"),    # snapshot 3
-                   {"c_acctbal": F.col("c_acctbal") + 1000.0})
+    cat.sql(spark, "DELETE FROM fx.customer_mut "             # snapshot 2
+                   "WHERE c_nationkey = 7")
+    cat.sql(spark, "UPDATE fx.customer_mut "                  # snapshot 3
+                   "SET c_acctbal = c_acctbal + 1000.0 "
+                   "WHERE c_mktsegment = 'BUILDING'")
     t.compact(spark, full=True)                                # snapshot 4
     fx["customer_mut"] = t
 
-    # MERGE INTO: upsert modified + brand-new rows
+    # MERGE INTO (SQL string surface): upsert modified + brand-new rows
     t = cat.create_table("fx.customer_merge", customer.schema,
                          primary_keys=["c_custkey"], options={"bucket": "4"})
     t.write(spark, customer)
@@ -166,8 +169,13 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
         .unionByName(customer.filter(F.col("c_custkey") % 5 == 1)
                      .withColumn("c_custkey", F.col("c_custkey") + 1000000)
                      .withColumn("c_name", F.lit("new")))
-    t.merge_into(spark, source, on=["c_custkey"],
-                 matched_update="*", not_matched_insert="*")
+    source.createOrReplaceTempView("fx_merge_source")
+    cat.sql(spark, """
+        MERGE INTO fx.customer_merge t USING fx_merge_source s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
     fx["customer_merge"] = t
 
     # dynamic partition overwrite on a status-partitioned append table

@@ -9,5 +9,6 @@ from .table import Catalog, Table  # noqa: F401
 from .predicate import P, Predicate  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .metadata.schema import TableSchema  # noqa: F401
+from .sql import execute_sql  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,379 @@
+"""SQL DML surface: MERGE INTO / DELETE FROM / UPDATE / CALL strings.
+
+The reference exposes row-level ops as Spark SQL commands
+(paimon-spark/.../commands/MergeIntoPaimonTable.scala:41-257,
+DeleteFromPaimonTableCommand.scala:45, UpdatePaimonTableCommand.scala:38,
+PaimonSqlExtensions.g4). Without a Catalyst extension point in pure Python,
+this module parses the same statements and rewrites them onto the library's
+row_ops APIs — the SQL text a reference user already has keeps working.
+
+WHERE clauses compile into the Predicate IR when expressible (comparisons,
+IN, BETWEEN, IS NULL, LIKE 'prefix%', AND/OR of those), so manifest-level
+partition/stats pruning applies exactly as with the programmatic API. A
+clause the IR can't express falls back to an opaque Spark-expression
+predicate — still correct, just unpruned (the conservative contract of
+LeafFunction.test).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import date, datetime
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from .predicate import And, Leaf, Or, Predicate
+
+
+@dataclass
+class SqlPredicate(Predicate):
+    """Opaque fallback: carries the raw SQL; never prunes, always correct."""
+    sql: str
+
+    def fields(self):
+        return {"__opaque_sql__"}
+
+    def test_value(self, row):
+        return True
+
+    def test_stats(self, stats):
+        return True
+
+    def to_column(self):
+        return F.expr(self.sql)
+
+
+# ----------------------------------------------------------------------
+# tokenizer + recursive-descent WHERE parser → Predicate IR
+# ----------------------------------------------------------------------
+_TOKEN = re.compile(r"""
+    \s*(
+        '(?:[^']|'')*'            # string literal (with '' escape)
+      | \d+\.\d+ | \.\d+ | \d+    # number
+      | [A-Za-z_][\w.]*           # identifier / keyword
+      | <= | >= | <> | != | = | < | > | \( | \) | ,
+    )""", re.VERBOSE)
+
+
+class _Unsupported(Exception):
+    pass
+
+
+def _tokenize(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip():
+                raise _Unsupported(s[pos:])
+            break
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+class _WhereParser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str):
+        t = self.next()
+        if t is None or t.upper() != kw:
+            raise _Unsupported(f"expected {kw}, got {t}")
+
+    def parse(self) -> Predicate:
+        p = self.or_expr()
+        if self.peek() is not None:
+            raise _Unsupported(f"trailing tokens: {self.toks[self.i:]}")
+        return p
+
+    def or_expr(self) -> Predicate:
+        parts = [self.and_expr()]
+        while self.peek() and self.peek().upper() == "OR":
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def and_expr(self) -> Predicate:
+        parts = [self.primary()]
+        while self.peek() and self.peek().upper() == "AND":
+            self.next()
+            parts.append(self.primary())
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def primary(self) -> Predicate:
+        t = self.peek()
+        if t == "(":
+            self.next()
+            p = self.or_expr()
+            if self.next() != ")":
+                raise _Unsupported("unbalanced parens")
+            return p
+        return self.comparison()
+
+    def literal(self):
+        t = self.next()
+        if t is None:
+            raise _Unsupported("eof in literal")
+        if t.startswith("'"):
+            return t[1:-1].replace("''", "'")
+        if re.fullmatch(r"\d+", t):
+            return int(t)
+        if re.fullmatch(r"\d*\.\d+|\d+\.\d*", t):
+            return float(t)
+        u = t.upper()
+        if u in ("TRUE", "FALSE"):
+            return u == "TRUE"
+        if u == "DATE":
+            return date.fromisoformat(self.literal())
+        if u == "TIMESTAMP":
+            return datetime.fromisoformat(self.literal())
+        if u == "-":
+            raise _Unsupported("unary minus")
+        raise _Unsupported(f"literal {t}")
+
+    def comparison(self) -> Predicate:
+        field = self.next()
+        if field is None or not re.fullmatch(r"[A-Za-z_][\w.]*", field):
+            raise _Unsupported(f"field {field}")
+        op = self.next()
+        if op is None:
+            raise _Unsupported("eof after field")
+        u = op.upper()
+        if u == "IS":
+            neg = False
+            if self.peek() and self.peek().upper() == "NOT":
+                self.next()
+                neg = True
+            self.expect_kw("NULL")
+            return Leaf("is_not_null" if neg else "is_null", field)
+        if u == "NOT":
+            self.expect_kw("IN")
+            return Leaf("not_in", field, self._in_list())
+        if u == "IN":
+            return Leaf("in", field, self._in_list())
+        if u == "BETWEEN":
+            lo = self.literal()
+            self.expect_kw("AND")
+            hi = self.literal()
+            return And([Leaf("ge", field, lo), Leaf("le", field, hi)])
+        if u == "LIKE":
+            pat = self.literal()
+            if (isinstance(pat, str) and pat.endswith("%")
+                    and not re.search(r"[%_]", pat[:-1])):
+                return Leaf("starts_with", field, pat[:-1])
+            raise _Unsupported(f"LIKE {pat!r}")
+        ops = {"=": "eq", "!=": "ne", "<>": "ne", "<": "lt", "<=": "le",
+               ">": "gt", ">=": "ge"}
+        if op in ops:
+            return Leaf(ops[op], field, self.literal())
+        raise _Unsupported(f"op {op}")
+
+    def _in_list(self):
+        if self.next() != "(":
+            raise _Unsupported("IN needs (")
+        vals = [self.literal()]
+        while self.peek() == ",":
+            self.next()
+            vals.append(self.literal())
+        if self.next() != ")":
+            raise _Unsupported("IN needs )")
+        return vals
+
+
+def where_to_predicate(where: str | None) -> Predicate | None:
+    """Compile a SQL boolean expression to the pruning IR; opaque fallback
+    (correct, unpruned) when the grammar can't express it."""
+    if where is None or not where.strip():
+        return None
+    try:
+        return _WhereParser(_tokenize(where)).parse()
+    except _Unsupported:
+        return SqlPredicate(where)
+
+
+# ----------------------------------------------------------------------
+# statement execution
+# ----------------------------------------------------------------------
+def execute_sql(spark: SparkSession, catalog, statement: str):
+    """Execute one DML/procedure statement against catalog tables."""
+    head = statement.lstrip().split(None, 1)
+    if not head:
+        raise ValueError("empty statement")
+    kw = head[0].upper()
+    if kw == "CALL":
+        from .procedures import call_sql
+        return call_sql(spark, catalog, statement)
+    if kw == "DELETE":
+        return _exec_delete(spark, catalog, statement)
+    if kw == "UPDATE":
+        return _exec_update(spark, catalog, statement)
+    if kw == "MERGE":
+        return _exec_merge(spark, catalog, statement)
+    if kw == "TRUNCATE":
+        m = re.match(r"\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", statement,
+                     re.IGNORECASE)
+        if not m:
+            raise ValueError(f"bad TRUNCATE: {statement!r}")
+        return catalog.get_table(m.group(1)).truncate()
+    raise ValueError(f"unsupported statement: {statement!r}")
+
+
+def _exec_delete(spark, catalog, statement):
+    m = re.match(r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+                 statement, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"bad DELETE: {statement!r}")
+    table = catalog.get_table(m.group(1))
+    if m.group(2) is None:
+        return table.truncate()
+    return table.delete_where(spark, where_to_predicate(m.group(2)))
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/strings."""
+    parts, depth, in_str, start = [], 0, False, 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_assignments(src: str) -> dict[str, str]:
+    out = {}
+    for part in _split_top_level(src):
+        k, v = part.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def _exec_update(spark, catalog, statement):
+    m = re.match(r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)"
+                 r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+                 statement, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"bad UPDATE: {statement!r}")
+    table = catalog.get_table(m.group(1))
+    assigns = {k: F.expr(v) for k, v in _parse_assignments(m.group(2)).items()}
+    return table.update_where(spark, where_to_predicate(m.group(3)), assigns)
+
+
+_MERGE_HEAD = re.compile(
+    r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?(?:\s+(?!USING)(\w+))?"
+    r"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.]+)(?:\s+AS)?(?:\s+(?!ON)(\w+))?"
+    r"\s+ON\s+(.*?)(?=\s+WHEN\s)",
+    re.IGNORECASE | re.DOTALL)
+
+_MERGE_WHEN = re.compile(
+    r"WHEN\s+(?:(NOT)\s+)?MATCHED(\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_aliases(expr: str, t_alias: str | None, s_alias: str | None) -> str:
+    """Map the statement's aliases onto row_ops.merge_into's fixed t/s."""
+    if t_alias and t_alias.lower() not in ("t",):
+        expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr,
+                      flags=re.IGNORECASE)
+    if s_alias and s_alias.lower() not in ("s",):
+        expr = re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr,
+                      flags=re.IGNORECASE)
+    return expr
+
+
+def _exec_merge(spark, catalog, statement):
+    m = _MERGE_HEAD.match(statement)
+    if not m:
+        raise ValueError(f"bad MERGE INTO: {statement!r}")
+    tbl_name, t_alias, src, s_alias, on_src = m.groups()
+    table = catalog.get_table(tbl_name)
+
+    if src.startswith("("):
+        source = spark.sql(src[1:-1])
+    else:
+        try:
+            source = spark.table(src)
+        except Exception:
+            source = catalog.get_table(src).read(spark)
+
+    rw = lambda e: _rewrite_aliases(e, t_alias, s_alias)
+    on = F.expr(rw(on_src))
+
+    kw: dict = {"matched_update": None, "not_matched_insert": None}
+    for wm in _MERGE_WHEN.finditer(statement, m.end()):
+        neg, by_source, cond_src, action = wm.groups()
+        cond = F.expr(rw(cond_src)) if cond_src else None
+        a = action.strip()
+        au = a.upper()
+        if au.startswith("UPDATE"):
+            if neg:
+                raise ValueError("WHEN NOT MATCHED cannot UPDATE")
+            body = a[a.upper().index("SET") + 3:].strip().rstrip(";").strip()
+            if body == "*":
+                kw["matched_update"] = "*"
+            else:
+                kw["matched_update"] = {
+                    k.split(".")[-1]: F.expr(rw(v))
+                    for k, v in _parse_assignments(rw(body)).items()}
+            kw["matched_update_condition"] = cond
+        elif au == "DELETE":
+            if neg and not by_source:
+                raise ValueError("WHEN NOT MATCHED cannot DELETE")
+            if by_source:
+                if cond is not None:
+                    raise ValueError(
+                        "conditional NOT MATCHED BY SOURCE not supported")
+                kw["not_matched_by_source_delete"] = True
+            else:
+                kw["matched_delete"] = True
+                kw["matched_delete_condition"] = cond
+        elif au.startswith("INSERT"):
+            if not neg or by_source:
+                raise ValueError("INSERT requires WHEN NOT MATCHED")
+            body = a[6:].strip().rstrip(";").strip()
+            if body == "*":
+                kw["not_matched_insert"] = "*"
+            else:
+                im = re.match(r"\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$", body,
+                              re.IGNORECASE | re.DOTALL)
+                if not im:
+                    raise ValueError(f"bad INSERT clause: {a!r}")
+                cols = [c.strip().split(".")[-1]
+                        for c in im.group(1).split(",")]
+                vals = _split_top_level(im.group(2))
+                if len(cols) != len(vals):
+                    raise ValueError("INSERT column/value count mismatch")
+                kw["not_matched_insert"] = {
+                    c: F.expr(rw(v)) for c, v in zip(cols, vals)}
+            kw["not_matched_insert_condition"] = cond
+        else:
+            raise ValueError(f"bad WHEN action: {a!r}")
+
+    return table.merge_into(spark, source, on, **kw)

@@ -418,6 +418,12 @@ class Catalog:
         os.rename(os.path.join(self._db_path(db1), n1),
                   os.path.join(self._db_path(db2), n2))
 
+    def sql(self, spark, statement: str):
+        """Execute a DML / CALL SQL string against this catalog's tables
+        (MERGE INTO / DELETE FROM / UPDATE / TRUNCATE / CALL)."""
+        from .sql import execute_sql
+        return execute_sql(spark, self, statement)
+
 
 def _validate(ts: TableSchema):
     opts = ts.core_options

@@ -1,0 +1,132 @@
+"""SQL DML surface (sql.py) — statement parity with the row_ops APIs,
+mirroring the reference's MergeIntoTableTestBase / DeleteFromTableTestBase
+/ UpdateTableTestBase SQL shapes."""
+
+import pytest
+from pyspark.sql import types as T
+
+from incubator_paimon_spark.predicate import And, Leaf, Or
+from incubator_paimon_spark.sql import SqlPredicate, where_to_predicate
+
+
+def _schema(ddl):
+    return T.StructType.fromDDL(ddl)
+
+
+# ---------------------------------------------------------------- parser
+def test_where_parser_comparisons():
+    p = where_to_predicate("a = 1 AND b < 2.5 OR c IS NOT NULL")
+    assert isinstance(p, Or)
+    left, right = p.children
+    assert isinstance(left, And)
+    assert [type(x) for x in left.children] == [Leaf, Leaf]
+    assert (left.children[0].op, left.children[0].field,
+            left.children[0].literal) == ("eq", "a", 1)
+    assert right.op == "is_not_null"
+
+
+def test_where_parser_in_between_like():
+    p = where_to_predicate("x IN (1, 2, 3)")
+    assert p.op == "in" and p.literal == [1, 2, 3]
+    p = where_to_predicate("x BETWEEN 5 AND 9")
+    assert isinstance(p, And)
+    p = where_to_predicate("s LIKE 'pre%'")
+    assert p.op == "starts_with" and p.literal == "pre"
+    p = where_to_predicate("s = 'it''s'")
+    assert p.literal == "it's"
+
+
+def test_where_parser_opaque_fallback():
+    p = where_to_predicate("length(s) > 3")
+    assert isinstance(p, SqlPredicate)
+    assert p.test_stats({}) and p.test_value({})
+
+
+# ---------------------------------------------------------------- DML
+@pytest.fixture()
+def pk_table(spark, catalog):
+    t = catalog.create_table(
+        "db.sqlpk", _schema("k bigint, v string, n int"),
+        primary_keys=["k"], options={"bucket": "2"})
+    t.write(spark, spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n int"))
+    return t
+
+
+def test_sql_delete_where(spark, catalog, pk_table):
+    catalog.sql(spark, "DELETE FROM db.sqlpk WHERE k = 2")
+    assert {r["k"] for r in pk_table.read(spark).collect()} == {1, 3}
+
+
+def test_sql_delete_all_truncates(spark, catalog, pk_table):
+    catalog.sql(spark, "DELETE FROM db.sqlpk")
+    assert pk_table.read(spark).count() == 0
+
+
+def test_sql_update(spark, catalog, pk_table):
+    catalog.sql(spark,
+                "UPDATE db.sqlpk SET v = upper(v), n = n + 1 WHERE k >= 2")
+    got = {r["k"]: (r["v"], r["n"]) for r in pk_table.read(spark).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 21), 3: ("C", 31)}
+
+
+def test_sql_merge_into(spark, catalog, pk_table):
+    src = spark.createDataFrame(
+        [(2, "b2", 200), (9, "i", 90)], "k long, v string, n int")
+    src.createOrReplaceTempView("sql_merge_src")
+    catalog.sql(spark, """
+        MERGE INTO db.sqlpk AS tgt USING sql_merge_src AS src
+        ON tgt.k = src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["k"]: (r["v"], r["n"]) for r in pk_table.read(spark).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 200), 3: ("c", 30), 9: ("i", 90)}
+
+
+def test_sql_merge_clauses(spark, catalog, pk_table):
+    src = spark.createDataFrame(
+        [(1, "x", 0), (2, "y", 5), (7, "new", 70)], "k long, v string, n int")
+    src.createOrReplaceTempView("sql_merge_src2")
+    catalog.sql(spark, """
+        MERGE INTO db.sqlpk t2 USING sql_merge_src2 s2 ON t2.k = s2.k
+        WHEN MATCHED AND s2.n = 0 THEN UPDATE SET v = concat(t2.v, '!'), n = s2.n
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s2.n > 50 THEN INSERT (k, v, n) VALUES (s2.k, s2.v, s2.n)
+    """)
+    got = {r["k"]: (r["v"], r["n"]) for r in pk_table.read(spark).collect()}
+    # k=1 updated (n=0 branch), k=2 deleted, k=3 untouched, k=7 inserted
+    assert got == {1: ("a!", 0), 3: ("c", 30), 7: ("new", 70)}
+
+
+def test_sql_merge_subquery_source_and_by_source(spark, catalog):
+    t = catalog.create_table(
+        "db.sqlbs", _schema("k bigint, v string"),
+        primary_keys=["k"], options={"bucket": "1"})
+    t.write(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))
+    catalog.sql(spark, """
+        MERGE INTO db.sqlbs t USING (SELECT CAST(1 AS BIGINT) AS k, 'a2' AS v) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a2"}
+
+
+def test_sql_update_opaque_where(spark, catalog, pk_table):
+    catalog.sql(spark, "UPDATE db.sqlpk SET n = 0 WHERE v IN ('a') OR length(v) = 9")
+    got = {r["k"]: r["n"] for r in pk_table.read(spark).collect()}
+    assert got == {1: 0, 2: 20, 3: 30}
+
+
+def test_sql_delete_prunes_partitions(spark, catalog):
+    t = catalog.create_table(
+        "db.sqlpart", _schema("k bigint, p string, v int"),
+        partition_keys=["p"])
+    t.write(spark, spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 2), (3, "y", 3)], "k long, p string, v int"))
+    catalog.sql(spark, "DELETE FROM db.sqlpart WHERE p = 'y' AND v = 2")
+    got = sorted((r["k"], r["p"]) for r in t.read(spark).collect())
+    assert got == [(1, "x"), (3, "y")]
