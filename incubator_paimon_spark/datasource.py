@@ -162,21 +162,50 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
         latest = t.snapshots.latest_id() or 0
         if latest <= start["snapshot_id"]:
             return iter([]), start
-        # read limits (PaimonReadLimits): bound one trigger by snapshots/rows
-        max_snaps = self.options.get("read.stream.maxSnapshotsPerTrigger")
-        max_rows = self.options.get("read.stream.maxRowsPerTrigger")
+        # read limits (PaimonReadLimits.scala: ReadMaxSnapshots/ReadMaxRows/
+        # ReadMaxBytes/ReadMaxFiles compose; ReadMinRows admits a batch only
+        # once enough rows accumulated OR the trigger delay expired)
+        opt = self.options.get
+        max_snaps = opt("read.stream.maxSnapshotsPerTrigger")
+        max_rows = opt("read.stream.maxRowsPerTrigger")
+        max_bytes = opt("read.stream.maxBytesPerTrigger")
+        max_files = opt("read.stream.maxFilesPerTrigger")
+        min_rows = opt("read.stream.minRowsPerTrigger")
+        delay_ms = int(opt("read.stream.maxTriggerDelayMs", "0"))
         end_id = latest
         if max_snaps:
             end_id = min(end_id, start["snapshot_id"] + int(max_snaps))
-        if max_rows:
-            budget, sid = int(max_rows), start["snapshot_id"]
+        if max_rows or max_bytes or max_files or min_rows:
+            rows = nbytes = nfiles = 0
+            sid = start["snapshot_id"]
+            stop = sid
             while sid < end_id:
                 sid += 1
                 if t.snapshots.exists(sid):
-                    budget -= max(t.snapshots.read(sid).delta_record_count, 0)
-                if budget <= 0:
-                    break  # always include at least one snapshot
-            end_id = sid
+                    snap = t.snapshots.read(sid)
+                    rows += max(snap.delta_record_count, 0)
+                    if max_bytes or max_files:
+                        entries = (t.changelog_entries(snap)
+                                   or t.delta_entries(snap))
+                        nbytes += sum(e.file.file_size for e in entries)
+                        nfiles += len(entries)
+                stop = sid  # the crossing snapshot is included (reference)
+                if ((max_rows and rows >= int(max_rows))
+                        or (max_bytes and nbytes >= int(max_bytes))
+                        or (max_files and nfiles >= int(max_files))):
+                    break
+            end_id = stop
+            if min_rows:
+                # ReadMinRows: hold the trigger until enough rows backlog or
+                # maxTriggerDelay since the last admitted batch
+                import time as _time
+                now = _time.time() * 1000
+                last = getattr(self, "_last_trigger_ms", None)
+                if last is None:
+                    last = self._last_trigger_ms = now
+                if rows < int(min_rows) and now - last < delay_ms:
+                    return iter([]), start
+                self._last_trigger_ms = now
         end = {"snapshot_id": end_id}
         return self.readBetweenOffsets(start, end), end
 

@@ -39,7 +39,9 @@ class DataFileMeta:
     # value stats: {col: {"min":.., "max":.., "null_count":..}}
     stats: dict = dc_field(default_factory=dict)
     creation_time_millis: int = 0
-    delete_row_count: int = 0
+    # None = unknown (reference's Optional<Long> deleteRowCount); only an
+    # explicit 0 proves the file holds no -D/-U rows (rawConvertible gate)
+    delete_row_count: int | None = None
     # row kind breakdown for changelog files: {"+I": n, ...}
     row_kind_counts: dict = dc_field(default_factory=dict)
     # bloom-filter file index: {col: sorted bit positions} or {col: None}
@@ -75,7 +77,7 @@ class DataFileMeta:
             level=j.get("level", 0),
             stats=j.get("stats", {}),
             creation_time_millis=j.get("creationTimeMillis", 0),
-            delete_row_count=j.get("deleteRowCount", 0),
+            delete_row_count=j.get("deleteRowCount"),
             row_kind_counts=j.get("rowKindCounts", {}),
             file_index=j.get("fileIndex", {}),
         )

@@ -168,6 +168,54 @@ def _analyze(spark, catalog, table, cols=None, **_):
     return _t(catalog, table).analyze(spark, cols)
 
 
+def _repair(spark, catalog, database_or_table=None, **_):
+    """Re-sync filesystem state (RepairProcedure.java): validate each table's
+    schema is readable, rewrite stale LATEST snapshot hints from the actual
+    listing, and drop abandoned .staging dirs older than an hour. Returns the
+    repaired identifiers. Scope: one table ('db.t'), one database ('db'), or
+    everything (no arg) — same argument shape as the reference."""
+    import os
+    import shutil
+    import time
+
+    from .metadata.util import write_text
+
+    if database_or_table and "." in database_or_table:
+        idents = [database_or_table]
+    elif database_or_table:
+        idents = [f"{database_or_table}.{n}"
+                  for n in catalog.list_tables(database_or_table)]
+    else:
+        idents = [f"{db}.{n}" for db in catalog.list_databases()
+                  for n in catalog.list_tables(db)]
+    repaired = []
+    now = time.time()
+    for ident in idents:
+        t = catalog.get_table(ident)  # raises on unreadable schema
+        fixed = False
+        mgr = t.snapshots
+        ids = mgr._ids()
+        hint = os.path.join(mgr.dir, "LATEST")
+        if ids:
+            try:
+                stale = int(open(hint).read().strip()) != ids[-1]
+            except (OSError, ValueError):
+                stale = True
+            if stale:
+                write_text(hint, str(ids[-1]))
+                fixed = True
+        staging = os.path.join(t.path, ".staging")
+        if os.path.isdir(staging):
+            for d in os.listdir(staging):
+                p = os.path.join(staging, d)
+                if now - os.path.getmtime(p) > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+                    fixed = True
+        if fixed:
+            repaired.append(ident)
+    return repaired
+
+
 _PROCEDURES = {
     "compact": _compact,
     "expire_snapshots": _expire_snapshots,
@@ -184,4 +232,5 @@ _PROCEDURES = {
     "create_tag_from_timestamp": _create_tag_from_timestamp,
     "analyze": _analyze,
     "migrate_table": _migrate_table,
+    "repair": _repair,
 }

@@ -40,6 +40,11 @@ class ScanPlan:
     snapshot: Snapshot | None
     entries: list[ManifestEntry] = dc_field(default_factory=list)
     residual: Predicate | None = None
+    # schema the scan resolved against: the table's CURRENT schema for
+    # ordinary scans (files evolve forward even when the latest snapshot
+    # predates a schema change), the snapshot's write-time schema under
+    # explicit time travel (Spark VERSION AS OF semantics).
+    schema: "TableSchema | None" = None
 
     @property
     def total_rows(self) -> int:
@@ -94,7 +99,9 @@ class TableScan:
             t.manifests.read_all_entries(snapshot.base_manifest_list)
             + t.manifests.read_all_entries(snapshot.delta_manifest_list))
 
-        schema = t.schema_at(snapshot.schema_id)
+        time_travel = (self.tag is not None or self.snapshot_id is not None
+                       or self.timestamp_ms is not None)
+        schema = t.schema_at(snapshot.schema_id) if time_travel else t.schema
         if self.read_optimized and schema.primary_keys:
             max_level = schema.core_options.num_levels - 1
             entries = [e for e in entries if e.file.level == max_level]
@@ -119,22 +126,29 @@ class TableScan:
             # (filterByStats keys-only; filterWholeBucketByStats for values):
             # prune per-file only with key/partition fields, and apply value
             # fields per whole bucket (every file in the bucket must fail).
+            # predicates devolve to each file's write-time schema by field id
+            # so renamed columns keep pruning (SchemaEvolutionUtil.java:78)
             if schema.primary_keys:
                 safe = set(schema.trimmed_primary_keys()) | set(schema.partition_keys)
                 key_pred, value_pred = split_by_fields(predicate, safe)
                 if key_pred is not None:
+                    kp = per_schema_predicate(t, schema, key_pred)
                     entries = [e for e in entries
-                               if _stats_keep(e, key_pred) and _bloom_keep(e, key_pred)]
+                               if (q := kp(e)) is None
+                               or (_stats_keep(e, q) and _bloom_keep(e, q))]
                 if (value_pred is not None and
                         schema.core_options.merge_engine in ("deduplicate", "first-row")):
                     # For these engines the merged row IS one input row, so if
                     # every file in a bucket fails, no merged row can match.
                     # partial-update/aggregation combine fields across files —
                     # value pruning there is unsafe even per-bucket; skip it.
-                    entries = _prune_whole_buckets(entries, value_pred)
+                    entries = _prune_whole_buckets(
+                        entries, per_schema_predicate(t, schema, value_pred))
             else:
+                pp = per_schema_predicate(t, schema, predicate)
                 entries = [e for e in entries
-                           if _stats_keep(e, predicate) and _bloom_keep(e, predicate)]
+                           if (q := pp(e)) is None
+                           or (_stats_keep(e, q) and _bloom_keep(e, q))]
             residual = predicate  # keep full predicate as residual (cheap, exact)
 
         if limit is not None and not schema.primary_keys:
@@ -147,7 +161,7 @@ class TableScan:
                 if total >= limit:
                     break
             entries = picked
-        return ScanPlan(snapshot, entries, residual)
+        return ScanPlan(snapshot, entries, residual, schema)
 
 
 def _top_level_equalities(pred: Predicate) -> dict:
@@ -183,20 +197,79 @@ def _pinned_bucket(schema: TableSchema, pred: Predicate) -> int | None:
     return h % nb  # pmod: Python % is already non-negative for nb > 0
 
 
-def _prune_whole_buckets(entries: list[ManifestEntry], value_pred: Predicate) -> list[ManifestEntry]:
+def _prune_whole_buckets(entries: list[ManifestEntry], pred_of) -> list[ManifestEntry]:
     """Drop a (partition, bucket) only when EVERY file in it fails the
     value-column predicate — merge-safe because dropping all versions of
     every key in the bucket cannot resurrect a stale version
-    (KeyValueFileStoreScan.filterWholeBucketByStats / filterByValueFilter)."""
+    (KeyValueFileStoreScan.filterWholeBucketByStats / filterByValueFilter).
+    `pred_of(entry)` yields the per-write-schema devolved predicate."""
     by_bucket: dict = {}
     for e in entries:
         key = (tuple(sorted((k, str(v)) for k, v in e.partition.items())), e.bucket)
         by_bucket.setdefault(key, []).append(e)
     out = []
     for es in by_bucket.values():
-        if any(_stats_keep(e, value_pred) and _bloom_keep(e, value_pred) for e in es):
+        if any((q := pred_of(e)) is None
+               or (_stats_keep(e, q) and _bloom_keep(e, q)) for e in es):
             out.extend(es)
     return out
+
+
+def devolve_predicate(pred: Predicate, target_schema: TableSchema,
+                      file_schema: TableSchema) -> Predicate | None:
+    """Rewrite a current-schema predicate against a file's write-time schema
+    by field id (SchemaEvolutionUtil.java:78 createDataFilters), so renamed
+    columns keep their stats/bloom pruning. Conservative drops: a leaf whose
+    field was added later or retyped vanishes (inside AND the remaining
+    leaves still prune; an OR with any untranslatable child abandons the
+    branch). None = nothing testable → keep the file."""
+    from .predicate import And, Leaf, Or
+
+    by_id = {f.id: f for f in file_schema.fields}
+    tgt = {f.name: f for f in target_schema.fields}
+
+    def walk(p):
+        if isinstance(p, And):
+            kids = [k for k in (walk(c) for c in p.children) if k is not None]
+            if not kids:
+                return None
+            return kids[0] if len(kids) == 1 else And(kids)
+        if isinstance(p, Or):
+            kids = [walk(c) for c in p.children]
+            if any(k is None for k in kids):
+                return None
+            return Or(kids)
+        if isinstance(p, Leaf):
+            f = tgt.get(p.field)
+            old = by_id.get(f.id) if f is not None else None
+            if old is None:
+                return None
+            if old.type.simpleString() != f.type.simpleString():
+                return None  # retyped: literal comparison vs old stats unsafe
+            return p if old.name == p.field else Leaf(p.op, old.name, p.literal)
+        return None  # opaque predicate (e.g. sql.SqlPredicate)
+
+    return walk(pred)
+
+
+def per_schema_predicate(table, target_schema: TableSchema,
+                         pred: Predicate | None):
+    """entry → predicate devolved to that entry's write-time schema,
+    memoized per schema id."""
+    cache: dict[int, Predicate | None] = {}
+
+    def get(e: ManifestEntry) -> Predicate | None:
+        if pred is None:
+            return None
+        sid = e.file.schema_id
+        if sid == target_schema.id:
+            return pred
+        if sid not in cache:
+            cache[sid] = devolve_predicate(pred, target_schema,
+                                           table.schema_at(sid))
+        return cache[sid]
+
+    return get
 
 
 def _stats_keep(e: ManifestEntry, pred: Predicate) -> bool:
@@ -327,8 +400,10 @@ def plan_to_df(
 ) -> DataFrame:
     """Build the result DataFrame for a plan: raw-convertible buckets read
     directly; others go through the merge engine; union both."""
-    schema = (table.schema if plan.snapshot is None
-              else table.schema_at(plan.snapshot.schema_id))
+    schema = plan.schema
+    if schema is None:
+        schema = (table.schema if plan.snapshot is None
+                  else table.schema_at(plan.snapshot.schema_id))
     is_pk = bool(schema.primary_keys)
     empty_schema = _with_system_cols(schema.spark_schema(), is_pk and (with_system_cols or audit_log or True))
 
@@ -348,7 +423,8 @@ def plan_to_df(
     else:
         max_level = schema.core_options.num_levels - 1
         needs_agg_level = schema.core_options.merge_engine == "aggregation"
-        raw_buckets, merge_buckets = _split_raw_buckets(plan.entries, max_level)
+        raw_buckets, merge_buckets = _split_raw_buckets(
+            plan.entries, max_level, table=table, schema=schema)
         keep = _merge_projection(schema, projection, plan.residual)
         parts = []
         if merge_buckets:
@@ -432,17 +508,88 @@ def _merge_projection(schema: TableSchema, projection, residual) -> list[str] | 
     return [c for c in schema.field_names() if c in needed]
 
 
-def _split_raw_buckets(entries, max_level):
-    """rawConvertible: a (partition,bucket) whose files all sit at max level
-    holds exactly one sorted run with no deletes → no merge needed."""
+def _split_raw_buckets(entries, max_level, table=None, schema=None):
+    """rawConvertible split (MergeTreeSplitGenerator.java:38 via
+    IntervalPartition.java:33): a (partition,bucket) whose files all sit at
+    max level holds exactly one sorted run → no merge needed. Otherwise,
+    interval-partition the bucket's files by primary-key range: sections
+    whose key ranges don't overlap are key-disjoint, so a single-file
+    section with no delete rows reads raw while only genuinely overlapping
+    sections pay the merge. Per-column min/max tuples bound the
+    lexicographic key range conservatively (every key in a file is >= the
+    columnwise-min tuple and <= the columnwise-max tuple), so over-reported
+    overlap only costs a merge, never correctness."""
     by_bucket: dict = {}
     for e in entries:
         key = (tuple(sorted((k, str(v)) for k, v in e.partition.items())), e.bucket)
         by_bucket.setdefault(key, []).append(e)
+    key_cols = schema.trimmed_primary_keys() if schema is not None else []
     raw, merge = [], []
     for _key, es in by_bucket.items():
         if all(e.file.level == max_level for e in es):
+            # one sorted run of compaction outputs: unique keys, deletes
+            # already dropped by the merge that produced them
             raw.extend(es)
+        elif table is not None and key_cols:
+            ranges = [_key_range(table, schema, key_cols, e) for e in es]
+            if any(r is None for r in ranges):
+                merge.extend(es)  # a file without key stats may overlap any
+                continue
+            try:
+                sections = _interval_sections(sorted(zip(ranges, es),
+                                                     key=lambda t: t[0]))
+            except TypeError:  # incomparable stats (json round-trip types)
+                merge.extend(es)
+                continue
+            for section in sections:
+                # level>0 files are compaction outputs (unique keys); a
+                # level-0 flush may hold several versions of one key, so it
+                # always merges. delete_row_count==0 proves no -D/-U rows.
+                if (len(section) == 1 and section[0].file.level > 0
+                        and section[0].file.delete_row_count == 0):
+                    raw.append(section[0])
+                else:
+                    merge.extend(section)
         else:
             merge.extend(es)
     return raw, merge
+
+
+def _key_range(table, schema, key_cols, e):
+    """((min...), (max...)) tuple bounds of the file's primary-key range from
+    its per-column stats, mapped by field id to the file's write-time column
+    names; None when any key column lacks stats."""
+    names = key_cols
+    if e.file.schema_id != schema.id:
+        by_id = {f.id: f for f in table.schema_at(e.file.schema_id).fields}
+        cur = {f.name: f for f in schema.fields}
+        names = []
+        for c in key_cols:
+            old = by_id.get(cur[c].id) if c in cur else None
+            if old is None:
+                return None
+            names.append(old.name)
+    stats = dict(e.file.stats)
+    mins, maxs = [], []
+    for c in names:
+        s = stats.get(c)
+        if not isinstance(s, dict) or s.get("min") is None or s.get("max") is None:
+            return None
+        mins.append(s["min"])
+        maxs.append(s["max"])
+    return tuple(mins), tuple(maxs)
+
+
+def _interval_sections(ranged):
+    """Sweep sorted ((min,max), entry) pairs into transitively-overlapping
+    sections (IntervalPartition.java:33 partition())."""
+    sections, current, bound = [], [], None
+    for (mn, mx), e in ranged:
+        if current and mn > bound:
+            sections.append(current)
+            current, bound = [], None
+        current.append(e)
+        bound = mx if bound is None or mx > bound else bound
+    if current:
+        sections.append(current)
+    return sections

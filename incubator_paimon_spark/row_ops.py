@@ -34,7 +34,10 @@ def _touched_entries(table, predicate: Predicate | None):
     part_pred, _ = split_by_fields(predicate, set(schema.partition_keys))
     if part_pred is not None:
         entries = [e for e in entries if part_pred.test_value(e.partition)]
-    return [e for e in entries if _stats_keep(e, predicate)]
+    from .read import per_schema_predicate
+    pp = per_schema_predicate(table, schema, predicate)
+    return [e for e in entries
+            if (q := pp(e)) is None or _stats_keep(e, q)]
 
 
 def delete_where(spark: SparkSession, table, predicate: Predicate,

@@ -188,18 +188,35 @@ class MicroBatchStream:
 
 
 def stream_changes(table, spark, poll_interval_s: float = 1.0, bounded: bool = True,
-                   **kw):
+                   bounded_watermark: int | None = None, **kw):
     """Generator of (snapshot_id, DataFrame) batches; bounded=True stops at
-    the current latest (BoundedChecker semantics)."""
+    the current latest; bounded_watermark stops after the first consumed
+    snapshot whose watermark passes it (BoundedChecker.java:30
+    watermark(long) — scan.bounded.watermark end condition)."""
     stream = MicroBatchStream(table, spark, **kw)
     bound = table.snapshots.latest_id() or 0
+    user_max = stream.max_snapshots
     while True:
+        if bounded_watermark is not None:
+            # end BEFORE the first snapshot whose watermark passes the bound
+            # (shouldEndInput), and cap the batch at that boundary
+            allowed, sid = 0, stream.next_snapshot
+            while table.snapshots.exists(sid):
+                wm = table.snapshots.read(sid).watermark
+                if wm is not None and wm > bounded_watermark:
+                    break
+                allowed += 1
+                sid += 1
+            if allowed == 0 and table.snapshots.exists(stream.next_snapshot):
+                return
+            stream.max_snapshots = (allowed if user_max is None
+                                    else min(allowed, user_max)) or None
         batch = stream.next_batch()
         if batch is None:
-            if bounded:
+            if bounded and bounded_watermark is None:
                 return
             _time.sleep(poll_interval_s)
             continue
         yield batch
-        if bounded and stream.next_snapshot > bound:
+        if bounded_watermark is None and bounded and stream.next_snapshot > bound:
             return

@@ -435,6 +435,17 @@ class BatchTableWrite:
                     partition[col] = partition_value_from_dir(comp, pt_types[key])
             st = stats_by_path[path]
             seq_stats = st["cols"].get(SEQUENCE_NUMBER, {})
+            # deleteRowCount (reference Optional<Long>): row kinds sort
+            # '+I' < '+U' < '-D' < '-U', so a _VALUE_KIND max starting with
+            # '+' proves the file holds no retract/delete rows. Unknown stats
+            # → None (raw-convertible split only trusts an explicit 0).
+            if not schema.primary_keys:
+                delete_rows = 0
+            else:
+                kind_stats = st["cols"].get(VALUE_KIND) or {}
+                kmax = kind_stats.get("max")
+                delete_rows = (0 if isinstance(kmax, str)
+                               and kmax.startswith("+") else None)
             part_dir = "/".join(
                 f"{c}={_dir_value(partition[c])}" for c in schema.partition_keys)
             bucket_dir = BUCKET_DIR.format(b=bucket)
@@ -450,6 +461,7 @@ class BatchTableWrite:
                 level=level,
                 stats=st["cols"],
                 creation_time_millis=now,
+                delete_row_count=delete_rows,
             )
             entries.append(_AddEntry(path, partition, bucket, meta))
         return entries

@@ -147,3 +147,46 @@ def test_call_sql_and_aggregation_fields(spark, catalog, customer):
     t.write(spark, customer)
     call_sql(spark, catalog, "CALL sys.compact(table => 'db.cs', full => true)")
     assert t.snapshots.latest().commit_kind == "COMPACT"
+
+
+def test_stream_read_limits_bytes_files_minrows(spark, catalog, customer):
+    """PaimonReadLimits parity: maxBytes/maxFiles bound a trigger; minRows +
+    maxTriggerDelay hold a trigger until backlog or timeout (unit-level on
+    PaimonStreamReader.read — no streaming engine needed)."""
+    from incubator_paimon_spark.datasource import PaimonStreamReader
+
+    t = catalog.create_table("db.dslim2", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    for i in range(4):
+        t.write(spark, customer.filter(f"c_custkey % 4 = {i}"))
+
+    # maxBytes: 1 byte budget → the crossing snapshot is included, one per call
+    r = PaimonStreamReader({"path": t.path, "scan.mode": "earliest",
+                            "read.stream.maxBytesPerTrigger": "1"}, False)
+    start = r.initialOffset()
+    _, end = r.read(start)
+    assert end["snapshot_id"] == start["snapshot_id"] + 1
+
+    # maxFiles: every snapshot wrote 2 buckets → 2 files crosses a 2-file cap
+    r = PaimonStreamReader({"path": t.path, "scan.mode": "earliest",
+                            "read.stream.maxFilesPerTrigger": "2"}, False)
+    _, end = r.read(r.initialOffset())
+    assert end["snapshot_id"] == start["snapshot_id"] + 1
+
+    # minRows larger than the whole backlog + long delay → batch held
+    r = PaimonStreamReader({"path": t.path, "scan.mode": "earliest",
+                            "read.stream.minRowsPerTrigger": "10000000",
+                            "read.stream.maxTriggerDelayMs": "3600000"}, False)
+    start = r.initialOffset()
+    it, end = r.read(start)
+    assert end == start and list(it) == []
+    # delay expired → admitted despite minRows
+    r._last_trigger_ms = 0
+    _, end = r.read(start)
+    assert end["snapshot_id"] == 4
+
+    # no limits → drain everything in one trigger
+    r = PaimonStreamReader({"path": t.path, "scan.mode": "earliest"}, False)
+    _, end = r.read(r.initialOffset())
+    assert end["snapshot_id"] == 4

@@ -77,3 +77,28 @@ def test_procedure_registry_covers_surface(catalog):
                  "reset_consumer", "migrate_table", "expire_changelogs",
                  "create_tag_from_timestamp", "analyze"):
         assert name in _PROCEDURES, name
+
+
+def test_repair_procedure(spark, catalog, customer):
+    """CALL sys.repair: rewrites a stale LATEST hint and sweeps old staging
+    dirs (RepairProcedure.java parity for the filesystem catalog)."""
+    import os
+
+    from incubator_paimon_spark.procedures import call_sql
+
+    t = catalog.create_table("db.rep", customer.schema)
+    t.write(spark, customer.limit(10))
+    t.write(spark, customer.limit(20))
+    hint = os.path.join(t.snapshots.dir, "LATEST")
+    with open(hint, "w") as f:
+        f.write("1")  # stale
+    stale_dir = os.path.join(t.path, ".staging", "dead")
+    os.makedirs(stale_dir)
+    os.utime(os.path.join(t.path, ".staging", "dead"), (0, 0))
+
+    fixed = call_sql(spark, catalog, "CALL sys.repair(database_or_table => 'db.rep')")
+    assert "db.rep" in fixed
+    assert open(hint).read().strip() == "2"
+    assert not os.path.exists(stale_dir)
+    # idempotent second run repairs nothing
+    assert call_sql(spark, catalog, "CALL sys.repair(database_or_table => 'db')") == []

@@ -188,3 +188,71 @@ class TestOptions:
     def test_unknown_engine_rejected(self):
         with pytest.raises(ValueError):
             _ = CoreOptions({"merge-engine": "nope"}).merge_engine
+
+
+class TestIntervalPartitionSplit:
+    """rawConvertible via key-range interval partitioning
+    (IntervalPartition.java:33, MergeTreeSplitGenerator.java:38)."""
+
+    def _schema(self):
+        mgr_schema = TableSchema(
+            id=0,
+            fields=[],
+            highest_field_id=0,
+            partition_keys=[],
+            primary_keys=["k"],
+            options={},
+        )
+        return mgr_schema
+
+    def _entry(self, name, lo, hi, level, drc=0):
+        m = DataFileMeta(file_name=name, file_size=100, row_count=10,
+                         level=level, stats={"k": {"min": lo, "max": hi,
+                                                   "null_count": 0}},
+                         delete_row_count=drc)
+        return ManifestEntry("ADD", {}, 0, m)
+
+    def test_disjoint_compacted_file_reads_raw(self):
+        from incubator_paimon_spark.read import _split_raw_buckets
+        schema = self._schema()
+        entries = [
+            self._entry("a", 0, 100, level=2),      # disjoint → raw
+            self._entry("b", 200, 300, level=2),    # overlaps c → merge
+            self._entry("c", 250, 260, level=0),    # level 0 → merge
+        ]
+        raw, merge = _split_raw_buckets(entries, max_level=5,
+                                        table=object(), schema=schema)
+        assert [e.file.file_name for e in raw] == ["a"]
+        assert sorted(e.file.file_name for e in merge) == ["b", "c"]
+
+    def test_level0_and_deletes_never_raw(self):
+        from incubator_paimon_spark.read import _split_raw_buckets
+        schema = self._schema()
+        entries = [
+            self._entry("l0", 0, 100, level=0),            # level-0 flush
+            self._entry("dv", 200, 300, level=2, drc=None),  # unknown deletes
+        ]
+        raw, merge = _split_raw_buckets(entries, max_level=5,
+                                        table=object(), schema=schema)
+        assert raw == []
+        assert len(merge) == 2
+
+    def test_missing_stats_falls_back_to_merge(self):
+        from incubator_paimon_spark.read import _split_raw_buckets
+        schema = self._schema()
+        nostats = ManifestEntry("ADD", {}, 0, DataFileMeta(
+            file_name="x", file_size=100, row_count=10, level=2))
+        entries = [self._entry("a", 0, 100, level=2), nostats]
+        raw, merge = _split_raw_buckets(entries, max_level=5,
+                                        table=object(), schema=schema)
+        assert raw == []
+        assert len(merge) == 2
+
+    def test_all_max_level_whole_bucket_raw(self):
+        from incubator_paimon_spark.read import _split_raw_buckets
+        schema = self._schema()
+        entries = [self._entry("a", 0, 100, level=5),
+                   self._entry("b", 50, 150, level=5)]
+        raw, merge = _split_raw_buckets(entries, max_level=5,
+                                        table=object(), schema=schema)
+        assert len(raw) == 2 and merge == []

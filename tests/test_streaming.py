@@ -91,3 +91,18 @@ def test_exactly_once_commit_identifier(spark, catalog, customer):
     t.write(spark, customer.limit(7), commit_identifier=1)  # replay: no-op
     assert len(t.snapshots.list_all()) == 1
     assert t.read(spark).count() == 5
+
+
+def test_stream_changes_bounded_watermark(spark, catalog, customer):
+    """scan.bounded.watermark: the stream ends after consuming the first
+    snapshot whose watermark passes the bound (BoundedChecker.java:30)."""
+    from incubator_paimon_spark.streaming.source import stream_changes
+
+    t = catalog.create_table("db.bw", customer.schema,
+                             primary_keys=["c_custkey"])
+    for i, wm in enumerate([100, 200, 300]):
+        t.write(spark, customer.filter(f"c_custkey % 3 = {i}"), watermark=wm)
+    seen = [sid for sid, _df in stream_changes(t, spark, bounded=False,
+                                               bounded_watermark=200,
+                                               max_snapshots_per_trigger=1)]
+    assert seen == [1, 2]  # wm 100, 200 consumed; wm 300 > bound → stop

@@ -485,3 +485,36 @@ def test_rowkind_field(spark, catalog, customer):
                                   primary_keys=["c_custkey"],
                                   options={"rowkind.field": "c_acctbal"})
         t2.write(spark, customer)
+
+
+def test_filter_devolution_prunes_renamed_column(spark, catalog):
+    """Predicates on a renamed column devolve by field id to each file's
+    write-time schema, so stats pruning survives the rename
+    (SchemaEvolutionUtil.createDataFilters)."""
+    from pyspark.sql import types as T
+
+    from incubator_paimon_spark.read import devolve_predicate
+
+    t = catalog.create_table("db.devo", T.StructType.fromDDL("k bigint, v bigint"))
+    t.write(spark, spark.createDataFrame([(i, i) for i in range(100)],
+                                         "k long, v long").coalesce(1))
+    t.write(spark, spark.createDataFrame([(i, i) for i in range(100, 200)],
+                                         "k long, v long").coalesce(1))
+    t.schemas.rename_column("v", "val")
+    t2 = catalog.get_table("db.devo")
+
+    plan = t2.new_scan().plan(P.ge("val", 150))
+    assert len(plan.entries) == 1  # file with v in [0,100) pruned via old name
+    got = sorted(r["val"] for r in t2.read(spark, predicate=P.ge("val", 150)).collect())
+    assert got == list(range(150, 200))
+
+    # added-later column: leaf drops, AND keeps the translatable remainder
+    t2.schemas.add_column("extra", T.StringType())
+    t3 = catalog.get_table("db.devo")
+    old_schema = t3.schema_at(0)
+    dev = devolve_predicate(P.ge("val", 150) & P.eq("extra", "x"),
+                            t3.schema, old_schema)
+    assert dev is not None and dev.fields() == {"v"}
+    # OR with an untranslatable child abandons the branch (keep everything)
+    assert devolve_predicate(P.ge("val", 150) | P.eq("extra", "x"),
+                             t3.schema, old_schema) is None
