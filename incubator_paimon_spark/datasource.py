@@ -56,11 +56,16 @@ def _load_table(options):
 
 @dataclass
 class _Split(InputPartition):
-    files: list
-    pks: list
+    files: list          # absolute data-file paths
+    rel_names: list      # table-relative names (deletion-vector keys)
+    pks: list            # merge group keys; [] = raw read, no merge
     seq_fields: list
     user_cols: list
     changelog: bool
+    merge_engine: str = "deduplicate"
+    ignore_delete: bool = False
+    dv_dirs: tuple = ()   # absolute dv dir paths (only set when covered)
+    dv_files: tuple = ()  # rel names with live deletion vectors
 
 
 class PaimonDataSource(DataSource):
@@ -96,45 +101,128 @@ class PaimonBatchReader(DataSourceReader):
         self.table = _load_table(options)
 
     def partitions(self):
+        """Raw-convertible files (append tables; compacted / key-disjoint PK
+        sections) become one split per FILE and stream Arrow batches with no
+        Python merge — after compaction that is the bulk of a big table, so
+        the discoverable format("paimon") path scales like a plain parquet
+        scan. Only genuinely overlapping PK sections pay the per-bucket
+        pandas merge (control-plane sized)."""
+        from .read import _split_raw_buckets
+
         t = self.table
         schema = t.schema
+        opts = schema.core_options
         snapshot_id = self.options.get("snapshot-id")
         plan = t.new_scan(snapshot_id=int(snapshot_id) if snapshot_id else None).plan()
         user_cols = schema.field_names()
-        pks = schema.trimmed_primary_keys() if not self.changelog else []
-        by_bucket = {}
-        for e in plan.entries:
-            key = (tuple(sorted((k, str(v)) for k, v in e.partition.items())),
-                   e.bucket)
-            by_bucket.setdefault(key, []).append(
-                os.path.join(t.path, e.file.file_name))
-        return [_Split(files=files, pks=pks,
-                       seq_fields=schema.core_options.sequence_field,
-                       user_cols=user_cols, changelog=self.changelog)
-                for files, in [(v,) for v in by_bucket.values()]]
+        covered = t.dv.covered_files(plan.snapshot)
+        dv_dirs = tuple(
+            os.path.join(t.path, "dv", d)
+            for d in t.dv.read_manifest(plan.snapshot)["dirs"]) if covered else ()
+
+        def mk(entries, pks):
+            rel = [e.file.file_name for e in entries]
+            cov = tuple(n for n in rel if n in covered)
+            return _Split(files=[os.path.join(t.path, n) for n in rel],
+                          rel_names=rel, pks=pks,
+                          seq_fields=opts.sequence_field,
+                          user_cols=user_cols, changelog=self.changelog,
+                          merge_engine=opts.merge_engine,
+                          ignore_delete=opts.ignore_delete,
+                          dv_dirs=dv_dirs if cov else (), dv_files=cov)
+
+        if schema.primary_keys and not self.changelog:
+            if opts.merge_engine not in ("deduplicate", "first-row"):
+                raise ValueError(
+                    f"format('paimon') batch reads merge only deduplicate/"
+                    f"first-row engines, not {opts.merge_engine!r}; register "
+                    f"Table.read(spark) as a temp view for this table")
+            raw, merging = _split_raw_buckets(
+                plan.entries, opts.num_levels - 1, table=t, schema=schema)
+            splits = [mk([e], []) for e in raw]
+            by_bucket = {}
+            for e in merging:
+                key = (tuple(sorted((k, str(v)) for k, v in e.partition.items())),
+                       e.bucket)
+                by_bucket.setdefault(key, []).append(e)
+            splits += [mk(es, schema.trimmed_primary_keys())
+                       for es in by_bucket.values()]
+            return splits
+        return [mk([e], []) for e in plan.entries]
+
+    @staticmethod
+    def _deleted_positions(split):
+        """{rel_name: sorted int64 positions} for the split's DV-covered
+        files — one filtered scan of the live dv dirs inside the worker."""
+        if not split.dv_files:
+            return {}
+        import glob
+        import numpy as np
+        import pyarrow.dataset as ds
+        paths = [p for d in split.dv_dirs
+                 for p in glob.glob(os.path.join(d, "*.parquet"))]
+        tbl = (ds.dataset(paths, format="parquet")
+                 .to_table(filter=ds.field("file_name").isin(list(split.dv_files))))
+        names = np.asarray(tbl["file_name"].to_pylist())
+        pos = tbl["pos"].to_numpy(zero_copy_only=False)
+        return {rel: np.unique(pos[names == rel]) for rel in set(split.dv_files)}
 
     def read(self, split):
-        import pyarrow.parquet as pq
+        import numpy as np
         import pyarrow as pa
-        tables = [pq.read_table(f) for f in split.files]
-        tbl = pa.concat_tables(tables, promote_options="default")
+        import pyarrow.parquet as pq
+
         cols = list(split.user_cols)
-        if split.pks and SEQUENCE_NUMBER in tbl.column_names:
-            # bucket-local merge-on-read: keep max (seq_fields, _SEQ) per key,
-            # drop keys whose survivor is a DELETE
+        deleted = self._deleted_positions(split)
+
+        def masked(tb, rel, offset):
+            dels = deleted.get(rel)
+            if dels is None:
+                return tb
+            local = dels[(dels >= offset) & (dels < offset + tb.num_rows)] - offset
+            if not len(local):
+                return tb
+            mask = np.ones(tb.num_rows, dtype=bool)
+            mask[local] = False
+            return tb.filter(pa.array(mask))
+
+        def project(tb):
+            if split.changelog and VALUE_KIND in tb.column_names:
+                arrays = [tb[c] for c in cols] + [tb[VALUE_KIND]]
+                return pa.table(dict(zip(cols + [ROW_KIND_COL], arrays)))
+            return tb.select(cols)
+
+        if not split.pks:
+            # raw path: stream record batches, never materialize the file
+            for f, rel in zip(split.files, split.rel_names):
+                offset = 0
+                for b in pq.ParquetFile(f).iter_batches():
+                    tb = pa.Table.from_batches([b])
+                    tb = masked(tb, rel, offset)
+                    offset += b.num_rows
+                    yield from project(tb).to_batches()
+            return
+
+        tables = []
+        for f, rel in zip(split.files, split.rel_names):
+            tables.append(masked(pq.read_table(f), rel, 0))
+        tbl = pa.concat_tables(tables, promote_options="default")
+        if SEQUENCE_NUMBER in tbl.column_names:
+            # bucket-local merge-on-read (deduplicate: max (seq, _SEQ) wins;
+            # first-row: min wins). Null user-seq sorts smallest, matching
+            # _dedup's asc_nulls_first/desc_nulls_last comparator.
             df = tbl.to_pandas()
+            if split.ignore_delete:
+                df = df[df[VALUE_KIND] != "-D"]
             order = split.seq_fields + [SEQUENCE_NUMBER]
-            df = df.sort_values(order, kind="stable")
-            df = df.groupby(split.pks, as_index=False, sort=False).tail(1)
+            df = df.sort_values(order, kind="stable", na_position="first")
+            g = df.groupby(split.pks, as_index=False, sort=False)
+            df = g.head(1) if split.merge_engine == "first-row" else g.tail(1)
             df = df[df[VALUE_KIND].isin(list(ADD_KINDS))]
             tbl = pa.Table.from_pandas(df[cols], preserve_index=False)
-        elif split.changelog and VALUE_KIND in tbl.column_names:
-            names = {c: c for c in cols}
-            arrays = [tbl[c] for c in cols] + [tbl[VALUE_KIND]]
-            tbl = pa.table(dict(zip(cols + [ROW_KIND_COL], arrays)))
+            yield from tbl.to_batches()
         else:
-            tbl = tbl.select(cols)
-        yield from tbl.to_batches()
+            yield from project(tbl).to_batches()
 
 
 class PaimonStreamReader(SimpleDataSourceStreamReader):

@@ -190,3 +190,53 @@ def test_stream_read_limits_bytes_files_minrows(spark, catalog, customer):
     r = PaimonStreamReader({"path": t.path, "scan.mode": "earliest"}, False)
     _, end = r.read(r.initialOffset())
     assert end["snapshot_id"] == 4
+
+
+def test_batch_read_raw_split_and_dv(spark, catalog, customer):
+    """format('paimon') batch path: compacted PK tables split per-file with
+    no Python merge; append tables apply deletion vectors in the workers;
+    non-mergeable engines raise toward Table.read."""
+    from incubator_paimon_spark.datasource import PaimonBatchReader
+
+    # compacted PK table → every split is raw (pks == [])
+    t = catalog.create_table("db.dsraw", customer.schema,
+                             primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer)
+    t.compact(spark, full=True)
+    r = PaimonBatchReader({"path": t.path}, False)
+    splits = r.partitions()
+    assert splits and all(s.pks == [] for s in splits)
+    assert all(len(s.files) == 1 for s in splits)
+    got = spark.read.format("paimon").load([t.path])
+    assert got.count() == customer.count()
+
+    # append table + DV delete → workers drop deleted positions
+    a = catalog.create_table("db.dsdv", customer.schema,
+                             options={"deletion-vectors.enabled": "true"})
+    a.write(spark, customer)
+    from incubator_paimon_spark import P
+    a.delete_where(spark, P.lt("c_custkey", 100))
+    a2 = catalog.get_table("db.dsdv")
+    want = a2.read(spark).count()
+    assert want == customer.filter("c_custkey >= 100").count()
+    got = spark.read.format("paimon").load([a2.path])
+    assert got.count() == want
+
+    # first-row engine merges via head(1)
+    fr = catalog.create_table("db.dsfr", customer.schema,
+                              primary_keys=["c_custkey"],
+                              options={"merge-engine": "first-row"})
+    fr.write(spark, customer.withColumn("c_acctbal", F.lit(1.0)))
+    fr.write(spark, customer.withColumn("c_acctbal", F.lit(2.0)))
+    got = spark.read.format("paimon").load([fr.path])
+    assert got.count() == customer.count()
+    assert got.agg(F.max("c_acctbal")).collect()[0][0] == 1.0
+
+    # partial-update: clear error pointing at Table.read
+    pu = catalog.create_table("db.dspu", customer.schema,
+                              primary_keys=["c_custkey"],
+                              options={"merge-engine": "partial-update"})
+    pu.write(spark, customer)
+    r = PaimonBatchReader({"path": pu.path}, False)
+    with pytest.raises(ValueError, match="temp view"):
+        r.partitions()
