@@ -687,6 +687,14 @@ def q_minhash_pairs(spark, sf_dir):
                                shingle_n=3, min_est_jaccard=0.7)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: LSH pairs → connected components →
+    canonical survivor per cluster (the last mile of corpus dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_clusters(d, "text", "doc_id", num_hashes=16, bands=4,
+                            shingle_n=3, threshold=0.7)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3,
@@ -773,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,

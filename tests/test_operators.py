@@ -122,3 +122,20 @@ def test_quality_and_langid_ranges(spark):
                    TX.lang_id(F.col("text")).alias("l"))
     assert out.filter("q < 0 OR q > 1").count() == 0
     assert out.filter("l NOT IN ('en','de','fr','es','zh','und')").count() == 0
+
+
+def test_connected_components_and_clusters(spark):
+    """Alternating-star CC: chain + triangle + isolated pair resolve to
+    min-id components (Kiveris et al. alternating algorithm)."""
+    from incubator_paimon_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain → component 1
+         (10, 11), (11, 12), (10, 12),  # triangle → component 10
+         (20, 21)],                     # pair → component 20
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
