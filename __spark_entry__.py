@@ -687,6 +687,33 @@ def q_minhash_pairs(spark, sf_dir):
                                shingle_n=3, min_est_jaccard=0.7)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """One-row corpus token summary with exact percentiles."""
+    return TX.corpus_stats(_t(spark, sf_dir, "documents"), "text")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by doc_id hash range; the split
+    assignment is stable under re-runs and corpus growth."""
+    from incubator_paimon_spark.operators import sampling as S
+    d = _t(spark, sf_dir, "documents")
+    out = S.train_val_test_split(d, "doc_id", (0.8, 0.1, 0.1))
+    return (out.groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("id_sum")))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (keep all 'en', 30% others)."""
+    from incubator_paimon_spark.operators import sampling as S
+    d = _t(spark, sf_dir, "documents")
+    out = S.stratified_hash_sample(d, "doc_id", "lang",
+                                   {"en": 1.0}, default_rate=0.3)
+    return (out.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("id_sum")))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: LSH pairs → connected components →
     canonical survivor per cluster (the last mile of corpus dedup)."""
@@ -782,6 +809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_stats": q_corpus_stats,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,

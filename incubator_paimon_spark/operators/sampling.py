@@ -1,0 +1,71 @@
+"""Deterministic sampling + dataset splitting for training-data pipelines.
+
+Random sampling is useless at 100 TB pipeline scale: re-runs must select the
+SAME rows (resumable jobs, reproducible ablations, cross-engine audits), so
+every operator here derives its decision from a stable hash of a key column —
+no RNG, no seed plumbing, identical output on Spark and any SQL engine that
+has md5. This mirrors how production corpus pipelines do held-out splits
+(hash-mod on a document id), not `TABLESAMPLE`.
+
+Scale shape: each operator is a single scan with a pure Column predicate /
+projection — no shuffle, no state, trivially parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h32
+
+# h32 yields a uniform 32-bit value; bucket into 1e6 slots for rate math
+_SLOTS = 1_000_000
+
+
+def hash_bucket(col: Column, slots: int = _SLOTS) -> Column:
+    """Stable bucket in [0, slots) from a key column (any type; stringified
+    the same way on the SQL side)."""
+    return h32(col.cast("string")) % slots
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic ~`rate` sample: keep rows whose key hashes into the
+    first rate*slots buckets. Re-running (or running in DuckDB) selects the
+    identical rows."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_bucket(F.col(key_col)) < int(rate * _SLOTS))
+
+
+def train_val_test_split(df: DataFrame, key_col: str,
+                         weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+                         split_col: str = "split") -> DataFrame:
+    """Add a `split` column ('train' | 'val' | 'test') by hash range —
+    stable under re-runs and under corpus growth (a document never migrates
+    between splits when other documents are added, unlike percent_rank
+    schemes that leak val into train as data arrives)."""
+    if len(weights) != 3 or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must be 3 values summing to 1, got {weights}")
+    b = hash_bucket(F.col(key_col))
+    t_hi = int(weights[0] * _SLOTS)
+    v_hi = t_hi + int(weights[1] * _SLOTS)
+    return df.withColumn(
+        split_col,
+        F.when(b < t_hi, F.lit("train"))
+         .when(b < v_hi, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
+                           rates: dict[str, float],
+                           default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample low-quality
+    languages, keep all high-resource ones): `rates` maps stratum value →
+    keep rate. Still a single scan — the rate lookup is a CASE expression,
+    not a join."""
+    b = hash_bucket(F.col(key_col))
+    expr = F.lit(int(default_rate * _SLOTS))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == value,
+                      F.lit(int(rate * _SLOTS))).otherwise(expr)
+    return df.filter(b < expr)

@@ -7,7 +7,7 @@ ANSI/DuckDB SQL form used by the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -125,3 +125,22 @@ def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
     hashes = F.transform(shingles, lambda s:
                          F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
     return F.array_min(hashes)
+
+
+def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One-row corpus summary: doc count, total/mean tokens, exact p50/p90/
+    p99 token counts. Exact percentiles (not approx) so the number is
+    reproducible and cross-engine checkable; at 100 TB swap in
+    percentile_approx — the plan shape (single partial+final agg, no
+    shuffle beyond the final gather) is identical."""
+    tc = token_count(F.col(text_col))
+    d = df.select(tc.alias("__tc"))
+    pct = F.percentile(F.col("__tc"), F.array(F.lit(0.5), F.lit(0.9),
+                                              F.lit(0.99)))
+    return d.agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("__tc").alias("total_tokens"),
+        quantize(F.avg("__tc"), 4).alias("mean_tokens"),
+        quantize(pct[0], 4).alias("p50_tokens"),
+        quantize(pct[1], 4).alias("p90_tokens"),
+        quantize(pct[2], 4).alias("p99_tokens"))

@@ -509,6 +509,39 @@ FROM pairs
 WHERE {_EST} >= 0.7
 """
 
+_HB = "(('0x' || substr(md5({k}::VARCHAR), 1, 8))::BIGINT % 1000000)"
+
+ORACLES["corpus_stats"] = f"""
+WITH tc AS (SELECT len({_w_text})::BIGINT AS t FROM documents)
+SELECT count(*) AS doc_count,
+  sum(t)::BIGINT AS total_tokens,
+  round(avg(t), 4) AS mean_tokens,
+  round(quantile_cont(t, 0.5), 4) AS p50_tokens,
+  round(quantile_cont(t, 0.9), 4) AS p90_tokens,
+  round(quantile_cont(t, 0.99), 4) AS p99_tokens
+FROM tc
+"""
+
+ORACLES["hash_split"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN {_HB.format(k='doc_id')} < 800000 THEN 'train'
+         WHEN {_HB.format(k='doc_id')} < 900000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM s GROUP BY split
+"""
+
+ORACLES["stratified_sample"] = f"""
+SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM documents
+WHERE {_HB.format(k='doc_id')} <
+      CASE WHEN lang = 'en' THEN 1000000 ELSE 300000 END
+GROUP BY lang
+"""
+
 # connected components over the LSH pairs by transitive closure (recursive
 # CTE is exact on oracle-scale graphs; the Spark side runs alternating-star)
 ORACLES["dedup_clusters"] = _minhash_sql(16, 4, 3) + f"""

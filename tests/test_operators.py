@@ -139,3 +139,34 @@ def test_connected_components_and_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_hash_sampling_deterministic(spark):
+    """hash_sample/split are stable across runs and under corpus growth."""
+    from incubator_paimon_spark.operators import sampling as S
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    s1 = set(r["k"] for r in S.hash_sample(df, "k", 0.1).collect())
+    s2 = set(r["k"] for r in S.hash_sample(df, "k", 0.1).collect())
+    assert s1 == s2 and 700 <= len(s1) <= 1300
+    # growth stability: the same keys stay sampled in a larger corpus
+    big = spark.range(0, 20000).withColumnRenamed("id", "k")
+    s3 = set(r["k"] for r in S.hash_sample(big, "k", 0.1).collect())
+    assert s1 <= s3
+
+    split = S.train_val_test_split(df, "k", (0.8, 0.1, 0.1))
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # a doc's split never changes when the corpus doubles
+    g = S.train_val_test_split(big, "k", (0.8, 0.1, 0.1))
+    j = (split.select("k", F.col("split").alias("a"))
+              .join(g.select("k", F.col("split").alias("b")), "k"))
+    assert j.filter("a != b").count() == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        S.hash_sample(df, "k", 1.5)
+    with _pt.raises(ValueError):
+        S.train_val_test_split(df, "k", (0.5, 0.2, 0.2))
