@@ -97,6 +97,8 @@ def main():
     timed("minhash_lsh_pairs",
           lambda: D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16,
                                       bands=4, min_est_jaccard=0.7).count(), reps=3)
+    timed("dedup_clusters",
+          lambda: D.dedup_clusters(docs, "text", "doc_id").count())
     emb = E._t(spark, sf_dir, "embeddings")
     timed("cosine_topk",
           lambda: S.cosine_topk(emb, "embedding", E.QUERY_VEC, 10).collect(), reps=3)

@@ -30,7 +30,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader,
                                     DataSourceStreamArrowWriter,
                                     InputPartition,
                                     SimpleDataSourceStreamReader,
@@ -89,6 +90,9 @@ class PaimonDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return PaimonStreamReader(self.options, self._changelog())
+
+    def writer(self, schema, overwrite):
+        return PaimonBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):
         return PaimonStreamWriter(self.options)
@@ -333,6 +337,109 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
 @dataclass
 class _WroteFiles(WriterCommitMessage):
     paths: list
+    # parallel list of {col: value} partition specs (batch writer only)
+    partitions: list = None
+
+
+class PaimonBatchWriter(DataSourceArrowWriter):
+    """df.write.format("paimon").mode("append"|"overwrite").save(path) for
+    append tables (partitioned or not). Each task groups its Arrow batches
+    by the table's partition columns and writes one parquet file per spec —
+    no extra shuffle imposed (callers wanting one file per partition
+    repartition first). mode("overwrite") replaces the whole table in one
+    OVERWRITE snapshot. PK tables need the bucket shuffle + sequence
+    numbering the writer API cannot express — use Table.write."""
+
+    def __init__(self, options, overwrite: bool):
+        self.options = options
+        self.overwrite = overwrite
+        t = _load_table(options)
+        if t.schema.primary_keys:
+            raise ValueError(
+                "write.format('paimon') supports append tables; PK tables "
+                "need the bucket shuffle - use Table.write")
+        self.part_keys = list(t.schema.partition_keys)
+        self.table_path = t.path
+        self.staging = os.path.join(t.path, ".staging-batch")
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .metadata.util import new_uuid
+        os.makedirs(self.staging, exist_ok=True)
+        batches = list(iterator)
+        if not batches:
+            return _WroteFiles(paths=[], partitions=[])
+        tbl = pa.Table.from_batches(batches)
+        paths, parts = [], []
+
+        def emit(sub, spec):
+            p = os.path.join(self.staging, f"data-{new_uuid()}.parquet")
+            pq.write_table(sub, p)
+            paths.append(p)
+            parts.append(spec)
+
+        if not self.part_keys:
+            emit(tbl, {})
+        else:
+            specs = tbl.select(self.part_keys).group_by(self.part_keys) \
+                       .aggregate([]).to_pylist()
+            for spec in specs:
+                mask = None
+                for c in self.part_keys:
+                    m = (pc.is_null(tbl[c]) if spec[c] is None
+                         else pc.equal(tbl[c], pa.scalar(spec[c])))
+                    mask = m if mask is None else pc.and_(mask, m)
+                emit(tbl.filter(mask), spec)
+        return _WroteFiles(paths=paths, partitions=parts)
+
+    def commit(self, messages):
+        import time as _t
+
+        from .metadata.commit import CommitMessage
+        from .metadata.manifest import DataFileMeta, ManifestEntry
+        from .metadata.stats import collect_file_stats
+        from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, ENTRY_ADD,
+                            ENTRY_DELETE)
+        from .write import _dir_value
+
+        t = _load_table(self.options)
+        schema = t.schema
+        adds = []
+        now = int(_t.time() * 1000)
+        for m in (m2 for m2 in messages if m2 is not None):
+            for path, spec in zip(m.paths, m.partitions or [{}] * len(m.paths)):
+                st = collect_file_stats(path, schema.core_options.metadata_stats_mode)
+                part_dir = "/".join(f"{c}={_dir_value(spec[c])}"
+                                    for c in self.part_keys)
+                rel = "/".join(x for x in (part_dir, "bucket-0",
+                                           os.path.basename(path)) if x)
+                dst = os.path.join(t.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(path, dst)
+                adds.append(ManifestEntry(ENTRY_ADD, spec, 0, DataFileMeta(
+                    file_name=rel, file_size=os.path.getsize(dst),
+                    row_count=st["_row_count"], schema_id=schema.id,
+                    stats=st["cols"], creation_time_millis=now,
+                    delete_row_count=0)))
+        deletes, kind = [], COMMIT_APPEND
+        if self.overwrite:
+            plan = t.new_scan().plan()
+            deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+                       for e in plan.entries]
+            kind = COMMIT_OVERWRITE
+        t.commit.commit(CommitMessage(add=adds, delete=deletes),
+                        schema_id=schema.id, kind=kind)
+
+    def abort(self, messages):
+        for m in (m2 for m2 in messages if m2 is not None):
+            for path in getattr(m, "paths", []):
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
 
 
 class PaimonStreamWriter(DataSourceStreamArrowWriter):

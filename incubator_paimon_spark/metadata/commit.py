@@ -83,13 +83,14 @@ class FileStoreCommit:
                 prev_manifests.extend(self.manifests.read_manifest_list(latest.base_manifest_list))
                 prev_manifests.extend(self.manifests.read_manifest_list(latest.delta_manifest_list))
 
-            # periodic full manifest compaction keeps planning O(live files)
+            # periodic manifest compaction keeps planning O(live files).
+            # Incremental (ManifestFile rolling + merge of small manifests):
+            # manifests that are already near-full AND untouched by any
+            # DELETE entry are kept as-is; only small or dirtied manifests
+            # are merged and rewritten — steady-state commit cost is
+            # O(delta + dirty), not O(all live files).
             if len(prev_manifests) >= _MANIFEST_FULL_COMPACTION_COUNT:
-                if base_entries is None:
-                    base_entries = self._base_entries(latest)
-                live = [ManifestEntry(ENTRY_ADD, e.partition, e.bucket, e.file)
-                        for e in live_entries(base_entries)]
-                prev_manifests = self.manifests.write_manifests(live) if live else []
+                prev_manifests = self._compact_manifests(prev_manifests)
 
             base_list = self.manifests.write_manifest_list(prev_manifests)
             delta = message.add + message.delete
@@ -133,6 +134,30 @@ class FileStoreCommit:
         raise ConflictError(f"commit failed after {max_retries} retries")
 
     # ------------------------------------------------------------------
+    def _compact_manifests(self, names: list[str]) -> list[str]:
+        """Merge small/dirty manifests, keep near-full clean ones verbatim.
+        A manifest is dirty when it holds DELETE entries or any of its ADDs
+        is cancelled by a DELETE elsewhere in the chain. Order is preserved
+        (kept manifests are strictly older than the rewritten tail, and
+        DELETE cancellation only ever reaches backwards)."""
+        from .manifest import MANIFEST_ROLL_COUNT
+
+        per = [(n, self.manifests.read_manifest(n)) for n in names]
+        deleted = {e.identifier() for _n, es in per
+                   for e in es if e.kind == ENTRY_DELETE}
+        keep, rewrite = [], []
+        for n, es in per:
+            clean = (len(es) >= MANIFEST_ROLL_COUNT * 8 // 10
+                     and all(e.kind == ENTRY_ADD
+                             and e.identifier() not in deleted for e in es))
+            if clean:
+                keep.append(n)
+            else:
+                rewrite.extend(es)
+        live = [ManifestEntry(ENTRY_ADD, e.partition, e.bucket, e.file)
+                for e in live_entries(rewrite)]
+        return keep + (self.manifests.write_manifests(live) if live else [])
+
     def _base_entries(self, latest: Snapshot | None) -> list[ManifestEntry]:
         if latest is None:
             return []

@@ -240,3 +240,31 @@ def test_batch_read_raw_split_and_dv(spark, catalog, customer):
     r = PaimonBatchReader({"path": pu.path}, False)
     with pytest.raises(ValueError, match="temp view"):
         r.partitions()
+
+
+def test_batch_write_format_paimon(spark, catalog, orders):
+    """df.write.format('paimon'): append + overwrite on (partitioned) append
+    tables; PK tables point at Table.write."""
+    o = orders.withColumn("dt", F.to_date(F.date_trunc("month", "o_orderdate")))
+    t = catalog.create_table("db.dswr", o.schema, partition_keys=["dt"])
+    o.write.format("paimon").mode("append").save(t.path)
+    assert catalog.get_table("db.dswr").read(spark).count() == o.count()
+    # partition layout + pruning intact
+    d = o.select("dt").distinct().limit(1).collect()[0][0]
+    t2 = catalog.get_table("db.dswr")
+    from incubator_paimon_spark import P
+    pruned = t2.new_scan().plan(P.eq("dt", d))
+    assert 0 < len(pruned.entries) < len(t2.new_scan().plan().entries)
+
+    # overwrite replaces everything in one OVERWRITE snapshot
+    small = o.filter("o_orderkey % 10 = 0")
+    small.write.format("paimon").mode("overwrite").save(t.path)
+    t3 = catalog.get_table("db.dswr")
+    assert t3.read(spark).count() == small.count()
+    assert t3.snapshots.latest().commit_kind == "OVERWRITE"
+
+    # PK table rejected toward Table.write
+    pk = catalog.create_table("db.dswrpk", orders.schema,
+                              primary_keys=["o_orderkey"])
+    with pytest.raises(Exception, match="Table.write"):
+        orders.write.format("paimon").mode("append").save(pk.path)

@@ -256,3 +256,38 @@ class TestIntervalPartitionSplit:
         raw, merge = _split_raw_buckets(entries, max_level=5,
                                         table=object(), schema=schema)
         assert len(raw) == 2 and merge == []
+
+
+class TestIncrementalManifestCompaction:
+    def test_keeps_clean_fulls_rewrites_dirty(self, tmp_path, monkeypatch):
+        """Manifest compaction keeps near-full clean manifests verbatim and
+        merges small/dirtied ones (ManifestFile rolling parity)."""
+        from incubator_paimon_spark.metadata import manifest as mmod
+        from incubator_paimon_spark.metadata.commit import FileStoreCommit
+
+        monkeypatch.setattr(mmod, "MANIFEST_ROLL_COUNT", 10)
+        fc = FileStoreCommit(str(tmp_path))
+        ms = fc.manifests
+
+        # big clean manifest (10 adds, untouched)
+        big = ms.write_manifest([_add(f"big-{i}") for i in range(10)])
+        # big but dirtied: one of its files is deleted later
+        dirty = ms.write_manifest([_add(f"d-{i}") for i in range(10)])
+        # small manifests incl. the delete of d-3
+        s1 = ms.write_manifest([_add("s-1"), _add("s-2")])
+        s2 = ms.write_manifest([_del("d-3"), _add("s-3")])
+
+        out = fc._compact_manifests([big, dirty, s1, s2])
+        assert big in out and dirty not in out and s1 not in out
+        merged = [e for n in out if n != big for e in ms.read_manifest(n)]
+        names = sorted(e.file.file_name for e in merged)
+        assert "d-3" not in names          # cancelled pair dropped
+        assert all(e.kind == "ADD" for e in merged)
+        assert names == sorted([f"d-{i}" for i in range(10) if i != 3]
+                               + ["s-1", "s-2", "s-3"])
+        # total live set preserved
+        all_live = {e.file.file_name
+                    for n in out for e in ms.read_manifest(n)}
+        assert all_live == ({f"big-{i}" for i in range(10)}
+                            | {f"d-{i}" for i in range(10)} - {"d-3"}
+                            | {"s-1", "s-2", "s-3"})
