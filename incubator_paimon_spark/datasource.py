@@ -117,7 +117,11 @@ class PaimonBatchReader(DataSourceReader):
         schema = t.schema
         opts = schema.core_options
         snapshot_id = self.options.get("snapshot-id")
-        plan = t.new_scan(snapshot_id=int(snapshot_id) if snapshot_id else None).plan()
+        ts = self.options.get("scan.timestamp-millis")
+        plan = t.new_scan(
+            snapshot_id=int(snapshot_id) if snapshot_id else None,
+            tag=self.options.get("scan.tag-name"),
+            timestamp_ms=int(ts) if ts else None).plan()
         user_cols = schema.field_names()
         covered = t.dv.covered_files(plan.snapshot)
         dv_dirs = tuple(
@@ -136,13 +140,16 @@ class PaimonBatchReader(DataSourceReader):
                           dv_dirs=dv_dirs if cov else (), dv_files=cov)
 
         if schema.primary_keys and not self.changelog:
-            if opts.merge_engine not in ("deduplicate", "first-row"):
+            raw, merging = _split_raw_buckets(
+                plan.entries, opts.num_levels - 1, table=t, schema=schema)
+            # raw sections are merge-free under EVERY engine (a singleton
+            # key's fold is the row itself); only sections that genuinely
+            # merge are limited to the engines the pandas fold implements
+            if merging and opts.merge_engine not in ("deduplicate", "first-row"):
                 raise ValueError(
                     f"format('paimon') batch reads merge only deduplicate/"
                     f"first-row engines, not {opts.merge_engine!r}; register "
                     f"Table.read(spark) as a temp view for this table")
-            raw, merging = _split_raw_buckets(
-                plan.entries, opts.num_levels - 1, table=t, schema=schema)
             splits = [mk([e], []) for e in raw]
             by_bucket = {}
             for e in merging:

@@ -224,3 +224,30 @@ def expire_changelogs(table, older_than_ms=None, retain_max=None):
                 pass
         removed += 1
     return removed
+
+
+def drop_partition(table, *specs: dict):
+    """ALTER TABLE ... DROP PARTITION equivalent
+    (PaimonPartitionManagement.scala:37-78 dropPartitions): commit one
+    OVERWRITE snapshot deleting every file whose partition matches any given
+    spec (a spec may bind a prefix of the partition keys). Returns the
+    snapshot, or None when nothing matched."""
+    if not specs:
+        return None
+    pt_keys = set(table.schema.partition_keys)
+    for spec in specs:
+        bad = set(spec) - pt_keys
+        if bad:
+            raise ValueError(f"not partition keys: {sorted(bad)}")
+
+    def matches(partition):
+        return any(all(str(partition.get(k)) == str(v) for k, v in spec.items())
+                   for spec in specs)
+
+    victims = [e for e in table.entries_at() if matches(e.partition)]
+    if not victims:
+        return None
+    msg = CommitMessage(delete=[ManifestEntry(ENTRY_DELETE, e.partition,
+                                              e.bucket, e.file) for e in victims])
+    return table.commit.commit(msg, schema_id=table.schema.id,
+                               kind=COMMIT_OVERWRITE)

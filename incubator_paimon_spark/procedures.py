@@ -168,6 +168,20 @@ def _analyze(spark, catalog, table, cols=None, **_):
     return _t(catalog, table).analyze(spark, cols)
 
 
+def _drop_partition(spark, catalog, table, partitions, **_):
+    """ALTER TABLE DROP PARTITION surface: `partitions` is
+    'k=v[,k2=v2][;k=v...]' — commas bind keys within one spec, semicolons
+    separate specs."""
+    specs = []
+    for spec_src in str(partitions).split(";"):
+        spec = {}
+        for kv in spec_src.split(","):
+            k, v = kv.split("=", 1)
+            spec[k.strip()] = v.strip()
+        specs.append(spec)
+    return _t(catalog, table).drop_partition(*specs)
+
+
 def _repair(spark, catalog, database_or_table=None, **_):
     """Re-sync filesystem state (RepairProcedure.java): validate each table's
     schema is readable, rewrite stale LATEST snapshot hints from the actual
@@ -233,4 +247,5 @@ _PROCEDURES = {
     "analyze": _analyze,
     "migrate_table": _migrate_table,
     "repair": _repair,
+    "drop_partition": _drop_partition,
 }

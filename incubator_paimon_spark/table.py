@@ -342,6 +342,10 @@ class Table:
         from .row_ops import truncate
         return truncate(self)
 
+    def drop_partition(self, *specs: dict):
+        from .maintenance import drop_partition
+        return drop_partition(self, *specs)
+
     def incremental(self, spark, start, end=None, changelog=False) -> DataFrame:
         from .streaming.source import incremental_between
         return incremental_between(spark, self, start, end, changelog=changelog)

@@ -268,3 +268,34 @@ def test_batch_write_format_paimon(spark, catalog, orders):
                               primary_keys=["o_orderkey"])
     with pytest.raises(Exception, match="Table.write"):
         orders.write.format("paimon").mode("append").save(pk.path)
+
+
+def test_batch_read_time_travel_options(spark, catalog, customer):
+    """scan.tag-name / scan.timestamp-millis / snapshot-id options mirror
+    the reference's Spark read options."""
+    t = catalog.create_table("db.dstt", customer.schema,
+                             primary_keys=["c_custkey"])
+    t.write(spark, customer.filter("c_custkey % 2 = 0"))
+    t.create_tag("v1")
+    t.write(spark, customer.filter("c_custkey % 2 = 1"))
+    half = customer.filter("c_custkey % 2 = 0").count()
+    assert (spark.read.format("paimon").option("scan.tag-name", "v1")
+            .load([t.path]).count() == half)
+    assert (spark.read.format("paimon").option("snapshot-id", "1")
+            .load([t.path]).count() == half)
+    assert (spark.read.format("paimon").load([t.path]).count()
+            == customer.count())
+
+    # fully-compacted aggregation table reads raw through the native path
+    from pyspark.sql import functions as F
+    agg = catalog.create_table(
+        "db.dsagg", customer.select("c_custkey", "c_acctbal").schema,
+        primary_keys=["c_custkey"],
+        options={"merge-engine": "aggregation",
+                 "fields.c_acctbal.aggregate-function": "sum"})
+    agg.write(spark, customer.select("c_custkey", "c_acctbal"))
+    agg.compact(spark, full=True)
+    got = (spark.read.format("paimon").load([agg.path])
+           .agg(F.sum("c_acctbal")).collect()[0][0])
+    want = customer.agg(F.sum("c_acctbal")).collect()[0][0]
+    assert abs(got - want) < 1e-6

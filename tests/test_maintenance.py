@@ -102,3 +102,33 @@ def test_repair_procedure(spark, catalog, customer):
     assert not os.path.exists(stale_dir)
     # idempotent second run repairs nothing
     assert call_sql(spark, catalog, "CALL sys.repair(database_or_table => 'db')") == []
+
+
+def test_drop_partition(spark, catalog, orders):
+    """Table.drop_partition + CALL sys.drop_partition drop whole partitions
+    in one OVERWRITE commit (PaimonPartitionManagement.dropPartitions)."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_spark.procedures import call_sql
+
+    o = orders.withColumn("dt", F.to_date(F.date_trunc("month", "o_orderdate")))
+    t = catalog.create_table("db.dp", o.schema, partition_keys=["dt"])
+    t.write(spark, o)
+    dts = sorted(r["dt"] for r in o.select("dt").distinct().collect())
+    victim = dts[0]
+
+    snap = t.drop_partition({"dt": str(victim)})
+    assert snap is not None and snap.commit_kind == "OVERWRITE"
+    t2 = catalog.get_table("db.dp")
+    assert t2.read(spark).filter(F.col("dt") == victim).count() == 0
+    assert t2.read(spark).count() == o.filter(F.col("dt") != victim).count()
+
+    # CALL surface + multi-spec; unknown key rejected
+    call_sql(spark, catalog,
+             f"CALL sys.drop_partition(table => 'db.dp', "
+             f"partitions => 'dt={dts[1]};dt={dts[2]}')")
+    t3 = catalog.get_table("db.dp")
+    assert t3.read(spark).count() == o.filter(~F.col("dt").isin(dts[:3])).count()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not partition keys"):
+        t3.drop_partition({"nope": "1"})
