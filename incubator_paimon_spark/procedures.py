@@ -50,6 +50,9 @@ def _compact(spark, catalog, table, full=False, order_strategy=None,
              order_by=None, where=None, **_):
     if isinstance(order_by, str):
         order_by = [c.strip() for c in order_by.split(",")]
+    if isinstance(where, str):
+        from .sql import where_to_predicate
+        where = where_to_predicate(where)
     return _t(catalog, table).compact(spark, full=full, predicate=where,
                                       order_by=order_by, strategy=order_strategy)
 

@@ -130,3 +130,25 @@ def test_sql_delete_prunes_partitions(spark, catalog):
     catalog.sql(spark, "DELETE FROM db.sqlpart WHERE p = 'y' AND v = 2")
     got = sorted((r["k"], r["p"]) for r in t.read(spark).collect())
     assert got == [(1, "x"), (3, "y")]
+
+
+def test_call_compact_where_string(spark, catalog, orders):
+    """CALL sys.compact(where => '<sql>') compiles the WHERE into the
+    predicate IR (CompactProcedure where-filter parity)."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_spark.procedures import call_sql
+
+    o = orders.withColumn("dt", F.to_date(F.date_trunc("month", "o_orderdate")))
+    t = catalog.create_table("db.cw", o.schema, partition_keys=["dt"],
+                             primary_keys=["o_orderkey", "dt"],
+                             options={"bucket": "2"})
+    t.write(spark, o.filter("o_orderkey % 2 = 0"))
+    t.write(spark, o.filter("o_orderkey % 2 = 1"))
+    d = str(o.select("dt").distinct().orderBy("dt").limit(1).collect()[0][0])
+    call_sql(spark, catalog,
+             f"CALL sys.compact(table => 'db.cw', full => true, "
+             f"where => 'dt = \"{d}\"')")
+    t2 = catalog.get_table("db.cw")
+    assert t2.read(spark).count() == o.count()
+    assert t2.snapshots.latest().commit_kind == "COMPACT"
