@@ -714,6 +714,13 @@ def q_stratified_sample(spark, sf_dir):
                     F.sum("doc_id").alias("id_sum")))
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """Full curation pipeline: quality/lang gate -> exact dedup -> near-dup
+    cluster removal -> deterministic split. One lazy DataFrame program."""
+    from incubator_paimon_spark.operators.pipeline import curate_corpus
+    return curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: LSH pairs → connected components →
     canonical survivor per cluster (the last mile of corpus dedup)."""
@@ -809,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_pipeline": q_corpus_pipeline,
         "corpus_stats": q_corpus_stats,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,

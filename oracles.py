@@ -565,6 +565,47 @@ SELECT c.id, c.cluster_id,
 FROM comp c
 """
 
+_QUALITY_EXPR = _q(
+    "least(length(text)::DOUBLE / 400.0, 1.0) * 0.3 + "
+    f"(CASE WHEN {_mwl} >= 3.0 AND {_mwl} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 + "
+    f"(CASE WHEN {_stop_ratio(_w_text, _QUALITY_STOPWORDS)} >= 0.05 "
+    f"AND {_stop_ratio(_w_text, _QUALITY_STOPWORDS)} <= 0.6 "
+    f"THEN 1.0 ELSE 0.5 END) * 0.25 + "
+    f"greatest(0.0, 1.0 - ({_punct_ratio('text')} + {_digit_ratio('text')}) * 2) * 0.25")
+
+# full curation pipeline: gate -> exact dedup -> near-dup cluster removal ->
+# split; the minhash WITH-prefix is re-rooted onto the deduped subset
+_mh_ex = _minhash_sql(16, 4, 3, table="ex", id_col="doc_id",
+                      text_col="text").replace("\nWITH w AS", "\n, w AS", 1)
+ORACLES["corpus_pipeline"] = f"""
+WITH filtered AS (
+  SELECT doc_id, text, {_QUALITY_EXPR} AS q FROM documents
+  WHERE lang = 'en' AND {_QUALITY_EXPR} >= 0.6 AND len({_w_text}) >= 10
+), ex AS (
+  SELECT min(doc_id) AS doc_id, text, min(q) AS q
+  FROM filtered GROUP BY text
+){_mh_ex}
+, edges0 AS (
+  SELECT id_a AS a, id_b AS b FROM pairs WHERE {_EST} >= 0.7
+), edges AS (
+  SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+  ) SELECT * FROM r
+), losers AS (
+  SELECT src AS id FROM reach GROUP BY src
+  HAVING least(src, min(dst)) <> src
+)
+SELECT doc_id, q AS quality,
+  CASE WHEN {_HB.format(k='doc_id')} < 800000 THEN 'train'
+       WHEN {_HB.format(k='doc_id')} < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM ex WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
 _JAC = _q("CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 "
           "THEN len(list_filter(sh_a, x -> list_contains(sh_b, x)))::DOUBLE "
           "/ len(list_distinct(list_concat(sh_a, sh_b))) ELSE 0.0 END")
