@@ -288,7 +288,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                      ).collect()[0]
         return row["n"], row["h"]
 
-    cur = e.localCheckpoint(eager=True)
+    cur = e.localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_iter):
         both = cur.union(cur.select(F.col("v").alias("u"),
@@ -309,7 +309,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                       )).alias("e"))
                       .select(F.col("e.s").alias("u"), F.col("e.t").alias("v"))
                       .filter(F.col("u") != F.col("v")).distinct())
-        cur = small.localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action below materializes it, so
+        # each round runs ONE job (eager=True would run two)
+        cur = small.localCheckpoint(eager=False)
         sig = checksum(cur)
         if sig == prev_sig:
             break
