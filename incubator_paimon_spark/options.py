@@ -151,6 +151,13 @@ class CoreOptions:
         return _as_bool(self.raw.get("write-only"))
 
     @property
+    def write_max_records_per_file(self) -> int | None:
+        """Explicit per-file row cap at write (rolls data files the way the
+        reference's RollingFileWriter rolls at target-file-size bytes)."""
+        v = self.raw.get("write.max-records-per-file")
+        return int(v) if v else None
+
+    @property
     def full_compaction_delta_commits(self) -> int | None:
         v = self.raw.get("full-compaction.delta-commits")
         return int(v) if v is not None else None

@@ -334,10 +334,24 @@ class BatchTableWrite:
             layout_cols.append(BUCKET_COL)
 
         staging = os.path.join(table.path, ".staging", new_uuid())
-        (df.write.mode("overwrite")
-           .partitionBy(*layout_cols)
-           .format(opts.file_format)
-           .save(staging))
+        writer = df.write.mode("overwrite").partitionBy(*layout_cols)
+        max_rec = opts.write_max_records_per_file
+        if max_rec is None and latest is not None:
+            # roll data files near target-file-size (RollingFileWriter):
+            # bytes/row estimated from the live file set's manifest stats —
+            # cached manifests make this a metadata-only lookup
+            try:
+                live = table.entries_at(latest)
+                tot_rows = sum(e.file.row_count for e in live)
+                tot_bytes = sum(e.file.file_size for e in live)
+                if tot_rows > 0 and tot_bytes > 0:
+                    max_rec = max(10_000,
+                                  opts.target_file_size * tot_rows // tot_bytes)
+            except Exception:
+                max_rec = None
+        if max_rec:
+            writer = writer.option("maxRecordsPerFile", int(max_rec))
+        writer.format(opts.file_format).save(staging)
 
         adds = self._collect_entries(spark, staging, schema, level)
         bloom_cols = [c for c in opts.bloom_filter_columns

@@ -518,3 +518,17 @@ def test_filter_devolution_prunes_renamed_column(spark, catalog):
     # OR with an untranslatable child abandons the branch (keep everything)
     assert devolve_predicate(P.ge("val", 150) | P.eq("extra", "x"),
                              t3.schema, old_schema) is None
+
+
+def test_write_rolls_files_at_max_records(spark, catalog, customer):
+    """write.max-records-per-file rolls data files within one task
+    (RollingFileWriter parity via Spark's maxRecordsPerFile)."""
+    t = catalog.create_table("db.roll", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1",
+                                      "write.max-records-per-file": "100"})
+    t.write(spark, customer)
+    entries = t.entries_at()
+    assert all(e.file.row_count <= 100 for e in entries)
+    assert len(entries) >= customer.count() // 100
+    assert t.read(spark).count() == customer.count()
