@@ -692,6 +692,16 @@ def q_corpus_stats(spark, sf_dir):
     return TX.corpus_stats(_t(spark, sf_dir, "documents"), "text")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Deterministic KMV distinct-cardinality sketch over document texts."""
+    return TX.kmv_distinct_estimate(_t(spark, sf_dir, "documents"), "text", k=64)
+
+
+def q_top_terms(spark, sf_dir):
+    """Exact top-20 terms by document frequency."""
+    return TX.top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", k=20)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by doc_id hash range; the split
     assignment is stable under re-runs and corpus growth."""
@@ -818,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_stats": q_corpus_stats,
+        "kmv_distinct": q_kmv_distinct,
+        "top_terms": q_top_terms,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "ngram_jaccard": q_ngram_jaccard,

@@ -144,3 +144,39 @@ def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
         quantize(pct[0], 4).alias("p50_tokens"),
         quantize(pct[1], 4).alias("p90_tokens"),
         quantize(pct[2], 4).alias("p99_tokens"))
+
+
+def kmv_distinct_estimate(df: DataFrame, col, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-cardinality sketch (Bar-Yossef et al. 2002,
+    public literature): estimate = (k-1) / max(k smallest normalized
+    hashes), exact count when fewer than k distinct values exist.
+    Deterministic (md5-derived hashes, no RNG) so the estimate is
+    bit-reproducible and cross-engine checkable — unlike HLL approx sketches
+    whose binary registers differ per engine.
+
+    Plan: distinct on the 8-byte hash (one shuffle), then TakeOrdered k —
+    the k-smallest pass is a map-side partial top-k, never a full sort."""
+    from .dedup import h32
+    h = (h32(F.col(col).cast("string")).cast("double") / F.lit(2.0 ** 32))
+    kmin = (df.select(h.alias("__h")).distinct()
+              .orderBy("__h").limit(k))
+    return kmin.agg(
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+         .otherwise(F.round((F.lit(float(k - 1)) / F.max("__h")), 2))
+         .alias("distinct_est"),
+        F.count(F.lit(1)).alias("k_used"))
+
+
+def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 20,
+              min_len: int = 3) -> DataFrame:
+    """Exact top-k terms by document frequency: per-doc distinct terms
+    (array_distinct before the explode — cheaper than a post-explode
+    distinct shuffle) → explode → groupBy(term) → TakeOrdered. One explode
+    + one shuffle on the term key; ties broken by term so output is
+    total-ordered and reproducible."""
+    terms = F.array_distinct(
+        F.filter(F.transform(words(F.col(text_col)), F.lower),
+                 lambda t: F.length(t) >= min_len))
+    w = df.select(F.col(id_col), F.explode(terms).alias("term"))
+    return (w.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+             .orderBy(F.desc("doc_freq"), F.asc("term")).limit(k))

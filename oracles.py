@@ -522,6 +522,29 @@ SELECT count(*) AS doc_count,
 FROM tc
 """
 
+ORACLES["kmv_distinct"] = f"""
+WITH kmin AS (
+  SELECT DISTINCT {_H32.format(x='text')}::DOUBLE / 4294967296.0 AS h
+  FROM documents ORDER BY h LIMIT 64
+)
+SELECT CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+       ELSE round(63.0 / max(h), 2) END AS distinct_est,
+       count(*) AS k_used
+FROM kmin
+"""
+
+ORACLES["top_terms"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      list_transform({_w_text}, w -> lower(w)),
+      w -> length(w) >= 3))) AS term
+  FROM documents
+)
+SELECT term, count(*) AS doc_freq
+FROM t GROUP BY term
+ORDER BY doc_freq DESC, term ASC LIMIT 20
+"""
+
 ORACLES["hash_split"] = f"""
 WITH s AS (
   SELECT doc_id,

@@ -170,3 +170,16 @@ def test_hash_sampling_deterministic(spark):
         S.hash_sample(df, "k", 1.5)
     with _pt.raises(ValueError):
         S.train_val_test_split(df, "k", (0.5, 0.2, 0.2))
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV sketch lands within ~20% of true cardinality at k=256 and is
+    exact below k."""
+    from incubator_paimon_spark.operators.text import kmv_distinct_estimate
+
+    df = spark.range(0, 10000).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    est = kmv_distinct_estimate(df, "v", k=256).collect()[0]["distinct_est"]
+    assert 8000 <= est <= 12000, est
+    small = spark.range(0, 50).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    row = kmv_distinct_estimate(small, "v", k=256).collect()[0]
+    assert row["distinct_est"] == 50.0 and row["k_used"] == 50
