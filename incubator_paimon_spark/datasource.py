@@ -203,20 +203,36 @@ class PaimonBatchReader(DataSourceReader):
                 return pa.table(dict(zip(cols + [ROW_KIND_COL], arrays)))
             return tb.select(cols)
 
+        def stream_file(f):
+            """Record-batch iterator for either data format (ORC streams by
+            stripe; both keep worker memory at one batch)."""
+            if f.endswith(".orc"):
+                import pyarrow.orc as orc
+                o = orc.ORCFile(f)
+                for i in range(o.nstripes):
+                    yield o.read_stripe(i)
+            else:
+                yield from pq.ParquetFile(f).iter_batches()
+
         if not split.pks:
             # raw path: stream record batches, never materialize the file
             for f, rel in zip(split.files, split.rel_names):
                 offset = 0
-                for b in pq.ParquetFile(f).iter_batches():
-                    tb = pa.Table.from_batches([b])
-                    tb = masked(tb, rel, offset)
+                for b in stream_file(f):
+                    tb = masked(pa.Table.from_batches([b]), rel, offset)
                     offset += b.num_rows
                     yield from project(tb).to_batches()
             return
 
+        def read_whole(f):
+            if f.endswith(".orc"):
+                import pyarrow.orc as orc
+                return orc.ORCFile(f).read()
+            return pq.read_table(f)
+
         tables = []
         for f, rel in zip(split.files, split.rel_names):
-            tables.append(masked(pq.read_table(f), rel, 0))
+            tables.append(masked(read_whole(f), rel, 0))
         tbl = pa.concat_tables(tables, promote_options="default")
         if SEQUENCE_NUMBER in tbl.column_names:
             # bucket-local merge-on-read (deduplicate: max (seq, _SEQ) wins;
@@ -330,7 +346,12 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
             entries = (t.changelog_entries(snap)
                        or t.delta_entries(snap))
             for e in entries:
-                tbl = pq.read_table(os.path.join(t.path, e.file.file_name))
+                fpath = os.path.join(t.path, e.file.file_name)
+                if fpath.endswith(".orc"):
+                    import pyarrow.orc as orc
+                    tbl = orc.ORCFile(fpath).read()
+                else:
+                    tbl = pq.read_table(fpath)
                 have_kind = VALUE_KIND in tbl.column_names
                 for row in tbl.to_pylist():
                     vals = [row.get(c) for c in cols]

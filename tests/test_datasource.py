@@ -299,3 +299,16 @@ def test_batch_read_time_travel_options(spark, catalog, customer):
            .agg(F.sum("c_acctbal")).collect()[0][0])
     want = customer.agg(F.sum("c_acctbal")).collect()[0][0]
     assert abs(got - want) < 1e-6
+
+
+def test_batch_read_orc_table(spark, catalog, customer):
+    """format('paimon') reads ORC-format tables (stripe-streamed raw path +
+    pandas merge path)."""
+    t = catalog.create_table("db.dsorc", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2", "file.format": "orc"})
+    t.write(spark, customer)
+    t.write(spark, customer.limit(30).withColumn("c_acctbal", F.lit(7.0)))
+    got = spark.read.format("paimon").load([t.path])
+    assert got.count() == customer.count()
+    assert got.filter("c_acctbal = 7.0").count() == 30
