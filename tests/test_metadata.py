@@ -291,3 +291,36 @@ class TestIncrementalManifestCompaction:
         assert all_live == ({f"big-{i}" for i in range(10)}
                             | {f"d-{i}" for i in range(10)} - {"d-3"}
                             | {"s-1", "s-2", "s-3"})
+
+
+class TestPlanningScale:
+    def test_100k_file_prune_and_split_fast(self):
+        """100 TB-shape planning: stats-prune + raw-split over 100k manifest
+        entries stays interactive (driver-side, no Spark)."""
+        import time
+
+        from incubator_paimon_spark.read import (_bloom_keep, _split_raw_buckets,
+                                                 _stats_keep)
+
+        entries = []
+        for i in range(100_000):
+            m = DataFileMeta(
+                file_name=f"bucket-{i % 64}/data-{i}.parquet",
+                file_size=128 << 20, row_count=1_000_000,
+                level=5 if i % 3 else 0, delete_row_count=0,
+                stats={"k": {"min": i * 1000, "max": (i + 1) * 1000 - 1,
+                             "null_count": 0}})
+            entries.append(ManifestEntry("ADD", {}, i % 64, m))
+
+        t0 = time.time()
+        pred = P.between("k", 10_000_000, 11_000_000)
+        kept = [e for e in entries
+                if _stats_keep(e, pred) and _bloom_keep(e, pred)]
+        schema = TableSchema(id=0, fields=[], highest_field_id=0,
+                             partition_keys=[], primary_keys=["k"], options={})
+        raw, merge = _split_raw_buckets(entries, 5, table=object(),
+                                        schema=schema)
+        elapsed = time.time() - t0
+        assert len(kept) == 1001  # exactly the overlapping 1000-row-range files
+        assert len(raw) + len(merge) == len(entries)
+        assert elapsed < 20, f"planning took {elapsed:.1f}s over 100k files"
