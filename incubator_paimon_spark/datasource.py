@@ -52,7 +52,7 @@ def _load_table(options):
     path = options.get("path")
     if not path:
         raise ValueError("paimon source needs a path")
-    return Table(path)
+    return Table(path, branch=options.get("branch"))
 
 
 @dataclass

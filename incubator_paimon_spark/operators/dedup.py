@@ -108,13 +108,22 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3,
-                      min_est_jaccard: float = 0.5) -> DataFrame:
+                      min_est_jaccard: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, scored by the
     signature-agreement Jaccard estimate. Returns (id_a, id_b, est_jaccard).
 
     Plan shape: signatures (scan-side) → explode bands (×bands rows) →
     groupBy band bucket → pairs within buckets → distinct → score. All
-    shuffles are on small keys; no O(n²) stage.
+    shuffles are on small keys; no O(n²) stage — except a degenerate hot
+    bucket (a corpus full of one boilerplate text lands in one bucket and
+    pairs quadratically). max_bucket_size bounds that: the LEFT side of the
+    self-join keeps only each bucket's `cap` smallest ids, so every member
+    still pairs with the bucket's head ids (the cluster stays one connected
+    component through connected_components) while pair count per bucket
+    drops from n² to cap·n. Off by default so default results stay exactly
+    oracle-reproducible; the capped variant loses only (non-head, non-head)
+    edges, which are redundant for clustering.
     """
     df = ensure_parallelism(df)
     rows = num_hashes // bands
@@ -135,7 +144,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     exploded = base.select("id", "sig", F.explode(band_arr).alias("b")) \
                    .select("id", "sig", F.col("b.band").alias("band"),
                            F.col("b.bh").alias("bh"))
-    left = exploded.alias("l")
+    left_src = exploded
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+        w = W.partitionBy("band", "bh").orderBy("id")
+        left_src = (exploded.withColumn("__rn", F.row_number().over(w))
+                            .filter(F.col("__rn") <= max_bucket_size)
+                            .drop("__rn"))
+    left = left_src.alias("l")
     right = exploded.alias("r")
     pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
                        & (F.col("l.bh") == F.col("r.bh"))

@@ -312,3 +312,15 @@ def test_batch_read_orc_table(spark, catalog, customer):
     got = spark.read.format("paimon").load([t.path])
     assert got.count() == customer.count()
     assert got.filter("c_acctbal = 7.0").count() == 30
+
+
+def test_batch_read_branch_option(spark, catalog, customer):
+    """format('paimon').option('branch', ...) reads a branch table."""
+    t = catalog.create_table("db.dsbr", customer.schema)
+    t.write(spark, customer.limit(40))
+    t.create_tag("base")
+    b = t.create_branch("dev", tag="base")
+    b.write(spark, customer.limit(10))
+    assert (spark.read.format("paimon").option("branch", "dev")
+            .load([t.path]).count() == 50)
+    assert spark.read.format("paimon").load([t.path]).count() == 40

@@ -183,3 +183,21 @@ def test_kmv_estimate_accuracy(spark):
     small = spark.range(0, 50).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
     row = kmv_distinct_estimate(small, "v", k=256).collect()[0]
     assert row["distinct_est"] == 50.0 and row["k_used"] == 50
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size bounds a degenerate all-identical corpus at cap*n
+    pairs while keeping the cluster connected through its head ids."""
+    from incubator_paimon_spark.operators.dedup import (connected_components,
+                                                        minhash_lsh_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated in every document here")
+         for i in range(60)], "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, "text", "doc_id", min_est_jaccard=0.7,
+                               max_bucket_size=2)
+    n = capped.count()
+    assert n <= 2 * 60  # cap*n bound, far below 60*59/2 = 1770
+    cc = connected_components(capped, "id_a", "id_b")
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {0} and cc.count() == 60  # one cluster, nobody lost
