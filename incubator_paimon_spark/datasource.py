@@ -158,8 +158,11 @@ class PaimonBatchReader(DataSourceReader):
                 by_bucket.setdefault(key, []).append(e)
             splits += [mk(es, schema.trimmed_primary_keys())
                        for es in by_bucket.values()]
-            return splits
-        return [mk([e], []) for e in plan.entries]
+        else:
+            splits = [mk([e], []) for e in plan.entries]
+        # an empty live set (all rows deleted) still needs one split —
+        # pyspark hands read() a None partition when partitions() is []
+        return splits or [mk([], [])]
 
     @staticmethod
     def _deleted_positions(split):

@@ -324,3 +324,18 @@ def test_batch_read_branch_option(spark, catalog, customer):
     assert (spark.read.format("paimon").option("branch", "dev")
             .load([t.path]).count() == 50)
     assert spark.read.format("paimon").load([t.path]).count() == 40
+
+
+def test_batch_read_empty_table(spark, catalog, customer):
+    """A table whose live set is empty (all rows deleted / fresh) reads as
+    0 rows — pyspark passes a None partition when partitions() is empty."""
+    from incubator_paimon_spark import P
+
+    t = catalog.create_table("db.dsempty", customer.schema,
+                             primary_keys=["c_custkey"], options={"bucket": "2"})
+    assert spark.read.format("paimon").load([t.path]).count() == 0  # fresh
+    t.write(spark, customer.limit(10))
+    t.delete_where(spark, P.ge("c_custkey", 0))
+    t2 = catalog.get_table("db.dsempty")
+    assert t2.read(spark).count() == 0
+    assert spark.read.format("paimon").load([t2.path]).count() == 0
