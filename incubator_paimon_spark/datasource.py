@@ -289,7 +289,15 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
         max_bytes = opt("read.stream.maxBytesPerTrigger")
         max_files = opt("read.stream.maxFilesPerTrigger")
         min_rows = opt("read.stream.minRowsPerTrigger")
-        delay_ms = int(opt("read.stream.maxTriggerDelayMs", "0"))
+        delay_ms = opt("read.stream.maxTriggerDelayMs")
+        if min_rows and delay_ms is None:
+            # the reference creates ReadMinRows only from BOTH options
+            # (SparkConnectorOptions.java:60-72); a silent 0 delay would make
+            # minRowsPerTrigger a no-op, so fail loudly instead
+            raise ValueError(
+                "read.stream.minRowsPerTrigger requires "
+                "read.stream.maxTriggerDelayMs to be set")
+        delay_ms = int(delay_ms or 0)
         end_id = latest
         if max_snaps:
             end_id = min(end_id, start["snapshot_id"] + int(max_snaps))
@@ -315,7 +323,10 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
             end_id = stop
             if min_rows:
                 # ReadMinRows: hold the trigger until enough rows backlog or
-                # maxTriggerDelay since the last admitted batch
+                # maxTriggerDelay since the last admitted batch. Holdback
+                # state is stream-instance memory, same lifetime as the
+                # reference's lastTriggerMillis (PaimonReadLimits.scala:69) —
+                # a query restart re-arms the delay window.
                 import time as _time
                 now = _time.time() * 1000
                 last = getattr(self, "_last_trigger_ms", None)

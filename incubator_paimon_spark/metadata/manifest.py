@@ -52,6 +52,7 @@ class DataFileMeta:
 
     def to_json(self):
         return {
+            "_v": 2,  # format marker: deleteRowCount is tri-state and trusted
             "fileName": self.file_name,
             "fileSize": self.file_size,
             "rowCount": self.row_count,
@@ -78,7 +79,12 @@ class DataFileMeta:
             level=j.get("level", 0),
             stats=j.get("stats", {}),
             creation_time_millis=j.get("creationTimeMillis", 0),
-            delete_row_count=j.get("deleteRowCount"),
+            # Legacy .json manifests (no "_v" marker) always wrote
+            # deleteRowCount=0 without computing it; an explicit 0 is proof of
+            # no -D/-U rows for the rawConvertible gate, so a legacy 0 must
+            # devolve to unknown (None) or deleted rows would resurrect on the
+            # raw read path. Only marker-bearing JSON carries a trusted value.
+            delete_row_count=j.get("deleteRowCount") if j.get("_v", 0) >= 2 else None,
             row_kind_counts=j.get("rowKindCounts", {}),
             file_index=j.get("fileIndex", {}),
         )

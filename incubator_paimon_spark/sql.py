@@ -298,14 +298,27 @@ _MERGE_WHEN = re.compile(
 
 
 def _rewrite_aliases(expr: str, t_alias: str | None, s_alias: str | None) -> str:
-    """Map the statement's aliases onto row_ops.merge_into's fixed t/s."""
-    if t_alias and t_alias.lower() not in ("t",):
-        expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr,
-                      flags=re.IGNORECASE)
-    if s_alias and s_alias.lower() not in ("s",):
-        expr = re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr,
-                      flags=re.IGNORECASE)
-    return expr
+    """Map the statement's aliases onto row_ops.merge_into's fixed t/s.
+
+    Single-pass: one regex alternating both aliases, so a target aliased `s`
+    and source aliased `t` swap cleanly instead of the first substitution's
+    output being re-rewritten by the second. Single-quoted string literals
+    are matched first and passed through untouched."""
+    mapping: dict[str, str] = {}
+    if t_alias and t_alias.lower() != "t":
+        mapping[t_alias.lower()] = "t."
+    if s_alias and s_alias.lower() != "s":
+        mapping[s_alias.lower()] = "s."
+    if not mapping:
+        return expr
+    if len(mapping) < (t_alias is not None and t_alias.lower() != "t") + (
+            s_alias is not None and s_alias.lower() != "s"):
+        raise ValueError("MERGE target and source aliases must differ")
+    alts = "|".join(re.escape(a) for a in mapping)
+    pat = re.compile(rf"('(?:[^']|'')*')|\b({alts})\s*\.", re.IGNORECASE | re.DOTALL)
+    return pat.sub(
+        lambda m: m.group(1) if m.group(1) is not None else mapping[m.group(2).lower()],
+        expr)
 
 
 def _exec_merge(spark, catalog, statement):
@@ -327,6 +340,16 @@ def _exec_merge(spark, catalog, statement):
     on = F.expr(rw(on_src))
 
     kw: dict = {"matched_update": None, "not_matched_insert": None}
+
+    def claim(slot: str):
+        # The reference evaluates multiple WHEN clauses of one kind in order;
+        # we bind one slot per kind, so a second clause must fail loudly
+        # rather than silently shadow the first (ADVICE r3).
+        if kw.get(slot) is not None:
+            raise ValueError(
+                f"multiple WHEN clauses binding {slot!r} are not supported; "
+                "combine them into one clause with a CASE expression")
+
     for wm in _MERGE_WHEN.finditer(statement, m.end()):
         neg, by_source, cond_src, action = wm.groups()
         cond = F.expr(rw(cond_src)) if cond_src else None
@@ -335,6 +358,7 @@ def _exec_merge(spark, catalog, statement):
         if au.startswith("UPDATE"):
             if neg:
                 raise ValueError("WHEN NOT MATCHED cannot UPDATE")
+            claim("matched_update")
             body = a[a.upper().index("SET") + 3:].strip().rstrip(";").strip()
             if body == "*":
                 kw["matched_update"] = "*"
@@ -350,13 +374,16 @@ def _exec_merge(spark, catalog, statement):
                 if cond is not None:
                     raise ValueError(
                         "conditional NOT MATCHED BY SOURCE not supported")
+                claim("not_matched_by_source_delete")
                 kw["not_matched_by_source_delete"] = True
             else:
+                claim("matched_delete")
                 kw["matched_delete"] = True
                 kw["matched_delete_condition"] = cond
         elif au.startswith("INSERT"):
             if not neg or by_source:
                 raise ValueError("INSERT requires WHEN NOT MATCHED")
+            claim("not_matched_insert")
             body = a[6:].strip().rstrip(";").strip()
             if body == "*":
                 kw["not_matched_insert"] = "*"
