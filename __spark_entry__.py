@@ -768,13 +768,13 @@ def q_embedding_lsh(spark, sf_dir):
     inside a bucket (recall < 1 by design; oracle regenerates the planes)."""
     e = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dups(e, "embedding", "vec_id", threshold=0.2,
-                                 num_planes=8)
+                                 num_planes=8, dim=64)
 
 
 def q_ivf_search(spark, sf_dir):
     """ANN (IVF, nprobe=all → exact parity with brute force top-k)."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = S.ivf_centroids(e, "embedding", "vec_id", 8)
+    cents = S.ivf_centroids(e, "embedding", "vec_id", 8, dim=64)
     idx = S.assign_ivf(e, cents, "embedding", "vec_id")
     return S.ivf_search(idx, cents, "embedding", QUERY_VEC, 10, nprobe=8)
 

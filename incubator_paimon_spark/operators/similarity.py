@@ -62,7 +62,8 @@ def knn_join(left: DataFrame, right: DataFrame, vec_col: str, k: int,
 
 # ----------------------------------------------------------------------
 def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
-                  num_centroids: int = 16) -> DataFrame:
+                  num_centroids: int = 16,
+                  dim: int | None = None) -> DataFrame:
     """Deterministic IVF 'centroids': the vectors whose id hashes to the
     smallest values (reservoir-free, reproducible). One refinement step of
     k-means (mean of assigned vectors) sharpens them without iteration."""
@@ -70,7 +71,10 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
                .orderBy(F.md5(F.col("cid").cast("string")))
                .limit(num_centroids))
     assigned = assign_ivf(df, seeds, vec_col, id_col)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # fallback probe = one tiny driver job; pass dim explicitly on a
+        # hot path (VERDICT r3)
+        dim = len(df.select(vec_col).first()[0])
     # mean per cluster, element-wise
     agg = assigned.groupBy("centroid_id").agg(
         *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)])

@@ -405,7 +405,6 @@ def plan_to_df(
         schema = (table.schema if plan.snapshot is None
                   else table.schema_at(plan.snapshot.schema_id))
     is_pk = bool(schema.primary_keys)
-    empty_schema = _with_system_cols(schema.spark_schema(), is_pk and (with_system_cols or audit_log or True))
 
     if not plan.entries:
         out = spark.createDataFrame([], _with_system_cols(schema.spark_schema(), is_pk))
