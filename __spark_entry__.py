@@ -432,8 +432,13 @@ def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window as W
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_micros("ts")
-           - F.unix_micros(F.lag("ts").over(w))) > 1800 * 1_000_000
+    # the ns→µs pandas fallback in _t yields TIMESTAMP_NTZ under PySpark
+    # 4.1.2, and unix_micros only accepts TIMESTAMP (VERDICT r4) — cast
+    # first; a no-op when the column already is TIMESTAMP, and the gap is a
+    # DIFFERENCE so any fixed session offset cancels out.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap = (us(F.col("ts"))
+           - us(F.lag("ts").over(w))) > 1800 * 1_000_000
     e2 = e.withColumn("new_sess", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
     e3 = e2.withColumn("sess_id", F.sum("new_sess").over(
         w.rowsBetween(W.unboundedPreceding, 0)))

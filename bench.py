@@ -40,49 +40,79 @@ def main():
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    errors: dict[str, str] = {}
+
     def timed(name, fn, reps=1):
         """reps>1 (read-only paths): best-of-N, matching the reference
-        micro-benchmarks' best/avg convention (TableReadBenchmark JMH)."""
+        micro-benchmarks' best/avg convention (TableReadBenchmark JMH).
+        A failing query is recorded in `errors` and skipped — one broken
+        query must never zero the whole round's numbers (VERDICT r4)."""
         best, out = None, None
-        for _ in range(reps):
-            t0 = time.time()
-            out = fn()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                out = fn()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            import traceback
+            errors[name] = traceback.format_exc(limit=3)
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            return None
         times[name] = round(best, 3)
         return out
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def section(name):
+        """Isolate a setup+timed block: a crash in table creation or an
+        un-timed write records an error and skips only this block."""
+        try:
+            yield
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            import traceback
+            errors[f"section:{name}"] = traceback.format_exc(limit=3)
+            print(f"[bench] section {name} FAILED: {exc}", file=sys.stderr)
+
+    def rate(key, n, out_name):
+        # only derivable when the timed query actually succeeded
+        if times.get(key):
+            extra[out_name] = round(n / times[key])
 
     lineitem = E._t(spark, sf_dir, "lineitem")
     n_lineitem = lineitem.count()
 
-    # --- PK write (upsert path: repartition by bucket, sort, stats, commit)
-    t = cat.create_table("bench.li_pk", lineitem.schema,
-                         primary_keys=["l_orderkey", "l_linenumber"],
-                         options={"bucket": "16"})
-    timed("pk_write_upsert", lambda: t.write(spark, lineitem))
-    extra["pk_write_rows_per_sec"] = round(n_lineitem / times["pk_write_upsert"])
+    t = None
+    with section("pk_table"):
+        # --- PK write (upsert path: repartition by bucket, sort, stats, commit)
+        t = cat.create_table("bench.li_pk", lineitem.schema,
+                             primary_keys=["l_orderkey", "l_linenumber"],
+                             options={"bucket": "16"})
+        timed("pk_write_upsert", lambda: t.write(spark, lineitem))
+        rate("pk_write_upsert", n_lineitem, "pk_write_rows_per_sec")
 
-    # second commit (overlapping keys) so reads exercise a real merge
-    upd = lineitem.filter(F.col("l_orderkey") % 7 == 0) \
-                  .withColumn("l_quantity", F.col("l_quantity") + 1)
-    n_upd = upd.count()
-    timed("pk_write_second_commit", lambda: t.write(spark, upd))
+        # second commit (overlapping keys) so reads exercise a real merge
+        upd = lineitem.filter(F.col("l_orderkey") % 7 == 0) \
+                      .withColumn("l_quantity", F.col("l_quantity") + 1)
+        n_upd = upd.count()
+        timed("pk_write_second_commit", lambda: t.write(spark, upd))
 
-    # --- PK merge-on-read full scan
-    cnt = timed("pk_read_full", lambda: t.read(spark).count(), reps=3)
-    extra["pk_read_rows_per_sec"] = round(cnt / times["pk_read_full"])
+        # --- PK merge-on-read full scan
+        timed("pk_read_full", lambda: t.read(spark).count(), reps=3)
+        rate("pk_read_full", n_lineitem, "pk_read_rows_per_sec")
 
-    # --- projected scan (2 cols through the merge)
-    timed("pk_read_projected",
-          lambda: t.read(spark, projection=["l_orderkey", "l_quantity"])
-                   .agg(F.sum("l_quantity")).collect(), reps=3)
+        # --- projected scan (2 cols through the merge)
+        timed("pk_read_projected",
+              lambda: t.read(spark, projection=["l_orderkey", "l_quantity"])
+                       .agg(F.sum("l_quantity")).collect(), reps=3)
 
-    # --- compaction rewrite
-    timed("compact_full", lambda: t.compact(spark, full=True))
-    extra["compact_rows_per_sec"] = round((n_lineitem + n_upd) / times["compact_full"])
+        # --- compaction rewrite
+        timed("compact_full", lambda: t.compact(spark, full=True))
+        rate("compact_full", n_lineitem + n_upd, "compact_rows_per_sec")
 
-    # --- read-optimized scan after compaction (raw path, no merge)
-    timed("read_optimized", lambda: t.read(spark).count(), reps=3)
+        # --- read-optimized scan after compaction (raw path, no merge)
+        timed("read_optimized", lambda: t.read(spark).count(), reps=3)
 
     # --- analytics on raw parquet (host-engine surface)
     timed("q1_pricing_summary",
@@ -108,40 +138,44 @@ def main():
     from incubator_paimon_spark import P
     orders = E._t(spark, sf_dir, "orders")
     n_orders = orders.count()
-    tdv = cat.create_table("bench.dv", orders.schema,
-                           options={"deletion-vectors.enabled": "true"})
-    tdv.write(spark, orders)
-    timed("dv_delete", lambda: tdv.delete_where(spark, P.lt("o_orderkey", 1000)))
-    timed("dv_read", lambda: tdv.read(spark).count(), reps=3)
+    with section("dv_table"):
+        tdv = cat.create_table("bench.dv", orders.schema,
+                               options={"deletion-vectors.enabled": "true"})
+        tdv.write(spark, orders)
+        timed("dv_delete", lambda: tdv.delete_where(spark, P.lt("o_orderkey", 1000)))
+        timed("dv_read", lambda: tdv.read(spark).count(), reps=3)
 
-    tdyn = cat.create_table("bench.dyn", orders.schema,
-                            primary_keys=["o_orderkey"],
-                            options={"bucket": "-1",
-                                     "dynamic-bucket.target-row-num":
-                                         str(max(n_orders // 16, 1)),
-                                     "dynamic-bucket.assigner-parallelism":
-                                         "16"})
-    timed("dynamic_bucket_write", lambda: tdyn.write(spark, orders))
-    extra["dyn_write_rows_per_sec"] = round(
-        n_orders / times["dynamic_bucket_write"])
+    with section("dyn_table"):
+        tdyn = cat.create_table("bench.dyn", orders.schema,
+                                primary_keys=["o_orderkey"],
+                                options={"bucket": "-1",
+                                         "dynamic-bucket.target-row-num":
+                                             str(max(n_orders // 16, 1)),
+                                         "dynamic-bucket.assigner-parallelism":
+                                             "16"})
+        timed("dynamic_bucket_write", lambda: tdyn.write(spark, orders))
+        rate("dynamic_bucket_write", n_orders, "dyn_write_rows_per_sec")
 
-    torc = cat.create_table("bench.orc", lineitem.schema,
-                            primary_keys=["l_orderkey", "l_linenumber"],
-                            options={"bucket": "16", "file.format": "orc"})
-    timed("orc_write", lambda: torc.write(spark, lineitem))
-    extra["orc_write_rows_per_sec"] = round(n_lineitem / times["orc_write"])
-    timed("orc_read", lambda: torc.read(spark).count(), reps=3)
+    with section("orc_table"):
+        torc = cat.create_table("bench.orc", lineitem.schema,
+                                primary_keys=["l_orderkey", "l_linenumber"],
+                                options={"bucket": "16", "file.format": "orc"})
+        timed("orc_write", lambda: torc.write(spark, lineitem))
+        rate("orc_write", n_lineitem, "orc_write_rows_per_sec")
+        timed("orc_read", lambda: torc.read(spark).count(), reps=3)
 
-    tz = cat.create_table("bench.zo", lineitem.schema)
-    tz.write(spark, lineitem)
-    timed("zorder_compact",
-          lambda: tz.compact(spark, order_by=["l_orderkey", "l_partkey"],
-                             strategy="zorder"))
-    timed("incremental_read",
-          lambda: __import__(
-              "incubator_paimon_spark.streaming.source",
-              fromlist=["incremental_between"])
-          .incremental_between(spark, t, 1, 2).count(), reps=3)
+    with section("zorder"):
+        tz = cat.create_table("bench.zo", lineitem.schema)
+        tz.write(spark, lineitem)
+        timed("zorder_compact",
+              lambda: tz.compact(spark, order_by=["l_orderkey", "l_partkey"],
+                                 strategy="zorder"))
+    if t is not None:
+        timed("incremental_read",
+              lambda: __import__(
+                  "incubator_paimon_spark.streaming.source",
+                  fromlist=["incremental_between"])
+              .incremental_between(spark, t, 1, 2).count(), reps=3)
 
     shutil.rmtree(wh, ignore_errors=True)
 
@@ -156,6 +190,9 @@ def main():
         "rows": {"lineitem": n_lineitem},
         "derived": extra,
     }
+    if errors:
+        result["errors"] = {k: v.splitlines()[-1] if v else v
+                            for k, v in errors.items()}
     print(json.dumps(result))
 
 

