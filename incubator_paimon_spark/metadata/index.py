@@ -39,8 +39,10 @@ def index_schema(table_schema) -> T.StructType:
 
 class IndexStore:
     def __init__(self, table_path: str):
+        from ..fileio import for_path
         self.table_path = table_path
         self.dir = os.path.join(table_path, "index")
+        self.io = for_path(table_path)
 
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.dir, name)
@@ -73,13 +75,12 @@ class IndexStore:
 
     def write_index_dir(self, df: DataFrame) -> str:
         """Persist new index entries as one parquet dir; returns its name."""
-        os.makedirs(self.dir, exist_ok=True)
+        self.io.mkdirs(self.dir)
         name = f"index-{new_uuid()}"
         df.write.mode("overwrite").parquet(os.path.join(self.dir, name))
         return name
 
     def write_manifest(self, files: list[str]) -> str:
-        os.makedirs(self.dir, exist_ok=True)
         name = f"index-manifest-{new_uuid()}.json"
         atomic_write_json(self._manifest_path(name), files)
         return name

@@ -170,8 +170,10 @@ class ManifestStore:
     _CACHE_MAX_ENTRIES = 500_000
 
     def __init__(self, table_path: str):
+        from ..fileio import for_path
         self.table_path = table_path
         self.dir = os.path.join(table_path, "manifest")
+        self.io = for_path(table_path)
 
     # --- manifest files ---
 
@@ -210,12 +212,13 @@ class ManifestStore:
                                     else pa.int64())
                         for (c, t), v in zip(_MANIFEST_COLS, cols.values())},
                        schema=schema)
-        os.makedirs(self.dir, exist_ok=True)
         path = os.path.join(self.dir, name)
-        tmp = f"{path}.tmp-{new_uuid()}"
-        pq.write_table(tbl, tmp, compression="zstd")
-        os.link(tmp, path)
-        os.unlink(tmp)
+        # manifests are content-addressed (uuid names): no CAS needed, only
+        # no-partial-visibility — write_overwrite gives that on every
+        # backend (tmp+replace locally, atomic PUT on object stores)
+        buf = pa.BufferOutputStream()
+        pq.write_table(tbl, buf, compression="zstd")
+        self.io.write_overwrite(path, buf.getvalue().to_pybytes())
         return name
 
     def read_manifest(self, name: str) -> list[ManifestEntry]:
@@ -235,7 +238,8 @@ class ManifestStore:
             return [ManifestEntry.from_json(j) for j in read_json(path)]
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path)
+        with self.io.open_input(path) as f:
+            tbl = pq.read_table(f)
         d = tbl.to_pydict()
         out = []
         for i in range(tbl.num_rows):

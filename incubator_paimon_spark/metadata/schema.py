@@ -155,15 +155,16 @@ class SchemaManager:
     """schema-N files under <table>/schema (SchemaManager.java:76)."""
 
     def __init__(self, table_path: str):
+        from ..fileio import for_path
         self.dir = os.path.join(table_path, "schema")
+        self.io = for_path(table_path)
 
     def _path(self, sid: int) -> str:
         return os.path.join(self.dir, f"schema-{sid}")
 
     def latest_id(self) -> int | None:
-        if not os.path.isdir(self.dir):
-            return None
-        ids = [int(n.split("-")[1]) for n in os.listdir(self.dir) if n.startswith("schema-")]
+        ids = [int(n.split("-")[1]) for n in self.io.list_names(self.dir)
+               if n.startswith("schema-")]
         return max(ids) if ids else None
 
     def latest(self) -> TableSchema | None:
@@ -180,7 +181,6 @@ class SchemaManager:
         return [self.read(i) for i in range(sid + 1)]
 
     def commit_new(self, schema: TableSchema) -> TableSchema:
-        os.makedirs(self.dir, exist_ok=True)
         if not atomic_write_json(self._path(schema.id), schema.to_json()):
             raise RuntimeError(f"schema-{schema.id} already exists (concurrent DDL)")
         return schema

@@ -82,17 +82,17 @@ class Snapshot:
 
 class SnapshotManager:
     def __init__(self, table_path: str):
+        from ..fileio import for_path
         self.table_path = table_path
         self.dir = os.path.join(table_path, "snapshot")
+        self.io = for_path(table_path)
 
     def _path(self, sid: int) -> str:
         return os.path.join(self.dir, f"snapshot-{sid}")
 
     def _ids(self) -> list[int]:
-        if not os.path.isdir(self.dir):
-            return []
         return sorted(
-            int(n.split("-")[1]) for n in os.listdir(self.dir)
+            int(n.split("-")[1]) for n in self.io.list_names(self.dir)
             if n.startswith("snapshot-") and not n.endswith(".tmp")
             and "-" in n and n.split("-")[1].isdigit()
         )
@@ -103,9 +103,9 @@ class SnapshotManager:
         ids = self._ids()
         if not ids:
             return None
-        if os.path.exists(hint):
+        if self.io.exists(hint):
             try:
-                h = int(open(hint).read().strip())
+                h = int(self.io.read_text(hint).strip())
                 if h in ids and h == ids[-1]:
                     return h
             except ValueError:
@@ -127,7 +127,7 @@ class SnapshotManager:
         return [self.read(i) for i in self._ids()]
 
     def exists(self, sid: int) -> bool:
-        return os.path.exists(self._path(sid))
+        return self.io.exists(self._path(sid))
 
     def try_commit(self, snapshot: Snapshot) -> bool:
         """CAS-create snapshot-N; False = lost race (caller replans+retries),
@@ -138,10 +138,7 @@ class SnapshotManager:
         return ok
 
     def delete(self, sid: int):
-        try:
-            os.unlink(self._path(sid))
-        except FileNotFoundError:
-            pass
+        self.io.delete(self._path(sid))
 
     # --- resolution for time travel (DataTableBatchScan startup scanners) ---
 

@@ -41,8 +41,12 @@ def _truncate(v, mode: str, is_max: bool):
 
 
 def collect_file_stats(path: str, stats_mode: str = "truncate(16)") -> dict:
-    """Returns {"_row_count": n, "cols": {col: {min,max,null_count}}}."""
-    md = pq.ParquetFile(path).metadata
+    """Returns {"_row_count": n, "cols": {col: {min,max,null_count}}}.
+    Footer reads route through FileIO so staging on s3://hdfs:// works; a
+    plain local path keeps the direct open (no behavior change)."""
+    from ..fileio import for_path
+    with for_path(path).open_input(path) as f:
+        md = pq.ParquetFile(f).metadata
     out: dict = {}
     row_count = md.num_rows
     if stats_mode == "none":

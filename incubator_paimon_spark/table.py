@@ -33,9 +33,11 @@ TAG_DIR = "tag"
 
 class Table:
     def __init__(self, path: str, branch: str | None = None):
+        from .fileio import for_path
         self.root_path = path
         self.branch = branch
         self.path = path if branch is None else os.path.join(path, BRANCH_DIR, branch)
+        self.io = for_path(self.path)
         self.schemas = SchemaManager(self.path)
         self.snapshots = SnapshotManager(self.path)
         self.manifests = ManifestStore(self.path)
@@ -151,16 +153,12 @@ class Table:
             raise ValueError(f"tag {name!r} already exists")
 
     def delete_tag(self, name: str):
-        try:
-            os.unlink(os.path.join(self.path, TAG_DIR, f"tag-{name}"))
-        except FileNotFoundError:
-            pass
+        self.io.delete(os.path.join(self.path, TAG_DIR, f"tag-{name}"))
 
     def list_tags(self) -> list[str]:
         d = os.path.join(self.path, TAG_DIR)
-        if not os.path.isdir(d):
-            return []
-        return sorted(n[len("tag-"):] for n in os.listdir(d) if n.startswith("tag-"))
+        return sorted(n[len("tag-"):] for n in self.io.list_names(d)
+                      if n.startswith("tag-"))
 
     def tag_snapshot(self, name: str) -> Snapshot:
         return Snapshot.from_json(read_json(os.path.join(self.path, TAG_DIR, f"tag-{name}")))
@@ -178,30 +176,29 @@ class Table:
             sid = snapshot_id if snapshot_id is not None else self.snapshots.latest_id()
             snap = self.snapshots.read(sid) if sid is not None else None
         bdir = os.path.join(self.path, BRANCH_DIR, name)
-        if os.path.exists(bdir):
+        if self.io.exists(bdir):
             raise ValueError(f"branch {name!r} already exists")
-        os.makedirs(os.path.join(bdir, "schema"))
+        self.io.mkdirs(os.path.join(bdir, "schema"))
         # copy schemas up to branch point
         for s in self.schemas.list_all():
             if snap is None or s.id <= snap.schema_id:
-                shutil.copy(os.path.join(self.path, "schema", f"schema-{s.id}"),
-                            os.path.join(bdir, "schema", f"schema-{s.id}"))
+                self.io.copy(os.path.join(self.path, "schema", f"schema-{s.id}"),
+                             os.path.join(bdir, "schema", f"schema-{s.id}"))
         if snap is not None:
-            # copy the snapshot + its manifests; link referenced data files
-            os.makedirs(os.path.join(bdir, "snapshot"))
-            os.makedirs(os.path.join(bdir, "manifest"))
+            # copy the snapshot + its manifests; share referenced data files
+            self.io.mkdirs(os.path.join(bdir, "snapshot"))
+            self.io.mkdirs(os.path.join(bdir, "manifest"))
             names = (self.manifests.read_manifest_list(snap.base_manifest_list)
                      + self.manifests.read_manifest_list(snap.delta_manifest_list))
             for m in names + [snap.base_manifest_list, snap.delta_manifest_list]:
                 if m:
-                    shutil.copy(os.path.join(self.path, "manifest", m),
-                                os.path.join(bdir, "manifest", m))
+                    self.io.copy(os.path.join(self.path, "manifest", m),
+                                 os.path.join(bdir, "manifest", m))
             for e in self.entries_at(snap):
                 src = os.path.join(self.path, e.file.file_name)
                 dst = os.path.join(bdir, e.file.file_name)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if not os.path.exists(dst):
-                    os.link(src, dst)
+                if not self.io.exists(dst):
+                    self.io.link_or_copy(src, dst)
             branch_snap = Snapshot.from_json(snap.to_json())
             branch_snap.id = snap.id
             SnapshotManager(bdir).try_commit(branch_snap)
@@ -212,9 +209,8 @@ class Table:
 
     def list_branches(self) -> list[str]:
         d = os.path.join(self.path, BRANCH_DIR)
-        if not os.path.isdir(d):
-            return []
-        return sorted(n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n)))
+        return sorted(n for n in self.io.list_names(d)
+                      if self.io.is_dir(os.path.join(d, n)))
 
     def fast_forward(self, branch: str):
         """Replace main metadata with the branch's (FastForwardProcedure)."""
@@ -225,18 +221,15 @@ class Table:
         for sub in ("snapshot", "manifest", "schema"):
             src_dir = os.path.join(bt.path, sub)
             dst_dir = os.path.join(self.path, sub)
-            if not os.path.isdir(src_dir):
-                continue
-            for n in os.listdir(src_dir):
+            for n in self.io.list_names(src_dir):
                 src, dst = os.path.join(src_dir, n), os.path.join(dst_dir, n)
-                if n == "LATEST" or not os.path.exists(dst):
-                    shutil.copy(src, dst)
+                if n == "LATEST" or not self.io.exists(dst):
+                    self.io.copy(src, dst)
         for e in bt.entries_at(b_latest):
             src = os.path.join(bt.path, e.file.file_name)
             dst = os.path.join(self.path, e.file.file_name)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if not os.path.exists(dst):
-                os.link(src, dst)
+            if not self.io.exists(dst):
+                self.io.link_or_copy(src, dst)
         # drop main snapshots newer than the branch head
         for sid in [s.id for s in self.snapshots.list_all() if s.id > b_latest.id]:
             self.snapshots.delete(sid)
@@ -275,10 +268,8 @@ class Table:
 
     def list_consumers(self) -> dict[str, int]:
         d = os.path.join(self.path, "consumer")
-        if not os.path.isdir(d):
-            return {}
         out = {}
-        for n in os.listdir(d):
+        for n in self.io.list_names(d):
             if n.startswith("consumer-"):
                 out[n[len("consumer-"):]] = read_json(os.path.join(d, n))["nextSnapshot"]
         return out
@@ -356,27 +347,28 @@ class Catalog:
     """Filesystem catalog: <warehouse>/<db>.db/<table> (FileSystemCatalog)."""
 
     def __init__(self, warehouse: str):
+        from .fileio import for_path
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        self.io = for_path(warehouse)
+        self.io.mkdirs(warehouse)
 
     def _db_path(self, db: str) -> str:
         return os.path.join(self.warehouse, f"{db}.db")
 
     def create_database(self, db: str, ignore_if_exists: bool = True):
         p = self._db_path(db)
-        if os.path.exists(p) and not ignore_if_exists:
+        if self.io.exists(p) and not ignore_if_exists:
             raise ValueError(f"database {db} exists")
-        os.makedirs(p, exist_ok=True)
+        self.io.mkdirs(p)
 
     def list_databases(self) -> list[str]:
-        return sorted(n[:-3] for n in os.listdir(self.warehouse) if n.endswith(".db"))
+        return sorted(n[:-3] for n in self.io.list_names(self.warehouse)
+                      if n.endswith(".db"))
 
     def list_tables(self, db: str) -> list[str]:
         p = self._db_path(db)
-        if not os.path.isdir(p):
-            return []
-        return sorted(n for n in os.listdir(p)
-                      if os.path.isdir(os.path.join(p, n, "schema")))
+        return sorted(n for n in self.io.list_names(p)
+                      if self.io.is_dir(os.path.join(p, n, "schema")))
 
     def create_table(
         self,
@@ -411,16 +403,16 @@ class Catalog:
     def drop_table(self, identifier: str, ignore_if_not_exists: bool = True):
         db, name = identifier.split(".", 1)
         path = os.path.join(self._db_path(db), name)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        if self.io.is_dir(path):
+            self.io.delete_dir(path)
         elif not ignore_if_not_exists:
             raise ValueError(f"table {identifier} does not exist")
 
     def rename_table(self, old: str, new: str):
         db1, n1 = old.split(".", 1)
         db2, n2 = new.split(".", 1)
-        os.rename(os.path.join(self._db_path(db1), n1),
-                  os.path.join(self._db_path(db2), n2))
+        self.io.rename(os.path.join(self._db_path(db1), n1),
+                       os.path.join(self._db_path(db2), n2))
 
     def sql(self, spark, statement: str):
         """Execute a DML / CALL SQL string against this catalog's tables

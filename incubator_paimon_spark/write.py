@@ -405,13 +405,13 @@ class BatchTableWrite:
     def _collect_entries(self, spark, staging: str, schema: TableSchema, level: int):
         """Walk staging output, collect footer stats distributedly, build ADD
         entries with final (relative) file names."""
+        from .fileio import for_path
         fmt = schema.core_options.file_format
         suffix = ".orc" if fmt == "orc" else ".parquet"
-        files = []
-        for root, _dirs, names in os.walk(staging):
-            for n in names:
-                if n.endswith(suffix):
-                    files.append(os.path.join(root, n))
+        io = for_path(staging)
+        sizes = {p: sz for p, sz in io.walk_files(staging)
+                 if p.endswith(suffix)}
+        files = sorted(sizes)
         if not files:
             return []
 
@@ -426,19 +426,23 @@ class BatchTableWrite:
             # once the driver loop rivals the ~1.5s Python-RDD job spin-up
             sc = spark.sparkContext
             stats_list = (sc.parallelize(files, min(len(files), 64))
-                          .map(lambda p: (p, collect_file_stats(p, stats_mode)))
+                          .map(lambda p: (_path_key(p),
+                                          collect_file_stats(p, stats_mode)))
                           .collect())
             stats_by_path = dict(stats_list)
         else:
-            stats_by_path = {p: collect_file_stats(p, stats_mode) for p in files}
+            stats_by_path = {_path_key(p): collect_file_stats(p, stats_mode)
+                             for p in files}
 
         pt_types = {f"{PT_PREFIX}{c}": schema.field_by_name(c).type
                     for c in schema.partition_keys}
         now = int(time.time() * 1000)
         entries = []
-        for i, path in enumerate(sorted(files)):
-            rel = os.path.relpath(path, staging)
-            comps = rel.split(os.sep)[:-1]
+        for i, path in enumerate(files):
+            # prefix strip, not os.path.relpath: relpath would mangle
+            # URI schemes (s3://… is "relative" to os.path)
+            rel = path[len(staging):].lstrip("/")
+            comps = rel.split("/")[:-1]
             partition, bucket = {}, 0
             for comp in comps:
                 key = comp.split("=", 1)[0]
@@ -447,7 +451,7 @@ class BatchTableWrite:
                 elif key in pt_types:
                     col = key[len(PT_PREFIX):]
                     partition[col] = partition_value_from_dir(comp, pt_types[key])
-            st = stats_by_path[path]
+            st = stats_by_path[_path_key(path)]
             seq_stats = st["cols"].get(SEQUENCE_NUMBER, {})
             # deleteRowCount (reference Optional<Long>): row kinds sort
             # '+I' < '+U' < '-D' < '-U', so a _VALUE_KIND max starting with
@@ -467,7 +471,7 @@ class BatchTableWrite:
             rel_final = "/".join(x for x in (part_dir, bucket_dir, fname) if x)
             meta = DataFileMeta(
                 file_name=rel_final,
-                file_size=os.path.getsize(path),
+                file_size=sizes[path],
                 row_count=st["_row_count"],
                 min_seq=seq_stats.get("min", 0) or 0,
                 max_seq=seq_stats.get("max", 0) or 0,
@@ -482,21 +486,11 @@ class BatchTableWrite:
 
     @staticmethod
     def _move_into_layout(staging: str, adds, table_path: str):
+        from .fileio import for_path
+        io = for_path(table_path)
         for e in adds:
-            dst = os.path.join(table_path, e.file.file_name)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(e.staging_path, dst)
-        # clean staging skeleton
-        for root, dirs, names in os.walk(staging, topdown=False):
-            for n in names:
-                try:
-                    os.unlink(os.path.join(root, n))
-                except OSError:
-                    pass
-            try:
-                os.rmdir(root)
-            except OSError:
-                pass
+            io.rename(e.staging_path, os.path.join(table_path, e.file.file_name))
+        io.delete_dir(staging)  # staging skeleton (+ _SUCCESS markers)
 
     # ------------------------------------------------------------------
     def _overwrite_deletes(self, overwrite, dynamic, adds):
@@ -523,6 +517,15 @@ class BatchTableWrite:
 
 BLOOM_M = 2048   # bits per (file, column)
 BLOOM_K = 2      # hash functions
+
+
+def _path_key(p: str) -> str:
+    """Scheme-less, unquoted form — joins driver-side staging paths with
+    Spark's _metadata.file_path URIs regardless of filesystem scheme."""
+    if "://" not in p and not p.startswith("file:"):
+        return p
+    u = urllib.parse.urlparse(p)
+    return urllib.parse.unquote(u.path)
 
 
 def _collect_stats_spark(spark, files: list[str], fmt: str, schema,
@@ -594,11 +597,9 @@ def _attach_bloom_index(spark, staging, adds, cols):
               .collect())
     by_file: dict = {}
     for r in rows:
-        fp = r["__f"]
-        fp = fp[5:] if fp.startswith("file:") else fp
-        by_file.setdefault(fp, {})[r["c"]] = sorted(r["ps"])
+        by_file.setdefault(_path_key(r["__f"]), {})[r["c"]] = sorted(r["ps"])
     for e in adds:
-        idx = by_file.get(e.staging_path, {})
+        idx = by_file.get(_path_key(e.staging_path), {})
         e.file.file_index = {
             c: (None if ps and len(ps) > BLOOM_M // 2 else ps)
             for c, ps in idx.items()}
