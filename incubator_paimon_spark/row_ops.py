@@ -165,6 +165,10 @@ def merge_into(
     not_matched_insert_condition: Column | None = None,
     not_matched_by_source_delete: bool = False,
     commit_identifier: int = -1,
+    *,
+    matched: list[tuple] | None = None,
+    not_matched: list[tuple] | None = None,
+    not_matched_by_source: list[tuple] | None = None,
 ):
     """MERGE INTO for PK tables (MergeIntoPaimonTable.scala:41-257).
 
@@ -172,11 +176,52 @@ def merge_into(
     PK write path applies — the reference's row-level-op design re-expressed
     as a DataFrame program. `on` is the PK join (list of key columns, or an
     arbitrary equi-join Column whose keys cover the PK).
+
+    Two surfaces:
+    - clause lists `matched` / `not_matched` / `not_matched_by_source`:
+      ordered ("action", spec, condition) tuples evaluated FIRST-MATCH-WINS
+      per row, the reference's multi-WHEN semantics
+      (MergeIntoTableTestBase.scala:265 "multiple clauses"). Actions:
+      matched → "update"|"delete"; not_matched → "insert";
+      by_source → "update"|"delete". spec is "*" or {col: Column}.
+    - the flat keyword args (one clause per kind), kept for API
+      compatibility — they desugar onto the clause lists with the old
+      precedence (update before delete).
+
+    Scale shape: ONE join; per-category first-match clause index computed
+    as a single when-chain column, then one narrow filter+project per
+    clause — no per-clause re-join, no window.
     """
     if not table.is_primary_key_table():
         raise ValueError("MERGE INTO requires a primary-key table")
+    if matched is None and not_matched is None and not_matched_by_source is None:
+        matched = []
+        if matched_update is not None:
+            matched.append(("update", matched_update, matched_update_condition))
+        if matched_delete:
+            matched.append(("delete", None, matched_delete_condition))
+        not_matched = ([("insert", not_matched_insert,
+                         not_matched_insert_condition)]
+                       if not_matched_insert is not None else [])
+        not_matched_by_source = ([("delete", None, None)]
+                                 if not_matched_by_source_delete else [])
+    matched = matched or []
+    not_matched = not_matched or []
+    not_matched_by_source = not_matched_by_source or []
+    if not (matched or not_matched or not_matched_by_source):
+        raise ValueError("MERGE INTO needs at least one WHEN clause")
+    for action, _spec, _c in matched:
+        if action not in ("update", "delete"):
+            raise ValueError(f"WHEN MATCHED supports update/delete, not {action!r}")
+    for action, _spec, _c in not_matched:
+        if action != "insert":
+            raise ValueError("WHEN NOT MATCHED supports insert only")
+    for action, _spec, _c in not_matched_by_source:
+        if action not in ("update", "delete"):
+            raise ValueError(
+                f"WHEN NOT MATCHED BY SOURCE supports update/delete, not {action!r}")
+
     schema = table.schema
-    pks = schema.primary_keys
     target = table.read(spark)
 
     t = target.withColumn("__t_exists", F.lit(True)).alias("t")
@@ -189,70 +234,56 @@ def merge_into(
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             join_cond = c if join_cond is None else (join_cond & c)
 
-    how = "full_outer" if not_matched_by_source_delete else "right_outer" \
-        if not_matched_insert is not None else "inner"
+    how = ("full_outer" if not_matched_by_source
+           else "right_outer" if not_matched else "inner")
     joined = t.join(s, join_cond, how)
 
     t_key = F.col("t.__t_exists")
     s_key = F.col("s.__s_exists")
-    matched = t_key.isNotNull() & s_key.isNotNull()
-    not_matched = t_key.isNull() & s_key.isNotNull()
-    not_matched_by_source = t_key.isNotNull() & s_key.isNull()
+    category = {
+        "matched": t_key.isNotNull() & s_key.isNotNull(),
+        "not_matched": t_key.isNull() & s_key.isNotNull(),
+        "by_source": t_key.isNotNull() & s_key.isNull(),
+    }
 
-    branches = []
-
-    def _proj(spec, side_default):
+    def _proj(action, spec):
+        """Output row for one clause, in table-schema order + ROW_KIND."""
         cols = []
         for f in schema.fields:
-            if spec == "*":
-                cols.append(F.col(f"{side_default}.{f.name}").cast(f.type).alias(f.name))
-            elif isinstance(spec, dict) and f.name in spec:
-                cols.append(spec[f.name].cast(f.type).alias(f.name))
-            else:
-                cols.append(F.col(f"t.{f.name}").cast(f.type).alias(f.name))
-        return cols
+            if action == "insert":
+                if spec == "*":
+                    c = F.col(f"s.{f.name}")
+                elif f.name in spec:
+                    c = spec[f.name]
+                else:
+                    c = F.lit(None)
+            elif action == "update" and spec == "*":
+                c = F.col(f"s.{f.name}")
+            elif action == "update" and f.name in spec:
+                c = spec[f.name]
+            else:  # delete, or update column not assigned: keep target
+                c = F.col(f"t.{f.name}")
+            cols.append(c.cast(f.type).alias(f.name))
+        kind = "+I" if action == "insert" else \
+            DELETE if action == "delete" else UPDATE_AFTER
+        return cols + [F.lit(kind).alias(ROW_KIND)]
 
     out_parts = []
-    if matched_update is not None:
-        cond = matched
-        if matched_update_condition is not None:
-            cond = cond & matched_update_condition
-        upd_spec = "s" if matched_update == "*" else matched_update
-        proj = _proj(matched_update if matched_update != "*" else "*", "s")
-        out_parts.append(joined.filter(cond)
-                         .select(*proj, F.lit(UPDATE_AFTER).alias(ROW_KIND)))
-    if matched_delete:
-        cond = matched
-        if matched_delete_condition is not None:
-            cond = cond & matched_delete_condition
-        if matched_update is not None:
-            upd_cond = matched_update_condition if matched_update_condition is not None else F.lit(True)
-            cond = cond & ~upd_cond  # update clause wins when both match
-        proj = _proj(None, "t")
-        out_parts.append(joined.filter(cond)
-                         .select(*proj, F.lit(DELETE).alias(ROW_KIND)))
-    if not_matched_insert is not None:
-        cond = not_matched
-        if not_matched_insert_condition is not None:
-            cond = cond & not_matched_insert_condition
-        spec = "*" if not_matched_insert == "*" else not_matched_insert
-        cols = []
-        for f in schema.fields:
-            if spec == "*":
-                cols.append(F.col(f"s.{f.name}").cast(f.type).alias(f.name))
-            elif f.name in spec:
-                cols.append(spec[f.name].cast(f.type).alias(f.name))
-            else:
-                cols.append(F.lit(None).cast(f.type).alias(f.name))
-        out_parts.append(joined.filter(cond)
-                         .select(*cols, F.lit("+I").alias(ROW_KIND)))
-    if not_matched_by_source_delete:
-        proj = _proj(None, "t")
-        out_parts.append(joined.filter(not_matched_by_source)
-                         .select(*proj, F.lit(DELETE).alias(ROW_KIND)))
+    for cat, clauses in (("matched", matched), ("not_matched", not_matched),
+                         ("by_source", not_matched_by_source)):
+        if not clauses:
+            continue
+        # first-match-wins: one when-chain tags each row with the index of
+        # the first clause whose condition holds (null = no clause fires)
+        chain = None
+        for i, (_a, _s, cond) in enumerate(clauses):
+            c = cond if cond is not None else F.lit(True)
+            chain = F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
+        tagged = joined.filter(category[cat]).withColumn("__clause", chain)
+        for i, (action, spec, _cond) in enumerate(clauses):
+            out_parts.append(tagged.filter(F.col("__clause") == i)
+                                   .select(*_proj(action, spec)))
 
-    if not out_parts:
-        raise ValueError("MERGE INTO needs at least one WHEN clause")
     changelog = out_parts[0]
     for p in out_parts[1:]:
         changelog = changelog.unionByName(p)

@@ -339,54 +339,44 @@ def _exec_merge(spark, catalog, statement):
     rw = lambda e: _rewrite_aliases(e, t_alias, s_alias)
     on = F.expr(rw(on_src))
 
-    kw: dict = {"matched_update": None, "not_matched_insert": None}
+    # ordered clause lists, first-match-wins per category — the reference
+    # evaluates multiple WHEN clauses of one kind in source order
+    # (MergeIntoPaimonTable.scala:41-257, MergeIntoTableTestBase "multiple
+    # clauses"); clause order in the statement IS the evaluation order.
+    matched: list = []
+    not_matched: list = []
+    by_source: list = []
+    any_clause = False
 
-    def claim(slot: str):
-        # The reference evaluates multiple WHEN clauses of one kind in order;
-        # we bind one slot per kind, so a second clause must fail loudly
-        # rather than silently shadow the first (ADVICE r3).
-        if kw.get(slot) is not None:
-            raise ValueError(
-                f"multiple WHEN clauses binding {slot!r} are not supported; "
-                "combine them into one clause with a CASE expression")
+    def _update_spec(a: str):
+        body = a[a.upper().index("SET") + 3:].strip().rstrip(";").strip()
+        if body == "*":
+            return "*"
+        return {k.split(".")[-1]: F.expr(rw(v))
+                for k, v in _parse_assignments(rw(body)).items()}
 
     for wm in _MERGE_WHEN.finditer(statement, m.end()):
-        neg, by_source, cond_src, action = wm.groups()
+        any_clause = True
+        neg, is_by_source, cond_src, action = wm.groups()
         cond = F.expr(rw(cond_src)) if cond_src else None
         a = action.strip()
         au = a.upper()
         if au.startswith("UPDATE"):
-            if neg:
+            if neg and not is_by_source:
                 raise ValueError("WHEN NOT MATCHED cannot UPDATE")
-            claim("matched_update")
-            body = a[a.upper().index("SET") + 3:].strip().rstrip(";").strip()
-            if body == "*":
-                kw["matched_update"] = "*"
-            else:
-                kw["matched_update"] = {
-                    k.split(".")[-1]: F.expr(rw(v))
-                    for k, v in _parse_assignments(rw(body)).items()}
-            kw["matched_update_condition"] = cond
+            (by_source if is_by_source else matched).append(
+                ("update", _update_spec(a), cond))
         elif au == "DELETE":
-            if neg and not by_source:
+            if neg and not is_by_source:
                 raise ValueError("WHEN NOT MATCHED cannot DELETE")
-            if by_source:
-                if cond is not None:
-                    raise ValueError(
-                        "conditional NOT MATCHED BY SOURCE not supported")
-                claim("not_matched_by_source_delete")
-                kw["not_matched_by_source_delete"] = True
-            else:
-                claim("matched_delete")
-                kw["matched_delete"] = True
-                kw["matched_delete_condition"] = cond
+            (by_source if is_by_source else matched).append(
+                ("delete", None, cond))
         elif au.startswith("INSERT"):
-            if not neg or by_source:
+            if not neg or is_by_source:
                 raise ValueError("INSERT requires WHEN NOT MATCHED")
-            claim("not_matched_insert")
             body = a[6:].strip().rstrip(";").strip()
             if body == "*":
-                kw["not_matched_insert"] = "*"
+                spec = "*"
             else:
                 im = re.match(r"\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$", body,
                               re.IGNORECASE | re.DOTALL)
@@ -397,10 +387,13 @@ def _exec_merge(spark, catalog, statement):
                 vals = _split_top_level(im.group(2))
                 if len(cols) != len(vals):
                     raise ValueError("INSERT column/value count mismatch")
-                kw["not_matched_insert"] = {
-                    c: F.expr(rw(v)) for c, v in zip(cols, vals)}
-            kw["not_matched_insert_condition"] = cond
+                spec = {c: F.expr(rw(v)) for c, v in zip(cols, vals)}
+            not_matched.append(("insert", spec, cond))
         else:
             raise ValueError(f"bad WHEN action: {a!r}")
 
-    return table.merge_into(spark, source, on, **kw)
+    if not any_clause:
+        raise ValueError("MERGE INTO needs at least one WHEN clause")
+    return table.merge_into(spark, source, on, matched=matched,
+                            not_matched=not_matched,
+                            not_matched_by_source=by_source)

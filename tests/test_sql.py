@@ -152,3 +152,53 @@ def test_call_compact_where_string(spark, catalog, orders):
     t2 = catalog.get_table("db.cw")
     assert t2.read(spark).count() == o.count()
     assert t2.snapshots.latest().commit_kind == "COMPACT"
+
+
+def test_sql_merge_multiple_when_matched_ordered(spark, catalog):
+    """First-match-wins across MULTIPLE clauses of the same kind — the
+    reference's multi-WHEN semantics (MergeIntoTableTestBase 'multiple
+    clauses'), previously rejected loudly."""
+    t = catalog.create_table(
+        "db.sqlmw", _schema("k bigint, v string, n int"),
+        primary_keys=["k"], options={"bucket": "1"})
+    t.write(spark, spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, v string, n int"))
+    src = spark.createDataFrame(
+        [(1, "s1", 1), (2, "s2", 2), (3, "s3", 3),
+         (8, "s8", 8), (9, "s9", 99)],
+        "k long, v string, n int")
+    src.createOrReplaceTempView("sql_mw_src")
+    catalog.sql(spark, """
+        MERGE INTO db.sqlmw t USING sql_mw_src s ON t.k = s.k
+        WHEN MATCHED AND t.n <= 10 THEN UPDATE SET v = 'low', n = s.n
+        WHEN MATCHED AND t.n <= 20 THEN UPDATE SET v = 'mid', n = s.n
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s.n > 50 THEN INSERT (k, v, n) VALUES (s.k, 'big', s.n)
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["k"]: (r["v"], r["n"]) for r in t.read(spark).collect()}
+    # k=1 hits clause 1 (not clause 2, though its condition also holds);
+    # k=2 hits clause 2; k=3 falls through to DELETE; k=4 untouched;
+    # k=8 second INSERT clause; k=9 first INSERT clause
+    assert got == {1: ("low", 1), 2: ("mid", 2), 4: ("d", 40),
+                   8: ("s8", 8), 9: ("big", 99)}
+
+
+def test_sql_merge_by_source_update_and_conditional(spark, catalog):
+    t = catalog.create_table(
+        "db.sqlbs2", _schema("k bigint, v string, n int"),
+        primary_keys=["k"], options={"bucket": "1"})
+    t.write(spark, spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n int"))
+    catalog.sql(spark, """
+        MERGE INTO db.sqlbs2 t
+        USING (SELECT CAST(1 AS BIGINT) AS k, 'a2' AS v, 0 AS n) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND t.n >= 30 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'
+    """)
+    got = {r["k"]: (r["v"], r["n"]) for r in t.read(spark).collect()}
+    # k=1 updated from source; k=3 deleted (n>=30); k=2 marked stale
+    assert got == {1: ("a2", 0), 2: ("stale", 20)}
