@@ -270,6 +270,15 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
     t.write(spark, orders.filter(F.col("o_orderkey") % 5 == 0))
     fx["orders_orc"] = t
 
+    # Avro PK table (file.format=avro): pure-Python container codec, no
+    # spark-avro jar (AvroFileFormat.java:50 parity)
+    t = cat.create_table("fx.customer_avro", customer.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "2", "file.format": "avro"})
+    t.write(spark, customer.withColumn("c_acctbal", F.lit(-1.0)))
+    t.write(spark, customer.filter(F.col("c_custkey") % 3 == 0))
+    fx["customer_avro"] = t
+
     # rowkind.field: a data column carries the row kind (+I/-U/+U/-D);
     # commit2 deletes %6==0 keys and updates %6==1 keys through that column
     # (RowKindGenerator.java:38-66, CoreOptions.java:544)
@@ -582,6 +591,15 @@ def q_orc_format(spark, sf_dir):
                      F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
+def q_avro_format(spark, sf_dir):
+    """file.format=avro merge-on-read: rows decode through the pure-Python
+    container codec, distributed via mapInPandas over the file list."""
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_avro"].read(spark)
+    return df.select("c_custkey", "c_nationkey",
+                     F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
 def q_hilbert_cluster(spark, sf_dir):
     """Aggregation over a hilbert-sort-compacted table — clustering is a
     physical rewrite only (sort/hilbert/, CompactProcedure order_strategy)."""
@@ -808,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_bucket": q_dynamic_bucket,
         "cross_partition": q_cross_partition,
         "orc_format": q_orc_format,
+        "avro_format": q_avro_format,
         "hilbert_cluster": q_hilbert_cluster,
         "time_travel": q_time_travel,
         "incremental": q_incremental,

@@ -221,6 +221,9 @@ class PaimonBatchReader(DataSourceReader):
                 o = orc.ORCFile(f)
                 for i in range(o.nstripes):
                     yield o.read_stripe(i)
+            elif f.endswith(".avro"):
+                from .formats.avro_spark import read_avro_arrow
+                yield from read_avro_arrow(f).to_batches()
             else:
                 yield from pq.ParquetFile(f).iter_batches()
 
@@ -238,6 +241,9 @@ class PaimonBatchReader(DataSourceReader):
             if f.endswith(".orc"):
                 import pyarrow.orc as orc
                 return orc.ORCFile(f).read()
+            if f.endswith(".avro"):
+                from .formats.avro_spark import read_avro_arrow
+                return read_avro_arrow(f)
             return pq.read_table(f)
 
         tables = []
@@ -406,6 +412,9 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
         if partition.path.endswith(".orc"):
             import pyarrow.orc as orc
             tbl = orc.ORCFile(partition.path).read()
+        elif partition.path.endswith(".avro"):
+            from .formats.avro_spark import read_avro_arrow
+            tbl = read_avro_arrow(partition.path)
         else:
             import pyarrow.parquet as pq
             tbl = pq.read_table(partition.path)

@@ -1,0 +1,76 @@
+"""Avro <-> Spark integration on top of the pure-Python codec.
+
+Write: the engine stages every commit as parquet (Spark-native, stats from
+footers), then one distributed task per staged file transcodes parquet →
+avro container. Read: mapInPandas over the file list — each task decodes
+its files and yields pandas batches, so a many-file avro table scans with
+full executor parallelism (per-core decode speed is Python-bound; see
+avro_codec docstring).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..fileio import for_path
+from .avro_codec import (read_container, spark_schema_to_avro,
+                         write_container)
+
+
+def arrow_to_rows(tbl) -> list[dict]:
+    return tbl.to_pylist()
+
+
+def transcode_parquet_to_avro(src_path: str, dst_path: str,
+                              spark_schema) -> int:
+    """Executor-side: rewrite one staged parquet file as an avro container
+    with the same rows; returns the avro file size."""
+    import pyarrow.parquet as pq
+    io = for_path(src_path)
+    with io.open_input(src_path) as f:
+        tbl = pq.read_table(f)
+    avro_schema = spark_schema_to_avro(spark_schema)
+    names = [f["name"] for f in avro_schema["fields"]]
+    assert set(names) == set(tbl.column_names), \
+        f"schema drift: {names} vs {tbl.column_names}"
+    data = write_container(avro_schema, arrow_to_rows(tbl))
+    out = for_path(dst_path)
+    out.write_overwrite(dst_path, data)
+    io.delete(src_path)
+    return len(data)
+
+
+def read_avro_files_df(spark, paths: list[str], read_schema):
+    """Distributed avro scan: one input row per file, mapInPandas decodes.
+    Yields columns in `read_schema` order; missing fields read as null
+    (schema evolution handled by the caller's evolve() pass, same as
+    parquet)."""
+    cols = read_schema.fieldNames()
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string") \
+                    .repartition(min(len(paths), 512))
+
+    def decode(batches):
+        for b in batches:
+            for p in b["path"]:
+                data = for_path(p).read_bytes(p)
+                _schema, rows = read_container(data)
+                chunk = list(rows)
+                yield pd.DataFrame(
+                    {c: [r.get(c) for r in chunk] for c in cols},
+                    columns=cols)
+
+    return files_df.mapInPandas(decode, schema=read_schema)
+
+
+def read_avro_arrow(path: str, target_arrow_schema=None):
+    """One file → pyarrow Table (native datasource read path). Types come
+    from the container's own avro schema unless a target schema is given —
+    never from per-chunk inference, which would drift (int32 → int64)."""
+    import pyarrow as pa
+    from .avro_codec import avro_schema_to_arrow
+    data = for_path(path).read_bytes(path)
+    schema, rows = read_container(data)
+    chunk = list(rows)
+    target = target_arrow_schema or avro_schema_to_arrow(schema)
+    cols = {f.name: [r.get(f.name) for r in chunk] for f in target}
+    return pa.Table.from_pydict(cols, schema=target)

@@ -343,16 +343,26 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
     is_pk = bool(target_schema.primary_keys)
     groups: dict[tuple[int, int, str], list[str]] = {}
     for e in entries:
-        fmt = "orc" if e.file.file_name.endswith(".orc") else "parquet"
+        n = e.file.file_name
+        fmt = ("orc" if n.endswith(".orc")
+               else "avro" if n.endswith(".avro") else "parquet")
         key = (e.file.schema_id, e.file.level if with_level else 0, fmt)
-        groups.setdefault(key, []).append(os.path.join(table.path, e.file.file_name))
+        groups.setdefault(key, []).append(os.path.join(table.path, n))
 
     prefix = "file:" + table.path.rstrip("/") + "/"
     out = None
     for (schema_id, level, fmt), paths in sorted(groups.items()):
         file_schema = table.schema_at(schema_id)
         read_schema = _with_system_cols(file_schema.spark_schema(), is_pk)
-        df = spark.read.schema(read_schema).format(fmt).load(paths)
+        if fmt == "avro":
+            if with_metadata:
+                raise ValueError(
+                    "metadata columns / deletion vectors need parquet row "
+                    "indexes; avro files have none (use file.format=parquet)")
+            from .formats.avro_spark import read_avro_files_df
+            df = read_avro_files_df(spark, paths, read_schema)
+        else:
+            df = spark.read.schema(read_schema).format(fmt).load(paths)
         if with_metadata:
             df = (df.withColumn(
                 METADATA_FILE,

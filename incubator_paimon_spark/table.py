@@ -431,12 +431,7 @@ def _validate(ts: TableSchema):
         if pk in ts.partition_keys and len(ts.primary_keys) == 1:
             raise ValueError("primary key must not equal partition key only")
     fmt = opts.file_format
-    if fmt == "avro":
-        raise ValueError(
-            "file.format=avro needs the external spark-avro jar on the "
-            "classpath (AvroFileFormat.java:50); parquet and orc work out "
-            "of the box")
-    if fmt not in ("parquet", "orc"):
+    if fmt not in ("parquet", "orc", "avro"):
         raise ValueError(f"unsupported file.format {fmt!r}")
     if fmt != "parquet" and opts.deletion_vectors_enabled:
         raise ValueError("deletion vectors need parquet row indexes "

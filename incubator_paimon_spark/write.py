@@ -351,13 +351,19 @@ class BatchTableWrite:
                 max_rec = None
         if max_rec:
             writer = writer.option("maxRecordsPerFile", int(max_rec))
-        writer.format(opts.file_format).save(staging)
+        # avro stages as parquet (Spark-native write + footer stats), then
+        # a distributed transcode pass rewrites each staged file as an avro
+        # container (AvroFileFormat parity without the spark-avro jar)
+        staged_fmt = "parquet" if opts.file_format == "avro" else opts.file_format
+        writer.format(staged_fmt).save(staging)
 
         adds = self._collect_entries(spark, staging, schema, level)
         bloom_cols = [c for c in opts.bloom_filter_columns
                       if c in schema.field_names()]
         if bloom_cols and adds:
             _attach_bloom_index(spark, staging, adds, bloom_cols)
+        if opts.file_format == "avro" and adds:
+            _transcode_adds_to_avro(spark, adds, schema)
         self._move_into_layout(staging, adds, table.path)
 
         index_manifest = None
@@ -407,7 +413,8 @@ class BatchTableWrite:
         entries with final (relative) file names."""
         from .fileio import for_path
         fmt = schema.core_options.file_format
-        suffix = ".orc" if fmt == "orc" else ".parquet"
+        staged_fmt = "parquet" if fmt == "avro" else fmt
+        suffix = ".orc" if staged_fmt == "orc" else ".parquet"
         io = for_path(staging)
         sizes = {p: sz for p, sz in io.walk_files(staging)
                  if p.endswith(suffix)}
@@ -416,11 +423,11 @@ class BatchTableWrite:
             return []
 
         stats_mode = schema.core_options.metadata_stats_mode
-        if fmt != "parquet":
+        if staged_fmt != "parquet":
             # no cheap footer API for ORC via pyarrow — one distributed agg
             # job over the staging dir computes per-file stats instead
-            stats_by_path = _collect_stats_spark(spark, files, fmt, schema,
-                                                 stats_mode)
+            stats_by_path = _collect_stats_spark(spark, files, staged_fmt,
+                                                 schema, stats_mode)
         elif len(files) > 64:
             # footer reads are ~5ms each; a distributed pass only pays off
             # once the driver loop rivals the ~1.5s Python-RDD job spin-up
@@ -467,7 +474,8 @@ class BatchTableWrite:
             part_dir = "/".join(
                 f"{c}={_dir_value(partition[c])}" for c in schema.partition_keys)
             bucket_dir = BUCKET_DIR.format(b=bucket)
-            fname = f"data-{new_uuid()}-{i}{suffix}"
+            final_suffix = ".avro" if fmt == "avro" else suffix
+            fname = f"data-{new_uuid()}-{i}{final_suffix}"
             rel_final = "/".join(x for x in (part_dir, bucket_dir, fname) if x)
             meta = DataFileMeta(
                 file_name=rel_final,
@@ -603,6 +611,32 @@ def _attach_bloom_index(spark, staging, adds, cols):
         e.file.file_index = {
             c: (None if ps and len(ps) > BLOOM_M // 2 else ps)
             for c, ps in idx.items()}
+
+
+def _transcode_adds_to_avro(spark, adds, schema):
+    """One distributed task per staged file: parquet -> avro container,
+    in-place next to the staging file; entry metadata gets the avro size.
+    The file's OWN schema (incl. system columns on PK tables) drives the
+    avro schema, read from the staged parquet itself."""
+    from .formats.avro_spark import transcode_parquet_to_avro
+
+    jobs = [(e.staging_path, e.staging_path[: -len(".parquet")] + ".avro")
+            for e in adds]
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from .fileio import for_path
+    with for_path(jobs[0][0]).open_input(jobs[0][0]) as f:
+        file_spark_schema = from_arrow_schema(pq.read_schema(f))
+    sc = spark.sparkContext
+    sizes = dict(
+        sc.parallelize(jobs, min(len(jobs), 64))
+          .map(lambda j: (j[1], transcode_parquet_to_avro(
+              j[0], j[1], file_spark_schema)))
+          .collect())
+    for e in adds:
+        dst = e.staging_path[: -len(".parquet")] + ".avro"
+        e.staging_path = dst
+        e.file.file_size = sizes[dst]
 
 
 class _AddEntry(ManifestEntry):

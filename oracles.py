@@ -377,6 +377,13 @@ SELECT o_orderkey, o_orderstatus,
 FROM orders
 """
 
+ORACLES["avro_format"] = """
+SELECT c_custkey, c_nationkey,
+  round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -1.0 END, 2)
+    AS c_acctbal
+FROM customer
+"""
+
 ORACLES["hilbert_cluster"] = """
 SELECT l_returnflag,
   count(*)::BIGINT AS cnt,
