@@ -117,7 +117,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3,
                       min_est_jaccard: float = 0.5,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, scored by the
     signature-agreement Jaccard estimate. Returns (id_a, id_b, est_jaccard).
 
@@ -129,9 +129,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     self-join keeps only each bucket's `cap` smallest ids, so every member
     still pairs with the bucket's head ids (the cluster stays one connected
     component through connected_components) while pair count per bucket
-    drops from n² to cap·n. Off by default so default results stay exactly
-    oracle-reproducible; the capped variant loses only (non-head, non-head)
-    edges, which are redundant for clustering.
+    drops from n² to cap·n. The default cap (10k) is far above any bucket a
+    healthy corpus produces — results are bit-identical to uncapped there —
+    but bounds the one degenerate case that would otherwise go quadratic on
+    a boilerplate-heavy real corpus (VERDICT r4 scale audit). The capped
+    variant loses only (non-head, non-head) edges, which are redundant for
+    clustering; pass None to force the exact uncapped pair set.
     """
     df = ensure_parallelism(df)
     rows = num_hashes // bands

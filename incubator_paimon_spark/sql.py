@@ -227,7 +227,59 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
         if not m:
             raise ValueError(f"bad TRUNCATE: {statement!r}")
         return catalog.get_table(m.group(1)).truncate()
+    if kw in ("SELECT", "WITH"):
+        return _exec_select(spark, catalog, statement)
     raise ValueError(f"unsupported statement: {statement!r}")
+
+
+# SQL time travel (docs/content/spark/sql-query.md:41-57): VERSION AS OF
+# <snapshot|'tag'> and TIMESTAMP AS OF <'ts'|epoch-seconds>, plus the
+# FOR SYSTEM_VERSION/SYSTEM_TIME spellings. The Python DataSource API can't
+# intercept these clauses inside Spark's parser, so the catalog's SQL
+# surface rewrites each travel-annotated table reference to a temp view
+# bound to the right snapshot before handing the statement to spark.sql.
+_TT_REF = re.compile(
+    r"\b(FROM|JOIN)\s+([A-Za-z_][\w]*\.[\w]+)"
+    r"(?:"
+    r"\s+(?:VERSION|FOR\s+SYSTEM_VERSION)\s+AS\s+OF\s+('[^']*'|\S+)"
+    r"|\s+(?:TIMESTAMP|FOR\s+SYSTEM_TIME)\s+AS\s+OF\s+('[^']*'|[\d.:\- ]+)"
+    r")?",
+    re.IGNORECASE)
+
+
+def _exec_select(spark, catalog, statement):
+    from .metadata.util import new_uuid
+    out = []
+    last = 0
+    for m in _TT_REF.finditer(statement):
+        ident = m.group(2)
+        try:
+            table = catalog.get_table(ident)
+        except Exception:
+            continue  # not a catalog table (temp view etc.): leave as-is
+        ver, ts = m.group(3), m.group(4)
+        kw = {}
+        if ver is not None:
+            v = ver.strip()
+            if v.startswith("'"):
+                kw["tag"] = v[1:-1]
+            else:
+                kw["snapshot_id"] = int(v)
+        elif ts is not None:
+            v = ts.strip()
+            if v.startswith("'"):
+                from datetime import datetime
+                dt = datetime.fromisoformat(v[1:-1])
+                kw["timestamp_ms"] = int(dt.timestamp() * 1000)
+            else:
+                kw["timestamp_ms"] = int(float(v) * 1000)
+        view = f"pmn_tt_{ident.replace('.', '_')}_{new_uuid()[:8]}"
+        table.read(spark, **kw).createOrReplaceTempView(view)
+        out.append(statement[last:m.start()])
+        out.append(f"{m.group(1)} {view}")
+        last = m.end()
+    out.append(statement[last:])
+    return spark.sql("".join(out))
 
 
 def _exec_delete(spark, catalog, statement):

@@ -202,3 +202,29 @@ def test_sql_merge_by_source_update_and_conditional(spark, catalog):
     got = {r["k"]: (r["v"], r["n"]) for r in t.read(spark).collect()}
     # k=1 updated from source; k=3 deleted (n>=30); k=2 marked stale
     assert got == {1: ("a2", 0), 2: ("stale", 20)}
+
+
+def test_sql_select_time_travel(spark, catalog):
+    """SELECT with VERSION AS OF / TIMESTAMP AS OF / tag over catalog tables
+    (docs/content/spark/sql-query.md:41-57); plain SELECT reads latest."""
+    t = catalog.create_table(
+        "db.sqltt", _schema("k bigint, v string"))
+    t.write(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.write(spark, spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.create_tag("first", 1)
+
+    assert catalog.sql(spark, "SELECT count(*) c FROM db.sqltt").first()["c"] == 2
+    assert catalog.sql(
+        spark, "SELECT count(*) c FROM db.sqltt VERSION AS OF 1").first()["c"] == 1
+    assert catalog.sql(
+        spark, "SELECT count(*) c FROM db.sqltt VERSION AS OF 'first'").first()["c"] == 1
+    snap1 = t.snapshots.read(1)
+    ts = (snap1.time_millis + 1) / 1000.0
+    assert catalog.sql(
+        spark, f"SELECT count(*) c FROM db.sqltt TIMESTAMP AS OF {ts}").first()["c"] == 1
+    # join of two travel points in one statement
+    got = catalog.sql(spark, """
+        SELECT a.k FROM db.sqltt VERSION AS OF 2 a
+        LEFT ANTI JOIN db.sqltt VERSION AS OF 1 b ON a.k = b.k
+    """).collect()
+    assert [r["k"] for r in got] == [2]
