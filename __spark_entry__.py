@@ -178,6 +178,31 @@ def _fixtures(spark: SparkSession, sf_dir: str) -> dict:
     """)
     fx["customer_merge"] = t
 
+    # multi-WHEN merge: ordered clauses, first-match-wins per row
+    t = cat.create_table("fx.customer_mwm", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "4"})
+    t.write(spark, customer)
+    customer.createOrReplaceTempView("fx_mwm_source")
+    cat.sql(spark, """
+        MERGE INTO fx.customer_mwm t USING fx_mwm_source s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND t.c_nationkey < 5 THEN UPDATE SET c_acctbal = 1.0
+        WHEN MATCHED AND t.c_nationkey < 15 THEN UPDATE SET c_acctbal = 2.0
+        WHEN MATCHED THEN DELETE
+    """)
+    fx["customer_mwm"] = t
+
+    # changelog-producer=lookup: commit2's -U/+U rows are MATERIALIZED as
+    # changelog files at commit time (not re-derived per read)
+    t = cat.create_table("fx.customer_lookup_cl", customer.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "4",
+                                  "changelog-producer": "lookup"})
+    t.write(spark, customer)
+    t.write(spark, customer.filter(F.col("c_custkey") % 3 == 0)
+                           .withColumn("c_acctbal", F.col("c_acctbal") + 100.0))
+    fx["customer_lookup_cl"] = t
+
     # dynamic partition overwrite on a status-partitioned append table
     t = cat.create_table("fx.orders_part", orders.schema,
                          partition_keys=["o_orderstatus"])
@@ -641,6 +666,26 @@ def q_changelog_diff(spark, sf_dir):
                      F.round("c_acctbal", 2).alias("c_acctbal"))
 
 
+def q_merge_multi_when(spark, sf_dir):
+    """Ordered multi-WHEN MERGE (first-match-wins), via the SQL surface."""
+    fx = _fixtures(spark, sf_dir)
+    df = fx["customer_mwm"].read(spark)
+    return df.select("c_custkey", "c_nationkey",
+                     F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def q_lookup_changelog(spark, sf_dir):
+    """Changelog files materialized by the lookup producer at commit time;
+    the read consumes the files (have_all path), no state diff."""
+    from incubator_paimon_spark.streaming.source import changelog_between
+    fx = _fixtures(spark, sf_dir)
+    t = fx["customer_lookup_cl"]
+    assert t.snapshots.read(2).changelog_manifest_list, "changelog not materialized"
+    df = changelog_between(spark, t, 1, 2)
+    return df.select("_row_kind", "c_custkey",
+                     F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
 def q_merge_into(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["customer_merge"].read(spark)
@@ -833,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_update_compact": q_delete_update_compact,
         "changelog_diff": q_changelog_diff,
         "merge_into": q_merge_into,
+        "merge_multi_when": q_merge_multi_when,
+        "lookup_changelog": q_lookup_changelog,
         "dynamic_overwrite": q_dynamic_overwrite,
         "partition_prune": q_partition_prune,
         "schema_evolution": q_schema_evolution,

@@ -172,6 +172,14 @@ def _compact_pk(spark, table, full, predicate):
     if not to_rewrite:
         return None
 
+    # full-compaction changelog producer: materialize the state diff since
+    # the last changelog-bearing snapshot INTO the compact commit
+    # (FullChangelogMergeTreeCompactRewriter parity) — compaction itself
+    # never changes the merged state, so computing it up front is exact
+    extra_cl = None
+    if full and opts.changelog_producer == "full-compaction":
+        extra_cl = _full_compaction_changelog(spark, table, schema)
+
     # group rewrites by output level so each level is one Spark job
     by_level: dict[int, list[ManifestEntry]] = {}
     for lvl, files in to_rewrite:
@@ -186,8 +194,38 @@ def _compact_pk(spark, table, full, predicate):
                    for e in files]
         snap = table.new_write().write(
             spark, merged, level=out_level, extra_delete_entries=deletes,
+            extra_changelog_entries=extra_cl,
             commit_kind=COMMIT_COMPACT, preserve_system_cols=True)
+        extra_cl = None  # only the first compact commit carries it
     return snap
+
+
+def _full_compaction_changelog(spark, table, schema):
+    """Diff the current merged state against the state at the last
+    changelog-bearing snapshot (or empty) and persist it as changelog
+    files for the upcoming compact commit."""
+    from .write import state_diff_kinds, write_changelog_files
+
+    snaps = table.snapshots.list_all()
+    if not snaps:
+        return None
+    base = 0
+    for s in reversed(snaps):
+        if s.changelog_manifest_list:
+            base = s.id
+            break
+    if snaps[-1].id == base:
+        return None  # nothing committed since the last changelog
+    from .read import plan_to_df
+    if base > 0:
+        old = plan_to_df(spark, table,
+                         table.new_scan(snapshot_id=base).plan())
+    else:
+        old = spark.createDataFrame([], schema.spark_schema())
+    new = table.read(spark)
+    kinds = state_diff_kinds(old, new, schema)
+    entries = write_changelog_files(spark, table, schema, kinds)
+    return entries or None
 
 
 def _record_level_expire(df: DataFrame, opts) -> DataFrame:

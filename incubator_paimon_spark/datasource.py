@@ -307,10 +307,12 @@ def _admissible_end(table, options, start_sid, holdback):
             sid += 1
             if t.snapshots.exists(sid):
                 snap = t.snapshots.read(sid)
-                rows += max(snap.delta_record_count, 0)
+                changelog = str(options.get("read.changelog",
+                                            "false")).lower() == "true"
+                if snap.commit_kind != "COMPACT" or changelog:
+                    rows += max(snap.delta_record_count, 0)
                 if max_bytes or max_files:
-                    entries = (t.changelog_entries(snap)
-                               or t.delta_entries(snap))
+                    entries = t.stream_entries(snap, changelog)
                     nbytes += sum(e.file.file_size for e in entries)
                     nfiles += len(entries)
             stop = sid  # the crossing snapshot is included (reference)
@@ -398,7 +400,7 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
             if not t.snapshots.exists(sid):
                 continue
             snap = t.snapshots.read(sid)
-            for e in (t.changelog_entries(snap) or t.delta_entries(snap)):
+            for e in t.stream_entries(snap, self.changelog):
                 splits.append(_StreamSplit(
                     path=os.path.join(t.path, e.file.file_name),
                     cols=cols, changelog=self.changelog,
@@ -495,8 +497,7 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
             if not t.snapshots.exists(sid):
                 continue
             snap = t.snapshots.read(sid)
-            entries = (t.changelog_entries(snap)
-                       or t.delta_entries(snap))
+            entries = t.stream_entries(snap, self.changelog)
             for e in entries:
                 fpath = os.path.join(t.path, e.file.file_name)
                 if fpath.endswith(".orc"):

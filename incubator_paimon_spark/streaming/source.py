@@ -95,12 +95,12 @@ def changelog_between(spark: SparkSession, table, start, end=None) -> DataFrame:
     cl_entries, have_all = [], True
     for sid in range(s1 + 1, s2 + 1):
         snap = table.snapshots.read(sid)
-        if snap.commit_kind == "COMPACT":
-            continue
         es = table.changelog_entries(snap)
         if es:
+            # materialized changelog rides APPEND commits (input/lookup
+            # producers) AND COMPACT commits (full-compaction producer)
             cl_entries.extend(es)
-        elif snap.delta_record_count != 0:
+        elif snap.commit_kind != "COMPACT" and snap.delta_record_count != 0:
             have_all = False
     if have_all and cl_entries:
         df = read_files_df(spark, table, cl_entries, schema)

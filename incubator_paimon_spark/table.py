@@ -141,6 +141,26 @@ class Table:
     def changelog_entries(self, snapshot: Snapshot):
         return self.manifests.read_all_entries(snapshot.changelog_manifest_list)
 
+    def stream_entries(self, snapshot: Snapshot, changelog: bool):
+        """Entries one micro-batch reads for this snapshot — the follow-up
+        scanner choice (DeltaFollowUpScanner vs ChangelogFollowUpScanner):
+        delta mode skips COMPACT snapshots entirely (a compaction re-adds
+        rewritten files but no new data, and lookup-producer changelog files
+        are NOT data); changelog mode reads materialized changelog files
+        from ANY snapshot kind (lookup changelog rides APPEND commits,
+        full-compaction changelog rides COMPACT commits), falling back to
+        labeling plain deltas +I only for non-COMPACT snapshots."""
+        if changelog:
+            es = self.changelog_entries(snapshot)
+            if es:
+                return es
+            if snapshot.commit_kind == "COMPACT":
+                return []
+            return self.delta_entries(snapshot)
+        if snapshot.commit_kind == "COMPACT":
+            return []
+        return self.delta_entries(snapshot)
+
     # ------------------------------------------------------------------
     # tags (TagAutoCreation.java:48, Table.java:78-116): full snapshot copy
     def create_tag(self, name: str, snapshot_id: int | None = None):

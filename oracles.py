@@ -423,6 +423,20 @@ SELECT '+U', c_custkey, round(c_acctbal + 1000.0, 2)
 FROM customer WHERE c_nationkey <> 7 AND c_mktsegment = 'BUILDING'
 """
 
+ORACLES["merge_multi_when"] = """
+SELECT c_custkey, c_nationkey,
+  round(CASE WHEN c_nationkey < 5 THEN 1.0 ELSE 2.0 END, 2) AS c_acctbal
+FROM customer WHERE c_nationkey < 15
+"""
+
+ORACLES["lookup_changelog"] = """
+SELECT '-U' AS _row_kind, c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT '+U', c_custkey, round(c_acctbal + 100.0, 2)
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
 ORACLES["merge_into"] = """
 SELECT c_custkey, c_name,
   round(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 500.0
