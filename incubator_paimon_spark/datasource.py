@@ -46,7 +46,20 @@ ROW_KIND_COL = "_row_kind"
 
 
 def register(spark):
-    spark.dataSource.register(PaimonDataSource)
+    """Register format("paimon") on this session. Also enables the Python
+    DataSource filter-pushdown conf (off by default in Spark 4.1): with it,
+    partitions()/manifest pruning sees the query's WHERE clause. Sessions
+    where the conf cannot be set fall back to a reader without pushFilters
+    — the worker refuses a pushFilters-bearing reader when the conf is off,
+    so the choice must happen here, driver-side."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        enabled = (spark.conf.get("spark.sql.python.filterPushdown.enabled")
+                   == "true")
+    except Exception:
+        enabled = False
+    spark.dataSource.register(PaimonDataSource if enabled
+                              else PaimonDataSourceNoPushdown)
 
 
 def _load_table(options):
@@ -105,11 +118,21 @@ class PaimonDataSource(DataSource):
         return PaimonStreamWriter(self.options)
 
 
-class PaimonBatchReader(DataSourceReader):
+class PaimonDataSourceNoPushdown(PaimonDataSource):
+    """Same source, minus pushFilters: the engine worker refuses a reader
+    that merely DEFINES pushFilters when the pushdown conf is off, so
+    register() picks this class for such sessions."""
+
+    def reader(self, schema):
+        return PaimonBatchReaderNoPushdown(self.options, self._changelog())
+
+
+class PaimonBatchReaderNoPushdown(DataSourceReader):
     def __init__(self, options, changelog):
         self.options = options
         self.changelog = changelog
         self.table = _load_table(options)
+        self._pushed = None  # Predicate built by pushFilters (subclass)
 
     def partitions(self):
         """Raw-convertible files (append tables; compacted / key-disjoint PK
@@ -128,7 +151,7 @@ class PaimonBatchReader(DataSourceReader):
         plan = t.new_scan(
             snapshot_id=int(snapshot_id) if snapshot_id else None,
             tag=self.options.get("scan.tag-name"),
-            timestamp_ms=int(ts) if ts else None).plan()
+            timestamp_ms=int(ts) if ts else None).plan(self._pushed)
         user_cols = schema.field_names()
         covered = t.dv.covered_files(plan.snapshot)
         dv_dirs = tuple(
@@ -266,6 +289,54 @@ class PaimonBatchReader(DataSourceReader):
             yield from tbl.to_batches()
         else:
             yield from project(tbl).to_batches()
+
+
+class PaimonBatchReader(PaimonBatchReaderNoPushdown):
+    """The default batch reader: adds DSv2-style filter pushdown."""
+
+    def pushFilters(self, filters):
+        """Map Spark's pushed filters onto the Predicate IR so partitions()
+        prunes partitions / buckets / files by manifest stats — the DSv2
+        SupportsPushDownFilters surface (PaimonScanBuilder.pushFilters).
+        Every filter is also returned (Spark re-applies post-scan): pruning
+        here is plan-shrinking, never result-changing — the exact contract
+        parquet's own pushdown uses."""
+        from pyspark.sql import datasource as DS
+        from .predicate import And, P
+
+        fields = set(self.table.schema.field_names())
+        parts = []
+        for f in filters:
+            leaf = None
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col in fields:
+                if isinstance(f, DS.EqualTo):
+                    leaf = P.eq(col, f.value)
+                elif isinstance(f, DS.EqualNullSafe):
+                    leaf = (P.is_null(col) if f.value is None
+                            else P.eq(col, f.value))
+                elif isinstance(f, DS.GreaterThan):
+                    leaf = P.gt(col, f.value)
+                elif isinstance(f, DS.GreaterThanOrEqual):
+                    leaf = P.ge(col, f.value)
+                elif isinstance(f, DS.LessThan):
+                    leaf = P.lt(col, f.value)
+                elif isinstance(f, DS.LessThanOrEqual):
+                    leaf = P.le(col, f.value)
+                elif isinstance(f, DS.In):
+                    leaf = P.isin(col, list(f.values))
+                elif isinstance(f, DS.IsNull):
+                    leaf = P.is_null(col)
+                elif isinstance(f, DS.IsNotNull):
+                    leaf = P.is_not_null(col)
+                elif isinstance(f, DS.StringStartsWith):
+                    leaf = P.starts_with(col, f.value)
+            if leaf is not None:
+                parts.append(leaf)
+        if parts:
+            self._pushed = parts[0] if len(parts) == 1 else And(parts)
+        return filters
 
 
 def _admissible_end(table, options, start_sid, holdback):

@@ -339,3 +339,34 @@ def test_batch_read_empty_table(spark, catalog, customer):
     t2 = catalog.get_table("db.dsempty")
     assert t2.read(spark).count() == 0
     assert spark.read.format("paimon").load([t2.path]).count() == 0
+
+
+def test_batch_reader_filter_pushdown(spark, catalog, customer):
+    """pushFilters maps Spark filters onto the Predicate IR: partition and
+    stats pruning shrink the split list; every filter is still returned so
+    Spark re-applies it post-scan (PaimonScanBuilder parity)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from incubator_paimon_spark.datasource import PaimonBatchReader
+
+    t = catalog.create_table("db.dspf", customer.schema,
+                             partition_keys=["c_mktsegment"])
+    t.write(spark, customer)
+
+    r = PaimonBatchReader({"path": t.path}, False)
+    n_all = len(r.partitions())
+    r2 = PaimonBatchReader({"path": t.path}, False)
+    seg = customer.select("c_mktsegment").first()[0]
+    rest = list(r2.pushFilters([EqualTo(("c_mktsegment",), seg),
+                                GreaterThan(("c_custkey",), -1)]))
+    assert len(rest) == 2  # all filters handed back for re-evaluation
+    assert len(r2.partitions()) < n_all
+    # impossible predicate prunes to the empty-split placeholder
+    r3 = PaimonBatchReader({"path": t.path}, False)
+    list(r3.pushFilters([EqualTo(("c_custkey",), -123456)]))
+    splits = r3.partitions()
+    assert sum(len(s.files) for s in splits) == 0
+
+    # end-to-end through the engine (worker-side pushFilters): results match
+    df = spark.read.format("paimon").load(t.path)
+    got = df.filter(F.col("c_mktsegment") == seg).count()
+    assert got == customer.filter(F.col("c_mktsegment") == seg).count()
