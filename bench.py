@@ -170,6 +170,56 @@ def main():
         timed("zorder_compact",
               lambda: tz.compact(spark, order_by=["l_orderkey", "l_partkey"],
                                  strategy="zorder"))
+
+    customer = E._t(spark, sf_dir, "customer")
+    n_customer = customer.count()
+    with section("avro_table"):
+        # pure-Python avro codec: parquet-staged write + transcode, decode
+        # via mapInPandas (throughput is Python-bound per core, distributed)
+        tav = cat.create_table("bench.avro", customer.schema,
+                               options={"file.format": "avro"})
+        timed("avro_write", lambda: tav.write(spark, customer))
+        timed("avro_read", lambda: tav.read(spark).count(), reps=3)
+
+    with section("lookup_changelog"):
+        # changelog-producer=lookup: second commit pays the key lookup +
+        # diff + changelog-file write inside the commit
+        tlk = cat.create_table("bench.lkcl", customer.schema,
+                               primary_keys=["c_custkey"],
+                               options={"bucket": "8",
+                                        "changelog-producer": "lookup"})
+        timed("lookup_cl_first_commit", lambda: tlk.write(spark, customer))
+        upd_c = customer.filter(F.col("c_custkey") % 9 == 0) \
+                        .withColumn("c_acctbal", F.col("c_acctbal") + 1)
+        timed("lookup_cl_update_commit", lambda: tlk.write(spark, upd_c))
+
+    with section("stream_drain"):
+        # executor-side stream reader: drain the orders table in one
+        # availableNow pass through readStream.format("paimon")
+        import tempfile as _tf
+        from incubator_paimon_spark.datasource import register as _reg
+        _reg(spark)
+        tso = cat.create_table("bench.stream_src", orders.schema)
+        tso.write(spark, orders)
+
+        def drain():
+            out = _tf.mkdtemp(prefix="pmn_bso_")
+            ck = _tf.mkdtemp(prefix="pmn_bsc_")
+            q = (spark.readStream.format("paimon")
+                 .option("scan.mode", "earliest").load(tso.path)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            n = spark.read.parquet(out).count()
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+            return n
+
+        drained = timed("stream_drain", drain)
+        if drained is not None:
+            assert drained == n_orders, (drained, n_orders)
+            rate("stream_drain", n_orders, "stream_rows_per_sec")
     if t is not None:
         timed("incremental_read",
               lambda: __import__(
