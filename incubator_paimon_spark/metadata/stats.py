@@ -68,10 +68,15 @@ def collect_file_stats(path: str, stats_mode: str = "truncate(16)") -> dict:
                     nulls += st.null_count
                 continue
             nulls += st.null_count or 0
-            if mn is None or st.min < mn:
-                mn = st.min
-            if mx is None or st.max > mx:
-                mx = st.max
+            try:
+                smin, smax = st.min, st.max
+            except Exception:  # pyarrow can't cast stats for this type
+                have = False   # (e.g. some decimal/interval encodings):
+                continue       # skip min/max, keep null counts — pruning
+            if mn is None or smin < mn:  # stays conservative
+                mn = smin
+            if mx is None or smax > mx:
+                mx = smax
         entry = {"null_count": nulls}
         if have and mn is not None and stats_mode != "counts":
             tmn = _truncate(mn, stats_mode, is_max=False)

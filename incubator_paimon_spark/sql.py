@@ -227,8 +227,25 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
         if not m:
             raise ValueError(f"bad TRUNCATE: {statement!r}")
         return catalog.get_table(m.group(1)).truncate()
-    if kw in ("SELECT", "WITH"):
+    if kw in ("SELECT", "WITH", "VALUES"):
         return _exec_select(spark, catalog, statement)
+    if kw == "CREATE":
+        return _exec_create(spark, catalog, statement)
+    if kw == "ALTER":
+        return _exec_alter(spark, catalog, statement)
+    if kw == "INSERT":
+        return _exec_insert(spark, catalog, statement)
+    if kw == "DROP":
+        m = re.match(r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+                     statement, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"bad DROP TABLE: {statement!r}")
+        return catalog.drop_table(m.group(2),
+                                  ignore_if_not_exists=bool(m.group(1)))
+    if kw == "SHOW":
+        return _exec_show(spark, catalog, statement)
+    if kw in ("DESC", "DESCRIBE"):
+        return _exec_describe(spark, catalog, statement)
     raise ValueError(f"unsupported statement: {statement!r}")
 
 
@@ -449,3 +466,177 @@ def _exec_merge(spark, catalog, statement):
     return table.merge_into(spark, source, on, matched=matched,
                             not_matched=not_matched,
                             not_matched_by_source=by_source)
+
+
+# ---------------------------------------------------------------- DDL + DML
+# SQL DDL surface (docs/content/spark/sql-ddl.md): CREATE/ALTER/DROP TABLE,
+# SHOW, DESCRIBE, INSERT INTO/OVERWRITE. Primary keys follow the reference's
+# Spark DDL convention: TBLPROPERTIES ('primary-key' = 'a,b').
+
+def _balanced(s: str, start: int) -> tuple[str, int]:
+    """Content of the paren block opening at s[start]=='('; returns
+    (inner, index_after_close). Handles nesting and quoted strings."""
+    depth, i, in_str = 0, start, False
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1:i], i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in statement")
+
+
+def _parse_props(block: str) -> dict:
+    props = {}
+    for part in _split_top_level(block):
+        pm = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", part)
+        if not pm:
+            raise ValueError(f"bad property {part!r}")
+        props[pm.group(1)] = pm.group(2)
+    return props
+
+
+def _exec_create(spark, catalog, statement):
+    m = re.match(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*",
+                 statement, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad CREATE TABLE: {statement!r}")
+    if_not_exists, ident = bool(m.group(1)), m.group(2)
+    i = statement.find("(", m.end() - 1)
+    if i < 0:
+        raise ValueError("CREATE TABLE needs a column list")
+    cols_block, after = _balanced(statement, i)
+    from pyspark.sql import types as T
+    schema = T.StructType.fromDDL(cols_block)
+    tail = statement[after:]
+    part_keys, props = [], {}
+    pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
+    if pm:
+        part_keys = [c.strip() for c in pm.group(1).split(",") if c.strip()]
+    tm = re.search(r"TBLPROPERTIES\s*\(", tail, re.IGNORECASE)
+    if tm:
+        block, _ = _balanced(tail, tm.end() - 1)
+        props = _parse_props(block)
+    pks = [k.strip() for k in props.pop("primary-key", "").split(",")
+           if k.strip()]
+    return catalog.create_table(ident, schema, partition_keys=part_keys,
+                                primary_keys=pks, options=props,
+                                ignore_if_exists=if_not_exists)
+
+
+def _exec_alter(spark, catalog, statement):
+    m = re.match(r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(.*?);?\s*$",
+                 statement, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"bad ALTER TABLE: {statement!r}")
+    ident, action = m.group(1), m.group(2).strip()
+    au = action.upper()
+    from pyspark.sql import types as T
+
+    if au.startswith("RENAME TO"):
+        return catalog.rename_table(ident, action[len("RENAME TO"):].strip())
+    t = catalog.get_table(ident)
+    mgr = t.schemas
+    if au.startswith("ADD COLUMN"):
+        body = action[len("ADD COLUMNS") if au.startswith("ADD COLUMNS")
+                      else len("ADD COLUMN"):].strip()
+        if body.startswith("("):
+            body, _ = _balanced(body, 0)
+        out = None
+        for f in T.StructType.fromDDL(body).fields:
+            out = mgr.add_column(f.name, f.dataType, f.nullable,
+                                 f.metadata.get("comment"))
+        return out
+    if au.startswith("RENAME COLUMN"):
+        rm = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", action,
+                      re.IGNORECASE)
+        if not rm:
+            raise ValueError(f"bad RENAME COLUMN: {action!r}")
+        return mgr.rename_column(rm.group(1), rm.group(2))
+    if au.startswith("DROP COLUMN"):
+        return mgr.drop_column(action.split()[-1])
+    cm = re.match(r"(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+(?:TYPE\s+)?(.+?)\s*$",
+                  action, re.IGNORECASE)
+    if cm:
+        new_t = T.StructType.fromDDL(f"x {cm.group(2)}").fields[0].dataType
+        return mgr.update_column_type(cm.group(1), new_t)
+    if au.startswith("SET TBLPROPERTIES"):
+        i = action.find("(")
+        block, _ = _balanced(action, i)
+        return mgr.update_options(set_options=_parse_props(block))
+    if au.startswith("UNSET TBLPROPERTIES"):
+        i = action.find("(")
+        block, _ = _balanced(action, i)
+        keys = [p.strip().strip("'") for p in _split_top_level(block)]
+        return mgr.update_options(remove=keys)
+    raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
+
+
+def _exec_insert(spark, catalog, statement):
+    m = re.match(r"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*"
+                 r"(?:PARTITION\s*\(([^)]*)\)\s*)?(.*?);?\s*$",
+                 statement, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"bad INSERT: {statement!r}")
+    mode, ident, part_spec, query = m.groups()
+    table = catalog.get_table(ident)
+    schema = table.schema
+    df = _exec_select(spark, catalog, query.strip())
+
+    static = {}
+    if part_spec:
+        for p in _split_top_level(part_spec):
+            k, v = p.split("=", 1)
+            static[k.strip()] = v.strip().strip("'")
+    # positional mapping: VALUES / positional SELECTs produce col1..colN
+    target = [c for c in schema.field_names() if c not in static]
+    if list(df.columns) != schema.field_names():
+        if len(df.columns) != len(target):
+            raise ValueError(
+                f"INSERT column count {len(df.columns)} != expected "
+                f"{len(target)} (table cols minus static partition)")
+        df = df.toDF(*target)
+    for k, v in static.items():
+        f = schema.field_by_name(k)
+        df = df.withColumn(k, F.lit(v).cast(f.type))
+    if mode.upper() == "OVERWRITE":
+        return table.write(spark, df, overwrite=static or True)
+    return table.write(spark, df)
+
+
+def _exec_show(spark, catalog, statement):
+    s = statement.strip().rstrip(";")
+    su = s.upper()
+    if su.startswith("SHOW DATABASES"):
+        return spark.createDataFrame(
+            [(d,) for d in catalog.list_databases()], "namespace string")
+    m = re.match(r"SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+(\w+))?\s*$", s,
+                 re.IGNORECASE)
+    if m:
+        dbs = [m.group(1)] if m.group(1) else catalog.list_databases()
+        rows = [(db, t) for db in dbs for t in catalog.list_tables(db)]
+        return spark.createDataFrame(rows or [], "namespace string, tableName string")
+    m = re.match(r"SHOW\s+PARTITIONS\s+([\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        from .system_tables import system_table
+        return system_table(spark, catalog.get_table(m.group(1)), "partitions")
+    raise ValueError(f"unsupported SHOW: {statement!r}")
+
+
+def _exec_describe(spark, catalog, statement):
+    m = re.match(r"\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$",
+                 statement, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad DESCRIBE: {statement!r}")
+    sc = catalog.get_table(m.group(1)).schema
+    rows = [(f.name, f.type.simpleString(), f.description) for f in sc.fields]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string")

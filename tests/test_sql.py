@@ -228,3 +228,56 @@ def test_sql_select_time_travel(spark, catalog):
         LEFT ANTI JOIN db.sqltt VERSION AS OF 1 b ON a.k = b.k
     """).collect()
     assert [r["k"] for r in got] == [2]
+
+
+def test_sql_ddl_surface(spark, catalog):
+    """CREATE/ALTER/DROP TABLE, INSERT INTO/OVERWRITE, SHOW, DESCRIBE —
+    the reference's Spark DDL shapes (docs/content/spark/sql-ddl.md),
+    primary keys via TBLPROPERTIES ('primary-key'='...')."""
+    catalog.sql(spark, """
+        CREATE TABLE db.ddl1 (
+            k BIGINT NOT NULL,
+            v STRING COMMENT 'the value',
+            amt DECIMAL(10,2),
+            p STRING
+        ) PARTITIONED BY (p)
+        TBLPROPERTIES ('primary-key' = 'k,p', 'bucket' = '2')
+    """)
+    t = catalog.get_table("db.ddl1")
+    assert t.schema.primary_keys == ["k", "p"]
+    assert t.schema.partition_keys == ["p"]
+    assert t.schema.options["bucket"] == "2"
+
+    catalog.sql(spark,
+                "INSERT INTO db.ddl1 VALUES (1,'a',10.5,'x'), (2,'b',20.0,'y')")
+    catalog.sql(spark,
+                "INSERT INTO db.ddl1 PARTITION (p='x') VALUES (3,'c',1.0)")
+    assert catalog.sql(
+        spark, "SELECT count(*) c FROM db.ddl1 WHERE p='x'").first()["c"] == 2
+    catalog.sql(spark,
+                "INSERT OVERWRITE db.ddl1 PARTITION (p='x') VALUES (9,'z',0.0)")
+    rows = {(r["k"], r["p"])
+            for r in catalog.sql(spark, "SELECT k, p FROM db.ddl1").collect()}
+    assert rows == {(9, "x"), (2, "y")}
+
+    catalog.sql(spark, "ALTER TABLE db.ddl1 ADD COLUMNS (extra INT, note STRING)")
+    catalog.sql(spark, "ALTER TABLE db.ddl1 RENAME COLUMN note TO memo")
+    catalog.sql(spark, "ALTER TABLE db.ddl1 ALTER COLUMN extra TYPE BIGINT")
+    catalog.sql(spark,
+                "ALTER TABLE db.ddl1 SET TBLPROPERTIES ('write-only'='true')")
+    catalog.sql(spark, "ALTER TABLE db.ddl1 DROP COLUMN memo")
+    sc = catalog.get_table("db.ddl1").schema
+    assert "extra" in sc.field_names() and "memo" not in sc.field_names()
+    assert sc.options["write-only"] == "true"
+    # evolved reads still work: old files lack 'extra' -> null
+    assert catalog.sql(
+        spark, "SELECT count(*) c FROM db.ddl1 WHERE extra IS NULL").first()["c"] == 2
+
+    assert len(catalog.sql(spark, "DESCRIBE db.ddl1").collect()) == 5
+    names = {r["tableName"] for r in catalog.sql(spark, "SHOW TABLES").collect()}
+    assert "ddl1" in names
+    assert catalog.sql(spark, "SHOW PARTITIONS db.ddl1").count() >= 2
+    catalog.sql(spark, "CREATE TABLE IF NOT EXISTS db.ddl1 (k INT)")  # no-op
+    catalog.sql(spark, "DROP TABLE db.ddl1")
+    assert "ddl1" not in set(catalog.list_tables("db"))
+    catalog.sql(spark, "DROP TABLE IF EXISTS db.never_there")
