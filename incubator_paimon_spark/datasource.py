@@ -325,7 +325,8 @@ class PaimonBatchReader(PaimonBatchReaderNoPushdown):
                 elif isinstance(f, DS.LessThanOrEqual):
                     leaf = P.le(col, f.value)
                 elif isinstance(f, DS.In):
-                    leaf = P.isin(col, list(f.values))
+                    # pyspark's In dataclass stores the tuple in `value`
+                    leaf = P.isin(col, list(f.value))
                 elif isinstance(f, DS.IsNull):
                     leaf = P.is_null(col)
                 elif isinstance(f, DS.IsNotNull):
@@ -433,16 +434,25 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
         self._progress = None  # last planned/committed end snapshot id
 
     def initialOffset(self):
-        # identical policy to the simple reader (kept as the unit-level spec)
+        # identical policy to the simple reader (kept as the unit-level
+        # spec); never moves the limit window backwards — the engine may
+        # call this AFTER the first latestOffset already advanced it
         off = PaimonStreamReader.initialOffset(self)
-        self._progress = off["snapshot_id"]
+        self._progress = (off["snapshot_id"] if self._progress is None
+                          else max(self._progress, off["snapshot_id"]))
         return off
 
     def latestOffset(self):
         if self._progress is None:
-            # restarted query: Spark resumes from its checkpoint (which we
-            # never see here) — seed limit-capping from the initial policy;
-            # partitions() re-clamps against the true checkpointed start.
+            # fresh query: the engine calls latestOffset BEFORE
+            # initialOffset — seed the read-limit window from the initial
+            # policy. On a RESTART this branch is never reached: the engine
+            # replays the last offset-log batch via partitions(start, end)
+            # first (the same engine guarantee pyspark's own
+            # _SimpleStreamReaderWrapper depends on — datasource_internal
+            # .py "when query restart from checkpoint, use the last
+            # committed offset as the start offset"), which sets _progress
+            # to the checkpointed end, so limits can never rewind offsets.
             self._progress = PaimonStreamReader.initialOffset(self)["snapshot_id"]
         end = _admissible_end(self.table, self.options, self._progress, self)
         if end is None:  # minRows holds the trigger: report no progress

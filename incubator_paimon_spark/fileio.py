@@ -286,16 +286,34 @@ class ArrowFSFileIO(FileIO):
 
     def __init__(self, uri: str):
         import pyarrow.fs as pafs
-        self.fs, _ = pafs.FileSystem.from_uri(uri)
         parsed = urlparse(uri)
+        self.fs, probe = pafs.FileSystem.from_uri(uri)
         self._prefix = f"{parsed.scheme}://{parsed.netloc}"
+        # bucket-addressed stores (s3/gs/abfs) express pyarrow paths as
+        # 'bucket/key'; host-addressed ones (hdfs) as '/key'. from_uri's
+        # returned path tells us which convention this fs uses — dropping
+        # the bucket here would silently point every metadata op at the
+        # wrong object (r5 review finding).
+        self._bucket = (parsed.netloc
+                        if parsed.netloc
+                        and (probe == parsed.netloc
+                             or probe.startswith(parsed.netloc + "/"))
+                        else None)
 
     # pyarrow filesystems take scheme-less paths; keep URIs at the API edge
     def _rel(self, path: str) -> str:
         parsed = urlparse(path)
-        return parsed.path if parsed.scheme else path
+        if not parsed.scheme:
+            return path
+        p = parsed.path
+        if self._bucket is not None:
+            return self._bucket + p if p.startswith("/") \
+                else f"{self._bucket}/{p}"
+        return p
 
     def _abs(self, rel: str) -> str:
+        if self._bucket is not None and rel.startswith(self._bucket):
+            rel = rel[len(self._bucket):]
         return f"{self._prefix}{rel if rel.startswith('/') else '/' + rel}"
 
     def read_bytes(self, path):

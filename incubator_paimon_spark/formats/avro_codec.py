@@ -211,9 +211,12 @@ def _encode_value(buf, typ, v):
             write_long(buf, 0)
             return
         if t == "map":
+            # pyarrow's to_pylist() yields map values as [(k, v), ...]
+            # tuples, plain python gives dicts — accept both
+            items = v.items() if isinstance(v, dict) else v
             if len(v):
                 write_long(buf, len(v))
-                for k, val in v.items():
+                for k, val in items:
                     write_bytes(buf, k.encode("utf-8"))
                     _encode_value(buf, typ["values"], val)
             write_long(buf, 0)
@@ -249,7 +252,11 @@ def _decode_value(buf, typ):
         t, lt = typ["type"], typ.get("logicalType")
         if lt == "date":
             return _EPOCH_DATE + timedelta(days=read_long(buf))
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if lt == "timestamp-micros":
+            # tz-AWARE: a naive datetime here would be re-interpreted in
+            # the Spark session timezone on read — silent shift (r5 review)
+            return _EPOCH_DT_UTC + timedelta(microseconds=read_long(buf))
+        if lt == "local-timestamp-micros":
             return _EPOCH_DT + timedelta(microseconds=read_long(buf))
         if lt == "decimal":
             from decimal import Decimal

@@ -140,7 +140,7 @@ def remove_orphan_files(table, older_than_ms=None, dry_run=False):
         if top == "manifest":
             if n not in manifests and io.mtime(full) < cutoff:
                 orphans.append(full)
-        elif n.endswith((".parquet", ".orc")):
+        elif n.endswith((".parquet", ".orc", ".avro")):
             if rel not in files and io.mtime(full) < cutoff:
                 orphans.append(full)
     if not dry_run:

@@ -258,14 +258,13 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
 _TT_REF = re.compile(
     r"\b(FROM|JOIN)\s+([A-Za-z_][\w]*\.[\w]+)"
     r"(?:"
-    r"\s+(?:VERSION|FOR\s+SYSTEM_VERSION)\s+AS\s+OF\s+('[^']*'|\S+)"
-    r"|\s+(?:TIMESTAMP|FOR\s+SYSTEM_TIME)\s+AS\s+OF\s+('[^']*'|[\d.:\- ]+)"
+    r"\s+(?:VERSION|FOR\s+SYSTEM_VERSION)\s+AS\s+OF\s+('[^']*'|\w+)"
+    r"|\s+(?:TIMESTAMP|FOR\s+SYSTEM_TIME)\s+AS\s+OF\s+('[^']*'|[\d.][\d.:\-]*)"
     r")?",
     re.IGNORECASE)
 
 
 def _exec_select(spark, catalog, statement):
-    from .metadata.util import new_uuid
     out = []
     last = 0
     for m in _TT_REF.finditer(statement):
@@ -290,7 +289,10 @@ def _exec_select(spark, catalog, statement):
                 kw["timestamp_ms"] = int(dt.timestamp() * 1000)
             else:
                 kw["timestamp_ms"] = int(float(v) * 1000)
-        view = f"pmn_tt_{ident.replace('.', '_')}_{new_uuid()[:8]}"
+        # deterministic name per (table, travel point): repeated statements
+        # reuse ONE view instead of leaking a uuid-named view per reference
+        suffix = "_".join(f"{k}_{v}" for k, v in sorted(kw.items())) or "latest"
+        view = re.sub(r"\W", "_", f"pmn_tt_{ident}_{suffix}")
         table.read(spark, **kw).createOrReplaceTempView(view)
         out.append(statement[last:m.start()])
         out.append(f"{m.group(1)} {view}")
@@ -593,9 +595,16 @@ def _exec_insert(spark, catalog, statement):
 
     static = {}
     if part_spec:
+        from .write import partition_value_from_dir
         for p in _split_top_level(part_spec):
             k, v = p.split("=", 1)
-            static[k.strip()] = v.strip().strip("'")
+            k = k.strip()
+            f = schema.field_by_name(k)
+            # typed, not string: manifest partition values are typed, and a
+            # string '5' would never match int 5 in _overwrite_deletes —
+            # the overwrite would silently degrade to an append (r5 review)
+            static[k] = partition_value_from_dir(
+                f"{k}={v.strip().strip(chr(39))}", f.type)
     # positional mapping: VALUES / positional SELECTs produce col1..colN
     target = [c for c in schema.field_names() if c not in static]
     if list(df.columns) != schema.field_names():

@@ -78,3 +78,30 @@ def test_avro_rejects_deletion_vectors(catalog, customer):
         catalog.create_table("db.avro_dv", customer.schema,
                              options={"file.format": "avro",
                                       "deletion-vectors.enabled": "true"})
+
+
+def test_codec_map_from_arrow_tuples_and_aware_timestamp():
+    """pyarrow to_pylist yields maps as (k,v) tuple lists, and TIMESTAMP
+    (tz-aware) columns must round-trip as tz-aware UTC — a naive datetime
+    would be re-interpreted in the session timezone (r5 review)."""
+    from datetime import timezone
+    schema = T.StructType([
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    avs = A.spark_schema_to_avro(schema)
+    aware = datetime(2026, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+    rows = [{"m": [("a", 1), ("b", 2)], "ts": aware}]   # arrow-shaped map
+    got = list(A.read_container(A.write_container(avs, rows))[1])[0]
+    assert got["m"] == {"a": 1, "b": 2}
+    assert got["ts"] == aware and got["ts"].tzinfo is not None
+
+
+def test_avro_table_with_map_column(spark, catalog):
+    df = spark.createDataFrame([(1, {"x": 1.5}), (2, {"y": -2.0})],
+                               "k long, m map<string,double>")
+    t = catalog.create_table("db.avro_map", df.schema,
+                             options={"file.format": "avro"})
+    t.write(spark, df)
+    got = {r["k"]: dict(r["m"]) for r in t.read(spark).collect()}
+    assert got == {1: {"x": 1.5}, 2: {"y": -2.0}}

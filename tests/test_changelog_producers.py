@@ -88,3 +88,59 @@ def test_stream_delta_mode_skips_compact_and_changelog_files(
     kinds = [row[-1] for row in it]
     assert kinds.count("-U") == 10 and kinds.count("+U") == 10
     assert kinds.count("+I") == customer.count()
+
+
+def test_stream_restart_with_limits_no_duplicates(spark, catalog, customer):
+    """Read limits + checkpoint restart: the engine replays the last logged
+    batch's partitions() before calling latestOffset, so the limit window
+    resumes from the checkpoint and never rewinds offsets (r5 review)."""
+    import glob
+    import tempfile
+    import shutil
+    from incubator_paimon_spark.datasource import register
+    register(spark)
+
+    t = catalog.create_table("db.rlim", customer.schema)
+    for i in range(3):
+        t.write(spark, customer.filter(f"c_custkey % 3 = {i}"))
+    out = tempfile.mkdtemp(prefix="pmn_rl_o_")
+    ck = tempfile.mkdtemp(prefix="pmn_rl_ck_")
+    try:
+        import time as _time
+
+        def run_until(target):
+            # processingTime, not availableNow: availableNow locks its end
+            # target to the FIRST latestOffset, which a per-trigger cap
+            # deliberately keeps small
+            q = (spark.readStream.format("paimon")
+                 .option("scan.mode", "earliest")
+                 .option("read.stream.maxSnapshotsPerTrigger", "1")
+                 .load(t.path)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(processingTime="1 second").start())
+            deadline = _time.time() + 90
+            n = -1
+            while _time.time() < deadline:
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = -1
+                if n >= target:
+                    break
+                _time.sleep(2)
+            # settle one extra trigger to catch over-delivery (duplicates)
+            _time.sleep(3)
+            q.stop()
+            return spark.read.parquet(out).count()
+
+        assert run_until(customer.count()) == customer.count()
+        assert len(glob.glob(ck + "/offsets/*")) >= 3  # one snapshot each
+        # two more commits, restart from checkpoint: only the delta, once
+        t.write(spark, customer.limit(7))
+        t.write(spark, customer.limit(5))
+        assert run_until(customer.count() + 12) == customer.count() + 12
+        assert run_until(customer.count() + 12) == customer.count() + 12
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)

@@ -370,3 +370,13 @@ def test_batch_reader_filter_pushdown(spark, catalog, customer):
     df = spark.read.format("paimon").load(t.path)
     got = df.filter(F.col("c_mktsegment") == seg).count()
     assert got == customer.filter(F.col("c_mktsegment") == seg).count()
+
+
+def test_batch_reader_pushdown_in_filter(spark, catalog, customer):
+    """IN filters push down without crashing (pyspark's In stores its tuple
+    in `value`, not `values` — r5 review) and results stay exact."""
+    t = catalog.create_table("db.dsin", customer.schema)
+    t.write(spark, customer)
+    df = spark.read.format("paimon").load(t.path)
+    got = df.filter(F.col("c_custkey").isin(1, 2, 3)).count()
+    assert got == customer.filter(F.col("c_custkey").isin(1, 2, 3)).count()

@@ -83,6 +83,7 @@ def test_arrow_fs_refuses_unlocked_casless(tmp):
     io = ArrowFSFileIO.__new__(ArrowFSFileIO)
     io.fs = type("S3Stub", (), {"type_name": "s3"})()
     io._prefix = "s3://bucket"
+    io._bucket = "bucket"
     with pytest.raises(RuntimeError, match="CommitLock"):
         io.try_create("s3://bucket/t/snapshot/snapshot-1", b"x")
 
@@ -102,3 +103,26 @@ def test_strip_file_scheme():
     assert strip_file_scheme("file:///a/b") == "/a/b"
     assert strip_file_scheme("/a/b") == "/a/b"
     assert strip_file_scheme("s3://b/k") == "s3://b/k"
+
+
+def test_arrow_fs_bucket_addressed_paths():
+    """s3/gs-style stores express pyarrow paths as 'bucket/key'; the backend
+    must keep the bucket when stripping the scheme (r5 review: dropping it
+    pointed every metadata op at the wrong object)."""
+    io = ArrowFSFileIO.__new__(ArrowFSFileIO)
+    io._prefix = "s3://bkt"
+    io._bucket = "bkt"
+    assert io._rel("s3://bkt/wh/db.t/snapshot/snapshot-1") == \
+        "bkt/wh/db.t/snapshot/snapshot-1"
+    assert io._abs("bkt/wh/db.t/f") == "s3://bkt/wh/db.t/f"
+    # host-addressed (hdfs): path stays rooted, no bucket prefix
+    io2 = ArrowFSFileIO.__new__(ArrowFSFileIO)
+    io2._prefix = "hdfs://nn:8020"
+    io2._bucket = None
+    assert io2._rel("hdfs://nn:8020/wh/t/snapshot-1") == "/wh/t/snapshot-1"
+    assert io2._abs("/wh/t/f") == "hdfs://nn:8020/wh/t/f"
+
+
+def test_arrow_fs_local_uri_detects_no_bucket(tmp):
+    io = ArrowFSFileIO(f"file://{tmp}")
+    assert io._bucket is None

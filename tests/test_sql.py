@@ -281,3 +281,27 @@ def test_sql_ddl_surface(spark, catalog):
     catalog.sql(spark, "DROP TABLE db.ddl1")
     assert "ddl1" not in set(catalog.list_tables("db"))
     catalog.sql(spark, "DROP TABLE IF EXISTS db.never_there")
+
+
+def test_sql_insert_overwrite_typed_partition(spark, catalog):
+    """Static PARTITION values are parsed to the column's type — a string
+    '5' would never match the manifests' typed int 5 and the overwrite
+    would silently append instead of replacing (r5 review)."""
+    t = catalog.create_table("db.sqltp", _schema("k bigint, pt int"),
+                             partition_keys=["pt"])
+    catalog.sql(spark, "INSERT INTO db.sqltp VALUES (1, 5), (2, 6)")
+    catalog.sql(spark, "INSERT OVERWRITE db.sqltp PARTITION (pt=5) VALUES (9)")
+    rows = {(r["k"], r["pt"]) for r in catalog.sql(
+        spark, "SELECT k, pt FROM db.sqltp").collect()}
+    assert rows == {(9, 5), (2, 6)}
+
+
+def test_sql_time_travel_trailing_punctuation(spark, catalog):
+    t = catalog.create_table("db.sqltt2", _schema("k bigint"))
+    t.write(spark, spark.createDataFrame([(1,)], "k long"))
+    t.write(spark, spark.createDataFrame([(2,)], "k long"))
+    assert catalog.sql(
+        spark, "SELECT count(*) c FROM db.sqltt2 VERSION AS OF 1;").first()["c"] == 1
+    assert catalog.sql(spark, """
+        SELECT count(*) c FROM (SELECT * FROM db.sqltt2 VERSION AS OF 1)
+    """).first()["c"] == 1
