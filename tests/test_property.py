@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): the avro codec round-trips arbitrary
+typed rows bit-exactly, and predicate stats-pruning is SOUND — a file whose
+stats reject a predicate can never contain a matching row."""
+
+from datetime import date, datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import types as T
+
+from incubator_paimon_spark.formats import avro_codec as A
+from incubator_paimon_spark.predicate import Leaf, P
+
+_SCHEMA = T.StructType([
+    T.StructField("a", T.LongType()),
+    T.StructField("b", T.StringType()),
+    T.StructField("c", T.DoubleType()),
+    T.StructField("d", T.BooleanType()),
+    T.StructField("e", T.DateType()),
+    T.StructField("f", T.ArrayType(T.IntegerType())),
+    T.StructField("g", T.BinaryType()),
+])
+_AVRO = A.spark_schema_to_avro(_SCHEMA)
+
+_row = st.fixed_dictionaries({
+    "a": st.none() | st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+    "b": st.none() | st.text(max_size=40),
+    "c": st.none() | st.floats(allow_nan=False, width=64),
+    "d": st.none() | st.booleans(),
+    "e": st.none() | st.dates(min_value=date(1, 1, 1),
+                              max_value=date(9999, 1, 1)),
+    "f": st.none() | st.lists(
+        st.none() | st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1),
+        max_size=8),
+    "g": st.none() | st.binary(max_size=32),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_row, max_size=20), st.sampled_from(["null", "deflate"]))
+def test_avro_roundtrip_property(rows, codec):
+    data = A.write_container(_AVRO, rows, codec=codec, block_rows=7)
+    got_schema, it = A.read_container(data)
+    assert list(it) == rows
+    assert got_schema == _AVRO
+
+
+_vals = st.integers(min_value=-1000, max_value=1000)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_vals, min_size=1, max_size=30),
+       st.sampled_from(["eq", "ne", "lt", "le", "gt", "ge"]),
+       _vals)
+def test_stats_pruning_sound_comparisons(values, op, lit):
+    """If test_stats() rejects a file, NO value in the file may satisfy the
+    predicate — pruning must never drop a matching row."""
+    stats = {"x": {"min": min(values), "max": max(values),
+                   "null_count": 0}}
+    pred = Leaf(op, "x", lit)
+    if not pred.test_stats(stats):
+        import operator
+        fn = {"eq": operator.eq, "ne": operator.ne, "lt": operator.lt,
+              "le": operator.le, "gt": operator.gt, "ge": operator.ge}[op]
+        assert not any(fn(v, lit) for v in values)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_vals, min_size=1, max_size=30),
+       st.lists(_vals, min_size=1, max_size=5))
+def test_stats_pruning_sound_in(values, lits):
+    stats = {"x": {"min": min(values), "max": max(values), "null_count": 0}}
+    pred = P.isin("x", lits)
+    if not pred.test_stats(stats):
+        assert not any(v in lits for v in values)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_vals, min_size=1, max_size=30), _vals, _vals)
+def test_stats_pruning_sound_between(values, lo, hi):
+    stats = {"x": {"min": min(values), "max": max(values), "null_count": 0}}
+    pred = P.between("x", lo, hi)
+    if not pred.test_stats(stats):
+        assert not any(lo <= v <= hi for v in values)
