@@ -150,6 +150,43 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
     return t
 
 
+def _migrate_file(spark, catalog, source_dir, target_table, **_):
+    """Append an existing Parquet dir's files into an EXISTING table without
+    rewriting data (MigrateFileProcedure): same zero-copy link/commit as
+    migrate_table, but against the target's current schema + a new
+    snapshot on top of its history. Schemas must match by name."""
+    import os
+    from .metadata.manifest import DataFileMeta, ManifestEntry
+    from .metadata.commit import CommitMessage
+    from .metadata.stats import collect_file_stats
+    from .metadata.util import new_uuid
+    from .types import ENTRY_ADD
+    from .fileio import for_path
+
+    t = _t(catalog, target_table)
+    schema = t.schema
+    if schema.primary_keys:
+        raise ValueError("migrate_file targets append tables only "
+                         "(PK tables need the bucket shuffle: use INSERT)")
+    sample = spark.read.parquet(source_dir)
+    if set(sample.columns) != set(schema.field_names()):
+        raise ValueError(f"schema mismatch: source {sorted(sample.columns)} "
+                         f"vs table {sorted(schema.field_names())}")
+    src_io = for_path(source_dir)
+    sizes = {p: sz for p, sz in src_io.walk_files(source_dir)
+             if p.endswith(".parquet")}
+    adds = []
+    for i, p in enumerate(sorted(sizes)):
+        st = collect_file_stats(p)
+        rel = f"bucket-0/data-{new_uuid()}-{i}.parquet"
+        t.io.link_or_copy(p, os.path.join(t.path, rel))
+        adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
+            file_name=rel, file_size=sizes[p],
+            row_count=st["_row_count"], stats=st["cols"],
+            schema_id=schema.id)))
+    return t.commit.commit(CommitMessage(add=adds), schema_id=schema.id)
+
+
 def _expire_changelogs(spark, catalog, table, older_than=None, retain_max=None, **_):
     from .maintenance import expire_changelogs
     return expire_changelogs(_t(catalog, table), older_than_ms=older_than,
@@ -251,6 +288,7 @@ _PROCEDURES = {
     "create_tag_from_timestamp": _create_tag_from_timestamp,
     "analyze": _analyze,
     "migrate_table": _migrate_table,
+    "migrate_file": _migrate_file,
     "repair": _repair,
     "drop_partition": _drop_partition,
 }

@@ -74,7 +74,8 @@ def test_procedure_registry_covers_surface(catalog):
     for name in ("compact", "expire_snapshots", "expire_partitions",
                  "create_tag", "delete_tag", "rollback", "create_branch",
                  "delete_branch", "fast_forward", "remove_orphan_files",
-                 "reset_consumer", "migrate_table", "expire_changelogs",
+                 "reset_consumer", "migrate_table", "migrate_file",
+                 "expire_changelogs",
                  "create_tag_from_timestamp", "analyze"):
         assert name in _PROCEDURES, name
 
@@ -132,3 +133,28 @@ def test_drop_partition(spark, catalog, orders):
     import pytest as _pt
     with _pt.raises(ValueError, match="not partition keys"):
         t3.drop_partition({"nope": "1"})
+
+
+def test_migrate_file_into_existing_table(spark, catalog, customer):
+    """CALL sys.migrate_file: zero-copy append of a parquet dir's files
+    into an existing append table (MigrateFileProcedure parity)."""
+    import tempfile
+    from incubator_paimon_spark.procedures import call_sql
+
+    t = catalog.create_table("db.mf", customer.schema)
+    t.write(spark, customer.limit(40))
+    src = tempfile.mkdtemp(prefix="pmn_mf_")
+    customer.limit(25).write.mode("overwrite").parquet(src)
+    call_sql(spark, catalog,
+             f"CALL sys.migrate_file(source_dir => '{src}', "
+             f"target_table => 'db.mf')")
+    assert t.read(spark).count() == 65
+    assert t.snapshots.latest().id == 2
+    # PK tables are rejected (they need the bucket shuffle)
+    tp = catalog.create_table("db.mfpk", customer.schema,
+                              primary_keys=["c_custkey"])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="append"):
+        call_sql(spark, catalog,
+                 f"CALL sys.migrate_file(source_dir => '{src}', "
+                 f"target_table => 'db.mfpk')")
