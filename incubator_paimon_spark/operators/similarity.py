@@ -119,3 +119,45 @@ def ivf_search(indexed: DataFrame, centroids: DataFrame, vec_col: str,
     sim = cosine(F.col(vec_col), q)
     return (cand.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
                 .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+# ----------------------------------------------------------------------
+def build_ivf_table(spark, catalog, name: str, df: DataFrame, vec_col: str,
+                    id_col: str = "vec_id", num_centroids: int = 16,
+                    dim: int | None = None):
+    """Persist an IVF index as a paimon table PARTITIONED by centroid_id,
+    plus its centroids as a sibling table. The physical layout IS the
+    index: a probe reads only its centroids' partitions (manifest-level
+    pruning), so ANN search on a 10^10-vector corpus touches nprobe/N of
+    the files instead of scanning — the reference's bucketed-layout idea
+    applied to vector search. Returns (index_table, centroids_table)."""
+    cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim)
+    assigned = assign_ivf(df, cents, vec_col, id_col)
+    t_idx = catalog.create_table(name, assigned.schema,
+                                 partition_keys=["centroid_id"],
+                                 ignore_if_exists=False)
+    t_idx.write(spark, assigned)
+    t_c = catalog.create_table(f"{name}_centroids", cents.schema,
+                               ignore_if_exists=False)
+    t_c.write(spark, cents)
+    return t_idx, t_c
+
+
+def ivf_search_table(spark, index_table, centroids_table, vec_col: str,
+                     query: list[float], k: int, nprobe: int = 4,
+                     id_col: str = "vec_id") -> DataFrame:
+    """ANN search against a persisted IVF table: pick the nprobe closest
+    centroids (tiny scan), then read ONLY those centroid partitions via
+    predicate pushdown — the scan plan shrinks to nprobe partitions'
+    files, verifiable via index_table.new_scan().plan(pred).entries."""
+    from ..predicate import P
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cent = centroids_table.read(spark)
+    probe = (cent.select("cid", F.round(cosine(F.col("cv"), q), 6).alias("s"))
+                 .orderBy(F.col("s").desc()).limit(nprobe))
+    probe_ids = [r["cid"] for r in probe.collect()]
+    cand = index_table.read(spark, predicate=P.isin("centroid_id", probe_ids))
+    sim = cosine(F.col(vec_col), q)
+    return (cand.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
+                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))

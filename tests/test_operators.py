@@ -201,3 +201,37 @@ def test_lsh_hot_bucket_cap(spark):
     cc = connected_components(capped, "id_a", "id_b")
     comps = {r["component"] for r in cc.collect()}
     assert comps == {0} and cc.count() == 60  # one cluster, nobody lost
+
+
+def test_ivf_table_partition_pruned_search(spark, catalog):
+    """Persisted IVF index: the probe's scan plan contains ONLY the probed
+    centroid partitions' files, and results equal the unpersisted
+    ivf_search on the same centroids."""
+    from incubator_paimon_spark.operators import similarity as S
+    from incubator_paimon_spark.predicate import P
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t_idx, t_c = S.build_ivf_table(spark, catalog, "db.ivf", emb,
+                                   "embedding", num_centroids=8, dim=64)
+    query = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    got = S.ivf_search_table(spark, t_idx, t_c, "embedding", query, k=5,
+                             nprobe=2)
+    rows = got.collect()
+    assert len(rows) == 5
+
+    # the plan really prunes: probed partitions only
+    cents = {r["cid"] for r in t_c.read(spark).collect()}
+    probe2 = [sorted(cents)[0]]
+    plan = t_idx.new_scan().plan(P.isin("centroid_id", probe2))
+    assert plan.entries
+    assert {e.partition["centroid_id"] for e in plan.entries} == set(probe2)
+    full = t_idx.new_scan().plan()
+    assert len(plan.entries) < len(full.entries)
+
+    # parity with the in-memory path on identical centroids
+    assigned = S.assign_ivf(emb, t_c.read(spark).select(
+        F.col("cid"), F.col("cv")), "embedding", "vec_id")
+    ref = S.ivf_search(assigned, t_c.read(spark), "embedding", query, k=5,
+                       nprobe=2)
+    assert [(r["vec_id"], r["cosine"]) for r in rows] == \
+        [(r["vec_id"], r["cosine"]) for r in ref.collect()]
