@@ -847,6 +847,21 @@ def q_ivf_search(spark, sf_dir):
     return S.ivf_search(idx, cents, "embedding", QUERY_VEC, 10, nprobe=8)
 
 
+def q_ivf_table_search(spark, sf_dir):
+    """ANN over a PERSISTED IVF table: the centroid_id partition layout is
+    the index; the probe reads only its partitions (manifest pruning).
+    nprobe=all keeps exact top-k parity for the oracle."""
+    fx = _fixtures(spark, sf_dir)
+    if "ivf_idx" not in fx:
+        e = _t(spark, sf_dir, "embeddings")
+        fx["ivf_idx"] = S.build_ivf_table(spark, fx["cat"], "fx.ivf", e,
+                                          "embedding", num_centroids=8,
+                                          dim=64)
+    t_idx, t_c = fx["ivf_idx"]
+    return S.ivf_search_table(spark, t_idx, t_c, "embedding", QUERY_VEC,
+                              10, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # host-engine SQL surface
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh": q_embedding_lsh,
         "ivf_search": q_ivf_search,
+        "ivf_table_search": q_ivf_table_search,
         # Host-SQL scan-path queries rotated past the driver's 50-entry gate
         # (they all ride the same Spark scan path as the 12 above; the four
         # embedding queries must sit inside the gated window — VERDICT r3 #1).

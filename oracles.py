@@ -689,6 +689,7 @@ LIMIT 10
 """
 
 ORACLES["ivf_search"] = ORACLES["cosine_topk"]
+ORACLES["ivf_table_search"] = ORACLES["cosine_topk"]
 
 ORACLES["embedding_neardup"] = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
