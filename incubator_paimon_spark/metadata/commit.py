@@ -59,11 +59,11 @@ class FileStoreCommit:
         index_manifest: str | None = None,
         dv_manifest: str | None | type(...) = ...,
         statistics: str | None | type(...) = ...,
-        max_retries: int = 20,
+        max_retries: int = 100,
     ) -> Snapshot | None:
         """Returns the committed Snapshot, or None when this identifier was
         already committed (exactly-once replay)."""
-        for _ in range(max_retries):
+        for attempt in range(max_retries):
             latest = self.snapshots.latest()
 
             if commit_identifier >= 0 and latest is not None:
@@ -130,7 +130,13 @@ class FileStoreCommit:
             )
             if self.snapshots.try_commit(snapshot):
                 return snapshot
-            time.sleep(0.01)  # lost CAS; replan from fresh latest
+            # lost CAS; replan from fresh latest. Exponential backoff WITH
+            # JITTER: a fixed sleep lets N contenders stay phase-locked and
+            # starve one writer indefinitely (livelock found by the
+            # thread-race test) — randomized growing waits break the tie.
+            import random
+            time.sleep(random.random() * min(0.01 * (2 ** min(attempt, 6)),
+                                             0.5))
         raise ConflictError(f"commit failed after {max_retries} retries")
 
     # ------------------------------------------------------------------
