@@ -210,7 +210,11 @@ def main():
                  .writeStream.format("parquet").option("path", out)
                  .option("checkpointLocation", ck)
                  .trigger(availableNow=True).start())
-            q.awaitTermination(300)
+            finished = q.awaitTermination(300)
+            if not finished:
+                # never count partial output or delete dirs under a live query
+                q.stop()
+                raise TimeoutError("stream_drain did not finish in 300s")
             n = spark.read.parquet(out).count()
             shutil.rmtree(out, ignore_errors=True)
             shutil.rmtree(ck, ignore_errors=True)

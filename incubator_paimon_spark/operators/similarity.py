@@ -105,6 +105,20 @@ def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -
     return df.join(best, id_col)
 
 
+def _probe_ids(centroids: DataFrame, q, nprobe: int) -> list:
+    probe = (centroids.select("cid",
+                              F.round(cosine(F.col("cv"), q), 6).alias("csim"))
+                      .orderBy(F.col("csim").desc()).limit(nprobe))
+    return [r["cid"] for r in probe.collect()]
+
+
+def _score_topk(cand: DataFrame, vec_col: str, q, k: int,
+                id_col: str) -> DataFrame:
+    sim = cosine(F.col(vec_col), q)
+    return (cand.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
+                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
 def ivf_search(indexed: DataFrame, centroids: DataFrame, vec_col: str,
                query: list[float], k: int, nprobe: int = 4,
                id_col: str = "vec_id") -> DataFrame:
@@ -112,13 +126,9 @@ def ivf_search(indexed: DataFrame, centroids: DataFrame, vec_col: str,
     `indexed` = output of assign_ivf (ideally written bucketed by
     centroid_id so the probe prunes files via our bucket layout)."""
     q = F.array(*[F.lit(float(x)) for x in query])
-    probe = (centroids.select("cid", F.round(cosine(F.col("cv"), q), 6).alias("csim"))
-                      .orderBy(F.col("csim").desc()).limit(nprobe))
-    probe_ids = [r["cid"] for r in probe.collect()]
-    cand = indexed.filter(F.col("centroid_id").isin(probe_ids))
-    sim = cosine(F.col(vec_col), q)
-    return (cand.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
-                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+    cand = indexed.filter(
+        F.col("centroid_id").isin(_probe_ids(centroids, q, nprobe)))
+    return _score_topk(cand, vec_col, q, k, id_col)
 
 
 # ----------------------------------------------------------------------
@@ -131,15 +141,20 @@ def build_ivf_table(spark, catalog, name: str, df: DataFrame, vec_col: str,
     pruning), so ANN search on a 10^10-vector corpus touches nprobe/N of
     the files instead of scanning — the reference's bucketed-layout idea
     applied to vector search. Returns (index_table, centroids_table)."""
+    # persist the (tiny) centroids FIRST and assign from the read-back copy:
+    # the centroid pipeline is the corpus-wide expensive stage, and float
+    # aggregation order could otherwise make the persisted centroids differ
+    # in the last ulp from the ones used for assignment (r5 review)
     cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim)
-    assigned = assign_ivf(df, cents, vec_col, id_col)
+    t_c = catalog.create_table(f"{name}_centroids", cents.schema,
+                               ignore_if_exists=False)
+    t_c.write(spark, cents)
+    persisted = t_c.read(spark)
+    assigned = assign_ivf(df, persisted, vec_col, id_col)
     t_idx = catalog.create_table(name, assigned.schema,
                                  partition_keys=["centroid_id"],
                                  ignore_if_exists=False)
     t_idx.write(spark, assigned)
-    t_c = catalog.create_table(f"{name}_centroids", cents.schema,
-                               ignore_if_exists=False)
-    t_c.write(spark, cents)
     return t_idx, t_c
 
 
@@ -153,11 +168,6 @@ def ivf_search_table(spark, index_table, centroids_table, vec_col: str,
     from ..predicate import P
 
     q = F.array(*[F.lit(float(x)) for x in query])
-    cent = centroids_table.read(spark)
-    probe = (cent.select("cid", F.round(cosine(F.col("cv"), q), 6).alias("s"))
-                 .orderBy(F.col("s").desc()).limit(nprobe))
-    probe_ids = [r["cid"] for r in probe.collect()]
+    probe_ids = _probe_ids(centroids_table.read(spark), q, nprobe)
     cand = index_table.read(spark, predicate=P.isin("centroid_id", probe_ids))
-    sim = cosine(F.col(vec_col), q)
-    return (cand.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
-                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+    return _score_topk(cand, vec_col, q, k, id_col)

@@ -168,6 +168,11 @@ def _migrate_file(spark, catalog, source_dir, target_table, **_):
     if schema.primary_keys:
         raise ValueError("migrate_file targets append tables only "
                          "(PK tables need the bucket shuffle: use INSERT)")
+    if schema.partition_keys:
+        # files land with an empty partition spec — partition pruning and
+        # DROP/OVERWRITE PARTITION would silently miss them (r5 review #2)
+        raise ValueError("migrate_file targets unpartitioned tables; "
+                         "use INSERT INTO for partitioned targets")
     sample = spark.read.parquet(source_dir)
     if set(sample.columns) != set(schema.field_names()):
         raise ValueError(f"schema mismatch: source {sorted(sample.columns)} "

@@ -290,9 +290,21 @@ def _exec_select(spark, catalog, statement):
             else:
                 kw["timestamp_ms"] = int(float(v) * 1000)
         # deterministic name per (table, travel point): repeated statements
-        # reuse ONE view instead of leaking a uuid-named view per reference
-        suffix = "_".join(f"{k}_{v}" for k, v in sorted(kw.items())) or "latest"
-        view = re.sub(r"\W", "_", f"pmn_tt_{ident}_{suffix}")
+        # reuse ONE view instead of leaking a uuid-named view per reference.
+        # The "latest" name embeds the RESOLVED (snapshot, schema) ids, so a
+        # concurrent statement re-creating the view binds identical content
+        # (r5 review #3) — but the READ stays a plain latest read: pinning
+        # snapshot_id would freeze the snapshot's old schema_id and hide
+        # columns added by a later ALTER. Path hash keeps two catalogs'
+        # same-named tables apart.
+        import hashlib
+        ph = hashlib.md5(table.path.encode()).hexdigest()[:6]
+        if kw:
+            suffix = "_".join(f"{k}_{v}" for k, v in sorted(kw.items()))
+        else:
+            suffix = (f"latest_{table.snapshots.latest_id() or 0}"
+                      f"_{table.schemas.latest_id() or 0}")
+        view = re.sub(r"\W", "_", f"pmn_tt_{ident}_{ph}_{suffix}")
         table.read(spark, **kw).createOrReplaceTempView(view)
         out.append(statement[last:m.start()])
         out.append(f"{m.group(1)} {view}")
@@ -564,7 +576,17 @@ def _exec_alter(spark, catalog, statement):
             raise ValueError(f"bad RENAME COLUMN: {action!r}")
         return mgr.rename_column(rm.group(1), rm.group(2))
     if au.startswith("DROP COLUMN"):
-        return mgr.drop_column(action.split()[-1])
+        body = action[len("DROP COLUMNS") if au.startswith("DROP COLUMNS")
+                      else len("DROP COLUMN"):].strip()
+        if body.startswith("("):
+            body, _ = _balanced(body, 0)
+        out = None
+        for c in body.split(","):
+            c = c.strip()
+            if not re.fullmatch(r"\w+", c):
+                raise ValueError(f"bad DROP COLUMN name {c!r}")
+            out = mgr.drop_column(c)
+        return out
     cm = re.match(r"(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+(?:TYPE\s+)?(.+?)\s*$",
                   action, re.IGNORECASE)
     if cm:
@@ -595,16 +617,16 @@ def _exec_insert(spark, catalog, statement):
 
     static = {}
     if part_spec:
-        from .write import partition_value_from_dir
         for p in _split_top_level(part_spec):
             k, v = p.split("=", 1)
             k = k.strip()
             f = schema.field_by_name(k)
             # typed, not string: manifest partition values are typed, and a
             # string '5' would never match int 5 in _overwrite_deletes —
-            # the overwrite would silently degrade to an append (r5 review)
-            static[k] = partition_value_from_dir(
-                f"{k}={v.strip().strip(chr(39))}", f.type)
+            # the overwrite would silently degrade to an append (r5 review).
+            # Parsed directly by column type — the dir-name decoder would
+            # URL-unquote literals like 'a%20b' (r5 review #2).
+            static[k] = _typed_literal(v.strip(), f.type)
     # positional mapping: VALUES / positional SELECTs produce col1..colN
     target = [c for c in schema.field_names() if c not in static]
     if list(df.columns) != schema.field_names():
@@ -619,6 +641,24 @@ def _exec_insert(spark, catalog, statement):
     if mode.upper() == "OVERWRITE":
         return table.write(spark, df, overwrite=static or True)
     return table.write(spark, df)
+
+
+def _typed_literal(v: str, dtype):
+    """One SQL literal -> a typed python value for the given column type."""
+    if v.startswith("'") and v.endswith("'"):
+        v = v[1:-1].replace("''", "'")
+    t = dtype.typeName()
+    if t in ("byte", "short", "integer", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return v.lower() == "true"
+    if t == "date":
+        return date.fromisoformat(v)
+    if t in ("timestamp", "timestamp_ntz"):
+        return datetime.fromisoformat(v)
+    return v
 
 
 def _exec_show(spark, catalog, statement):

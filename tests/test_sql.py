@@ -305,3 +305,25 @@ def test_sql_time_travel_trailing_punctuation(spark, catalog):
     assert catalog.sql(spark, """
         SELECT count(*) c FROM (SELECT * FROM db.sqltt2 VERSION AS OF 1)
     """).first()["c"] == 1
+
+
+def test_sql_partition_literal_with_percent(spark, catalog):
+    """Static PARTITION string literals are NOT URL-unquoted: 'a%20b' stays
+    'a%20b' (r5 review — the dir-name decoder was the wrong layer)."""
+    t = catalog.create_table("db.sqlpct", _schema("k bigint, p string"),
+                             partition_keys=["p"])
+    catalog.sql(spark, "INSERT INTO db.sqlpct PARTITION (p='a%20b') VALUES (1)")
+    rows = [(r["k"], r["p"]) for r in
+            catalog.sql(spark, "SELECT k, p FROM db.sqlpct").collect()]
+    assert rows == [(1, "a%20b")]
+    catalog.sql(spark,
+                "INSERT OVERWRITE db.sqlpct PARTITION (p='a%20b') VALUES (2)")
+    rows = [(r["k"], r["p"]) for r in
+            catalog.sql(spark, "SELECT k, p FROM db.sqlpct").collect()]
+    assert rows == [(2, "a%20b")]
+
+
+def test_sql_drop_columns_plural(spark, catalog):
+    t = catalog.create_table("db.sqldc", _schema("k bigint, a int, b int"))
+    catalog.sql(spark, "ALTER TABLE db.sqldc DROP COLUMNS (a, b)")
+    assert catalog.get_table("db.sqldc").schema.field_names() == ["k"]
