@@ -280,6 +280,8 @@ SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
 FROM g GROUP BY user_id
 """
 
+ORACLES["stream_sessions"] = ORACLES["events_sessions"]
+
 ORACLES["events_hourly"] = """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
        count(*) AS n, round(sum(value), 2) AS v
