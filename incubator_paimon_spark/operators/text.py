@@ -108,6 +108,25 @@ def lang_id(col: Column) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
+# conservative regex subset shared by Spark (Java regex) and SQL oracles
+# (RE2): no lookaround, no possessive quantifiers, ASCII word boundaries
+REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+REDACT_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+REDACT_NUMRUN = r"\b\d{7,}\b"
+
+
+def redact(col: Column) -> Column:
+    """PII scrubbing for training corpora: emails → [EMAIL], IPv4 literals
+    → [IP], then any remaining 7+-digit run (phone/account/SSN-shaped) →
+    [NUM]. Order matters — IPs must be rewritten before bare digit runs.
+    Pure Column regexp_replace chain (JVM-side, whole-stage codegen); the
+    patterns are deliberately the regex subset Java and RE2 share, so a SQL
+    oracle reproduces the output byte-for-byte."""
+    out = F.regexp_replace(col, REDACT_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, REDACT_IPV4, "[IP]")
+    return F.regexp_replace(out, REDACT_NUMRUN, "[NUM]")
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace/case-normalized text —
     stable under reformatting, the cheap exact-near-dup key."""

@@ -515,6 +515,48 @@ SELECT (CASE WHEN {_best} > 0 THEN {_case} ELSE 'und' END) AS lang_pred,
 FROM s2 GROUP BY 1
 """
 
+ORACLES["pack_sequences"] = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 8)::INT AS shard,
+    len(CASE WHEN length(trim(text)) = 0 THEN []
+             ELSE string_split_regex(trim(text), '\\s+') END)::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM d
+)
+SELECT shard, floor(cb / 2048.0)::BIGINT AS pack_id, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM c GROUP BY 1, 2
+"""
+
+ORACLES["pii_redact"] = """
+WITH p AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+         || (doc_id % 256)::VARCHAR || '.7 acct '
+         || (doc_id + 10000000)::VARCHAR AS t2
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+      '\\b\\d{7,}\\b', '[NUM]', 'g') AS red
+  FROM p
+)
+SELECT doc_id, md5(red) AS red_fp,
+       strpos(red, '[EMAIL]') > 0 AS has_email,
+       strpos(red, '[IP]') > 0 AS has_ip,
+       regexp_matches(red, '\\d{7,}') AS digit_leak
+FROM r
+"""
+
 ORACLES["exact_dedup"] = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -235,3 +235,40 @@ def test_ivf_table_partition_pruned_search(spark, catalog):
                        nprobe=2)
     assert [(r["vec_id"], r["cosine"]) for r in rows] == \
         [(r["vec_id"], r["cosine"]) for r in ref.collect()]
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from incubator_paimon_spark.operators.packing import (pack_sequences,
+                                                          pack_summary)
+    rows = [(i, " ".join(["w"] * (10 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_sequences(df, "text", "doc_id", max_tokens=50, num_shards=4)
+    got = packed.collect()
+    assert len(got) == 200
+    # budget property: tokens-before-last-doc < max_tokens for every pack
+    summ = pack_summary(df, "text", "doc_id", max_tokens=50, num_shards=4)
+    for r in summ.collect():
+        last_tokens = 10 + r.last_id % 7
+        assert r.pack_tokens - last_tokens < 50
+        assert r.shard == r.first_id % 4 == r.last_id % 4
+    # deterministic: same assignment on re-run
+    again = {(r.doc_id): (r.shard, r.pack_id)
+             for r in pack_sequences(df, "text", "doc_id", 50, 4).collect()}
+    assert all(again[r.doc_id] == (r.shard, r.pack_id) for r in got)
+
+
+def test_redact_patterns(spark):
+    from pyspark.sql import functions as F
+    from incubator_paimon_spark.operators.text import redact
+    cases = [
+        ("mail me at bob.smith+x@corp.example.org please",
+         "mail me at [EMAIL] please"),
+        ("server 192.168.0.1 and acct 12345678 ok", "server [IP] and acct [NUM] ok"),
+        ("short 123456 stays", "short 123456 stays"),           # <7 digits kept
+        ("v1.2.3.4 is a version", "v1.2.3.4 is a version"),     # no \b before 1
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["t"])
+    got = [r.r for r in df.select(redact(F.col("t")).alias("r")).collect()]
+    assert got == [c[1] for c in cases]
