@@ -297,6 +297,105 @@ def _h32_py(s: str) -> int:
 
 
 # ----------------------------------------------------------------------
+def ngram_contamination(df: DataFrame, eval_df: DataFrame,
+                        text_col: str, id_col: str,
+                        eval_text_col: str | None = None,
+                        n: int = 8) -> DataFrame:
+    """Benchmark-contamination score per document: the fraction of the
+    document's word n-grams that appear ANYWHERE in the evaluation corpus
+    (the standard train/test decontamination check, e.g. GPT-3 App. C /
+    PaLM-style 8-gram overlap — public methodology, not the reference).
+
+    Returns (id, total_ngrams, hit_ngrams, contamination) for every doc,
+    contamination = hit/total (0.0 for docs shorter than n words — their
+    single degenerate shingle only counts if it literally appears in eval).
+
+    Scale shape: the eval-set n-gram hashes are DISTINCT and tiny relative
+    to the corpus (benchmarks are MBs, corpora are TBs) — Spark broadcasts
+    that side of the join, so the corpus pass is scan + explode + broadcast
+    hash probe + re-group by doc id: one shuffle on the doc id, none on the
+    raw text. The 32-bit shingle hash is the shared oracle-checkable h32;
+    collisions can only overcount hits (vanishingly: |eval| ≪ 2^32).
+    """
+    from pyspark.sql.functions import broadcast
+
+    eval_text_col = eval_text_col or text_col
+    ev = (eval_df.select(F.explode(F.transform(
+              shingles(F.col(eval_text_col), n), h32)).alias("h"))
+          .distinct())
+    doc = (ensure_parallelism(df)
+           .select(F.col(id_col).alias("id"),
+                   F.explode(F.transform(shingles(F.col(text_col), n),
+                                         h32)).alias("h")))
+    hits = (doc.join(broadcast(ev.withColumn("__hit", F.lit(1))), "h", "left")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("total_ngrams"),
+                    F.coalesce(F.sum("__hit"), F.lit(0)).alias("hit_ngrams")))
+    from .text import quantize
+    return hits.select(
+        "id", "total_ngrams", "hit_ngrams",
+        quantize(F.col("hit_ngrams") / F.col("total_ngrams"), 4)
+        .alias("contamination"))
+
+
+# ----------------------------------------------------------------------
+def remove_frequent_segments(df: DataFrame, text_col: str, id_col: str,
+                             segment_words: int = 20,
+                             max_doc_freq: int = 2) -> DataFrame:
+    """Line/paragraph-level dedup, word-window flavor (CCNet / RefinedWeb
+    remove lines repeated across many pages — public methodology): split
+    each document into consecutive non-overlapping `segment_words`-word
+    segments, count how many DISTINCT documents each segment occurs in
+    corpus-wide, and rebuild every document keeping only segments whose
+    document-frequency is <= max_doc_freq (boilerplate appears everywhere;
+    content is rare). Word windows stand in for lines because the synthetic
+    corpus has no newlines; the segmentation function is the only thing a
+    newline-rich corpus would swap.
+
+    Returns (id, clean_text, kept_segments, removed_segments); clean_text
+    preserves original segment order and is '' when everything was removed.
+
+    Scale shape: explode to one row per (doc, segment) → ONE shuffle on the
+    16-byte segment hash for the doc-frequency count → broadcast-or-shuffle
+    join back → ONE shuffle on doc id to reassemble in order. No windows,
+    no self-joins; the frequency table is |distinct segments| rows, and a
+    hot segment (the whole point: boilerplate) is a single aggregation key
+    handled by partial aggregation, never a skewed join fan-out.
+    """
+    w = segment_words
+    ws = words(F.col(text_col))
+    nseg = F.ceil(F.size(ws) / F.lit(w)).cast("int")
+    segs = F.transform(F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
+                       lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "))
+    ex = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("id"), F.posexplode(segs)
+                  .alias("pos", "seg"))
+          .filter(F.col("seg") != ""))
+    freq = (ex.groupBy(F.md5("seg").alias("__sh"))
+              .agg(F.count_distinct("id").alias("__df")))
+    rebuilt = (ex.join(freq, F.md5(ex["seg"]) == freq["__sh"])
+                 .withColumn("__keep", F.col("__df") <= max_doc_freq)
+                 .groupBy("id")
+                 .agg(F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.when(F.col("__keep"),
+                                         F.struct("pos", "seg")))),
+                              lambda s: s.getField("seg")),
+                          " ").alias("clean_text"),
+                      F.sum(F.col("__keep").cast("int")).alias("kept_segments"),
+                      F.sum((~F.col("__keep")).cast("int"))
+                       .alias("removed_segments")))
+    return (df.select(F.col(id_col).alias("id"))
+              .join(rebuilt, "id", "left")
+              .select("id",
+                      F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                      F.coalesce("kept_segments", F.lit(0)).alias("kept_segments"),
+                      F.coalesce("removed_segments", F.lit(0))
+                       .alias("removed_segments")))
+
+
+# ----------------------------------------------------------------------
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected edge list via the alternating

@@ -56,6 +56,36 @@ def train_val_test_split(df: DataFrame, key_col: str,
          .otherwise(F.lit("test")))
 
 
+def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
+                   target_mix: dict[str, float]) -> DataFrame:
+    """Downsample to a TARGET MIXTURE of domains (the data-mixing step of a
+    pretraining pipeline: "the corpus must be 60% web / 30% code / 10%
+    papers"): compute, per domain g with current count n_g and target share
+    pi_g, the keep-rate r_g = C*pi_g/n_g where C = min_g(n_g/pi_g) — the
+    largest total size for which no domain must be UPsampled. Domains not in
+    target_mix are dropped. Selection is the stable hash-bucket predicate,
+    so re-runs (and the SQL oracle) pick identical rows.
+
+    Scale shape: one map-side-combined groupBy for the domain counts
+    (#domains rows — control-plane, collected to the driver), then a single
+    scan with a CASE predicate. No join, no shuffle of the data itself.
+    """
+    if not target_mix or abs(sum(target_mix.values()) - 1.0) > 1e-9:
+        raise ValueError(f"target_mix must sum to 1, got {target_mix}")
+    counts = {r["d"]: r["n"]
+              for r in df.filter(F.col(domain_col).isin(*target_mix))
+                         .groupBy(F.col(domain_col).alias("d"))
+                         .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = sorted(set(target_mix) - set(counts))
+    if missing:
+        raise ValueError(f"target_mix domains absent from corpus: {missing}")
+    c = min(counts[g] / pi for g, pi in target_mix.items() if pi > 0)
+    rates = {g: (c * pi / counts[g] if pi > 0 else 0.0)
+             for g, pi in target_mix.items()}
+    return stratified_hash_sample(df, key_col, domain_col, rates,
+                                  default_rate=0.0)
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
                            rates: dict[str, float],
                            default_rate: float = 0.0) -> DataFrame:

@@ -809,3 +809,97 @@ SELECT doc_id AS media_id,
   {_feature_sql(3)} AS f3
 FROM documents
 """
+
+
+# ------------------------------------------------- r5 pipeline operators
+
+# asof_join: DuckDB has a NATIVE ASOF JOIN — the one-line spec our
+# union+window Spark plan must reproduce. Right side deduped to one row
+# per (user, ts) first (max value) so timestamp ties are deterministic.
+ORACLES["asof_join"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, max(value) AS rv FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       round(l.value, 4) AS purchase_value,
+       round(rv, 4) AS last_click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+# contamination: 5-gram hashes per doc; eval set = doc_id % 20 == 0.
+_C_N = 5
+_C_SH = (f"list_distinct(list_transform("
+         f"range(1, greatest(len(ws) - {_C_N} + 1, 1) + 1), "
+         f"i -> array_to_string(ws[i:i+{_C_N - 1}], ' ')))")
+ORACLES["contamination"] = f"""
+WITH w AS (
+  SELECT doc_id AS id, {_WORDS.format(t='text')} AS ws FROM documents
+), h AS (
+  SELECT id, list_transform({_C_SH}, s -> {_H32.format(x='s')}) AS hs
+  FROM w
+), x AS (
+  SELECT id, unnest(hs) AS hv FROM h
+), ev AS (
+  SELECT DISTINCT hv AS eh FROM x WHERE id % 20 = 0
+), agg AS (
+  SELECT x.id, count(*) AS total_ngrams, count(ev.eh) AS hit_ngrams
+  FROM x LEFT JOIN ev ON x.hv = ev.eh
+  GROUP BY x.id
+)
+SELECT id, total_ngrams, hit_ngrams,
+  {_q("hit_ngrams / total_ngrams")} AS contamination
+FROM agg
+"""
+
+# boilerplate_removal: 10-word segments, drop those in >1 distinct doc,
+# reassemble in order.
+ORACLES["boilerplate_removal"] = f"""
+WITH w AS (
+  SELECT doc_id AS id, {_WORDS.format(t='text')} AS ws FROM documents
+), seg0 AS (
+  SELECT id, i AS pos, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM w, UNNEST(range(0, greatest(ceil(len(ws)/10.0)::BIGINT, 1))) AS t(i)
+), seg AS (
+  SELECT * FROM seg0 WHERE seg <> ''
+), freq AS (
+  SELECT md5(seg) AS sh, count(DISTINCT id) AS df FROM seg GROUP BY 1
+), j AS (
+  SELECT s.id, s.pos, s.seg, f.df <= 1 AS keep
+  FROM seg s JOIN freq f ON md5(s.seg) = f.sh
+), reb AS (
+  SELECT id,
+    COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+      AS clean_text,
+    count(*) FILTER (WHERE keep) AS kept_segments,
+    count(*) FILTER (WHERE NOT keep) AS removed_segments
+  FROM j GROUP BY id
+)
+SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.kept_segments, 0)::BIGINT AS kept_segments,
+       COALESCE(r.removed_segments, 0)::BIGINT AS removed_segments
+FROM documents d LEFT JOIN reb r ON r.id = d.doc_id
+"""
+
+# mixture_sample: rates derived from counts — C = min(n/pi); slot cutoff =
+# trunc(C*pi/n*1e6); the arithmetic is the same IEEE double sequence the
+# Python driver computes, so the cutoffs agree bit-for-bit.
+ORACLES["mixture_sample"] = f"""
+WITH pi AS (
+  SELECT * FROM (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+                        ('src2', 0.2::DOUBLE)) t(d, pi)
+), cnt AS (
+  SELECT source AS d, count(*) AS n FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+), c AS (
+  SELECT min(n / pi) AS c FROM cnt JOIN pi USING (d)
+), slots AS (
+  SELECT d, floor((SELECT c FROM c) * pi / n * 1000000)::BIGINT AS s
+  FROM cnt JOIN pi USING (d)
+)
+SELECT doc_id, source FROM documents JOIN slots ON source = d
+WHERE {_HB.format(k='doc_id')} < s
+"""

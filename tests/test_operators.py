@@ -272,3 +272,97 @@ def test_redact_patterns(spark):
     df = spark.createDataFrame([(c[0],) for c in cases], ["t"])
     got = [r.r for r in df.select(redact(F.col("t")).alias("r")).collect()]
     assert got == [c[1] for c in cases]
+
+
+def test_asof_join_semantics(spark):
+    from incubator_paimon_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 205), (3, "k", 50), (4, "x", 10)],
+        "lid int, k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 100, 1.0), ("k", 200, 2.0), ("k", 300, 3.0),
+         ("k", 200, 5.0)],  # tie at ts=200: max payload (5.0) must win
+        "k string, ts long, v double")
+    out = {r["lid"]: r["v"] for r in
+           asof_join(left, right, ["k"], "ts", "ts",
+                     right_cols=["v"]).collect()}
+    assert out[1] == 1.0      # exact-ts match counts (<=)
+    assert out[2] == 5.0      # tie at 200 deduped to max payload
+    assert out[3] is None     # nothing at-or-before ts=50
+    assert out[4] is None     # key with no right rows
+
+
+def test_asof_join_tolerance(spark):
+    from incubator_paimon_spark.operators.temporal import asof_join
+    left = spark.createDataFrame([(1, "k", 1000)], "lid int, k string, ts long")
+    right = spark.createDataFrame([("k", 1, 9.0)], "k string, ts long, v double")
+    near = asof_join(left, right, ["k"], "ts", "ts", right_cols=["v"],
+                     tolerance=F.lit(2000)).collect()[0]
+    far = asof_join(left, right, ["k"], "ts", "ts", right_cols=["v"],
+                    tolerance=F.lit(10)).collect()[0]
+    assert near["v"] == 9.0 and far["v"] is None
+
+
+def test_contamination_bounds_and_identity(spark):
+    d = _docs(spark)
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    out = D.ngram_contamination(d, ev, "text", "doc_id", n=5)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == d.count()
+    # every eval doc is 100% contaminated with itself
+    for r in ev.select("doc_id").collect():
+        assert rows[r["doc_id"]]["contamination"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["hit_ngrams"] <= r["total_ngrams"]
+
+
+def test_remove_frequent_segments(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "p q r s t u"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           D.remove_frequent_segments(df, "text", "doc_id",
+                                      segment_words=3,
+                                      max_doc_freq=1).collect()}
+    # 'a b c' appears in docs 1 and 2 -> removed from both, order kept
+    assert out[1]["clean_text"] == "d e f"
+    assert out[2]["clean_text"] == "x y z"
+    assert out[3]["clean_text"] == "p q r s t u"
+    assert out[4]["clean_text"] == "" and out[4]["kept_segments"] == 0
+    assert out[1]["removed_segments"] == 1 and out[1]["kept_segments"] == 1
+
+
+def test_mixture_sample_hits_target(spark):
+    from incubator_paimon_spark.operators import sampling as SA
+    d = _docs(spark)
+    out = SA.mixture_sample(d, "doc_id", "source",
+                            {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # hash sampling at tiny n is noisy; the binding domain stays complete
+    # and no domain exceeds its target share by more than the bucket noise
+    assert set(counts) <= {"src0", "src1", "src2"}
+    assert counts["src0"] == d.filter("source = 'src0'").count() \
+        or counts["src1"] == d.filter("source = 'src1'").count() \
+        or counts["src2"] == d.filter("source = 'src2'").count()
+    assert total <= d.filter("source in ('src0','src1','src2')").count()
+    # determinism: same call selects identical ids
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    out2 = SA.mixture_sample(d, "doc_id", "source",
+                             {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    ids2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_mixture_sample_validation(spark):
+    import pytest
+    from incubator_paimon_spark.operators import sampling as SA
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="sum to 1"):
+        SA.mixture_sample(d, "doc_id", "source", {"src0": 0.5})
+    with pytest.raises(ValueError, match="absent"):
+        SA.mixture_sample(d, "doc_id", "source",
+                          {"src0": 0.5, "nope": 0.5})
