@@ -202,6 +202,21 @@ def main():
         tso = cat.create_table("bench.stream_src", orders.schema)
         tso.write(spark, orders)
 
+        # untimed warm-up: the FIRST streaming query in a session pays
+        # ~5 s of one-time machinery (offset-log classes, sink JIT) that
+        # has nothing to do with this engine's read path — measured 7.4 s
+        # for 1.5 K rows cold vs 2.5 s for 150 K warm. Drain a 1-row table
+        # once so the timed drain reflects steady-state throughput.
+        warm = cat.create_table("bench.stream_warm", orders.schema)
+        warm.write(spark, orders.limit(1))
+        wo, wc = _tf.mkdtemp(prefix="pmn_bsw_"), _tf.mkdtemp(prefix="pmn_bswc_")
+        (spark.readStream.format("paimon").option("scan.mode", "earliest")
+         .load(warm.path).writeStream.format("parquet").option("path", wo)
+         .option("checkpointLocation", wc)
+         .trigger(availableNow=True).start().awaitTermination(120))
+        shutil.rmtree(wo, ignore_errors=True)
+        shutil.rmtree(wc, ignore_errors=True)
+
         def drain():
             out = _tf.mkdtemp(prefix="pmn_bso_")
             ck = _tf.mkdtemp(prefix="pmn_bsc_")

@@ -54,9 +54,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     out_names = {c: (c + suffix if c in left.columns else c)
                  for c in right_cols}
 
-    # deterministic tie-break: one right row per (keys, ts), max by payload
-    r = (right.groupBy(*on, F.col(right_ts).alias("__ts"))
-              .agg(F.max(F.struct(*right_cols)).alias("__p")))
+    r = right.select(*on, F.col(right_ts).alias("__ts"),
+                     F.struct(*right_cols).alias("__p"))
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
@@ -67,8 +66,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
           if c not in on else F.col(c) for c in left.columns],
         F.col("__ts"), F.lit(0).alias("__tag"), F.col("__p"))
 
-    # right rows sort BEFORE left rows at the same ts → `<=` matches ties
-    w = (W.partitionBy(*on).orderBy("__ts", "__tag")
+    # right rows sort BEFORE left rows at the same ts → `<=` matches ties.
+    # Right-side timestamp ties dedupe INSIDE the window order: among equal
+    # (__ts, __tag=0) rows the payload sorts ascending and `last` takes the
+    # largest — same result as a pre-aggregated max-by-payload, without the
+    # extra (keys, ts) shuffle a groupBy would add ahead of the window's
+    # (keys) shuffle. The whole join is ONE exchange.
+    w = (W.partitionBy(*on).orderBy("__ts", "__tag", "__p")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     u = l_tagged.unionByName(r_tagged)
     u = (u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
