@@ -871,6 +871,14 @@ def q_stratified_sample(spark, sf_dir):
                     F.sum("doc_id").alias("id_sum")))
 
 
+def q_repetition(spark, sf_dir):
+    """Within-document repetition quality signals (Gopher-style): duplicate
+    word fraction, duplicate 2-gram fraction, most-frequent-2-gram share.
+    Gram frequencies aggregate on 8-byte hashes; raw text never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.repetition_stats(d, "text", "doc_id", gram_n=2)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: each purchase event picks up the value of
     the user's most recent click at-or-before it. Spark has no ASOF JOIN
@@ -1035,7 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_pipeline": q_corpus_pipeline,
         "kmv_distinct": q_kmv_distinct,
-        "stratified_sample": q_stratified_sample,
+        "repetition": q_repetition,
         "asof_join": q_asof_join,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
@@ -1054,11 +1062,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pricing_summary exercises (spark.sql window/agg/join over _t
         # views — no engine code of ours beyond the scan); media_frames
         # shares the mapInPandas plumbing media_meta/media_features gate,
-        # and corpus_stats/top_terms/hash_split share the scan+agg /
-        # hash-predicate paths kmv_distinct and stratified_sample keep
-        # gated. The gated window is spent on engine semantics, the LLM
-        # operators (incl. the r5 asof_join / contamination /
-        # boilerplate_removal / mixture_sample additions), the four
+        # corpus_stats/top_terms/hash_split share the scan+agg path
+        # kmv_distinct keeps gated, and stratified_sample shares the
+        # hash-predicate path mixture_sample keeps gated (mixture_sample
+        # calls it). The gated window is spent on engine semantics, the
+        # LLM operators (incl. the r5 asof_join / contamination /
+        # boilerplate_removal / mixture_sample / repetition additions),
+        # the four
         # embedding queries (VERDICT r3 #1), and the stateful-streaming
         # demo. Every entry below still has an oracle and runs under
         # tools/check_oracles.py locally.
@@ -1066,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "top_terms": q_top_terms,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "revenue_forecast": q_revenue_forecast,

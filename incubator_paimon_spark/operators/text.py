@@ -199,3 +199,51 @@ def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 20,
     w = df.select(F.col(id_col), F.explode(terms).alias("term"))
     return (w.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
              .orderBy(F.desc("doc_freq"), F.asc("term")).limit(k))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str,
+                     gram_n: int = 2) -> DataFrame:
+    """Within-document repetition signals (the Gopher / MassiveText quality
+    rules — Rae et al. 2021 §A1.1, public methodology): repeated content
+    inside ONE document marks low-quality generated/boilerplate text.
+
+    Returns per doc: (id, n_words, dup_word_frac, dup_gram_frac,
+    top_gram_frac) where dup_word_frac = 1 - distinct/total words,
+    dup_gram_frac is the same over word n-grams, and top_gram_frac is the
+    share of the single most-frequent n-gram. Empty docs yield zeros.
+
+    Scale shape: word stats are pure Column expressions on the scan; the
+    n-gram mode needs a frequency table, so grams explode to one row per
+    (doc, gram) and aggregate TWICE by composite key — (id, gram) then
+    (id) — both map-side combinable; no windows, no self-joins, and the
+    doc's text itself never shuffles (only 8-byte hashes of grams).
+    """
+    ws = words(F.col(text_col))
+    grams = F.when(F.size(ws) >= gram_n, F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - gram_n + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, gram_n)))
+    )).otherwise(F.array())
+    base = df.select(F.col(id_col).alias("id"),
+                     F.size(ws).alias("n_words"),
+                     F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+                     grams.alias("grams"))
+    ex = base.select("id", F.explode_outer("grams").alias("g"))
+    per_gram = (ex.groupBy("id", "g")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (per_gram.groupBy("id")
+               .agg(F.sum(F.when(F.col("g").isNotNull(), F.col("c"))
+                          .otherwise(F.lit(0))).alias("n_grams"),
+                    F.count(F.when(F.col("g").isNotNull(), F.lit(1)))
+                     .alias("n_distinct_grams"),
+                    F.max(F.when(F.col("g").isNotNull(), F.col("c"))
+                          .otherwise(F.lit(0))).alias("top_gram_count")))
+    j = base.select("id", "n_words", "n_distinct_words").join(per_doc, "id")
+    frac = lambda num, den: quantize(
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 4)
+    return j.select(
+        "id", "n_words",
+        frac(F.col("n_words") - F.col("n_distinct_words"),
+             F.col("n_words")).alias("dup_word_frac"),
+        frac(F.col("n_grams") - F.col("n_distinct_grams"),
+             F.col("n_grams")).alias("dup_gram_frac"),
+        frac(F.col("top_gram_count"), F.col("n_grams")).alias("top_gram_frac"))

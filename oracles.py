@@ -903,3 +903,37 @@ WITH pi AS (
 SELECT doc_id, source FROM documents JOIN slots ON source = d
 WHERE {_HB.format(k='doc_id')} < s
 """
+
+
+# repetition: within-doc dup-word / dup-2-gram / top-2-gram fractions.
+# Spark counts gram frequencies on xxhash64 of the gram; the oracle counts
+# the gram STRINGS — identical stats barring a 64-bit collision.
+ORACLES["repetition"] = f"""
+WITH w AS (
+  SELECT doc_id AS id, {_WORDS.format(t='text')} AS ws FROM documents
+), base AS (
+  SELECT id, len(ws)::INT AS n_words,
+    len(list_distinct(ws))::INT AS n_distinct_words,
+    CASE WHEN len(ws) >= 2 THEN
+      list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                     i -> array_to_string(ws[i:i+1], ' '))
+    ELSE [] END AS grams
+  FROM w
+), ex AS (
+  SELECT id, unnest(grams) AS g FROM base
+), pg AS (
+  SELECT id, g, count(*) AS c FROM ex GROUP BY 1, 2
+), pd AS (
+  SELECT id, sum(c) AS n_grams, count(*) AS n_distinct_grams,
+         max(c) AS top FROM pg GROUP BY 1
+)
+SELECT b.id, b.n_words,
+  {_q("CASE WHEN b.n_words > 0 THEN (b.n_words - b.n_distinct_words)"
+      " / b.n_words ELSE 0.0 END")} AS dup_word_frac,
+  {_q("CASE WHEN COALESCE(pd.n_grams, 0) > 0 THEN"
+      " (pd.n_grams - pd.n_distinct_grams) / pd.n_grams"
+      " ELSE 0.0 END")} AS dup_gram_frac,
+  {_q("CASE WHEN COALESCE(pd.n_grams, 0) > 0 THEN"
+      " pd.top / pd.n_grams ELSE 0.0 END")} AS top_gram_frac
+FROM base b LEFT JOIN pd ON pd.id = b.id
+"""

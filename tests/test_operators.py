@@ -366,3 +366,21 @@ def test_mixture_sample_validation(spark):
     with pytest.raises(ValueError, match="absent"):
         SA.mixture_sample(d, "doc_id", "source",
                           {"src0": 0.5, "nope": 0.5})
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),       # heavy 2-gram repetition
+         (2, "u v w x y z"),       # all unique
+         (3, "")],                 # empty
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           TX.repetition_stats(df, "text", "doc_id").collect()}
+    # doc 1: words a,b,a,b,a,b -> 6 words, 2 distinct -> dup 4/6
+    assert out[1]["dup_word_frac"] == round(4 / 6, 4)
+    # grams: ab,ba,ab,ba,ab -> 5 grams, 2 distinct, top 'a b' x3
+    assert out[1]["dup_gram_frac"] == 0.6
+    assert out[1]["top_gram_frac"] == 0.6
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert out[3]["n_words"] == 0 and out[3]["top_gram_frac"] == 0.0
