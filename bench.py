@@ -133,6 +133,31 @@ def main():
     timed("cosine_topk",
           lambda: S.cosine_topk(emb, "embedding", E.QUERY_VEC, 10).collect(), reps=3)
     timed("exact_dedup", lambda: D.exact_duplicates(docs, "text", "doc_id").count(), reps=3)
+    timed("contamination",
+          lambda: D.ngram_contamination(
+              docs, docs.filter(F.col("doc_id") % 20 == 0),
+              "text", "doc_id", n=5).count(), reps=3)
+    timed("boilerplate_removal",
+          lambda: D.remove_frequent_segments(docs, "text", "doc_id",
+                                             segment_words=10,
+                                             max_doc_freq=1).count(), reps=3)
+    from incubator_paimon_spark.operators import text as TXo
+    timed("repetition_stats",
+          lambda: TXo.repetition_stats(docs, "text", "doc_id").count(), reps=3)
+    from incubator_paimon_spark.operators.temporal import asof_join as _asof
+    events = E._t(spark, sf_dir, "events")
+    n_events = events.count()
+
+    def run_asof():
+        left = events.filter(F.col("event_type") == "purchase") \
+                     .select("event_id", "user_id", "ts", "value")
+        right = events.filter(F.col("event_type") == "click") \
+                      .select("user_id", "ts", "value")
+        return _asof(left, right, ["user_id"], "ts", "ts",
+                     right_cols=["value"]).count()
+
+    timed("asof_join", run_asof, reps=3)
+    rate("asof_join", n_events, "asof_rows_per_sec")
 
     # --- row-level ops + new write modes
     from incubator_paimon_spark import P

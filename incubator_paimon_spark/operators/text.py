@@ -212,38 +212,39 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     dup_gram_frac is the same over word n-grams, and top_gram_frac is the
     share of the single most-frequent n-gram. Empty docs yield zeros.
 
-    Scale shape: word stats are pure Column expressions on the scan; the
-    n-gram mode needs a frequency table, so grams explode to one row per
-    (doc, gram) and aggregate TWICE by composite key — (id, gram) then
-    (id) — both map-side combinable; no windows, no self-joins, and the
-    doc's text itself never shuffles (only 8-byte hashes of grams).
+    Scale shape: ZERO shuffles — every stat is a per-row expression on the
+    scan. The stats are all WITHIN-document, so no cross-row frequency
+    table is needed: the n-gram mode comes from array_sort + a run-length
+    F.aggregate over the sorted gram hashes (O(n log n) per row, JVM-side
+    whole-stage codegen, no explode/groupBy/join). An earlier draft
+    exploded grams through two keyed aggregations and a join — 3 shuffles
+    and a double text scan for numbers each row already owns.
     """
     ws = words(F.col(text_col))
     grams = F.when(F.size(ws) >= gram_n, F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - gram_n + 1, F.lit(1))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, gram_n)))
     )).otherwise(F.array())
-    base = df.select(F.col(id_col).alias("id"),
-                     F.size(ws).alias("n_words"),
-                     F.size(F.array_distinct(ws)).alias("n_distinct_words"),
-                     grams.alias("grams"))
-    ex = base.select("id", F.explode_outer("grams").alias("g"))
-    per_gram = (ex.groupBy("id", "g")
-                  .agg(F.count(F.lit(1)).alias("c")))
-    per_doc = (per_gram.groupBy("id")
-               .agg(F.sum(F.when(F.col("g").isNotNull(), F.col("c"))
-                          .otherwise(F.lit(0))).alias("n_grams"),
-                    F.count(F.when(F.col("g").isNotNull(), F.lit(1)))
-                     .alias("n_distinct_grams"),
-                    F.max(F.when(F.col("g").isNotNull(), F.col("c"))
-                          .otherwise(F.lit(0))).alias("top_gram_count")))
-    j = base.select("id", "n_words", "n_distinct_words").join(per_doc, "id")
+    # most-frequent-gram count = longest run in the sorted hash array
+    init = F.struct(F.lit(None).cast("long").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, g):
+        run = F.when(acc.getField("prev").eqNullSafe(g),
+                     acc.getField("run") + 1).otherwise(F.lit(1))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc.getField("best"), run).alias("best"))
+
+    top = F.aggregate(F.array_sort(grams), init, step,
+                      lambda acc: acc.getField("best"))
+    n_grams = F.size(grams)
+    n_distinct_grams = F.size(F.array_distinct(grams))
+    n_words = F.size(ws)
+    n_distinct_words = F.size(F.array_distinct(ws))
     frac = lambda num, den: quantize(
         F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 4)
-    return j.select(
-        "id", "n_words",
-        frac(F.col("n_words") - F.col("n_distinct_words"),
-             F.col("n_words")).alias("dup_word_frac"),
-        frac(F.col("n_grams") - F.col("n_distinct_grams"),
-             F.col("n_grams")).alias("dup_gram_frac"),
-        frac(F.col("top_gram_count"), F.col("n_grams")).alias("top_gram_frac"))
+    return df.select(
+        F.col(id_col).alias("id"), n_words.alias("n_words"),
+        frac(n_words - n_distinct_words, n_words).alias("dup_word_frac"),
+        frac(n_grams - n_distinct_grams, n_grams).alias("dup_gram_frac"),
+        frac(top, n_grams).alias("top_gram_frac"))
