@@ -871,6 +871,13 @@ def q_stratified_sample(spark, sf_dir):
                     F.sum("doc_id").alias("id_sum")))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """RAG/embedding chunking: overlapping 40-word windows (8-word
+    overlap); zero-shuffle projection + posexplode."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, "text", "doc_id", max_words=40, overlap=8)
+
+
 def q_repetition(spark, sf_dir):
     """Within-document repetition quality signals (Gopher-style): duplicate
     word fraction, duplicate 2-gram fraction, most-frequent-2-gram share.
@@ -1034,7 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         # LLM pipeline
         "media_meta": q_media_meta,
-        "media_features": q_media_features,
+        "doc_chunks": q_doc_chunks,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1073,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demo. Every entry below still has an oracle and runs under
         # tools/check_oracles.py locally.
         "media_frames": q_media_frames,
+        "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,
         "top_terms": q_top_terms,
         "hash_split": q_hash_split,

@@ -248,3 +248,36 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
         frac(n_words - n_distinct_words, n_words).alias("dup_word_frac"),
         frac(n_grams - n_distinct_grams, n_grams).alias("dup_gram_frac"),
         frac(top, n_grams).alias("top_gram_frac"))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    max_words: int = 200, overlap: int = 20) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the standard
+    preprocessing step before embedding / RAG indexing (chunk size bounded
+    by the encoder's context, overlap preserving cross-boundary context).
+
+    Chunk k covers words [k*stride, k*stride + max_words) with
+    stride = max_words - overlap; the final chunk may be short; documents
+    shorter than max_words yield exactly one chunk (empty docs one empty
+    chunk, so no document silently disappears from the index).
+
+    Returns (id, chunk_id, chunk_text, chunk_words). Scale shape: pure
+    projection + posexplode — zero shuffles; output rows ≈ input words /
+    stride regardless of document skew (a 1M-word document becomes ~5k
+    rows, never one task's giant string).
+    """
+    if overlap >= max_words:
+        raise ValueError(f"overlap ({overlap}) must be < max_words ({max_words})")
+    stride = max_words - overlap
+    ws = words(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil((F.size(ws) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+        F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(ws, k * stride + 1, max_words))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(chunks).alias("chunk_id", "cw"))
+              .select("id", "chunk_id",
+                      F.array_join(F.col("cw"), " ").alias("chunk_text"),
+                      F.size(F.col("cw")).alias("chunk_words")))

@@ -937,3 +937,20 @@ SELECT b.id, b.n_words,
       " pd.top / pd.n_grams ELSE 0.0 END")} AS top_gram_frac
 FROM base b LEFT JOIN pd ON pd.id = b.id
 """
+
+
+# doc_chunks: overlapping 40-word windows, stride 32, 0-based chunk ids;
+# every document yields >= 1 chunk (empty docs one empty chunk).
+ORACLES["doc_chunks"] = f"""
+WITH w AS (
+  SELECT doc_id AS id, {_WORDS.format(t='text')} AS ws FROM documents
+), n AS (
+  SELECT id, ws,
+    greatest(ceil((len(ws) - 8) / 32.0)::INT, 1) AS n_chunks
+  FROM w
+)
+SELECT id, k::INT AS chunk_id,
+  array_to_string(ws[(k*32+1):(k*32+40)], ' ') AS chunk_text,
+  len(ws[(k*32+1):(k*32+40)])::INT AS chunk_words
+FROM n, UNNEST(range(0, n_chunks)) AS t(k)
+"""

@@ -384,3 +384,28 @@ def test_repetition_stats(spark):
     assert out[2]["dup_word_frac"] == 0.0
     assert out[2]["dup_gram_frac"] == 0.0
     assert out[3]["n_words"] == 0 and out[3]["top_gram_frac"] == 0.0
+
+
+def test_chunk_documents(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),  # 10 words
+         (2, "a b"), (3, "")],
+        "doc_id long, text string")
+    out = TX.chunk_documents(df, "text", "doc_id", max_words=4, overlap=1)
+    rows = sorted([(r["id"], r["chunk_id"], r["chunk_text"])
+                   for r in out.collect()])
+    # doc 1: stride 3 -> chunks at 0,3,6 cover w0..w9; ceil((10-1)/3)=3
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert d1[0][2] == "w0 w1 w2 w3"
+    assert d1[1][2] == "w3 w4 w5 w6"
+    assert d1[2][2] == "w6 w7 w8 w9"
+    # short doc: one chunk; empty doc: one empty chunk (not dropped)
+    assert [r[2] for r in rows if r[0] == 2] == ["a b"]
+    assert [r[2] for r in rows if r[0] == 3] == [""]
+    # full coverage: every word of doc 1 appears in some chunk
+    covered = set(w for r in d1 for w in r[2].split())
+    assert covered == {f"w{i}" for i in range(10)}
+    with pytest.raises(ValueError, match="overlap"):
+        TX.chunk_documents(df, "text", "doc_id", max_words=4, overlap=4)
