@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions: the scale properties the operators
+advertise (shuffle counts, broadcast sides, pushed filters) are part of
+their contract — a refactor that silently adds an exchange or drops a
+parquet pushdown would still pass value-level tests but regress 100× at
+cluster scale. These tests pin the plan, not the numbers.
+"""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_text_stats_are_scan_projections(spark):
+    """repetition_stats / chunk_documents / quality exprs: ZERO exchanges —
+    pure per-row work that must run at scan speed."""
+    from incubator_paimon_spark.operators import text as TX
+    d = _docs(spark)
+    assert _plan(TX.repetition_stats(d, "text", "doc_id")).count("Exchange") == 0
+    assert _plan(TX.chunk_documents(d, "text", "doc_id")).count("Exchange") == 0
+    assert _plan(d.select(TX.quality_score(F.col("text")))).count("Exchange") == 0
+
+
+def test_asof_join_single_exchange(spark):
+    """union+window as-of join: exactly ONE shuffle (the window's key
+    partitioning) and no nested-loop join anywhere."""
+    from incubator_paimon_spark.operators.temporal import asof_join
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    left = e.filter("event_type = 'purchase'").select("event_id", "user_id",
+                                                      "ts", "value")
+    right = e.filter("event_type = 'click'").select("user_id", "ts", "value")
+    p = _plan(asof_join(left, right, ["user_id"], "ts", "ts",
+                        right_cols=["value"]))
+    assert p.count("Exchange") == 1
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """the eval-set n-gram probe must be a broadcast hash join — a shuffled
+    join here would exchange the exploded corpus n-grams."""
+    from incubator_paimon_spark.operators import dedup as D
+    d = _docs(spark)
+    p = _plan(D.ngram_contamination(d, d.filter("doc_id % 20 = 0"),
+                                    "text", "doc_id", n=5))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from incubator_paimon_spark.operators import dedup as D
+    p = _plan(D.exact_duplicates(_docs(spark), "text", "doc_id"))
+    # one hash aggregate exchange on the 16-byte key; AQE may add a read
+    # stage but never a second hash partitioning
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_parquet_filter_and_projection_pushdown(spark):
+    """host-scan surface: predicate + column pruning must reach the parquet
+    reader (PushedFilters + a narrow ReadSchema)."""
+    d = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = d.filter(F.col("l_orderkey") == 1).select("l_orderkey", "l_quantity")
+    p = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]" in p
+    rs = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "l_extendedprice" not in rs and "l_comment" not in rs
+
+
+def test_pk_read_prunes_through_merge(spark, catalog):
+    """projection pushdown THROUGH the merge-on-read window: reading two
+    columns of a PK table must not scan every column."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    t = catalog.create_table("ps.pk", cust.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    t.write(spark, cust)
+    p = _plan(t.read(spark, projection=["c_custkey", "c_acctbal"]))
+    rs = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert rs and all("c_comment" not in line and "c_address" not in line
+                      for line in rs)
+
+
+def test_knn_broadcasts_query_side(spark):
+    from incubator_paimon_spark.operators import similarity as S
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(S.knn_join(e, e.limit(3), "embedding", k=2,
+                         left_id="vec_id", right_id="vec_id"))
+    assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p \
+        or "BroadcastExchange" in p
