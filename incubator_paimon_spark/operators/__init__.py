@@ -1,1 +1,2 @@
-from . import dedup, similarity, text, multimodal  # noqa: F401
+from . import (dedup, multimodal, packing, pipeline, sampling,  # noqa: F401
+               similarity, temporal, text)
