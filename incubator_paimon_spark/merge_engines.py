@@ -106,12 +106,20 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
     columns on the group's own sequence fields (PartialUpdateMergeFunction
     updateWithSequenceGroup: a passing group update overwrites with the new
     value *even when null*; rows whose group-seq fields are all null are
-    skipped for that group)."""
+    skipped for that group). A group column that also declares
+    `fields.<col>.aggregate-function` is AGGREGATED across the group's
+    passing rows, not overwritten — the reference folds agg(accumulator,
+    field) for in-order rows and agg(field, accumulator) for late ones
+    (PartialUpdateMergeFunction.java:139-172), which over the whole group
+    equals a fold in group-sequence order; the registry aggregators
+    reproduce exactly that (ordered ones take the (group-seq, LSN) order
+    struct, commutative ones don't care)."""
     opts = schema.core_options
     df = _prepare(df, schema)
     keys = merge_key(schema)
     ord_ = order_struct(schema)
     groups = opts.sequence_groups()  # seq-field -> [cols]
+    level = F.col(LEVEL_COL) if LEVEL_COL in df.columns else F.lit(0)
 
     col_group: dict[str, str] = {}
     for seq_field, cols in groups.items():
@@ -132,7 +140,21 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
         if name in col_group:
             g = col_group[name]
             g_ord = F.when(F.col(g).isNotNull(), F.struct(F.col(g), F.col(SEQUENCE_NUMBER)))
-            aggs.append(F.max_by(c, F.when(is_add, g_ord)).alias(name))
+            if agg_fn is not None and name != g:
+                if agg_fn not in AGGREGATORS:
+                    raise ValueError(
+                        f"unknown aggregate function {agg_fn!r} for field {name}")
+                # rows with an empty group sequence are skipped for this
+                # group (isEmptySequenceGroup) — mask the value so every
+                # aggregator ignores them
+                masked = F.when(F.col(g).isNotNull(), c)
+                fld = next(f for f in schema.fields if f.name == name)
+                ctx = AggCtx(order=F.struct(F.col(g), F.col(SEQUENCE_NUMBER)),
+                             is_add=is_add, level=level, dtype=fld.type,
+                             options=opts.raw, field=name)
+                aggs.append(AGGREGATORS[agg_fn](masked, ctx).alias(name))
+            else:
+                aggs.append(F.max_by(c, F.when(is_add, g_ord)).alias(name))
         else:
             aggs.append(F.max_by(c, F.when(is_add & c.isNotNull(), ord_)).alias(name))
     aggs.append(F.max(F.col(SEQUENCE_NUMBER)).alias(SEQUENCE_NUMBER))

@@ -194,3 +194,31 @@ def test_nested_update_keyless_append_and_remove(spark, catalog):
         [(1, [(10, "a")], "-D")], ddl + ", _row_kind string"))
     got = [(r["id"], r["v"]) for r in t.read(spark).collect()[0]["nested"]]
     assert got == [(11, "b")]  # removeIf drops every equal copy
+
+
+def test_partial_update_sequence_group_aggregation(spark, catalog):
+    """A sequence-group column with fields.<col>.aggregate-function is
+    AGGREGATED over the group's passing rows, not overwritten
+    (PartialUpdateMergeFunction.java:139-172: agg(accumulator, field) /
+    agg(field, accumulator) — a fold over every row whose group sequence
+    is non-null)."""
+    t = catalog.create_table(
+        "db.sga", _schema("k bigint, s int, mx int, g int, c string"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update",
+                 "fields.g.sequence-group": "s,mx,c",
+                 "fields.s.aggregate-function": "sum",
+                 "fields.mx.aggregate-function": "max"})
+    rows = "k long, s int, mx int, g int, c string"
+    t.write(spark, spark.createDataFrame([(1, 10, 5, 1, "a")], rows))
+    t.write(spark, spark.createDataFrame([(1, 20, 9, 3, "b")], rows))
+    # null group seq: the whole group is skipped — s/mx/c unchanged
+    t.write(spark, spark.createDataFrame([(1, 99, 99, None, "zz")], rows))
+    # late (stale) group seq STILL aggregates s and mx, but c (no agg fn)
+    # keeps its latest-by-group-seq value
+    t.write(spark, spark.createDataFrame([(1, 5, 11, 2, "late")], rows))
+    r = t.read(spark).collect()[0]
+    assert r["s"] == 35          # 10 + 20 + 5 (99 skipped)
+    assert r["mx"] == 11         # max(5, 9, 11)
+    assert r["g"] == 3           # max passing group seq
+    assert r["c"] == "b"         # last by group seq (3 > 2)
