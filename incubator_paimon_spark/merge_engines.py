@@ -139,6 +139,10 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
                 "(reference: 'Must use sequence group for aggregation functions')")
         if name in col_group:
             g = col_group[name]
+            # group order over ALL rows (adds AND retracts) with a non-null
+            # group sequence: retracts participate in group state
+            # (retractWithSequenceGroup — a passing -U/-D nulls a plain
+            # field, retracts an agg field, and advances the seq fields)
             g_ord = F.when(F.col(g).isNotNull(), F.struct(F.col(g), F.col(SEQUENCE_NUMBER)))
             if agg_fn is not None and name != g:
                 if agg_fn not in AGGREGATORS:
@@ -146,15 +150,25 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
                         f"unknown aggregate function {agg_fn!r} for field {name}")
                 # rows with an empty group sequence are skipped for this
                 # group (isEmptySequenceGroup) — mask the value so every
-                # aggregator ignores them
+                # aggregator ignores them; retract rows flow through the
+                # aggregator's own retract handling (e.g. sum subtracts)
                 masked = F.when(F.col(g).isNotNull(), c)
                 fld = next(f for f in schema.fields if f.name == name)
                 ctx = AggCtx(order=F.struct(F.col(g), F.col(SEQUENCE_NUMBER)),
                              is_add=is_add, level=level, dtype=fld.type,
                              options=opts.raw, field=name)
                 aggs.append(AGGREGATORS[agg_fn](masked, ctx).alias(name))
+            elif name == g:
+                # seq field: value at the max passing (group-seq, LSN),
+                # retracts included (they advance the group sequence)
+                aggs.append(F.max_by(c, g_ord).alias(name))
             else:
-                aggs.append(F.max_by(c, F.when(is_add, g_ord)).alias(name))
+                # plain group field: the LAST passing event decides — an
+                # add overwrites (even with null), a retract nulls
+                last = F.max_by(F.struct(F.col(VALUE_KIND).alias("k"),
+                                         c.alias("v")), g_ord)
+                aggs.append(F.when(last["k"].isin(*ADD_KINDS), last["v"])
+                             .alias(name))
         else:
             aggs.append(F.max_by(c, F.when(is_add & c.isNotNull(), ord_)).alias(name))
     aggs.append(F.max(F.col(SEQUENCE_NUMBER)).alias(SEQUENCE_NUMBER))

@@ -222,3 +222,26 @@ def test_partial_update_sequence_group_aggregation(spark, catalog):
     assert r["mx"] == 11         # max(5, 9, 11)
     assert r["g"] == 3           # max passing group seq
     assert r["c"] == "b"         # last by group seq (3 > 2)
+
+
+def test_partial_update_sequence_group_retract(spark, catalog):
+    """-U/-D rows with a passing group sequence retract group columns:
+    plain fields go NULL, sum fields subtract, and the group sequence
+    advances (PartialUpdateMergeFunction.retractWithSequenceGroup). A
+    later add with a fresh sequence re-sets the plain field."""
+    t = catalog.create_table(
+        "db.sgr", _schema("k bigint, v string, s int, g int, _rk string"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update",
+                 "fields.g.sequence-group": "v,s",
+                 "fields.s.aggregate-function": "sum",
+                 "rowkind.field": "_rk"})
+    rows = "k long, v string, s int, g int, _rk string"
+    mk = lambda *vals: spark.createDataFrame([vals], rows)
+    t.write(spark, mk(1, "a", 10, 1, "+I"))
+    t.write(spark, mk(1, "x", 4, 2, "-U"))   # passing retract: v -> NULL, s -= 4
+    t.write(spark, mk(2, "b", 7, 1, "+I"))
+    t.write(spark, mk(2, "c", 1, 3, "+U"))   # later add re-sets v
+    got = {r["k"]: r for r in t.read(spark).collect()}
+    assert got[1]["v"] is None and got[1]["s"] == 6 and got[1]["g"] == 2
+    assert got[2]["v"] == "c" and got[2]["s"] == 8 and got[2]["g"] == 3
