@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .functions.aggregates import AGGREGATORS, AggCtx
 from .metadata.schema import TableSchema
-from .types import ADD_KINDS, DELETE, SEQUENCE_NUMBER, VALUE_KIND
+from .types import ADD_KINDS, RETRACT_KINDS, SEQUENCE_NUMBER, VALUE_KIND
 
 LEVEL_COL = "__level"
 
@@ -68,7 +68,10 @@ def _user_columns(schema: TableSchema, df: DataFrame) -> list[str]:
 
 def _prepare(df: DataFrame, schema: TableSchema) -> DataFrame:
     if schema.core_options.ignore_delete:
-        df = df.filter(~F.col(VALUE_KIND).isin(DELETE))
+        # ignore-delete skips EVERY retract kind (-U as well as -D):
+        # DeduplicateMergeFunction.java:50 / FirstRowMergeFunction.java:55
+        # gate on valueKind().isRetract(), not on DELETE alone
+        df = df.filter(~F.col(VALUE_KIND).isin(*RETRACT_KINDS))
     return df
 
 

@@ -245,3 +245,21 @@ def test_partial_update_sequence_group_retract(spark, catalog):
     got = {r["k"]: r for r in t.read(spark).collect()}
     assert got[1]["v"] is None and got[1]["s"] == 6 and got[1]["g"] == 2
     assert got[2]["v"] == "c" and got[2]["s"] == 8 and got[2]["g"] == 3
+
+
+def test_ignore_delete_skips_update_before(spark, catalog):
+    """ignore-delete gates on isRetract(): -U rows are skipped exactly like
+    -D (DeduplicateMergeFunction.java:50). A -U arriving after the last +U
+    must not erase the key."""
+    t = catalog.create_table(
+        "db.igd", _schema("k bigint, v string, _rk string"),
+        primary_keys=["k"],
+        options={"bucket": "1", "ignore-delete": "true",
+                 "rowkind.field": "_rk"})
+    rows = "k long, v string, _rk string"
+    t.write(spark, spark.createDataFrame([(1, "a", "+I")], rows))
+    t.write(spark, spark.createDataFrame([(1, "a", "-U")], rows))
+    t.write(spark, spark.createDataFrame([(2, "b", "+I")], rows))
+    t.write(spark, spark.createDataFrame([(2, "b", "-D")], rows))
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}
