@@ -121,13 +121,22 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
     df = _prepare(df, schema)
     keys = merge_key(schema)
     ord_ = order_struct(schema)
-    groups = opts.sequence_groups()  # seq-field -> [cols]
+    groups = opts.sequence_groups()  # (seq fields...) -> [cols]
     level = F.col(LEVEL_COL) if LEVEL_COL in df.columns else F.lit(0)
 
-    col_group: dict[str, str] = {}
-    for seq_field, cols in groups.items():
-        for c in cols + [seq_field]:
-            col_group[c] = seq_field
+    col_group: dict[str, tuple[str, ...]] = {}
+    for seq_fields, cols in groups.items():
+        for c in cols + list(seq_fields):
+            if c in col_group and col_group[c] != seq_fields:
+                # PartialUpdateMergeFunction.Factory: "Field %s is defined
+                # repeatedly by multiple groups"
+                raise ValueError(
+                    f"Field {c} is defined repeatedly by multiple "
+                    f"sequence-groups")
+            col_group[c] = seq_fields
+
+    def _field_type(name):
+        return next(f for f in schema.fields if f.name == name).type
 
     aggs = []
     is_add = F.col(VALUE_KIND).isin(*ADD_KINDS)
@@ -136,32 +145,49 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
             continue
         c = F.col(name)
         agg_fn = opts.field_aggregate_function(name)
+        if agg_fn is not None and agg_fn not in AGGREGATORS:
+            raise ValueError(
+                f"unknown aggregate function {agg_fn!r} for field {name}")
         if agg_fn is not None and name not in col_group:
-            raise NotImplementedError(
-                "aggregation inside partial-update requires a sequence-group "
-                "(reference: 'Must use sequence group for aggregation functions')")
-        if name in col_group:
-            g = col_group[name]
-            # group order over ALL rows (adds AND retracts) with a non-null
-            # group sequence: retracts participate in group state
-            # (retractWithSequenceGroup — a passing -U/-D nulls a plain
-            # field, retracts an agg field, and advances the seq fields)
-            g_ord = F.when(F.col(g).isNotNull(), F.struct(F.col(g), F.col(SEQUENCE_NUMBER)))
-            if agg_fn is not None and name != g:
-                if agg_fn not in AGGREGATORS:
-                    raise ValueError(
-                        f"unknown aggregate function {agg_fn!r} for field {name}")
+            if not groups:
+                raise NotImplementedError(
+                    "aggregation inside partial-update requires a sequence-"
+                    "group (reference: 'Must use sequence group for "
+                    "aggregation functions')")
+            # reference: once ANY group exists, an aggregator on a
+            # non-group field is legal and folds UNCONDITIONALLY on add
+            # rows (updateWithSequenceGroup seqComparator==null branch);
+            # retracts skip it (retractWithSequenceGroup only visits
+            # grouped fields)
+            ctx = AggCtx(order=ord_, is_add=is_add, level=level,
+                         dtype=_field_type(name), options=opts.raw,
+                         field=name)
+            aggs.append(AGGREGATORS[agg_fn](F.when(is_add, c), ctx)
+                        .alias(name))
+        elif name in col_group:
+            gf = col_group[name]
+            # group participation = ANY group seq field non-null
+            # (isEmptySequenceGroup); multi-field groups compare
+            # lexicographically, LSN as the tiebreak. Retracts participate
+            # in group state (retractWithSequenceGroup — a passing -U/-D
+            # nulls a plain field, retracts an agg field, advances seqs).
+            non_empty = F.lit(False)
+            for f_ in gf:
+                non_empty = non_empty | F.col(f_).isNotNull()
+            g_struct = F.struct(*[F.col(f_) for f_ in gf],
+                                F.col(SEQUENCE_NUMBER))
+            g_ord = F.when(non_empty, g_struct)
+            if agg_fn is not None and name not in gf:
                 # rows with an empty group sequence are skipped for this
-                # group (isEmptySequenceGroup) — mask the value so every
-                # aggregator ignores them; retract rows flow through the
-                # aggregator's own retract handling (e.g. sum subtracts)
-                masked = F.when(F.col(g).isNotNull(), c)
-                fld = next(f for f in schema.fields if f.name == name)
-                ctx = AggCtx(order=F.struct(F.col(g), F.col(SEQUENCE_NUMBER)),
-                             is_add=is_add, level=level, dtype=fld.type,
-                             options=opts.raw, field=name)
+                # group — mask the value so every aggregator ignores them;
+                # retract rows flow through the aggregator's own retract
+                # handling (e.g. sum subtracts)
+                masked = F.when(non_empty, c)
+                ctx = AggCtx(order=g_struct, is_add=is_add, level=level,
+                             dtype=_field_type(name), options=opts.raw,
+                             field=name)
                 aggs.append(AGGREGATORS[agg_fn](masked, ctx).alias(name))
-            elif name == g:
+            elif name in gf:
                 # seq field: value at the max passing (group-seq, LSN),
                 # retracts included (they advance the group sequence)
                 aggs.append(F.max_by(c, g_ord).alias(name))

@@ -83,13 +83,18 @@ class CoreOptions:
         v = self.raw.get(f"fields.{seq_field}.sequence-group", "")
         return [c.strip() for c in v.split(",") if c.strip()]
 
-    def sequence_groups(self) -> dict[str, list[str]]:
-        """seq-field -> gated columns, from fields.<f>.sequence-group keys."""
+    def sequence_groups(self) -> dict[tuple[str, ...], list[str]]:
+        """(seq-fields...) tuple -> gated columns, from
+        fields.<f[,f2...]>.sequence-group keys. Multi-field groups
+        (`fields.a,b.sequence-group`) compare lexicographically
+        (PartialUpdateMergeFunction.Factory + UserDefinedSeqComparator)."""
         out = {}
         for k, v in self.raw.items():
             if k.startswith("fields.") and k.endswith(".sequence-group"):
-                seq_field = k[len("fields.") : -len(".sequence-group")]
-                out[seq_field] = [c.strip() for c in v.split(",") if c.strip()]
+                raw_fields = k[len("fields.") : -len(".sequence-group")]
+                seq_fields = tuple(s.strip() for s in raw_fields.split(",")
+                                   if s.strip())
+                out[seq_fields] = [c.strip() for c in v.split(",") if c.strip()]
         return out
 
     def field_ignore_retract(self, field_name: str) -> bool:

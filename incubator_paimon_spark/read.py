@@ -510,8 +510,8 @@ def _merge_projection(schema: TableSchema, projection, residual) -> list[str] | 
     needed.update(schema.partition_keys)
     needed.update(schema.trimmed_primary_keys())
     needed.update(opts.sequence_field)
-    for seq_field, cols in opts.sequence_groups().items():
-        needed.add(seq_field)
+    for seq_fields, cols in opts.sequence_groups().items():
+        needed.update(seq_fields)
     if residual is not None:
         needed.update(residual.fields())
     return [c for c in schema.field_names() if c in needed]

@@ -263,3 +263,55 @@ def test_ignore_delete_skips_update_before(spark, catalog):
     t.write(spark, spark.createDataFrame([(2, "b", "-D")], rows))
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_partial_update_multi_field_sequence_group(spark, catalog):
+    """fields.a,b.sequence-group: the group sequence compares (a, b)
+    lexicographically (UserDefinedSeqComparator); all seq fields update
+    together on a passing row."""
+    t = catalog.create_table(
+        "db.msg", _schema("k bigint, v string, s1 int, s2 int"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update",
+                 "fields.s1,s2.sequence-group": "v"})
+    rows = "k long, v string, s1 int, s2 int"
+    t.write(spark, spark.createDataFrame([(1, "a", 1, 9)], rows))
+    # higher major wins despite lower minor
+    t.write(spark, spark.createDataFrame([(1, "b", 2, 0)], rows))
+    # stale major: ignored
+    t.write(spark, spark.createDataFrame([(1, "c", 1, 99)], rows))
+    r = t.read(spark).collect()[0]
+    assert (r["v"], r["s1"], r["s2"]) == ("b", 2, 0)
+
+
+def test_partial_update_nongroup_aggregation_allowed(spark, catalog):
+    """With ANY sequence group defined, an aggregator on a NON-group field
+    is legal and folds unconditionally on add rows
+    (updateWithSequenceGroup's seqComparator==null branch)."""
+    t = catalog.create_table(
+        "db.nga", _schema("k bigint, v string, g int, total int"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update",
+                 "fields.g.sequence-group": "v",
+                 "fields.total.aggregate-function": "sum"})
+    rows = "k long, v string, g int, total int"
+    t.write(spark, spark.createDataFrame([(1, "a", 1, 10)], rows))
+    # stale group seq: v ignored, but total STILL aggregates
+    t.write(spark, spark.createDataFrame([(1, "zz", 0, 5)], rows))
+    r = t.read(spark).collect()[0]
+    assert (r["v"], r["total"]) == ("a", 15)
+
+
+def test_partial_update_duplicate_group_membership_rejected(spark, catalog):
+    import pytest
+    t = catalog.create_table(
+        "db.dup", _schema("k bigint, a int, g1 int, g2 int"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update",
+                 "fields.g1.sequence-group": "a",
+                 "fields.g2.sequence-group": "a"})
+    rows = "k long, a int, g1 int, g2 int"
+    t.write(spark, spark.createDataFrame([(1, 1, 1, 1)], rows))
+    t.write(spark, spark.createDataFrame([(1, 2, 2, 2)], rows))
+    with pytest.raises(ValueError, match="repeatedly"):
+        t.read(spark).collect()

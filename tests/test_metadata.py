@@ -180,7 +180,7 @@ class TestOptions:
         assert o.bucket == 8
         assert o.merge_engine == "aggregation"
         assert o.field_aggregate_function("x") == "sum"
-        assert o.sequence_groups() == {"g": ["a", "b"]}
+        assert o.sequence_groups() == {("g",): ["a", "b"]}
         assert o.snapshot_time_retained_ms == 7_200_000
         assert parse_bytes("128mb") == 128 * 1024 * 1024
         assert parse_duration_ms("90 s") == 90_000
