@@ -409,3 +409,49 @@ def test_chunk_documents(spark):
     assert covered == {f"w{i}" for i in range(10)}
     with pytest.raises(ValueError, match="overlap"):
         TX.chunk_documents(df, "text", "doc_id", max_words=4, overlap=4)
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Differential test: a 3000-edge pseudo-random graph (deterministic
+    LCG, no RNG seed plumbing) must produce exactly the same partition as
+    a driver-side union-find oracle — same members, same min-id labels."""
+    from incubator_paimon_spark.operators.dedup import connected_components
+
+    edges = []
+    x = 41
+    for _ in range(3000):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        u = x % 900
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        v = x % 900
+        if u != v:
+            edges.append((u, v))
+
+    parent = list(range(900))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in edges:
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expect = {}
+    for n in nodes:
+        r = find(n)
+        expect[n] = min(expect.get(r, r), r)
+    # canonical label = min node id in component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expect = {n: comp_min[find(n)] for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == expect
