@@ -442,13 +442,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     for _ in range(max_iter + 1):
         both = cur.union(cur.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
-        # large-star: every neighbor bigger than u re-points at u's minimum
+        # large-star: every neighbor bigger than u re-points at u's minimum.
+        # No distinct here — duplicates produced within one round are
+        # bounded (each input edge yields at most two outputs) and the
+        # small-star phase's end-of-round distinct dedups before the next
+        # union doubles anything, so dropping this exchange saves one
+        # shuffle per round without any cross-round growth.
         mins = (both.groupBy("u").agg(F.min("v").alias("mv"))
                     .select("u", F.least("mv", F.col("u")).alias("m")))
         large = (both.join(mins, "u")
                      .filter(F.col("v") > F.col("u"))
                      .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                     .filter(F.col("u") != F.col("v")).distinct())
+                     .filter(F.col("u") != F.col("v")))
         # small-star: smaller neighbors + u itself re-point at the minimum
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
         small = (large.join(mins2, "u")
