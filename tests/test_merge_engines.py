@@ -315,3 +315,88 @@ def test_partial_update_duplicate_group_membership_rejected(spark, catalog):
     t.write(spark, spark.createDataFrame([(1, 2, 2, 2)], rows))
     with pytest.raises(ValueError, match="repeatedly"):
         t.read(spark).collect()
+
+
+def test_partial_update_randomized_vs_reference_fold(spark):
+    """Differential test of the whole sequence-group matrix: 300 keys of
+    pseudo-random event sequences (adds/retracts, nulls, a 2-field group,
+    a grouped sum, a non-group sum, a plain non-group field) merged by
+    _partial_update must equal a direct Python re-implementation of the
+    reference fold (updateWithSequenceGroup / retractWithSequenceGroup),
+    processed in LSN order. One Spark job for all keys."""
+    from incubator_paimon_spark.merge_engines import apply_merge
+    from incubator_paimon_spark.metadata.schema import TableSchema
+    from incubator_paimon_spark.types import SEQUENCE_NUMBER, VALUE_KIND
+
+    schema = TableSchema.create(
+        _schema("k bigint, v int, s int, g1 int, g2 int, t int, u int"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update",
+                 "fields.g1,g2.sequence-group": "v,s",
+                 "fields.s.aggregate-function": "sum",
+                 "fields.t.aggregate-function": "sum"})
+
+    x = 7
+
+    def rnd(n):
+        nonlocal x
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        return x % n
+
+    def maybe(n):  # small int or None
+        r = rnd(n + 1)
+        return None if r == 0 else r
+
+    kinds = ["+I", "+U", "-U", "-D"]
+    rows, expect = [], {}
+    for k in range(300):
+        n_events = 1 + rnd(6)
+        state = {"v": None, "s": None, "g1": None, "g2": None,
+                 "t": None, "u": None}
+        saw_add = False
+        for lsn in range(n_events):
+            kind = kinds[rnd(4)]
+            ev = {"v": maybe(5), "s": maybe(5), "g1": maybe(4),
+                  "g2": maybe(4), "t": maybe(5), "u": maybe(5)}
+            rows.append((k, ev["v"], ev["s"], ev["g1"], ev["g2"],
+                         ev["t"], ev["u"], kind, lsn))
+            key = lambda g1, g2: ((g1 is not None, g1 if g1 is not None else 0),
+                                  (g2 is not None, g2 if g2 is not None else 0))
+            empty = ev["g1"] is None and ev["g2"] is None
+            passing = (not empty and
+                       key(ev["g1"], ev["g2"]) >= key(state["g1"], state["g2"]))
+            sum_agg = lambda acc, f: (acc if f is None else
+                                      (f if acc is None else acc + f))
+            sum_ret = lambda acc, f: (acc if f is None else
+                                      (-f if acc is None else acc - f))
+            if kind in ("-U", "-D"):
+                if not empty:
+                    if passing:
+                        state["g1"], state["g2"] = ev["g1"], ev["g2"]
+                        state["v"] = None
+                        state["s"] = sum_ret(state["s"], ev["s"])
+                    else:
+                        state["s"] = sum_ret(state["s"], ev["s"])
+                # non-group fields untouched by retracts
+            else:
+                saw_add = True
+                if ev["u"] is not None:
+                    state["u"] = ev["u"]
+                state["t"] = sum_agg(state["t"], ev["t"])
+                if not empty:
+                    if passing:
+                        state["g1"], state["g2"] = ev["g1"], ev["g2"]
+                        state["v"] = ev["v"]
+                        state["s"] = sum_agg(state["s"], ev["s"])
+                    else:
+                        state["s"] = sum_agg(ev["s"], state["s"])
+        expect[k] = dict(state)
+
+    df = spark.createDataFrame(
+        rows, f"k long, v int, s int, g1 int, g2 int, t int, u int, "
+              f"{VALUE_KIND} string, {SEQUENCE_NUMBER} long")
+    got = {r["k"]: r for r in apply_merge(df, schema).collect()}
+    assert set(got) == set(expect)
+    for k, st_ in expect.items():
+        for f_ in ("v", "s", "g1", "g2", "t", "u"):
+            assert got[k][f_] == st_[f_], (k, f_, dict(got[k].asDict()), st_)
