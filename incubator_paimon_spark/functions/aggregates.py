@@ -102,7 +102,10 @@ def agg_listagg(c, ctx):
     delim = ","
     if ctx.options:
         delim = ctx.options.get(f"fields.{ctx.field}.list-agg-delimiter", ",")
-    return F.array_join(ordered_list(_adds_only(c, ctx), ctx.order), delim)
+    lst = ordered_list(_adds_only(c, ctx), ctx.order)
+    # zero non-null inputs fold to NULL, not '' — FieldListaggAgg leaves
+    # the accumulator null when every agg(acc, in) saw a null input
+    return F.when(F.size(lst) > 0, F.array_join(lst, delim))
 
 
 def agg_bool_and(c, ctx):

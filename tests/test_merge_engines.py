@@ -400,3 +400,130 @@ def test_partial_update_randomized_vs_reference_fold(spark):
     for k, st_ in expect.items():
         for f_ in ("v", "s", "g1", "g2", "t", "u"):
             assert got[k][f_] == st_[f_], (k, f_, dict(got[k].asDict()), st_)
+
+
+def test_dedup_randomized_vs_reference_fold(spark):
+    """Randomized differential for deduplicate + sequence.field: for each
+    key the survivor must be the row a reference-style LSN-order fold
+    keeps — highest (seq, LSN) wins, null seq loses to any non-null, and
+    a surviving retract erases the key."""
+    from incubator_paimon_spark.merge_engines import apply_merge
+    from incubator_paimon_spark.metadata.schema import TableSchema
+    from incubator_paimon_spark.types import SEQUENCE_NUMBER, VALUE_KIND
+
+    schema = TableSchema.create(
+        _schema("k bigint, v int, seq int"), primary_keys=["k"],
+        options={"bucket": "1", "sequence.field": "seq"})
+
+    x = 99
+
+    def rnd(n):
+        nonlocal x
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        return x % n
+
+    kinds = ["+I", "+U", "-U", "-D"]
+    rows, expect = [], {}
+    for k in range(300):
+        best = None  # (key_tuple, value, kind)
+        for lsn in range(1 + rnd(5)):
+            kind = kinds[rnd(4)]
+            v = rnd(100)
+            seq = None if rnd(4) == 0 else rnd(10)
+            rows.append((k, v, seq, kind, lsn))
+            key = ((seq is not None, seq if seq is not None else 0), lsn)
+            if best is None or key >= best[0]:
+                best = (key, v, kind)
+        if best[2] in ("+I", "+U"):
+            expect[k] = best[1]
+    df = spark.createDataFrame(
+        rows, f"k long, v int, seq int, {VALUE_KIND} string, "
+              f"{SEQUENCE_NUMBER} long")
+    got = {r["k"]: r["v"] for r in apply_merge(df, schema).collect()}
+    assert got == expect
+
+
+def test_aggregation_randomized_vs_reference_fold(spark):
+    """Randomized differential for the aggregation engine across the core
+    aggregator matrix (sum/max/min/last_value/last_non_null/first_value/
+    count/bool_or/listagg) vs a Python fold in LSN order with the
+    reference's null and retract rules."""
+    from incubator_paimon_spark.merge_engines import apply_merge
+    from incubator_paimon_spark.metadata.schema import TableSchema
+    from incubator_paimon_spark.types import SEQUENCE_NUMBER, VALUE_KIND
+
+    schema = TableSchema.create(
+        _schema("k bigint, s int, mx int, mn int, lv int, lnn int, fv int, "
+                "cnt bigint, bo boolean, la string"),
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.s.aggregate-function": "sum",
+                 "fields.mx.aggregate-function": "max",
+                 "fields.mn.aggregate-function": "min",
+                 "fields.lv.aggregate-function": "last_value",
+                 "fields.lnn.aggregate-function": "last_non_null_value",
+                 "fields.fv.aggregate-function": "first_value",
+                 "fields.cnt.aggregate-function": "count",
+                 "fields.bo.aggregate-function": "bool_or",
+                 "fields.la.aggregate-function": "listagg"})
+
+    x = 1234
+
+    def rnd(n):
+        nonlocal x
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        return x % n
+
+    def maybe(n):
+        r = rnd(n + 1)
+        return None if r == 0 else r
+
+    rows, expect = [], {}
+    for k in range(200):
+        st = {"s": None, "mx": None, "mn": None, "lv": None, "lnn": None,
+              "fv": None, "cnt": 0, "bo": None, "la": None,
+              "first_seen": False}
+        for lsn in range(1 + rnd(5)):
+            add = rnd(4) != 0  # 75% adds
+            kind = ("+I", "+U")[rnd(2)] if add else ("-U", "-D")[rnd(2)]
+            ev = {"s": maybe(9), "mx": maybe(9), "mn": maybe(9),
+                  "lv": maybe(9), "lnn": maybe(9), "fv": maybe(9),
+                  "cnt": 1, "bo": [None, True, False][rnd(3)],
+                  "la": None if rnd(3) == 0 else f"t{rnd(5)}"}
+            rows.append((k, ev["s"], ev["mx"], ev["mn"], ev["lv"],
+                         ev["lnn"], ev["fv"], ev["cnt"], ev["bo"], ev["la"],
+                         kind, lsn))
+            if add:
+                st["s"] = (ev["s"] if st["s"] is None else
+                           st["s"] if ev["s"] is None else st["s"] + ev["s"])
+                st["mx"] = (ev["mx"] if st["mx"] is None else st["mx"]
+                            if ev["mx"] is None else max(st["mx"], ev["mx"]))
+                st["mn"] = (ev["mn"] if st["mn"] is None else st["mn"]
+                            if ev["mn"] is None else min(st["mn"], ev["mn"]))
+                st["lv"] = ev["lv"]                      # null overwrites
+                if ev["lnn"] is not None:
+                    st["lnn"] = ev["lnn"]
+                if not st["first_seen"]:
+                    st["fv"] = ev["fv"]                  # first row, even null
+                    st["first_seen"] = True
+                st["cnt"] += 1                           # non-null cnt input
+                if ev["bo"] is not None:
+                    st["bo"] = ev["bo"] if st["bo"] is None else (st["bo"] or ev["bo"])
+                if ev["la"] is not None:
+                    st["la"] = (ev["la"] if st["la"] is None
+                                else st["la"] + "," + ev["la"])
+            else:
+                # retract: sum/count subtract; the rest ignore retracts
+                st["s"] = (st["s"] if ev["s"] is None else
+                           (-ev["s"] if st["s"] is None else st["s"] - ev["s"]))
+                st["cnt"] -= 1
+        expect[k] = dict(st)
+    df = spark.createDataFrame(
+        rows, f"k long, s int, mx int, mn int, lv int, lnn int, fv int, "
+              f"cnt long, bo boolean, la string, {VALUE_KIND} string, "
+              f"{SEQUENCE_NUMBER} long")
+    got = {r["k"]: r for r in apply_merge(df, schema).collect()}
+    assert set(got) == set(expect)
+    for k, st in expect.items():
+        for f_ in ("s", "mx", "mn", "lv", "lnn", "fv", "cnt", "bo", "la"):
+            assert got[k][f_] == st[f_], (k, f_, dict(got[k].asDict()), st)
