@@ -527,3 +527,16 @@ def test_aggregation_randomized_vs_reference_fold(spark):
     for k, st in expect.items():
         for f_ in ("s", "mx", "mn", "lv", "lnn", "fv", "cnt", "bo", "la"):
             assert got[k][f_] == st[f_], (k, f_, dict(got[k].asDict()), st)
+
+
+def test_listagg_custom_delimiter(spark, catalog):
+    t = catalog.create_table(
+        "db.lad", _schema("k bigint, la string"), primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.la.aggregate-function": "listagg",
+                 "fields.la.list-agg-delimiter": "|"})
+    t.write(spark, spark.createDataFrame([(1, "a")], "k long, la string"))
+    t.write(spark, spark.createDataFrame([(1, "b")], "k long, la string"))
+    t.write(spark, spark.createDataFrame([(2, None)], "k long, la string"))
+    got = {r["k"]: r["la"] for r in t.read(spark).collect()}
+    assert got == {1: "a|b", 2: None}

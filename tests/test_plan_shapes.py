@@ -93,3 +93,19 @@ def test_knn_broadcasts_query_side(spark):
                          left_id="vec_id", right_id="vec_id"))
     assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p \
         or "BroadcastExchange" in p
+
+
+def test_minhash_lsh_join_is_bucketed(spark):
+    """the LSH candidate self-join must join on (band, bucket-hash) keys —
+    never a cartesian/nested-loop over the corpus."""
+    from incubator_paimon_spark.operators import dedup as D
+    p = _plan(D.minhash_lsh_pairs(_docs(spark), "text", "doc_id",
+                                  num_hashes=16, bands=4))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_embedding_lsh_join_is_bucketed(spark):
+    from incubator_paimon_spark.operators import dedup as D
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(D.embedding_near_dups(e, "embedding", "vec_id", dim=64))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
