@@ -132,6 +132,31 @@ def assign_dynamic_buckets(spark: SparkSession, table, df: DataFrame,
         return df, new_index, None
 
     idx = table.index.read_df(spark, latest_snap, schema, global_key=cross)
+    if part_cols and not cross:
+        # HASH_DYNAMIC's index is scoped per partition, so only index rows
+        # for the partitions PRESENT IN THIS BATCH matter — both for the
+        # keep-bucket join and for the per-(partition, assigner) fill
+        # state. The distinct partition list is control-plane-sized; the
+        # isin/OR filter pushes into the index parquet scan (row-group
+        # min/max skipping), so a one-partition write into a 10^4-partition
+        # table stops paying for the whole index (VERDICT r4 #7). Skipped
+        # above ~1000 batch partitions where the predicate itself would
+        # bloat the plan — at that breadth most of the index is live
+        # anyway. Cross-partition mode must see the global index (a key
+        # may move FROM a partition not in the batch).
+        parts = df.select(*part_cols).distinct().limit(1001).collect()
+        if len(parts) <= 1000:
+            vals = [r[part_cols[0]] for r in parts]
+            if len(part_cols) == 1 and None not in vals:
+                cond = F.col(part_cols[0]).isin(vals)
+            else:
+                cond = F.lit(False)
+                for r in parts:
+                    conj = F.lit(True)
+                    for c in part_cols:
+                        conj = conj & F.col(c).eqNullSafe(F.lit(r[c]))
+                    cond = cond | conj
+            idx = idx.filter(cond)
     old = idx.select(
         F.col("kh").alias("__kh"),
         *[F.col(c).alias(f"__old_{c}") for c in part_cols],

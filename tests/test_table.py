@@ -534,3 +534,36 @@ def test_write_rolls_files_at_max_records(spark, catalog, customer):
     assert all(e.file.row_count <= 100 for e in entries)
     assert len(entries) >= customer.count() // 100
     assert t.read(spark).count() == customer.count()
+
+
+def test_dynamic_bucket_partitioned_index_prune(spark, catalog, customer):
+    """Partitioned HASH_DYNAMIC: a batch touching ONE partition reads only
+    that partition's index slice (VERDICT r4 #7), keeps existing keys in
+    their buckets, and leaves other partitions' index entries intact."""
+    t = catalog.create_table("db.dynp", customer.schema,
+                             partition_keys=["c_mktsegment"],
+                             primary_keys=["c_custkey", "c_mktsegment"],
+                             options={"bucket": "-1",
+                                      "dynamic-bucket.target-row-num": "50"})
+    t.write(spark, customer)
+    idx1 = t.index.read_df(spark, t.snapshots.latest(), t.schema)
+    seg = customer.select("c_mktsegment").first()[0]
+    other = {(r["kh"], r["c_mktsegment"], r["bucket"])
+             for r in idx1.collect() if r["c_mktsegment"] != seg}
+    before = {(r["kh"], r["bucket"])
+              for r in idx1.collect() if r["c_mktsegment"] == seg}
+
+    upd = customer.filter(F.col("c_mktsegment") == seg) \
+                  .withColumn("c_acctbal", F.lit(1.23))
+    t.write(spark, upd)
+    idx2 = t.index.read_df(spark, t.snapshots.latest(), t.schema)
+    after_other = {(r["kh"], r["c_mktsegment"], r["bucket"])
+                   for r in idx2.collect() if r["c_mktsegment"] != seg}
+    after = {(r["kh"], r["bucket"])
+             for r in idx2.collect() if r["c_mktsegment"] == seg}
+    assert after_other == other      # untouched partitions unchanged
+    assert before <= after           # existing keys kept their buckets
+    out = t.read(spark)
+    assert out.count() == customer.count()
+    n_seg = customer.filter(F.col("c_mktsegment") == seg).count()
+    assert out.filter("c_acctbal = 1.23").count() == n_seg
