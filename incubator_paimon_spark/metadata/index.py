@@ -74,10 +74,17 @@ class IndexStore:
                   .filter("__rn = 1").drop("__rn"))
 
     def write_index_dir(self, df: DataFrame) -> str:
-        """Persist new index entries as one parquet dir; returns its name."""
+        """Persist new index entries as one parquet dir; returns its name.
+
+        Rows are clustered by (partition cols..., kh) within each task so
+        the per-partition index prune (write.py assign_dynamic_buckets)
+        gets selective row-group min/max stats — a one-partition write
+        then skips most row groups of every index file it opens."""
         self.io.mkdirs(self.dir)
         name = f"index-{new_uuid()}"
-        df.write.mode("overwrite").parquet(os.path.join(self.dir, name))
+        sort_cols = [c for c in df.columns if c not in ("kh", "bucket", "ver")]
+        out = df.sortWithinPartitions(*sort_cols, "kh") if sort_cols else df
+        out.write.mode("overwrite").parquet(os.path.join(self.dir, name))
         return name
 
     def write_manifest(self, files: list[str]) -> str:
