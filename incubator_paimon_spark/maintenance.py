@@ -128,17 +128,52 @@ def remove_orphan_files(table, older_than_ms=None, dry_run=False):
     tag_snaps = [table.tag_snapshot(t) for t in table.list_tags()]
     manifests, files = _referenced_by(table, snaps + tag_snaps)
 
+    # index / deletion-vector artifacts are referenced through their own
+    # per-snapshot JSON manifests, NOT through data manifests — without
+    # walking these, live index/dv parquet under index/ and dv/ would
+    # look unreferenced and be deleted (data corruption for dynamic-bucket
+    # and DV tables). Index compaction (write.py) also makes superseded
+    # index dirs legitimately orphaned once no snapshot references them.
+    from .metadata.util import read_json
+    idx_manifests, idx_dirs = set(), set()
+    dv_manifests, dv_dirs = set(), set()
+    for s in snaps + tag_snaps:
+        if s.index_manifest:
+            idx_manifests.add(s.index_manifest)
+            try:
+                idx_dirs.update(read_json(
+                    os.path.join(table.path, "index", s.index_manifest)))
+            except FileNotFoundError:
+                pass
+        if s.dv_manifest:
+            dv_manifests.add(s.dv_manifest)
+            try:
+                dv_dirs.update(read_json(
+                    os.path.join(table.path, "dv", s.dv_manifest))["dirs"])
+            except FileNotFoundError:
+                pass
+
     orphans = []
     io = table.io
     for full, _sz in io.walk_files(table.path):
         rel = full[len(table.path):].lstrip("/")
-        top = rel.split("/")[0]
+        parts = rel.split("/")
+        top = parts[0]
         if top in ("schema", "snapshot", "tag", "branch",
                    "consumer", ".staging"):
             continue
         n = rel.rsplit("/", 1)[-1]
         if top == "manifest":
             if n not in manifests and io.mtime(full) < cutoff:
+                orphans.append(full)
+        elif top in ("index", "dv"):
+            live_manifests = idx_manifests if top == "index" else dv_manifests
+            live_dirs = idx_dirs if top == "index" else dv_dirs
+            if len(parts) == 2 and n.endswith(".json"):
+                referenced = n in live_manifests
+            else:
+                referenced = len(parts) >= 3 and parts[1] in live_dirs
+            if not referenced and io.mtime(full) < cutoff:
                 orphans.append(full)
         elif n.endswith((".parquet", ".orc", ".avro")):
             if rel not in files and io.mtime(full) < cutoff:

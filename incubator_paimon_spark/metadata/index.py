@@ -61,8 +61,12 @@ class IndexStore:
         partitions; kh alone for cross-partition mode, so a moved key's
         newer entry (higher ver) shadows its old partition's entry.
         """
+        return self.read_df_from_files(spark, self.read_files(snapshot),
+                                       table_schema, global_key=global_key)
+
+    def read_df_from_files(self, spark: SparkSession, files: list[str],
+                           table_schema, global_key: bool = False) -> DataFrame:
         schema = index_schema(table_schema)
-        files = self.read_files(snapshot)
         if not files:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.dir, f) for f in files]

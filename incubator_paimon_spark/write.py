@@ -396,7 +396,20 @@ class BatchTableWrite:
         if new_index is not None and new_index.limit(1).count() > 0:
             old_files = table.index.read_files(latest)
             new_dir = table.index.write_index_dir(new_index)
-            index_manifest = table.index.write_manifest(old_files + [new_dir])
+            files = old_files + [new_dir]
+            if len(files) > 8:
+                # index compaction: every commit adds one index dir, so a
+                # long-lived table would otherwise union thousands of dirs
+                # (plus the max-ver window) on every assignment. Rewrite
+                # the live index — latest entry per (kh, partition) — into
+                # ONE dir once the dir count passes the threshold; cost is
+                # O(|index|) amortized over 8 commits. Per-(kh, partition)
+                # retention is safe for BOTH modes: cross-partition readers
+                # still take max-ver per kh afterwards, same answer.
+                live = table.index.read_df_from_files(
+                    spark, files, schema, global_key=False)
+                files = [table.index.write_index_dir(live)]
+            index_manifest = table.index.write_manifest(files)
 
         deletes = list(extra_delete_entries or [])
         kind = commit_kind or COMMIT_APPEND

@@ -567,3 +567,53 @@ def test_dynamic_bucket_partitioned_index_prune(spark, catalog, customer):
     assert out.count() == customer.count()
     n_seg = customer.filter(F.col("c_mktsegment") == seg).count()
     assert out.filter("c_acctbal = 1.23").count() == n_seg
+
+
+def test_orphan_removal_spares_index_and_dv(spark, catalog, customer, orders):
+    """remove_orphan_files must treat index/ and dv/ artifacts as
+    referenced through their per-snapshot JSON manifests — deleting live
+    index or deletion-vector parquet corrupts the table."""
+    t = catalog.create_table("db.oidx", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "-1",
+                                      "dynamic-bucket.target-row-num": "50"})
+    for i in range(3):
+        t.write(spark, customer.filter(F.col("c_custkey") % 3 == i))
+    from incubator_paimon_spark import P
+    tdv = catalog.create_table("db.odv", orders.schema,
+                               options={"deletion-vectors.enabled": "true"})
+    tdv.write(spark, orders)
+    tdv.delete_where(spark, P.lt("o_orderkey", 500))
+
+    for tbl in (t, tdv):
+        orphans = tbl.remove_orphan_files(older_than_ms=0, dry_run=True)
+        assert not [o for o in orphans if "/index/" in o or "/dv/" in o], orphans
+        tbl.remove_orphan_files(older_than_ms=0)
+    assert t.read(spark).count() == customer.count()
+    n_live = tdv.read(spark).count()
+    assert n_live == orders.filter("o_orderkey >= 500").count()
+
+
+def test_index_compaction_bounds_dir_count(spark, catalog, customer):
+    """every commit adds an index dir; past the threshold the live index is
+    rewritten into ONE dir so assignment cost stays flat over table
+    lifetime. Superseded dirs become orphans once their snapshots expire."""
+    t = catalog.create_table("db.icmp", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "-1",
+                                      "dynamic-bucket.target-row-num": "50"})
+    for i in range(12):
+        t.write(spark, customer.filter(F.col("c_custkey") % 12 == i))
+    files = t.index.read_files(t.snapshots.latest())
+    assert len(files) <= 8, files
+    # keys stable through compactions: one bucket per key
+    idx = t.index.read_df(spark, t.snapshots.latest(), t.schema)
+    assert idx.groupBy("kh").agg(F.count_distinct("bucket").alias("n")) \
+              .filter("n > 1").count() == 0
+    assert t.read(spark).count() == customer.count()
+    # after expiring history, superseded index dirs are removable orphans
+    t.expire_snapshots(retain_max=1, retain_min=1, older_than_ms=0)
+    t.remove_orphan_files(older_than_ms=0)
+    assert t.read(spark).count() == customer.count()
+    t.write(spark, customer.limit(5))
+    assert t.read(spark).count() == customer.count()
