@@ -67,6 +67,21 @@ class DvStore:
                           {"dirs": dirs, "files": sorted(set(files))})
         return name
 
+    def append_dir(self, spark: SparkSession, snapshot, hits: DataFrame,
+                   hit_files: list[str], threshold: int = 8) -> str:
+        """Persist `hits` as a new DV dir and write the successor manifest.
+        Every row-level delete adds one dir; past `threshold` the live
+        bitmap set is rewritten (distinct union) into ONE dir so read-side
+        anti-join input stays flat over table lifetime — superseded dirs
+        become orphans once their snapshots expire."""
+        m = self.read_manifest(snapshot)
+        dirs = m["dirs"] + [self.write_dv_dir(hits)]
+        if len(dirs) > threshold:
+            paths = [os.path.join(self.dir, d) for d in dirs]
+            live = spark.read.schema(DV_SCHEMA).parquet(*paths).distinct()
+            dirs = [self.write_dv_dir(live)]
+        return self.write_manifest(dirs, m["files"] + hit_files)
+
 
 def apply_dv_filter(spark: SparkSession, table, df: DataFrame,
                     snapshot) -> DataFrame:

@@ -91,10 +91,7 @@ def _dv_delete(spark, table, touched, cond, commit_identifier):
     hit_files = [r[0] for r in hits.select("file_name").distinct().collect()]
     if not hit_files:
         return None
-    m = table.dv.read_manifest(snapshot)
-    new_dir = table.dv.write_dv_dir(hits)
-    name = table.dv.write_manifest(m["dirs"] + [new_dir],
-                                   m["files"] + hit_files)
+    name = table.dv.append_dir(spark, snapshot, hits, hit_files)
     return table.commit.commit(
         CommitMessage(), schema_id=table.schema.id, kind=COMMIT_APPEND,
         commit_identifier=commit_identifier, dv_manifest=name)
@@ -133,10 +130,7 @@ def update_where(spark: SparkSession, table, predicate: Predicate | None,
         rows = read_append_entries(spark, table, touched, schema, snapshot)             .filter(F.coalesce(cond, F.lit(False)))
         for k, v in set_exprs.items():
             rows = rows.withColumn(k, v.cast(schema.field_by_name(k).type))
-        m = table.dv.read_manifest(snapshot)
-        new_dir = table.dv.write_dv_dir(hits)
-        name = table.dv.write_manifest(m["dirs"] + [new_dir],
-                                       m["files"] + hit_files)
+        name = table.dv.append_dir(spark, snapshot, hits, hit_files)
         return table.new_write().write(
             spark, rows, commit_identifier=commit_identifier, dv_manifest=name)
     df = read_files_df(spark, table, touched, schema)

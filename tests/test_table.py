@@ -617,3 +617,19 @@ def test_index_compaction_bounds_dir_count(spark, catalog, customer):
     assert t.read(spark).count() == customer.count()
     t.write(spark, customer.limit(5))
     assert t.read(spark).count() == customer.count()
+
+
+def test_dv_dir_compaction_bounds_count(spark, catalog, customer):
+    """each row-level delete adds one DV dir; past the threshold the live
+    bitmap set rewrites into one dir with identical visible rows."""
+    from incubator_paimon_spark import P
+    t = catalog.create_table("db.dvc", customer.schema,
+                             options={"deletion-vectors.enabled": "true"})
+    t.write(spark, customer)
+    n = customer.count()
+    for i in range(10):
+        t.delete_where(spark, P.eq("c_custkey", i))
+    m = t.dv.read_manifest(t.snapshots.latest())
+    assert len(m["dirs"]) <= 8, m["dirs"]
+    deleted = customer.filter("c_custkey < 10").count()
+    assert t.read(spark).count() == n - deleted
