@@ -358,6 +358,19 @@ class BatchTableWrite:
         else:
             df = df.withColumn(BUCKET_COL, F.lit(0))
             layout_cols.append(BUCKET_COL)
+            if opts.file_format == "avro":
+                # the avro transcode parallelism equals the staged FILE
+                # count — an append whose input plans one partition (a
+                # single parquet source file) would otherwise transcode a
+                # whole commit on one core. JVM formats don't care (one
+                # 100 MB parquet file writes fast); the python codec does.
+                target = spark.sparkContext.defaultParallelism
+                try:
+                    cur = df.rdd.getNumPartitions()
+                except Exception:
+                    cur = 0
+                if cur < max(target // 2, 1):
+                    df = df.repartition(target)
 
         staging = os.path.join(table.path, ".staging", new_uuid())
         writer = df.write.mode("overwrite").partitionBy(*layout_cols)
