@@ -135,6 +135,10 @@ class _WhereParser:
         u = t.upper()
         if u in ("TRUE", "FALSE"):
             return u == "TRUE"
+        if u == "NULL":
+            # only reachable from IN-lists (an evaluated empty subquery
+            # substitutes "(NULL)"); x IN (NULL) matches nothing
+            return None
         if u == "DATE":
             return date.fromisoformat(self.literal())
         if u == "TIMESTAMP":
@@ -313,6 +317,67 @@ def _exec_select(spark, catalog, statement):
     return spark.sql("".join(out))
 
 
+def _eval_subqueries(spark, catalog, where: str) -> str:
+    """Evaluate (SELECT ...) subqueries in a DELETE/UPDATE WHERE down to
+    literals — a scalar subquery becomes one literal (must return exactly
+    one row/column), an IN-subquery becomes an IN list. The reference does
+    the same rewrite as a Catalyst rule (EvalSubqueriesForDeleteTable,
+    PaimonOptimizationTestBase 'eval subqueries ... ScalarSubquery /
+    InSubquery') so row-level ops can stay predicate-driven."""
+    out, i = [], 0
+    while True:
+        m = re.search(r"\(\s*SELECT\b", where[i:], re.IGNORECASE)
+        if not m:
+            out.append(where[i:])
+            break
+        start = i + m.start()
+        out.append(where[i:start])
+        depth, j = 0, start
+        while j < len(where):
+            if where[j] == "(":
+                depth += 1
+            elif where[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced subquery in WHERE: {where!r}")
+        sub = where[start + 1:j]
+        rows = _exec_select(spark, catalog, sub).collect()
+        in_context = re.search(r"\bIN\s*$", "".join(out), re.IGNORECASE)
+
+        def lit(v):
+            import datetime as _dt
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, _dt.datetime):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            if isinstance(v, _dt.date):
+                return f"DATE '{v.isoformat()}'"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            raise ValueError(f"unsupported subquery literal type {type(v)}")
+
+        if in_context:
+            if rows and len(rows[0]) != 1:
+                raise ValueError("IN subquery must return one column")
+            vals = [lit(r[0]) for r in rows] or ["NULL"]
+            out.append("(" + ", ".join(vals) + ")")
+        else:
+            if len(rows) != 1 or len(rows[0]) != 1:
+                raise ValueError(
+                    f"scalar subquery must return exactly one value, "
+                    f"got {len(rows)} row(s)")
+            out.append(lit(rows[0][0]))
+        i = j + 1
+    return "".join(out)
+
+
 def _exec_delete(spark, catalog, statement):
     m = re.match(r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
                  statement, re.IGNORECASE | re.DOTALL)
@@ -321,7 +386,8 @@ def _exec_delete(spark, catalog, statement):
     table = catalog.get_table(m.group(1))
     if m.group(2) is None:
         return table.truncate()
-    return table.delete_where(spark, where_to_predicate(m.group(2)))
+    where = _eval_subqueries(spark, catalog, m.group(2))
+    return table.delete_where(spark, where_to_predicate(where))
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -363,7 +429,10 @@ def _exec_update(spark, catalog, statement):
         raise ValueError(f"bad UPDATE: {statement!r}")
     table = catalog.get_table(m.group(1))
     assigns = {k: F.expr(v) for k, v in _parse_assignments(m.group(2)).items()}
-    return table.update_where(spark, where_to_predicate(m.group(3)), assigns)
+    where = m.group(3)
+    if where is not None:
+        where = _eval_subqueries(spark, catalog, where)
+    return table.update_where(spark, where_to_predicate(where), assigns)
 
 
 _MERGE_HEAD = re.compile(

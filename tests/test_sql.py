@@ -327,3 +327,37 @@ def test_sql_drop_columns_plural(spark, catalog):
     t = catalog.create_table("db.sqldc", _schema("k bigint, a int, b int"))
     catalog.sql(spark, "ALTER TABLE db.sqldc DROP COLUMNS (a, b)")
     assert catalog.get_table("db.sqldc").schema.field_names() == ["k"]
+
+
+def test_delete_update_with_subqueries(spark, catalog):
+    """DELETE/UPDATE WHERE evaluates scalar and IN subqueries to literals
+    (reference: EvalSubqueriesForDeleteTable,
+    PaimonOptimizationTestBase 'eval subqueries for delete table')."""
+    import pyspark.sql.types as T
+    t = catalog.create_table(
+        "db.subq", T.StructType.fromDDL("k bigint, v bigint"),
+        primary_keys=["k"], options={"bucket": "1"})
+    t.write(spark, spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, v long"))
+    s = catalog.create_table(
+        "db.src", T.StructType.fromDDL("k bigint"), primary_keys=["k"],
+        options={"bucket": "1"})
+    s.write(spark, spark.createDataFrame([(2,), (3,)], "k long"))
+
+    from incubator_paimon_spark.sql import execute_sql
+    execute_sql(spark, catalog, "DELETE FROM db.subq WHERE k IN "
+                                "(SELECT k FROM db.src)")
+    assert sorted(r["k"] for r in t.read(spark).collect()) == \
+        [0, 1, 4, 5, 6, 7, 8, 9]
+    execute_sql(spark, catalog,
+                "DELETE FROM db.subq WHERE k = (SELECT max(k) FROM db.subq)")
+    assert max(r["k"] for r in t.read(spark).collect()) == 8
+    execute_sql(spark, catalog,
+                "UPDATE db.subq SET v = 0 WHERE k > "
+                "(SELECT min(k) + 5 FROM db.subq)")
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[8] == 0 and got[7] == 0 and got[5] == 50
+    # empty IN subquery deletes nothing
+    execute_sql(spark, catalog, "DELETE FROM db.subq WHERE k IN "
+                                "(SELECT k FROM db.src WHERE k > 100)")
+    assert t.read(spark).count() == 7  # [0,1,4,5,6,7,8] — nothing deleted
