@@ -69,6 +69,38 @@ def align_to_schema(df: DataFrame, schema: TableSchema, keep_row_kind: bool = Tr
     return df.select(*cols)
 
 
+def _merge_write_schema(table, df: DataFrame, schema: TableSchema) -> TableSchema:
+    """`write.merge-schema`: evolve the table schema from the incoming
+    DataFrame before the write (WriteIntoPaimonTable.scala:45-51 /
+    SchemaHelper.mergeAndCommitSchema). New df columns append as nullable
+    fields; a df column with a WIDER type widens the table column. A
+    narrower/incompatible df type is fine without any schema change — the
+    write casts to the table type (align_to_schema), matching the
+    explicit-cast path; a df type that cannot cast fails there loudly."""
+    from .types import ROW_KIND as _RK
+
+    changed = False
+    for name in df.columns:
+        if name == _RK or name in (SEQUENCE_NUMBER, VALUE_KIND):
+            continue
+        dt = df.schema[name].dataType
+        try:
+            fld = schema.field_by_name(name)
+        except KeyError:
+            schema = table.schemas.add_column(name, dt)
+            changed = True
+            continue
+        if fld.type != dt:
+            try:
+                schema = table.schemas.update_column_type(name, dt)
+                changed = True
+            except ValueError:
+                pass  # not a widening — align casts the data instead
+    if changed:
+        schema = table.schema  # re-read the freshly committed latest
+    return schema
+
+
 def bucket_expr(schema: TableSchema, num_buckets: int):
     keys = schema.bucket_keys()
     if not keys or num_buckets <= 0:
@@ -284,6 +316,11 @@ class BatchTableWrite:
         table = self.table
         schema: TableSchema = table.schema
         opts = schema.core_options
+        if (not preserve_system_cols
+                and str(opts.raw.get("write.merge-schema", "false")).lower()
+                == "true"):
+            schema = _merge_write_schema(table, df, schema)
+            opts = schema.core_options
         latest = table.snapshots.latest()
         seq_base = latest.next_sequence_number if latest else 0
 

@@ -633,3 +633,29 @@ def test_dv_dir_compaction_bounds_count(spark, catalog, customer):
     assert len(m["dirs"]) <= 8, m["dirs"]
     deleted = customer.filter("c_custkey < 10").count()
     assert t.read(spark).count() == n - deleted
+
+
+def test_write_merge_schema(spark, catalog):
+    """write.merge-schema: an incoming DataFrame with new or wider columns
+    evolves the table schema before the write (WriteIntoPaimonTable /
+    SchemaHelper.mergeAndCommitSchema); old rows read NULL for appended
+    columns, and a narrower input type casts without a schema change."""
+    import pyspark.sql.types as T
+    t = catalog.create_table(
+        "db.ms", T.StructType.fromDDL("k bigint, v int"),
+        primary_keys=["k"],
+        options={"bucket": "1", "write.merge-schema": "true"})
+    t.write(spark, spark.createDataFrame([(1, 10)], "k long, v int"))
+    # new column + wider type for v (int -> long)
+    t.write(spark, spark.createDataFrame([(2, 20, "x")],
+                                         "k long, v long, note string"))
+    got = {r["k"]: r for r in t.read(spark).collect()}
+    assert got[1]["v"] == 10 and got[1]["note"] is None
+    assert got[2]["v"] == 20 and got[2]["note"] == "x"
+    assert t.schema.field_by_name("v").type.simpleString() == "bigint"
+    # narrower input (int into bigint) casts; no schema change
+    sid = t.schema.id
+    t.write(spark, spark.createDataFrame([(3, 30, "y")],
+                                         "k long, v int, note string"))
+    assert t.schema.id == sid
+    assert t.read(spark).count() == 3
