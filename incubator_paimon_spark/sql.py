@@ -746,6 +746,26 @@ def _exec_show(spark, catalog, statement):
     if m:
         from .system_tables import system_table
         return system_table(spark, catalog.get_table(m.group(1)), "partitions")
+    m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        # DDL that round-trips through our own CREATE parser (DDLTestBase
+        # 'show create table' parity): columns, PARTITIONED BY, and every
+        # table option (+ primary-key) as TBLPROPERTIES
+        sc = catalog.get_table(m.group(1)).schema
+        cols = ",\n  ".join(
+            f"{f.name} {f.type.simpleString().upper()}"
+            + ("" if f.nullable else " NOT NULL") for f in sc.fields)
+        ddl = f"CREATE TABLE {m.group(1)} (\n  {cols})\n"
+        if sc.partition_keys:
+            ddl += f"PARTITIONED BY ({', '.join(sc.partition_keys)})\n"
+        props = dict(sc.options)
+        if sc.primary_keys:
+            props["primary-key"] = ",".join(sc.primary_keys)
+        if props:
+            kv = ",\n  ".join(f"'{k}' = '{v}'"
+                              for k, v in sorted(props.items()))
+            ddl += f"TBLPROPERTIES (\n  {kv})\n"
+        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
     raise ValueError(f"unsupported SHOW: {statement!r}")
 
 

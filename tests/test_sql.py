@@ -361,3 +361,24 @@ def test_delete_update_with_subqueries(spark, catalog):
     execute_sql(spark, catalog, "DELETE FROM db.subq WHERE k IN "
                                 "(SELECT k FROM db.src WHERE k > 100)")
     assert t.read(spark).count() == 7  # [0,1,4,5,6,7,8] — nothing deleted
+
+
+def test_show_create_table_roundtrip(spark, catalog):
+    """SHOW CREATE TABLE output parses back through our CREATE executor
+    into an equivalent table (schema, partitioning, pks, options)."""
+    from incubator_paimon_spark.sql import execute_sql
+    execute_sql(spark, catalog, """
+        CREATE TABLE db.sct (k BIGINT NOT NULL, v STRING, dt STRING)
+        PARTITIONED BY (dt)
+        TBLPROPERTIES ('primary-key' = 'k,dt', 'bucket' = '4')
+    """)
+    ddl = execute_sql(spark, catalog,
+                      "SHOW CREATE TABLE db.sct").collect()[0][0]
+    ddl2 = ddl.replace("db.sct", "db.sct2")
+    execute_sql(spark, catalog, ddl2)
+    a, b = catalog.get_table("db.sct").schema, catalog.get_table("db.sct2").schema
+    assert [(f.name, f.type, f.nullable) for f in a.fields] == \
+        [(f.name, f.type, f.nullable) for f in b.fields]
+    assert a.partition_keys == b.partition_keys
+    assert a.primary_keys == b.primary_keys
+    assert a.options.get("bucket") == b.options.get("bucket") == "4"
