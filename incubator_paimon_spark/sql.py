@@ -670,7 +670,35 @@ def _exec_alter(spark, catalog, statement):
         block, _ = _balanced(action, i)
         keys = [p.strip().strip("'") for p in _split_top_level(block)]
         return mgr.update_options(remove=keys)
+    m2 = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*$",
+                  action, re.IGNORECASE)
+    if m2:
+        # widening type change only (SchemaManager updateColumnType)
+        new_type = T._parse_datatype_string(m2.group(2))
+        return mgr.update_column_type(m2.group(1), new_type)
+    m2 = re.match(r"DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(",
+                  action, re.IGNORECASE)
+    if m2:
+        block, after = _balanced(action, action.find("("))
+        specs = [_parse_partition_spec(block)]
+        rest = action[after:]
+        for pm2 in re.finditer(r"(?:,\s*)?PARTITION\s*(\([^)]*\))", rest,
+                               re.IGNORECASE):
+            specs.append(_parse_partition_spec(pm2.group(1).strip("()")))
+        return t.drop_partition(*specs)
     raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
+
+
+def _parse_partition_spec(block: str) -> dict:
+    """`p = 'v', q = 3` → {'p': 'v', 'q': '3'} (values kept as strings —
+    drop_partition compares against the manifest's partition strings)."""
+    spec = {}
+    for part in _split_top_level(block):
+        k, _, v = part.partition("=")
+        if not _:
+            raise ValueError(f"bad partition spec: {block!r}")
+        spec[k.strip()] = v.strip().strip("'\"")
+    return spec
 
 
 def _exec_insert(spark, catalog, statement):

@@ -382,3 +382,22 @@ def test_show_create_table_roundtrip(spark, catalog):
     assert a.partition_keys == b.partition_keys
     assert a.primary_keys == b.primary_keys
     assert a.options.get("bucket") == b.options.get("bucket") == "4"
+
+
+def test_alter_column_type_and_drop_partition(spark, catalog):
+    from incubator_paimon_spark.sql import execute_sql
+    t = catalog.create_table(
+        "db.alt", _schema("k bigint, v int, p string"),
+        partition_keys=["p"])
+    t.write(spark, spark.createDataFrame(
+        [(1, 1, "x"), (2, 2, "y"), (3, 3, "y")], "k long, v int, p string"))
+    execute_sql(spark, catalog, "ALTER TABLE db.alt ALTER COLUMN v TYPE BIGINT")
+    t2 = catalog.get_table("db.alt")
+    assert t2.schema.field_by_name("v").type.simpleString() == "bigint"
+    assert t2.read(spark).count() == 3
+    with pytest.raises(ValueError, match="cannot change"):
+        execute_sql(spark, catalog,
+                    "ALTER TABLE db.alt ALTER COLUMN v TYPE INT")
+    execute_sql(spark, catalog, "ALTER TABLE db.alt DROP PARTITION (p = 'y')")
+    assert [r["p"] for r in catalog.get_table("db.alt").read(spark).collect()] \
+        == ["x"]
