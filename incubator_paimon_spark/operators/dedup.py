@@ -486,19 +486,21 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
                    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
                    threshold: float = 0.7,
-                   max_bucket_size: int | None = 64) -> DataFrame:
+                   max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash/LSH candidate pairs → connected
     components → (id, cluster_id, cluster_size, is_canonical). The standard
     last mile of a corpus dedup pipeline: pairs alone over-count (A~B, B~C
     must collapse to one keeper), so cluster resolution picks min-id per
     component as the canonical survivor.
 
-    max_bucket_size defaults far LOWER here (64) than in the raw pair
-    listing (10k): clustering only needs CONNECTIVITY, which capped buckets
-    preserve (every member still pairs with the bucket's head ids), while
-    a boilerplate clique of c copies otherwise emits c²/2 pairs — measured
-    13× pair-volume reduction on a 500k-doc corpus of 100-copy cliques
-    with identical cluster output."""
+    On a boilerplate-heavy corpus a LOWER max_bucket_size (e.g. 64) cuts
+    clique pair volume ~13× (measured, 500k docs of 100-copy cliques) —
+    but it is only loss-free when bucket members are near-identical: the
+    cap keeps (head, member) pairs BEFORE the est_jaccard threshold, so in
+    a mixed-content bucket two similar non-head members whose head-pairs
+    fall below the threshold would lose their connecting edge. The default
+    therefore stays at the pair-listing cap; opt into a lower value for
+    exact-copy-dominated corpora."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
                               bands=bands, shingle_n=shingle_n,
                               min_est_jaccard=threshold,

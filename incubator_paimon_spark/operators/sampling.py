@@ -76,7 +76,8 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
               for r in df.filter(F.col(domain_col).isin(*target_mix))
                          .groupBy(F.col(domain_col).alias("d"))
                          .agg(F.count(F.lit(1)).alias("n")).collect()}
-    missing = sorted(set(target_mix) - set(counts))
+    missing = sorted(g for g, pi in target_mix.items()
+                     if pi > 0 and g not in counts)
     if missing:
         raise ValueError(f"target_mix domains absent from corpus: {missing}")
     c = min(counts[g] / pi for g, pi in target_mix.items() if pi > 0)

@@ -345,7 +345,9 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
             raise ValueError(f"unbalanced subquery in WHERE: {where!r}")
         sub = where[start + 1:j]
         rows = _exec_select(spark, catalog, sub).collect()
-        in_context = re.search(r"\bIN\s*$", "".join(out), re.IGNORECASE)
+        acc = "".join(out)
+        in_m = re.search(r"([\w.]+)\s+(NOT\s+)?IN\s*$", acc, re.IGNORECASE)
+        cmp_m = re.search(r"([\w.]+)\s*(=|!=|<>|<=|>=|<|>)\s*$", acc)
 
         def lit(v):
             import datetime as _dt
@@ -363,11 +365,29 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
                 return repr(v)
             raise ValueError(f"unsupported subquery literal type {type(v)}")
 
-        if in_context:
+        def rewrite_atom(match, always: bool):
+            # replace the whole `col [NOT] IN` / `col <op>` atom with a
+            # constant predicate: TRUE = (c IS NULL OR c IS NOT NULL),
+            # FALSE = (c IS NULL AND c IS NOT NULL)
+            c = match.group(1)
+            word = "OR" if always else "AND"
+            out.clear()
+            out.append(acc[:match.start()])
+            out.append(f"({c} IS NULL {word} {c} IS NOT NULL)")
+
+        if in_m:
             if rows and len(rows[0]) != 1:
                 raise ValueError("IN subquery must return one column")
-            vals = [lit(r[0]) for r in rows] or ["NULL"]
-            out.append("(" + ", ".join(vals) + ")")
+            if not rows:
+                # empty set: IN () is FALSE for every row, NOT IN () TRUE —
+                # substituting "(NULL)" would invert NOT IN (NULL semantics)
+                rewrite_atom(in_m, always=bool(in_m.group(2)))
+            else:
+                out.append("(" + ", ".join(lit(r[0]) for r in rows) + ")")
+        elif cmp_m and not rows:
+            # empty scalar subquery evaluates to NULL (ScalarSubquery
+            # semantics): any comparison with NULL matches nothing
+            rewrite_atom(cmp_m, always=False)
         else:
             if len(rows) != 1 or len(rows[0]) != 1:
                 raise ValueError(
@@ -670,12 +690,6 @@ def _exec_alter(spark, catalog, statement):
         block, _ = _balanced(action, i)
         keys = [p.strip().strip("'") for p in _split_top_level(block)]
         return mgr.update_options(remove=keys)
-    m2 = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*$",
-                  action, re.IGNORECASE)
-    if m2:
-        # widening type change only (SchemaManager updateColumnType)
-        new_type = T._parse_datatype_string(m2.group(2))
-        return mgr.update_column_type(m2.group(1), new_type)
     m2 = re.match(r"DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(",
                   action, re.IGNORECASE)
     if m2:
@@ -780,8 +794,10 @@ def _exec_show(spark, catalog, statement):
         # 'show create table' parity): columns, PARTITIONED BY, and every
         # table option (+ primary-key) as TBLPROPERTIES
         sc = catalog.get_table(m.group(1)).schema
+        # simpleString stays lowercase: uppercasing would corrupt nested
+        # field names inside struct/map types and break the round-trip
         cols = ",\n  ".join(
-            f"{f.name} {f.type.simpleString().upper()}"
+            f"{f.name} {f.type.simpleString()}"
             + ("" if f.nullable else " NOT NULL") for f in sc.fields)
         ddl = f"CREATE TABLE {m.group(1)} (\n  {cols})\n"
         if sc.partition_keys:

@@ -84,6 +84,14 @@ def _merge_write_schema(table, df: DataFrame, schema: TableSchema) -> TableSchem
         if name == _RK or name in (SEQUENCE_NUMBER, VALUE_KIND):
             continue
         dt = df.schema[name].dataType
+        if isinstance(dt, T.NullType):
+            # F.lit(None) without a cast types as void; committing a void
+            # column would poison the schema for every later read/write —
+            # fail BEFORE any schema version is written
+            raise ValueError(
+                f"write.merge-schema cannot infer a type for all-NULL "
+                f"column {name!r}; cast it, e.g. "
+                f"lit(None).cast('string')")
         try:
             fld = schema.field_by_name(name)
         except KeyError:

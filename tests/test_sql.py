@@ -401,3 +401,47 @@ def test_alter_column_type_and_drop_partition(spark, catalog):
     execute_sql(spark, catalog, "ALTER TABLE db.alt DROP PARTITION (p = 'y')")
     assert [r["p"] for r in catalog.get_table("db.alt").read(spark).collect()] \
         == ["x"]
+
+
+def test_subquery_empty_edge_cases(spark, catalog):
+    """Empty subqueries follow SQL semantics: NOT IN () keeps (matches)
+    every row, IN () matches none, and a zero-row scalar subquery
+    evaluates to NULL (comparison matches nothing, no error)."""
+    from incubator_paimon_spark.sql import execute_sql
+    t = catalog.create_table(
+        "db.sqe", _schema("k bigint, v bigint"), primary_keys=["k"],
+        options={"bucket": "1"})
+    t.write(spark, spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "k long, v long"))
+    s = catalog.create_table(
+        "db.sqe_src", _schema("k bigint"), primary_keys=["k"],
+        options={"bucket": "1"})
+    s.write(spark, spark.createDataFrame([(99,)], "k long"))
+
+    # zero-row scalar: matches nothing, statement succeeds
+    execute_sql(spark, catalog, "DELETE FROM db.sqe WHERE k = "
+                                "(SELECT max(k) FROM db.sqe_src WHERE k < 0)")
+    assert t.read(spark).count() == 3
+    # empty IN: matches nothing
+    execute_sql(spark, catalog, "DELETE FROM db.sqe WHERE k IN "
+                                "(SELECT k FROM db.sqe_src WHERE k < 0)")
+    assert t.read(spark).count() == 3
+    # empty NOT IN: matches EVERYTHING (deletes all) — the '(NULL)'
+    # substitution would silently invert this
+    execute_sql(spark, catalog, "DELETE FROM db.sqe WHERE k NOT IN "
+                                "(SELECT k FROM db.sqe_src WHERE k < 0)")
+    assert t.read(spark).count() == 0
+
+
+def test_show_create_table_nested_types(spark, catalog):
+    """nested struct field names survive the DDL round-trip (no blanket
+    uppercasing of the type string)."""
+    from incubator_paimon_spark.sql import execute_sql
+    t = catalog.create_table(
+        "db.sctn", _schema("k bigint, nested array<struct<id:int,v:string>>"))
+    ddl = execute_sql(spark, catalog,
+                      "SHOW CREATE TABLE db.sctn").collect()[0][0]
+    execute_sql(spark, catalog, ddl.replace("db.sctn", "db.sctn2"))
+    b = catalog.get_table("db.sctn2").schema
+    assert b.field_by_name("nested").type.simpleString() == \
+        t.schema.field_by_name("nested").type.simpleString()

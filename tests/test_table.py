@@ -659,3 +659,18 @@ def test_write_merge_schema(spark, catalog):
                                          "k long, v int, note string"))
     assert t.schema.id == sid
     assert t.read(spark).count() == 3
+
+
+def test_write_merge_schema_rejects_void_column(spark, catalog):
+    import pytest
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+    t = catalog.create_table(
+        "db.msv", T.StructType.fromDDL("k bigint"),
+        options={"write.merge-schema": "true"})
+    df = spark.range(1).select(F.col("id").alias("k"),
+                               F.lit(None).alias("tag"))
+    with pytest.raises(ValueError, match="all-NULL"):
+        t.write(spark, df)
+    # no schema version was committed
+    assert t.schema.id == 0
