@@ -199,11 +199,10 @@ def main():
     customer = E._t(spark, sf_dir, "customer")
     n_customer = customer.count()
     with section("avro_table"):
-        # pure-Python avro codec: parquet-staged write + transcode, decode
-        # via mapInPandas (distributed; the codec itself measures ~127 K
-        # rows/s/core, above the reference's 74-94 K single-thread anchor).
-        # lineitem (600 K rows), not customer (15 K), so fixed per-commit
-        # costs don't swamp the per-row signal.
+        # pure-Python avro codec: parquet-staged write + transcode; decode
+        # via mapInPandas over the schema-compiled columnar decoder
+        # (formats/avro_decode.py). lineitem (600 K rows), not customer
+        # (15 K), so fixed per-commit costs don't swamp the per-row signal.
         tav = cat.create_table("bench.avro", lineitem.schema,
                                options={"file.format": "avro"})
         timed("avro_write", lambda: tav.write(spark, lineitem))
@@ -269,6 +268,85 @@ def main():
         if drained is not None:
             assert drained == n_orders, (drained, n_orders)
             rate("stream_drain", n_orders, "stream_rows_per_sec")
+    with section("sf1_reads"):
+        # Read anchors at amortized scale (6 M rows): at sf0.1 the fast
+        # reads finish in ~0.4-0.5 s, dominated by fixed Spark job
+        # overhead, which makes per-row comparisons against the
+        # reference's JMH anchors (TableReadBenchmark.java:51-79) noisy.
+        # Tables are built once into a versioned /tmp cache (setup is
+        # UNtimed); only the reads are measured. Disable: SPARK_GRAFT_SF1=0.
+        if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+            sf1_wh = "/tmp/pmn_sf1_cache_v1"
+            cat1 = Catalog(sf1_wh)
+            n_sf1 = n_lineitem * 10
+            maxkey = lineitem.agg(F.max("l_orderkey")).collect()[0][0] + 1
+
+            def _li10():
+                parts = [lineitem.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(i * maxkey))
+                    for i in range(10)]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
+
+            def _cached(name, build):
+                marker = os.path.join(sf1_wh, f".done_{name}")
+                if not os.path.exists(marker):
+                    cat1.drop_table(f"bench.{name}")
+                    tb = build()
+                    with open(marker, "w") as fh:
+                        fh.write("ok")
+                    return tb
+                return cat1.get_table(f"bench.{name}")
+
+            def _build_pk():
+                tb = cat1.create_table(
+                    "bench.li1_pk", lineitem.schema,
+                    primary_keys=["l_orderkey", "l_linenumber"],
+                    options={"bucket": "16"}, ignore_if_exists=True)
+                tb.write(spark, _li10())
+                # overlapping second commit so the read is a real merge
+                upd1 = _li10().filter(F.col("l_orderkey") % 7 == 0) \
+                    .withColumn("l_quantity", F.col("l_quantity") + 1)
+                tb.write(spark, upd1)
+                return tb
+
+            def _build_orc():
+                tb = cat1.create_table(
+                    "bench.li1_orc", lineitem.schema,
+                    primary_keys=["l_orderkey", "l_linenumber"],
+                    options={"bucket": "16", "file.format": "orc"},
+                    ignore_if_exists=True)
+                tb.write(spark, _li10())
+                return tb
+
+            def _build_avro():
+                tb = cat1.create_table(
+                    "bench.li1_avro", lineitem.schema,
+                    options={"file.format": "avro"}, ignore_if_exists=True)
+                tb.write(spark, _li10())
+                return tb
+
+            t1pk = _cached("li1_pk", _build_pk)
+            got = timed("sf1_pk_read_full",
+                        lambda: t1pk.read(spark).count(), reps=3)
+            if got is not None:
+                assert got == n_sf1, (got, n_sf1)
+            rate("sf1_pk_read_full", n_sf1, "sf1_pk_read_rows_per_sec")
+            timed("sf1_pk_read_projected",
+                  lambda: t1pk.read(spark,
+                                    projection=["l_orderkey", "l_quantity"])
+                  .agg(F.sum("l_quantity")).collect(), reps=3)
+
+            t1orc = _cached("li1_orc", _build_orc)
+            timed("sf1_orc_read", lambda: t1orc.read(spark).count(), reps=3)
+            rate("sf1_orc_read", n_sf1, "sf1_orc_read_rows_per_sec")
+
+            t1av = _cached("li1_avro", _build_avro)
+            timed("sf1_avro_read", lambda: t1av.read(spark).count(), reps=3)
+            rate("sf1_avro_read", n_sf1, "sf1_avro_read_rows_per_sec")
+
     if t is not None:
         timed("incremental_read",
               lambda: __import__(

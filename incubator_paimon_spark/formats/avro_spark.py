@@ -10,11 +10,8 @@ avro_codec docstring).
 
 from __future__ import annotations
 
-import pandas as pd
-
 from ..fileio import for_path
-from .avro_codec import (read_container, spark_schema_to_avro,
-                         write_container)
+from .avro_codec import spark_schema_to_avro, write_container
 
 
 def arrow_to_rows(tbl) -> list[dict]:
@@ -41,36 +38,36 @@ def transcode_parquet_to_avro(src_path: str, dst_path: str,
 
 
 def read_avro_files_df(spark, paths: list[str], read_schema):
-    """Distributed avro scan: one input row per file, mapInPandas decodes.
-    Yields columns in `read_schema` order; missing fields read as null
-    (schema evolution handled by the caller's evolve() pass, same as
-    parquet)."""
-    cols = read_schema.fieldNames()
+    """Distributed avro scan: one input row per file, mapInPandas decodes
+    via the schema-compiled columnar decoder (avro_decode.py) — arrow
+    arrays, not dict-per-row. Yields columns in `read_schema` order;
+    missing fields read as null (schema evolution handled by the caller's
+    evolve() pass, same as parquet)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(read_schema)
     files_df = spark.createDataFrame([(p,) for p in paths], "path string") \
                     .repartition(min(len(paths), 512))
 
     def decode(batches):
+        from .avro_decode import read_container_arrow
         for b in batches:
             for p in b["path"]:
                 data = for_path(p).read_bytes(p)
-                _schema, rows = read_container(data)
-                chunk = list(rows)
-                yield pd.DataFrame(
-                    {c: [r.get(c) for r in chunk] for c in cols},
-                    columns=cols)
+                tbl = read_container_arrow(data, target)
+                # maps_as_pydicts: Spark's pandas→arrow conversion wants
+                # dicts for MapType, not arrow's list-of-tuples
+                yield tbl.to_pandas(date_as_object=False,
+                                    maps_as_pydicts="strict")
 
     return files_df.mapInPandas(decode, schema=read_schema)
 
 
 def read_avro_arrow(path: str, target_arrow_schema=None):
-    """One file → pyarrow Table (native datasource read path). Types come
-    from the container's own avro schema unless a target schema is given —
-    never from per-chunk inference, which would drift (int32 → int64)."""
-    import pyarrow as pa
-    from .avro_codec import avro_schema_to_arrow
+    """One file → pyarrow Table (native datasource read path), decoded
+    with the compiled columnar decoder. Types come from the container's
+    own avro schema unless a target schema is given — never from
+    per-chunk inference, which would drift (int32 → int64)."""
+    from .avro_decode import read_container_arrow
     data = for_path(path).read_bytes(path)
-    schema, rows = read_container(data)
-    chunk = list(rows)
-    target = target_arrow_schema or avro_schema_to_arrow(schema)
-    cols = {f.name: [r.get(f.name) for r in chunk] for f in target}
-    return pa.Table.from_pydict(cols, schema=target)
+    return read_container_arrow(data, target_arrow_schema)

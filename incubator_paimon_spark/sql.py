@@ -27,6 +27,46 @@ from pyspark.sql import functions as F
 from .predicate import And, Leaf, Or, Predicate
 
 
+def _mask_literals(sql: str) -> str:
+    """Length-preserving copy of `sql` with the CONTENT of quoted regions
+    ('…' strings with '' escapes, "…" strings, `…` identifiers) replaced
+    by \\x01. The statement-level regex scans (time-travel clauses,
+    subquery detection, WHERE/WHEN splitting, paren depth) run on the
+    masked text so a literal containing `(SELECT`, `VERSION AS OF` or
+    ` WHERE ` can't fool them — and because lengths are identical, every
+    match span indexes straight back into the original statement, which
+    is where captured values are sliced from."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # doubled escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j < n:  # terminated: keep both quotes, mask the inside
+                out.append(ch + "\x01" * (j - i - 1) + ch)
+                i = j + 1
+            else:  # unterminated: mask to end, let spark.sql report it
+                out.append(ch + "\x01" * (n - i - 1))
+                i = n
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _g(m: re.Match, src: str, i: int):
+    """Group i of a match made on MASKED text, sliced from the original."""
+    s, e = m.span(i)
+    return None if s == -1 else src[s:e]
+
+
 @dataclass
 class SqlPredicate(Predicate):
     """Opaque fallback: carries the raw SQL; never prunes, always correct."""
@@ -271,13 +311,13 @@ _TT_REF = re.compile(
 def _exec_select(spark, catalog, statement):
     out = []
     last = 0
-    for m in _TT_REF.finditer(statement):
-        ident = m.group(2)
+    for m in _TT_REF.finditer(_mask_literals(statement)):
+        ident = m.group(2)  # identifier chars — never masked
         try:
             table = catalog.get_table(ident)
         except Exception:
             continue  # not a catalog table (temp view etc.): leave as-is
-        ver, ts = m.group(3), m.group(4)
+        ver, ts = _g(m, statement, 3), _g(m, statement, 4)
         kw = {}
         if ver is not None:
             v = ver.strip()
@@ -325,18 +365,19 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
     PaimonOptimizationTestBase 'eval subqueries ... ScalarSubquery /
     InSubquery') so row-level ops can stay predicate-driven."""
     out, i = [], 0
+    masked = _mask_literals(where)
     while True:
-        m = re.search(r"\(\s*SELECT\b", where[i:], re.IGNORECASE)
+        m = re.search(r"\(\s*SELECT\b", masked[i:], re.IGNORECASE)
         if not m:
             out.append(where[i:])
             break
         start = i + m.start()
         out.append(where[i:start])
         depth, j = 0, start
-        while j < len(where):
-            if where[j] == "(":
+        while j < len(masked):  # paren depth on masked: ()'s in literals don't count
+            if masked[j] == "(":
                 depth += 1
-            elif where[j] == ")":
+            elif masked[j] == ")":
                 depth -= 1
                 if depth == 0:
                     break
@@ -346,8 +387,9 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
         sub = where[start + 1:j]
         rows = _exec_select(spark, catalog, sub).collect()
         acc = "".join(out)
-        in_m = re.search(r"([\w.]+)\s+(NOT\s+)?IN\s*$", acc, re.IGNORECASE)
-        cmp_m = re.search(r"([\w.]+)\s*(=|!=|<>|<=|>=|<|>)\s*$", acc)
+        acc_m = _mask_literals(acc)
+        in_m = re.search(r"([\w.]+)\s+(NOT\s+)?IN\s*$", acc_m, re.IGNORECASE)
+        cmp_m = re.search(r"([\w.]+)\s*(=|!=|<>|<=|>=|<|>)\s*$", acc_m)
 
         def lit(v):
             import datetime as _dt
@@ -400,13 +442,13 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
 
 def _exec_delete(spark, catalog, statement):
     m = re.match(r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
-                 statement, re.IGNORECASE | re.DOTALL)
+                 _mask_literals(statement), re.IGNORECASE | re.DOTALL)
     if not m:
         raise ValueError(f"bad DELETE: {statement!r}")
     table = catalog.get_table(m.group(1))
     if m.group(2) is None:
         return table.truncate()
-    where = _eval_subqueries(spark, catalog, m.group(2))
+    where = _eval_subqueries(spark, catalog, _g(m, statement, 2))
     return table.delete_where(spark, where_to_predicate(where))
 
 
@@ -444,12 +486,13 @@ def _parse_assignments(src: str) -> dict[str, str]:
 def _exec_update(spark, catalog, statement):
     m = re.match(r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)"
                  r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
-                 statement, re.IGNORECASE | re.DOTALL)
+                 _mask_literals(statement), re.IGNORECASE | re.DOTALL)
     if not m:
         raise ValueError(f"bad UPDATE: {statement!r}")
     table = catalog.get_table(m.group(1))
-    assigns = {k: F.expr(v) for k, v in _parse_assignments(m.group(2)).items()}
-    where = m.group(3)
+    assigns = {k: F.expr(v)
+               for k, v in _parse_assignments(_g(m, statement, 2)).items()}
+    where = _g(m, statement, 3)
     if where is not None:
         where = _eval_subqueries(spark, catalog, where)
     return table.update_where(spark, where_to_predicate(where), assigns)
@@ -494,10 +537,12 @@ def _rewrite_aliases(expr: str, t_alias: str | None, s_alias: str | None) -> str
 
 
 def _exec_merge(spark, catalog, statement):
-    m = _MERGE_HEAD.match(statement)
+    masked = _mask_literals(statement)
+    m = _MERGE_HEAD.match(masked)
     if not m:
         raise ValueError(f"bad MERGE INTO: {statement!r}")
-    tbl_name, t_alias, src, s_alias, on_src = m.groups()
+    tbl_name, t_alias, s_alias = m.group(1), m.group(2), m.group(4)
+    src, on_src = _g(m, statement, 3), _g(m, statement, 5)
     table = catalog.get_table(tbl_name)
 
     if src.startswith("("):
@@ -527,9 +572,11 @@ def _exec_merge(spark, catalog, statement):
         return {k.split(".")[-1]: F.expr(rw(v))
                 for k, v in _parse_assignments(rw(body)).items()}
 
-    for wm in _MERGE_WHEN.finditer(statement, m.end()):
+    for wm in _MERGE_WHEN.finditer(masked, m.end()):
         any_clause = True
-        neg, is_by_source, cond_src, action = wm.groups()
+        neg, is_by_source = wm.group(1), wm.group(2)
+        cond_src = _g(wm, statement, 3)
+        action = _g(wm, statement, 4)
         cond = F.expr(rw(cond_src)) if cond_src else None
         a = action.strip()
         au = a.upper()
