@@ -416,6 +416,19 @@ class _StreamSplit(InputPartition):
     arrow_schema_bytes: bytes  # serialized target pa.Schema (evolution-safe)
 
 
+
+def _dbg(tag):
+    """Append a line to $PMN_STREAM_DEBUG (if set): the stream reader runs
+    in a forked source-runner process where neither stdout nor in-process
+    monkeypatching is visible, so offset/plan call-order questions (fresh
+    query vs restart replay) are only answerable with a file trace."""
+    import os
+    f = os.environ.get("PMN_STREAM_DEBUG")
+    if f:
+        with open(f, "a") as fh:
+            fh.write(tag + "\n")
+
+
 class PaimonStreamReaderDist(DataSourceStreamReader):
     """Executor-side micro-batch reader (DataSourceStreamReader): offsets =
     {"snapshot_id": last consumed}, one InputPartition per changelog/delta
@@ -425,7 +438,20 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
     over many snapshots fans out per-file instead of funneling Python rows
     through the driver (VERDICT r4 #4). The driver only plans snapshot
     ranges and file lists (control-plane-sized). Parity:
-    PaimonMicroBatchStream.scala:32 planning + SparkSource per-split reads."""
+    PaimonMicroBatchStream.scala:32 planning + SparkSource per-split reads.
+
+    Restart contract (traced via PMN_STREAM_DEBUG, pinned by
+    test_stream_restart_mid_backfill_exactly_once): on a checkpointed
+    restart the engine FIRST replays the last batch via
+    partitions(start, end) — which re-seeds `_progress` to the
+    checkpointed end — and only then asks latestOffset, so read-limit
+    windows always advance from the checkpoint, never from the initial
+    scan position. Known upstream gap: PythonMicroBatchStream implements
+    neither SupportsAdmissionControl nor SupportsTriggerAvailableNow, so
+    under Trigger.AvailableNow the engine takes ONE latestOffset result
+    as the whole run's terminal — a per-trigger read limit therefore
+    bounds the entire availableNow run (repeated runs converge; see
+    test_stream_availablenow_with_limits)."""
 
     def __init__(self, options, changelog):
         self.options = options
@@ -438,6 +464,7 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
         # spec); never moves the limit window backwards — the engine may
         # call this AFTER the first latestOffset already advanced it
         off = PaimonStreamReader.initialOffset(self)
+        _dbg(f"initialOffset -> {off}")
         self._progress = (off["snapshot_id"] if self._progress is None
                           else max(self._progress, off["snapshot_id"]))
         return off
@@ -458,9 +485,11 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
         if end is None:  # minRows holds the trigger: report no progress
             end = self._progress
         self._progress = max(self._progress, end)
+        _dbg(f"latestOffset -> {end}")
         return {"snapshot_id": end}
 
     def partitions(self, start, end):
+        _dbg(f"partitions {start} {end}")
         t = self.table
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         # after a restart latestOffset may have been seeded below the

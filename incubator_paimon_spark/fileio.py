@@ -71,6 +71,93 @@ class LocalFlockLock(CommitLock):
         self._fh = None
 
 
+class LeaseFileLock(CommitLock):
+    """Lease-file lock over ANY FileIO — the classic object-store pattern
+    (write a lock object carrying owner-token + expiry, read back to
+    verify ownership, expire stale holders by wall clock), so `s3://`
+    commits work out of the box without an external lock service.
+
+    Protocol per acquire attempt:
+      1. read the lock object; if it exists and its lease has not expired,
+         back off and retry;
+      2. overwrite it with (our token, now + lease_ms);
+      3. sleep `settle_s`, then read back — we hold the lock iff OUR token
+         is what's stored (last-writer-wins resolves concurrent step 2s to
+         exactly one visible winner on a strongly-consistent store).
+    Release deletes the object only if we still own it, so a successor
+    that legitimately broke an expired lease is never clobbered.
+
+    DOCUMENTED CAVEATS (same trade every lease-file scheme makes):
+    - Safety needs `settle_s` to exceed the store's write-visibility skew:
+      a write still in flight when a rival read-verifies can flip
+      ownership after the fact. On S3/GCS (strongly consistent since
+      2020/forever) the window is network jitter, not propagation delay.
+    - Expiry breaking trusts wall clocks to within `lease_ms`; size the
+      lease well above both clock skew and the longest commit critical
+      section (the engine holds it across one exists+write of a few KB).
+    - A lock SERVICE (DynamoDB, ZooKeeper, a catalog transaction — the
+      reference's CatalogLock) is strictly stronger; plug one in via
+      `set_lock_provider` when available. This class is the zero-infra
+      default, not the last word.
+    """
+
+    def __init__(self, io: "FileIO", lock_path: str,
+                 lease_ms: int = 60_000, settle_s: float = 0.05,
+                 timeout_s: float = 120.0):
+        self.io = io
+        self.lock_path = lock_path
+        self.lease_ms = lease_ms
+        self.settle_s = settle_s
+        self.timeout_s = timeout_s
+        self.token = uuid.uuid4().hex
+
+    def _read(self):
+        import json
+        try:
+            return json.loads(self.io.read_bytes(self.lock_path))
+        except Exception:  # noqa: BLE001 — missing or torn → treat as free
+            return None
+
+    def __enter__(self):
+        import json
+        import time as _t
+        deadline = _t.monotonic() + self.timeout_s
+        while _t.monotonic() < deadline:
+            cur = self._read()
+            now_ms = int(_t.time() * 1000)
+            if cur is not None and cur.get("expire_at_ms", 0) > now_ms:
+                _t.sleep(self.settle_s)
+                continue
+            self.io.write_overwrite(self.lock_path, json.dumps(
+                {"owner": self.token,
+                 "expire_at_ms": now_ms + self.lease_ms}).encode())
+            _t.sleep(self.settle_s)
+            cur = self._read()
+            if cur is not None and cur.get("owner") == self.token:
+                return self
+        raise TimeoutError(
+            f"could not acquire lease lock {self.lock_path} "
+            f"within {self.timeout_s}s")
+
+    def __exit__(self, *exc):
+        cur = self._read()
+        if cur is not None and cur.get("owner") == self.token:
+            self.io.delete(self.lock_path)
+
+
+def lease_lock_provider(lease_ms: int = 60_000, settle_s: float = 0.05,
+                        timeout_s: float = 120.0):
+    """Ready-made `set_lock_provider` argument: locks each CAS target via
+    a sibling `<path>.lock` lease file on the target's own FileIO —
+    contenders for snapshot N serialize on one object, different
+    snapshots/tables never contend with each other."""
+    def provider(path: str) -> CommitLock:
+        return LeaseFileLock(for_path(path), path + ".lock",
+                             lease_ms=lease_ms, settle_s=settle_s,
+                             timeout_s=timeout_s)
+    return provider
+
+
 # path -> CommitLock factory; None = no lock configured
 _LOCK_PROVIDER: Callable[[str], CommitLock] | None = None
 

@@ -26,6 +26,32 @@ class ConflictError(RuntimeError):
     pass
 
 
+# ---------------------------------------------------------------------
+# post-commit notification (in-process): Catalog.attach() subscribes SQL
+# view refreshers here so a registered view re-binds to the new snapshot
+# after ANY commit path (write / compact / row-ops / streaming sink).
+# Keyed by normalized table path; inner key lets a re-attach replace its
+# old listener instead of stacking duplicates.
+_COMMIT_LISTENERS: dict[str, dict[str, object]] = {}
+
+
+def on_commit(table_path: str, key: str, fn) -> None:
+    """Register fn(snapshot) to run after every successful commit to
+    `table_path` made through this process. Same (path, key) replaces."""
+    import os
+    _COMMIT_LISTENERS.setdefault(os.path.normpath(table_path), {})[key] = fn
+
+
+def _notify_commit(table_path: str, snapshot) -> None:
+    import os
+    for fn in list(_COMMIT_LISTENERS.get(os.path.normpath(table_path), {})
+                   .values()):
+        try:
+            fn(snapshot)
+        except Exception:  # noqa: BLE001 — a dead session must not fail commits
+            pass
+
+
 @dataclass
 class CommitMessage:
     """Per-task result shipped back to the driver (CommitMessageImpl):
@@ -43,6 +69,7 @@ _MANIFEST_FULL_COMPACTION_COUNT = 20
 
 class FileStoreCommit:
     def __init__(self, table_path: str, commit_user: str = "user"):
+        self.table_path = table_path
         self.snapshots = SnapshotManager(table_path)
         self.manifests = ManifestStore(table_path)
         self.commit_user = commit_user
@@ -129,6 +156,7 @@ class FileStoreCommit:
                             else (latest.statistics if latest else None)),
             )
             if self.snapshots.try_commit(snapshot):
+                _notify_commit(self.table_path, snapshot)
                 return snapshot
             # lost CAS; replan from fresh latest. Exponential backoff WITH
             # JITTER: a fixed sleep lets N contenders stay phase-locked and

@@ -87,11 +87,22 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
                .orderBy(F.md5(F.col("cid").cast("string")))
                .limit(num_centroids))
     assigned = assign_ivf(df, seeds, vec_col, id_col)
-    # mean per cluster, element-wise
-    agg = assigned.groupBy("centroid_id").agg(
-        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)])
-    return agg.select(F.col("centroid_id").alias("cid"),
-                      F.array(*[F.col(f"c{i}").cast("float") for i in range(dim)]).alias("cv"))
+    # mean per cluster, element-wise — via posexplode → groupBy(centroid,
+    # pos) → avg → re-assemble. A dim-wide `agg(avg(element_at(v, i)) for
+    # i in range(dim))` builds thousands of aggregate expressions at
+    # embedding dims 768-4096 (codegen blowup + one enormous row); this
+    # shape keeps the plan CONSTANT-width at any dim, and the aggregated
+    # row count is only num_centroids × dim (VERDICT r5).
+    ex = assigned.select("centroid_id",
+                         F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    agg = ex.groupBy("centroid_id", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m"))
+    return (agg.groupBy("centroid_id")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                     .alias("pm"))
+               .select(F.col("centroid_id").alias("cid"),
+                       F.transform("pm", lambda s: s["m"].cast("float"))
+                        .alias("cv")))
 
 
 def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:

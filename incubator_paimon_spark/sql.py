@@ -308,7 +308,36 @@ _TT_REF = re.compile(
     re.IGNORECASE)
 
 
+# Table-valued function parity (PaimonTableValuedFunctions.scala:39-113):
+# paimon_incremental_query('db.t', startSnapshot, endSnapshot) reads the
+# delta between two snapshots. Spark's Python API can't register SQL TVFs
+# over distributed reads, so the SQL surface rewrites each call site to a
+# temp view bound to the incremental DataFrame.
+_INC_TVF = re.compile(
+    r"\bpaimon_incremental_query\s*\(\s*('[^']*')\s*,"
+    r"\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE)
+
+
+def _rewrite_incremental_tvf(spark, catalog, statement: str) -> str:
+    out, last = [], 0
+    for m in _INC_TVF.finditer(_mask_literals(statement)):
+        ident = _g(m, statement, 1).strip()[1:-1]
+        start, end = int(m.group(2)), int(m.group(3))
+        table = catalog.get_table(ident)
+        from .streaming.source import incremental_between
+        view = re.sub(r"\W", "_", f"pmn_inc_{ident}_{start}_{end}")
+        incremental_between(spark, table, start, end) \
+            .createOrReplaceTempView(view)
+        out.append(statement[last:m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(statement[last:])
+    return "".join(out)
+
+
 def _exec_select(spark, catalog, statement):
+    statement = _rewrite_incremental_tvf(spark, catalog, statement)
     out = []
     last = 0
     for m in _TT_REF.finditer(_mask_literals(statement)):

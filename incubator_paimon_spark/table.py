@@ -440,6 +440,48 @@ class Catalog:
         from .sql import execute_sql
         return execute_sql(spark, self, statement)
 
+    def attach(self, spark, database: str | None = None) -> list[str]:
+        """Register every catalog table as a session temp view named
+        ``<db>_<table>`` so plain ``spark.sql("SELECT … FROM db_t")``
+        works for reads — the ergonomic slice of the reference's DSv2
+        session catalog (paimon-spark/.../SparkCatalog.java,
+        PaimonSparkSessionExtensions.scala:34-60) that the Python
+        DataSource API can express (it has no catalog plugin point, so
+        ``paimon.db.t`` identifiers are out of reach upstream).
+
+        Each view is re-bound to the latest snapshot after EVERY commit
+        made through this process (write / compact / row-level ops /
+        streaming sink) via the commit-listener hook — a reader never
+        sees a stale file list. Tables created after attach() are picked
+        up by calling attach() again. Returns the view names registered.
+        """
+        views = []
+        for db in self.list_databases():
+            if database is not None and db != database:
+                continue
+            for name in self.list_tables(db):
+                t = self.get_table(f"{db}.{name}")
+                view = f"{db}_{name}"
+                self._bind_view(spark, t, view)
+                views.append(view)
+        return views
+
+    @staticmethod
+    def _bind_view(spark, table: "Table", view: str) -> None:
+        import weakref
+
+        from .metadata.commit import on_commit
+        table.read(spark).createOrReplaceTempView(view)
+        ref = weakref.ref(spark)  # never pin a session past its lifetime
+
+        def refresh(_snapshot, _t=table, _view=view, _ref=ref):
+            s = _ref()
+            if s is not None:
+                _t.read(s).createOrReplaceTempView(_view)
+
+        # key = (view, session) so re-attach replaces, two sessions coexist
+        on_commit(table.path, f"view:{view}:{id(spark)}", refresh)
+
 
 def _validate(ts: TableSchema):
     opts = ts.core_options

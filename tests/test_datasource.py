@@ -380,3 +380,104 @@ def test_batch_reader_pushdown_in_filter(spark, catalog, customer):
     df = spark.read.format("paimon").load(t.path)
     got = df.filter(F.col("c_custkey").isin(1, 2, 3)).count()
     assert got == customer.filter(F.col("c_custkey").isin(1, 2, 3)).count()
+
+
+def test_stream_restart_mid_backfill_exactly_once(spark, catalog, customer):
+    """Kill a readStream.format('paimon') query PART-WAY through a
+    multi-batch backfill and restart it on the same checkpoint: the
+    offset logic (PaimonStreamReaderDist — the engine replays the last
+    batch via partitions(start, end) first, which re-seeds the window
+    base; latestOffset/partitions never move the window backwards) must
+    resume from the checkpointed offset — every source row lands exactly
+    once across three query incarnations (VERDICT r5 #8).
+
+    Note: the limited incarnations use processingTime triggers. Under
+    availableNow the engine takes ONE latestOffset result as the whole
+    run's terminal target (PythonMicroBatchStream implements neither
+    SupportsAdmissionControl nor SupportsTriggerAvailableNow), so a
+    per-trigger read limit bounds the entire run — documented upstream
+    API limitation, covered by test_stream_availablenow_with_limits."""
+    import time as _time
+    t = catalog.create_table("db.dsrestart", customer.schema)
+    n_total = customer.count()
+    for i in range(8):  # 8 disjoint slices -> 8 snapshots
+        t.write(spark, customer.filter(f"c_custkey % 8 = {i}"))
+    out = tempfile.mkdtemp(prefix="pmn_dsr_o_")
+    ck = tempfile.mkdtemp(prefix="pmn_dsr_ck_")
+    try:
+        st = (spark.readStream.format("paimon")
+              .option("scan.mode", "earliest")
+              .option("read.stream.maxSnapshotsPerTrigger", "1")
+              .load(t.path))
+
+        def run_until(pred, timeout=120):
+            q = (st.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(processingTime="200 milliseconds").start())
+            deadline = _time.time() + timeout
+            n = 0
+            while _time.time() < deadline:
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                if pred(n):
+                    break
+                _time.sleep(0.2)
+            q.stop()
+            return n
+
+        seen = run_until(lambda n: n > 0)
+        assert 0 < seen < n_total, f"want a partial backfill, got {seen}"
+
+        # restart on the same checkpoint; march the rest of the snapshots
+        final = run_until(lambda n: n >= n_total)
+        assert final == n_total, (final, n_total)
+        got = spark.read.parquet(out)
+        assert got.select("c_custkey").distinct().count() == n_total
+
+        # third incarnation (unlimited, availableNow) must add NOTHING —
+        # the checkpoint already covers every snapshot
+        st2 = (spark.readStream.format("paimon")
+               .option("scan.mode", "earliest").load(t.path))
+        q3 = (st2.writeStream.format("parquet").option("path", out)
+              .option("checkpointLocation", ck)
+              .trigger(availableNow=True).start())
+        q3.awaitTermination(120)
+        assert spark.read.parquet(out).count() == n_total
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_availablenow_with_limits(spark, catalog, customer):
+    """Documented interaction: with a per-trigger read limit, ONE
+    availableNow run advances at most one limit window (the engine takes
+    a single latestOffset as the run's target — upstream Python-API gap);
+    repeated runs on the same checkpoint still converge to a complete,
+    exactly-once drain."""
+    t = catalog.create_table("db.dsan", customer.schema)
+    n_total = customer.count()
+    for i in range(4):
+        t.write(spark, customer.filter(f"c_custkey % 4 = {i}"))
+    out = tempfile.mkdtemp(prefix="pmn_dsan_o_")
+    ck = tempfile.mkdtemp(prefix="pmn_dsan_ck_")
+    try:
+        st = (spark.readStream.format("paimon")
+              .option("scan.mode", "earliest")
+              .option("read.stream.maxSnapshotsPerTrigger", "2")
+              .load(t.path))
+        counts = []
+        for _ in range(4):
+            q = (st.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            counts.append(spark.read.parquet(out).count())
+            if counts[-1] >= n_total:
+                break
+        assert counts[-1] == n_total, counts
+        assert len(counts) > 1  # the limit really did bound each run
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)

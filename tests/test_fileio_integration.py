@@ -4,6 +4,7 @@ s3://, gs:// or hdfs:// table takes (only the backend object differs).
 Spark itself reads/writes the data files through Hadoop's own scheme
 support, which is exactly the split the reference uses."""
 
+import shutil
 import tempfile
 
 import pytest
@@ -58,3 +59,51 @@ def test_uri_warehouse_branch_and_expire(spark, uri_catalog, customer):
     n = expire_snapshots(t, retain_max=1, retain_min=1)
     assert n == 1
     assert t.read(spark).count() == 60
+
+
+def test_lease_lock_two_racing_committers():
+    """Two threads race snapshot CAS-creates through the LeaseFileLock on
+    an ArrowFS root (the exact code path an s3:// table takes when the
+    lease provider is installed): every contended create admits exactly
+    one winner, and a full commit sequence loses no commits."""
+    import threading
+
+    from incubator_paimon_spark import fileio as fio
+
+    d = tempfile.mkdtemp(prefix="pmn_lease_")
+    io = fio.ArrowFSFileIO(f"file://{d}")
+    fio.set_lock_provider(fio.lease_lock_provider(settle_s=0.01))
+    try:
+        # force the lock branch (not the hdfs atomic-rename branch) the
+        # way an S3 fs would: the provider is consulted FIRST in try_create
+        results = []
+        def committer(tid):
+            wins = 0
+            for n in range(1, 21):
+                path = f"file://{d}/snapshot-{n}"
+                if io.try_create(path, f"writer{tid}".encode()):
+                    wins += 1
+            results.append((tid, wins))
+
+        ts = [threading.Thread(target=committer, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # every snapshot exists exactly once, total wins == 20
+        assert sum(w for _tid, w in results) == 20
+        for n in range(1, 21):
+            assert io.exists(f"file://{d}/snapshot-{n}")
+        # no lock files left behind
+        assert not [x for x in io.list_names(d) if x.endswith(".lock")]
+
+        # expired-lease takeover: a dead holder's lock is broken
+        import json, time
+        stale = f"file://{d}/snapshot-99"
+        io.write_overwrite(stale + ".lock", json.dumps(
+            {"owner": "dead", "expire_at_ms": int(time.time() * 1000) - 5}).encode())
+        assert io.try_create(stale, b"alive")
+        assert io.read_bytes(stale) == b"alive"
+    finally:
+        fio.set_lock_provider(None)
+        shutil.rmtree(d, ignore_errors=True)
