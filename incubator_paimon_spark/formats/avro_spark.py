@@ -11,18 +11,17 @@ avro_codec docstring).
 from __future__ import annotations
 
 from ..fileio import for_path
-from .avro_codec import spark_schema_to_avro, write_container
-
-
-def arrow_to_rows(tbl) -> list[dict]:
-    return tbl.to_pylist()
+from .avro_codec import spark_schema_to_avro
 
 
 def transcode_parquet_to_avro(src_path: str, dst_path: str,
                               spark_schema) -> int:
     """Executor-side: rewrite one staged parquet file as an avro container
-    with the same rows; returns the avro file size."""
+    with the same rows (schema-compiled columnar encoder, byte-identical
+    framing to the row encoder); returns the avro file size."""
     import pyarrow.parquet as pq
+
+    from .avro_encode import write_container_arrow
     io = for_path(src_path)
     with io.open_input(src_path) as f:
         tbl = pq.read_table(f)
@@ -30,7 +29,7 @@ def transcode_parquet_to_avro(src_path: str, dst_path: str,
     names = [f["name"] for f in avro_schema["fields"]]
     assert set(names) == set(tbl.column_names), \
         f"schema drift: {names} vs {tbl.column_names}"
-    data = write_container(avro_schema, arrow_to_rows(tbl))
+    data = write_container_arrow(tbl, avro_schema)
     out = for_path(dst_path)
     out.write_overwrite(dst_path, data)
     io.delete(src_path)
