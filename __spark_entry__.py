@@ -907,6 +907,17 @@ def q_asof_join(spark, sf_dir):
         F.round("value_r", 4).alias("last_click_value"))
 
 
+def q_span_dedup(spark, sf_dir):
+    """ExactSubstr-style span dedup (Lee et al. 2022 shape): every word
+    position covered by a 10-word window whose exact text appears in >= 2
+    distinct documents is removed; documents are rebuilt from surviving
+    words. Overlapping stride-1 windows catch duplicates at ANY alignment
+    (unlike the fixed segment grid of boilerplate_removal)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(d, "text", "doc_id", span_words=10,
+                                    min_dup_docs=2)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1054,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
+        "span_dedup": q_span_dedup,
         "mixture_sample": q_mixture_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -1063,7 +1075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "ivf_table_search": q_ivf_table_search,
         "pack_sequences": q_pack_sequences,
-        "pii_redact": q_pii_redact,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
         # entries ride the exact same raw-parquet scan path the gated
         # pricing_summary exercises (spark.sql window/agg/join over _t
@@ -1077,8 +1088,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boilerplate_removal / mixture_sample / repetition additions),
         # the four
         # embedding queries (VERDICT r3 #1), and the stateful-streaming
-        # demo. Every entry below still has an oracle and runs under
-        # tools/check_oracles.py locally.
+        # demo. r6 adds span_dedup (gated — overlapping-window
+        # ExactSubstr-style span removal, a distinct shuffle shape) and
+        # rotates pii_redact here: its codegen'd regexp projection rides
+        # the same zero-shuffle documents scan the gated doc_quality /
+        # repetition queries exercise. Every entry below still has an
+        # oracle and runs under tools/check_oracles.py locally.
+        "pii_redact": q_pii_redact,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

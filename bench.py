@@ -141,6 +141,9 @@ def main():
           lambda: D.remove_frequent_segments(docs, "text", "doc_id",
                                              segment_words=10,
                                              max_doc_freq=1).count(), reps=3)
+    timed("span_dedup",
+          lambda: D.remove_duplicate_spans(docs, "text", "doc_id",
+                                           span_words=10).count(), reps=3)
     from incubator_paimon_spark.operators import text as TXo
     timed("repetition_stats",
           lambda: TXo.repetition_stats(docs, "text", "doc_id").count(), reps=3)

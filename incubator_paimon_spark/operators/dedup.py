@@ -339,6 +339,71 @@ def ngram_contamination(df: DataFrame, eval_df: DataFrame,
 
 
 # ----------------------------------------------------------------------
+def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                           span_words: int = 20,
+                           min_dup_docs: int = 2) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public methodology):
+    remove every word position covered by a `span_words`-word window whose
+    exact text occurs in >= `min_dup_docs` DISTINCT documents. This is the
+    distributed stand-in for the paper's suffix-array ExactSubstr: any
+    duplicated run of >= span_words words is covered by at least one
+    duplicated window, so cross-document duplicated material at that
+    granularity is removed exactly; boundaries are word- not byte-level.
+    Differs from remove_frequent_segments in that windows OVERLAP (stride
+    1, catching duplicates at any alignment) and removal is positional
+    (a span is cut wherever it appears, not per fixed segment grid).
+
+    Returns (id, clean_text, total_words, removed_words); clean_text is
+    the surviving words joined by single spaces (whitespace-normalized),
+    '' when everything was removed.
+
+    Scale shape (100 TB): positioned shingles are a zero-shuffle scan
+    projection; doc-frequency is ONE shuffle on the 8-byte h32 key with
+    map-side partial aggregation; duplicated hashes join back on the same
+    key (the dup set is the small side — AQE broadcasts it when it fits);
+    ONE shuffle on doc id collects each doc's span starts; the final cut
+    is a per-row JVM array filter, O(words x starts) worst case, bounded
+    by document length. No all-pairs stage, no driver materialization.
+    """
+    n = span_words
+    ws = words(F.col(text_col))
+    cnt = F.size(ws)
+    # positioned overlapping windows — only FULL n-word windows (a doc
+    # shorter than n words cannot contain a duplicated n-word span)
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.struct(
+        (i - 1).alias("pos"),
+        h32(F.concat_ws(" ", F.slice(ws, i, n))).alias("h")))
+    ex = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+          .select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")))
+    dup = (ex.groupBy("h").agg(F.count_distinct("id").alias("__df"))
+             .filter(F.col("__df") >= min_dup_docs).select("h"))
+    starts = (ex.join(dup, "h")
+                .groupBy("id")
+                .agg(F.array_sort(F.collect_list("pos")).alias("__starts")))
+    base = df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+    joined = (base.join(starts, "id", "left")
+                  .withColumn("__starts",
+                              F.coalesce("__starts",
+                                         F.array().cast("array<int>"))))
+    kept = F.filter(
+        F.transform(F.col("__ws"),
+                    lambda x, i: F.struct(x.alias("w"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__starts"),
+            lambda st: (st <= s["i"]) & (s["i"] < st + n)))
+    return joined.select(
+        "id",
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+         .alias("clean_text"),
+        F.size("__ws").alias("total_words"),
+        (F.size("__ws") - F.size(kept)).alias("removed_words"))
+
+
+# ----------------------------------------------------------------------
 def remove_frequent_segments(df: DataFrame, text_col: str, id_col: str,
                              segment_words: int = 20,
                              max_doc_freq: int = 2) -> DataFrame:

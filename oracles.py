@@ -884,6 +884,43 @@ SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text,
 FROM documents d LEFT JOIN reb r ON r.id = d.doc_id
 """
 
+
+# span_dedup: overlapping 10-word windows; a window's text in >= 2
+# distinct docs marks its word positions; docs rebuilt from uncovered
+# words. Same h32/word conventions as the Spark side.
+_SD_N = 10
+ORACLES["span_dedup"] = f"""
+WITH w AS (
+  SELECT doc_id AS id, {_WORDS.format(t='text')} AS ws FROM documents
+), sh AS (
+  SELECT id, i - 1 AS pos,
+         {_H32.format(x="array_to_string(ws[i:i+" + str(_SD_N - 1) + "], ' ')")} AS h
+  FROM w, UNNEST(range(1, greatest(len(ws) - {_SD_N} + 1, 0) + 1)) AS t(i)
+), dup AS (
+  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT id) >= 2
+), starts AS (
+  SELECT sh.id, sh.pos FROM sh JOIN dup USING (h)
+), covered AS (
+  SELECT DISTINCT id, pos + k AS wi
+  FROM starts, UNNEST(range(0, {_SD_N})) AS r(k)
+), wordrows AS (
+  SELECT id, ws[i] AS word, i - 1 AS wi
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), kept AS (
+  SELECT wr.id, wr.word, wr.wi FROM wordrows wr
+  LEFT JOIN covered c ON wr.id = c.id AND wr.wi = c.wi
+  WHERE c.wi IS NULL
+), reb AS (
+  SELECT id, string_agg(word, ' ' ORDER BY wi) AS clean_text,
+         count(*) AS kept_words
+  FROM kept GROUP BY id
+)
+SELECT w.id, COALESCE(r.clean_text, '') AS clean_text,
+       len(w.ws)::BIGINT AS total_words,
+       (len(w.ws) - COALESCE(r.kept_words, 0))::BIGINT AS removed_words
+FROM w LEFT JOIN reb r ON r.id = w.id
+"""
+
 # mixture_sample: rates derived from counts — C = min(n/pi); slot cutoff =
 # trunc(C*pi/n*1e6); the arithmetic is the same IEEE double sequence the
 # Python driver computes, so the cutoffs agree bit-for-bit.

@@ -492,3 +492,30 @@ def test_ivf_centroids_dim_768(spark):
             continue
         expect = vecs[assign == ci].astype("float64").mean(axis=0)
         assert np.allclose(got[cid], expect, atol=1e-4), cid
+
+
+def test_remove_duplicate_spans(spark):
+    """Stride-1 span dedup removes cross-doc duplicated runs at ANY
+    alignment, leaves unique and too-short docs intact."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "x y alpha beta gamma delta epsilon q r s"),  # offset 2
+        (3, "totally unique words here nothing shared at all"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           D.remove_duplicate_spans(df, "text", "doc_id",
+                                    span_words=5).collect()}
+    assert got[1]["clean_text"] == "zeta eta theta"
+    assert got[1]["removed_words"] == 5
+    assert got[2]["clean_text"] == "x y q r s"
+    assert got[3]["removed_words"] == 0
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[4]["clean_text"] == "short doc"  # < span_words: untouched
+    # within-doc repetition alone does NOT trigger (cross-doc frequency)
+    solo = spark.createDataFrame(
+        [(9, "p q r s t p q r s t")], "doc_id long, text string")
+    one = D.remove_duplicate_spans(solo, "text", "doc_id",
+                                   span_words=5).collect()[0]
+    assert one["removed_words"] == 0

@@ -81,3 +81,53 @@ def test_stats_pruning_sound_between(values, lo, hi):
     pred = P.between("x", lo, hi)
     if not pred.test_stats(stats):
         assert not any(lo <= v <= hi for v in values)
+
+
+# ---------------------------------------------------------- SQL masking
+_sql_frag = st.text(
+    alphabet=st.sampled_from(list("abcXYZ09_ ().,=<>'\"`;\n\t%")), max_size=40)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_sql_frag)
+def test_mask_literals_invariants(s):
+    """For ARBITRARY text: masking is length-preserving, idempotent on its
+    own output's unquoted regions, never leaves literal CONTENT visible
+    (every char between an opening quote and its closer becomes \\x01),
+    and leaves text outside quotes byte-identical."""
+    from incubator_paimon_spark.sql import _mask_literals
+    m = _mask_literals(s)
+    assert len(m) == len(s)
+    # walk the ORIGINAL with the same quote automaton and check per-char
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            assert m[i] == ch  # opening quote preserved
+            j = i + 1
+            while j < n:
+                if s[j] == ch:
+                    if j + 1 < n and s[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = j if j < n else n
+            for k in range(i + 1, end):
+                assert m[k] == "\x01", (s, m, k)
+            if j < n:
+                assert m[j] == ch  # closing quote preserved
+                i = j + 1
+            else:
+                i = n
+        else:
+            assert m[i] == ch, (s, m, i)
+            i += 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters="'\"`"),
+               max_size=40))
+def test_mask_literals_noop_without_quotes(s):
+    from incubator_paimon_spark.sql import _mask_literals
+    assert _mask_literals(s) == s
