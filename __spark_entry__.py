@@ -918,6 +918,45 @@ def q_span_dedup(spark, sf_dir):
                                     min_dup_docs=2)
 
 
+def q_stream_neardup(spark, sf_dir):
+    """STREAMING near-duplicate dedup-on-ingest (`streaming/stateful.py`
+    streaming_neardup_claims + neardup_keep): documents arrive as two
+    doc_id-parity chunks (maxFilesPerTrigger=1 → two micro-batches); per
+    band-hash bucket the first-ever claimant wins, a document survives
+    iff EVERY band bucket was unclaimed. SQL-verifiable because with the
+    fixed chunk order the first claimant of each bucket is exactly
+    min((doc_id % 2), doc_id) — the oracle replays the same banded
+    MinHash construction and that min rule."""
+    import tempfile as _tf
+    import time as _time
+    from incubator_paimon_spark.streaming.stateful import (
+        neardup_keep, streaming_neardup_claims)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _tf.mkdtemp(prefix="pmn_snd_src_")
+    for par in (0, 1):
+        d.filter(F.col("doc_id") % 2 == par).coalesce(1)          .write.mode("append").parquet(src)
+        _time.sleep(0.1)  # file source orders new files by mtime
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    claims = streaming_neardup_claims(stream, "text", "doc_id")
+    out = _tf.mkdtemp(prefix="pmn_snd_out_")
+    ck = _tf.mkdtemp(prefix="pmn_snd_ck_")
+
+    def sink(batch_df, _bid):
+        neardup_keep(batch_df, "doc_id").select("doc_id")             .write.mode("append").parquet(out)
+
+    q = (claims.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_neardup drain did not finish")
+    rows = spark.read.parquet(out).collect()
+    return spark.createDataFrame(
+        [(r["doc_id"],) for r in rows], "doc_id long")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1066,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "span_dedup": q_span_dedup,
+        "stream_neardup": q_stream_neardup,
         "mixture_sample": q_mixture_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -1074,7 +1114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "ivf_search": q_ivf_search,
         "ivf_table_search": q_ivf_table_search,
-        "pack_sequences": q_pack_sequences,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
         # entries ride the exact same raw-parquet scan path the gated
         # pricing_summary exercises (spark.sql window/agg/join over _t
@@ -1090,11 +1129,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding queries (VERDICT r3 #1), and the stateful-streaming
         # demo. r6 adds span_dedup (gated — overlapping-window
         # ExactSubstr-style span removal, a distinct shuffle shape) and
-        # rotates pii_redact here: its codegen'd regexp projection rides
-        # the same zero-shuffle documents scan the gated doc_quality /
-        # repetition queries exercise. Every entry below still has an
+        # stream_neardup (gated — stateful streaming near-dup with a
+        # full SQL oracle, a shape nothing else gates), rotating
+        # pii_redact (codegen'd regexp projection — rides the same
+        # zero-shuffle documents scan the gated doc_quality / repetition
+        # queries exercise) and pack_sequences (sharded cumsum windows —
+        # the window+agg path several gated queries exercise; still
+        # oracle-checked in rotation). Every entry below still has an
         # oracle and runs under tools/check_oracles.py locally.
         "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

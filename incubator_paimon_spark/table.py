@@ -411,7 +411,12 @@ class Catalog:
         ts = TableSchema.create(schema, partition_keys, primary_keys, options, comment)
         _validate(ts)
         mgr.commit_new(ts)
-        return Table(path)
+        t = Table(path)
+        for ref, database in getattr(self, "_attached", []):
+            s = ref()
+            if s is not None and (database is None or database == db):
+                self._bind_view(s, t, f"{db}_{name}")
+        return t
 
     def get_table(self, identifier: str) -> Table:
         db, name = identifier.split(".", 1)
@@ -452,9 +457,14 @@ class Catalog:
         Each view is re-bound to the latest snapshot after EVERY commit
         made through this process (write / compact / row-level ops /
         streaming sink) via the commit-listener hook — a reader never
-        sees a stale file list. Tables created after attach() are picked
-        up by calling attach() again. Returns the view names registered.
+        sees a stale file list. Tables created through THIS catalog
+        object after attach() are bound automatically; tables created by
+        another process appear on the next attach() call. Returns the
+        view names registered.
         """
+        import weakref
+        self._attached = getattr(self, "_attached", [])
+        self._attached.append((weakref.ref(spark), database))
         views = []
         for db in self.list_databases():
             if database is not None and db != database:

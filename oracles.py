@@ -921,6 +921,24 @@ SELECT w.id, COALESCE(r.clean_text, '') AS clean_text,
 FROM w LEFT JOIN reb r ON r.id = w.id
 """
 
+
+# stream_neardup: streaming band-bucket claims replayed as SQL — with
+# batches ordered (doc_id % 2, doc_id), the first claimant of every
+# (band, bh) bucket is min of that key; a doc is kept iff it IS the
+# first claimant in all of its bands.
+ORACLES["stream_neardup"] = _minhash_sql(16, 4, 3) + """
+, keymap AS (
+  SELECT id, band, bh, (id % 2) * 4294967296 + id AS k FROM banded
+), firsts AS (
+  SELECT band, bh, min(k) AS k0 FROM keymap GROUP BY band, bh
+)
+SELECT id AS doc_id FROM (
+  SELECT km.id, min(CASE WHEN km.k = f.k0 THEN 1 ELSE 0 END) AS all_first
+  FROM keymap km JOIN firsts f ON km.band = f.band AND km.bh = f.bh
+  GROUP BY km.id
+) WHERE all_first = 1
+"""
+
 # mixture_sample: rates derived from counts — C = min(n/pi); slot cutoff =
 # trunc(C*pi/n*1e6); the arithmetic is the same IEEE double sequence the
 # Python driver computes, so the cutoffs agree bit-for-bit.

@@ -109,3 +109,35 @@ def test_embedding_lsh_join_is_bucketed(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     p = _plan(D.embedding_near_dups(e, "embedding", "vec_id", dim=64))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_span_dedup_no_cartesian_and_hash_keyed(spark):
+    """duplicate-span removal joins on the 8-byte window hash and the doc
+    id only — never a cartesian/nested-loop, and the raw text never rides
+    an exchange (only word arrays pre-shuffle, hashes and positions
+    through the shuffles)."""
+    from incubator_paimon_spark.operators import dedup as D
+    p = _plan(D.remove_duplicate_spans(_docs(spark), "text", "doc_id",
+                                       span_words=10))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # every hash-partitioned exchange is keyed by hash or doc id, not text
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_streaming_neardup_projection_is_staged(spark):
+    """the claims projection must reference the STAGED signature column
+    (one minhash evaluation), not inline the shingle pipeline once per
+    hash function — the inlined form measured 25x slower per micro-batch
+    (95 s vs 4 s at sf0.01)."""
+    from incubator_paimon_spark.streaming.stateful import (
+        streaming_neardup_claims)
+    d = _docs(spark)
+    claims = streaming_neardup_claims(d, "text", "doc_id")
+    # analyzed logical plan: the md5-shingle pipeline appears in ONE
+    # projection only (the __hs stage); the optimizer must not have
+    # collapsed it into 16 copies
+    plan = claims._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(trim(text") <= 2, \
+        "shingle pipeline duplicated — staging collapsed"

@@ -178,3 +178,53 @@ def test_sessionize_matches_batch_oracle(spark):
                {(r.user_id, r.n_sessions, r.n_events) for r in exp}
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_neardup_dedup(spark):
+    """Near-dup suppression on ingest: band-hash state survives batch
+    boundaries, same-batch collisions keep exactly the first doc, and a
+    later batch's near-copy of an already-seen doc is suppressed."""
+    from incubator_paimon_spark.streaming.stateful import (
+        neardup_keep, streaming_neardup_claims)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    uniq1 = ("completely different words describing an entirely other "
+             "topic with no overlap in shingles whatsoever here")
+    uniq2 = ("yet another fully distinct document talking about spark "
+             "streaming state stores and arrow record batches")
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    chunks = [
+        [(1, base), (2, base), (3, uniq1)],   # 2 is a same-batch copy of 1
+        [(4, base), (5, uniq2)],              # 4 repeats batch-1 content
+    ]
+    src = _write_chunks(spark, chunks, doc_schema)
+    out = tempfile.mkdtemp(prefix="pmn_nd_out_")
+    ck = tempfile.mkdtemp(prefix="pmn_nd_ck_")
+    try:
+        st = (spark.readStream.schema(doc_schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+        claims = streaming_neardup_claims(st, "text", "doc_id")
+
+        def sink(batch_df, batch_id):
+            kept = neardup_keep(batch_df, "doc_id")
+            kept.write.mode("append").parquet(out)
+
+        q = (claims.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300), "stream did not finish"
+        got = spark.read.parquet(out)
+        kept_ids = sorted(r["doc_id"] for r in got.collect())
+        # doc 1 wins its clique; 3 and 5 are unique; 2 (same batch) and
+        # 4 (later batch) are suppressed by band-hash state
+        assert kept_ids == [1, 3, 5], kept_ids
+        texts = {r["doc_id"]: r["text"] for r in got.collect()}
+        assert texts[1] == base and texts[3] == uniq1 and texts[5] == uniq2
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)

@@ -735,3 +735,15 @@ def test_sql_incremental_tvf(spark, catalog):
         "SELECT 'paimon_incremental_query(''db.tvf'', 1, 3)' AS s "
         "FROM db.tvf WHERE k = 1").collect()
     assert trap[0]["s"] == "paimon_incremental_query('db.tvf', 1, 3)"
+
+
+def test_catalog_attach_binds_new_tables(spark, catalog):
+    """A table created through the SAME catalog object after attach() gets
+    its view immediately (and it refreshes on commit like the rest)."""
+    import pyspark.sql.types as T
+    catalog.create_database("db")
+    catalog.attach(spark)
+    sch = T.StructType.fromDDL("k long, v string")
+    t = catalog.create_table("db.att_late", sch)
+    t.write(spark, spark.createDataFrame([(1, "x")], schema=sch))
+    assert spark.sql("SELECT v FROM db_att_late").collect()[0]["v"] == "x"
