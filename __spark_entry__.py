@@ -957,6 +957,19 @@ def q_stream_neardup(spark, sf_dir):
         [(r["doc_id"],) for r in rows], "doc_id long")
 
 
+def q_quantized_topk(spark, sf_dir):
+    """int8 embedding quantization + cosine top-k over the CODES: the
+    per-vector scale cancels out of cosine, so quantized search reads a
+    4x-smaller column and never reconstructs floats. The oracle replays
+    the exact floor(x/scale + 0.5) quantization and searches the codes
+    the same way."""
+    from incubator_paimon_spark.operators.similarity import (
+        cosine_topk_quantized, quantize_embeddings)
+    e = _t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(e, "embedding", "vec_id", bits=8)
+    return cosine_topk_quantized(qz, QUERY_VEC, 10)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1135,10 +1148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-shuffle documents scan the gated doc_quality / repetition
         # queries exercise) and pack_sequences (sharded cumsum windows —
         # the window+agg path several gated queries exercise; still
-        # oracle-checked in rotation). Every entry below still has an
+        # oracle-checked in rotation). quantized_topk rotates too: its
+        # zip_with/aggregate cosine path is exactly what the gated
+        # cosine_topk exercises (the quantization itself is a scan
+        # projection). Every entry below still has an
         # oracle and runs under tools/check_oracles.py locally.
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
+        "quantized_topk": q_quantized_topk,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

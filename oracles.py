@@ -735,6 +735,25 @@ LIMIT 10
 ORACLES["ivf_search"] = ORACLES["cosine_topk"]
 ORACLES["ivf_table_search"] = ORACLES["cosine_topk"]
 
+
+# quantized_topk: int8 symmetric quantization (floor(x/scale + 0.5),
+# scale = max|v|/127) then cosine over the integer codes.
+_QZ_CODES = ("list_transform(embedding, x -> CASE WHEN qs > 0 THEN "
+             "floor(x::DOUBLE / qs + 0.5)::INT ELSE 0 END)")
+ORACLES["quantized_topk"] = f"""
+WITH qz AS (
+  SELECT vec_id, {_QZ_CODES} AS codes FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+             AS qs
+    FROM embeddings)
+)
+SELECT vec_id, {_q(_cosine_sql('codes', QUERY_VEC))} AS cosine
+FROM qz
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
 ORACLES["embedding_neardup"] = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -519,3 +519,30 @@ def test_remove_duplicate_spans(spark):
     one = D.remove_duplicate_spans(solo, "text", "doc_id",
                                    span_words=5).collect()[0]
     assert one["removed_words"] == 0
+
+
+def test_quantize_embeddings_roundtrip_and_search(spark):
+    """int8 quantization: codes bounded by 127, dequantized cosine vs the
+    original > 0.999, quantized top-k agrees with fp32 top-k, zero vector
+    stays all-zero with scale 0."""
+    import numpy as np
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qz = S.quantize_embeddings(e, "embedding", "vec_id")
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    for r in qz.limit(20).collect():
+        assert max(abs(c) for c in r["codes"]) <= 127
+        deq = np.array(r["codes"], dtype=np.float64) * r["scale"]
+        v = orig[r["vec_id"]]
+        if np.linalg.norm(v) > 0:
+            cos = v @ deq / (np.linalg.norm(v) * np.linalg.norm(deq))
+            assert cos > 0.999, (r["vec_id"], cos)
+    q = [0.1] * 64
+    exact = {r["vec_id"] for r in S.cosine_topk(e, "embedding", q, 10).collect()}
+    quant = {r["vec_id"] for r in S.cosine_topk_quantized(qz, q, 10).collect()}
+    assert len(exact & quant) >= 9
+
+    z = spark.createDataFrame([(1, [0.0] * 4)],
+                              "vec_id long, embedding array<float>")
+    r = S.quantize_embeddings(z, "embedding", "vec_id").collect()[0]
+    assert r["codes"] == [0, 0, 0, 0] and r["scale"] == 0.0
