@@ -131,3 +131,100 @@ def test_mask_literals_invariants(s):
 def test_mask_literals_noop_without_quotes(s):
     from incubator_paimon_spark.sql import _mask_literals
     assert _mask_literals(s) == s
+
+
+# -------------------------------------------- predicate IR differentials
+def _rand_pred(draw):
+    from incubator_paimon_spark.predicate import P
+    leaf_kind = draw(st.sampled_from(
+        ["eq", "ne", "lt", "le", "gt", "ge", "isin", "not_in",
+         "is_null", "is_not_null", "starts_with", "between"]))
+    field = draw(st.sampled_from(["a", "b", "s"]))
+    if field == "s":
+        if leaf_kind in ("isin", "not_in"):
+            vals = draw(st.lists(st.sampled_from(
+                ["x", "y", "zz", "prefix_1"]), min_size=1, max_size=3))
+            return getattr(P, leaf_kind)(field, vals)
+        if leaf_kind == "starts_with":
+            return P.starts_with(field, draw(st.sampled_from(["x", "pre", ""])))
+        if leaf_kind in ("is_null", "is_not_null"):
+            return getattr(P, leaf_kind)(field)
+        if leaf_kind == "between":
+            lo, hi = sorted([draw(st.sampled_from(["a", "m", "zz"])),
+                             draw(st.sampled_from(["a", "m", "zz"]))])
+            return P.between(field, lo, hi)
+        return getattr(P, leaf_kind)(field, draw(st.sampled_from(
+            ["x", "y", "zz", ""])))
+    v = draw(st.integers(-5, 15))
+    if leaf_kind in ("isin", "not_in"):
+        return getattr(P, leaf_kind)(
+            field, draw(st.lists(st.integers(-5, 15), min_size=1, max_size=4)))
+    if leaf_kind == "starts_with":
+        return None  # string-only
+    if leaf_kind in ("is_null", "is_not_null"):
+        return getattr(P, leaf_kind)(field)
+    if leaf_kind == "between":
+        lo, hi = sorted([v, draw(st.integers(-5, 15))])
+        return P.between(field, lo, hi)
+    return getattr(P, leaf_kind)(field, v)
+
+
+@st.composite
+def _preds(draw, depth=0):
+    if depth < 2 and draw(st.booleans()):
+        left = draw(_preds(depth=depth + 1))
+        right = draw(_preds(depth=depth + 1))
+        return (left & right) if draw(st.booleans()) else (left | right)
+    p = _rand_pred(draw)
+    while p is None:
+        p = _rand_pred(draw)
+    return p
+
+
+_ROWS = [
+    {"a": 0, "b": 3, "s": "x"},
+    {"a": 7, "b": None, "s": "prefix_1"},
+    {"a": -3, "b": 14, "s": ""},
+    {"a": None, "b": 0, "s": "zz"},
+    {"a": 10, "b": 10, "s": None},
+    {"a": 3, "b": -5, "s": "y"},
+]
+
+
+@settings(max_examples=80, deadline=None)
+@given(_preds())
+def test_predicate_value_agrees_with_spark_and_stats_conservative(pred):
+    """Differential: for every random predicate tree, (1) test_value on a
+    python row must equal Spark's evaluation of to_column() on the same
+    row (SQL three-valued logic folded to False), and (2) test_stats over
+    the rows' min/max/null stats must NEVER prune a file that contains a
+    matching row — the conservative contract file skipping rests on."""
+    spark = _prop_spark()
+    df = spark.createDataFrame(
+        [(r["a"], r["b"], r["s"]) for r in _ROWS],
+        "a int, b int, s string")
+    got_spark = {(r["a"], r["b"], r["s"])
+                 for r in df.filter(pred.to_column()).collect()}
+    got_ir = {(r["a"], r["b"], r["s"]) for r in _ROWS
+              if pred.test_value(r)}
+    assert got_ir == got_spark
+    # conservative stats: one "file" holding ALL rows
+    vals = lambda f: [r[f] for r in _ROWS if r[f] is not None]
+    stats = {f: {"min": min(vals(f)), "max": max(vals(f)),
+                 "null_count": sum(r[f] is None for r in _ROWS)}
+             for f in ("a", "b", "s")}
+    if got_ir:
+        assert pred.test_stats(stats), \
+            f"pruned a file containing {len(got_ir)} matching rows"
+
+
+_PROP_SPARK = None
+
+
+def _prop_spark():
+    global _PROP_SPARK
+    if _PROP_SPARK is None:
+        from incubator_paimon_spark import get_spark
+        _PROP_SPARK = get_spark("prop_pred", cpus=2)
+        _PROP_SPARK.sparkContext.setLogLevel("ERROR")
+    return _PROP_SPARK
