@@ -970,6 +970,19 @@ def q_quantized_topk(spark, sf_dir):
     return cosine_topk_quantized(qz, QUERY_VEC, 10)
 
 
+def q_crosscorpus_neardup(spark, sf_dir):
+    """Cross-corpus near-dup: documents with doc_id % 10 == 0 play
+    "tonight's crawl", the rest the standing corpus; each new doc's LSH
+    candidates in the base at est_jaccard >= 0.5. The incremental-ingest
+    dedup shape — the base corpus never self-pairs and never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    return D.minhash_lsh_pairs_between(new, base, "text", "doc_id",
+                                       num_hashes=16, bands=4,
+                                       min_est_jaccard=0.5)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1119,12 +1132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "span_dedup": q_span_dedup,
         "stream_neardup": q_stream_neardup,
+        "crosscorpus_neardup": q_crosscorpus_neardup,
         "mixture_sample": q_mixture_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
-        "embedding_lsh": q_embedding_lsh,
         "ivf_search": q_ivf_search,
         "ivf_table_search": q_ivf_table_search,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
@@ -1151,11 +1164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked in rotation). quantized_topk rotates too: its
         # zip_with/aggregate cosine path is exactly what the gated
         # cosine_topk exercises (the quantization itself is a scan
-        # projection). Every entry below still has an
+        # projection). crosscorpus_neardup joins the gate instead of
+        # embedding_lsh, whose hyperplane-bucket path the gated
+        # embedding_neardup already rides end-to-end. Every entry below still has an
         # oracle and runs under tools/check_oracles.py locally.
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "quantized_topk": q_quantized_topk,
+        "embedding_lsh": q_embedding_lsh,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

@@ -179,6 +179,63 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ----------------------------------------------------------------------
+def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame,
+                              text_col: str, id_col: str,
+                              num_hashes: int = 16, bands: int = 4,
+                              shingle_n: int = 3,
+                              min_est_jaccard: float = 0.5) -> DataFrame:
+    """Cross-corpus near-dup pairs: for each NEW document, its LSH
+    candidates in an EXISTING corpus — (new_id, base_id, est_jaccard).
+    This is the incremental-ingest shape (dedup tonight's crawl against
+    the standing corpus) that a self-join cannot express without
+    re-pairing the whole base corpus against itself every night.
+
+    Same signature/band construction as minhash_lsh_pairs, so "near
+    duplicate" means the same thing batch, streaming, and cross-corpus.
+    Use `df_new.join(pairs, ...)` or an anti-join on new_id to drop the
+    matched newcomers.
+
+    Scale shape: both sides explode to (band, bucket-hash) and join on
+    those keys only — the nightly delta is typically orders of magnitude
+    smaller than the base, so AQE broadcasts the new side's banded rows
+    and the BASE CORPUS NEVER SHUFFLES (its banded projection streams
+    through the scan into the join probe). No self-pairing of either
+    side, no O(|base|²) anywhere.
+    """
+    rows = num_hashes // bands
+
+    def banded(df, side):
+        base = (df.select(F.col(id_col).alias(f"{side}_id"),
+                          F.transform(shingles(F.col(text_col), shingle_n),
+                                      h32).alias("hs"))
+                  .select(f"{side}_id",
+                          minhash_from_hashes(F.col("hs"), num_hashes)
+                          .alias(f"{side}_sig")))
+        band_arr = F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[
+                         F.element_at(F.col(f"{side}_sig"), b * rows + r + 1)
+                         for r in range(rows)])).alias("bh"))
+            for b in range(bands)])
+        return (base.select(f"{side}_id", f"{side}_sig",
+                            F.explode(band_arr).alias("b"))
+                    .select(f"{side}_id", f"{side}_sig",
+                            F.col("b.band").alias("band"),
+                            F.col("b.bh").alias("bh")))
+
+    n = banded(ensure_parallelism(df_new), "new")
+    b = banded(df_base, "base")
+    pairs = (n.join(b, ["band", "bh"])
+              .dropDuplicates(["new_id", "base_id"]))
+    agree = F.size(F.filter(F.zip_with(F.col("new_sig"), F.col("base_sig"),
+                                       lambda x, y: x == y), lambda x: x))
+    est = agree.cast("double") / F.lit(num_hashes)
+    return (pairs.withColumn("est_jaccard", quantize(est, 4))
+                 .filter(F.col("est_jaccard") >= min_est_jaccard)
+                 .select("new_id", "base_id", "est_jaccard"))
+
+
+# ----------------------------------------------------------------------
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_n: int = 3, min_jaccard: float = 0.5,
                         num_hashes: int = 16, bands: int = 8) -> DataFrame:

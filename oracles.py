@@ -941,6 +941,22 @@ FROM w LEFT JOIN reb r ON r.id = w.id
 """
 
 
+
+# crosscorpus_neardup: banded signatures over all docs, split new
+# (id % 10 = 0) vs base, join on (band, bh) across the split.
+_CC_EST = _q("len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0")
+ORACLES["crosscorpus_neardup"] = _minhash_sql(16, 4, 3) + f"""
+, nb AS (SELECT * FROM banded WHERE id % 10 = 0)
+, bb AS (SELECT * FROM banded WHERE id % 10 <> 0)
+, cpairs AS (
+  SELECT DISTINCT nb.id AS new_id, bb.id AS base_id,
+         nb.sig AS sig_a, bb.sig AS sig_b
+  FROM nb JOIN bb ON nb.band = bb.band AND nb.bh = bb.bh
+)
+SELECT new_id, base_id, {_CC_EST} AS est_jaccard
+FROM cpairs WHERE {_CC_EST} >= 0.5
+"""
+
 # stream_neardup: streaming band-bucket claims replayed as SQL — with
 # batches ordered (doc_id % 2, doc_id), the first claimant of every
 # (band, bh) bucket is min of that key; a doc is kept iff it IS the

@@ -546,3 +546,23 @@ def test_quantize_embeddings_roundtrip_and_search(spark):
                               "vec_id long, embedding array<float>")
     r = S.quantize_embeddings(z, "embedding", "vec_id").collect()[0]
     assert r["codes"] == [0, 0, 0, 0] and r["scale"] == 0.0
+
+
+def test_crosscorpus_neardup_pairs(spark):
+    """Cross-corpus LSH: a new doc that duplicates a base doc is paired;
+    new-new and base-base duplicates are NOT (only the cross edge)."""
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi rho sigma tau")
+    other = ("entirely different content with no shared shingles at all "
+             "covering some other topic completely and utterly")
+    base = spark.createDataFrame(
+        [(100, base_text), (101, other)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base_text), (2, base_text),   # 1,2 duplicate base 100 AND each other
+         (3, "fresh unique words never seen anywhere else in any corpus")],
+        "doc_id long, text string")
+    got = D.minhash_lsh_pairs_between(new, base, "text", "doc_id",
+                                      min_est_jaccard=0.7).collect()
+    pairs = {(r["new_id"], r["base_id"]) for r in got}
+    assert pairs == {(1, 100), (2, 100)}
+    assert all(r["est_jaccard"] == 1.0 for r in got)

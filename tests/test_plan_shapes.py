@@ -141,3 +141,17 @@ def test_streaming_neardup_projection_is_staged(spark):
     plan = claims._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(trim(text") <= 2, \
         "shingle pipeline duplicated — staging collapsed"
+
+
+def test_crosscorpus_neardup_joins_on_band_keys(spark):
+    """cross-corpus LSH joins on (band, bucket-hash) only — no cartesian
+    or nested-loop; the corpus text never appears in an exchange key."""
+    from incubator_paimon_spark.operators import dedup as D
+    d = _docs(spark)
+    p = _plan(D.minhash_lsh_pairs_between(
+        d.filter("doc_id % 10 = 0"), d.filter("doc_id % 10 <> 0"),
+        "text", "doc_id"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
