@@ -983,6 +983,25 @@ def q_crosscorpus_neardup(spark, sf_dir):
                                        min_est_jaccard=0.5)
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Published-rules corpus quality gate (Gopher App. A + C4 terminal
+    punctuation): per-document rule columns + the composite keep flag.
+    Zero-shuffle scan projection; on the synthetic corpus keep is
+    honestly false (no terminal punctuation exists) — the per-rule
+    columns carry the signal."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.gopher_quality_filter(d, "text", "doc_id", min_words=10)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document — the cheap perplexity
+    proxy for spotting machine noise/boilerplate tails."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").alias("id"),
+                    TX.quantize(TX.char_entropy(F.col("text")), 4)
+                      .alias("entropy"))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1172,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quantized_topk": q_quantized_topk,
         "embedding_lsh": q_embedding_lsh,
+        "gopher_filter": q_gopher_filter,
+        "char_entropy": q_char_entropy,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

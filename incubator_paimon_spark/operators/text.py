@@ -281,3 +281,71 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
               .select("id", "chunk_id",
                       F.array_join(F.col("cw"), " ").alias("chunk_text"),
                       F.size(F.col("cw")).alias("chunk_words")))
+
+
+# ----------------------------------------------------------------------
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits) of the per-document character distribution —
+    the classic cheap perplexity proxy: machine-generated noise and
+    boilerplate sit at the distribution's tails. Pure Column expressions:
+    explode chars via aggregate over a frequency map, zero shuffles."""
+    n = F.length(col)
+    chars = F.split(col, "")
+    freq = F.aggregate(
+        chars,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, c: F.map_zip_with(
+            acc, F.create_map(c, F.lit(1)),
+            lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))))
+    ent = F.aggregate(
+        F.map_values(freq).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, cnt: acc - (cnt / n) * F.log2(cnt / n))
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str, id_col: str,
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_ratio: float = 0.1,
+                          min_stopword_hits: int = 2) -> DataFrame:
+    """Document-level quality gate from the published Gopher rules
+    (Rae et al. 2021, App. A) plus C4's terminal-punctuation check
+    (Raffel et al. 2020) — the standard pre-training corpus filter:
+    word-count window, mean-word-length window, symbol ratio (# and …),
+    a minimum number of distinct common-stopword hits, and whether the
+    doc ends in terminal punctuation. Returns one row per document:
+    (id, n_words, mean_word_len, symbol_ratio, stopword_hits,
+    ends_terminal, keep) — keep = all rules pass; callers filter or
+    route on it. A zero-shuffle scan projection like the other text
+    stats: every rule is a Column expression."""
+    ws = words(F.col(text_col))
+    n_words = F.size(ws)
+    mean_len = F.when(n_words > 0,
+                      F.aggregate(ws, F.lit(0),
+                                  lambda a, w: a + F.length(w))
+                      .cast("double") / n_words).otherwise(F.lit(0.0))
+    n_chars = F.length(F.col(text_col))
+    symbols = n_chars - F.length(F.regexp_replace(F.col(text_col),
+                                                  r"[#…]", ""))
+    sym_ratio = F.when(n_chars > 0,
+                       symbols.cast("double") / n_chars).otherwise(F.lit(0.0))
+    lowered = F.transform(ws, lambda w: F.lower(w))
+    hits = F.size(F.array_intersect(
+        lowered, F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])))
+    ends_terminal = F.col(text_col).rlike(r"[.!?\"']\s*$")
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (sym_ratio <= max_symbol_ratio)
+            & (hits >= min_stopword_hits)
+            & ends_terminal)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        quantize(mean_len, 4).alias("mean_word_len"),
+        quantize(sym_ratio, 4).alias("symbol_ratio"),
+        hits.alias("stopword_hits"),
+        ends_terminal.alias("ends_terminal"),
+        keep.alias("keep"))

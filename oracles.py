@@ -942,6 +942,54 @@ FROM w LEFT JOIN reb r ON r.id = w.id
 
 
 
+
+# gopher_filter: published Gopher/C4 rules as SQL over the same word
+# split; list_distinct before intersect mirrors Spark's array_intersect
+# distinct semantics.
+_GF_WS = _WORDS.format(t='text')
+_GF_SW = "[" + ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS) + "]"
+ORACLES["gopher_filter"] = f"""
+WITH g AS (
+  SELECT doc_id AS id, text, {_GF_WS} AS ws FROM documents
+), m AS (
+  SELECT id, text, len(ws)::BIGINT AS n_words,
+    CASE WHEN len(ws) > 0 THEN
+      list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+      ELSE 0.0 END AS mwl,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::DOUBLE
+        / length(text) ELSE 0.0 END AS symr,
+    len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
+                       {_GF_SW}))::BIGINT AS hits,
+    regexp_matches(text, '[.!?"'']\\s*$') AS terminal
+  FROM g
+)
+SELECT id, n_words, {_q('mwl')} AS mean_word_len,
+       {_q('symr')} AS symbol_ratio, hits AS stopword_hits,
+       terminal AS ends_terminal,
+       (n_words >= 10 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND symr <= 0.1 AND hits >= 2 AND terminal) AS keep
+FROM m
+"""
+
+# char_entropy: -sum(p log2 p) over per-doc char frequencies.
+ORACLES["char_entropy"] = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+), f AS (
+  SELECT doc_id, c, count(*)::DOUBLE AS cnt FROM ch GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, length(text)::DOUBLE AS n FROM documents
+)
+SELECT d.doc_id AS id,
+  COALESCE({_q('sum(-(cnt / n.n) * log2(cnt / n.n))')}, 0.0) AS entropy
+FROM documents d
+JOIN n ON n.doc_id = d.doc_id
+LEFT JOIN f ON f.doc_id = d.doc_id
+GROUP BY d.doc_id, n.n
+"""
+
 # crosscorpus_neardup: banded signatures over all docs, split new
 # (id % 10 = 0) vs base, join on (band, bh) across the split.
 _CC_EST = _q("len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0")

@@ -209,3 +209,19 @@ def test_columnar_encoder_byte_identical_to_row_encoder():
                               block_rows=64)
         b = E.write_container_arrow(tbl, avs, codec=codec, block_rows=64)
         assert a == b, codec
+
+
+def test_avro_table_schema_evolution(spark, catalog):
+    """Engine-level: an avro table written before ALTER ADD COLUMN reads
+    old files with nulls for the new column, and mixed-era files coexist
+    in one scan (the same evolve pass parquet takes)."""
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    t = catalog.create_table("db.avro_evo", df1.schema,
+                             options={"file.format": "avro"})
+    t.write(spark, df1)
+    t.schemas.add_column("extra", T.IntegerType())
+    df2 = spark.createDataFrame([(3, "c", 30)], "k long, v string, extra int")
+    t.write(spark, df2)
+    got = {r["k"]: (r["v"], r["extra"])
+           for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}

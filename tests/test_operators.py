@@ -566,3 +566,35 @@ def test_crosscorpus_neardup_pairs(spark):
     pairs = {(r["new_id"], r["base_id"]) for r in got}
     assert pairs == {(1, 100), (2, 100)}
     assert all(r["est_jaccard"] == 1.0 for r in got)
+
+
+def test_gopher_filter_rules(spark):
+    """Each Gopher/C4 rule flips keep independently."""
+    rows = [
+        (1, "the cat sat on a mat with the dog and the bird today fine."),
+        (2, "short."),                                  # too few words
+        (3, "the cat sat on a mat with the dog and the bird today fine"),  # no terminal
+        (4, "xxxxxxxxxxxxxxx " * 12 + "the of and."),   # mean word len too high
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in TX.gopher_quality_filter(
+        df, "text", "doc_id", min_words=10).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] == 1
+    assert got[3]["keep"] is False and got[3]["ends_terminal"] is False
+    assert got[4]["keep"] is False and got[4]["mean_word_len"] > 10
+
+
+def test_char_entropy_properties(spark):
+    """Entropy: 0 for single-char text, log2(n) for n distinct uniform
+    chars, empty text -> 0."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, ""), (4, "aabb")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id", TX.char_entropy(F.col("text")).alias("e")).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - 2.0) < 1e-9
+    assert got[3] == 0.0
+    assert abs(got[4] - 1.0) < 1e-9
