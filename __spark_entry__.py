@@ -1002,6 +1002,26 @@ def q_char_entropy(spark, sf_dir):
                       .alias("entropy"))
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means over the embedding corpus (Lloyd, 2
+    iterations from deterministic md5-ordered seeds): per final cluster,
+    its member count and mean member-to-centroid cosine. Each iteration
+    is one broadcast assignment + one constant-width posexplode mean;
+    the driver never holds data, only the k centroid arrays. The oracle
+    unrolls both iterations in SQL (row_number assignment with the same
+    (cosine, cid) tie order, per-position float-cast means)."""
+    from incubator_paimon_spark.operators import similarity as S
+    e = _t(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(e, "embedding", "vec_id", num_centroids=4,
+                            dim=64, iters=2)
+    assigned = S.assign_ivf(e, cents, "embedding", "vec_id")
+    j = assigned.join(cents, assigned["centroid_id"] == cents["cid"])
+    sim = S.cosine(F.col("embedding"), F.col("cv"))
+    return (j.groupBy("centroid_id")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  TX.quantize(F.avg(sim), 4).alias("mean_cos")))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1193,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "gopher_filter": q_gopher_filter,
         "char_entropy": q_char_entropy,
+        "kmeans": q_kmeans,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

@@ -74,35 +74,53 @@ def knn_join(left: DataFrame, right: DataFrame, vec_col: str, k: int,
 # ----------------------------------------------------------------------
 def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
                   num_centroids: int = 16,
-                  dim: int | None = None) -> DataFrame:
+                  dim: int | None = None, iters: int = 1) -> DataFrame:
     """Deterministic IVF 'centroids': the vectors whose id hashes to the
-    smallest values (reservoir-free, reproducible). One refinement step of
-    k-means (mean of assigned vectors) sharpens them without iteration."""
+    smallest values (reservoir-free, reproducible), sharpened by `iters`
+    Lloyd refinement steps (assign to nearest by cosine → per-cluster
+    mean). iters=1 is the IVF default; higher values make this a full
+    distributed k-means (corpus clustering for domain discovery /
+    stratified dedup) — each iteration is one broadcast-assign pass plus
+    one constant-width mean, so the driver holds only the k centroid
+    arrays between rounds, never data.
+
+    Clusters can go EMPTY during refinement (their rows reassigned
+    elsewhere); an empty cluster keeps its previous centroid — standard
+    Lloyd behavior and what the unrolled SQL oracle replicates."""
     if dim is None:
         # fallback probe = one tiny driver job; pass dim explicitly on a
         # hot path (VERDICT r3)
         dim = len(df.select(vec_col).first()[0])
     df = df.withColumn(vec_col, check_dim(F.col(vec_col), dim, "ivf_centroids"))
-    seeds = (df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    cents = (df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
                .orderBy(F.md5(F.col("cid").cast("string")))
                .limit(num_centroids))
-    assigned = assign_ivf(df, seeds, vec_col, id_col)
-    # mean per cluster, element-wise — via posexplode → groupBy(centroid,
-    # pos) → avg → re-assemble. A dim-wide `agg(avg(element_at(v, i)) for
-    # i in range(dim))` builds thousands of aggregate expressions at
-    # embedding dims 768-4096 (codegen blowup + one enormous row); this
-    # shape keeps the plan CONSTANT-width at any dim, and the aggregated
-    # row count is only num_centroids × dim (VERDICT r5).
-    ex = assigned.select("centroid_id",
-                         F.posexplode(F.col(vec_col)).alias("pos", "val"))
-    agg = ex.groupBy("centroid_id", "pos").agg(
-        F.avg(F.col("val").cast("double")).alias("m"))
-    return (agg.groupBy("centroid_id")
-               .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                     .alias("pm"))
-               .select(F.col("centroid_id").alias("cid"),
-                       F.transform("pm", lambda s: s["m"].cast("float"))
-                        .alias("cv")))
+    for _ in range(iters):
+        assigned = assign_ivf(df, cents, vec_col, id_col)
+        # mean per cluster, element-wise — via posexplode → groupBy(
+        # centroid, pos) → avg → re-assemble. A dim-wide `agg(avg(
+        # element_at(v, i)) for i in range(dim))` builds thousands of
+        # aggregate expressions at embedding dims 768-4096 (codegen
+        # blowup + one enormous row); this shape keeps the plan
+        # CONSTANT-width at any dim, and the aggregated row count is
+        # only num_centroids × dim (VERDICT r5).
+        ex = assigned.select("centroid_id",
+                             F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        agg = ex.groupBy("centroid_id", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("m"))
+        refined = (agg.groupBy("centroid_id")
+                      .agg(F.array_sort(F.collect_list(
+                               F.struct("pos", "m"))).alias("pm"))
+                      .select(F.col("centroid_id").alias("cid"),
+                              F.transform("pm",
+                                          lambda s: s["m"].cast("float"))
+                               .alias("cv")))
+        # empty clusters keep their previous centroid
+        cents = (cents.select("cid", F.col("cv").alias("prev"))
+                      .join(refined.withColumnRenamed("cv", "new"), "cid",
+                            "left")
+                      .select("cid", F.coalesce("new", "prev").alias("cv")))
+    return cents
 
 
 def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -111,7 +129,10 @@ def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -
     c = F.broadcast(centroids)
     joined = df.join(c)
     sim = cosine(F.col(vec_col), F.col("cv"))
-    pick = F.max_by(F.col("cid"), sim)
+    # ties (possible only with duplicate centroids) break to max cid —
+    # deterministic and SQL-replayable, unlike bare max_by's pick
+    pick = F.max_by(F.col("cid"), F.struct(sim.alias("s"),
+                                           F.col("cid").alias("c")))
     best = joined.groupBy(id_col).agg(pick.alias("centroid_id"))
     return df.join(best, id_col)
 

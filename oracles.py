@@ -990,6 +990,55 @@ LEFT JOIN f ON f.doc_id = d.doc_id
 GROUP BY d.doc_id, n.n
 """
 
+
+# kmeans: two unrolled Lloyd iterations. Assignment = row_number over
+# (cosine DESC, cid DESC) — the same (sim, cid) struct-max order the
+# Spark assign uses; refinement = per-position avg cast to FLOAT (the
+# same float32 rounding Spark's .cast("float") applies); empty clusters
+# keep the previous centroid via the COALESCE join.
+def _km_assign(cents: str, out: str) -> str:
+    cos = _pair_cosine_sql('e.embedding', 'c.cv')
+    return f"""{out} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos} DESC, c.cid DESC) AS rn
+    FROM e, {cents} c)
+  WHERE rn = 1
+)"""
+
+
+def _km_refine(assign: str, prev: str, out: str) -> str:
+    return f"""{out}_m AS (
+  SELECT a.cid, t.i AS pos, avg(e.embedding[t.i]::DOUBLE)::FLOAT AS m
+  FROM {assign} a JOIN e USING (vec_id), UNNEST(range(1, 65)) t(i)
+  GROUP BY a.cid, t.i
+), {out}_l AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM {out}_m GROUP BY cid
+), {out} AS (
+  SELECT p.cid, COALESCE(l.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN {out}_l l USING (cid)
+)"""
+
+
+_KM_FINAL_COS = _pair_cosine_sql('e.embedding', 'c.cv')
+ORACLES["kmeans"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM e
+  ORDER BY md5(vec_id::VARCHAR) LIMIT 4
+),
+{_km_assign('s0', 'a0')},
+{_km_refine('a0', 's0', 'c1')},
+{_km_assign('c1', 'a1')},
+{_km_refine('a1', 'c1', 'c2')},
+{_km_assign('c2', 'a2')}
+SELECT a2.cid AS centroid_id, count(*) AS n_members,
+       {_q(f'avg({_KM_FINAL_COS})')} AS mean_cos
+FROM a2 JOIN e USING (vec_id) JOIN c2 c ON a2.cid = c.cid
+GROUP BY a2.cid
+"""
+
 # crosscorpus_neardup: banded signatures over all docs, split new
 # (id % 10 = 0) vs base, join on (band, bh) across the split.
 _CC_EST = _q("len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0")

