@@ -158,3 +158,52 @@ def test_migrate_file_into_existing_table(spark, catalog, customer):
         call_sql(spark, catalog,
                  f"CALL sys.migrate_file(source_dir => '{src}', "
                  f"target_table => 'db.mfpk')")
+
+
+def test_lifecycle_soak_many_commits(spark, catalog):
+    """Metadata-layer soak: 40 mixed commits (upserts, deletes, updates)
+    with periodic compaction, snapshot expiration, tagging, and orphan
+    cleanup along the way — the invariants a long-lived table must hold:
+    merged row count always equals the model, time travel to a tag
+    reproduces the tagged state, expiration never breaks the live read,
+    and orphan removal never deletes a live file."""
+    import pyspark.sql.types as T
+    from incubator_paimon_spark import P
+
+    sch = T.StructType.fromDDL("k long, v long")
+    t = catalog.create_table("db.soak", sch, primary_keys=["k"],
+                             options={"bucket": "4"})
+    model = {}
+
+    def write(rows):
+        t.write(spark, spark.createDataFrame(rows, schema=sch))
+        model.update(dict(rows))
+
+    for i in range(40):
+        base = (i * 13) % 50
+        write([(base + j, i * 100 + j) for j in range(8)])
+        if i == 10:
+            t.create_tag("t10")
+            tagged = dict(model)
+        if i % 9 == 4:
+            t.compact(spark, full=(i % 18 == 4))
+        if i % 15 == 14:
+            t.expire_snapshots(retain_max=10, retain_min=5)
+        if i == 25:
+            t.delete_where(spark, P.lt("k", 5))
+            for k in list(model):
+                if k < 5:
+                    del model[k]
+
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == model, (len(got), len(model))
+
+    # tag still reproduces the state at commit 11 exactly
+    tag_read = {r["k"]: r["v"] for r in t.read(spark, tag="t10").collect()}
+    assert tag_read == tagged
+
+    # orphan cleanup removes nothing live
+    t.remove_orphan_files(older_than_ms=0)
+    got2 = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got2 == model
+    assert {r["k"]: r["v"] for r in t.read(spark, tag="t10").collect()} == tagged
