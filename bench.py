@@ -144,6 +144,15 @@ def main():
     timed("span_dedup",
           lambda: D.remove_duplicate_spans(docs, "text", "doc_id",
                                            span_words=10).count(), reps=3)
+    timed("crosscorpus_neardup",
+          lambda: D.minhash_lsh_pairs_between(
+              docs.filter(F.col("doc_id") % 10 == 0),
+              docs.filter(F.col("doc_id") % 10 != 0),
+              "text", "doc_id").count(), reps=3)
+    timed("kmeans_2iter",
+          lambda: S.ivf_centroids(emb, "embedding", "vec_id",
+                                  num_centroids=8, dim=64,
+                                  iters=2).count(), reps=3)
     from incubator_paimon_spark.operators import text as TXo
     timed("repetition_stats",
           lambda: TXo.repetition_stats(docs, "text", "doc_id").count(), reps=3)
