@@ -683,19 +683,9 @@ def _parse_props(block: str) -> dict:
     return props
 
 
-def _exec_create(spark, catalog, statement):
-    m = re.match(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*",
-                 statement, re.IGNORECASE)
-    if not m:
-        raise ValueError(f"bad CREATE TABLE: {statement!r}")
-    if_not_exists, ident = bool(m.group(1)), m.group(2)
-    i = statement.find("(", m.end() - 1)
-    if i < 0:
-        raise ValueError("CREATE TABLE needs a column list")
-    cols_block, after = _balanced(statement, i)
-    from pyspark.sql import types as T
-    schema = T.StructType.fromDDL(cols_block)
-    tail = statement[after:]
+def _parse_create_tail(tail: str):
+    """PARTITIONED BY / TBLPROPERTIES / primary-key out of the clause
+    section of a CREATE TABLE statement."""
     part_keys, props = [], {}
     pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
     if pm:
@@ -706,6 +696,49 @@ def _exec_create(spark, catalog, statement):
         props = _parse_props(block)
     pks = [k.strip() for k in props.pop("primary-key", "").split(",")
            if k.strip()]
+    return part_keys, pks, props
+
+
+def _exec_create(spark, catalog, statement):
+    masked = _mask_literals(statement)
+    m = re.match(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*",
+                 masked, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad CREATE TABLE: {statement!r}")
+    if_not_exists, ident = bool(m.group(1)), m.group(2)
+
+    # CTAS (docs/content/spark/sql-ddl.md:155-183): CREATE TABLE …
+    # [PARTITIONED BY …] [TBLPROPERTIES …] AS SELECT … — schema comes
+    # from the query, clauses sit between the name and AS. Detected on
+    # the MASKED text so a literal containing "AS SELECT" can't trigger.
+    am = re.search(r"\bAS\s+(SELECT|WITH|VALUES)\b", masked[m.end():],
+                   re.IGNORECASE)
+    if am:
+        clause_src = statement[m.end():m.end() + am.start()]
+        query = statement[m.end() + am.start(1):]
+        df = _exec_select(spark, catalog, query)
+        part_keys, pks, props = _parse_create_tail(clause_src)
+        exists_before = True
+        try:
+            catalog.get_table(ident)
+        except Exception:
+            exists_before = False
+        t = catalog.create_table(ident, df.schema, partition_keys=part_keys,
+                                 primary_keys=pks, options=props,
+                                 ignore_if_exists=if_not_exists)
+        if not (if_not_exists and exists_before):
+            # IF NOT EXISTS on an existing table creates nothing and
+            # must not write either (reference CTAS semantics)
+            t.write(spark, df)
+        return t
+
+    i = statement.find("(", m.end() - 1)
+    if i < 0:
+        raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+    cols_block, after = _balanced(statement, i)
+    from pyspark.sql import types as T
+    schema = T.StructType.fromDDL(cols_block)
+    part_keys, pks, props = _parse_create_tail(statement[after:])
     return catalog.create_table(ident, schema, partition_keys=part_keys,
                                 primary_keys=pks, options=props,
                                 ignore_if_exists=if_not_exists)

@@ -507,3 +507,47 @@ def test_sql_merge_literal_containing_when_clause(spark, catalog, pk_table):
     assert rows[3] == "hit WHEN MATCHED THEN DELETE"
     assert rows[9] == "new WHEN MATCHED AND USING"
     assert rows[1] == "a" and rows[2] == "b"
+
+
+# ------------------------------------------------------------------ CTAS
+def test_create_table_as_select(spark, catalog, pk_table):
+    """CTAS (sql-ddl.md:155-183 parity): plain, partitioned, with
+    TBLPROPERTIES + primary-key, and IF NOT EXISTS no-op."""
+    t = catalog.sql(spark,
+                    "CREATE TABLE db.ctas1 AS SELECT k, v FROM db.sqlpk")
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    t2 = catalog.sql(spark, """
+        CREATE TABLE db.ctas2 PARTITIONED BY (v)
+        TBLPROPERTIES ('primary-key' = 'k,v', 'bucket' = '2')
+        AS SELECT k, v FROM db.sqlpk WHERE k < 3
+    """)
+    assert t2.schema.partition_keys == ["v"]
+    assert t2.schema.primary_keys == ["k", "v"]
+    assert t2.read(spark).count() == 2
+
+    # IF NOT EXISTS on an existing table: no write happens
+    catalog.sql(spark, "CREATE TABLE IF NOT EXISTS db.ctas1 "
+                       "AS SELECT k, v FROM db.sqlpk")
+    assert catalog.get_table("db.ctas1").read(spark).count() == 3
+
+    # literal trap: 'AS SELECT' inside a string in a normal CREATE
+    t3 = catalog.sql(spark, """
+        CREATE TABLE db.ctas3 (k bigint, v string)
+        TBLPROPERTIES ('comment' = 'not AS SELECT anything')
+    """)
+    assert t3.read(spark).count() == 0
+
+
+def test_ctas_from_values_and_time_travel(spark, catalog, pk_table):
+    t = catalog.sql(spark,
+                    "CREATE TABLE db.ctasv AS VALUES (1, 'x'), (2, 'y') "
+                    "AS t(k, v)")
+    assert t.read(spark).count() == 2
+    # CTAS over a time-travel read
+    catalog.sql(spark, "UPDATE db.sqlpk SET v = 'zz' WHERE k = 1")
+    t2 = catalog.sql(spark, "CREATE TABLE db.ctast AS "
+                            "SELECT v FROM db.sqlpk VERSION AS OF 1 "
+                            "WHERE k = 1")
+    assert t2.read(spark).collect()[0]["v"] == "a"
