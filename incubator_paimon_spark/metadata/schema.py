@@ -144,7 +144,9 @@ class TableSchema:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in schema {names}")
         fields = [
-            DataField(i, f.name, f.dataType, f.nullable and f.name not in primary_keys)
+            DataField(i, f.name, f.dataType,
+                      f.nullable and f.name not in primary_keys,
+                      f.metadata.get("comment") if f.metadata else None)
             for i, f in enumerate(spark_schema.fields)
         ]
         return TableSchema(0, fields, len(fields) - 1, partition_keys, primary_keys,
@@ -240,6 +242,38 @@ class SchemaManager:
             DataField(f.id, f.name, new_type if f.name == name else f.type, f.nullable, f.description)
             for f in s.fields
         ]
+        return self.commit_new(s)
+
+    def update_column_comment(self, name: str, comment: str | None) -> TableSchema:
+        base = self.latest()
+        _ = base.field_by_name(name)  # raises if missing
+        s = self._next(base)
+        s.fields = [
+            DataField(f.id, f.name, f.type, f.nullable,
+                      comment if f.name == name else f.description)
+            for f in s.fields
+        ]
+        return self.commit_new(s)
+
+    def move_column(self, name: str, after: str | None = None) -> TableSchema:
+        """Reorder a column: FIRST (after=None) or AFTER `after`.
+        Field ids anchor reads, so a move is metadata-only — old data
+        files keep serving their bytes by id (SchemaChange.Move parity,
+        reference SchemaManager)."""
+        base = self.latest()
+        _ = base.field_by_name(name)
+        if after is not None:
+            _ = base.field_by_name(after)
+        if name == after:
+            raise ValueError("cannot move a column after itself")
+        s = self._next(base)
+        moving = next(f for f in s.fields if f.name == name)
+        rest = [f for f in s.fields if f.name != name]
+        if after is None:
+            s.fields = [moving] + rest
+        else:
+            i = next(j for j, f in enumerate(rest) if f.name == after)
+            s.fields = rest[:i + 1] + [moving] + rest[i + 1:]
         return self.commit_new(s)
 
     def update_options(self, set_options: dict | None = None, remove: list[str] | None = None) -> TableSchema:

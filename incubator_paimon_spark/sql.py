@@ -760,12 +760,22 @@ def _exec_alter(spark, catalog, statement):
     if au.startswith("ADD COLUMN"):
         body = action[len("ADD COLUMNS") if au.startswith("ADD COLUMNS")
                       else len("ADD COLUMN"):].strip()
+        move = None
         if body.startswith("("):
             body, _ = _balanced(body, 0)
+        else:
+            # single-column form may carry a position (sql-alter.md:112)
+            posm = re.search(r"\s+(?:(FIRST)|AFTER\s+(\w+))\s*$", body,
+                             re.IGNORECASE)
+            if posm:
+                move = (None if posm.group(1) else posm.group(2),)
+                body = body[:posm.start()]
         out = None
         for f in T.StructType.fromDDL(body).fields:
             out = mgr.add_column(f.name, f.dataType, f.nullable,
                                  f.metadata.get("comment"))
+            if move is not None:
+                out = mgr.move_column(f.name, move[0])
         return out
     if au.startswith("RENAME COLUMN"):
         rm = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", action,
@@ -785,6 +795,18 @@ def _exec_alter(spark, catalog, statement):
                 raise ValueError(f"bad DROP COLUMN name {c!r}")
             out = mgr.drop_column(c)
         return out
+    # column comment / position (sql-alter.md:104-126) before the TYPE
+    # fallback — "COMMENT 'x'" and "AFTER b" are not parseable as types
+    com = re.match(r"(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+COMMENT\s+"
+                   r"'((?:[^']|'')*)'\s*$", action, re.IGNORECASE)
+    if com:
+        return mgr.update_column_comment(com.group(1),
+                                         com.group(2).replace("''", "'"))
+    pos = re.match(r"(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+"
+                   r"(?:(FIRST)|AFTER\s+(\w+))\s*$", action, re.IGNORECASE)
+    if pos:
+        return mgr.move_column(pos.group(1),
+                               None if pos.group(2) else pos.group(3))
     cm = re.match(r"(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+(?:TYPE\s+)?(.+?)\s*$",
                   action, re.IGNORECASE)
     if cm:
@@ -907,7 +929,10 @@ def _exec_show(spark, catalog, statement):
         # field names inside struct/map types and break the round-trip
         cols = ",\n  ".join(
             f"{f.name} {f.type.simpleString()}"
-            + ("" if f.nullable else " NOT NULL") for f in sc.fields)
+            + ("" if f.nullable else " NOT NULL")
+            + ("" if not f.description
+               else " COMMENT '" + f.description.replace("'", "''") + "'")
+            for f in sc.fields)
         ddl = f"CREATE TABLE {m.group(1)} (\n  {cols})\n"
         if sc.partition_keys:
             ddl += f"PARTITIONED BY ({', '.join(sc.partition_keys)})\n"

@@ -551,3 +551,50 @@ def test_ctas_from_values_and_time_travel(spark, catalog, pk_table):
                             "SELECT v FROM db.sqlpk VERSION AS OF 1 "
                             "WHERE k = 1")
     assert t2.read(spark).collect()[0]["v"] == "a"
+
+
+def test_alter_column_comment_and_position(spark, catalog):
+    """sql-alter.md:104-126 parity: column comment, column move
+    (FIRST/AFTER), and ADD COLUMN with a position. Moves are
+    metadata-only — data written before the move still reads correctly
+    (field ids anchor the bytes)."""
+    t = catalog.create_table("db.alt_pos", _schema("a bigint, b string, c int"))
+    t.write(spark, spark.createDataFrame([(1, "x", 10)],
+                                         "a long, b string, c int"))
+    catalog.sql(spark, "ALTER TABLE db.alt_pos ALTER COLUMN b COMMENT 'it''s b'")
+    assert catalog.get_table("db.alt_pos").schema \
+        .field_by_name("b").description == "it's b"
+
+    catalog.sql(spark, "ALTER TABLE db.alt_pos ALTER COLUMN c FIRST")
+    assert catalog.get_table("db.alt_pos").schema.field_names() == ["c", "a", "b"]
+    catalog.sql(spark, "ALTER TABLE db.alt_pos ALTER COLUMN c AFTER a")
+    assert catalog.get_table("db.alt_pos").schema.field_names() == ["a", "c", "b"]
+
+    catalog.sql(spark, "ALTER TABLE db.alt_pos ADD COLUMN d double AFTER a")
+    assert catalog.get_table("db.alt_pos").schema.field_names() == \
+        ["a", "d", "c", "b"]
+
+    # pre-move data still reads correctly after all the reordering
+    got = catalog.get_table("db.alt_pos").read(spark).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (1, "x", 10, None)
+    # and new writes in the new order round-trip
+    t2 = catalog.get_table("db.alt_pos")
+    t2.write(spark, spark.createDataFrame([(2, 2.5, 20, "y")],
+                                          "a long, d double, c int, b string"))
+    rows = {r["a"]: (r["d"], r["c"], r["b"])
+            for r in t2.read(spark).collect()}
+    assert rows == {1: (None, 10, "x"), 2: (2.5, 20, "y")}
+
+
+def test_column_comments_roundtrip_show_create(spark, catalog):
+    """Column comments: stored from CREATE, updatable via ALTER COLUMN
+    COMMENT (with '' escapes), emitted by SHOW CREATE TABLE, and the
+    emitted DDL re-creates them (round-trip parity)."""
+    catalog.sql(spark, "CREATE TABLE db.cc (a bigint COMMENT 'ident', b string)")
+    catalog.sql(spark, "ALTER TABLE db.cc ALTER COLUMN b COMMENT 'it''s bee'")
+    sct = catalog.sql(spark, "SHOW CREATE TABLE db.cc").collect()[0][0]
+    assert "COMMENT 'ident'" in sct and "COMMENT 'it''s bee'" in sct
+    catalog.sql(spark, sct.replace("db.cc", "db.cc2"))
+    rt = [(f.name, f.description)
+          for f in catalog.get_table("db.cc2").schema.fields]
+    assert rt == [("a", "ident"), ("b", "it's bee")]
