@@ -315,15 +315,20 @@ _TT_REF = re.compile(
 # temp view bound to the incremental DataFrame.
 _INC_TVF = re.compile(
     r"\bpaimon_incremental_query\s*\(\s*('[^']*')\s*,"
-    r"\s*(\d+)\s*,\s*(\d+)\s*\)",
+    r"\s*('[^']*'|\d+)\s*,\s*('[^']*'|\d+)\s*\)",
     re.IGNORECASE)
 
 
 def _rewrite_incremental_tvf(spark, catalog, statement: str) -> str:
+    def bound(tok: str):
+        tok = tok.strip()
+        return tok[1:-1] if tok.startswith("'") else int(tok)  # tag | id
+
     out, last = [], 0
     for m in _INC_TVF.finditer(_mask_literals(statement)):
         ident = _g(m, statement, 1).strip()[1:-1]
-        start, end = int(m.group(2)), int(m.group(3))
+        start = bound(_g(m, statement, 2))
+        end = bound(_g(m, statement, 3))
         table = catalog.get_table(ident)
         from .streaming.source import incremental_between
         view = re.sub(r"\W", "_", f"pmn_inc_{ident}_{start}_{end}")

@@ -598,3 +598,19 @@ def test_column_comments_roundtrip_show_create(spark, catalog):
     rt = [(f.name, f.description)
           for f in catalog.get_table("db.cc2").schema.fields]
     assert rt == [("a", "ident"), ("b", "it's bee")]
+
+
+def test_sql_incremental_tvf_tag_bounds(spark, catalog):
+    """paimon_incremental_query accepts tag names as bounds too
+    ('TAG1','TAG3' form from sql-query.md:67-73)."""
+    sch = _schema("k bigint, v string")
+    t = catalog.create_table("db.tvft", sch)
+    t.write(spark, spark.createDataFrame([(1, "a")], schema=sch))
+    t.create_tag("t1", 1)
+    t.write(spark, spark.createDataFrame([(2, "b")], schema=sch))
+    t.write(spark, spark.createDataFrame([(3, "c")], schema=sch))
+    t.create_tag("t3", 3)
+    got = catalog.sql(
+        spark, "SELECT k FROM paimon_incremental_query('db.tvft', 't1', 't3') "
+               "ORDER BY k").collect()
+    assert [r["k"] for r in got] == [2, 3]
