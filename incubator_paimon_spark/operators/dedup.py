@@ -183,7 +183,8 @@ def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame,
                               text_col: str, id_col: str,
                               num_hashes: int = 16, bands: int = 4,
                               shingle_n: int = 3,
-                              min_est_jaccard: float = 0.5) -> DataFrame:
+                              min_est_jaccard: float = 0.5,
+                              max_bucket_size: int | None = 10_000) -> DataFrame:
     """Cross-corpus near-dup pairs: for each NEW document, its LSH
     candidates in an EXISTING corpus — (new_id, base_id, est_jaccard).
     This is the incremental-ingest shape (dedup tonight's crawl against
@@ -201,6 +202,22 @@ def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame,
     and the BASE CORPUS NEVER SHUFFLES (its banded projection streams
     through the scan into the join probe). No self-pairing of either
     side, no O(|base|²) anywhere.
+
+    max_bucket_size bounds the one remaining blowup: a boilerplate-heavy
+    STANDING corpus can put millions of base docs in a single (band, bh)
+    bucket, and every new doc landing there would emit millions of
+    candidate rows before the est_jaccard filter. The base side keeps
+    only each bucket's `cap` smallest ids (same pattern as the self-join
+    variant, dedup.py minhash_lsh_pairs) — a new doc whose band matches a
+    mega-bucket still pairs with the bucket's head ids, which is enough
+    to flag it as a near-dup of the clique, while per-new-doc candidate
+    volume drops from |bucket| to cap. Bit-identical to uncapped on
+    healthy corpora (no bucket near 10k members); pass None for the
+    exact uncapped candidate set — which also restores the zero-shuffle
+    base path. With the cap on, the base's BANDED PROJECTION (id, sig,
+    band, bh — sig is num_hashes longs, ~130 B/doc regardless of text
+    size) goes through one window shuffle; the raw text never moves, so
+    at 100 TB of documents the shuffled bytes are ~0.01% of corpus size.
     """
     rows = num_hashes // bands
 
@@ -225,6 +242,12 @@ def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame,
 
     n = banded(ensure_parallelism(df_new), "new")
     b = banded(df_base, "base")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+        w = W.partitionBy("band", "bh").orderBy("base_id")
+        b = (b.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_bucket_size)
+              .drop("__rn"))
     pairs = (n.join(b, ["band", "bh"])
               .dropDuplicates(["new_id", "base_id"]))
     agree = F.size(F.filter(F.zip_with(F.col("new_sig"), F.col("base_sig"),
@@ -276,13 +299,29 @@ def simhash(col: Column, bits: int = 32) -> Column:
 
 
 def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
-                      prefix_bits: int = 16) -> DataFrame:
+                      prefix_bits: int = 16,
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-dup candidates whose SimHash agrees on the top prefix_bits:
-    (id_a, id_b, hamming). Banding on the prefix keeps the join bucketed."""
+    (id_a, id_b, hamming). Banding on the prefix keeps the join bucketed.
+
+    max_bucket_size bounds the degenerate prefix bucket (a corpus rich in
+    near-identical docs concentrates a prefix, making the self-join
+    O(c²) in that bucket): the LEFT side keeps only each bucket's `cap`
+    smallest ids, so every member still pairs with the bucket's head ids
+    (the clique stays one connected component downstream) while pair
+    volume drops from c² to cap·c — same pattern as minhash_lsh_pairs.
+    Pass None for the exact uncapped pair set."""
     s = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                                       simhash(F.col(text_col)).alias("sh"))
     s = s.withColumn("bucket", F.shiftright(F.col("sh"), 32 - prefix_bits))
-    a, b = s.alias("a"), s.alias("b")
+    left_src = s
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+        w = W.partitionBy("bucket").orderBy("id")
+        left_src = (s.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") <= max_bucket_size)
+                     .drop("__rn"))
+    a, b = left_src.alias("a"), s.alias("b")
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
     x = F.col("a.sh").bitwiseXOR(F.col("b.sh"))

@@ -568,6 +568,48 @@ def test_crosscorpus_neardup_pairs(spark):
     assert all(r["est_jaccard"] == 1.0 for r in got)
 
 
+def test_crosscorpus_base_bucket_cap(spark):
+    """A boilerplate mega-bucket in the STANDING corpus is capped: each new
+    doc pairs with at most `cap` base docs (the bucket heads), not the
+    whole clique — and every new near-dup is still flagged."""
+    clique = "the same boilerplate text repeated in every standing document"
+    base = spark.createDataFrame(
+        [(1000 + i, clique) for i in range(100)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, clique), (2, "fresh unique words never seen anywhere at all")],
+        "doc_id long, text string")
+    got = D.minhash_lsh_pairs_between(new, base, "text", "doc_id",
+                                      min_est_jaccard=0.7,
+                                      max_bucket_size=3).collect()
+    by_new = {}
+    for r in got:
+        by_new.setdefault(r["new_id"], set()).add(r["base_id"])
+    # new doc 1 IS flagged (paired with the bucket's 3 head ids), not 100×
+    assert by_new.keys() == {1}
+    assert by_new[1] == {1000, 1001, 1002}
+    # uncapped (None) restores the full 100-pair candidate set
+    full = D.minhash_lsh_pairs_between(new, base, "text", "doc_id",
+                                       min_est_jaccard=0.7,
+                                       max_bucket_size=None)
+    assert full.count() == 100
+
+
+def test_simhash_bucket_cap(spark):
+    """simhash_near_dups caps the prefix-bucket self-join at cap*n pairs
+    while keeping the clique connected through its head ids."""
+    docs = spark.createDataFrame(
+        [(i, "identical words everywhere " * 5) for i in range(40)],
+        "doc_id long, text string")
+    capped = D.simhash_near_dups(docs, "text", "doc_id", max_bucket_size=2)
+    n = capped.count()
+    assert 0 < n <= 2 * 40  # far below 40*39/2 = 780
+    cc = D.connected_components(capped, "id_a", "id_b")
+    assert cc.count() == 40
+    assert {r["component"] for r in cc.collect()} == {0}
+    full = D.simhash_near_dups(docs, "text", "doc_id", max_bucket_size=None)
+    assert full.count() == 40 * 39 // 2
+
+
 def test_gopher_filter_rules(spark):
     """Each Gopher/C4 rule flips keep independently."""
     rows = [
