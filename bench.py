@@ -156,6 +156,10 @@ def main():
     from incubator_paimon_spark.operators import text as TXo
     timed("repetition_stats",
           lambda: TXo.repetition_stats(docs, "text", "doc_id").count(), reps=3)
+    # sum() forces the entropy column (count() would prune it away)
+    timed("char_entropy",
+          lambda: docs.select(TXo.char_entropy(F.col("text")).alias("e"))
+                      .agg(F.sum("e")).collect(), reps=3)
     from incubator_paimon_spark.operators.temporal import asof_join as _asof
     events = E._t(spark, sf_dir, "events")
     n_events = events.count()
