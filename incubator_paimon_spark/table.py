@@ -445,7 +445,8 @@ class Catalog:
         from .sql import execute_sql
         return execute_sql(spark, self, statement)
 
-    def attach(self, spark, database: str | None = None) -> list[str]:
+    def attach(self, spark, database: str | None = None,
+               watch_interval: float | None = 2.0) -> list[str]:
         """Register every catalog table as a session temp view named
         ``<db>_<table>`` so plain ``spark.sql("SELECT … FROM db_t")``
         works for reads — the ergonomic slice of the reference's DSv2
@@ -454,13 +455,19 @@ class Catalog:
         DataSource API can express (it has no catalog plugin point, so
         ``paimon.db.t`` identifiers are out of reach upstream).
 
-        Each view is re-bound to the latest snapshot after EVERY commit
-        made through this process (write / compact / row-level ops /
-        streaming sink) via the commit-listener hook — a reader never
-        sees a stale file list. Tables created through THIS catalog
-        object after attach() are bound automatically; tables created by
-        another process appear on the next attach() call. Returns the
-        view names registered.
+        Freshness, two mechanisms:
+        - commits made through THIS process (write / compact / row-level
+          ops / streaming sink) re-bind the view synchronously via the
+          commit-listener hook — a reader never sees a stale file list;
+        - a daemon watcher polls each table's LATEST snapshot pointer
+          every ``watch_interval`` seconds and re-binds any view another
+          PROCESS moved, and binds tables that appeared in the watched
+          scope. The poll is one hint-file read per table per tick
+          (control-plane sized); ``watch_interval=None`` disables it,
+          ``refresh_views()`` forces the same sweep synchronously.
+
+        Tables created through this catalog object after attach() are
+        bound automatically. Returns the view names registered.
         """
         import weakref
         self._attached = getattr(self, "_attached", [])
@@ -474,23 +481,100 @@ class Catalog:
                 view = f"{db}_{name}"
                 self._bind_view(spark, t, view)
                 views.append(view)
+        if watch_interval is not None:
+            self._start_view_watcher(spark, watch_interval)
         return views
 
-    @staticmethod
-    def _bind_view(spark, table: "Table", view: str) -> None:
+    def refresh_views(self) -> int:
+        """Re-bind every attached view whose LATEST snapshot pointer no
+        longer matches the snapshot it was bound at (i.e. a commit from
+        ANOTHER process moved the table), and bind tables that appeared
+        in an attached scope since. Returns how many views changed."""
+        changed = 0
+        for key, st in list(getattr(self, "_view_states", {}).items()):
+            s = st["ref"]()
+            if s is None:
+                self._view_states.pop(key, None)
+                continue
+            try:
+                latest = st["table"].snapshots.latest_id()
+            except Exception:  # noqa: BLE001 — table dropped mid-sweep
+                continue
+            if latest != st["snapshot"]:
+                st["bind"]()
+                changed += 1
+        # new tables from other processes land in the watched scope
+        for ref, database in list(getattr(self, "_attached", [])):
+            s = ref()
+            if s is None:
+                continue
+            for db in self.list_databases():
+                if database is not None and db != database:
+                    continue
+                for name in self.list_tables(db):
+                    if (f"{db}_{name}", id(s)) not in self._view_states:
+                        self._bind_view(s, self.get_table(f"{db}.{name}"),
+                                        f"{db}_{name}")
+                        changed += 1
+        return changed
+
+    def _bind_view(self, spark, table: "Table", view: str) -> None:
         import weakref
 
         from .metadata.commit import on_commit
-        table.read(spark).createOrReplaceTempView(view)
         ref = weakref.ref(spark)  # never pin a session past its lifetime
+        states = self._view_states = getattr(self, "_view_states", {})
+        key = (view, id(spark))
 
-        def refresh(_snapshot, _t=table, _view=view, _ref=ref):
+        def bind(_t=table, _view=view, _ref=ref):
             s = _ref()
-            if s is not None:
-                _t.read(s).createOrReplaceTempView(_view)
+            if s is None:
+                return
+            # read LATEST before planning: a commit racing in between
+            # leaves a stale-looking pointer, so the next sweep re-binds
+            sid = _t.snapshots.latest_id()
+            _t.read(s).createOrReplaceTempView(_view)
+            st = states.get(key)
+            if st is not None:
+                st["snapshot"] = sid
+
+        states[key] = {"table": table, "ref": ref, "bind": bind,
+                       "snapshot": None}
+        bind()
+
+        def refresh(_snapshot, _bind=bind):
+            _bind()
 
         # key = (view, session) so re-attach replaces, two sessions coexist
         on_commit(table.path, f"view:{view}:{id(spark)}", refresh)
+
+    def _start_view_watcher(self, spark, interval: float) -> None:
+        """One daemon thread per (catalog, session): sweeps
+        refresh_views() every `interval` s; exits when the session or the
+        catalog is collected. Re-attach with a new interval replaces the
+        thread. Temp-view registration is session-thread-safe."""
+        import threading
+        import weakref
+        self._watchers = getattr(self, "_watchers", {})
+        old = self._watchers.get(id(spark))
+        if old is not None:
+            old.set()
+        stop = threading.Event()
+        self._watchers[id(spark)] = stop
+        cat_ref, s_ref = weakref.ref(self), weakref.ref(spark)
+
+        def loop():
+            while not stop.wait(interval):
+                cat = cat_ref()
+                if cat is None or s_ref() is None:
+                    return
+                try:
+                    cat.refresh_views()
+                except Exception:  # noqa: BLE001 — keep the sweep alive
+                    pass
+
+        threading.Thread(target=loop, daemon=True,
+                         name=f"paimon-view-watch-{id(spark)}").start()
 
 
 def _validate(ts: TableSchema):

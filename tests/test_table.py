@@ -737,6 +737,74 @@ def test_sql_incremental_tvf(spark, catalog):
     assert trap[0]["s"] == "paimon_incremental_query('db.tvf', 1, 3)"
 
 
+def test_catalog_attach_cross_process_freshness(spark, catalog):
+    """A commit made through a SECOND Catalog instance (simulating another
+    process — no shared commit hooks) becomes visible to the first
+    session's attached view without re-attach: synchronously via
+    refresh_views(), and automatically via the background watcher."""
+    import contextlib
+    import time
+
+    import pyspark.sql.types as T
+
+    from incubator_paimon_spark import Catalog
+    from incubator_paimon_spark.metadata import commit as C
+
+    @contextlib.contextmanager
+    def foreign_process():
+        """Commit hooks are process-global, so a second Catalog instance
+        alone still fires them; silencing the listener map during the
+        write reproduces exactly what a commit from another process looks
+        like to this one — files move on disk, no in-process signal."""
+        saved, C._COMMIT_LISTENERS = dict(C._COMMIT_LISTENERS), {}
+        try:
+            yield
+        finally:
+            C._COMMIT_LISTENERS.clear()
+            C._COMMIT_LISTENERS.update(saved)
+
+    sch = T.StructType.fromDDL("k long, v string")
+    t = catalog.create_table("db.att_xp", sch)
+    t.write(spark, spark.createDataFrame([(1, "a")], schema=sch))
+    catalog.attach(spark, watch_interval=0.2)
+    assert spark.sql("SELECT count(*) c FROM db_att_xp").first()["c"] == 1
+
+    other = Catalog(catalog.warehouse)
+    with foreign_process():
+        other.get_table("db.att_xp").write(
+            spark, spark.createDataFrame([(2, "b")], schema=sch))
+
+    # deterministic path: one synchronous sweep re-binds the moved view
+    catalog.refresh_views()
+    assert spark.sql("SELECT count(*) c FROM db_att_xp").first()["c"] == 2
+
+    # automatic path: the watcher picks up the next cross-process commit
+    with foreign_process():
+        other.get_table("db.att_xp").write(
+            spark, spark.createDataFrame([(3, "c")], schema=sch))
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM db_att_xp").first()["c"] == 3:
+            break
+        time.sleep(0.2)
+    else:
+        raise AssertionError("watcher never re-bound the stale view")
+
+    # a table CREATED by the other process appears too (no re-attach)
+    t2 = other.create_table("db.att_xp2", sch)
+    t2.write(spark, spark.createDataFrame([(9, "z")], schema=sch))
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        try:
+            if spark.sql("SELECT v FROM db_att_xp2").first()["v"] == "z":
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    else:
+        raise AssertionError("watcher never bound the new table's view")
+
+
 def test_catalog_attach_binds_new_tables(spark, catalog):
     """A table created through the SAME catalog object after attach() gets
     its view immediately (and it refreshes on commit like the rest)."""
