@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 from .predicate import And, Leaf, Or, Predicate
 
+# WHERE-subquery results are materialized on the driver (reference
+# parity: EvalSubqueriesForDeleteTable pre-evaluates too); this bounds
+# that materialization — see _eval_subqueries.
+SUBQUERY_ROW_CAP = 100_000
+
 
 def _mask_literals(sql: str) -> str:
     """Length-preserving copy of `sql` with the CONTENT of quoted regions
@@ -397,7 +402,13 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
     one row/column), an IN-subquery becomes an IN list. The reference does
     the same rewrite as a Catalyst rule (EvalSubqueriesForDeleteTable,
     PaimonOptimizationTestBase 'eval subqueries ... ScalarSubquery /
-    InSubquery') so row-level ops can stay predicate-driven."""
+    InSubquery') so row-level ops can stay predicate-driven.
+
+    The rewrite materializes each subquery's result on the driver (the
+    reference pre-evaluates the same way, EvalSubqueriesForDeleteTable
+    .scala:43), so results are capped at SUBQUERY_ROW_CAP rows — a 10 M-
+    key subquery must not OOM the driver. Above the cap, raises with a
+    pointer to the equivalent driver-safe DataFrame join/anti-join."""
     out, i = [], 0
     masked = _mask_literals(where)
     while True:
@@ -419,7 +430,16 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
         if depth != 0:
             raise ValueError(f"unbalanced subquery in WHERE: {where!r}")
         sub = where[start + 1:j]
-        rows = _exec_select(spark, catalog, sub).collect()
+        rows = _exec_select(spark, catalog, sub) \
+            .limit(SUBQUERY_ROW_CAP + 1).collect()
+        if len(rows) > SUBQUERY_ROW_CAP:
+            raise ValueError(
+                f"WHERE subquery returned more than {SUBQUERY_ROW_CAP:,} "
+                f"rows; evaluating it would materialize the whole key set "
+                f"on the driver. Rewrite as a DataFrame join instead, "
+                f"e.g. table.delete_where on a pre-joined key set or an "
+                f"anti-join: df.join(keys, 'k', 'left_anti'). Subquery: "
+                f"({sub.strip()[:200]})")
         acc = "".join(out)
         acc_m = _mask_literals(acc)
         in_m = re.search(r"([\w.]+)\s+(NOT\s+)?IN\s*$", acc_m, re.IGNORECASE)

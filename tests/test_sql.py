@@ -433,6 +433,30 @@ def test_subquery_empty_edge_cases(spark, catalog):
     assert t.read(spark).count() == 0
 
 
+def test_subquery_row_cap_guards_driver(spark, catalog, monkeypatch):
+    """A WHERE subquery yielding more rows than SUBQUERY_ROW_CAP fails
+    with the documented join-rewrite message instead of materializing the
+    whole key set on the driver; the collect itself is bounded (limit
+    cap+1), so even a 10 M-key subquery never OOMs. Cap shrunk via
+    monkeypatch so the test stays cheap."""
+    import incubator_paimon_spark.sql as sqlmod
+    from incubator_paimon_spark.sql import execute_sql
+    t = catalog.create_table(
+        "db.sqcap", _schema("k bigint, v bigint"), primary_keys=["k"],
+        options={"bucket": "1"})
+    t.write(spark, spark.createDataFrame(
+        [(i, i) for i in range(300)], "k long, v long"))
+    monkeypatch.setattr(sqlmod, "SUBQUERY_ROW_CAP", 100)
+    with pytest.raises(ValueError, match="join"):
+        execute_sql(spark, catalog, "DELETE FROM db.sqcap WHERE k IN "
+                                    "(SELECT k FROM db.sqcap WHERE k >= 0)")
+    assert t.read(spark).count() == 300  # nothing deleted on failure
+    # under the cap, the same shape still executes
+    execute_sql(spark, catalog, "DELETE FROM db.sqcap WHERE k IN "
+                                "(SELECT k FROM db.sqcap WHERE k < 50)")
+    assert t.read(spark).count() == 250
+
+
 def test_show_create_table_nested_types(spark, catalog):
     """nested struct field names survive the DDL round-trip (no blanket
     uppercasing of the type string)."""
