@@ -341,17 +341,19 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
     if not entries:
         return None
     is_pk = bool(target_schema.primary_keys)
-    groups: dict[tuple[int, int, str], list[str]] = {}
+    groups: dict[tuple[int, int, str], list[tuple[str, int]]] = {}
     for e in entries:
         n = e.file.file_name
         fmt = ("orc" if n.endswith(".orc")
                else "avro" if n.endswith(".avro") else "parquet")
         key = (e.file.schema_id, e.file.level if with_level else 0, fmt)
-        groups.setdefault(key, []).append(os.path.join(table.path, n))
+        groups.setdefault(key, []).append((os.path.join(table.path, n),
+                                           e.file.file_size))
 
     prefix = "file:" + table.path.rstrip("/") + "/"
     out = None
-    for (schema_id, level, fmt), paths in sorted(groups.items()):
+    for (schema_id, level, fmt), sized in sorted(groups.items()):
+        paths = [p for p, _ in sized]
         file_schema = table.schema_at(schema_id)
         read_schema = _with_system_cols(file_schema.spark_schema(), is_pk)
         if fmt == "avro":
@@ -360,7 +362,8 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
                     "metadata columns / deletion vectors need parquet row "
                     "indexes; avro files have none (use file.format=parquet)")
             from .formats.avro_spark import read_avro_files_df
-            df = read_avro_files_df(spark, paths, read_schema)
+            df = read_avro_files_df(spark, paths, read_schema,
+                                    sizes=[s for _, s in sized])
         else:
             df = spark.read.schema(read_schema).format(fmt).load(paths)
         if with_metadata:
