@@ -46,6 +46,26 @@ def transcode_parquet_to_avro(src_path: str, dst_path: str,
 AVRO_MIN_TASK_BYTES = 1 << 20
 
 
+def pack_files_by_size(paths: list[str], sizes: list[int],
+                       min_bytes: int = AVRO_MIN_TASK_BYTES) -> list[list[str]]:
+    """Greedy contiguous packing (path-sorted, so deterministic): each
+    group accumulates files until it holds at least `min_bytes`; a file
+    at/above `min_bytes` ends its group immediately, so large files get
+    one task each and task count scales with data volume."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for p, s in sorted(zip(paths, sizes)):
+        cur.append(p)
+        cur_b += s
+        if cur_b >= min_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def read_avro_files_df(spark, paths: list[str], read_schema,
                        sizes: list[int] | None = None):
     """Distributed avro scan: each task decodes a size-packed group of
@@ -63,15 +83,7 @@ def read_avro_files_df(spark, paths: list[str], read_schema,
     target = to_arrow_schema(read_schema)
     if sizes is None:
         sizes = [for_path(p).size(p) for p in paths]
-    groups, cur, cur_b = [], [], 0
-    for p, s in sorted(zip(paths, sizes)):
-        cur.append(p)
-        cur_b += s
-        if cur_b >= AVRO_MIN_TASK_BYTES:
-            groups.append(cur)
-            cur, cur_b = [], 0
-    if cur:
-        groups.append(cur)
+    groups = pack_files_by_size(paths, sizes)
     rdd = spark.sparkContext.parallelize([(g,) for g in groups],
                                          max(len(groups), 1))
     files_df = spark.createDataFrame(rdd, schema="paths array<string>")

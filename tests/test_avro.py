@@ -225,3 +225,26 @@ def test_avro_table_schema_evolution(spark, catalog):
     got = {r["k"]: (r["v"], r["extra"])
            for r in t.read(spark).collect()}
     assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+
+
+def test_pack_files_by_size():
+    """Small files group to >=min_bytes tasks; big files go one per task
+    (task count scales with data, never capped); all files kept once."""
+    from incubator_paimon_spark.formats.avro_spark import pack_files_by_size
+
+    small = [f"/w/f{i:02d}.avro" for i in range(6)]
+    g = pack_files_by_size(small, [400_000] * 6, min_bytes=1_000_000)
+    assert g == [small[0:3], small[3:6]]  # 3 x 0.4 MB crosses 1 MB
+
+    big = [f"/w/b{i}.avro" for i in range(3)]
+    g = pack_files_by_size(big, [128_000_000] * 3, min_bytes=1_000_000)
+    assert g == [[p] for p in big]  # one task per large container
+
+    mixed_p = ["/w/a.avro", "/w/b.avro", "/w/c.avro"]
+    g = pack_files_by_size(mixed_p, [5_000_000, 100, 100],
+                           min_bytes=1_000_000)
+    flat = [p for grp in g for p in grp]
+    assert sorted(flat) == mixed_p and all(grp for grp in g)
+    # leftover small tail still lands in a (final, undersized) group
+    g = pack_files_by_size(small[:1], [10], min_bytes=1_000_000)
+    assert g == [small[:1]]
