@@ -1022,6 +1022,18 @@ def q_kmeans(spark, sf_dir):
                   TX.quantize(F.avg(sim), 4).alias("mean_cos")))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space (iters=0
+    deterministic seed centroids so the oracle can replay it), then mark
+    every vector with quantized cosine >= 0.4 to a smaller-id member of
+    its own cluster as a semantic duplicate. Per-cluster self-join =
+    sum of O(c²) instead of corpus O(n²); left side head-capped."""
+    from incubator_paimon_spark.operators import similarity as S
+    e = _t(spark, sf_dir, "embeddings")
+    return S.semdedup(e, "embedding", "vec_id", num_centroids=4,
+                      threshold=0.4, dim=64, iters=0)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1214,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "char_entropy": q_char_entropy,
         "kmeans": q_kmeans,
+        "semdedup": q_semdedup,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

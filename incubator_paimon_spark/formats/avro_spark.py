@@ -2,10 +2,10 @@
 
 Write: the engine stages every commit as parquet (Spark-native, stats from
 footers), then one distributed task per staged file transcodes parquet →
-avro container. Read: mapInPandas over the file list — each task decodes
-its files and yields pandas batches, so a many-file avro table scans with
-full executor parallelism (per-core decode speed is Python-bound; see
-avro_codec docstring).
+avro container. Read: mapInArrow over size-packed file groups — each task
+decodes its files and yields the decoder's arrow batches directly, so a
+many-file avro table scans with full executor parallelism (per-core
+decode speed is Python-bound; see avro_codec docstring).
 """
 
 from __future__ import annotations

@@ -250,3 +250,63 @@ def cosine_topk_quantized(qdf: DataFrame, query: list[float], k: int,
     return (qdf.select(F.col(id_col), quantize(sim, 4).alias("cosine"))
                .orderBy(F.col("cosine").desc(), F.col(id_col))
                .limit(k))
+
+
+# ----------------------------------------------------------------------
+def semdedup(df: DataFrame, vec_col: str, id_col: str,
+             num_centroids: int = 16, threshold: float = 0.95,
+             dim: int | None = None, iters: int = 0,
+             max_cluster_heads: int | None = 10_000) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster mark every vector whose cosine to an EARLIER-id cluster
+    member is >= threshold as a semantic duplicate. Returns one row per
+    input id: (id, centroid_id, keep) — filter on keep to dedup, join
+    back on id for payloads.
+
+    Deviation from the paper, documented: the paper keeps the member
+    with the LOWEST similarity to the cluster centroid from each
+    duplicate pair; this keeps the smallest id. Both pick exactly one
+    representative per tight pair; smallest-id is deterministic and
+    SQL-replayable by the DuckDB oracle.
+
+    Scale shape: clustering is the IVF pipeline (broadcast assign, one
+    shuffle per Lloyd iteration, driver holds only k centroids); the
+    within-cluster similarity pass is a self-join ON centroid_id — the
+    classic SemDeDup trick that turns an O(n²) corpus comparison into
+    sum of O(c²) clusters, so num_centroids should scale ~n/1000. The
+    join's LEFT side keeps only each cluster's `max_cluster_heads`
+    smallest ids (the proven hot-bucket cap pattern from
+    dedup.minhash_lsh_pairs): a degenerate mega-cluster stays
+    cap-bounded, every member still compares against the cluster's head
+    ids, and only (non-head, non-head) duplicate edges — redundant for
+    pick-one-representative — are lost. None opts out.
+
+    iters=0 uses the deterministic seed centroids (md5-ordered ids) so
+    the whole operator is replayable as one SQL oracle; iters>=1 runs
+    true Lloyd refinement first (same as ivf_centroids)."""
+    cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim,
+                          iters=iters)
+    assigned = assign_ivf(df, cents, vec_col, id_col)
+    slim = assigned.select(F.col(id_col).alias("id"), "centroid_id",
+                           F.col(vec_col).alias("v"))
+    heads = slim
+    if max_cluster_heads is not None:
+        from pyspark.sql import Window as W
+        w = W.partitionBy("centroid_id").orderBy("id")
+        heads = (slim.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") <= max_cluster_heads)
+                     .drop("__rn"))
+    a = heads.select(F.col("id").alias("id_a"), "centroid_id",
+                     F.col("v").alias("va"))
+    b = slim.select(F.col("id").alias("id_b"), "centroid_id",
+                    F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    dup_ids = (a.join(b, "centroid_id")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(quantize(sim, 4) >= threshold)
+                .select(F.col("id_b").alias("id")).distinct())
+    return (slim.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+                .select(F.col("id").alias(id_col), "centroid_id",
+                        F.coalesce(~F.col("__dup"), F.lit(True))
+                         .alias("keep")))

@@ -1141,3 +1141,26 @@ SELECT id, k::INT AS chunk_id,
   len(ws[(k*32+1):(k*32+40)])::INT AS chunk_words
 FROM n, UNNEST(range(0, n_chunks)) AS t(k)
 """
+
+
+# semdedup: iters=0 SemDeDup — seed centroids (md5-ordered ids), argmax-
+# cosine assignment (same (cosine, cid DESC) tie order as assign_ivf),
+# then inside each cluster a vector is a duplicate iff some SMALLER id
+# in the cluster has quantized cosine >= 0.4 to it.
+ORACLES["semdedup"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM e
+  ORDER BY md5(vec_id::VARCHAR) LIMIT 4
+),
+{_km_assign('s0', 'a0')},
+dup AS (
+  SELECT DISTINCT bb.vec_id AS id
+  FROM a0 aa JOIN a0 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+  JOIN e ea ON ea.vec_id = aa.vec_id
+  JOIN e eb ON eb.vec_id = bb.vec_id
+  WHERE {_q(_pair_cosine_sql('ea.embedding', 'eb.embedding'))} >= 0.4
+)
+SELECT e.vec_id, a0.cid AS centroid_id, (dup.id IS NULL) AS keep
+FROM e JOIN a0 USING (vec_id) LEFT JOIN dup ON dup.id = e.vec_id
+"""

@@ -662,3 +662,30 @@ def test_kmeans_iterations_improve_and_deterministic(spark):
     # determinism
     again = mean_cos(3)
     assert again == m3
+
+
+def test_semdedup_keeps_one_per_tight_group(spark):
+    """SemDeDup: identical vectors in one cluster keep only the smallest
+    id; orthogonal vectors all survive; head cap preserves suppression."""
+    from incubator_paimon_spark.operators.similarity import semdedup
+    rows = []
+    dim = 8
+    for i in range(5):        # ids 0-4: identical direction e0
+        rows.append((i, [1.0] + [0.0] * (dim - 1)))
+    for i in range(5, 8):     # ids 5-7: orthogonal-ish distinct axes
+        v = [0.0] * dim
+        v[i - 4] = 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["keep"]
+           for r in semdedup(df, "embedding", "vec_id", num_centroids=2,
+                             threshold=0.95, dim=dim).collect()}
+    assert got[0] is True
+    assert all(got[i] is False for i in range(1, 5))
+    assert all(got[i] is True for i in range(5, 8))
+    # capped heads: clique still suppressed through its head ids
+    capped = {r["vec_id"]: r["keep"]
+              for r in semdedup(df, "embedding", "vec_id", num_centroids=2,
+                                threshold=0.95, dim=dim,
+                                max_cluster_heads=1).collect()}
+    assert capped[0] is True and all(capped[i] is False for i in range(1, 5))
