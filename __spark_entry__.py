@@ -1034,6 +1034,39 @@ def q_semdedup(spark, sf_dir):
                       threshold=0.4, dim=64, iters=0)
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 lexical search (Lucene idf variant) for a fixed query: one
+    corpus-stats aggregate (N, avgdl, per-term df — |terms|+2 counters,
+    map-side combined) then a zero-shuffle scoring projection + top-k
+    (TakeOrderedAndProject)."""
+    from incubator_paimon_spark.operators.retrieval import bm25_search
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, "text", "doc_id",
+                       ["merge", "vector", "stream"], k=20)
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket counts for the target (doc_id % 20 == 0) vs the raw corpus,
+    Laplace-smoothed log-ratio summed per document. Counts are
+    control-plane aggregates; the per-doc sum shuffles (id, double)
+    pairs only."""
+    from incubator_paimon_spark.operators.sampling import dsir_logweights
+    d = _t(spark, sf_dir, "documents")
+    return dsir_logweights(d, d.filter(F.col("doc_id") % 20 == 0),
+                           "text", "doc_id", buckets=8192)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel-top-n selection: deterministic per-id Gumbel noise
+    added to the log-weight; top-n by the perturbed key = sampling
+    without replacement with probability proportional to the weight."""
+    from incubator_paimon_spark.operators.sampling import dsir_sample
+    d = _t(spark, sf_dir, "documents")
+    return dsir_sample(d, d.filter(F.col("doc_id") % 20 == 0),
+                       "text", "doc_id", n=50, buckets=8192)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1227,6 +1260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
+        "bm25": q_bm25,
+        "dsir": q_dsir,
+        "dsir_sample": q_dsir_sample,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

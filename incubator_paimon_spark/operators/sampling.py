@@ -100,3 +100,73 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
         expr = F.when(F.col(strata_col) == value,
                       F.lit(int(rate * _SLOTS))).otherwise(expr)
     return df.filter(b < expr)
+
+
+# ----------------------------------------------------------------------
+def _hashed_features(df: DataFrame, text_col: str, id_col: str,
+                     buckets: int) -> DataFrame:
+    """(id, bucket) rows: hashed lowercase unigram + bigram features
+    (the DSIR feature space). One explode; buckets are ints, so the
+    downstream shuffles move (long, int) pairs, never text."""
+    from .text import words
+    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    bigrams = F.when(F.size(ws) > 1, F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b_: F.concat(a, F.lit(" "), b_))) \
+        .otherwise(F.array().cast("array<string>"))
+    feats = F.concat(ws, bigrams)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(feats).alias("f"))
+              .select("id", (h32(F.col("f")) % buckets).alias("bucket")))
+
+
+def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
+                    id_col: str, buckets: int = 8192) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): log w(doc) = Σ_f log p̂(f) − log q̂(f) over the
+    document's hashed unigram+bigram features, where p̂ comes from the
+    TARGET distribution (the small high-quality set you want more of)
+    and q̂ from the raw corpus, both Laplace-smoothed over `buckets`
+    hash buckets. Returns (id, log_weight): high = looks like target.
+
+    Scale shape: two map-side-combined feature-count aggregates (each
+    at most `buckets` result rows — control-plane), a broadcast join of
+    the per-bucket log-ratio table onto the corpus features, and one
+    (id → sum) aggregation whose shuffle carries (long id, double)
+    pairs only. The raw text never shuffles.
+    """
+    raw_f = _hashed_features(df, text_col, id_col, buckets)
+    tgt_f = _hashed_features(target, text_col, id_col, buckets)
+    qc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn"))
+    pc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
+    qtot = raw_f.count()
+    ptot = tgt_f.count()
+    lw = (qc.join(pc, "bucket", "full")
+            .select("bucket",
+                    (F.log((F.coalesce(F.col("pn"), F.lit(0)) + 1.0)
+                           / F.lit(float(ptot + buckets)))
+                     - F.log((F.coalesce(F.col("qn"), F.lit(0)) + 1.0)
+                             / F.lit(float(qtot + buckets)))).alias("lw")))
+    from .text import quantize
+    return (raw_f.join(F.broadcast(lw), "bucket")
+                 .groupBy("id")
+                 .agg(quantize(F.sum("lw"), 4).alias("log_weight")))
+
+
+def dsir_sample(df: DataFrame, target: DataFrame, text_col: str,
+                id_col: str, n: int, buckets: int = 8192) -> DataFrame:
+    """DSIR selection: the n documents with the highest perturbed
+    importance weight log w + g, g a DETERMINISTIC per-id Gumbel
+    (−ln(−ln(u)), u = (h32(id)+0.5)/2³² — no RNG, so re-runs and the
+    SQL oracle pick identical rows; the Gumbel-max trick makes top-n by
+    perturbed weight equivalent to sampling without replacement with
+    probability ∝ w). Returns (id, log_weight, key)."""
+    from .text import quantize
+    lwdf = dsir_logweights(df, target, text_col, id_col, buckets)
+    u = (h32(F.col("id").cast("string")) + 0.5) / F.lit(float(1 << 32))
+    g = -F.log(-F.log(u))
+    return (lwdf.select("id", "log_weight",
+                        quantize(F.col("log_weight") + g, 4).alias("key"))
+                .orderBy(F.col("key").desc(), F.col("id"))
+                .limit(n))

@@ -1164,3 +1164,71 @@ dup AS (
 SELECT e.vec_id, a0.cid AS centroid_id, (dup.id IS NULL) AS keep
 FROM e JOIN a0 USING (vec_id) LEFT JOIN dup ON dup.id = e.vec_id
 """
+
+
+# bm25: Lucene-variant BM25 for query terms (merge, vector, stream),
+# k1=1.2 b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)); zero-score
+# docs dropped; ties by id.
+def _bm25_term_sql(term: str) -> str:
+    tf = f"len(list_filter(ws, x -> x = '{term}'))::DOUBLE"
+    df_ = f"(SELECT sum(list_contains(ws, '{term}')::INT) FROM w)"
+    idf = f"ln(1.0 + ((SELECT n FROM stats) - {df_} + 0.5) / ({df_} + 0.5))"
+    return (f"({idf} * {tf} * 2.2 / ({tf} + 1.2 * (0.25 + 0.75 * "
+            f"len(ws)::DOUBLE / (SELECT avgdl FROM stats))))")
+
+
+ORACLES["bm25"] = f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_transform({_WORDS.format(t='text')}, x -> lower(x)) AS ws
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(ws))::DOUBLE AS avgdl FROM w)
+SELECT id, score FROM (
+  SELECT id, {_q(' + '.join(_bm25_term_sql(t) for t in ('merge', 'vector', 'stream')))} AS score
+  FROM w)
+WHERE score > 0
+ORDER BY score DESC, id LIMIT 20
+"""
+
+# dsir / dsir_sample: hashed unigram+bigram features (h32 % 8192),
+# Laplace-smoothed target/raw log-ratio per bucket, summed per doc;
+# the sample adds deterministic per-id Gumbel noise and takes top-50.
+_DSIR_CORE = f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_transform({_WORDS.format(t='text')}, x -> lower(x)) AS ws
+  FROM documents
+),
+f AS (
+  SELECT id, {_H32.format(x='f')} % 8192 AS bucket FROM (
+    SELECT id, unnest(ws || CASE WHEN len(ws) > 1
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE []::VARCHAR[] END) AS f
+    FROM w)
+),
+tf AS (SELECT * FROM f WHERE id % 20 = 0),
+qc AS (SELECT bucket, count(*) AS qn FROM f GROUP BY 1),
+pc AS (SELECT bucket, count(*) AS pn FROM tf GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM f) AS qtot,
+               (SELECT count(*) FROM tf) AS ptot),
+lw AS (
+  SELECT COALESCE(qc.bucket, pc.bucket) AS bucket,
+         ln((COALESCE(pn, 0) + 1.0) / (ptot + 8192))
+         - ln((COALESCE(qn, 0) + 1.0) / (qtot + 8192)) AS lw
+  FROM qc FULL JOIN pc ON qc.bucket = pc.bucket, tot
+),
+dw AS (
+  SELECT f.id, {_q('sum(lw)')} AS log_weight
+  FROM f JOIN lw USING (bucket) GROUP BY f.id
+)
+"""
+
+ORACLES["dsir"] = _DSIR_CORE + "SELECT id, log_weight FROM dw"
+
+ORACLES["dsir_sample"] = _DSIR_CORE + f"""
+SELECT id, log_weight,
+  {_q("log_weight + (-ln(-ln((" + _H32.format(x='id::VARCHAR') + " + 0.5) / 4294967296.0)))")} AS key
+FROM dw
+ORDER BY key DESC, id LIMIT 50
+"""

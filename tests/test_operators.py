@@ -689,3 +689,45 @@ def test_semdedup_keeps_one_per_tight_group(spark):
                                 threshold=0.95, dim=dim,
                                 max_cluster_heads=1).collect()}
     assert capped[0] is True and all(capped[i] is False for i in range(1, 5))
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    """BM25: the doc stuffed with a rare query term outranks one with a
+    common term; docs without any query term don't appear."""
+    from incubator_paimon_spark.operators.retrieval import bm25_search
+    rows = [
+        (1, "zebra zebra zebra filler words here"),      # rare term, high tf
+        (2, "zebra appears once among other words"),     # rare term, tf=1
+        (3, "common common words words words filler"),   # common term only
+        (4, "nothing relevant whatsoever in this one"),
+    ] + [(10 + i, "common words filler padding text") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_search(df, "text", "doc_id", ["zebra", "common"], k=10).collect()
+    ids = [r["id"] for r in got]
+    assert ids[0] == 1 and 2 in ids and 4 not in ids
+    scores = {r["id"]: r["score"] for r in got}
+    assert scores[1] > scores[2] > scores[3]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR: docs sharing the target's vocabulary get higher log-weights
+    than off-distribution docs; dsir_sample is deterministic."""
+    from incubator_paimon_spark.operators.sampling import (dsir_logweights,
+                                                           dsir_sample)
+    target = spark.createDataFrame(
+        [(100 + i, "physics quantum entanglement experiment result")
+         for i in range(5)], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "quantum physics entanglement paper"),
+         (2, "celebrity gossip fashion news today"),
+         (3, "physics experiment measurement result")],
+        "doc_id long, text string")
+    w = {r["id"]: r["log_weight"]
+         for r in dsir_logweights(raw, target, "text", "doc_id",
+                                  buckets=512).collect()}
+    assert w[1] > w[2] and w[3] > w[2]
+    s1 = [r["id"] for r in dsir_sample(raw, target, "text", "doc_id",
+                                       n=2, buckets=512).collect()]
+    s2 = [r["id"] for r in dsir_sample(raw, target, "text", "doc_id",
+                                       n=2, buckets=512).collect()]
+    assert s1 == s2 and len(s1) == 2
