@@ -123,14 +123,41 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     return cents
 
 
+# Above this many inlined centroid literal elements (k × dim) the
+# assignment falls back to the broadcast-join shape: a plan with ~100k+
+# literals blows up codegen the same way dim-wide aggregates did
+# (VERDICT r5 / ivf_centroids docstring).
+ASSIGN_INLINE_MAX_ELEMS = 65_536
+
+
 def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine): adds
-    `centroid_id`. Centroids are broadcast — the join is shuffle-free."""
+    `centroid_id`. Ties (possible only with duplicate centroids) break
+    to max cid — deterministic and SQL-replayable.
+
+    Two plans, same results: for typical IVF sizes (k × dim ≤ 65k
+    elements) the k centroids are collected to the driver
+    (control-plane) and inlined as literals, so assignment is ONE
+    zero-shuffle projection — array_max over the k (sim, cid) structs —
+    and the embedding column never moves. Past that, the broadcast-join
+    + groupBy(max_by (id, sim, cid) — small keys) + join-back shape
+    runs instead: it shuffles the vectors once but its plan width stays
+    constant in k × dim."""
+    crows = centroids.collect()
+    dim0 = len(crows[0]["cv"]) if crows else 0
+    if crows and len(crows) * dim0 <= ASSIGN_INLINE_MAX_ELEMS:
+        structs = [
+            F.struct(
+                cosine(F.col(vec_col),
+                       F.array(*[F.lit(float(x)) for x in r["cv"]]))
+                .alias("s"),
+                F.lit(r["cid"]).alias("c"))
+            for r in crows]
+        return df.withColumn("centroid_id",
+                             F.array_max(F.array(*structs))["c"])
     c = F.broadcast(centroids)
     joined = df.join(c)
     sim = cosine(F.col(vec_col), F.col("cv"))
-    # ties (possible only with duplicate centroids) break to max cid —
-    # deterministic and SQL-replayable, unlike bare max_by's pick
     pick = F.max_by(F.col("cid"), F.struct(sim.alias("s"),
                                            F.col("cid").alias("c")))
     best = joined.groupBy(id_col).agg(pick.alias("centroid_id"))
