@@ -153,6 +153,20 @@ def main():
           lambda: S.ivf_centroids(emb, "embedding", "vec_id",
                                   num_centroids=8, dim=64,
                                   iters=2).count(), reps=3)
+    timed("semdedup",
+          lambda: S.semdedup(emb, "embedding", "vec_id", num_centroids=8,
+                             threshold=0.4, dim=64).filter("keep").count(),
+          reps=3)
+    from incubator_paimon_spark.operators.retrieval import bm25_search
+    timed("bm25_search",
+          lambda: bm25_search(docs, "text", "doc_id",
+                              ["merge", "vector", "stream"], k=20).collect(),
+          reps=3)
+    from incubator_paimon_spark.operators.sampling import dsir_logweights
+    timed("dsir_weights",
+          lambda: dsir_logweights(
+              docs, docs.filter(F.col("doc_id") % 20 == 0),
+              "text", "doc_id").count(), reps=3)
     from incubator_paimon_spark.operators import text as TXo
     timed("repetition_stats",
           lambda: TXo.repetition_stats(docs, "text", "doc_id").count(), reps=3)
