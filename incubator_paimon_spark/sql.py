@@ -305,7 +305,7 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
 # surface rewrites each travel-annotated table reference to a temp view
 # bound to the right snapshot before handing the statement to spark.sql.
 _TT_REF = re.compile(
-    r"\b(FROM|JOIN)\s+([A-Za-z_][\w]*\.[\w]+)"
+    r"\b(FROM|JOIN)\s+([A-Za-z_][\w]*\.[\w]+(?:\$\w+)?)"
     r"(?:"
     r"\s+(?:VERSION|FOR\s+SYSTEM_VERSION)\s+AS\s+OF\s+('[^']*'|\w+)"
     r"|\s+(?:TIMESTAMP|FOR\s+SYSTEM_TIME)\s+AS\s+OF\s+('[^']*'|[\d.][\d.:\-]*)"
@@ -352,11 +352,32 @@ def _exec_select(spark, catalog, statement):
     last = 0
     for m in _TT_REF.finditer(_mask_literals(statement)):
         ident = m.group(2)  # identifier chars — never masked
+        base, _, sysname = ident.partition("$")
         try:
-            table = catalog.get_table(ident)
+            table = catalog.get_table(base)
         except Exception:
             continue  # not a catalog table (temp view etc.): leave as-is
         ver, ts = _g(m, statement, 3), _g(m, statement, 4)
+        if sysname:
+            # reference parity: SELECT ... FROM db.t$snapshots etc.
+            # (docs/content/maintenance/system-tables.md); bound at the
+            # statement's latest snapshot, travel clauses rejected
+            if ver is not None or ts is not None:
+                raise ValueError(
+                    f"time travel is not supported on system table "
+                    f"{ident!r}")
+            from .system_tables import system_table
+            import hashlib
+            ph = hashlib.md5(table.path.encode()).hexdigest()[:6]
+            view = re.sub(r"\W", "_",
+                          f"pmn_sys_{ident}_{ph}"
+                          f"_{table.snapshots.latest_id() or 0}")
+            system_table(spark, table, sysname) \
+                .createOrReplaceTempView(view)
+            out.append(statement[last:m.start()])
+            out.append(f"{m.group(1)} {view}")
+            last = m.end()
+            continue
         kw = {}
         if ver is not None:
             v = ver.strip()

@@ -638,3 +638,33 @@ def test_sql_incremental_tvf_tag_bounds(spark, catalog):
         spark, "SELECT k FROM paimon_incremental_query('db.tvft', 't1', 't3') "
                "ORDER BY k").collect()
     assert [r["k"] for r in got] == [2, 3]
+
+
+def test_select_system_tables_in_sql(spark, catalog):
+    """Reference parity (system-tables.md): FROM db.t$snapshots / $files /
+    $tags resolve through the SQL surface; travel on them is rejected."""
+    from incubator_paimon_spark.sql import execute_sql
+    t = catalog.create_table("db.syst", _schema("k bigint, v string"))
+    t.write(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.write(spark, spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.create_tag("rel1", snapshot_id=1)
+
+    snaps = execute_sql(spark, catalog,
+                        "SELECT snapshot_id FROM db.syst$snapshots "
+                        "ORDER BY snapshot_id").collect()
+    assert [r["snapshot_id"] for r in snaps] == [1, 2]
+    nfiles = execute_sql(spark, catalog,
+                         "SELECT count(*) AS c FROM db.syst$files").first()["c"]
+    assert nfiles >= 2
+    tags = execute_sql(spark, catalog,
+                       "SELECT tag_name FROM db.syst$tags").collect()
+    assert [r["tag_name"] for r in tags] == ["rel1"]
+    # joinable against the data table in one statement
+    j = execute_sql(spark, catalog, """
+        SELECT count(*) AS c FROM db.syst d
+        JOIN db.syst$snapshots s ON s.snapshot_id = 2
+    """).first()["c"]
+    assert j == 2
+    with pytest.raises(ValueError, match="system table"):
+        execute_sql(spark, catalog,
+                    "SELECT * FROM db.syst$snapshots VERSION AS OF 1")
