@@ -138,10 +138,13 @@ def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
     """
     raw_f = _hashed_features(df, text_col, id_col, buckets)
     tgt_f = _hashed_features(target, text_col, id_col, buckets)
-    qc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn"))
-    pc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
-    qtot = raw_f.count()
-    ptot = tgt_f.count()
+    # count tables are ≤ buckets rows — cache them so the totals and the
+    # log-ratio join reuse ONE aggregation pass per corpus instead of
+    # re-running the feature explode (bounded memory: ~2 ints × buckets)
+    qc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn")).cache()
+    pc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn")).cache()
+    qtot = qc.agg(F.sum("qn")).collect()[0][0] or 0
+    ptot = pc.agg(F.sum("pn")).collect()[0][0] or 0
     lw = (qc.join(pc, "bucket", "full")
             .select("bucket",
                     (F.log((F.coalesce(F.col("pn"), F.lit(0)) + 1.0)
