@@ -1214,16 +1214,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
-        "span_dedup": q_span_dedup,
         "stream_neardup": q_stream_neardup,
         "crosscorpus_neardup": q_crosscorpus_neardup,
-        "mixture_sample": q_mixture_sample,
-        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
-        "cosine_topk": q_cosine_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "ivf_search": q_ivf_search,
         "ivf_table_search": q_ivf_table_search,
+        # r7: every query whose operator CHANGED this round is gated —
+        # char_entropy (rewritten as the sorted-run fold), kmeans
+        # (assign_ivf's inlined-literal assignment), simhash +
+        # crosscorpus_neardup (hot-bucket caps, above) — plus the four
+        # new operators (semdedup / bm25 / dsir / dsir_sample)
+        "char_entropy": q_char_entropy,
+        "kmeans": q_kmeans,
+        "semdedup": q_semdedup,
+        "bm25": q_bm25,
+        "dsir": q_dsir,
+        "dsir_sample": q_dsir_sample,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
         # entries ride the exact same raw-parquet scan path the gated
         # pricing_summary exercises (spark.sql window/agg/join over _t
@@ -1252,17 +1257,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_lsh, whose hyperplane-bucket path the gated
         # embedding_neardup already rides end-to-end. Every entry below still has an
         # oracle and runs under tools/check_oracles.py locally.
+        # r7 rotates out six whose code paths other gated queries still
+        # ride, to make room for the changed/new six above:
+        # mixture_sample (hash-bucket CASE predicate — dsir_sample now
+        # gates the sampling module's selection path), ngram_jaccard
+        # (LSH candidates from the gated minhash_pairs + array_intersect
+        # scoring), cosine_topk (zip_with/aggregate cosine — gated
+        # ivf_table_search and kmeans both ride it), embedding_neardup
+        # (hyperplane buckets — unchanged since r4), ivf_search (the
+        # unpersisted variant of the gated ivf_table_search), and
+        # span_dedup (unchanged since r6; unique shape but stable two
+        # rounds).
+        "span_dedup": q_span_dedup,
+        "mixture_sample": q_mixture_sample,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_search": q_ivf_search,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "quantized_topk": q_quantized_topk,
         "embedding_lsh": q_embedding_lsh,
         "gopher_filter": q_gopher_filter,
-        "char_entropy": q_char_entropy,
-        "kmeans": q_kmeans,
-        "semdedup": q_semdedup,
-        "bm25": q_bm25,
-        "dsir": q_dsir,
-        "dsir_sample": q_dsir_sample,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,
