@@ -28,5 +28,8 @@ def get_spark(app_name: str = "incubator_paimon_spark", cpus: int | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # unlock Spark 4.1's TIME type so paimon TIME columns map to a
+        # real TimeType instead of a documented deviation
+        .config("spark.sql.timeType.enabled", "true")
         .getOrCreate()
     )

@@ -815,3 +815,31 @@ def test_catalog_attach_binds_new_tables(spark, catalog):
     t = catalog.create_table("db.att_late", sch)
     t.write(spark, spark.createDataFrame([(1, "x")], schema=sch))
     assert spark.sql("SELECT v FROM db_att_late").collect()[0]["v"] == "x"
+
+
+def test_time_type_round_trip(spark, catalog):
+    """Spark 4.1 TIME columns (unlocked via spark.sql.timeType.enabled in
+    get_spark) work end-to-end: append round-trip, predicate read, and
+    PK merge — closing the SURVEY §1.2 TIME-type deviation."""
+    import datetime
+
+    import pyspark.sql.types as T
+
+    from incubator_paimon_spark import P
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("t", T.TimeType())])
+    df = spark.createDataFrame(
+        [(1, datetime.time(9, 30, 15)), (2, datetime.time(23, 59, 59))], sch)
+    tb = catalog.create_table("db.timety", sch)
+    tb.write(spark, df)
+    got = sorted((r["k"], str(r["t"])) for r in tb.read(spark).collect())
+    assert got == [(1, "09:30:15"), (2, "23:59:59")]
+    assert tb.read(spark,
+                   predicate=P.gt("t", datetime.time(12, 0))).count() == 1
+
+    tb2 = catalog.create_table("db.timety_pk", sch, primary_keys=["k"],
+                               options={"bucket": "1"})
+    tb2.write(spark, df)
+    tb2.write(spark, spark.createDataFrame([(1, datetime.time(1, 2, 3))], sch))
+    got2 = sorted((r["k"], str(r["t"])) for r in tb2.read(spark).collect())
+    assert got2 == [(1, "01:02:03"), (2, "23:59:59")]
