@@ -277,6 +277,50 @@ def _repair(spark, catalog, database_or_table=None, **_):
     return repaired
 
 
+def _privilege_manager(spark, catalog):
+    """The catalog's manager if privileged, else an anonymous one over
+    its warehouse (sufficient for init; mutations then require admin)."""
+    from .privilege import PrivilegedCatalog, PrivilegeManager
+    if isinstance(catalog, PrivilegedCatalog):
+        return catalog.privileges
+    return PrivilegeManager(spark, catalog.warehouse)
+
+
+def _priv_ident(database=None, table=None):
+    if table:
+        return f"{database}.{table}" if database else table
+    return database or ""
+
+
+def _init_privilege(spark, catalog, root_password, **_):
+    _privilege_manager(spark, catalog).initialize(root_password)
+    return "privilege system initialized"
+
+
+def _create_privileged_user(spark, catalog, username, password, **_):
+    _privilege_manager(spark, catalog).create_user(username, password)
+    return f"user {username} created"
+
+
+def _drop_privileged_user(spark, catalog, username, **_):
+    _privilege_manager(spark, catalog).drop_user(username)
+    return f"user {username} dropped"
+
+
+def _grant_privilege_to_user(spark, catalog, username, privilege,
+                             database=None, table=None, **_):
+    _privilege_manager(spark, catalog).grant(
+        username, _priv_ident(database, table), privilege)
+    return f"granted {privilege} to {username}"
+
+
+def _revoke_privilege_from_user(spark, catalog, username, privilege,
+                                database=None, table=None, **_):
+    n = _privilege_manager(spark, catalog).revoke(
+        username, _priv_ident(database, table), privilege)
+    return f"revoked {n} grant(s)"
+
+
 _PROCEDURES = {
     "compact": _compact,
     "expire_snapshots": _expire_snapshots,
@@ -296,4 +340,10 @@ _PROCEDURES = {
     "migrate_file": _migrate_file,
     "repair": _repair,
     "drop_partition": _drop_partition,
+    # privilege procedures (reference: paimon-flink/.../procedure/privilege/)
+    "init_file_based_privilege": _init_privilege,
+    "create_privileged_user": _create_privileged_user,
+    "drop_privileged_user": _drop_privileged_user,
+    "grant_privilege_to_user": _grant_privilege_to_user,
+    "revoke_privilege_from_user": _revoke_privilege_from_user,
 }
