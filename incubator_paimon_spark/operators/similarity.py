@@ -96,7 +96,13 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
                .orderBy(F.md5(F.col("cid").cast("string")))
                .limit(num_centroids))
     for _ in range(iters):
-        assigned = assign_ivf(df, cents, vec_col, id_col)
+        # the LAZY broadcast-join assignment, deliberately: assign_ivf's
+        # inlined-literal fast path collects the centroids, and a collect
+        # per Lloyd iteration re-executes the whole prior-iteration
+        # lineage as separate jobs (measured 0.5 s → 3.7 s on the
+        # 2-iteration bench). Keeping the loop lazy lets ONE final
+        # action run the entire chain with shuffle reuse.
+        assigned = _assign_join(df, cents, vec_col, id_col)
         # mean per cluster, element-wise — via posexplode → groupBy(
         # centroid, pos) → avg → re-assemble. A dim-wide `agg(avg(
         # element_at(v, i)) for i in range(dim))` builds thousands of
@@ -155,6 +161,13 @@ def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -
             for r in crows]
         return df.withColumn("centroid_id",
                              F.array_max(F.array(*structs))["c"])
+    return _assign_join(df, centroids, vec_col, id_col)
+
+
+def _assign_join(df: DataFrame, centroids: DataFrame, vec_col: str,
+                 id_col: str) -> DataFrame:
+    """Lazy broadcast-join assignment (no driver action): used inside
+    the Lloyd loop and as assign_ivf's large-k×dim fallback."""
     c = F.broadcast(centroids)
     joined = df.join(c)
     sim = cosine(F.col(vec_col), F.col("cv"))
