@@ -1034,6 +1034,14 @@ def q_semdedup(spark, sf_dir):
                       threshold=0.4, dim=64, iters=0)
 
 
+def q_line_stats(spark, sf_dir):
+    """Line-shape quality signals (CCNet/C4/RedPajama/FineWeb rules):
+    dup-line fraction, terminal-punctuation / short-line / bullet-line
+    fractions, mean line length — zero-shuffle scan projection."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.line_stats(d, "text", "doc_id")
+
+
 def q_bm25(spark, sf_dir):
     """BM25 lexical search (Lucene idf variant) for a fixed query: one
     corpus-stats aggregate (N, avgdl, per-term df — |terms|+2 counters,
@@ -1279,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "embedding_lsh": q_embedding_lsh,
         "gopher_filter": q_gopher_filter,
+        "line_stats": q_line_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "corpus_stats": q_corpus_stats,

@@ -365,3 +365,36 @@ def gopher_quality_filter(df: DataFrame, text_col: str, id_col: str,
         hits.alias("stopword_hits"),
         ends_terminal.alias("ends_terminal"),
         keep.alias("keep"))
+
+
+def line_stats(df: DataFrame, text_col: str, id_col: str,
+               short_line_chars: int = 10) -> DataFrame:
+    """Line-level quality signals from the published CCNet / C4 /
+    RedPajama-v2 / FineWeb rule sets, one row per document:
+    (id, n_lines, dup_line_frac, frac_lines_end_terminal,
+    frac_short_lines, frac_bullet_lines, mean_line_len). Boilerplate-
+    and template-heavy pages score high on dup_line_frac / bullet
+    fraction and low on terminal punctuation — the standard line-shape
+    quality gate that complements the word-level gopher_quality_filter.
+    Pure Column expressions over split(text, '\\n'): a zero-shuffle scan
+    projection at any corpus size."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    dup_frac = F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0))
+    def frac(pred):
+        return F.when(n > 0, F.size(F.filter(lines, pred)).cast("double") / n) \
+                .otherwise(F.lit(0.0))
+    end_terminal = frac(lambda l: l.rlike(r"[.!?\"']\s*$"))
+    short = frac(lambda l: F.length(F.trim(l)) < short_line_chars)
+    bullet = frac(lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])\s"))
+    total_len = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    mean_len = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_lines"),
+        quantize(dup_frac, 4).alias("dup_line_frac"),
+        quantize(end_terminal, 4).alias("frac_lines_end_terminal"),
+        quantize(short, 4).alias("frac_short_lines"),
+        quantize(bullet, 4).alias("frac_bullet_lines"),
+        quantize(mean_len, 4).alias("mean_line_len"))

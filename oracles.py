@@ -1232,3 +1232,27 @@ SELECT id, log_weight,
 FROM dw
 ORDER BY key DESC, id LIMIT 50
 """
+
+
+# line_stats: CCNet/C4/RedPajama/FineWeb line-shape signals; split on
+# \n always yields >= 1 element so the n>0 guards collapse.
+_LS_Q = "len(lines)"
+_LS_TERM = "len(list_filter(lines, x -> regexp_matches(x, '[.!?\"'']\\s*$')))::DOUBLE / " + _LS_Q
+_LS_SHORT = "len(list_filter(lines, x -> length(trim(x)) < 10))::DOUBLE / " + _LS_Q
+_LS_BULLET = ("len(list_filter(lines, x -> regexp_matches(trim(x), "
+              "'^([-*\u2022]|[0-9]+[.)])\\s')))::DOUBLE / " + _LS_Q)
+_LS_MEAN = "list_sum(list_transform(lines, x -> length(x)))::DOUBLE / " + _LS_Q
+_LS_DUP = "(len(lines) - len(list_distinct(lines)))::DOUBLE / " + _LS_Q
+ORACLES["line_stats"] = f"""
+WITH l AS (
+  SELECT doc_id AS id, string_split(text, chr(10)) AS lines FROM documents
+)
+SELECT id,
+  len(lines)::INT AS n_lines,
+  {_q(_LS_DUP)} AS dup_line_frac,
+  {_q(_LS_TERM)} AS frac_lines_end_terminal,
+  {_q(_LS_SHORT)} AS frac_short_lines,
+  {_q(_LS_BULLET)} AS frac_bullet_lines,
+  {_q(_LS_MEAN)} AS mean_line_len
+FROM l
+"""

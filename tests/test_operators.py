@@ -731,3 +731,19 @@ def test_dsir_weights_favor_target_like_docs(spark):
     s2 = [r["id"] for r in dsir_sample(raw, target, "text", "doc_id",
                                        n=2, buckets=512).collect()]
     assert s1 == s2 and len(s1) == 2
+
+
+def test_line_stats_signals(spark):
+    """Each line-shape signal responds to its own pattern."""
+    clean = "First sentence ends well.\nSecond line also terminates!\nAnd a third one here?"
+    listy = "- item one\n- item two\n1. numbered\nok\nok"
+    df = spark.createDataFrame([(1, clean), (2, listy)],
+                               "doc_id long, text string")
+    got = {r["id"]: r for r in TX.line_stats(df, "text", "doc_id").collect()}
+    assert got[1]["n_lines"] == 3
+    assert got[1]["frac_lines_end_terminal"] == 1.0
+    assert got[1]["dup_line_frac"] == 0.0 and got[1]["frac_bullet_lines"] == 0.0
+    assert got[2]["n_lines"] == 5
+    assert got[2]["frac_bullet_lines"] == 0.6  # two dashes + one numbered
+    assert got[2]["dup_line_frac"] == 0.2      # duplicate 'ok'
+    assert got[2]["frac_short_lines"] == 0.4   # the two 'ok' lines
