@@ -328,8 +328,14 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim,
                           iters=iters)
     assigned = assign_ivf(df, cents, vec_col, id_col)
+    # norms computed ONCE per vector in the projection: the pairwise
+    # stage then does a single zip_with dot per pair instead of three
+    # HOF passes (dot + both norms) — HOF lambdas are interpreted, not
+    # codegen'd, so this cuts the quadratic term's cost ~3×. Same float
+    # ops on the same values → bit-identical to cosine() per pair.
     slim = assigned.select(F.col(id_col).alias("id"), "centroid_id",
-                           F.col(vec_col).alias("v"))
+                           F.col(vec_col).alias("v"),
+                           norm(F.col(vec_col)).alias("nrm"))
     heads = slim
     if max_cluster_heads is not None:
         from pyspark.sql import Window as W
@@ -338,10 +344,10 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
                      .filter(F.col("__rn") <= max_cluster_heads)
                      .drop("__rn"))
     a = heads.select(F.col("id").alias("id_a"), "centroid_id",
-                     F.col("v").alias("va"))
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = slim.select(F.col("id").alias("id_b"), "centroid_id",
-                    F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dup_ids = (a.join(b, "centroid_id")
                 .filter(F.col("id_a") < F.col("id_b"))
                 .filter(quantize(sim, 4) >= threshold)
