@@ -344,13 +344,16 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     md5(plane,dim)) — pairs are only compared inside a bucket, the 100 TB
     path; recall < 1 by design. exact=True opts into the all-pairs
     cartesian — O(n²), only for modest n or within pre-blocked groups."""
-    from .similarity import cosine
-
     if not exact and num_planes <= 0:
         raise ValueError("num_planes must be > 0 (or pass exact=True "
                          "to opt into the all-pairs comparison)")
+    from .similarity import norm
+    # norm computed ONCE per vector (rides the bucket shuffle): the
+    # pairwise stage does a single interpreted zip_with dot per pair
+    # instead of dot + both norms — same float ops, same results
     v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
-                                      F.col(vec_col).alias("v"))
+                                      F.col(vec_col).alias("v"),
+                                      norm(F.col(vec_col)).alias("nrm"))
     if not exact:
         if dim is None:
             # fallback probe = one tiny driver job; callers on a hot path
@@ -374,7 +377,8 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     else:
         a, b = v.alias("a"), v.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    from .similarity import dot
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                          quantize(sim, 4).alias("cosine"))
                  .filter(F.col("cosine") >= threshold))
