@@ -61,10 +61,14 @@ def knn_join(left: DataFrame, right: DataFrame, vec_col: str, k: int,
     smaller (right) side; per-left top-k via window (scale: right side must
     fit broadcast; otherwise use ivf_search per query batch)."""
     from pyspark.sql import Window as W
-    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"))
-    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"))
+    # norms once per row, not once per (left x right) pair — the
+    # interpreted-HOF dot is then the only per-pair work
+    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"),
+                    norm(F.col(vec_col)).alias("qn"))
+    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"),
+                     norm(F.col(vec_col)).alias("nn"))
     joined = l.join(F.broadcast(r))
-    sim = cosine(F.col("qv"), F.col("nv"))
+    sim = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (joined.select("qid", "nid", quantize(sim, 4).alias("cosine"))
                   .withColumn("rn", F.row_number().over(w))
