@@ -155,3 +155,34 @@ def test_crosscorpus_neardup_joins_on_band_keys(spark):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_bm25_is_zero_shuffle_takeordered(spark):
+    """BM25 scoring is one scan projection + TakeOrdered — the stats
+    pass is a separate driver-collected aggregate, so the search plan
+    itself must contain NO exchange."""
+    from incubator_paimon_spark.operators.retrieval import bm25_search
+    p = _plan(bm25_search(_docs(spark), "text", "doc_id",
+                          ["merge", "vector"], k=5))
+    assert "Exchange" not in p, p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_line_stats_is_zero_shuffle(spark):
+    from incubator_paimon_spark.operators.text import line_stats
+    p = _plan(line_stats(_docs(spark), "text", "doc_id"))
+    assert "Exchange" not in p, p
+
+
+def test_semdedup_assignment_inlined_no_vector_shuffle_for_assign(spark):
+    """semdedup at typical k x dim: assignment is the inlined-literal
+    projection (no join for assignment), pairs join only on centroid_id,
+    and no cartesian/nested-loop appears."""
+    from incubator_paimon_spark.operators.similarity import semdedup
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(semdedup(e, "embedding", "vec_id", num_centroids=4,
+                       threshold=0.4, dim=64))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # window cap + pair join + distinct + final join: bounded exchanges
+    assert p.count("Exchange hashpartitioning") <= 6, p
