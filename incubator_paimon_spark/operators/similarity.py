@@ -133,48 +133,36 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     return cents
 
 
-# Above this many inlined centroid literal elements (k × dim) the
-# assignment falls back to the broadcast-join shape: a plan with ~100k+
-# literals blows up codegen the same way dim-wide aggregates did
-# (VERDICT r5 / ivf_centroids docstring).
-ASSIGN_INLINE_MAX_ELEMS = 65_536
-
-
 def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine): adds
-    `centroid_id`. Ties (possible only with duplicate centroids) break
-    to max cid — deterministic and SQL-replayable.
+    `centroid_id`. Centroids are broadcast; ties (possible only with
+    duplicate centroids) break to max cid — deterministic and
+    SQL-replayable.
 
-    Two plans, same results: for typical IVF sizes (k × dim ≤ 65k
-    elements) the k centroids are collected to the driver
-    (control-plane) and inlined as literals, so assignment is ONE
-    zero-shuffle projection — array_max over the k (sim, cid) structs —
-    and the embedding column never moves. Past that, the broadcast-join
-    + groupBy(max_by (id, sim, cid) — small keys) + join-back shape
-    runs instead: it shuffles the vectors once but its plan width stays
-    constant in k × dim."""
-    crows = centroids.collect()
-    dim0 = len(crows[0]["cv"]) if crows else 0
-    if crows and len(crows) * dim0 <= ASSIGN_INLINE_MAX_ELEMS:
-        structs = [
-            F.struct(
-                cosine(F.col(vec_col),
-                       F.array(*[F.lit(float(x)) for x in r["cv"]]))
-                .alias("s"),
-                F.lit(r["cid"]).alias("c"))
-            for r in crows]
-        return df.withColumn("centroid_id",
-                             F.array_max(F.array(*structs))["c"])
+    Deliberately the broadcast-join + groupBy(max_by over small keys) +
+    join-back shape at EVERY k: an alternative that collects the
+    centroids and inlines them as one array_max-over-structs projection
+    ("zero shuffle") was measured 1.6× slower at k=4 and 20× slower at
+    k=64 on a 20 k-row corpus — a k×dim-literal HOF tree evaluates
+    interpreted per row, while this shape keeps per-row work small and
+    codegen'd and its plan width constant in k × dim."""
     return _assign_join(df, centroids, vec_col, id_col)
 
 
 def _assign_join(df: DataFrame, centroids: DataFrame, vec_col: str,
                  id_col: str) -> DataFrame:
-    """Lazy broadcast-join assignment (no driver action): used inside
-    the Lloyd loop and as assign_ivf's large-k×dim fallback."""
-    c = F.broadcast(centroids)
-    joined = df.join(c)
-    sim = cosine(F.col(vec_col), F.col("cv"))
+    """Lazy broadcast-join assignment (no driver action) — shared by
+    assign_ivf and the Lloyd refinement loop. Norms are computed once
+    per vector and once per centroid BEFORE the n×k join, so each
+    joined row pays a single interpreted zip_with dot instead of
+    dot + two 64-element norm folds — 3× less HOF work on the
+    operator's dominant O(n·k) term; same float ops, same results."""
+    c = F.broadcast(centroids.withColumn("__cnrm", norm(F.col("cv"))))
+    v = df.select(F.col(id_col), F.col(vec_col),
+                  norm(F.col(vec_col)).alias("__vnrm"))
+    joined = v.join(c)
+    sim = dot(F.col(vec_col), F.col("cv")) \
+        / (F.col("__vnrm") * F.col("__cnrm"))
     pick = F.max_by(F.col("cid"), F.struct(sim.alias("s"),
                                            F.col("cid").alias("c")))
     best = joined.groupBy(id_col).agg(pick.alias("centroid_id"))
@@ -318,7 +306,11 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     shuffle per Lloyd iteration, driver holds only k centroids); the
     within-cluster similarity pass is a self-join ON centroid_id — the
     classic SemDeDup trick that turns an O(n²) corpus comparison into
-    sum of O(c²) clusters, so num_centroids should scale ~n/1000. The
+    sum of O(c²) clusters. Cost model for choosing k: assignment costs
+    O(n·k) pair-dots and the within-cluster pass O(n²/2k), so
+    k ≈ √(n/2) minimizes total dot count (k=√n/√2 → both terms
+    n^1.5/√2); larger k buys smaller (higher-precision) clusters at
+    linear assignment cost. The
     join's LEFT side keeps only each cluster's `max_cluster_heads`
     smallest ids (the proven hot-bucket cap pattern from
     dedup.minhash_lsh_pairs): a degenerate mega-cluster stays
@@ -337,9 +329,18 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     # HOF passes (dot + both norms) — HOF lambdas are interpreted, not
     # codegen'd, so this cuts the quadratic term's cost ~3×. Same float
     # ops on the same values → bit-identical to cosine() per pair.
+    # the assignment projection is the operator's dominant cost
+    # (O(n·k) interpreted-HOF cosines) and has THREE consumers (head
+    # cap, pair probe side, final verdict join); exchange reuse cannot
+    # kick in because per-consumer column pruning differentiates the
+    # subtrees, so persist the assigned projection — disk-backed, the
+    # same pattern Spark ML uses for iterative reuse. State is
+    # n × (vector + 3 small cols); spills past memory.
+    from pyspark import StorageLevel
     slim = assigned.select(F.col(id_col).alias("id"), "centroid_id",
                            F.col(vec_col).alias("v"),
-                           norm(F.col(vec_col)).alias("nrm"))
+                           norm(F.col(vec_col)).alias("nrm")) \
+                   .persist(StorageLevel.MEMORY_AND_DISK)
     heads = slim
     if max_cluster_heads is not None:
         from pyspark.sql import Window as W
