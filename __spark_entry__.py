@@ -1075,6 +1075,70 @@ def q_dsir_sample(spark, sf_dir):
                        "text", "doc_id", n=50, buckets=8192)
 
 
+def q_crosscorpus_indexed(spark, sf_dir):
+    """Index-backed cross-corpus near-dup: identical pairs to
+    crosscorpus_neardup (they share one oracle), but the standing
+    corpus's banded signatures come from a maintained PK index table
+    (operators/dedup_index.py) instead of an O(|base|) signature pass
+    per crawl — the r7 probe measured that pass at ~all of 386 s for a
+    500 K-doc base, re-paid nightly (VERDICT r7 #1)."""
+    from incubator_paimon_spark.operators import dedup_index as DI
+    fx = _fixtures(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    if "mh_index" not in fx:
+        base = d.filter(F.col("doc_id") % 10 != 0)
+        fx["mh_index"] = DI.build_minhash_index(
+            spark, fx["cat"], "fx.mh_index", base, "text", "doc_id",
+            num_hashes=16, bands=4, shingle_n=3)
+    bi = DI.read_minhash_index(spark, fx["mh_index"], 16, 4, 3)
+    return D.minhash_lsh_pairs_between(new, None, "text", "doc_id",
+                                       num_hashes=16, bands=4,
+                                       min_est_jaccard=0.5,
+                                       base_index=bi)
+
+
+def q_dsir_incremental(spark, sf_dir):
+    """DSIR with INCREMENTALLY MAINTAINED bucket counts: q̂/p̂ live in
+    aggregation-merge-engine PK tables (sum field aggregator) updated
+    per ingest commit — here the raw corpus arrives as TWO commits —
+    and the resulting weights hash-match a from-scratch recompute
+    (shared oracle with `dsir`). The first entry composing the LLM
+    pipeline with the engine's own merge machinery end-to-end."""
+    from incubator_paimon_spark.operators import sampling as SA
+    fx = _fixtures(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    if "dsir_counts" not in fx:
+        qt = SA.create_dsir_counts_table(fx["cat"], "fx.dsir_q", 8192)
+        pt = SA.create_dsir_counts_table(fx["cat"], "fx.dsir_p", 8192)
+        SA.update_dsir_counts(spark, qt,
+                              d.filter(F.col("doc_id") % 2 == 0),
+                              "text", "doc_id")
+        SA.update_dsir_counts(spark, qt,
+                              d.filter(F.col("doc_id") % 2 == 1),
+                              "text", "doc_id")
+        SA.update_dsir_counts(spark, pt,
+                              d.filter(F.col("doc_id") % 20 == 0),
+                              "text", "doc_id")
+        fx["dsir_counts"] = (qt, pt)
+    qt, pt = fx["dsir_counts"]
+    return SA.dsir_logweights_from_tables(spark, d, qt, pt,
+                                          "text", "doc_id")
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the BM25 lexical top-20 and the exact-cosine semantic top-20 —
+    the standard curation / eval-set-mining shape. Fusion touches ≤40
+    rows; the corpus-scale work is the two underlying searches."""
+    from incubator_paimon_spark.operators.retrieval import hybrid_search
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return hybrid_search(d, e, "text", "doc_id", "embedding", "vec_id",
+                         ["merge", "vector", "stream"], QUERY_VEC,
+                         k=10, k_each=20)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1209,15 +1273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         # LLM pipeline
         "media_meta": q_media_meta,
-        "doc_chunks": q_doc_chunks,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_pipeline": q_corpus_pipeline,
-        "kmv_distinct": q_kmv_distinct,
         "repetition": q_repetition,
         "asof_join": q_asof_join,
         "contamination": q_contamination,
@@ -1237,6 +1298,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "dsir": q_dsir,
         "dsir_sample": q_dsir_sample,
+        # r8 additions: the maintained-index near-dup path (shares
+        # crosscorpus_neardup's oracle — index-backed must be
+        # bit-identical to from-scratch), incrementally maintained DSIR
+        # counts through the aggregation merge engine (shares dsir's
+        # oracle — two-commit ingest must hash-match a recompute), and
+        # RRF hybrid retrieval over the gated bm25 + cosine rankers.
+        # Rotated out to make room: lang_id / doc_chunks / kmv_distinct
+        # (stable zero-shuffle documents-scan projections since r4-r5;
+        # the gated doc_stats / doc_quality / corpus_pipeline ride the
+        # same scan+agg path; all three stay oracle-checked in rotation).
+        "crosscorpus_indexed": q_crosscorpus_indexed,
+        "dsir_incremental": q_dsir_incremental,
+        "hybrid_search": q_hybrid_search,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
         # entries ride the exact same raw-parquet scan path the gated
         # pricing_summary exercises (spark.sql window/agg/join over _t
@@ -1277,6 +1351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span_dedup (unchanged since r6; unique shape but stable two
         # rounds).
         "span_dedup": q_span_dedup,
+        "lang_id": q_lang_id,
+        "doc_chunks": q_doc_chunks,
+        "kmv_distinct": q_kmv_distinct,
         "mixture_sample": q_mixture_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,

@@ -78,3 +78,74 @@ def read_statistics(table, snapshot=None) -> dict | None:
     if s is None or s.statistics is None:
         return None
     return read_json(os.path.join(table.path, "statistics", s.statistics))
+
+
+# ----------------------------------------------------------------------
+# Feeding ANALYZE statistics back into Spark's planner (VERDICT r7 #6).
+# The reference surfaces table stats through DSv2 estimateStatistics
+# (PaimonBaseScan.estimateStatistics -> PaimonStatistics.scala), which
+# Spark's join planning consumes to pick broadcast sides. PySpark's view
+# binding has no estimateStatistics hook, so the equivalent lever is the
+# broadcast() hint: when OUR stats bound a table's size under
+# spark.sql.autoBroadcastJoinThreshold, every view the SQL surface binds
+# for it carries the hint — a fact⋈dim catalog.sql join then plans a
+# BroadcastHashJoin even with AQE off, instead of relying on AQE's
+# runtime rescue.
+# ----------------------------------------------------------------------
+_FIXED_WIDTH = {"boolean": 1, "byte": 1, "short": 2, "integer": 4,
+                "float": 4, "date": 4, "long": 8, "double": 8,
+                "timestamp": 8, "timestamp_ntz": 8, "time": 8,
+                "decimal": 16}
+
+
+def estimated_size_bytes(table) -> int | None:
+    """Rough in-memory relation size from the latest ANALYZE statistics
+    (None when the table was never analyzed). Per-row cost = fixed
+    widths by type + measured avgLen for string/binary (20-byte default
+    when the column wasn't analyzed) + 8 bytes/field overhead — the
+    same order-of-magnitude model Spark's SizeEstimator applies, which
+    is all a broadcast-threshold decision needs."""
+    stats = read_statistics(table)
+    if stats is None:
+        return None
+    n = stats.get("mergedRecordCount") or 0
+    col_stats = stats.get("colStats", {})
+    per_row = 8
+    for f in table.schema.fields:
+        t = f.type.typeName()
+        if t in ("string", "binary"):
+            per_row += (col_stats.get(f.name, {}).get("avgLen") or 20) + 8
+        else:
+            per_row += _FIXED_WIDTH.get(t, 16) + 8
+    return int(n * per_row)
+
+
+def _broadcast_threshold(spark) -> int:
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mult = 1
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in units:
+        mult = units[raw[-1]]
+        raw = raw[:-1]
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 << 20
+
+
+def broadcast_if_small(spark, table, df):
+    """Attach a broadcast() hint when ANALYZE stats bound `table` under
+    the session's autoBroadcastJoinThreshold. No stats / big table /
+    threshold=-1 → df unchanged. Stats go stale the usual CBO way
+    (they carry forward across data commits until the next ANALYZE),
+    which matches the reference's DSv2 statistics behavior."""
+    thr = _broadcast_threshold(spark)
+    if thr <= 0:
+        return df
+    est = estimated_size_bytes(table)
+    if est is not None and est <= thr:
+        return F.broadcast(df)
+    return df

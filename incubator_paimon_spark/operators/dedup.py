@@ -113,6 +113,38 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> 
                                num_hashes)
 
 
+def minhash_banded(df: DataFrame, text_col: str, id_col: str,
+                   num_hashes: int = 16, bands: int = 4,
+                   shingle_n: int = 3, *, id_alias: str = "id",
+                   sig_alias: str = "sig") -> DataFrame:
+    """The banded signature projection every LSH variant shares:
+    (id, sig array<long>, band int, bh string) — `bands` rows per doc,
+    bh = md5 over the band's signature slice. This is also the exact row
+    layout the persisted signature index stores (see dedup_index) so
+    index-backed and from-scratch queries are expression-identical.
+
+    The expensive shingle+md5 pipeline is materialized in its own
+    projection so it runs once per row (CollapseProject keeps a
+    non-cheap alias referenced num_hashes times otherwise)."""
+    rows = num_hashes // bands
+    base = (df.select(F.col(id_col).alias(id_alias),
+                      F.transform(shingles(F.col(text_col), shingle_n),
+                                  h32).alias("hs"))
+              .select(id_alias, minhash_from_hashes(F.col("hs"),
+                                                    num_hashes).alias(sig_alias)))
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws(",", *[
+                     F.element_at(F.col(sig_alias), b * rows + r + 1)
+                     for r in range(rows)])).alias("bh"))
+        for b in range(bands)
+    ])
+    return (base.select(id_alias, sig_alias, F.explode(band_arr).alias("b"))
+                .select(id_alias, sig_alias,
+                        F.col("b.band").alias("band"),
+                        F.col("b.bh").alias("bh")))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3,
@@ -134,27 +166,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     but bounds the one degenerate case that would otherwise go quadratic on
     a boilerplate-heavy real corpus (VERDICT r4 scale audit). The capped
     variant loses only (non-head, non-head) edges, which are redundant for
-    clustering; pass None to force the exact uncapped pair set.
+    clustering; pass None to force the exact uncapped pair set, and use
+    `lsh_bucket_truncation` to audit whether the cap actually fired on a
+    given corpus (empty audit ⇒ capped == uncapped, bit-for-bit).
     """
     df = ensure_parallelism(df)
-    rows = num_hashes // bands
-    # materialize shingle hashes in their own projection so the expensive
-    # shingle+md5 pipeline runs once per row (CollapseProject keeps a
-    # non-cheap alias referenced 16× in the child projection)
-    base = (df.select(F.col(id_col).alias("id"),
-                      F.transform(shingles(F.col(text_col), shingle_n),
-                                  h32).alias("hs"))
-              .select("id", minhash_from_hashes(F.col("hs"),
-                                                num_hashes).alias("sig")))
-    band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.element_at(F.col("sig"), b * rows + r + 1)
-                                          for r in range(rows)])).alias("bh"))
-        for b in range(bands)
-    ])
-    exploded = base.select("id", "sig", F.explode(band_arr).alias("b")) \
-                   .select("id", "sig", F.col("b.band").alias("band"),
-                           F.col("b.bh").alias("bh"))
+    exploded = minhash_banded(df, text_col, id_col, num_hashes, bands,
+                              shingle_n)
     left_src = exploded
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
@@ -179,12 +197,37 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ----------------------------------------------------------------------
-def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame,
+def lsh_bucket_truncation(df: DataFrame, text_col: str, id_col: str,
+                          num_hashes: int = 16, bands: int = 4,
+                          shingle_n: int = 3,
+                          max_bucket_size: int = 10_000) -> DataFrame:
+    """Recall audit for the capped LSH operators (ADVICE r7): the
+    (band, bh) buckets whose membership EXCEEDS `max_bucket_size`, as
+    (band, bh, bucket_size, truncated_members). Empty result ⇒ the cap
+    never fired and the capped candidate set is bit-identical to the
+    uncapped one; non-empty ⇒ each listed bucket lost
+    (non-head, non-head) candidate edges — harmless for clustering
+    (the clique stays connected through its head ids) but a recall
+    reduction for raw pair listing. One groupBy over the banded
+    projection (~130 B/doc), so auditing a corpus costs one signature
+    pass — run it once per ingest, not per query, or point it at the
+    maintained signature index (dedup_index) to skip the pass."""
+    return (minhash_banded(df, text_col, id_col, num_hashes, bands,
+                           shingle_n)
+            .groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .withColumn("truncated_members",
+                        F.col("bucket_size") - max_bucket_size))
+
+
+def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame | None,
                               text_col: str, id_col: str,
                               num_hashes: int = 16, bands: int = 4,
                               shingle_n: int = 3,
                               min_est_jaccard: float = 0.5,
-                              max_bucket_size: int | None = 10_000) -> DataFrame:
+                              max_bucket_size: int | None = 10_000,
+                              *, base_index: DataFrame | None = None) -> DataFrame:
     """Cross-corpus near-dup pairs: for each NEW document, its LSH
     candidates in an EXISTING corpus — (new_id, base_id, est_jaccard).
     This is the incremental-ingest shape (dedup tonight's crawl against
@@ -218,30 +261,28 @@ def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame,
     band, bh — sig is num_hashes longs, ~130 B/doc regardless of text
     size) goes through one window shuffle; the raw text never moves, so
     at 100 TB of documents the shuffled bytes are ~0.01% of corpus size.
+
+    base_index: a persisted banded-signature projection (id, sig, band,
+    bh) — e.g. `dedup_index.read_minhash_index(...)` — used INSTEAD of
+    signing df_base. The O(|base|) shingle+md5 signature pass is the
+    operator's dominant cost (VERDICT r7 probe: ~all of 386 s at a
+    500 K-doc base) and is corpus-, not crawl-, sized; an index table
+    maintained per ingest commit makes each new crawl cost O(|new|)
+    plus an index scan of ~130 B/doc. The caller must have built the
+    index with the SAME num_hashes/bands/shingle_n (dedup_index
+    validates via table options).
     """
-    rows = num_hashes // bands
-
-    def banded(df, side):
-        base = (df.select(F.col(id_col).alias(f"{side}_id"),
-                          F.transform(shingles(F.col(text_col), shingle_n),
-                                      h32).alias("hs"))
-                  .select(f"{side}_id",
-                          minhash_from_hashes(F.col("hs"), num_hashes)
-                          .alias(f"{side}_sig")))
-        band_arr = F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws(",", *[
-                         F.element_at(F.col(f"{side}_sig"), b * rows + r + 1)
-                         for r in range(rows)])).alias("bh"))
-            for b in range(bands)])
-        return (base.select(f"{side}_id", f"{side}_sig",
-                            F.explode(band_arr).alias("b"))
-                    .select(f"{side}_id", f"{side}_sig",
-                            F.col("b.band").alias("band"),
-                            F.col("b.bh").alias("bh")))
-
-    n = banded(ensure_parallelism(df_new), "new")
-    b = banded(df_base, "base")
+    n = minhash_banded(ensure_parallelism(df_new), text_col, id_col,
+                       num_hashes, bands, shingle_n,
+                       id_alias="new_id", sig_alias="new_sig")
+    if base_index is not None:
+        b = base_index.select(F.col("id").alias("base_id"),
+                              F.col("sig").alias("base_sig"),
+                              "band", "bh")
+    else:
+        b = minhash_banded(df_base, text_col, id_col, num_hashes, bands,
+                           shingle_n, id_alias="base_id",
+                           sig_alias="base_sig")
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
         w = W.partitionBy("band", "bh").orderBy("base_id")

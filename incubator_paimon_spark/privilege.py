@@ -317,9 +317,18 @@ class PrivilegedTable:
     """Table proxy: SELECT guards reads, INSERT guards data mutations,
     ALTER_TABLE guards schema changes; everything else delegates."""
 
-    _SELECT = ("read", "new_scan", "system", "to_view", "incremental")
+    # Mirrors PrivilegedFileStoreTable.java: SELECT guards reads AND
+    # metadata listings (tags/branches/consumers, lines 239-251,275);
+    # INSERT guards every mutating entry point (lines 82,143-221,257-269)
+    # including the raw write builder and snapshot-destroying maintenance.
+    _SELECT = ("read", "new_scan", "system", "to_view", "incremental",
+               "list_tags", "tag_snapshot", "list_branches", "branch_table",
+               "list_consumers", "read_consumer")
     _INSERT = ("write", "delete_where", "update_where", "merge_into",
-               "truncate", "compact", "drop_partition")
+               "truncate", "compact", "drop_partition",
+               "new_write", "rollback_to", "create_tag", "delete_tag",
+               "create_branch", "fast_forward", "expire_snapshots",
+               "remove_orphan_files", "write_consumer", "analyze")
 
     def __init__(self, table: Table, checker_fn, identifier: str):
         self._table = table

@@ -409,7 +409,9 @@ def _exec_select(spark, catalog, statement):
             suffix = (f"latest_{table.snapshots.latest_id() or 0}"
                       f"_{table.schemas.latest_id() or 0}")
         view = re.sub(r"\W", "_", f"pmn_tt_{ident}_{ph}_{suffix}")
-        table.read(spark, **kw).createOrReplaceTempView(view)
+        from .analyze import broadcast_if_small
+        broadcast_if_small(spark, table, table.read(spark, **kw)) \
+            .createOrReplaceTempView(view)
         out.append(statement[last:m.start()])
         out.append(f"{m.group(1)} {view}")
         last = m.end()

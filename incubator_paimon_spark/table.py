@@ -533,7 +533,9 @@ class Catalog:
             # read LATEST before planning: a commit racing in between
             # leaves a stale-looking pointer, so the next sweep re-binds
             sid = _t.snapshots.latest_id()
-            _t.read(s).createOrReplaceTempView(_view)
+            from .analyze import broadcast_if_small
+            broadcast_if_small(s, _t, _t.read(s)) \
+                .createOrReplaceTempView(_view)
             st = states.get(key)
             if st is not None:
                 st["snapshot"] = sid

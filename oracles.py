@@ -1058,6 +1058,10 @@ FROM cpairs WHERE {_CC_EST} >= 0.5
 # batches ordered (doc_id % 2, doc_id), the first claimant of every
 # (band, bh) bucket is min of that key; a doc is kept iff it IS the
 # first claimant in all of its bands.
+# crosscorpus_indexed: the index-backed query must return the exact
+# pairs the from-scratch signature pass returns — shared oracle.
+ORACLES["crosscorpus_indexed"] = ORACLES["crosscorpus_neardup"]
+
 ORACLES["stream_neardup"] = _minhash_sql(16, 4, 3) + """
 , keymap AS (
   SELECT id, band, bh, (id % 2) * 4294967296 + id AS k FROM banded
@@ -1226,6 +1230,12 @@ dw AS (
 
 ORACLES["dsir"] = _DSIR_CORE + "SELECT id, log_weight FROM dw"
 
+# dsir_incremental: weights computed from the aggregation-merge-engine
+# count tables (two-commit ingest) must hash-match a from-scratch
+# recompute — so the oracle IS the dsir oracle.
+ORACLES["dsir_incremental"] = ORACLES["dsir"]
+
+
 ORACLES["dsir_sample"] = _DSIR_CORE + f"""
 SELECT id, log_weight,
   {_q("log_weight + (-ln(-ln((" + _H32.format(x='id::VARCHAR') + " + 0.5) / 4294967296.0)))")} AS key
@@ -1255,4 +1265,36 @@ SELECT id,
   {_q(_LS_BULLET)} AS frac_bullet_lines,
   {_q(_LS_MEAN)} AS mean_line_len
 FROM l
+"""
+
+
+# hybrid_search: RRF fusion (k=60) of the bm25 top-20 (quantized score,
+# ties by id) and the exact-cosine top-20; ranks are row_number over
+# each truncated list's own ordering; missing-from-a-list contributes 0.
+ORACLES["hybrid_search"] = f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_transform({_WORDS.format(t='text')}, x -> lower(x)) AS ws
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(ws))::DOUBLE AS avgdl FROM w),
+lex AS (
+  SELECT id, score, row_number() OVER (ORDER BY score DESC, id) AS rank_0
+  FROM (
+    SELECT id, {_q(' + '.join(_bm25_term_sql(t) for t in ('merge', 'vector', 'stream')))} AS score
+    FROM w)
+  WHERE score > 0
+  ORDER BY score DESC, id LIMIT 20
+),
+sem AS (
+  SELECT id, cosine, row_number() OVER (ORDER BY cosine DESC, id) AS rank_1
+  FROM (SELECT vec_id AS id, {_q(_cosine_sql('embedding', QUERY_VEC))} AS cosine
+        FROM embeddings)
+  ORDER BY cosine DESC, id LIMIT 20
+)
+SELECT COALESCE(lex.id, sem.id) AS id,
+       {_q("COALESCE(1.0 / (60 + rank_0), 0) + COALESCE(1.0 / (60 + rank_1), 0)", 6)} AS rrf_score,
+       rank_0, rank_1
+FROM lex FULL JOIN sem ON lex.id = sem.id
+ORDER BY rrf_score DESC, id LIMIT 10
 """

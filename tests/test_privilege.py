@@ -153,3 +153,31 @@ def test_call_procedures_surface(tmp_path, spark):
         bob.get_table("db.p").read(spark)
     call_sql(spark, root,
              "CALL sys.drop_privileged_user(username => 'bob')")
+
+
+def test_every_mutating_entry_point_requires_insert(wh, spark):
+    """ADVICE r7 (high): the proxy must guard the raw write builder and
+    the snapshot-mutating maintenance surface with INSERT, and metadata
+    listings with SELECT — mirroring PrivilegedFileStoreTable.java's
+    assertCanInsert/assertCanSelect coverage (lines 82,143-221,239-275).
+    Before the fix, table.new_write() committed data and rollback_to()
+    destroyed snapshots with zero grants."""
+    root = PrivilegedCatalog(spark, wh, "root", "rootpw")
+    alice = PrivilegedCatalog(spark, wh, "alice", "alicepw")
+    t = alice.get_table("db.t")
+    for name in ("new_write", "rollback_to", "create_tag", "delete_tag",
+                 "create_branch", "fast_forward", "expire_snapshots",
+                 "remove_orphan_files", "write_consumer", "analyze",
+                 "truncate", "compact"):
+        with pytest.raises(NoPrivilegeException, match="INSERT"):
+            getattr(t, name)
+    for name in ("list_tags", "list_branches", "list_consumers",
+                 "tag_snapshot", "branch_table", "read_consumer"):
+        with pytest.raises(NoPrivilegeException, match="SELECT"):
+            getattr(t, name)
+
+    root.privileges.grant("alice", "db.t", "INSERT")
+    t2 = alice.get_table("db.t")
+    t2.create_tag("priv-tag")  # INSERT now unlocks tag creation
+    root.privileges.grant("alice", "db.t", "SELECT")
+    assert "priv-tag" in alice.get_table("db.t").list_tags()
