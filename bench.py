@@ -300,6 +300,41 @@ def main():
         if drained is not None:
             assert drained == n_orders, (drained, n_orders)
             rate("stream_drain", n_orders, "stream_rows_per_sec")
+    with section("ops_10x"):
+        # r8 (VERDICT r7 #5): gate the r7 probe scale points so a
+        # regression in the new operators' SCALE behavior shows up in
+        # BENCH_r{N}, not just SURVEY prose. Same construction as the
+        # SURVEY §6 probes — 10× replicas of the sf0.1 corpora:
+        # documents → 50 K docs in 10-copy cliques, embeddings → 20 K
+        # vectors; semdedup at its probe operating point k=320.
+        # Reference times (quiet host): bm25 7.0 s, dsir 23.1 s,
+        # semdedup 58.7 s. Disable: SPARK_GRAFT_10X=0.
+        if os.environ.get("SPARK_GRAFT_10X", "1") != "0" and sf == 0.1:
+            maxdoc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+            docs10 = (docs.select("doc_id", "text")
+                      .crossJoin(spark.range(10)
+                                 .select(F.col("id").alias("rep")))
+                      .select((F.col("doc_id") + F.col("rep") * maxdoc)
+                              .alias("doc_id"), "text"))
+            maxvec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+            emb10 = (emb.select("vec_id", "embedding")
+                     .crossJoin(spark.range(10)
+                                .select(F.col("id").alias("rep")))
+                     .select((F.col("vec_id") + F.col("rep") * maxvec)
+                             .alias("vec_id"), "embedding"))
+            timed("bm25_10x",
+                  lambda: bm25_search(docs10, "text", "doc_id",
+                                      ["merge", "vector", "stream"],
+                                      k=20).collect())
+            timed("dsir_10x",
+                  lambda: dsir_logweights(
+                      docs10, docs10.filter(F.col("doc_id") % 20 == 0),
+                      "text", "doc_id").count())
+            timed("semdedup_10x",
+                  lambda: S.semdedup(emb10, "embedding", "vec_id",
+                                     num_centroids=320, threshold=0.4,
+                                     dim=64).filter("keep").count())
+
     with section("sf1_reads"):
         # Read anchors at amortized scale (6 M rows): at sf0.1 the fast
         # reads finish in ~0.4-0.5 s, dominated by fixed Spark job

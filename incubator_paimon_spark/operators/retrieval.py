@@ -117,3 +117,132 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, text_col: str,
                        id_col=vec_id_col)
            .select(F.col(vec_id_col).alias("id"), "cosine"))
     return rrf_fuse([(lex, "score"), (sem, "cosine")], k=k, rrf_k=rrf_k)
+
+
+# ----------------------------------------------------------------------
+# Maintained BM25 postings index: lexical search whose per-query cost is
+# O(postings of the query terms), not O(corpus)
+# ----------------------------------------------------------------------
+OPT_TERM_BUCKETS = "bm25-index.term-buckets"
+
+
+def _term_bucket(term, buckets: int):
+    from .dedup import h32
+    return (h32(term) % buckets).cast("int")
+
+
+def bm25_index_rows(df: DataFrame, text_col: str, id_col: str,
+                    term_buckets: int = 64) -> DataFrame:
+    """Postings rows for a batch of documents:
+    (term_bucket, term, id, tf, dl) — one row per distinct (term, doc).
+    dl rides along so scoring needs no doc-table join."""
+    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    return (df.select(F.col(id_col).alias("id"), F.size(ws).alias("dl"),
+                      F.explode(ws).alias("term"))
+              .groupBy("term", "id", "dl")
+              .agg(F.count(F.lit(1)).alias("tf"))
+              .select(_term_bucket(F.col("term"), term_buckets)
+                      .alias("term_bucket"), "term", "id", "tf", "dl"))
+
+
+def build_bm25_index(spark, catalog, name: str, df: DataFrame,
+                     text_col: str, id_col: str,
+                     term_buckets: int = 64):
+    """Persist the corpus's postings as an engine PK table PARTITIONED
+    by hash(term) % term_buckets, plus a sibling aggregation-engine
+    stats table (sum of doc count / total length). The physical layout
+    IS the inverted index: a search reads only its query terms'
+    partitions (manifest-level pruning — the ivf_table_search idea
+    applied to lexical retrieval), so BM25 over a 100 TB corpus stops
+    paying the O(corpus) stats aggregate per query and touches
+    |terms|/term_buckets of the postings. Returns
+    (postings_table, stats_table)."""
+    rows = bm25_index_rows(df, text_col, id_col, term_buckets)
+    t_p = catalog.create_table(
+        name, rows.schema, partition_keys=["term_bucket"],
+        primary_keys=["term_bucket", "term", "id"],
+        options={OPT_TERM_BUCKETS: str(term_buckets)})
+    t_p.write(spark, rows)
+    import pyspark.sql.types as T
+    s_schema = T.StructType([T.StructField("k", T.StringType()),
+                             T.StructField("n_docs", T.LongType()),
+                             T.StructField("total_dl", T.LongType())])
+    t_s = catalog.create_table(
+        f"{name}_stats", s_schema, primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.n_docs.aggregate-function": "sum",
+                 "fields.total_dl.aggregate-function": "sum"})
+    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    t_s.write(spark, df.agg(F.lit("corpus").alias("k"),
+                            F.count(F.lit(1)).alias("n_docs"),
+                            F.sum(F.size(ws)).alias("total_dl")))
+    return t_p, t_s
+
+
+def update_bm25_index(spark, postings_table, stats_table,
+                      df_batch: DataFrame, text_col: str, id_col: str):
+    """Commit one ingest batch: upsert its postings (PK dedupe replaces
+    re-ingested docs' rows) and add its count/length deltas to the
+    stats table (sum aggregator folds them on read)."""
+    buckets = int((postings_table.schema.options or {})[OPT_TERM_BUCKETS])
+    postings_table.write(spark, bm25_index_rows(df_batch, text_col,
+                                                id_col, buckets))
+    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    stats_table.write(spark, df_batch.agg(
+        F.lit("corpus").alias("k"), F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws)).alias("total_dl")))
+
+
+def bm25_search_indexed(spark, postings_table, stats_table,
+                        query_terms: list[str], k: int = 10,
+                        k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k BM25 over the postings index: identical results to
+    `bm25_search` over the full corpus (a document scoring 0 contains
+    no query term, hence has no posting for any of them — exactly the
+    rows the index read never produces).
+
+    Cost shape: one 1-row stats read, one partition-pruned postings
+    read (≤ |terms| of `term_buckets` partitions, verifiable via
+    `new_scan().plan(...)` entry counts), one ≤|terms|-row df
+    aggregate, and a (id → score) sum whose shuffle carries only
+    matching docs. The corpus itself is never scanned."""
+    import math
+
+    from ..predicate import P
+
+    buckets = int((postings_table.schema.options or {})[OPT_TERM_BUCKETS])
+    terms = [t.lower() for t in query_terms]
+    srow = stats_table.read(spark).collect()[0]
+    n, avgdl = srow["n_docs"], (srow["total_dl"] or 0) / max(srow["n_docs"], 1)
+
+    from .dedup import _h32_py
+    tb = sorted({_h32_py(t) % buckets for t in terms})
+    post = postings_table.read(
+        spark, predicate=P.isin("term_bucket", list(tb))) \
+        .filter(F.col("term").isin(terms))
+    dfs = {r["term"]: r["df"] for r in
+           post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+               .collect()}
+    # one pivoted sum per query-term OCCURRENCE (duplicated terms score
+    # twice in bm25_search's loop), then add in term order: bit-for-bit
+    # the same left-to-right float addition as the full-scan scorer —
+    # a single groupBy sum would add contributions in shuffle order and
+    # could differ in the last ulp
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double")
+                       / F.lit(avgdl if avgdl else 1.0))
+    aggs = []
+    for i, t in enumerate(terms):
+        d = dfs.get(t, 0)
+        idf = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+        contrib = F.when(F.col("term") == t,
+                         F.lit(idf) * tf * (k1 + 1.0) / denom)
+        aggs.append(F.sum(contrib).alias(f"c{i}"))
+    g = post.groupBy("id").agg(*aggs)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    return (g.select("id", quantize(score, 4).alias("score"))
+             .filter(F.col("score") > 0)
+             .orderBy(F.col("score").desc(), F.col("id"))
+             .limit(k))

@@ -1298,3 +1298,8 @@ SELECT COALESCE(lex.id, sem.id) AS id,
 FROM lex FULL JOIN sem ON lex.id = sem.id
 ORDER BY rrf_score DESC, id LIMIT 10
 """
+
+# bm25_indexed: the postings-index search must return the exact top-k
+# the full-corpus scorer returns (docs scoring 0 have no posting for
+# any query term) — shared oracle.
+ORACLES["bm25_indexed"] = ORACLES["bm25"]

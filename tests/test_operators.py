@@ -877,3 +877,43 @@ def test_lsh_bucket_truncation_audit(spark):
                                   max_bucket_size=10).collect()
     assert audit and all(r["bucket_size"] == 30 and
                          r["truncated_members"] == 20 for r in audit)
+
+
+def test_bm25_index_matches_full_scan_and_prunes(spark, catalog):
+    """The postings index must return bit-identical top-k to the
+    full-corpus scorer, keep doing so after incremental updates, and
+    actually prune its scan to the query terms' partitions."""
+    from incubator_paimon_spark.operators import retrieval as R
+    from incubator_paimon_spark.operators.dedup import _h32_py
+    from incubator_paimon_spark.predicate import P
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["merge", "vector", "stream"]
+    full = [tuple(r) for r in
+            R.bm25_search(d, "text", "doc_id", terms, k=20).collect()]
+    tp, ts = R.build_bm25_index(spark, catalog, "db.bm", d, "text",
+                                "doc_id", term_buckets=64)
+    got = [tuple(r) for r in
+           R.bm25_search_indexed(spark, tp, ts, terms, k=20).collect()]
+    assert got == full
+    # manifest-level pruning: the probe predicate touches ≤3/64 buckets
+    tb = sorted({_h32_py(t) % 64 for t in terms})
+    assert len(tp.new_scan().plan(P.isin("term_bucket", tb)).entries) \
+        < len(tp.new_scan().plan(None).entries)
+    # two-commit incremental build converges to the same index
+    tp2, ts2 = R.build_bm25_index(spark, catalog, "db.bm2",
+                                  d.filter(F.col("doc_id") % 2 == 0),
+                                  "text", "doc_id")
+    R.update_bm25_index(spark, tp2, ts2,
+                        d.filter(F.col("doc_id") % 2 == 1),
+                        "text", "doc_id")
+    got2 = [tuple(r) for r in
+            R.bm25_search_indexed(spark, tp2, ts2, terms, k=20).collect()]
+    assert got2 == full
+    # duplicated + uppercase query terms behave like the full scanner
+    dup_full = [tuple(r) for r in
+                R.bm25_search(d, "text", "doc_id",
+                              ["merge", "Merge"], k=10).collect()]
+    dup_idx = [tuple(r) for r in
+               R.bm25_search_indexed(spark, tp, ts,
+                                     ["MERGE", "merge"], k=10).collect()]
+    assert dup_idx == dup_full
