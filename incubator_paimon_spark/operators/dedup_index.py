@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..types import ADD_KINDS, DELETE, INSERT, ROW_KIND
+from ..types import DELETE, INSERT, ROW_KIND
 from .dedup import minhash_banded
 
 # LSH parameters are pinned as table options at build time so a query
@@ -126,33 +126,24 @@ def sync_minhash_index(spark: SparkSession, source_table, index_table,
     ``index:<index table name>``) so (a) repeated calls resume where
     the last one stopped and (b) `expire_snapshots`' consumer safety
     keeps the snapshots an unsynced index still needs."""
+    from .sync import replay_changelog
+
     nh, bd, sh = index_params(index_table)
     raw = index_table.schema.options or {}
     id_col = raw[OPT_SOURCE_ID]
     text_col = raw[OPT_SOURCE_TEXT]
     cid = consumer_id or f"index:{index_table.name}"
 
-    latest = source_table.snapshots.latest()
-    if latest is None:
-        return 0
-    start = source_table.read_consumer(cid)
-    if start is None:
-        start = 0  # never synced: replay from the beginning
-    applied = 0
-    for sid in range(start + 1, latest.id + 1):
-        delta = source_table.incremental(spark, sid - 1, sid,
-                                         changelog=True)
-        # net effect per id within one snapshot: an ADD row wins over
-        # its own -U retraction; a -D with no ADD is a true delete
-        adds = (delta.filter(F.col(ROW_KIND).isin(*ADD_KINDS))
-                     .drop(ROW_KIND))
-        dels = (delta.filter(F.col(ROW_KIND) == DELETE)
-                     .join(adds.select(id_col), id_col, "left_anti"))
+    def apply(adds, removes, _sid):
+        # the index stores a FIXED row set per doc (bands rows keyed
+        # (id, band)), so upserting a changed doc's new rows overwrites
+        # its old ones in place — only true deletes (removed ids not
+        # re-added this snapshot) need -D retractions
+        dels = removes.join(adds.select(id_col), id_col, "left_anti")
         up_rows = minhash_index_rows(adds, text_col, id_col, nh, bd, sh)
         del_rows = (minhash_index_rows(dels, text_col, id_col, nh, bd, sh)
                     .withColumn(ROW_KIND, F.lit(DELETE)))
-        batch = up_rows.withColumn(ROW_KIND, F.lit(INSERT)).unionByName(del_rows)
-        index_table.write(spark, batch)
-        source_table.write_consumer(cid, sid)
-        applied += 1
-    return applied
+        index_table.write(spark, up_rows.withColumn(ROW_KIND, F.lit(INSERT))
+                                        .unionByName(del_rows))
+
+    return replay_changelog(spark, source_table, cid, apply)

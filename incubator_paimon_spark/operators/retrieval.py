@@ -246,3 +246,40 @@ def bm25_search_indexed(spark, postings_table, stats_table,
              .filter(F.col("score") > 0)
              .orderBy(F.col("score").desc(), F.col("id"))
              .limit(k))
+
+
+def sync_bm25_index(spark, source_table, postings_table, stats_table,
+                    text_col: str, id_col: str,
+                    consumer_id: str | None = None) -> int:
+    """Advance the postings index to the source table's latest snapshot
+    by replaying its changelog. Unlike `update_bm25_index` (append-only
+    ingest), this handles UPDATES and DELETES: a changed document's
+    stale postings — terms its new text no longer contains — are
+    retracted with -D rows (the postings PK (term, id) varies with
+    content, so upserts alone would strand them), and the stats table
+    receives NET deltas (negative for shrinkage; the sum aggregator
+    folds either sign). Progress = a consumer on the source table."""
+    from ..types import DELETE, INSERT, ROW_KIND
+    from .sync import replay_changelog
+
+    buckets = int((postings_table.schema.options or {})[OPT_TERM_BUCKETS])
+    cid = consumer_id or f"index:{postings_table.name}"
+
+    def apply(adds, removes, _sid):
+        up = bm25_index_rows(adds, text_col, id_col, buckets)
+        old = bm25_index_rows(removes, text_col, id_col, buckets)
+        stale = (old.join(up.select("term", "id"), ["term", "id"],
+                          "left_anti")
+                    .withColumn(ROW_KIND, F.lit(DELETE)))
+        postings_table.write(
+            spark, up.withColumn(ROW_KIND, F.lit(INSERT))
+                     .unionByName(stale))
+        ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+        a = adds.agg(F.count(F.lit(1)), F.sum(F.size(ws))).collect()[0]
+        r = removes.agg(F.count(F.lit(1)), F.sum(F.size(ws))).collect()[0]
+        stats_table.write(spark, spark.createDataFrame(
+            [("corpus", (a[0] or 0) - (r[0] or 0),
+              (a[1] or 0) - (r[1] or 0))],
+            stats_table.schema.spark_schema()))
+
+    return replay_changelog(spark, source_table, cid, apply)

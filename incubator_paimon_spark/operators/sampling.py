@@ -251,3 +251,33 @@ def dsir_sample(df: DataFrame, target: DataFrame, text_col: str,
                         quantize(F.col("log_weight") + g, 4).alias("key"))
                 .orderBy(F.col("key").desc(), F.col("id"))
                 .limit(n))
+
+
+def sync_dsir_counts(spark, source_table, counts_table, text_col: str,
+                     id_col: str, consumer_id: str | None = None) -> int:
+    """Advance a DSIR counts table to the source table's latest
+    snapshot by replaying its changelog: per snapshot, one bounded
+    (≤2·buckets-row) NET bucket-delta commit — counts(new rows) minus
+    counts(previous images of updated/deleted rows); the sum aggregator
+    folds negative deltas, so weights stay consistent through updates
+    and deletes, not just appends. Progress = a consumer on the
+    source."""
+    from .sync import replay_changelog
+
+    buckets = int((counts_table.schema.options or {})["dsir.buckets"])
+    cid = consumer_id or f"index:{counts_table.name}"
+
+    def apply(adds, removes, _sid):
+        plus = (_hashed_features(adds, text_col, id_col, buckets)
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("p")))
+        minus = (_hashed_features(removes, text_col, id_col, buckets)
+                 .groupBy("bucket").agg(F.count(F.lit(1)).alias("m")))
+        net = (plus.join(minus, "bucket", "full")
+                   .select("bucket",
+                           (F.coalesce(F.col("p"), F.lit(0))
+                            - F.coalesce(F.col("m"), F.lit(0)))
+                           .cast("long").alias("n"))
+                   .filter(F.col("n") != 0))
+        counts_table.write(spark, net)
+
+    return replay_changelog(spark, source_table, cid, apply)

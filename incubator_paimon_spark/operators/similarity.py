@@ -288,7 +288,8 @@ def cosine_topk_quantized(qdf: DataFrame, query: list[float], k: int,
 def semdedup(df: DataFrame, vec_col: str, id_col: str,
              num_centroids: int = 16, threshold: float = 0.95,
              dim: int | None = None, iters: int = 0,
-             max_cluster_heads: int | None = 10_000) -> DataFrame:
+             max_cluster_heads: int | None = 10_000,
+             materialize: bool = True) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then inside each
     cluster mark every vector whose cosine to an EARLIER-id cluster
@@ -367,7 +368,14 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     # semdedup per-corpus would accumulate n×vector executor storage
     # until death (VERDICT r7 #3). localCheckpoint cuts the lineage — the
     # checkpoint RDD itself IS GC'd by the ContextCleaner once the caller
-    # drops the result, so storage stays bounded across repeated calls.
+    # drops the result, so storage stays bounded across repeated calls
+    # (A/B at 10×: no measurable cost vs the lazy pipeline, SURVEY §6).
+    # materialize=False returns the LAZY pipeline instead — for plan
+    # inspection or further chaining before any action — and leaves the
+    # assignment persist PINNED; the caller owns releasing it
+    # (spark.catalog.clearCache() or a terminal localCheckpoint).
+    if not materialize:
+        return out
     out = out.localCheckpoint(eager=True)
     slim.unpersist()
     return out

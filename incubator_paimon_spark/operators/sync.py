@@ -1,0 +1,54 @@
+"""Changelog-driven maintenance of derived tables.
+
+One pattern, three consumers (minhash signature index, BM25 postings
+index, DSIR count tables): a derived table tracks a source table by
+replaying the source's changelog snapshot by snapshot
+(`Table.incremental(changelog=True)` — the same machinery the
+streaming source uses) and recording progress with a consumer on the
+source (`ConsumerManager` protocol,
+`paimon-core/.../consumer/ConsumerManager.java:40`), so repeated syncs
+resume where the last stopped and snapshot expiration respects the
+derived table's read position.
+
+`replay_changelog` hands each snapshot's NET row images to the caller:
+`adds` = the +I/+U rows (current text of inserted/updated docs),
+`removes` = the -U/-D rows (the PREVIOUS row images of updated/deleted
+docs). A derived table whose rows per document vary with content (BM25
+postings, DSIR feature counts) needs both sides — upserting the new
+rows alone strands the old ones; one whose row set per document is
+fixed (the minhash index: always `bands` rows keyed (id, band)) only
+needs true deletes, since upserts overwrite in place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..types import ADD_KINDS, DELETE, ROW_KIND, UPDATE_BEFORE
+
+
+def replay_changelog(spark, source_table, consumer_id: str, apply) -> int:
+    """Replay the source table's unsynced snapshots through
+    `apply(adds_df, removes_df, snapshot_id)` — one call (and one
+    consumer advance) per snapshot, oldest first. Returns the number
+    of snapshots applied. The driver loop is O(snapshots) control
+    plane; all row work stays inside `apply`'s Spark jobs."""
+    latest = source_table.snapshots.latest()
+    if latest is None:
+        return 0
+    start = source_table.read_consumer(consumer_id)
+    if start is None:
+        start = 0  # never synced: replay from the beginning
+    applied = 0
+    for sid in range(start + 1, latest.id + 1):
+        delta = source_table.incremental(spark, sid - 1, sid,
+                                         changelog=True)
+        adds = (delta.filter(F.col(ROW_KIND).isin(*ADD_KINDS))
+                     .drop(ROW_KIND))
+        removes = (delta.filter(F.col(ROW_KIND).isin(UPDATE_BEFORE,
+                                                     DELETE))
+                        .drop(ROW_KIND))
+        apply(adds, removes, sid)
+        source_table.write_consumer(consumer_id, sid)
+        applied += 1
+    return applied

@@ -182,10 +182,21 @@ def test_semdedup_broadcast_assign_no_cartesian(spark):
     from incubator_paimon_spark.operators.similarity import semdedup
     e = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet")
-    p = _plan(semdedup(e, "embedding", "vec_id", num_centroids=4,
-                       threshold=0.4, dim=64))
-    assert "CartesianProduct" not in p
-    assert "InMemoryTableScan" in p  # the shared assignment cache
-    for line in p.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "embedding#" not in line, line  # vectors ride by id only
+    # materialize=False exposes the LAZY pipeline — the default returns
+    # a checkpointed scan whose plan hides the interior (r8 hygiene)
+    lazy = semdedup(e, "embedding", "vec_id", num_centroids=4,
+                    threshold=0.4, dim=64, materialize=False)
+    p = _plan(lazy)
+    try:
+        assert "CartesianProduct" not in p
+        assert "InMemoryTableScan" in p  # the shared assignment cache
+        for line in p.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "embedding#" not in line, line  # vectors by id only
+        # the DEFAULT (materialized) result is a lineage-free local scan
+        # — the persisted projection is released before return
+        pm = _plan(semdedup(e, "embedding", "vec_id", num_centroids=4,
+                            threshold=0.4, dim=64))
+        assert "Scan ExistingRDD" in pm
+    finally:
+        spark.catalog.clearCache()  # release materialize=False's persist
