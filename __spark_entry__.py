@@ -1183,6 +1183,31 @@ def q_bm25_indexed(spark, sf_dir):
                                  ["merge", "vector", "stream"], k=20)
 
 
+def q_hybrid_indexed(spark, sf_dir):
+    """Hybrid retrieval with BOTH rankers index-backed: term-pruned
+    BM25 postings + centroid-partitioned IVF ANN, RRF-fused. At
+    nprobe=all it must equal hybrid_search exactly (shared oracle) —
+    per-query cost independent of corpus size on both modalities."""
+    from incubator_paimon_spark.operators import retrieval as R
+    fx = _fixtures(spark, sf_dir)
+    if "bm25_index" not in fx:
+        d = _t(spark, sf_dir, "documents")
+        fx["bm25_index"] = R.build_bm25_index(spark, fx["cat"], "fx.bm25",
+                                              d, "text", "doc_id",
+                                              term_buckets=64)
+    if "ivf_idx" not in fx:
+        from incubator_paimon_spark.operators import similarity as S2
+        e = _t(spark, sf_dir, "embeddings")
+        fx["ivf_idx"] = S2.build_ivf_table(spark, fx["cat"], "fx.ivf", e,
+                                           "embedding", num_centroids=8,
+                                           dim=64)
+    tp, ts = fx["bm25_index"]
+    t_idx, t_c = fx["ivf_idx"]
+    return R.hybrid_search_indexed(spark, tp, ts, t_idx, t_c,
+                                   ["merge", "vector", "stream"],
+                                   QUERY_VEC, k=10, k_each=20)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1396,6 +1421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unpersisted variant of the gated ivf_table_search), and
         # span_dedup (unchanged since r6; unique shape but stable two
         # rounds).
+        # r8 rotation additions (oracle-checked in rotation): the fully
+        # index-backed hybrid ranker — its two legs are the gated
+        # bm25_indexed and ivf_table_search paths, its fusion the gated
+        # hybrid_search path
+        "hybrid_indexed": q_hybrid_indexed,
         "span_dedup": q_span_dedup,
         "char_entropy": q_char_entropy,
         "lang_id": q_lang_id,

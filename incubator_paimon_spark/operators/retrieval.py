@@ -283,3 +283,31 @@ def sync_bm25_index(spark, source_table, postings_table, stats_table,
             stats_table.schema.spark_schema()))
 
     return replay_changelog(spark, source_table, cid, apply)
+
+
+def hybrid_search_indexed(spark, postings_table, stats_table,
+                          ivf_index_table, ivf_centroids_table,
+                          query_terms: list[str],
+                          query_vec: list[float], k: int = 10,
+                          k_each: int = 20, rrf_k: int = 60,
+                          nprobe: int | None = None,
+                          vec_col: str = "embedding",
+                          vec_id_col: str = "vec_id") -> DataFrame:
+    """Hybrid retrieval where BOTH rankers run off maintained index
+    tables: BM25 over the term-bucket-pruned postings index + ANN over
+    the centroid-partitioned IVF table, fused with RRF. At
+    nprobe=all this returns exactly `hybrid_search`'s result while
+    touching only |query terms| postings partitions + nprobe IVF
+    partitions — the per-query cost no longer scales with the corpus
+    on either modality."""
+    from .similarity import ivf_search_table
+
+    if nprobe is None:
+        nprobe = ivf_centroids_table.read(spark).count()  # exact parity
+    lex = bm25_search_indexed(spark, postings_table, stats_table,
+                              query_terms, k=k_each)
+    sem = (ivf_search_table(spark, ivf_index_table, ivf_centroids_table,
+                            vec_col, query_vec, k_each, nprobe=nprobe,
+                            id_col=vec_id_col)
+           .select(F.col(vec_id_col).alias("id"), "cosine"))
+    return rrf_fuse([(lex, "score"), (sem, "cosine")], k=k, rrf_k=rrf_k)

@@ -1303,3 +1303,7 @@ ORDER BY rrf_score DESC, id LIMIT 10
 # the full-corpus scorer returns (docs scoring 0 have no posting for
 # any query term) — shared oracle.
 ORACLES["bm25_indexed"] = ORACLES["bm25"]
+
+# hybrid_indexed: both rankers index-backed at exact-parity settings
+# (nprobe=all) must fuse to the identical ranking — shared oracle.
+ORACLES["hybrid_indexed"] = ORACLES["hybrid_search"]

@@ -975,3 +975,26 @@ def test_bm25_and_dsir_sync_track_updates_and_deletes(spark, catalog):
     scratch = SA.dsir_logweights(final, tgt, "text", "doc_id", buckets=512)
     assert ({tuple(r) for r in inc.collect()}
             == {tuple(r) for r in scratch.collect()})
+
+
+def test_hybrid_indexed_equals_hybrid_at_exact_parity(spark, catalog):
+    """Both rankers index-backed at nprobe=all must fuse identically to
+    the scan-based hybrid_search."""
+    from incubator_paimon_spark.operators import retrieval as R
+    from incubator_paimon_spark.operators import similarity as S2
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    terms = ["merge", "vector"]
+    tp, ts = R.build_bm25_index(spark, catalog, "db.hbm", d, "text",
+                                "doc_id")
+    t_idx, t_c = S2.build_ivf_table(spark, catalog, "db.hivf", e,
+                                    "embedding", num_centroids=4, dim=64)
+    got = [tuple(r) for r in
+           R.hybrid_search_indexed(spark, tp, ts, t_idx, t_c, terms, qv,
+                                   k=10, k_each=15).collect()]
+    want = [tuple(r) for r in
+            R.hybrid_search(d, e, "text", "doc_id", "embedding",
+                            "vec_id", terms, qv, k=10, k_each=15)
+             .collect()]
+    assert got == want
