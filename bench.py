@@ -149,6 +149,38 @@ def main():
               docs.filter(F.col("doc_id") % 10 == 0),
               docs.filter(F.col("doc_id") % 10 != 0),
               "text", "doc_id").count(), reps=3)
+    with section("maintained_indexes"):
+        # r8: the amortized-index shapes. Index BUILDS are one-time
+        # corpus costs and cached across rounds (like the sf1 read
+        # tables); the timed rows are the per-query/nightly costs the
+        # indexes exist to shrink — crosscorpus_indexed vs
+        # crosscorpus_neardup is the 90× §6 probe at bench scale.
+        from incubator_paimon_spark.operators import dedup_index as DIx
+        from incubator_paimon_spark.operators import retrieval as Rx
+        idx_wh = f"/tmp/pmn_idx_cache_v1_sf{sf}"
+        cati = Catalog(idx_wh)
+        marker = os.path.join(idx_wh, ".done")
+        if not os.path.exists(marker):
+            DIx.build_minhash_index(
+                spark, cati, "bench.mh",
+                docs.filter(F.col("doc_id") % 10 != 0), "text", "doc_id")
+            Rx.build_bm25_index(spark, cati, "bench.bm", docs,
+                                "text", "doc_id", term_buckets=64)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        t_mh = cati.get_table("bench.mh")
+        t_bp = cati.get_table("bench.bm")
+        t_bs = cati.get_table("bench.bm_stats")
+        timed("crosscorpus_indexed",
+              lambda: D.minhash_lsh_pairs_between(
+                  docs.filter(F.col("doc_id") % 10 == 0), None,
+                  "text", "doc_id",
+                  base_index=DIx.read_minhash_index(spark, t_mh)).count(),
+              reps=3)
+        timed("bm25_indexed_search",
+              lambda: Rx.bm25_search_indexed(
+                  spark, t_bp, t_bs,
+                  ["merge", "vector", "stream"], k=20).collect(), reps=3)
     timed("kmeans_2iter",
           lambda: S.ivf_centroids(emb, "embedding", "vec_id",
                                   num_centroids=8, dim=64,
