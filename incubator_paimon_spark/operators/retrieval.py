@@ -212,7 +212,17 @@ def bm25_search_indexed(spark, postings_table, stats_table,
 
     buckets = int((postings_table.schema.options or {})[OPT_TERM_BUCKETS])
     terms = [t.lower() for t in query_terms]
-    srow = stats_table.read(spark).collect()[0]
+    srows = stats_table.read(spark).collect()
+    if not srows or not srows[0]["n_docs"]:
+        # empty / never-committed index: no documents, no results
+        import pyspark.sql.types as T
+        id_type = next(f.dataType for f in
+                       postings_table.schema.spark_schema().fields
+                       if f.name == "id")
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("id", id_type),
+                              T.StructField("score", T.DoubleType())]))
+    srow = srows[0]
     n, avgdl = srow["n_docs"], (srow["total_dl"] or 0) / max(srow["n_docs"], 1)
 
     from .dedup import _h32_py

@@ -998,3 +998,15 @@ def test_hybrid_indexed_equals_hybrid_at_exact_parity(spark, catalog):
                             "vec_id", terms, qv, k=10, k_each=15)
              .collect()]
     assert got == want
+
+
+def test_bm25_indexed_empty_index(spark, catalog):
+    """A freshly created (never-committed) or fully-retracted index
+    searches to an empty result, not a crash."""
+    from incubator_paimon_spark.operators import retrieval as R
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(0)
+    tp, ts = R.build_bm25_index(spark, catalog, "db.ebm", d, "text",
+                                "doc_id")
+    out = R.bm25_search_indexed(spark, tp, ts, ["merge"], k=5)
+    assert out.collect() == []
+    assert out.columns == ["id", "score"]
