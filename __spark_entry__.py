@@ -1208,6 +1208,35 @@ def q_hybrid_indexed(spark, sf_dir):
                                    QUERY_VEC, k=10, k_each=20)
 
 
+def q_ivf_synced_search(spark, sf_dir):
+    """ANN over an UPDATABLE IVF table kept current by changelog sync
+    (cross-partition PK layout: a changed vector moves partitions via
+    the global index): embeddings arrive as two source commits, the
+    second reaches the index through sync_ivf_table, and nprobe=all
+    search must equal exact cosine over the full corpus (shared
+    cosine_topk oracle). Update/delete convergence is pytest-covered."""
+    from incubator_paimon_spark.operators import similarity as S2
+    fx = _fixtures(spark, sf_dir)
+    if "ivf_synced" not in fx:
+        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        src = fx["cat"].create_table("fx.emb_src", e.schema,
+                                     primary_keys=["vec_id"],
+                                     options={"bucket": "2"})
+        src.write(spark, e.filter(F.col("vec_id") % 2 == 0))
+        t_idx, t_c = S2.build_ivf_table(spark, fx["cat"], "fx.sivf",
+                                        src.read(spark), "embedding",
+                                        num_centroids=8, dim=64,
+                                        updatable=True)
+        src.write_consumer("index:sivf", src.snapshots.latest().id)
+        src.write(spark, e.filter(F.col("vec_id") % 2 == 1))
+        S2.sync_ivf_table(spark, src, t_idx, t_c, "embedding",
+                          consumer_id="index:sivf")
+        fx["ivf_synced"] = (t_idx, t_c)
+    t_idx, t_c = fx["ivf_synced"]
+    return S2.ivf_search_table(spark, t_idx, t_c, "embedding", QUERY_VEC,
+                               10, nprobe=8)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1426,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25_indexed and ivf_table_search paths, its fusion the gated
         # hybrid_search path
         "hybrid_indexed": q_hybrid_indexed,
+        "ivf_synced_search": q_ivf_synced_search,
         "span_dedup": q_span_dedup,
         "char_entropy": q_char_entropy,
         "lang_id": q_lang_id,

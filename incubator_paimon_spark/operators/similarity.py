@@ -198,13 +198,21 @@ def ivf_search(indexed: DataFrame, centroids: DataFrame, vec_col: str,
 # ----------------------------------------------------------------------
 def build_ivf_table(spark, catalog, name: str, df: DataFrame, vec_col: str,
                     id_col: str = "vec_id", num_centroids: int = 16,
-                    dim: int | None = None):
+                    dim: int | None = None, updatable: bool = False):
     """Persist an IVF index as a paimon table PARTITIONED by centroid_id,
     plus its centroids as a sibling table. The physical layout IS the
     index: a probe reads only its centroids' partitions (manifest-level
     pruning), so ANN search on a 10^10-vector corpus touches nprobe/N of
     the files instead of scanning — the reference's bucketed-layout idea
-    applied to vector search. Returns (index_table, centroids_table)."""
+    applied to vector search. Returns (index_table, centroids_table).
+
+    updatable=True creates the index as a CROSS-PARTITION upsert table
+    (PK = id, partition = centroid_id, bucket=-1 — GlobalIndexAssigner
+    semantics, `paimon-core/.../crosspartition/GlobalIndexAssigner.java:76`):
+    re-ingesting a changed vector lands it in its NEW centroid's
+    partition and the engine retracts the old-partition row through the
+    global index — the one bucket mode built for exactly this
+    "key moves between partitions" shape. Required for sync_ivf_table."""
     # persist the (tiny) centroids FIRST and assign from the read-back copy:
     # the centroid pipeline is the corpus-wide expensive stage, and float
     # aggregation order could otherwise make the persisted centroids differ
@@ -215,11 +223,46 @@ def build_ivf_table(spark, catalog, name: str, df: DataFrame, vec_col: str,
     t_c.write(spark, cents)
     persisted = t_c.read(spark)
     assigned = assign_ivf(df, persisted, vec_col, id_col)
+    kw = {}
+    if updatable:
+        kw = {"primary_keys": [id_col],
+              "options": {"bucket": "-1",
+                          "dynamic-bucket.target-row-num": "100000"}}
     t_idx = catalog.create_table(name, assigned.schema,
                                  partition_keys=["centroid_id"],
-                                 ignore_if_exists=False)
+                                 ignore_if_exists=False, **kw)
     t_idx.write(spark, assigned)
     return t_idx, t_c
+
+
+def sync_ivf_table(spark, source_table, index_table, centroids_table,
+                   vec_col: str, id_col: str = "vec_id",
+                   consumer_id: str | None = None) -> int:
+    """Advance an UPDATABLE IVF index (build_ivf_table(updatable=True))
+    to the source table's latest snapshot by replaying its changelog:
+    new/changed vectors are assigned against the PERSISTED centroids and
+    upserted (a changed vector that moves centroids is retracted from
+    its old partition by the engine's cross-partition global index);
+    deleted ids are retracted with -D rows assigned to their old
+    centroid. Centroids stay fixed between rebuilds — the standard IVF
+    maintenance contract (recall drifts only if the data distribution
+    does; nprobe=all searches remain exact regardless). Progress = a
+    consumer on the source table."""
+    from ..types import DELETE, INSERT, ROW_KIND
+    from .sync import replay_changelog
+
+    cid = consumer_id or f"index:{index_table.name}"
+    persisted = centroids_table.read(spark)
+
+    def apply(adds, removes, _sid):
+        up = assign_ivf(adds, persisted, vec_col, id_col)
+        dels = (removes.join(adds.select(id_col), id_col, "left_anti"))
+        del_rows = (assign_ivf(dels, persisted, vec_col, id_col)
+                    .withColumn(ROW_KIND, F.lit(DELETE)))
+        index_table.write(spark, up.withColumn(ROW_KIND, F.lit(INSERT))
+                                   .unionByName(del_rows))
+
+    return replay_changelog(spark, source_table, cid, apply)
 
 
 def ivf_search_table(spark, index_table, centroids_table, vec_col: str,

@@ -1307,3 +1307,7 @@ ORACLES["bm25_indexed"] = ORACLES["bm25"]
 # hybrid_indexed: both rankers index-backed at exact-parity settings
 # (nprobe=all) must fuse to the identical ranking — shared oracle.
 ORACLES["hybrid_indexed"] = ORACLES["hybrid_search"]
+
+# ivf_synced_search: a changelog-synced updatable IVF table searched at
+# nprobe=all is exact — shared oracle with cosine_topk.
+ORACLES["ivf_synced_search"] = ORACLES["cosine_topk"]

@@ -1010,3 +1010,47 @@ def test_bm25_indexed_empty_index(spark, catalog):
     out = R.bm25_search_indexed(spark, tp, ts, ["merge"], k=5)
     assert out.collect() == []
     assert out.columns == ["id", "score"]
+
+
+def test_ivf_sync_cross_partition_moves(spark, catalog):
+    """Updatable IVF index (PK=id, partition=centroid_id, bucket=-1):
+    changelog sync must track adds, centroid-MOVING updates (the
+    cross-partition retraction path), and deletes — converging to the
+    assignment a fresh pass over the final corpus produces, with exact
+    nprobe=all search parity."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+               .select("vec_id", "embedding")
+    src = catalog.create_table("db.emb_src", emb.schema,
+                               primary_keys=["vec_id"],
+                               options={"bucket": "2"})
+    src.write(spark, emb.filter(F.col("vec_id") % 2 == 0))
+    t_idx, t_c = S.build_ivf_table(spark, catalog, "db.sivf",
+                                   src.read(spark), "embedding",
+                                   num_centroids=4, dim=64,
+                                   updatable=True)
+    src.write_consumer("index:sivf", src.snapshots.latest().id)
+    src.write(spark, emb.filter(F.col("vec_id") % 2 == 1))
+    upd = (emb.filter(F.col("vec_id") % 7 == 0)
+              .withColumn("embedding",
+                          F.transform("embedding", lambda x: -x))
+              .withColumn("_row_kind", F.lit("+I")))
+    dels = (emb.filter(F.col("vec_id") % 11 == 0)
+               .join(upd.select("vec_id"), "vec_id", "left_anti")
+               .withColumn("_row_kind", F.lit("-D")))
+    src.write(spark, upd.unionByName(dels))
+    assert S.sync_ivf_table(spark, src, t_idx, t_c, "embedding",
+                            consumer_id="index:sivf") == 2
+
+    final, idx = src.read(spark), t_idx.read(spark)
+    assert final.count() == idx.count()  # one row per live key
+    expect = S.assign_ivf(final, t_c.read(spark), "embedding", "vec_id") \
+              .select("vec_id", "centroid_id")
+    assert ({tuple(r) for r in idx.select("vec_id", "centroid_id")
+             .collect()}
+            == {tuple(r) for r in expect.collect()})
+    qv = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    assert ([tuple(r) for r in
+             S.ivf_search_table(spark, t_idx, t_c, "embedding", qv, 10,
+                                nprobe=4).collect()]
+            == [tuple(r) for r in
+                S.cosine_topk(final, "embedding", qv, 10).collect()])
