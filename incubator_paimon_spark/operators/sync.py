@@ -52,3 +52,29 @@ def replay_changelog(spark, source_table, consumer_id: str, apply) -> int:
         source_table.write_consumer(consumer_id, sid)
         applied += 1
     return applied
+
+
+def auto_sync(spark, source_table, key: str, sync_fn) -> None:
+    """Keep a derived table current AUTOMATICALLY: register `sync_fn`
+    on the engine's post-commit listener for `source_table`
+    (`metadata.commit.on_commit` — the same hook that re-binds attached
+    views), so every in-process commit — batch write, row-level op, or
+    a streaming sink's per-batch commit — is followed by an incremental
+    index sync. `sync_fn(spark)` should call the appropriate
+    sync_* function; the consumer protocol makes re-entry cheap (a
+    no-op when already current) and a missed hook (foreign-process
+    writer, crash) is healed by the next explicit sync. Hook failures
+    are swallowed by the commit path (maintenance must not fail the
+    write) — rely on the consumer lag, not the hook, for correctness.
+    Same (source, key) re-registration replaces."""
+    import weakref
+
+    from ..metadata.commit import on_commit
+    ref = weakref.ref(spark)
+
+    def hook(_snapshot):
+        s = ref()
+        if s is not None:
+            sync_fn(s)
+
+    on_commit(source_table.path, f"index-sync:{key}", hook)

@@ -1054,3 +1054,36 @@ def test_ivf_sync_cross_partition_moves(spark, catalog):
                                 nprobe=4).collect()]
             == [tuple(r) for r in
                 S.cosine_topk(final, "embedding", qv, 10).collect()])
+
+
+def test_auto_sync_keeps_index_current_through_commits(spark, catalog):
+    """sync.auto_sync rides the post-commit listener: after plain
+    writes — and a MERGE INTO through the SQL surface — the minhash
+    index is already current with no explicit sync call."""
+    from incubator_paimon_spark.operators import dedup_index as DI
+    from incubator_paimon_spark.operators.sync import auto_sync
+    d = spark.read.parquet(f"{SF}/documents.parquet") \
+             .select("doc_id", "text")
+    src = catalog.create_table("db.auto_src", d.schema,
+                               primary_keys=["doc_id"],
+                               options={"bucket": "2"})
+    src.write(spark, d.filter(F.col("doc_id") % 2 == 0))
+    mh = DI.build_minhash_index(spark, catalog, "db.auto_mh",
+                                src.read(spark), "text", "doc_id")
+    src.write_consumer("index:auto", src.snapshots.latest().id)
+    auto_sync(spark, src, "mh",
+              lambda s: DI.sync_minhash_index(s, src, mh,
+                                              consumer_id="index:auto"))
+
+    src.write(spark, d.filter(F.col("doc_id") % 2 == 1))  # plain write
+    catalog.sql(spark, (
+        "MERGE INTO db.auto_src t USING db.auto_src s ON t.doc_id = "
+        "s.doc_id AND s.doc_id % 9 = 0 WHEN MATCHED THEN UPDATE SET "
+        "text = concat(t.text, ' merged')"))  # row-level op
+    # no explicit sync: the hook already ran after each commit
+    assert src.read_consumer("index:auto") == src.snapshots.latest().id
+    fresh = DI.minhash_index_rows(src.read(spark), "text", "doc_id")
+    assert ({tuple(map(str, r)) for r in
+             DI.read_minhash_index(spark, mh).collect()}
+            == {tuple(map(str, r)) for r in
+                fresh.select("id", "sig", "band", "bh").collect()})
