@@ -1237,6 +1237,24 @@ def q_ivf_synced_search(spark, sf_dir):
                                10, nprobe=8)
 
 
+def q_ivf_quantized_search(spark, sf_dir):
+    """ANN over the quantized IVF table: centroid partitioning AND int8
+    codes in one persisted index — a probe reads nprobe/k of the files
+    at 1/4 the bytes (the two compositions multiply; at 100 TB the
+    embedding column IS the table). nprobe=all keeps exact parity with
+    cosine-over-codes (shared quantized_topk oracle)."""
+    from incubator_paimon_spark.operators import similarity as S2
+    fx = _fixtures(spark, sf_dir)
+    if "ivfq" not in fx:
+        e = _t(spark, sf_dir, "embeddings")
+        fx["ivfq"] = S2.build_ivf_quantized_table(
+            spark, fx["cat"], "fx.ivfq", e, "embedding",
+            num_centroids=8, dim=64)
+    t_idx, t_c = fx["ivfq"]
+    return S2.ivf_search_quantized_table(spark, t_idx, t_c, QUERY_VEC,
+                                         10, nprobe=8)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every document against
     the 'evaluation set' (docs with doc_id % 20 == 0). Eval n-gram hashes
@@ -1456,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid_search path
         "hybrid_indexed": q_hybrid_indexed,
         "ivf_synced_search": q_ivf_synced_search,
+        "ivf_quantized_search": q_ivf_quantized_search,
         "span_dedup": q_span_dedup,
         "char_entropy": q_char_entropy,
         "lang_id": q_lang_id,

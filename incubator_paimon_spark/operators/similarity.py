@@ -422,3 +422,51 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     out = out.localCheckpoint(eager=True)
     slim.unpersist()
     return out
+
+
+# ----------------------------------------------------------------------
+def build_ivf_quantized_table(spark, catalog, name: str, df: DataFrame,
+                              vec_col: str, id_col: str = "vec_id",
+                              num_centroids: int = 16,
+                              dim: int | None = None, bits: int = 8):
+    """IVF partitioning AND int8 quantization in ONE persisted index:
+    rows are (id, codes array<int>, centroid_id) partitioned by
+    centroid_id — a probe reads nprobe/k of the files AND each file is
+    ~4× smaller than fp32 (at 100 TB the embedding column IS the table,
+    so the two compositions multiply: nprobe/k × 1/4 of the bytes a
+    brute-force fp32 scan would touch). Assignment runs on the ORIGINAL
+    vectors (centroid quality is not quantized); only the stored codes
+    are. Search via `ivf_search_quantized_table`. Returns
+    (index_table, centroids_table)."""
+    cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim)
+    t_c = catalog.create_table(f"{name}_centroids", cents.schema,
+                               ignore_if_exists=False)
+    t_c.write(spark, cents)
+    persisted = t_c.read(spark)
+    assigned = assign_ivf(df, persisted, vec_col, id_col)
+    qz = quantize_embeddings(assigned, vec_col, id_col, bits=bits)
+    rows = (qz.join(assigned.select(id_col, "centroid_id"), id_col)
+              .select(id_col, "codes", "centroid_id"))
+    t_idx = catalog.create_table(name, rows.schema,
+                                 partition_keys=["centroid_id"],
+                                 ignore_if_exists=False)
+    t_idx.write(spark, rows)
+    return t_idx, t_c
+
+
+def ivf_search_quantized_table(spark, index_table, centroids_table,
+                               query: list[float], k: int,
+                               nprobe: int = 4,
+                               id_col: str = "vec_id") -> DataFrame:
+    """ANN search over the quantized IVF table: centroid probe on the
+    tiny fp32 centroids, then cosine directly over the int codes of the
+    probed partitions (the per-vector scale cancels out of cosine —
+    no dequantization). At nprobe=all this equals
+    `cosine_topk_quantized` over the whole corpus."""
+    from ..predicate import P
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probe_ids = _probe_ids(centroids_table.read(spark), q, nprobe)
+    cand = index_table.read(spark,
+                            predicate=P.isin("centroid_id", probe_ids))
+    return cosine_topk_quantized(cand, query, k, id_col=id_col)

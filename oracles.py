@@ -1311,3 +1311,7 @@ ORACLES["hybrid_indexed"] = ORACLES["hybrid_search"]
 # ivf_synced_search: a changelog-synced updatable IVF table searched at
 # nprobe=all is exact — shared oracle with cosine_topk.
 ORACLES["ivf_synced_search"] = ORACLES["cosine_topk"]
+
+# ivf_quantized_search: quantized-IVF table at nprobe=all == cosine over
+# the int8 codes of the whole corpus — shared oracle.
+ORACLES["ivf_quantized_search"] = ORACLES["quantized_topk"]

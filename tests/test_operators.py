@@ -1087,3 +1087,23 @@ def test_auto_sync_keeps_index_current_through_commits(spark, catalog):
              DI.read_minhash_index(spark, mh).collect()}
             == {tuple(map(str, r)) for r in
                 fresh.select("id", "sig", "band", "bh").collect()})
+
+
+def test_ivf_quantized_table_parity_and_pruning(spark, catalog):
+    """Quantized IVF table: nprobe=all equals cosine-over-codes of the
+    whole corpus; the probe predicate prunes to its partitions."""
+    from incubator_paimon_spark.predicate import P
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    t_idx, t_c = S.build_ivf_quantized_table(spark, catalog, "db.ivfq",
+                                             e, "embedding",
+                                             num_centroids=4, dim=64)
+    qv = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    got = [tuple(r) for r in
+           S.ivf_search_quantized_table(spark, t_idx, t_c, qv, 10,
+                                        nprobe=4).collect()]
+    qz = S.quantize_embeddings(e, "embedding", "vec_id", bits=8)
+    want = [tuple(r) for r in
+            S.cosine_topk_quantized(qz, qv, 10).collect()]
+    assert got == want
+    assert len(t_idx.new_scan().plan(P.isin("centroid_id", [0])).entries) \
+        < len(t_idx.new_scan().plan(None).entries)
