@@ -104,3 +104,84 @@ def test_lazy_nightly_cost_is_index_scan_not_signature_pass(spark, catalog,
     # indexed plan keeps exactly the NEW side's (one pipeline), while
     # the unindexed plan carries both sides' — strictly more md5 nodes
     assert 0 < plan.count("md5") < uplan.count("md5")
+
+
+def test_expiration_respects_lagging_index_consumer(spark, catalog, docs):
+    """The index's consumer on the source table pins snapshot retention
+    (ConsumerManager semantics): aggressive expiration while the index
+    lags expires NOTHING it still needs, sync converges afterward, and
+    once the consumer advances the same expiration reclaims the old
+    snapshots."""
+    import time as _t
+    d = docs.select("doc_id", "text")
+    src = catalog.create_table("db.exp_src", d.schema,
+                               primary_keys=["doc_id"],
+                               options={"bucket": "2"})
+    src.write(spark, d.filter(F.col("doc_id") % 4 == 0))
+    idx = DI.build_minhash_index(spark, catalog, "db.exp_idx",
+                                 src.read(spark), "text", "doc_id")
+    cid = "index:exp"
+    src.write_consumer(cid, src.snapshots.latest().id)
+    for m in (1, 2, 3):  # three more commits the index hasn't seen
+        src.write(spark, d.filter(F.col("doc_id") % 4 == m))
+
+    future = int(_t.time() * 1000) + 10_000
+    expired = src.expire_snapshots(retain_max=1, retain_min=1,
+                                   older_than_ms=future)
+    # the lagging consumer (at snapshot 1) pins everything it needs
+    assert expired == 0
+    assert DI.sync_minhash_index(spark, src, idx, consumer_id=cid) == 3
+    fresh = DI.minhash_index_rows(src.read(spark), "text", "doc_id")
+    assert ({tuple(map(str, r)) for r in
+             DI.read_minhash_index(spark, idx).collect()}
+            == {tuple(map(str, r)) for r in
+                fresh.select("id", "sig", "band", "bh").collect()})
+    # consumer advanced: the same expiration now reclaims history
+    assert src.expire_snapshots(retain_max=1, retain_min=1,
+                                older_than_ms=future) > 0
+
+
+def test_streaming_ingest_auto_syncs_index(spark, catalog, docs):
+    """End-to-end streaming composition: a structured-streaming sink
+    commits into the source table (exactly-once foreachBatch) and
+    auto_sync's post-commit hook keeps the signature index current —
+    no explicit sync anywhere."""
+    import shutil
+    import tempfile
+
+    from incubator_paimon_spark.datasource import register
+    from incubator_paimon_spark.operators.sync import auto_sync
+    from incubator_paimon_spark.streaming.sink import write_stream
+    register(spark)
+
+    d = docs.select("doc_id", "text")
+    tgt = catalog.create_table("db.st_tgt", d.schema,
+                               primary_keys=["doc_id"],
+                               options={"bucket": "2"})
+    tgt.write(spark, d.filter(F.col("doc_id") % 2 == 0))
+    idx = DI.build_minhash_index(spark, catalog, "db.st_idx",
+                                 tgt.read(spark), "text", "doc_id")
+    cid = "index:st"
+    tgt.write_consumer(cid, tgt.snapshots.latest().id)
+    auto_sync(spark, tgt, "mh",
+              lambda s: DI.sync_minhash_index(s, tgt, idx,
+                                              consumer_id=cid))
+
+    staging = catalog.create_table("db.st_src", d.schema)
+    staging.write(spark, d.filter(F.col("doc_id") % 2 == 1))
+    ck = tempfile.mkdtemp(prefix="pmn_idx_ck_")
+    try:
+        st = (spark.readStream.format("paimon")
+              .option("scan.mode", "earliest").load(staging.path))
+        q = write_stream(tgt, st, ck, trigger_once=True)
+        q.awaitTermination(180)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+    # the stream's commit already synced the index through the hook
+    assert tgt.read_consumer(cid) == tgt.snapshots.latest().id
+    fresh = DI.minhash_index_rows(tgt.read(spark), "text", "doc_id")
+    assert ({tuple(map(str, r)) for r in
+             DI.read_minhash_index(spark, idx).collect()}
+            == {tuple(map(str, r)) for r in
+                fresh.select("id", "sig", "band", "bh").collect()})
