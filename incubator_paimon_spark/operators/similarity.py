@@ -133,20 +133,83 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     return cents
 
 
-def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str,
+               id_col: str, impl: str = "arrow") -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine): adds
-    `centroid_id`. Centroids are broadcast; ties (possible only with
-    duplicate centroids) break to max cid — deterministic and
-    SQL-replayable.
+    `centroid_id`. Ties (possible only with duplicate centroids) break
+    to max cid — deterministic and SQL-replayable.
 
-    Deliberately the broadcast-join + groupBy(max_by over small keys) +
-    join-back shape at EVERY k: an alternative that collects the
-    centroids and inlines them as one array_max-over-structs projection
-    ("zero shuffle") was measured 1.6× slower at k=4 and 20× slower at
-    k=64 on a 20 k-row corpus — a k×dim-literal HOF tree evaluates
-    interpreted per row, while this shape keeps per-row work small and
-    codegen'd and its plan width constant in k × dim."""
-    return _assign_join(df, centroids, vec_col, id_col)
+    impl="arrow" (default): the centroids (k×dim — control-plane) are
+    collected and shipped in the mapInPandas closure; each Arrow batch
+    computes all n×k cosines with numpy accumulating ELEMENT-BY-ELEMENT
+    in the same left-to-right order as the engine's sequential
+    `aggregate` fold (a j-loop of vectorized adds, NOT a BLAS matmul
+    whose pairwise summation reorders floats) — so the cosines, and
+    therefore the assignments, are BIT-IDENTICAL to the join shape and
+    to the DuckDB oracles, while the O(n·k) dot volume runs vectorized
+    instead of interpreted per element: measured 4.6 s vs 47.5 s
+    (10×) at n=20 k, k=320 (r8; identical=True on every row). The one
+    divergence: a ZERO-NORM vector's cosines are NaN, where numpy's
+    argmax and Spark's max_by may pick different centroids — garbage
+    either way; filter zero vectors upstream.
+
+    impl="join": the broadcast-join + groupBy(max_by) + join-back
+    shape — fully lazy (no driver action), used inside the Lloyd loop
+    where a collect per iteration would re-execute the whole
+    prior-iteration lineage (measured 0.5 s → 3.7 s, r7). A third
+    variant that inlined the centroids as one array_max-over-structs
+    literal projection was 1.6–20× SLOWER than either (r7, reverted:
+    giant literal HOF trees evaluate interpreted per row)."""
+    if impl == "join":
+        return _assign_join(df, centroids, vec_col, id_col)
+    return _assign_arrow(df, centroids, vec_col, id_col)
+
+
+def _assign_arrow(df: DataFrame, centroids: DataFrame, vec_col: str,
+                  id_col: str) -> DataFrame:
+    import numpy as np
+
+    crows = sorted(centroids.collect(), key=lambda r: -r["cid"])
+    if not crows:
+        raise ValueError("assign_ivf: empty centroid set")
+    # cid-DESCENDING order so np.argmax's first-max tie rule lands on
+    # the MAX cid — the same tie-break as max_by(cid, struct(sim, cid))
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    C = np.array([[float(x) for x in r["cv"]] for r in crows],
+                 dtype=np.float64)
+    k, dim = C.shape
+    cn = np.zeros(k)
+    for j in range(dim):  # sequential fold, same float order as norm()
+        cn += C[:, j] * C[:, j]
+    cn = np.sqrt(cn)
+
+    import pyspark.sql.types as T
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("centroid_id", T.LongType())])
+
+    def assign(it):
+        import pandas as pd
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col].values])
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"assign_ivf: vector dim {V.shape[1]} != centroid "
+                    f"dim {dim}")
+            acc = np.zeros((V.shape[0], k))
+            vn = np.zeros(V.shape[0])
+            for j in range(dim):
+                acc += V[:, j:j + 1] * C[None, :, j][0]
+                vn += V[:, j] * V[:, j]
+            S = acc / (np.sqrt(vn)[:, None] * cn[None, :])
+            best = np.argmax(S, axis=1)
+            out = pdf.copy()
+            out["centroid_id"] = cids[best]
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def _assign_join(df: DataFrame, centroids: DataFrame, vec_col: str,

@@ -1107,3 +1107,28 @@ def test_ivf_quantized_table_parity_and_pruning(spark, catalog):
     assert got == want
     assert len(t_idx.new_scan().plan(P.isin("centroid_id", [0])).entries) \
         < len(t_idx.new_scan().plan(None).entries)
+
+
+def test_assign_ivf_arrow_bit_identical_to_join(spark):
+    """The vectorized assignment must be BIT-IDENTICAL to the broadcast
+    join shape (same sequential float fold), including the max-cid
+    tie-break on duplicate centroids."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = S.ivf_centroids(e, "embedding", "vec_id", 8, dim=64, iters=1)
+    a = {tuple(r) for r in
+         S.assign_ivf(e, cents, "embedding", "vec_id", impl="arrow")
+          .select("vec_id", "centroid_id").collect()}
+    b = {tuple(r) for r in
+         S.assign_ivf(e, cents, "embedding", "vec_id", impl="join")
+          .select("vec_id", "centroid_id").collect()}
+    assert a == b
+    # duplicate centroids: every vector ties across the clones -> both
+    # impls must break to the MAX cid
+    dup = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64), (7, [1.0] * 64)],
+        "cid long, cv array<float>")
+    for impl in ("arrow", "join"):
+        got = S.assign_ivf(e.limit(20), dup, "embedding", "vec_id",
+                           impl=impl).select("centroid_id").distinct() \
+               .collect()
+        assert [r[0] for r in got] == [7], impl
