@@ -197,10 +197,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ----------------------------------------------------------------------
-def lsh_bucket_truncation(df: DataFrame, text_col: str, id_col: str,
+def lsh_bucket_truncation(df: DataFrame | None, text_col: str | None,
+                          id_col: str | None,
                           num_hashes: int = 16, bands: int = 4,
                           shingle_n: int = 3,
-                          max_bucket_size: int = 10_000) -> DataFrame:
+                          max_bucket_size: int = 10_000, *,
+                          banded: DataFrame | None = None) -> DataFrame:
     """Recall audit for the capped LSH operators (ADVICE r7): the
     (band, bh) buckets whose membership EXCEEDS `max_bucket_size`, as
     (band, bh, bucket_size, truncated_members). Empty result ⇒ the cap
@@ -210,10 +212,13 @@ def lsh_bucket_truncation(df: DataFrame, text_col: str, id_col: str,
     (the clique stays connected through its head ids) but a recall
     reduction for raw pair listing. One groupBy over the banded
     projection (~130 B/doc), so auditing a corpus costs one signature
-    pass — run it once per ingest, not per query, or point it at the
-    maintained signature index (dedup_index) to skip the pass."""
-    return (minhash_banded(df, text_col, id_col, num_hashes, bands,
-                           shingle_n)
+    pass — run it once per ingest, not per query, or pass the
+    maintained signature index's projection as `banded=`
+    (dedup_index.read_minhash_index) to skip the pass entirely."""
+    if banded is None:
+        banded = minhash_banded(df, text_col, id_col, num_hashes, bands,
+                                shingle_n)
+    return (banded
             .groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("bucket_size"))
             .filter(F.col("bucket_size") > max_bucket_size)

@@ -1132,3 +1132,26 @@ def test_assign_ivf_arrow_bit_identical_to_join(spark):
                            impl=impl).select("centroid_id").distinct() \
                .collect()
         assert [r[0] for r in got] == [7], impl
+
+
+def test_lsh_truncation_audit_over_index(spark, catalog):
+    """The audit accepts the maintained index's banded projection, so
+    auditing the standing corpus costs an index scan, not a signature
+    pass — and agrees with the from-text audit."""
+    from incubator_paimon_spark.operators import dedup_index as DI
+    from incubator_paimon_spark.operators.dedup import lsh_bucket_truncation
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    clones = spark.range(25).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate body for the audit").alias("text"))
+    corpus = d.select("doc_id", "text").limit(0).unionByName(clones)
+    idx = DI.build_minhash_index(spark, catalog, "db.aud_idx", corpus,
+                                 "text", "doc_id")
+    via_index = lsh_bucket_truncation(
+        None, None, None, max_bucket_size=10,
+        banded=DI.read_minhash_index(spark, idx))
+    via_text = lsh_bucket_truncation(corpus, "text", "doc_id",
+                                     max_bucket_size=10)
+    assert ({tuple(r) for r in via_index.collect()}
+            == {tuple(r) for r in via_text.collect()})
+    assert via_index.count() > 0
