@@ -161,6 +161,11 @@ def main():
         cati = Catalog(idx_wh)
         marker = os.path.join(idx_wh, ".done")
         if not os.path.exists(marker):
+            # a prior partial build (no marker, tables exist) must not
+            # wedge create_table or double-count the stats aggregator —
+            # rebuild from clean tables
+            for name in ("bench.mh", "bench.bm", "bench.bm_stats"):
+                cati.drop_table(name)
             DIx.build_minhash_index(
                 spark, cati, "bench.mh",
                 docs.filter(F.col("doc_id") % 10 != 0), "text", "doc_id")

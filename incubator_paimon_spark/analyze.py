@@ -115,8 +115,15 @@ def estimated_size_bytes(table) -> int | None:
         t = f.type.typeName()
         if t in ("string", "binary"):
             per_row += (col_stats.get(f.name, {}).get("avgLen") or 20) + 8
+        elif t in _FIXED_WIDTH:
+            per_row += _FIXED_WIDTH[t] + 8
         else:
-            per_row += _FIXED_WIDTH.get(t, 16) + 8
+            # array/map/struct: ANALYZE measures no width for these, and
+            # a flat guess underestimates an embedding column >20× —
+            # which would HINT-broadcast a 100 MB relation under a 10 MB
+            # threshold (r8 review). Unknown width ⇒ no size claim ⇒
+            # no hint; Spark's own file-size estimate still applies.
+            return None
     return int(n * per_row)
 
 

@@ -281,8 +281,19 @@ def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame | None,
                        num_hashes, bands, shingle_n,
                        id_alias="new_id", sig_alias="new_sig")
     if base_index is not None:
+        # loud per-row guard: an index built with a DIFFERENT num_hashes
+        # would null-pad the zip_with agreement count and silently halve
+        # est_jaccard (missed near-dups); same cheap size-compare
+        # pattern as similarity.check_dim (r8 review)
+        sig_ok = F.when(
+            F.size(F.col("sig")) == num_hashes, F.col("sig")
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"base_index signature family mismatch: query wants "
+                  f"num_hashes={num_hashes} but index row has "),
+            F.size(F.col("sig")).cast("string"),
+            F.lit(" — rebuild the index or re-parameterize"))))
         b = base_index.select(F.col("id").alias("base_id"),
-                              F.col("sig").alias("base_sig"),
+                              sig_ok.alias("base_sig"),
                               "band", "bh")
     else:
         b = minhash_banded(df_base, text_col, id_col, num_hashes, bands,

@@ -134,7 +134,7 @@ def sync_minhash_index(spark: SparkSession, source_table, index_table,
     text_col = raw[OPT_SOURCE_TEXT]
     cid = consumer_id or f"index:{index_table.name}"
 
-    def apply(adds, removes, _sid):
+    def apply(adds, removes, sid):
         # the index stores a FIXED row set per doc (bands rows keyed
         # (id, band)), so upserting a changed doc's new rows overwrites
         # its old ones in place — only true deletes (removed ids not
@@ -143,7 +143,10 @@ def sync_minhash_index(spark: SparkSession, source_table, index_table,
         up_rows = minhash_index_rows(adds, text_col, id_col, nh, bd, sh)
         del_rows = (minhash_index_rows(dels, text_col, id_col, nh, bd, sh)
                     .withColumn(ROW_KIND, F.lit(DELETE)))
+        # identifier = source snapshot id: a crash-replayed snapshot
+        # becomes a filtered no-op commit (exactly-once)
         index_table.write(spark, up_rows.withColumn(ROW_KIND, F.lit(INSERT))
-                                        .unionByName(del_rows))
+                                        .unionByName(del_rows),
+                          commit_identifier=sid)
 
     return replay_changelog(spark, source_table, cid, apply)

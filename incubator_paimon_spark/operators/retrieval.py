@@ -212,6 +212,16 @@ def bm25_search_indexed(spark, postings_table, stats_table,
 
     buckets = int((postings_table.schema.options or {})[OPT_TERM_BUCKETS])
     terms = [t.lower() for t in query_terms]
+    if not terms:
+        # bm25_search([]) scores everything 0 and filters it out —
+        # mirror that instead of crashing on an empty agg (r8 review)
+        import pyspark.sql.types as T
+        id_type = next(f.dataType for f in
+                       postings_table.schema.spark_schema().fields
+                       if f.name == "id")
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("id", id_type),
+                              T.StructField("score", T.DoubleType())]))
     srows = stats_table.read(spark).collect()
     if not srows or not srows[0]["n_docs"]:
         # empty / never-committed index: no documents, no results
@@ -275,22 +285,24 @@ def sync_bm25_index(spark, source_table, postings_table, stats_table,
     buckets = int((postings_table.schema.options or {})[OPT_TERM_BUCKETS])
     cid = consumer_id or f"index:{postings_table.name}"
 
-    def apply(adds, removes, _sid):
+    def apply(adds, removes, sid):
         up = bm25_index_rows(adds, text_col, id_col, buckets)
         old = bm25_index_rows(removes, text_col, id_col, buckets)
         stale = (old.join(up.select("term", "id"), ["term", "id"],
                           "left_anti")
                     .withColumn(ROW_KIND, F.lit(DELETE)))
+        # identifier = source snapshot id: crash-replay is a no-op
+        # commit, so the sum-aggregator stats can never double-count
         postings_table.write(
             spark, up.withColumn(ROW_KIND, F.lit(INSERT))
-                     .unionByName(stale))
+                     .unionByName(stale), commit_identifier=sid)
         ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
         a = adds.agg(F.count(F.lit(1)), F.sum(F.size(ws))).collect()[0]
         r = removes.agg(F.count(F.lit(1)), F.sum(F.size(ws))).collect()[0]
         stats_table.write(spark, spark.createDataFrame(
             [("corpus", (a[0] or 0) - (r[0] or 0),
               (a[1] or 0) - (r[1] or 0))],
-            stats_table.schema.spark_schema()))
+            stats_table.schema.spark_schema()), commit_identifier=sid)
 
     return replay_changelog(spark, source_table, cid, apply)
 
@@ -312,8 +324,8 @@ def hybrid_search_indexed(spark, postings_table, stats_table,
     on either modality."""
     from .similarity import ivf_search_table
 
-    if nprobe is None:
-        nprobe = ivf_centroids_table.read(spark).count()  # exact parity
+    # nprobe=None flows through to _probe_ids' no-limit path (exact
+    # parity) — no extra count job, one centroids read (r8 review)
     lex = bm25_search_indexed(spark, postings_table, stats_table,
                               query_terms, k=k_each)
     sem = (ivf_search_table(spark, ivf_index_table, ivf_centroids_table,

@@ -143,7 +143,7 @@ def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
     # re-running the feature explode (bounded memory: ~2 ints × buckets)
     qc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn")).cache()
     pc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn")).cache()
-    lw = _logratio_local(qc, pc, buckets)
+    lw, default_lw = _logratio_local(qc, pc, buckets)
     # RELEASE the count caches immediately: _logratio_local materialized
     # the ≤buckets-row log-ratio table on the driver, so nothing lazy
     # references them — holding them for the lifetime of the returned
@@ -151,18 +151,25 @@ def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
     # in a curation session (VERDICT r7 #3).
     qc.unpersist()
     pc.unpersist()
-    return _score_features(raw_f, lw)
+    # scored corpus IS the q corpus here: every bucket exists in qc, so
+    # default_lw never fires and results match the pre-r8 inner join
+    return _score_features(raw_f, lw, default_lw)
 
 
-def _logratio_local(qc: DataFrame, pc: DataFrame, buckets: int) -> DataFrame:
+def _logratio_local(qc: DataFrame, pc: DataFrame, buckets: int):
     """Laplace-smoothed log p̂/q̂ per bucket as a DRIVER-materialized
-    local relation (≤ buckets rows of (long, double) — control-plane).
+    local relation (≤ buckets rows of (long, double) — control-plane),
+    plus the smoothed ratio for a bucket in NEITHER table (both counts
+    0) — the value novel features of an unseen batch must score.
     The rebuilt local relation broadcasts the same doubles bit-for-bit
     (Python float IS a double), and being RDD-free it pins no executor
     storage."""
+    import math
     spark = qc.sparkSession
     qtot = qc.agg(F.sum("qn")).collect()[0][0] or 0
     ptot = pc.agg(F.sum("pn")).collect()[0][0] or 0
+    default_lw = (math.log(1.0 / (ptot + buckets))
+                  - math.log(1.0 / (qtot + buckets)))
     lw_rows = (qc.join(pc, "bucket", "full")
                  .select("bucket",
                          (F.log((F.coalesce(F.col("pn"), F.lit(0)) + 1.0)
@@ -170,16 +177,25 @@ def _logratio_local(qc: DataFrame, pc: DataFrame, buckets: int) -> DataFrame:
                           - F.log((F.coalesce(F.col("qn"), F.lit(0)) + 1.0)
                                   / F.lit(float(qtot + buckets)))).alias("lw"))
                  .collect())
-    return spark.createDataFrame(lw_rows, "bucket long, lw double")
+    return (spark.createDataFrame(lw_rows, "bucket long, lw double"),
+            default_lw)
 
 
-def _score_features(feat: DataFrame, lw: DataFrame) -> DataFrame:
+def _score_features(feat: DataFrame, lw: DataFrame,
+                    default_lw: float = 0.0) -> DataFrame:
     """Σ log-ratio over a document's features: (id, log_weight). The
-    shuffle carries (id, double) pairs only — text never moves."""
+    shuffle carries (id, double) pairs only — text never moves.
+    `default_lw` is the Laplace-smoothed ratio for a bucket ABSENT from
+    both count tables — impossible when the scored corpus is the q
+    corpus (the from-scratch path, where inner-join semantics were
+    accidentally correct), but real when scoring a NOT-yet-ingested
+    batch against maintained counts (r8 review)."""
     from .text import quantize
-    return (feat.join(F.broadcast(lw), "bucket")
+    return (feat.join(F.broadcast(lw), "bucket", "left")
                 .groupBy("id")
-                .agg(quantize(F.sum("lw"), 4).alias("log_weight")))
+                .agg(quantize(F.sum(F.coalesce(F.col("lw"),
+                                               F.lit(default_lw))), 4)
+                     .alias("log_weight")))
 
 
 # ----------------------------------------------------------------------
@@ -230,9 +246,12 @@ def dsir_logweights_from_tables(spark, df: DataFrame, raw_counts,
         raise ValueError(f"bucket mismatch: raw={buckets} target={tb}")
     qc = raw_counts.read(spark).select("bucket", F.col("n").alias("qn"))
     pc = target_counts.read(spark).select("bucket", F.col("n").alias("pn"))
-    lw = _logratio_local(qc, pc, buckets)
+    lw, default_lw = _logratio_local(qc, pc, buckets)
     feat = _hashed_features(df, text_col, id_col, buckets)
-    return _score_features(feat, lw)
+    # scoring a NOT-yet-ingested batch: its novel features hit buckets
+    # in neither count table and must get the smoothed default, not be
+    # silently dropped (r8 review)
+    return _score_features(feat, lw, default_lw)
 
 
 def dsir_sample(df: DataFrame, target: DataFrame, text_col: str,
@@ -267,7 +286,7 @@ def sync_dsir_counts(spark, source_table, counts_table, text_col: str,
     buckets = int((counts_table.schema.options or {})["dsir.buckets"])
     cid = consumer_id or f"index:{counts_table.name}"
 
-    def apply(adds, removes, _sid):
+    def apply(adds, removes, sid):
         plus = (_hashed_features(adds, text_col, id_col, buckets)
                 .groupBy("bucket").agg(F.count(F.lit(1)).alias("p")))
         minus = (_hashed_features(removes, text_col, id_col, buckets)
@@ -278,6 +297,8 @@ def sync_dsir_counts(spark, source_table, counts_table, text_col: str,
                             - F.coalesce(F.col("m"), F.lit(0)))
                            .cast("long").alias("n"))
                    .filter(F.col("n") != 0))
-        counts_table.write(spark, net)
+        # identifier = source snapshot id: crash-replay is a no-op
+        # commit, so count deltas can never double-apply
+        counts_table.write(spark, net, commit_identifier=sid)
 
     return replay_changelog(spark, source_table, cid, apply)

@@ -192,12 +192,17 @@ def _assign_arrow(df: DataFrame, centroids: DataFrame, vec_col: str,
         for pdf in it:
             if not len(pdf):
                 continue
+            lens = pdf[vec_col].map(
+                lambda v: -1 if v is None else len(v))
+            if (lens != dim).any():
+                bad = pdf.loc[lens != dim].iloc[0]
+                raise ValueError(
+                    f"assign_ivf: vector for {id_col}={bad[id_col]!r} is "
+                    f"{'NULL' if bad[vec_col] is None else 'length %d' % len(bad[vec_col])}"
+                    f" but centroids have dim {dim} — filter null/ragged "
+                    f"vectors upstream")
             V = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col].values])
-            if V.shape[1] != dim:
-                raise ValueError(
-                    f"assign_ivf: vector dim {V.shape[1]} != centroid "
-                    f"dim {dim}")
             acc = np.zeros((V.shape[0], k))
             vn = np.zeros(V.shape[0])
             for j in range(dim):
@@ -232,10 +237,14 @@ def _assign_join(df: DataFrame, centroids: DataFrame, vec_col: str,
     return df.join(best, id_col)
 
 
-def _probe_ids(centroids: DataFrame, q, nprobe: int) -> list:
-    probe = (centroids.select("cid",
-                              F.round(cosine(F.col("cv"), q), 6).alias("csim"))
-                      .orderBy(F.col("csim").desc()).limit(nprobe))
+def _probe_ids(centroids: DataFrame, q, nprobe: int | None) -> list:
+    """nprobe=None probes ALL centroids (exact search) without a
+    separate count job."""
+    probe = centroids.select("cid",
+                             F.round(cosine(F.col("cv"), q), 6).alias("csim")) \
+                     .orderBy(F.col("csim").desc())
+    if nprobe is not None:
+        probe = probe.limit(nprobe)
     return [r["cid"] for r in probe.collect()]
 
 
@@ -317,13 +326,14 @@ def sync_ivf_table(spark, source_table, index_table, centroids_table,
     cid = consumer_id or f"index:{index_table.name}"
     persisted = centroids_table.read(spark)
 
-    def apply(adds, removes, _sid):
+    def apply(adds, removes, sid):
         up = assign_ivf(adds, persisted, vec_col, id_col)
         dels = (removes.join(adds.select(id_col), id_col, "left_anti"))
         del_rows = (assign_ivf(dels, persisted, vec_col, id_col)
                     .withColumn(ROW_KIND, F.lit(DELETE)))
         index_table.write(spark, up.withColumn(ROW_KIND, F.lit(INSERT))
-                                   .unionByName(del_rows))
+                                   .unionByName(del_rows),
+                          commit_identifier=sid)
 
     return replay_changelog(spark, source_table, cid, apply)
 
@@ -345,7 +355,8 @@ def ivf_search_table(spark, index_table, centroids_table, vec_col: str,
 
 # ----------------------------------------------------------------------
 def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str,
-                        bits: int = 8) -> DataFrame:
+                        bits: int = 8, *,
+                        extra_cols: tuple = ()) -> DataFrame:
     """Symmetric per-vector integer quantization of an embedding column:
     (id, codes array<int>, scale float) with
     ``code_i = floor(v_i / scale + 0.5)``, ``scale = max(|v|) / (2^(b-1)-1)``.
@@ -371,7 +382,7 @@ def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str,
                                 F.floor(x.cast("double") / scale + F.lit(0.5))
                                 .cast("int"))
                           .otherwise(F.lit(0)))).alias("codes"),
-        scale.cast("float").alias("scale"))
+        scale.cast("float").alias("scale"), *extra_cols)
 
 
 def cosine_topk_quantized(qdf: DataFrame, query: list[float], k: int,
@@ -507,9 +518,13 @@ def build_ivf_quantized_table(spark, catalog, name: str, df: DataFrame,
     t_c.write(spark, cents)
     persisted = t_c.read(spark)
     assigned = assign_ivf(df, persisted, vec_col, id_col)
-    qz = quantize_embeddings(assigned, vec_col, id_col, bits=bits)
-    rows = (qz.join(assigned.select(id_col, "centroid_id"), id_col)
-              .select(id_col, "codes", "centroid_id"))
+    # codes are a pure projection over the assigned rows — joining a
+    # second quantized pipeline back onto the assignment would run the
+    # corpus-wide assign twice and shuffle every id for nothing
+    # (r8 review)
+    rows = quantize_embeddings(assigned, vec_col, id_col, bits=bits,
+                               extra_cols=("centroid_id",)) \
+        .select(id_col, "codes", "centroid_id")
     t_idx = catalog.create_table(name, rows.schema,
                                  partition_keys=["centroid_id"],
                                  ignore_if_exists=False)

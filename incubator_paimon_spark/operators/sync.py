@@ -32,13 +32,31 @@ def replay_changelog(spark, source_table, consumer_id: str, apply) -> int:
     `apply(adds_df, removes_df, snapshot_id)` — one call (and one
     consumer advance) per snapshot, oldest first. Returns the number
     of snapshots applied. The driver loop is O(snapshots) control
-    plane; all row work stays inside `apply`'s Spark jobs."""
+    plane; all row work stays inside `apply`'s Spark jobs.
+
+    The consumer MUST exist before the first sync: a derived table
+    bootstrapped from a snapshot of the source (build_* over
+    src.read()) must pin `write_consumer(cid, bootstrap_snapshot)`, or
+    replay would re-apply the bootstrapped data — idempotent for
+    PK-upsert rows but a silent DOUBLE-COUNT for sum-aggregator stats
+    and count deltas (r8 review). An index built from an EMPTY source
+    pins consumer 0 explicitly to request replay-from-the-beginning.
+
+    Crash safety: `apply` should stamp its derived-table writes with
+    ``commit_identifier=snapshot_id``; a crash between apply() and the
+    consumer advance then re-runs the snapshot as a filtered NO-OP
+    commit (TableCommitImpl.filterAndCommit semantics) instead of
+    double-applying its deltas."""
     latest = source_table.snapshots.latest()
     if latest is None:
         return 0
     start = source_table.read_consumer(consumer_id)
     if start is None:
-        start = 0  # never synced: replay from the beginning
+        raise ValueError(
+            f"no consumer {consumer_id!r} on {source_table.name}: pin the "
+            f"sync start first — write_consumer({consumer_id!r}, "
+            f"<bootstrap snapshot id>) right after building the derived "
+            f"table (0 for an index built from an empty source)")
     applied = 0
     for sid in range(start + 1, latest.id + 1):
         delta = source_table.incremental(spark, sid - 1, sid,

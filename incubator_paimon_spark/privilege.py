@@ -341,6 +341,13 @@ class PrivilegedTable:
             self._checker_fn().assert_select(self._identifier)
         elif name in self._INSERT:
             self._checker_fn().assert_insert(self._identifier)
+        if name == "branch_table":
+            # returning the RAW branch table would hand a SELECT-only
+            # user an unguarded mutable handle (write/rollback on the
+            # branch); the reference wraps switchToBranch results in
+            # the proxy too (PrivilegedFileStoreTable.java:275)
+            return lambda branch: PrivilegedTable(
+                attr(branch), self._checker_fn, self._identifier)
         return attr
 
     @property

@@ -1155,3 +1155,121 @@ def test_lsh_truncation_audit_over_index(spark, catalog):
     assert ({tuple(r) for r in via_index.collect()}
             == {tuple(r) for r in via_text.collect()})
     assert via_index.count() > 0
+
+
+# ----------------------------------------------------------------------
+# r8 review fixes
+# ----------------------------------------------------------------------
+def test_sync_requires_pinned_consumer_and_replay_is_idempotent(spark,
+                                                                catalog):
+    """Bootstrap safety: sync without a pinned consumer is a loud error
+    (replay-from-0 would double-count sum-aggregator stats); and a
+    crash-replayed snapshot (consumer rolled back by hand) is a no-op
+    commit thanks to commit_identifier=snapshot id."""
+    import pytest as _pt
+    from incubator_paimon_spark.operators import retrieval as R
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id",
+                                                             "text")
+    src = catalog.create_table("db.boot_src", d.schema,
+                               primary_keys=["doc_id"],
+                               options={"bucket": "2"})
+    src.write(spark, d.filter(F.col("doc_id") % 2 == 0))
+    tp, ts = R.build_bm25_index(spark, catalog, "db.boot_bm",
+                                src.read(spark), "text", "doc_id")
+    with _pt.raises(ValueError, match="pin the sync start"):
+        R.sync_bm25_index(spark, src, tp, ts, "text", "doc_id",
+                          consumer_id="index:boot")
+    pinned = src.snapshots.latest().id
+    src.write_consumer("index:boot", pinned)
+    src.write(spark, d.filter(F.col("doc_id") % 2 == 1))
+    assert R.sync_bm25_index(spark, src, tp, ts, "text", "doc_id",
+                             consumer_id="index:boot") == 1
+    stats_before = ts.read(spark).collect()
+    # simulate the crash window: consumer lost AFTER apply committed
+    src.write_consumer("index:boot", pinned)
+    assert R.sync_bm25_index(spark, src, tp, ts, "text", "doc_id",
+                             consumer_id="index:boot") == 1
+    # the re-applied snapshot was filtered (same identifier): no change
+    assert ts.read(spark).collect() == stats_before
+
+
+def test_estimated_size_unknown_for_complex_columns(spark, catalog):
+    """A table with an array column gets NO size claim (a flat width
+    guess under-priced embeddings >20x and hint-broadcast 100MB
+    relations — r8 review)."""
+    from incubator_paimon_spark.analyze import (analyze_table,
+                                                estimated_size_bytes)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    t = catalog.create_table("db.est_vec", e.schema)
+    t.write(spark, e)
+    analyze_table(spark, t)
+    assert estimated_size_bytes(t) is None
+
+
+def test_dsir_from_tables_smooths_novel_features(spark, catalog):
+    """Scoring a NOT-yet-ingested batch: features absent from BOTH
+    count tables must get the Laplace-smoothed default, not silently
+    drop (r8 review). Differential oracle: replay the smoothing
+    formula per feature bucket from the count tables themselves —
+    tiny count corpora at 4096 buckets guarantee the novel doc hits
+    genuinely-absent buckets."""
+    import math
+    from incubator_paimon_spark.operators import sampling as SA
+    from incubator_paimon_spark.operators.sampling import _hashed_features
+    B = 4096
+    qd = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    pd_ = spark.createDataFrame([(2, "beta gamma epsilon")],
+                                "doc_id long, text string")
+    qt = SA.create_dsir_counts_table(catalog, "db.nv_q", buckets=B)
+    pt = SA.create_dsir_counts_table(catalog, "db.nv_p", buckets=B)
+    SA.update_dsir_counts(spark, qt, qd, "text", "doc_id")
+    SA.update_dsir_counts(spark, pt, pd_, "text", "doc_id")
+    novel = spark.createDataFrame(
+        [(999_999, "zzqx wvvk pppl mmnn")], "doc_id long, text string")
+    got = SA.dsir_logweights_from_tables(spark, novel, qt, pt,
+                                         "text", "doc_id").collect()
+    qn = {r["bucket"]: r["n"] for r in qt.read(spark).collect()}
+    pn = {r["bucket"]: r["n"] for r in pt.read(spark).collect()}
+    qtot, ptot = sum(qn.values()), sum(pn.values())
+    feats = _hashed_features(novel, "text", "doc_id", B).collect()
+    # the fix only matters if some feature bucket is in NEITHER table
+    assert any(f["bucket"] not in qn and f["bucket"] not in pn
+               for f in feats)
+    expect = sum(math.log((pn.get(f["bucket"], 0) + 1.0) / (ptot + B))
+                 - math.log((qn.get(f["bucket"], 0) + 1.0) / (qtot + B))
+                 for f in feats)
+    expect = math.floor(expect * 1e4 + 0.5) / 1e4
+    assert got[0]["log_weight"] == expect, (got, expect)
+
+
+def test_assign_arrow_null_vector_is_loud(spark):
+    import pytest as _pt
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, None)], "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame([(0, [1.0] * 64)],
+                                  "cid long, cv array<float>")
+    with _pt.raises(Exception, match="NULL"):
+        S.assign_ivf(bad, cents, "embedding", "vec_id").collect()
+
+
+def test_base_index_family_mismatch_is_loud(spark, catalog):
+    import pytest as _pt
+    from incubator_paimon_spark.operators import dedup_index as DI
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    t = DI.build_minhash_index(spark, catalog, "db.fam8", d, "text",
+                               "doc_id", num_hashes=8, bands=4)
+    bi = DI.read_minhash_index(spark, t)  # no explicit params: 8-hash
+    q = D.minhash_lsh_pairs_between(d.limit(5), None, "text", "doc_id",
+                                    num_hashes=16, bands=4,
+                                    base_index=bi)
+    with _pt.raises(Exception, match="signature family mismatch"):
+        q.collect()
+
+
+def test_bm25_indexed_empty_terms(spark, catalog):
+    from incubator_paimon_spark.operators import retrieval as R
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    tp, ts = R.build_bm25_index(spark, catalog, "db.et_bm", d, "text",
+                                "doc_id")
+    assert R.bm25_search_indexed(spark, tp, ts, [], k=5).collect() == []

@@ -8,6 +8,7 @@ from pyspark.sql import types as T
 
 from incubator_paimon_spark.privilege import (NoPrivilegeException,
                                               PrivilegedCatalog,
+                                              PrivilegedTable,
                                               PrivilegeManager)
 
 SCHEMA = T.StructType([T.StructField("k", T.LongType()),
@@ -181,3 +182,18 @@ def test_every_mutating_entry_point_requires_insert(wh, spark):
     t2.create_tag("priv-tag")  # INSERT now unlocks tag creation
     root.privileges.grant("alice", "db.t", "SELECT")
     assert "priv-tag" in alice.get_table("db.t").list_tags()
+
+
+def test_branch_table_returns_guarded_proxy(wh, spark):
+    """r8 review: branch_table must wrap its result in the proxy — a
+    SELECT-only user must NOT get a raw mutable handle to the branch
+    (the reference wraps switchToBranch results too,
+    PrivilegedFileStoreTable.java:275)."""
+    root = PrivilegedCatalog(spark, wh, "root", "rootpw")
+    root.get_table("db.t").create_branch("b1")
+    root.privileges.grant("alice", "db.t", "SELECT")
+    alice = PrivilegedCatalog(spark, wh, "alice", "alicepw")
+    bt = alice.get_table("db.t").branch_table("b1")
+    assert isinstance(bt, PrivilegedTable)
+    with pytest.raises(NoPrivilegeException, match="INSERT"):
+        bt.new_write
