@@ -896,6 +896,21 @@ def q_stratified_sample(spark, sf_dir):
                     F.sum("doc_id").alias("id_sum")))
 
 
+def q_source_cap(spark, sf_dir):
+    """Per-domain cap (C4/RefinedWeb "no single domain dominates"): keep
+    the 40 longest docs per source, ties broken on the stable id hash.
+    Runs the salted two-phase top-N (mega-domain-proof: phase-2 window
+    partitions are bounded at salt×N rows however large a domain is)."""
+    from incubator_paimon_spark.operators import sampling as S
+    d = _t(spark, sf_dir, "documents")
+    out = S.cap_per_group(d, "source", "doc_id", max_per_group=40,
+                          order_col="n_chars")
+    return (out.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("id_sum"),
+                    F.sum("n_chars").alias("chars_sum")))
+
+
 def q_doc_chunks(spark, sf_dir):
     """RAG/embedding chunking: overlapping 40-word windows (8-word
     overlap); zero-shuffle projection + posexplode."""
@@ -1497,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "source_cap": q_source_cap,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "revenue_forecast": q_revenue_forecast,

@@ -102,6 +102,47 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
     return df.filter(b < expr)
 
 
+def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+                  max_per_group: int, order_col: str | None = None,
+                  descending: bool = True, salt: int = 16) -> DataFrame:
+    """Per-source document cap (the C4/RefinedWeb "no single domain
+    dominates" rule): keep at most `max_per_group` rows per group —
+    the TOP rows by `order_col` (a quality score, length, ...) or,
+    with order_col=None, a deterministic hash-ordered subset. Ties
+    break on the stable id hash then the id itself, so the kept SET
+    is a pure function of the data: re-runs, any `salt`, and the SQL
+    oracle all select identical rows.
+
+    Scale shape: the naive single window puts a whole mega-domain in
+    ONE task (web corpora routinely have 100 M-page domains — the
+    exact skew a 1000-executor job dies on). Instead: two-phase top-N.
+    Phase 1 windows over (group, h32(id) % salt) and keeps
+    `max_per_group` per sub-group — any row in the group's global
+    top-N is also in its sub-group's top-N, so no survivor is lost.
+    Phase 2 re-caps the ≤ salt×N survivors per group with the plain
+    window. Each phase is one shuffle; phase 2's partitions are
+    bounded at salt×N rows regardless of domain size."""
+    from pyspark.sql.window import Window
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    tiebreak = h32(F.col(id_col).cast("string"))
+    order = []
+    if order_col is not None:
+        c = F.col(order_col)
+        order.append(c.desc() if descending else c.asc())
+    order += [tiebreak.asc(), F.col(id_col).asc()]
+    out = df
+    if salt and salt > 1:
+        w1 = (Window.partitionBy(F.col(group_col),
+                                 F.pmod(tiebreak, F.lit(salt)))
+                    .orderBy(*order))
+        out = (out.withColumn("__rn", F.row_number().over(w1))
+                  .filter(F.col("__rn") <= max_per_group).drop("__rn"))
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (out.withColumn("__rn", F.row_number().over(w2))
+               .filter(F.col("__rn") <= max_per_group).drop("__rn"))
+
+
 # ----------------------------------------------------------------------
 def _hashed_features(df: DataFrame, text_col: str, id_col: str,
                      buckets: int) -> DataFrame:

@@ -622,6 +622,24 @@ SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
 FROM s GROUP BY split
 """
 
+# source_cap: top-N per domain by n_chars, ties on the raw 32-bit md5
+# prefix then doc_id — the identical total order the Spark window uses,
+# so the kept SET matches for any salt.
+ORACLES["source_cap"] = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC,
+                    {_H32.format(x="doc_id::VARCHAR")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+       sum(n_chars)::BIGINT AS chars_sum
+FROM ranked WHERE rn <= 40 GROUP BY source
+"""
+
 ORACLES["stratified_sample"] = f"""
 SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
 FROM documents

@@ -1267,6 +1267,29 @@ def test_base_index_family_mismatch_is_loud(spark, catalog):
         q.collect()
 
 
+def test_cap_per_group_salted_matches_plain_window(spark):
+    """The salted two-phase top-N must select the IDENTICAL row set as
+    the single-window cap (the tie order is total: order_col, id hash,
+    id), and never exceed the cap — including a mega-group bigger than
+    salt*cap."""
+    from incubator_paimon_spark.operators.sampling import cap_per_group
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plain = cap_per_group(d, "source", "doc_id", 25,
+                          order_col="n_chars", salt=1)
+    salted = cap_per_group(d, "source", "doc_id", 25,
+                           order_col="n_chars", salt=7)
+    assert ({tuple(r) for r in plain.select("source", "doc_id").collect()}
+            == {tuple(r) for r in salted.select("source", "doc_id")
+                                        .collect()})
+    per = salted.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 25 for r in per)
+    # hash-ordered variant (no order_col) is deterministic too
+    a = cap_per_group(d, "lang", "doc_id", 10, salt=4)
+    b = cap_per_group(d, "lang", "doc_id", 10, salt=16)
+    assert ({r["doc_id"] for r in a.collect()}
+            == {r["doc_id"] for r in b.collect()})
+
+
 def test_bm25_indexed_empty_terms(spark, catalog):
     from incubator_paimon_spark.operators import retrieval as R
     d = spark.read.parquet(f"{SF}/documents.parquet")
