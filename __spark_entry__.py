@@ -1074,6 +1074,25 @@ def q_semdedup(spark, sf_dir):
                       threshold=0.4, dim=64, iters=0)
 
 
+def q_semdedup_indexed(spark, sf_dir):
+    """SemDeDup over the MAINTAINED IVF table: assignment (the ~95 %
+    cost, SURVEY §6) is the index's stored partition layout, so each
+    run pays only the per-cluster pass — amortized semantic dedup per
+    crawl / threshold sweep. Same seed centroids (iters=0) as the
+    gated semdedup, so it shares semdedup's oracle: results must be
+    row-identical to the from-scratch operator."""
+    from incubator_paimon_spark.operators import similarity as S
+    fx = _fixtures(spark, sf_dir)
+    if "sd_ivf" not in fx:
+        e = _t(spark, sf_dir, "embeddings")
+        fx["sd_ivf"] = S.build_ivf_table(spark, fx["cat"], "fx.sd_ivf", e,
+                                         "embedding", num_centroids=4,
+                                         dim=64, iters=0)
+    t_idx, _ = fx["sd_ivf"]
+    return S.semdedup_from_index(spark, t_idx, "embedding", "vec_id",
+                                 threshold=0.4)
+
+
 def q_line_stats(spark, sf_dir):
     """Line-shape quality signals (CCNet/C4/RedPajama/FineWeb rules):
     dup-line fraction, terminal-punctuation / short-line / bullet-line
@@ -1513,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
+        "semdedup_indexed": q_semdedup_indexed,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "revenue_forecast": q_revenue_forecast,

@@ -270,7 +270,8 @@ def ivf_search(indexed: DataFrame, centroids: DataFrame, vec_col: str,
 # ----------------------------------------------------------------------
 def build_ivf_table(spark, catalog, name: str, df: DataFrame, vec_col: str,
                     id_col: str = "vec_id", num_centroids: int = 16,
-                    dim: int | None = None, updatable: bool = False):
+                    dim: int | None = None, updatable: bool = False,
+                    iters: int = 1):
     """Persist an IVF index as a paimon table PARTITIONED by centroid_id,
     plus its centroids as a sibling table. The physical layout IS the
     index: a probe reads only its centroids' partitions (manifest-level
@@ -289,7 +290,8 @@ def build_ivf_table(spark, catalog, name: str, df: DataFrame, vec_col: str,
     # the centroid pipeline is the corpus-wide expensive stage, and float
     # aggregation order could otherwise make the persisted centroids differ
     # in the last ulp from the ones used for assignment (r5 review)
-    cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim)
+    cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim,
+                          iters=iters)
     t_c = catalog.create_table(f"{name}_centroids", cents.schema,
                                ignore_if_exists=False)
     t_c.write(spark, cents)
@@ -459,6 +461,18 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
                            F.col(vec_col).alias("v"),
                            norm(F.col(vec_col)).alias("nrm")) \
                    .persist(StorageLevel.MEMORY_AND_DISK)
+    return _semdedup_verdict(slim, id_col, threshold, max_cluster_heads,
+                             materialize)
+
+
+def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
+                      max_cluster_heads: int | None,
+                      materialize: bool) -> DataFrame:
+    """The post-assignment SemDeDup stage over a PERSISTED
+    (id, centroid_id, v, nrm) projection: head-capped per-cluster
+    self-join + smallest-id verdict. Shared by `semdedup` (assignment
+    computed in-flight) and `semdedup_from_index` (assignment read
+    from the maintained IVF table)."""
     heads = slim
     if max_cluster_heads is not None:
         from pyspark.sql import Window as W
@@ -496,6 +510,29 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     out = out.localCheckpoint(eager=True)
     slim.unpersist()
     return out
+
+
+def semdedup_from_index(spark, index_table, vec_col: str,
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        max_cluster_heads: int | None = 10_000,
+                        materialize: bool = True) -> DataFrame:
+    """SemDeDup over a MAINTAINED IVF table (`build_ivf_table`, kept
+    current by `sync_ivf_table`/`auto_sync`): the O(n·k) centroid
+    assignment — measured at ~95 % of semdedup's cost (SURVEY §6) — is
+    already stored as the table's partition layout, so each run pays
+    only the Σ O(c²) within-cluster pass. The amortization twin of
+    `minhash_lsh_pairs_between(base_index=...)`: cluster once per
+    corpus, re-run the dedup verdict per crawl/threshold sweep.
+    Identical output to `semdedup` when the index was built with the
+    same centroids (tested row-for-row)."""
+    from pyspark import StorageLevel
+    slim = (index_table.read(spark)
+            .select(F.col(id_col).alias("id"), "centroid_id",
+                    F.col(vec_col).alias("v"),
+                    norm(F.col(vec_col)).alias("nrm"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _semdedup_verdict(slim, id_col, threshold, max_cluster_heads,
+                             materialize)
 
 
 # ----------------------------------------------------------------------

@@ -1187,6 +1187,10 @@ SELECT e.vec_id, a0.cid AS centroid_id, (dup.id IS NULL) AS keep
 FROM e JOIN a0 USING (vec_id) LEFT JOIN dup ON dup.id = e.vec_id
 """
 
+# index-backed semdedup reads the SAME iters=0 assignment from the
+# maintained IVF table — results must be row-identical to from-scratch
+ORACLES["semdedup_indexed"] = ORACLES["semdedup"]
+
 
 # bm25: Lucene-variant BM25 for query terms (merge, vector, stream),
 # k1=1.2 b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)); zero-score

@@ -1267,6 +1267,24 @@ def test_base_index_family_mismatch_is_loud(spark, catalog):
         q.collect()
 
 
+def test_semdedup_from_index_matches_from_scratch(spark, catalog):
+    """semdedup over the maintained IVF table must be row-identical to
+    the from-scratch operator when the index stores the same (iters=0)
+    assignment — the amortization contract: cluster once, re-verdict
+    per crawl without re-paying the O(n*k) assignment."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    t_idx, _ = S.build_ivf_table(spark, catalog, "db.sd_ivf", e,
+                                 "embedding", num_centroids=4, dim=64,
+                                 iters=0)
+    scratch = S.semdedup(e, "embedding", "vec_id", num_centroids=4,
+                         threshold=0.4, dim=64, iters=0)
+    indexed = S.semdedup_from_index(spark, t_idx, "embedding", "vec_id",
+                                    threshold=0.4)
+    assert ({tuple(r) for r in scratch.collect()}
+            == {tuple(r) for r in indexed.collect()})
+    assert indexed.filter("not keep").count() > 0
+
+
 def test_cap_per_group_salted_matches_plain_window(spark):
     """The salted two-phase top-N must select the IDENTICAL row set as
     the single-window cap (the tie order is total: order_col, id hash,
