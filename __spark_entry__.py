@@ -1308,6 +1308,24 @@ def q_boilerplate_removal(spark, sf_dir):
                                       segment_words=10, max_doc_freq=1)
 
 
+def q_boilerplate_indexed(spark, sf_dir):
+    """Boilerplate removal off the MAINTAINED segment doc-frequency
+    table (sum-aggregator PK table updated per ingest commit): cleaning
+    a crawl costs one segmentation pass + one join — the standing
+    corpus is never re-segmented. Counts here cover exactly the scored
+    corpus, so it shares boilerplate_removal's oracle row-for-row."""
+    fx = _fixtures(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    if "segdf" not in fx:
+        t = D.create_segment_df_table(fx["cat"], "fx.segdf",
+                                      segment_words=10)
+        D.update_segment_df_counts(spark, t, d, "text", "doc_id")
+        fx["segdf"] = t
+    return D.remove_frequent_segments_from_table(spark, d, fx["segdf"],
+                                                 "text", "doc_id",
+                                                 max_doc_freq=1)
+
+
 def q_mixture_sample(spark, sf_dir):
     """Data mixing: downsample sources to a 50/30/20 target mixture
     (src0/src1/src2), rates derived from corpus counts, selection by the
@@ -1533,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
         "semdedup_indexed": q_semdedup_indexed,
+        "boilerplate_indexed": q_boilerplate_indexed,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "revenue_forecast": q_revenue_forecast,

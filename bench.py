@@ -157,7 +157,7 @@ def main():
         # crosscorpus_neardup is the 90× §6 probe at bench scale.
         from incubator_paimon_spark.operators import dedup_index as DIx
         from incubator_paimon_spark.operators import retrieval as Rx
-        idx_wh = f"/tmp/pmn_idx_cache_v2_sf{sf}"
+        idx_wh = f"/tmp/pmn_idx_cache_v3_sf{sf}"
         cati = Catalog(idx_wh)
         marker = os.path.join(idx_wh, ".done")
         if not os.path.exists(marker):
@@ -165,7 +165,8 @@ def main():
             # wedge create_table or double-count the stats aggregator —
             # rebuild from clean tables
             for name in ("bench.mh", "bench.bm", "bench.bm_stats",
-                         "bench.sdivf", "bench.sdivf_centroids"):
+                         "bench.sdivf", "bench.sdivf_centroids",
+                         "bench.segdf"):
                 cati.drop_table(name)
             DIx.build_minhash_index(
                 spark, cati, "bench.mh",
@@ -175,6 +176,10 @@ def main():
             S.build_ivf_table(spark, cati, "bench.sdivf", emb,
                               "embedding", num_centroids=32, dim=64,
                               iters=0)
+            t_sg = D.create_segment_df_table(cati, "bench.segdf",
+                                             segment_words=10)
+            D.update_segment_df_counts(spark, t_sg, docs, "text",
+                                       "doc_id")
             with open(marker, "w") as fh:
                 fh.write("ok")
         t_mh = cati.get_table("bench.mh")
@@ -197,6 +202,13 @@ def main():
               lambda: S.semdedup_from_index(
                   spark, t_sd, "embedding", "vec_id",
                   threshold=0.4).filter("keep").count(), reps=3)
+        t_sg = cati.get_table("bench.segdf")
+        # vs boilerplate_removal above: one segmentation pass + a join
+        # against maintained doc-frequencies, no corpus-wide recount
+        timed("boilerplate_indexed",
+              lambda: D.remove_frequent_segments_from_table(
+                  spark, docs, t_sg, "text", "doc_id",
+                  max_doc_freq=1).count(), reps=3)
     timed("kmeans_2iter",
           lambda: S.ivf_centroids(emb, "embedding", "vec_id",
                                   num_centroids=8, dim=64,

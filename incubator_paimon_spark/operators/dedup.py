@@ -584,19 +584,37 @@ def remove_frequent_segments(df: DataFrame, text_col: str, id_col: str,
     hot segment (the whole point: boilerplate) is a single aggregation key
     handled by partial aggregation, never a skewed join fan-out.
     """
+    ex = _segments_exploded(df, text_col, id_col, segment_words)
+    freq = (ex.groupBy(F.md5("seg").alias("__sh"))
+              .agg(F.count_distinct("id").alias("__df")))
+    return _rebuild_filtered(df, id_col, ex, freq, max_doc_freq)
+
+
+def _segments_exploded(df: DataFrame, text_col: str, id_col: str,
+                       segment_words: int) -> DataFrame:
+    """One row per (doc, position, segment): the shared explode for
+    the from-scratch and maintained-table boilerplate paths."""
     w = segment_words
     ws = words(F.col(text_col))
     nseg = F.ceil(F.size(ws) / F.lit(w)).cast("int")
     segs = F.transform(F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
                        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "))
-    ex = (ensure_parallelism(df)
-          .select(F.col(id_col).alias("id"), F.posexplode(segs)
-                  .alias("pos", "seg"))
-          .filter(F.col("seg") != ""))
-    freq = (ex.groupBy(F.md5("seg").alias("__sh"))
-              .agg(F.count_distinct("id").alias("__df")))
-    rebuilt = (ex.join(freq, F.md5(ex["seg"]) == freq["__sh"])
-                 .withColumn("__keep", F.col("__df") <= max_doc_freq)
+    return (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), F.posexplode(segs)
+                    .alias("pos", "seg"))
+            .filter(F.col("seg") != ""))
+
+
+def _rebuild_filtered(df: DataFrame, id_col: str, ex: DataFrame,
+                      freq: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Join segment doc-frequencies back and reassemble documents in
+    order. `freq` is (__sh, __df); segments ABSENT from it count as
+    frequency 0 (novel content — always kept), so a maintained counts
+    table scores a not-yet-ingested batch correctly."""
+    rebuilt = (ex.join(freq, F.md5(ex["seg"]) == freq["__sh"], "left")
+                 .withColumn("__keep",
+                             F.coalesce(F.col("__df"), F.lit(0))
+                             <= max_doc_freq)
                  .groupBy("id")
                  .agg(F.array_join(
                           F.transform(
@@ -615,6 +633,86 @@ def remove_frequent_segments(df: DataFrame, text_col: str, id_col: str,
                       F.coalesce("kept_segments", F.lit(0)).alias("kept_segments"),
                       F.coalesce("removed_segments", F.lit(0))
                        .alias("removed_segments")))
+
+
+# ----------------------------------------------------------------------
+def create_segment_df_table(catalog, name: str, segment_words: int = 20,
+                            num_buckets: int = 8):
+    """A (segment-hash PK, n) doc-frequency table with the SUM field
+    aggregator: each ingest commit appends per-segment deltas and
+    merge-on-read yields running corpus-wide frequencies — the
+    boilerplate-removal analogue of the DSIR counts table. Unlike the
+    DSIR table this one is DATA-plane sized (one row per distinct
+    segment), so it gets a real `num_buckets` (size for the target
+    corpus; the hash key spreads uniformly). Assumes each document is
+    ingested in exactly one batch (the ingest contract all maintained
+    counts share); corrections flow through `sync_segment_df_counts`'s
+    changelog deltas."""
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("sh", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    return catalog.create_table(
+        name, schema, primary_keys=["sh"],
+        options={"bucket": str(num_buckets),
+                 "merge-engine": "aggregation",
+                 "fields.n.aggregate-function": "sum",
+                 "segdf.segment_words": str(segment_words)})
+
+
+def _segment_doc_deltas(df: DataFrame, text_col: str, id_col: str,
+                        segment_words: int, sign: int = 1) -> DataFrame:
+    return (_segments_exploded(df, text_col, id_col, segment_words)
+            .select("id", F.md5("seg").alias("sh")).distinct()
+            .groupBy("sh")
+            .agg((F.count(F.lit(1)) * sign).alias("n")))
+
+
+def update_segment_df_counts(spark, counts_table, df_batch: DataFrame,
+                             text_col: str, id_col: str):
+    """Commit one ingest batch's segment doc-frequency deltas."""
+    w = int((counts_table.schema.options or {})["segdf.segment_words"])
+    counts_table.write(spark,
+                       _segment_doc_deltas(df_batch, text_col, id_col, w))
+
+
+def remove_frequent_segments_from_table(spark, df: DataFrame, counts_table,
+                                        text_col: str, id_col: str,
+                                        max_doc_freq: int = 2) -> DataFrame:
+    """`remove_frequent_segments` with the corpus-wide doc-frequency
+    pass replaced by the MAINTAINED counts table: cleaning tonight's
+    crawl costs O(|batch|) segmentation + one join against the counts
+    — the standing corpus is never re-segmented (the amortization the
+    signature index applies to near-dup candidates). Segments absent
+    from the table are novel and kept. Identical to the from-scratch
+    operator when the table's counts cover exactly `df` (tested)."""
+    w = int((counts_table.schema.options or {})["segdf.segment_words"])
+    ex = _segments_exploded(df, text_col, id_col, w)
+    freq = (counts_table.read(spark)
+            .select(F.col("sh").alias("__sh"), F.col("n").alias("__df")))
+    return _rebuild_filtered(df, id_col, ex, freq, max_doc_freq)
+
+
+def sync_segment_df_counts(spark, source_table, counts_table,
+                           text_col: str, id_col: str,
+                           consumer_id: str | None = None) -> int:
+    """Keep a segment doc-frequency table current from the source
+    table's changelog (same consumer protocol as the other maintained
+    structures): +1 per (added doc, distinct segment), -1 per removed;
+    the sum aggregator folds deltas into running frequencies."""
+    from .sync import replay_changelog
+    w = int((counts_table.schema.options or {})["segdf.segment_words"])
+    cid = consumer_id or f"index:{counts_table.name}"
+
+    def apply(adds, removes, sid):
+        plus = _segment_doc_deltas(adds, text_col, id_col, w)
+        minus = _segment_doc_deltas(removes, text_col, id_col, w, sign=-1)
+        net = (plus.unionByName(minus).groupBy("sh")
+               .agg(F.sum("n").alias("n")).filter(F.col("n") != 0))
+        # identifier = source snapshot id: crash-replay is a no-op
+        # commit, so frequency deltas can never double-apply
+        counts_table.write(spark, net, commit_identifier=sid)
+
+    return replay_changelog(spark, source_table, cid, apply)
 
 
 # ----------------------------------------------------------------------

@@ -921,6 +921,10 @@ SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text,
 FROM documents d LEFT JOIN reb r ON r.id = d.doc_id
 """
 
+# the maintained segment-DF table covers exactly the scored corpus in
+# the gated-rotation entry, so indexed output == from-scratch output
+ORACLES["boilerplate_indexed"] = ORACLES["boilerplate_removal"]
+
 
 # span_dedup: overlapping 10-word windows; a window's text in >= 2
 # distinct docs marks its word positions; docs rebuilt from uncovered

@@ -1267,6 +1267,53 @@ def test_base_index_family_mismatch_is_loud(spark, catalog):
         q.collect()
 
 
+def test_segment_df_table_matches_from_scratch_and_syncs(spark, catalog):
+    """Maintained segment doc-frequency table: two-batch updates must
+    reproduce the from-scratch boilerplate removal row-for-row, and a
+    changelog sync after a PK text update must converge to a recount
+    (stale segments decremented, new ones added)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id",
+                                                             "text")
+    t = D.create_segment_df_table(catalog, "db.segdf", segment_words=10)
+    D.update_segment_df_counts(spark, t,
+                               d.filter(F.col("doc_id") % 2 == 0),
+                               "text", "doc_id")
+    D.update_segment_df_counts(spark, t,
+                               d.filter(F.col("doc_id") % 2 == 1),
+                               "text", "doc_id")
+    got = D.remove_frequent_segments_from_table(spark, d, t, "text",
+                                                "doc_id", max_doc_freq=1)
+    want = D.remove_frequent_segments(d, "text", "doc_id",
+                                      segment_words=10, max_doc_freq=1)
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in want.collect()})
+    assert got.filter("removed_segments > 0").count() > 0
+
+    # changelog path: PK source, text UPDATE must retract old segments
+    src = catalog.create_table("db.segsrc", d.schema,
+                               primary_keys=["doc_id"],
+                               options={"bucket": "2",
+                                        "changelog-producer": "input"})
+    ts = D.create_segment_df_table(catalog, "db.segdf2",
+                                   segment_words=10)
+    src.write_consumer("index:segdf2", 0)
+    sub = d.limit(50)
+    src.write(spark, sub)
+    assert D.sync_segment_df_counts(spark, src, ts, "text", "doc_id",
+                                    consumer_id="index:segdf2") == 1
+    changed = sub.limit(5).withColumn(
+        "text", F.concat(F.lit("totally new words here "), F.col("text")))
+    src.write(spark, changed)
+    assert D.sync_segment_df_counts(spark, src, ts, "text", "doc_id",
+                                    consumer_id="index:segdf2") == 1
+    merged = {(r["sh"], r["n"]) for r in ts.read(spark).collect()
+              if r["n"] != 0}
+    recount = {(r["sh"], r["n"])
+               for r in D._segment_doc_deltas(src.read(spark), "text",
+                                              "doc_id", 10).collect()}
+    assert merged == recount
+
+
 def test_semdedup_from_index_matches_from_scratch(spark, catalog):
     """semdedup over the maintained IVF table must be row-identical to
     the from-scratch operator when the index stores the same (iters=0)
