@@ -1352,6 +1352,32 @@ def q_dedup_clusters(spark, sf_dir):
                             shingle_n=3, threshold=0.7)
 
 
+def q_clusters_incremental(spark, sf_dir):
+    """Near-dup clusters maintained ACROSS crawls: half the corpus
+    bootstraps the cluster table, the other half arrives as a crawl
+    whose internal + cross pairs merge in — only touched components
+    re-solve (star edges preserve standing connectivity). Must equal
+    the from-scratch clustering of the full corpus (shared oracle)."""
+    fx = _fixtures(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    if "clusters" not in fx:
+        h1 = d.filter(F.col("doc_id") % 2 == 0)
+        h2 = d.filter(F.col("doc_id") % 2 == 1)
+        t = D.create_dedup_clusters_table(fx["cat"], "fx.clusters")
+        D.update_dedup_clusters(
+            spark, t, D.minhash_lsh_pairs(h1, "text", "doc_id",
+                                          min_est_jaccard=0.7))
+        p2 = D.minhash_lsh_pairs(h2, "text", "doc_id",
+                                 min_est_jaccard=0.7)
+        cross = (D.minhash_lsh_pairs_between(h2, h1, "text", "doc_id",
+                                             min_est_jaccard=0.7)
+                 .select(F.col("new_id").alias("id_a"),
+                         F.col("base_id").alias("id_b"), "est_jaccard"))
+        D.update_dedup_clusters(spark, t, p2.unionByName(cross))
+        fx["clusters"] = t
+    return D.read_dedup_clusters(spark, fx["clusters"])
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3,
@@ -1552,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,
+        "clusters_incremental": q_clusters_incremental,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "revenue_forecast": q_revenue_forecast,

@@ -831,3 +831,67 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
               .select(F.col("id"), F.col("component").alias("cluster_id"),
                       "cluster_size",
                       (F.col("id") == F.col("component")).alias("is_canonical")))
+
+
+# ----------------------------------------------------------------------
+def create_dedup_clusters_table(catalog, name: str):
+    """A (id PK, component) table holding the near-dup cluster
+    assignment, maintained incrementally across crawls: tonight's new
+    pairs merge into the standing clusters WITHOUT re-running
+    connected components over the whole corpus (`update_dedup_clusters`
+    recomputes only the components a new edge touches). Additive
+    contract — edges only accumulate; document deletions need a full
+    rebuild (components can split), same as every incremental-CC
+    system."""
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("component", T.LongType())])
+    return catalog.create_table(name, schema, primary_keys=["id"],
+                                options={"bucket": "4"})
+
+
+def update_dedup_clusters(spark, clusters_table, new_pairs: DataFrame,
+                          src: str = "id_a", dst: str = "id_b") -> None:
+    """Merge a batch of near-dup pairs (e.g. tonight's crawl vs the
+    signature index, plus the crawl's internal pairs) into the standing
+    cluster assignment.
+
+    Scale shape: only components CONTAINING an endpoint of a new pair
+    are re-solved — (1) semi-join the standing (id, component) rows to
+    the new endpoints to find touched components, (2) pull just those
+    components' members as (member, component) star edges, (3) run
+    connected components over new pairs ∪ star edges (the stars have
+    diameter 2, so the alternating-star loop converges in a round or
+    two), (4) upsert the re-solved rows. Per-crawl cost is
+    O(new pairs + members of touched clusters) — never O(corpus); the
+    result is identical to a from-scratch re-cluster because component
+    ids are min member ids (real nodes), so star edges preserve exactly
+    the standing connectivity."""
+    cur = clusters_table.read(spark).select("id", "component")
+    ends = (new_pairs.select(F.col(src).alias("id"))
+            .unionByName(new_pairs.select(F.col(dst).alias("id")))
+            .distinct())
+    touched = (cur.join(ends, "id", "left_semi")
+                  .select("component").distinct())
+    stars = (cur.join(touched, "component", "left_semi")
+                .filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias("id_a"),
+                        F.col("component").alias("id_b")))
+    edges = (new_pairs.select(F.col(src).alias("id_a"),
+                              F.col(dst).alias("id_b"))
+             .unionByName(stars))
+    cc = connected_components(edges, "id_a", "id_b")
+    clusters_table.write(spark, cc.select("id", "component"))
+
+
+def read_dedup_clusters(spark, clusters_table) -> DataFrame:
+    """The `dedup_clusters` view of a maintained assignment:
+    (id, cluster_id, cluster_size, is_canonical)."""
+    cc = clusters_table.read(spark).select("id", "component")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1))
+                                        .alias("cluster_size"))
+    return (cc.join(sizes, "component")
+              .select(F.col("id"), F.col("component").alias("cluster_id"),
+                      "cluster_size",
+                      (F.col("id") == F.col("component"))
+                      .alias("is_canonical")))

@@ -671,6 +671,11 @@ SELECT c.id, c.cluster_id,
 FROM comp c
 """
 
+# incrementally maintained clusters (bootstrap half + crawl merge) must
+# equal the from-scratch clustering of the full corpus: same banding on
+# both halves and the cross pass ⇒ identical candidate pair set
+ORACLES["clusters_incremental"] = ORACLES["dedup_clusters"]
+
 _QUALITY_EXPR = _q(
     "least(length(text)::DOUBLE / 400.0, 1.0) * 0.3 + "
     f"(CASE WHEN {_mwl} >= 3.0 AND {_mwl} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 + "

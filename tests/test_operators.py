@@ -1267,6 +1267,42 @@ def test_base_index_family_mismatch_is_loud(spark, catalog):
         q.collect()
 
 
+def test_incremental_dedup_clusters_match_from_scratch(spark, catalog):
+    """Merging tonight's pairs (crawl-internal + crawl-vs-standing)
+    into the maintained cluster table must reproduce the from-scratch
+    clustering of the full corpus — component ids are min member ids,
+    so star edges preserve standing connectivity exactly. Also checks
+    the bootstrap case (update on an empty table) and that untouched
+    rows stay put."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id",
+                                                             "text")
+    h1 = d.filter(F.col("doc_id") % 2 == 0)
+    h2 = d.filter(F.col("doc_id") % 2 == 1)
+    t = D.create_dedup_clusters_table(catalog, "db.clusters")
+    p1 = D.minhash_lsh_pairs(h1, "text", "doc_id", min_est_jaccard=0.7)
+    D.update_dedup_clusters(spark, t, p1)  # bootstrap on empty table
+    before = {(r["id"], r["component"])
+              for r in t.read(spark).collect()}
+    p2 = D.minhash_lsh_pairs(h2, "text", "doc_id", min_est_jaccard=0.7)
+    cross = (D.minhash_lsh_pairs_between(h2, h1, "text", "doc_id",
+                                         min_est_jaccard=0.7)
+             .select(F.col("new_id").alias("id_a"),
+                     F.col("base_id").alias("id_b"), "est_jaccard"))
+    D.update_dedup_clusters(spark, t, p2.unionByName(cross))
+    got = {tuple(r) for r in D.read_dedup_clusters(spark, t).collect()}
+    want = {tuple(r) for r in D.dedup_clusters(d, "text", "doc_id",
+                                               threshold=0.7).collect()}
+    assert got == want and got
+    # rows in components no new edge touched must be bit-identical
+    touched_ids = ({r["id_a"] for r in cross.collect()}
+                   | {r["id_b"] for r in cross.collect()}
+                   | {r["id_a"] for r in p2.collect()}
+                   | {r["id_b"] for r in p2.collect()})
+    after = {(r["id"], r["component"]) for r in t.read(spark).collect()}
+    touched_comps = {c for i, c in before if i in touched_ids}
+    assert {(i, c) for i, c in before if c not in touched_comps} <= after
+
+
 def test_segment_df_table_matches_from_scratch_and_syncs(spark, catalog):
     """Maintained segment doc-frequency table: two-batch updates must
     reproduce the from-scratch boilerplate removal row-for-row, and a
