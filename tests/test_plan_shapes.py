@@ -200,3 +200,25 @@ def test_semdedup_broadcast_assign_no_cartesian(spark):
         assert "Scan ExistingRDD" in pm
     finally:
         spark.catalog.clearCache()  # release materialize=False's persist
+
+
+def test_cap_per_group_two_bounded_windows(spark):
+    """cap_per_group: exactly the two window exchanges (salted
+    sub-group, then group) and nothing else — no joins, no aggregates;
+    the salt keys phase 1 so a mega-domain never lands in one task."""
+    from incubator_paimon_spark.operators.sampling import cap_per_group
+    d = _docs(spark)
+    p = _plan(cap_per_group(d, "source", "doc_id", 10,
+                            order_col="n_chars", salt=16))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Join" not in p and "CartesianProduct" not in p
+    # phase-1 partitioning must include the salt key alongside the
+    # group column (the whole point of the two-phase shape) — Spark
+    # projects the pmod into a _w0 window key before the exchange
+    ex_lines = [ln for ln in p.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert any("source#" in ln and "_w0#" in ln for ln in ex_lines), ex_lines
+    # salt=1 collapses to the single plain window
+    p1 = _plan(cap_per_group(d, "source", "doc_id", 10,
+                             order_col="n_chars", salt=1))
+    assert p1.count("Exchange hashpartitioning") == 1
