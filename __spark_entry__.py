@@ -1112,6 +1112,20 @@ def q_bm25(spark, sf_dir):
                        ["merge", "vector", "stream"], k=20)
 
 
+def q_quality_model(spark, sf_dir):
+    """Model-based quality scoring (the fastText-classifier shape of
+    CCNet/LLaMA wiki-ref filtering): a linear model over hashed
+    unigram+bigram features, weights trained offline — here a
+    deterministic formula so the oracle replays them. One explode +
+    broadcast weight join + (id,double) sum; text never shuffles."""
+    from incubator_paimon_spark.operators.sampling import \
+        linear_quality_scorer
+    d = _t(spark, sf_dir, "documents")
+    weights = [((b * 2654435761) % 1000) / 1000.0 - 0.5
+               for b in range(512)]
+    return linear_quality_scorer(d, "text", "doc_id", weights, bias=0.1)
+
+
 def q_dsir(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bucket counts for the target (doc_id % 20 == 0) vs the raw corpus,
@@ -1579,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,
         "clusters_incremental": q_clusters_incremental,
+        "quality_model": q_quality_model,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "revenue_forecast": q_revenue_forecast,

@@ -162,6 +162,39 @@ def _hashed_features(df: DataFrame, text_col: str, id_col: str,
               .select("id", (h32(F.col("f")) % buckets).alias("bucket")))
 
 
+def linear_quality_scorer(df: DataFrame, text_col: str, id_col: str,
+                          weights: list[float], bias: float = 0.0
+                          ) -> DataFrame:
+    """Model-based quality scoring, the fastText-classifier shape every
+    production curation pipeline runs (CCNet/LLaMA wiki-ref filters):
+    a LINEAR model over hashed unigram+bigram features —
+    score = bias + Σ w[h(feature) % buckets] — with `weights` trained
+    OFFLINE (fastText, sklearn, anything that emits a hashed-bag
+    linear layer; len(weights) IS the bucket count). Returns
+    (id, score): the raw log-odds, monotone in the classifier
+    probability — threshold it directly (sigmoid is deliberately left
+    off so the score stays in bit-exact linear arithmetic any SQL
+    engine reproduces).
+
+    Scale shape: one explode to (id, bucket) int pairs, a broadcast
+    join against the ≤|weights|-row weight relation, one (id, double)
+    sum — the text itself never shuffles (the DSIR plan, reused)."""
+    spark = df.sparkSession
+    buckets = len(weights)
+    if buckets < 1:
+        raise ValueError("weights must be non-empty")
+    w = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(weights)],
+        "bucket long, w double")
+    feat = _hashed_features(df, text_col, id_col, buckets)
+    from .text import quantize
+    return (feat.join(F.broadcast(w), "bucket", "left")
+                .groupBy("id")
+                .agg(quantize(F.lit(float(bias))
+                              + F.sum(F.coalesce(F.col("w"), F.lit(0.0))),
+                              4).alias("score")))
+
+
 def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
                     id_col: str, buckets: int = 8192) -> DataFrame:
     """DSIR data-selection importance weights (Xie et al. 2023,

@@ -930,6 +930,28 @@ FROM documents d LEFT JOIN reb r ON r.id = d.doc_id
 # the gated-rotation entry, so indexed output == from-scratch output
 ORACLES["boilerplate_indexed"] = ORACLES["boilerplate_removal"]
 
+# quality_model: fastText-shape linear scorer over hashed unigram+bigram
+# features (512 buckets); the entry's weights are the deterministic
+# w[b] = ((b*2654435761) % 1000)/1000 - 0.5 formula, replayed here
+ORACLES["quality_model"] = f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_transform({{}}, x -> lower(x)) AS ws
+  FROM documents
+),
+f AS (
+  SELECT id, {{}} % 512 AS bucket FROM (
+    SELECT id, unnest(ws || CASE WHEN len(ws) > 1
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE []::VARCHAR[] END) AS f
+    FROM w)
+)
+SELECT id,
+       floor((0.1 + sum(((bucket * 2654435761) % 1000) / 1000.0 - 0.5))
+             * 10000.0 + 0.5) / 10000.0 AS score
+FROM f GROUP BY id
+""".format(_WORDS.format(t='text'), _H32.format(x='f'))
+
 
 # span_dedup: overlapping 10-word windows; a window's text in >= 2
 # distinct docs marks its word positions; docs rebuilt from uncovered

@@ -1267,6 +1267,30 @@ def test_base_index_family_mismatch_is_loud(spark, catalog):
         q.collect()
 
 
+def test_linear_quality_scorer_sums_bucket_weights(spark):
+    """score = bias + sum of w[feature bucket] — replayed per doc from
+    the operator's own feature hashing; empty weights are a loud
+    error."""
+    import math
+    import pytest as _pt
+    from incubator_paimon_spark.operators.sampling import (
+        _hashed_features, linear_quality_scorer)
+    d = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma")], "doc_id long, text string")
+    wts = [((b * 7919) % 100) / 100.0 - 0.5 for b in range(64)]
+    got = {r["id"]: r["score"]
+           for r in linear_quality_scorer(d, "text", "doc_id", wts,
+                                          bias=0.25).collect()}
+    feats = _hashed_features(d, "text", "doc_id", 64).collect()
+    want = {}
+    for f in feats:
+        want[f["id"]] = want.get(f["id"], 0.25) + wts[f["bucket"]]
+    want = {i: math.floor(v * 1e4 + 0.5) / 1e4 for i, v in want.items()}
+    assert got == want
+    with _pt.raises(ValueError, match="non-empty"):
+        linear_quality_scorer(d, "text", "doc_id", [])
+
+
 def test_incremental_dedup_clusters_match_from_scratch(spark, catalog):
     """Merging tonight's pairs (crawl-internal + crawl-vs-standing)
     into the maintained cluster table must reproduce the from-scratch
