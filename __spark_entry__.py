@@ -1358,6 +1358,26 @@ def q_corpus_pipeline(spark, sf_dir):
     return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_incremental(spark, sf_dir):
+    """The WHOLE curation pipeline maintained across crawls by the
+    engine's own tables: gate → survivor PK table (min-aggregation =
+    corpus-wide exact dedup, changelog-producer=lookup) → signature
+    index synced from the survivor changelog (retracted survivors
+    leave the index) → delta-vs-index pairs → incremental clusters →
+    split. Two-crawl ingest must equal curate_corpus over the union
+    (shared oracle) — the engine curating with its own machinery."""
+    from incubator_paimon_spark.operators import pipeline as PL
+    fx = _fixtures(spark, sf_dir)
+    if "curation" not in fx:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text",
+                                                  "lang")
+        st = PL.create_curation_state(spark, fx["cat"], "fx.cur")
+        PL.curate_ingest(spark, st, d.filter(F.col("doc_id") % 2 == 0))
+        PL.curate_ingest(spark, st, d.filter(F.col("doc_id") % 2 == 1))
+        fx["curation"] = st
+    return PL.curate_result(spark, fx["curation"])
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: LSH pairs → connected components →
     canonical survivor per cluster (the last mile of corpus dedup)."""
@@ -1594,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_indexed": q_boilerplate_indexed,
         "clusters_incremental": q_clusters_incremental,
         "quality_model": q_quality_model,
+        "curation_incremental": q_curation_incremental,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "revenue_forecast": q_revenue_forecast,

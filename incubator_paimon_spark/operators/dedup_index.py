@@ -68,6 +68,26 @@ def minhash_index_rows(df: DataFrame, text_col: str, id_col: str,
                           shingle_n)
 
 
+def create_minhash_index_table(catalog, name: str, text_col: str,
+                               id_col: str, num_hashes: int = 16,
+                               bands: int = 4, shingle_n: int = 3,
+                               options: dict | None = None):
+    """Create an EMPTY index table (bootstrap-from-nothing: pin the
+    source consumer at 0 and let `sync_minhash_index` replay every
+    commit). `build_minhash_index` is the build-from-snapshot twin."""
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("sig",
+                                         T.ArrayType(T.LongType())),
+                           T.StructField("band", T.IntegerType()),
+                           T.StructField("bh", T.StringType())])
+    opts = {OPT_NUM_HASHES: str(num_hashes), OPT_BANDS: str(bands),
+            OPT_SHINGLE: str(shingle_n), OPT_SOURCE_ID: id_col,
+            OPT_SOURCE_TEXT: text_col, **(options or {})}
+    return catalog.create_table(name, schema,
+                                primary_keys=["id", "band"], options=opts)
+
+
 def build_minhash_index(spark: SparkSession, catalog, name: str,
                         df: DataFrame, text_col: str, id_col: str,
                         num_hashes: int = 16, bands: int = 4,

@@ -717,6 +717,11 @@ SELECT doc_id, q AS quality,
 FROM ex WHERE doc_id NOT IN (SELECT id FROM losers)
 """
 
+# the engine-maintained two-crawl curation (survivor min-aggregation
+# table + changelog-synced signature index + incremental clusters)
+# must equal the one-shot pipeline over the union
+ORACLES["curation_incremental"] = ORACLES["corpus_pipeline"]
+
 _JAC = _q("CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 "
           "THEN len(list_filter(sh_a, x -> list_contains(sh_b, x)))::DOUBLE "
           "/ len(list_distinct(list_concat(sh_a, sh_b))) ELSE 0.0 END")

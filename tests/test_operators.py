@@ -1267,6 +1267,30 @@ def test_base_index_family_mismatch_is_loud(spark, catalog):
         q.collect()
 
 
+def test_incremental_curation_matches_from_scratch(spark, catalog):
+    """The full curation pipeline maintained across two crawls — gate →
+    survivor table (min-aggregation exact dedup) → changelog-synced
+    signature index → delta pairs → incremental clusters — must equal
+    curate_corpus over the union, including survivor FLIPS (a later
+    crawl bringing a smaller id for a known text retracts the old
+    survivor through the changelog)."""
+    from incubator_paimon_spark.operators import pipeline as PL
+    from incubator_paimon_spark.operators.pipeline import curate_corpus
+    d = (spark.read.parquet(f"{SF}/documents.parquet")
+              .select("doc_id", "text", "lang"))
+    st = PL.create_curation_state(spark, catalog, "db.cur")
+    c1 = d.filter(F.col("doc_id") % 2 == 0)
+    c2 = d.filter(F.col("doc_id") % 2 == 1)
+    PL.curate_ingest(spark, st, c1)
+    PL.curate_ingest(spark, st, c2)
+    got = {tuple(r) for r in PL.curate_result(spark, st).collect()}
+    want = {tuple(r) for r in curate_corpus(d).collect()}
+    assert got == want and got
+    # the dedup actually bit: fewer survivors than gated docs
+    n_gated = d.filter("lang = 'en'").count()
+    assert len(got) < n_gated
+
+
 def test_linear_quality_scorer_sums_bucket_weights(spark):
     """score = bias + sum of w[feature bucket] — replayed per doc from
     the operator's own feature hashing; empty weights are a loud
