@@ -850,8 +850,12 @@ def test_dsir_and_semdedup_release_executor_storage(spark):
     base = jsc.getPersistentRDDs().size()
     SA.dsir_logweights(d, d.limit(10), "text", "doc_id", buckets=256).count()
     # dsir is synchronous: its caches are explicitly unpersisted inside
-    # the call — no settling allowed
-    assert jsc.getPersistentRDDs().size() == base
+    # the call — no settling allowed. <= not ==: if settle() gave up at
+    # a non-zero floor, the async ContextCleaner may reclaim an EARLIER
+    # test's lingering checkpoint while dsir runs, shrinking the store
+    # below the captured baseline (full-suite flake); the property under
+    # test is only that dsir ADDS nothing.
+    assert jsc.getPersistentRDDs().size() <= base
     for _ in range(3):
         S.semdedup(e, "embedding", "vec_id", num_centroids=4,
                    threshold=0.99, dim=64).count()
