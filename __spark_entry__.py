@@ -605,6 +605,25 @@ def q_pk_upsert(spark, sf_dir):
                      F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
 
 
+def q_point_lookup(spark, sf_dir):
+    """PK point lookup (LocalTableQuery.java parity, `query.py`): probe the
+    merged customer_pk state key by key through `table.new_query()` and
+    re-assemble the hits as a DataFrame. The lookup is the driver-side
+    LSM path (bucket pin → stats/bloom skip → per-file hash index), so the
+    gate proves lookup ≡ the distributed scan merge row for row; absent
+    keys (beyond the sf's max custkey, plus the 1e9 sentinel) return None
+    and drop out, which the oracle's WHERE replays."""
+    fx = _fixtures(spark, sf_dir)
+    t = fx["customer_pk"]
+    q = t.new_query()
+    keys = [k for k in range(1, 601) if k % 5 == 2] + [10 ** 9]
+    rows = [r for r in q.lookup_many(keys) if r is not None]
+    q.close()
+    out = spark.createDataFrame(rows, t.schema.spark_schema())
+    return out.select("c_custkey", "c_name", "c_nationkey",
+                      F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+
+
 def q_pk_latest_event(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["events_latest"].read(spark)
@@ -1476,6 +1495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         # engine semantics
         "pk_upsert": q_pk_upsert,
+        # r8: PK point lookup (LocalTableQuery parity) joins the gate — a
+        # brand-new driver-side LSM path (bucket pin, stats/bloom skip,
+        # per-file hash index, fold-order merge); doc_stats rotates out to
+        # make room (its zero-shuffle documents scan+agg path stays gated
+        # via doc_quality and corpus_pipeline).
+        "point_lookup": q_point_lookup,
         "pk_latest_event": q_pk_latest_event,
         "pk_first_event": q_pk_first_event,
         "partial_update": q_partial_update,
@@ -1501,7 +1526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         # LLM pipeline
         "media_meta": q_media_meta,
-        "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -1584,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index-backed hybrid ranker — its two legs are the gated
         # bm25_indexed and ivf_table_search paths, its fusion the gated
         # hybrid_search path
+        "doc_stats": q_doc_stats,
         "hybrid_indexed": q_hybrid_indexed,
         "ivf_synced_search": q_ivf_synced_search,
         "ivf_quantized_search": q_ivf_quantized_search,

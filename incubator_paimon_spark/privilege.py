@@ -321,7 +321,7 @@ class PrivilegedTable:
     # metadata listings (tags/branches/consumers, lines 239-251,275);
     # INSERT guards every mutating entry point (lines 82,143-221,257-269)
     # including the raw write builder and snapshot-destroying maintenance.
-    _SELECT = ("read", "new_scan", "system", "to_view", "incremental",
+    _SELECT = ("read", "new_scan", "new_query", "system", "to_view", "incremental",
                "list_tags", "tag_snapshot", "list_branches", "branch_table",
                "list_consumers", "read_consumer")
     _INSERT = ("write", "delete_where", "update_where", "merge_into",

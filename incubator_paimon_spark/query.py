@@ -1,0 +1,324 @@
+"""PK point lookup — LocalTableQuery parity.
+
+Reference: `paimon-core/src/main/java/org/apache/paimon/table/query/
+LocalTableQuery.java:55-197` (per-(partition,bucket) LookupLevels views over
+the LSM, a local hash index per data file via HashLookupStoreFactory, and
+lookups that return only ADD-kind winners), `TableQuery.java`,
+`mergetree/LookupLevels.java` (level-0 newest-first then levels ascending).
+
+Spark-first stance: point lookup is deliberately a DRIVER-side path — the
+reference's is an in-process cache too; it exists so a lookup join / query
+service can answer single keys WITHOUT a distributed scan. Batch access
+stays on the DataFrame scan path (`read.py`). What keeps this scale-safe:
+
+- planning is O(live manifest entries) once per snapshot (cached), then
+  O(files in one bucket) per lookup — partition filter, fixed-bucket pinning
+  (same murmur hash as the write path), min/max key stats and the bloom
+  file index all prune BEFORE any data IO;
+- per-file key indexes are built with a single columnar pyarrow read and
+  LRU-capped by total rows (`max_cached_rows`), mirroring the reference's
+  lookup-cache-max-memory bound on its local hash files;
+- deletion vectors are honored via the snapshot's DV manifest, loaded once
+  per snapshot into a per-file position set.
+
+Merge semantics mirror `merge_engines._dedup` exactly: the winner per key is
+max (deduplicate) / min (first-row) over the fold order `(sequence.field...,
+_SEQUENCE_NUMBER)` with nulls smallest; a retract-kind winner erases the key
+(DeduplicateMergeFunction drop-delete path). `ignore-delete` skips retract
+rows entirely. The reference restricts TableQuery to the deduplicate engine
+(LocalTableQuery.java:74-77); first-row is the same single-winner shape with
+the order reversed, so it is supported here too and tested against the scan.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+from .metadata.manifest import ManifestEntry, live_entries
+from .murmur import spark_hash
+from .predicate import And, P
+from .read import (TableScan, _bloom_keep, _stats_keep,
+                   per_schema_predicate)
+from .types import ADD_KINDS, RETRACT_KINDS, SEQUENCE_NUMBER, VALUE_KIND
+
+
+class LocalTableQuery:
+    """Point lookup over a primary-key table at a pinned snapshot.
+
+    Usage::
+
+        q = table.new_query()                  # pins the latest snapshot
+        row = q.lookup({"c_custkey": 42})      # dict | tuple | scalar key
+        q.refresh()                            # follow new commits
+    """
+
+    def __init__(self, table, projection: list[str] | None = None,
+                 max_cached_rows: int = 2_000_000, snapshot_id: int | None = None):
+        self.table = table
+        schema = table.schema
+        if not schema.primary_keys:
+            raise ValueError("point lookup requires a primary-key table "
+                             "(LocalTableQuery.java:74)")
+        engine = schema.core_options.merge_engine
+        if engine not in ("deduplicate", "first-row"):
+            raise ValueError(
+                f"merge-engine {engine!r} has no single-winner row per key; "
+                "the reference restricts TableQuery to deduplicate "
+                "(LocalTableQuery.java:74-77)")
+        self.schema = schema
+        self._latest = engine == "deduplicate"
+        self._trimmed = schema.trimmed_primary_keys()
+        self._seq_fields = list(schema.core_options.sequence_field)
+        self._ignore_delete = schema.core_options.ignore_delete
+        if projection is not None:
+            for c in projection:
+                schema.field_by_name(c)  # raises KeyError on unknown columns
+        self.projection = projection
+        self.max_cached_rows = max_cached_rows
+        # LRU: file_name -> (row_count, {key_tuple: [(ord_tuple, kind, pos, row)]})
+        self._file_cache: OrderedDict[str, tuple[int, dict]] = OrderedDict()
+        self._cached_rows = 0
+        self._snapshot = None
+        self._groups: dict = {}       # (part_tuple, bucket) -> [ManifestEntry]
+        self._parts: dict = {}        # part_tuple -> partition dict
+        self._dv: dict | None = None  # file_name -> set(pos), lazy per snapshot
+        self.refresh(snapshot_id)
+
+    # ------------------------------------------------------------------
+    def refresh(self, snapshot_id: int | None = None) -> None:
+        """Re-pin the view (reference refreshFiles: the caller feeds commit
+        deltas; here we re-plan from the snapshot — O(live manifest))."""
+        scan = TableScan(self.table, snapshot_id=snapshot_id)
+        snap = scan.resolve_snapshot()
+        groups: dict = {}
+        parts: dict = {}
+        if snap is not None:
+            t = self.table
+            entries = live_entries(
+                t.manifests.read_all_entries(snap.base_manifest_list)
+                + t.manifests.read_all_entries(snap.delta_manifest_list))
+            for e in entries:
+                pt = tuple(sorted(e.partition.items()))
+                groups.setdefault((pt, e.bucket), []).append(e)
+                parts.setdefault(pt, e.partition)
+        # file contents are immutable (LSM files never rewrite in place), so
+        # the per-file index cache survives refresh; only the view changes
+        self._snapshot = snap
+        self._groups = groups
+        self._parts = parts
+        self._dv = None
+
+    # ------------------------------------------------------------------
+    def lookup(self, key, partition: dict | None = None):
+        """Latest row for `key` as a {column: value} dict, or None when the
+        key is absent / its winner is a retract (reference lookup returns
+        only kv.valueKind().isAdd(), LocalTableQuery.java:170-176)."""
+        key_dict, part = self._normalize(key, partition)
+        candidates = self._candidate_entries(key_dict, part)
+        if not candidates:
+            return None
+        ktup = tuple(key_dict[c] for c in self._trimmed)
+        dv = self._dv_sets() if self._covers_dv() else {}
+
+        best = None  # (ord_tuple, kind, row)
+        gather_all = bool(self._seq_fields)
+        for e in self._search_order(candidates):
+            idx = self._file_index(e)
+            for ot, kind, pos, row in idx.get(ktup, ()):
+                if pos in dv.get(e.file.file_name, ()):
+                    continue
+                if self._ignore_delete and kind in RETRACT_KINDS:
+                    continue
+                if best is None or self._wins(ot, best[0]):
+                    best = (ot, kind, row)
+            if best is not None and not gather_all:
+                # no user sequence field: _SEQUENCE_NUMBER is monotone with
+                # recency and the search order visits newest first, so the
+                # first file with a hit holds the winner (LookupLevels.java)
+                break
+        if best is None or best[1] not in ADD_KINDS:
+            return None
+        return best[2]
+
+    def lookup_many(self, keys, partition: dict | None = None) -> list:
+        """Batched lookups (order-preserving; None for misses)."""
+        return [self.lookup(k, partition) for k in keys]
+
+    def close(self) -> None:
+        self._file_cache.clear()
+        self._cached_rows = 0
+
+    # ------------------------------------------------------------------
+    def _normalize(self, key, partition):
+        if not isinstance(key, dict):
+            vals = key if isinstance(key, (tuple, list)) else (key,)
+            if len(vals) != len(self._trimmed):
+                raise ValueError(
+                    f"key must cover trimmed primary keys {self._trimmed}")
+            key = dict(zip(self._trimmed, vals))
+        part = dict(partition or {})
+        for c in self.schema.partition_keys:
+            if c not in part and c in key:
+                part[c] = key[c]
+        missing = [c for c in self.schema.partition_keys if c not in part]
+        if missing:
+            raise ValueError(f"partition values required for {missing} "
+                             "(reference lookup takes (partition, bucket, key))")
+        missing = [c for c in self._trimmed if c not in key]
+        if missing:
+            raise ValueError(f"key values required for {missing}")
+        return key, part
+
+    def _candidate_entries(self, key_dict, part) -> list[ManifestEntry]:
+        schema = self.schema
+        # fixed-bucket pin: same hash the write path used (write.bucket_expr)
+        bucket = None
+        bkeys = schema.bucket_keys()
+        nb = schema.core_options.bucket
+        if bkeys and nb > 0:
+            types = [schema.field_by_name(k).type.simpleString() for k in bkeys]
+            h = spark_hash([key_dict.get(k) for k in bkeys], types)
+            if h is not None:
+                bucket = h % nb
+        part_pred = None
+        if part:
+            part_pred = And([P.eq(c, v) for c, v in part.items()]) \
+                if len(part) > 1 else P.eq(*next(iter(part.items())))
+        key_pred = And([P.eq(c, key_dict[c]) for c in self._trimmed]) \
+            if len(self._trimmed) > 1 else P.eq(self._trimmed[0],
+                                                key_dict[self._trimmed[0]])
+        kp = per_schema_predicate(self.table, schema, key_pred)
+
+        out = []
+        for (pt, b), entries in self._groups.items():
+            if bucket is not None and b != bucket:
+                continue
+            if part_pred is not None and not part_pred.test_value(self._parts[pt]):
+                continue
+            for e in entries:
+                q = kp(e)
+                if q is None or (_stats_keep(e, q) and _bloom_keep(e, q)):
+                    out.append(e)
+        return out
+
+    def _search_order(self, entries):
+        """Level-0 newest-first, then levels ascending (LookupLevels.java);
+        reversed for first-row, whose winner is the OLDEST version."""
+        l0 = sorted((e for e in entries if e.file.level == 0),
+                    key=lambda e: e.file.max_seq, reverse=True)
+        rest = sorted((e for e in entries if e.file.level > 0),
+                      key=lambda e: e.file.level)
+        order = l0 + rest
+        return order if self._latest else order[::-1]
+
+    def _wins(self, ot, best_ot) -> bool:
+        return ot > best_ot if self._latest else ot < best_ot
+
+    # ------------------------------------------------------------------
+    def _covers_dv(self) -> bool:
+        return (self._snapshot is not None
+                and getattr(self._snapshot, "dv_manifest", None) is not None)
+
+    def _dv_sets(self) -> dict:
+        if self._dv is None:
+            import pyarrow.parquet as pq
+            m = self.table.dv.read_manifest(self._snapshot)
+            sets: dict = {}
+            for d in m["dirs"]:
+                path = os.path.join(self.table.dv.dir, d)
+                t = pq.read_table(path, columns=["file_name", "pos"])
+                for fn, pos in zip(t.column("file_name").to_pylist(),
+                                   t.column("pos").to_pylist()):
+                    sets.setdefault(fn, set()).add(pos)
+            self._dv = sets
+        return self._dv
+
+    # ------------------------------------------------------------------
+    def _file_index(self, e: ManifestEntry) -> dict:
+        """{key_tuple: [(ord_tuple, kind, pos, row_dict)]} for one data file,
+        built from ONE columnar read and LRU-cached (the reference builds a
+        local hash-store file per data file and caches it the same way)."""
+        name = e.file.file_name
+        cached = self._file_cache.get(name)
+        if cached is not None:
+            self._file_cache.move_to_end(name)
+            return cached[1]
+
+        file_schema = self.table.schema_at(e.file.schema_id)
+        by_id = {f.id: f for f in file_schema.fields}
+        # devolve target columns to the file's write-time names by field id
+        # (SchemaEvolutionUtil.createIndexMapping); None = added-later column
+        targets = [f for f in self.schema.fields
+                   if self.projection is None or f.name in self.projection
+                   or f.name in self._trimmed or f.name in self._seq_fields]
+        old_names = {f.name: (by_id[f.id].name if f.id in by_id else None)
+                     for f in targets}
+        read_cols = sorted({n for n in old_names.values() if n is not None}
+                           | {SEQUENCE_NUMBER, VALUE_KIND})
+        tbl = self._read_arrow(name, read_cols)
+
+        cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        n = len(cols[SEQUENCE_NUMBER])
+        defaults = {f.name: self.schema.core_options.field_default_value(f.name)
+                    for f in targets if old_names[f.name] is None}
+
+        key_src = [old_names[c] for c in self._trimmed]
+        seq_src = [old_names.get(c) for c in self._seq_fields]
+        idx: dict = {}
+        for i in range(n):
+            row = {}
+            for f in targets:
+                src = old_names[f.name]
+                row[f.name] = cols[src][i] if src is not None else defaults[f.name]
+            ktup = tuple(cols[c][i] for c in key_src)
+            # fold order: user sequence fields (nulls smallest) then the
+            # engine sequence number — mirrors merge_engines._dedup
+            ot = tuple(_null_low(cols[c][i] if c is not None else None)
+                       for c in seq_src) + ((cols[SEQUENCE_NUMBER][i],),)
+            idx.setdefault(ktup, []).append((ot, cols[VALUE_KIND][i], i, row))
+
+        self._file_cache[name] = (n, idx)
+        self._cached_rows += n
+        while self._cached_rows > self.max_cached_rows and len(self._file_cache) > 1:
+            _, (dropped, _) = self._file_cache.popitem(last=False)
+            self._cached_rows -= dropped
+        return idx
+
+    def _read_arrow(self, name: str, columns: list[str]):
+        path = os.path.join(self.table.path, name)
+        if name.endswith(".avro"):
+            from .formats.avro_decode import read_container_arrow
+            data = self.table.io.read_bytes(path)
+            return read_container_arrow(data).select(columns)
+        if name.endswith(".orc"):
+            import pyarrow.orc as po
+            with self.table.io.open_input(path) as f:
+                return po.ORCFile(f).read(columns=columns)
+        import pyarrow.parquet as pq
+        return pq.read_table(path, columns=columns)
+
+
+class _NullLow:
+    """Sorts below every value (Spark nulls-smallest in the fold order)."""
+    __slots__ = ()
+
+    def __lt__(self, other):
+        return not isinstance(other, _NullLow)
+
+    def __gt__(self, other):
+        return False
+
+    def __eq__(self, other):
+        return isinstance(other, _NullLow)
+
+    def __hash__(self):
+        return 0
+
+
+_NULL_LOW = _NullLow()
+
+
+def _null_low(v):
+    # wrap in 1-tuples so None never compares against a real value directly
+    return (_NULL_LOW,) if v is None else (v,)

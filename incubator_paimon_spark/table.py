@@ -82,6 +82,15 @@ class Table:
         commit_identifier, watermark."""
         return self.new_write().write(spark, df, **kw)
 
+    def new_query(self, projection: list[str] | None = None,
+                  max_cached_rows: int = 2_000_000,
+                  snapshot_id: int | None = None):
+        """PK point lookup (TableQuery / LocalTableQuery.java:71)."""
+        from .query import LocalTableQuery
+        return LocalTableQuery(self, projection=projection,
+                               max_cached_rows=max_cached_rows,
+                               snapshot_id=snapshot_id)
+
     def new_scan(self, snapshot_id=None, tag=None, timestamp_ms=None,
                  read_optimized=False, scan_mode=None, watermark=None) -> TableScan:
         return TableScan(self, snapshot_id=snapshot_id, tag=tag,

@@ -297,6 +297,14 @@ SELECT c_custkey, c_name, c_nationkey,
 FROM customer
 """
 
+ORACLES["point_lookup"] = """
+SELECT c_custkey, c_name, c_nationkey,
+  round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -1.0 END, 2) AS c_acctbal,
+  c_mktsegment
+FROM customer
+WHERE c_custkey <= 600 AND c_custkey % 5 = 2
+"""
+
 ORACLES["nested_update"] = """
 WITH kept AS (
   SELECT o_custkey, o_orderkey,
