@@ -356,6 +356,17 @@ def _exec_select(spark, catalog, statement):
         try:
             table = catalog.get_table(base)
         except Exception:
+            db, _, rest = ident.partition(".")
+            if db.lower() == "sys" and rest:
+                # global system tables: FROM sys.all_table_options etc.
+                # (SystemTableLoader.loadGlobal)
+                from .system_tables import catalog_system_table
+                view = re.sub(r"\W", "_", f"pmn_sysg_{rest.lower()}")
+                catalog_system_table(spark, catalog, rest) \
+                    .createOrReplaceTempView(view)
+                out.append(statement[last:m.start()])
+                out.append(f"{m.group(1)} {view}")
+                last = m.end()
             continue  # not a catalog table (temp view etc.): leave as-is
         ver, ts = _g(m, statement, 3), _g(m, statement, 4)
         if sysname:

@@ -198,3 +198,28 @@ _TABLES = {
     "aggregation_fields": _aggregation_fields,
     "read_optimized": _read_optimized,
 }
+
+
+# ----------------------------------------------------------------------
+# catalog-scope (global) system tables, addressed as ``sys.<name>``
+# (SystemTableLoader.loadGlobal; AllTableOptionsTable.java:55-88 —
+# database_name/table_name/key/value rows for every table's options;
+# CatalogOptionsTable.java:51-76 — the catalog's own configuration)
+def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
+    n = name.lstrip("$").lower()
+    if n == "all_table_options":
+        rows = []
+        for db in catalog.list_databases():
+            for tn in catalog.list_tables(db):
+                t = catalog.get_table(f"{db}.{tn}")
+                for k, v in sorted(t.schema.options.items()):
+                    rows.append((db, tn, k, str(v)))
+        return spark.createDataFrame(
+            rows, "database_name string, table_name string, "
+                  "`key` string, value string")
+    if n == "catalog_options":
+        rows = sorted({"warehouse": catalog.warehouse,
+                       "metastore": "filesystem"}.items())
+        return spark.createDataFrame(rows, "`key` string, value string")
+    raise ValueError(f"unknown global system table sys.{n}; "
+                     "have ['all_table_options', 'catalog_options']")

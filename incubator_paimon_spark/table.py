@@ -384,6 +384,12 @@ class Catalog:
     def _db_path(self, db: str) -> str:
         return os.path.join(self.warehouse, f"{db}.db")
 
+    def system(self, spark: SparkSession, name: str) -> DataFrame:
+        """Catalog-scope system tables (sys.all_table_options /
+        sys.catalog_options — SystemTableLoader.loadGlobal)."""
+        from .system_tables import catalog_system_table
+        return catalog_system_table(spark, self, name)
+
     def create_database(self, db: str, ignore_if_exists: bool = True):
         p = self._db_path(db)
         if self.io.exists(p) and not ignore_if_exists:

@@ -740,3 +740,36 @@ def test_analyze_stats_inject_broadcast_hint(spark, catalog):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_global_system_tables(spark, catalog):
+    """Catalog-scope system tables (SystemTableLoader.loadGlobal,
+    AllTableOptionsTable.java:55-88, CatalogOptionsTable.java:51-76):
+    sys.all_table_options / sys.catalog_options via API and SQL."""
+    from incubator_paimon_spark.sql import execute_sql
+    t1 = catalog.create_table("db.gsys1", _schema("k bigint, v string"),
+                              primary_keys=["k"], options={"bucket": "2"})
+    catalog.create_table("db2.gsys2", _schema("k bigint"),
+                         options={"custom.flag": "on"})
+    rows = catalog.system(spark, "all_table_options").collect()
+    by_table = {(r["database_name"], r["table_name"], r["key"]): r["value"]
+                for r in rows}
+    assert by_table[("db", "gsys1", "bucket")] == "2"
+    assert by_table[("db2", "gsys2", "custom.flag")] == "on"
+
+    got = execute_sql(spark, catalog, """
+        SELECT table_name, value FROM sys.all_table_options
+        WHERE key = 'bucket' ORDER BY table_name
+    """).collect()
+    assert [(r["table_name"], r["value"]) for r in got] == [("gsys1", "2")]
+
+    co = {r["key"]: r["value"]
+          for r in execute_sql(spark, catalog,
+                               "SELECT * FROM sys.catalog_options").collect()}
+    assert co["warehouse"] == catalog.warehouse
+    with pytest.raises(ValueError, match="global system table"):
+        catalog.system(spark, "nope")
+    # the data path is untouched: db.gsys1 still resolves as a table
+    t1.write(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert execute_sql(spark, catalog,
+                       "SELECT count(*) AS c FROM db.gsys1").first()["c"] == 1
