@@ -624,6 +624,22 @@ def q_point_lookup(spark, sf_dir):
                       F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
 
 
+def q_partial_lookup(spark, sf_dir):
+    """Partial-mode lookup join (PrimaryKeyPartialLookupTable parity): the
+    batch's keys probe the PK LSM via LocalTableQuery instead of loading the
+    dim table; result must equal the plain join against the merged state."""
+    from incubator_paimon_spark.streaming.lookup import PartialLookup
+    fx = _fixtures(spark, sf_dir)
+    facts = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") % 11 == 3).select("c_custkey")
+    pl = PartialLookup(fx["customer_pk"], on=["c_custkey"],
+                       projection=["c_name", "c_acctbal"])
+    out = pl.join(facts, spark)
+    pl.query.close()
+    return out.select("c_custkey", "c_name",
+                      F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
 def q_pk_latest_event(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["events_latest"].read(spark)
@@ -1609,6 +1625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25_indexed and ivf_table_search paths, its fusion the gated
         # hybrid_search path
         "doc_stats": q_doc_stats,
+        # r8 rotation: partial-mode lookup join — its probe path is the
+        # gated point_lookup; the join itself is a broadcast the gated
+        # host-SQL queries exercise
+        "partial_lookup": q_partial_lookup,
         "hybrid_indexed": q_hybrid_indexed,
         "ivf_synced_search": q_ivf_synced_search,
         "ivf_quantized_search": q_ivf_quantized_search,

@@ -114,6 +114,25 @@ def main():
         # --- read-optimized scan after compaction (raw path, no merge)
         timed("read_optimized", lambda: t.read(spark).count(), reps=3)
 
+        # --- PK point lookup (LocalTableQuery parity, query.py): 200 keys
+        # against the compacted LSM. Cold pays the per-file index builds;
+        # warm is the steady-state hash-probe path a lookup join sees.
+        keys = [(r["l_orderkey"], r["l_linenumber"]) for r in
+                lineitem.select("l_orderkey", "l_linenumber")
+                        .orderBy("l_orderkey", "l_linenumber").limit(200)
+                        .collect()]
+        q = t.new_query()
+        timed("point_lookup_cold", lambda: sum(
+            1 for r in q.lookup_many(keys) if r is not None))
+        got = timed("point_lookup_warm", lambda: sum(
+            1 for r in q.lookup_many(keys) if r is not None), reps=3)
+        q.close()
+        if got is not None and got != len(keys):
+            errors["point_lookup_warm"] = f"hits {got} != {len(keys)}"
+        if "point_lookup_warm" in times and times["point_lookup_warm"] > 0:
+            extra["point_lookups_per_sec"] = int(
+                len(keys) / times["point_lookup_warm"])
+
     # --- analytics on raw parquet (host-engine surface)
     timed("q1_pricing_summary",
           lambda: E.q_pricing_summary(spark, sf_dir).collect(), reps=3)

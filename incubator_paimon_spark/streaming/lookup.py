@@ -54,3 +54,76 @@ def lookup_join(df: DataFrame, table, spark: SparkSession,
     if broadcast:
         dim = F.broadcast(dim)
     return df.join(dim, on, how)
+
+
+class PartialLookup:
+    """PrimaryKeyPartialLookupTable parity (paimon-flink/.../lookup/
+    PrimaryKeyPartialLookupTable.java, backed by LocalTableQuery): enrich
+    each micro-batch by looking up ONLY the batch's keys against the PK LSM
+    instead of loading the whole dim table per batch.
+
+    Right when the batch's key cardinality ≪ the table size (the classic
+    lookup-join shape). The per-file hash indexes inside LocalTableQuery
+    persist ACROSS batches (the reference's local RocksDB/hash-file cache),
+    so steady-state cost per batch is O(new keys × hash probes) plus an
+    O(manifest) refresh when the dim table committed since the last batch.
+
+    `on` must cover the table's primary key (trimmed PK + partition keys) —
+    the same restriction the reference places on partial lookup mode.
+
+    Usage (inside foreachBatch)::
+
+        pl = PartialLookup(dim_table, on=["k"])      # once, outside
+        def enrich(batch_df, batch_id):
+            out = pl.join(batch_df, spark)           # per batch
+    """
+
+    def __init__(self, table, on: list[str],
+                 projection: list[str] | None = None,
+                 max_keys: int = 100_000,
+                 max_cached_rows: int = 2_000_000):
+        schema = table.schema
+        need = set(schema.trimmed_primary_keys()) | set(schema.partition_keys)
+        if set(on) != need:
+            raise ValueError(
+                f"partial lookup joins on the full primary key {sorted(need)} "
+                f"(got {sorted(on)}); use lookup_join() for non-PK joins "
+                "(PrimaryKeyPartialLookupTable restriction)")
+        if projection is not None:
+            projection = list(dict.fromkeys(list(projection) + list(on)))
+        self.table = table
+        self.on = list(on)
+        self.projection = projection
+        self.max_keys = max_keys
+        self.query = table.new_query(projection=projection,
+                                     max_cached_rows=max_cached_rows)
+
+    def join(self, df: DataFrame, spark: SparkSession,
+             how: str = "left") -> DataFrame:
+        # follow new dim-table commits between batches (the reference's
+        # refreshFiles on the lookup file store)
+        latest = self.table.snapshots.latest_id()
+        pinned = self.query._snapshot.id if self.query._snapshot else None
+        if latest != pinned:
+            self.query.refresh()
+
+        keys = [tuple(r) for r in
+                df.select(*self.on).distinct().limit(self.max_keys + 1).collect()]
+        if len(keys) > self.max_keys:
+            raise ValueError(
+                f"batch has more than {self.max_keys} distinct keys; "
+                "partial lookup would collect them on the driver — use "
+                "lookup_join() (full-cache mode) for high-cardinality batches")
+        rows = [r for r in
+                (self.query.lookup(dict(zip(self.on, k))) for k in keys)
+                if r is not None]
+
+        full = self.table.schema.spark_schema()
+        if self.projection is None:
+            dim_schema = full
+        else:
+            import pyspark.sql.types as T
+            by_name = {f.name: f for f in full.fields}
+            dim_schema = T.StructType([by_name[c] for c in self.projection])
+        dim = spark.createDataFrame(rows, dim_schema)
+        return df.join(F.broadcast(dim), self.on, how)

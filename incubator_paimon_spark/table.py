@@ -322,6 +322,39 @@ class Table:
             if appends_since >= fc:
                 from .compact import compact_table
                 compact_table(spark, self, full=True)
+        # write-time universal compaction: every non-write-only writer owns
+        # a CompactManager that picks once a bucket's sorted runs reach
+        # num-sorted-run.compaction-trigger (MergeTreeWriter.java
+        # flushWriteBuffer → compactManager.triggerCompaction;
+        # UniversalCompaction.pick). Without this, an unbounded commit
+        # stream (streaming sink, nightly ingests) accumulates level-0
+        # runs and read amplification grows without user action. Only
+        # buckets touched by THIS commit are counted (the others could not
+        # have crossed the trigger since their last write).
+        if snapshot.commit_kind in ("APPEND", "OVERWRITE"):
+            trigger = opts.num_sorted_run_compaction_trigger
+            touched = {(tuple(sorted(e.partition.items())), e.bucket)
+                       for e in self.delta_entries(snapshot)}
+            if touched:
+                from .compact import (_group_by_bucket, bucket_sorted_runs,
+                                      compact_table)
+                by_bucket = _group_by_bucket(self.entries_at())
+                if self.is_primary_key_table():
+                    fire = any(
+                        len(bucket_sorted_runs(by_bucket.get(k, []))) >= trigger
+                        for k in touched)
+                else:
+                    # append tables: small-file accumulation in a touched
+                    # partition (AppendOnlyWriter.java:70 owns a
+                    # CompactManager the same way; same threshold
+                    # _compact_append applies)
+                    tfs = opts.target_file_size
+                    fire = any(
+                        sum(1 for e in by_bucket.get(k, ())
+                            if e.file.file_size < tfs) > trigger
+                        for k in touched)
+                if fire:
+                    compact_table(spark, self)
         # tag.automatic-creation (TagAutoCreation.java:48)
         from .maintenance import auto_create_tags
         auto_create_tags(self, snapshot)

@@ -305,6 +305,12 @@ FROM customer
 WHERE c_custkey <= 600 AND c_custkey % 5 = 2
 """
 
+ORACLES["partial_lookup"] = """
+SELECT c_custkey, c_name,
+  round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -1.0 END, 2) AS c_acctbal
+FROM customer WHERE c_custkey % 11 = 3
+"""
+
 ORACLES["nested_update"] = """
 WITH kept AS (
   SELECT o_custkey, o_orderkey,

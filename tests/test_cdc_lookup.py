@@ -89,3 +89,36 @@ def test_lookup_join_max_pt(spark, catalog, orders):
     # only the max partition was loaded -> matched rows all carry it
     statuses = {r["o_orderstatus"] for r in out.collect() if r["o_orderstatus"]}
     assert len(statuses) <= 1
+
+
+def test_partial_lookup_join(spark, catalog, customer):
+    """PrimaryKeyPartialLookupTable parity: per-key LSM lookups enrich the
+    batch, equal to the full-cache join; dim commits between batches are
+    visible; non-PK keys and high-cardinality batches are rejected."""
+    import pytest
+    from incubator_paimon_spark.streaming.lookup import PartialLookup
+
+    dim = catalog.create_table("db.pdim", customer.schema,
+                               primary_keys=["c_custkey"],
+                               options={"bucket": "2"})
+    dim.write(spark, customer)
+    pl = PartialLookup(dim, on=["c_custkey"],
+                       projection=["c_name", "c_acctbal"])
+    facts = customer.select("c_custkey").limit(50)
+    got = pl.join(facts, spark)
+    want = lookup_join(facts, dim, spark, on=["c_custkey"],
+                       projection=["c_name", "c_acctbal"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # a dim commit between batches is visible (refreshFiles parity)
+    dim.write(spark, customer.limit(50).withColumn("c_acctbal", F.lit(-5.0)))
+    got2 = pl.join(facts, spark)
+    assert got2.filter("c_acctbal = -5.0").count() == 50
+    # unmatched keys null-extend under how="left"
+    probe = spark.createDataFrame([(10 ** 9,)], "c_custkey long")
+    assert pl.join(probe, spark).first()["c_name"] is None
+
+    with pytest.raises(ValueError, match="full primary key"):
+        PartialLookup(dim, on=["c_name"])
+    small = PartialLookup(dim, on=["c_custkey"], max_keys=10)
+    with pytest.raises(ValueError, match="distinct keys"):
+        small.join(customer.select("c_custkey"), spark)

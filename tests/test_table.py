@@ -100,8 +100,10 @@ def test_merge_into_clauses(spark, catalog, customer):
 
 
 def test_compaction_and_read_optimized(spark, catalog, customer):
+    # write-only: the dedicated-compaction pattern — writers skip the
+    # write-time trigger, an explicit compact job does the merging
     t = catalog.create_table("db.cp", customer.schema, primary_keys=["c_custkey"],
-                             options={"bucket": "2",
+                             options={"bucket": "2", "write-only": "true",
                                       "num-sorted-run.compaction-trigger": "3"})
     for i in range(4):
         t.write(spark, customer.filter(F.col("c_custkey") % 4 == i))
@@ -132,7 +134,7 @@ def test_tags_rollback_branches(spark, catalog, customer):
 
 def test_expire_snapshots_keeps_reads_valid(spark, catalog, customer):
     t = catalog.create_table("db.ex", customer.schema, primary_keys=["c_custkey"],
-                             options={"bucket": "2"})
+                             options={"bucket": "2", "write-only": "true"})
     for i in range(5):
         t.write(spark, customer.limit(20 + i))
     n = t.expire_snapshots(retain_max=2, retain_min=2, older_than_ms=0)
@@ -843,3 +845,31 @@ def test_time_type_round_trip(spark, catalog):
     tb2.write(spark, spark.createDataFrame([(1, datetime.time(1, 2, 3))], sch))
     got2 = sorted((r["k"], str(r["t"])) for r in tb2.read(spark).collect())
     assert got2 == [(1, "01:02:03"), (2, "23:59:59")]
+
+
+def test_write_time_universal_compaction_trigger(spark, catalog, customer):
+    """MergeTreeWriter parity: a non-write-only PK writer triggers universal
+    compaction once a bucket's sorted runs reach
+    num-sorted-run.compaction-trigger; write-only opts out
+    (MergeTreeWriter.java flushWriteBuffer / UniversalCompaction.pick)."""
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table("db.autoc", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1"})
+    for i in range(7):
+        t.write(spark, customer.filter(F.col("c_custkey") % 7 == i))
+    kinds = [s.commit_kind for s in t.snapshots.list_all()]
+    assert "COMPACT" in kinds, kinds
+    # merged state is unchanged by the inline compactions
+    assert t.read(spark).count() == customer.count()
+    # runs stay bounded: strictly fewer files than commits
+    assert len(t.entries_at()) < 7
+
+    wo = catalog.create_table("db.autoc_wo", customer.schema,
+                              primary_keys=["c_custkey"],
+                              options={"bucket": "1", "write-only": "true"})
+    for i in range(7):
+        wo.write(spark, customer.filter(F.col("c_custkey") % 7 == i))
+    assert [s.commit_kind for s in wo.snapshots.list_all()] == ["APPEND"] * 7
+    assert len(wo.entries_at()) == 7
