@@ -22,10 +22,133 @@ import time
 from pyspark.sql import functions as F
 
 
+def _idx_wh(sf):
+    return f"/tmp/pmn_idx_cache_v3_sf{sf}"
+
+
+_SF1_WH = "/tmp/pmn_sf1_cache_v1"
+_SF1_NAMES = ("li1_pk", "li1_orc", "li1_avro")
+
+
+def _caches_ready(sf) -> bool:
+    ok = os.path.exists(os.path.join(_idx_wh(sf), ".done"))
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        ok = ok and all(os.path.exists(os.path.join(_SF1_WH, f".done_{n}"))
+                        for n in _SF1_NAMES)
+    return ok
+
+
+def build_caches():
+    """One-time corpus/index cache builds in a THROWAWAY process + Spark
+    session (r8 verdict #1: in-suite builds left executor-memory/GC
+    pressure that taxed every write anchor scheduled after them by
+    1.3-3.7× — avro_write 3.94→14.4 s with zero code change on its
+    path). The timed suite only ever get_table()s these; a fresh host
+    pays the builds in a session that is fully torn down before any
+    timed section starts."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from incubator_paimon_spark import Catalog, get_spark
+    from incubator_paimon_spark.operators import dedup as D
+    from incubator_paimon_spark.operators import dedup_index as DIx
+    from incubator_paimon_spark.operators import retrieval as Rx
+    from incubator_paimon_spark.operators import similarity as S
+    import __spark_entry__ as E
+
+    spark = get_spark("bench-cache-build", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = E._t(spark, sf_dir, "documents")
+    emb = E._t(spark, sf_dir, "embeddings")
+
+    idx_wh = _idx_wh(sf)
+    marker = os.path.join(idx_wh, ".done")
+    if not os.path.exists(marker):
+        cati = Catalog(idx_wh)
+        # a prior partial build (no marker, tables exist) must not
+        # wedge create_table or double-count the stats aggregator —
+        # rebuild from clean tables
+        for name in ("bench.mh", "bench.bm", "bench.bm_stats",
+                     "bench.sdivf", "bench.sdivf_centroids",
+                     "bench.segdf"):
+            cati.drop_table(name)
+        DIx.build_minhash_index(
+            spark, cati, "bench.mh",
+            docs.filter(F.col("doc_id") % 10 != 0), "text", "doc_id")
+        Rx.build_bm25_index(spark, cati, "bench.bm", docs,
+                            "text", "doc_id", term_buckets=64)
+        S.build_ivf_table(spark, cati, "bench.sdivf", emb,
+                          "embedding", num_centroids=32, dim=64, iters=0)
+        t_sg = D.create_segment_df_table(cati, "bench.segdf",
+                                         segment_words=10)
+        D.update_segment_df_counts(spark, t_sg, docs, "text", "doc_id")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        lineitem = E._t(spark, sf_dir, "lineitem")
+        cat1 = Catalog(_SF1_WH)
+        maxkey = lineitem.agg(F.max("l_orderkey")).collect()[0][0] + 1
+
+        def _li10():
+            parts = [lineitem.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * maxkey))
+                for i in range(10)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        def _cached(name, build):
+            mk = os.path.join(_SF1_WH, f".done_{name}")
+            if not os.path.exists(mk):
+                cat1.drop_table(f"bench.{name}")
+                build()
+                with open(mk, "w") as fh:
+                    fh.write("ok")
+
+        def _build_pk():
+            tb = cat1.create_table(
+                "bench.li1_pk", lineitem.schema,
+                primary_keys=["l_orderkey", "l_linenumber"],
+                options={"bucket": "16"}, ignore_if_exists=True)
+            tb.write(spark, _li10())
+            # overlapping second commit so the read is a real merge
+            upd1 = _li10().filter(F.col("l_orderkey") % 7 == 0) \
+                .withColumn("l_quantity", F.col("l_quantity") + 1)
+            tb.write(spark, upd1)
+
+        def _build_orc():
+            cat1.create_table(
+                "bench.li1_orc", lineitem.schema,
+                primary_keys=["l_orderkey", "l_linenumber"],
+                options={"bucket": "16", "file.format": "orc"},
+                ignore_if_exists=True).write(spark, _li10())
+
+        def _build_avro():
+            cat1.create_table(
+                "bench.li1_avro", lineitem.schema,
+                options={"file.format": "avro"},
+                ignore_if_exists=True).write(spark, _li10())
+
+        _cached("li1_pk", _build_pk)
+        _cached("li1_orc", _build_orc)
+        _cached("li1_avro", _build_avro)
+    spark.stop()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    if not _caches_ready(sf):
+        # build BEFORE the timed session exists, in a child process whose
+        # JVM is gone before any timed section starts
+        import subprocess
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--build-caches"], check=True)
 
     from incubator_paimon_spark import Catalog, get_spark
     from incubator_paimon_spark.operators import dedup as D
@@ -39,8 +162,22 @@ def main():
     cat = Catalog(wh)
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
+    rep_spread: dict[str, dict] = {}
 
     errors: dict[str, str] = {}
+
+    def quiesce():
+        """Between-section hygiene: drop cached data, nudge the JVM GC,
+        and re-warm with one untimed job, so a heavy section's leftover
+        heap pressure cannot tax the next section's anchors (the r8
+        regression cluster was everything scheduled after one build
+        section)."""
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            spark.range(10_000_000).select(F.sum("id")).collect()
+        except Exception:  # noqa: BLE001 — hygiene must never fail the run
+            pass
 
     def timed(name, fn, reps=1):
         """reps>1 (read-only paths): best-of-N, matching the reference
@@ -80,16 +217,45 @@ def main():
         if times.get(key):
             extra[out_name] = round(n / times[key])
 
+    def timed_write(name, mk, write, reps=3):
+        """Write anchors: `reps` runs into FRESH tables (mk(i) creates,
+        untimed; write(table) is timed); the gated number is the MEDIAN
+        — a single GC pause must not move an anchor (r8: one-shot
+        avro_write swung 3.7× with no code change) — with min/max kept
+        in `rep_spread`. Returns the last run's table for downstream
+        sections."""
+        ds, last = [], None
+        try:
+            for i in range(reps):
+                tb = mk(i)
+                t0 = time.time()
+                write(tb)
+                ds.append(time.time() - t0)
+                last = tb
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            import traceback
+            errors[name] = traceback.format_exc(limit=3)
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            return last
+        ds.sort()
+        times[name] = round(ds[len(ds) // 2], 3)
+        rep_spread[name] = {"reps": reps, "min": round(ds[0], 3),
+                            "max": round(ds[-1], 3)}
+        return last
+
     lineitem = E._t(spark, sf_dir, "lineitem")
     n_lineitem = lineitem.count()
 
     t = None
     with section("pk_table"):
         # --- PK write (upsert path: repartition by bucket, sort, stats, commit)
-        t = cat.create_table("bench.li_pk", lineitem.schema,
-                             primary_keys=["l_orderkey", "l_linenumber"],
-                             options={"bucket": "16"})
-        timed("pk_write_upsert", lambda: t.write(spark, lineitem))
+        t = timed_write(
+            "pk_write_upsert",
+            lambda i: cat.create_table(
+                f"bench.li_pk_{i}", lineitem.schema,
+                primary_keys=["l_orderkey", "l_linenumber"],
+                options={"bucket": "16"}),
+            lambda tb: tb.write(spark, lineitem))
         rate("pk_write_upsert", n_lineitem, "pk_write_rows_per_sec")
 
         # second commit (overlapping keys) so reads exercise a real merge
@@ -170,37 +336,14 @@ def main():
               "text", "doc_id").count(), reps=3)
     with section("maintained_indexes"):
         # r8: the amortized-index shapes. Index BUILDS are one-time
-        # corpus costs and cached across rounds (like the sf1 read
-        # tables); the timed rows are the per-query/nightly costs the
-        # indexes exist to shrink — crosscorpus_indexed vs
-        # crosscorpus_neardup is the 90× §6 probe at bench scale.
+        # corpus costs, built by the --build-caches CHILD PROCESS (its
+        # session is gone before any timed section — r9, verdict #1);
+        # the timed rows are the per-query/nightly costs the indexes
+        # exist to shrink — crosscorpus_indexed vs crosscorpus_neardup
+        # is the 90× §6 probe at bench scale.
         from incubator_paimon_spark.operators import dedup_index as DIx
         from incubator_paimon_spark.operators import retrieval as Rx
-        idx_wh = f"/tmp/pmn_idx_cache_v3_sf{sf}"
-        cati = Catalog(idx_wh)
-        marker = os.path.join(idx_wh, ".done")
-        if not os.path.exists(marker):
-            # a prior partial build (no marker, tables exist) must not
-            # wedge create_table or double-count the stats aggregator —
-            # rebuild from clean tables
-            for name in ("bench.mh", "bench.bm", "bench.bm_stats",
-                         "bench.sdivf", "bench.sdivf_centroids",
-                         "bench.segdf"):
-                cati.drop_table(name)
-            DIx.build_minhash_index(
-                spark, cati, "bench.mh",
-                docs.filter(F.col("doc_id") % 10 != 0), "text", "doc_id")
-            Rx.build_bm25_index(spark, cati, "bench.bm", docs,
-                                "text", "doc_id", term_buckets=64)
-            S.build_ivf_table(spark, cati, "bench.sdivf", emb,
-                              "embedding", num_centroids=32, dim=64,
-                              iters=0)
-            t_sg = D.create_segment_df_table(cati, "bench.segdf",
-                                             segment_words=10)
-            D.update_segment_df_counts(spark, t_sg, docs, "text",
-                                       "doc_id")
-            with open(marker, "w") as fh:
-                fh.write("ok")
+        cati = Catalog(_idx_wh(sf))
         t_mh = cati.get_table("bench.mh")
         t_bp = cati.get_table("bench.bm")
         t_bs = cati.get_table("bench.bm_stats")
@@ -293,14 +436,19 @@ def main():
         rate("dynamic_bucket_write", n_orders, "dyn_write_rows_per_sec")
 
     with section("orc_table"):
-        torc = cat.create_table("bench.orc", lineitem.schema,
-                                primary_keys=["l_orderkey", "l_linenumber"],
-                                options={"bucket": "16", "file.format": "orc"})
-        timed("orc_write", lambda: torc.write(spark, lineitem))
+        quiesce()
+        torc = timed_write(
+            "orc_write",
+            lambda i: cat.create_table(
+                f"bench.orc_{i}", lineitem.schema,
+                primary_keys=["l_orderkey", "l_linenumber"],
+                options={"bucket": "16", "file.format": "orc"}),
+            lambda tb: tb.write(spark, lineitem))
         rate("orc_write", n_lineitem, "orc_write_rows_per_sec")
         timed("orc_read", lambda: torc.read(spark).count(), reps=3)
 
     with section("zorder"):
+        quiesce()
         tz = cat.create_table("bench.zo", lineitem.schema)
         tz.write(spark, lineitem)
         timed("zorder_compact",
@@ -314,9 +462,12 @@ def main():
         # via mapInPandas over the schema-compiled columnar decoder
         # (formats/avro_decode.py). lineitem (600 K rows), not customer
         # (15 K), so fixed per-commit costs don't swamp the per-row signal.
-        tav = cat.create_table("bench.avro", lineitem.schema,
-                               options={"file.format": "avro"})
-        timed("avro_write", lambda: tav.write(spark, lineitem))
+        quiesce()
+        tav = timed_write(
+            "avro_write",
+            lambda i: cat.create_table(f"bench.avro_{i}", lineitem.schema,
+                                       options={"file.format": "avro"}),
+            lambda tb: tb.write(spark, lineitem))
         rate("avro_write", n_lineitem, "avro_write_rows_per_sec")
         timed("avro_read", lambda: tav.read(spark).count(), reps=3)
         rate("avro_read", n_lineitem, "avro_read_rows_per_sec")
@@ -324,6 +475,7 @@ def main():
     with section("lookup_changelog"):
         # changelog-producer=lookup: second commit pays the key lookup +
         # diff + changelog-file write inside the commit
+        quiesce()
         tlk = cat.create_table("bench.lkcl", customer.schema,
                                primary_keys=["c_custkey"],
                                options={"bucket": "8",
@@ -338,6 +490,7 @@ def main():
         # availableNow pass through readStream.format("paimon")
         import tempfile as _tf
         from incubator_paimon_spark.datasource import register as _reg
+        quiesce()
         _reg(spark)
         tso = cat.create_table("bench.stream_src", orders.schema)
         tso.write(spark, orders)
@@ -389,6 +542,7 @@ def main():
         # Reference times (quiet host): bm25 7.0 s, dsir 23.1 s,
         # semdedup 58.7 s. Disable: SPARK_GRAFT_10X=0.
         if os.environ.get("SPARK_GRAFT_10X", "1") != "0" and sf == 0.1:
+            quiesce()
             maxdoc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
             docs10 = (docs.select("doc_id", "text")
                       .crossJoin(spark.range(10)
@@ -419,62 +573,15 @@ def main():
         # reads finish in ~0.4-0.5 s, dominated by fixed Spark job
         # overhead, which makes per-row comparisons against the
         # reference's JMH anchors (TableReadBenchmark.java:51-79) noisy.
-        # Tables are built once into a versioned /tmp cache (setup is
-        # UNtimed); only the reads are measured. Disable: SPARK_GRAFT_SF1=0.
+        # Tables are built once into a versioned /tmp cache by the
+        # --build-caches child process (setup is UNtimed AND out of
+        # session); only the reads are measured. Disable: SPARK_GRAFT_SF1=0.
         if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
-            sf1_wh = "/tmp/pmn_sf1_cache_v1"
-            cat1 = Catalog(sf1_wh)
+            quiesce()
+            cat1 = Catalog(_SF1_WH)
             n_sf1 = n_lineitem * 10
-            maxkey = lineitem.agg(F.max("l_orderkey")).collect()[0][0] + 1
 
-            def _li10():
-                parts = [lineitem.withColumn(
-                    "l_orderkey", F.col("l_orderkey") + F.lit(i * maxkey))
-                    for i in range(10)]
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p)
-                return out
-
-            def _cached(name, build):
-                marker = os.path.join(sf1_wh, f".done_{name}")
-                if not os.path.exists(marker):
-                    cat1.drop_table(f"bench.{name}")
-                    tb = build()
-                    with open(marker, "w") as fh:
-                        fh.write("ok")
-                    return tb
-                return cat1.get_table(f"bench.{name}")
-
-            def _build_pk():
-                tb = cat1.create_table(
-                    "bench.li1_pk", lineitem.schema,
-                    primary_keys=["l_orderkey", "l_linenumber"],
-                    options={"bucket": "16"}, ignore_if_exists=True)
-                tb.write(spark, _li10())
-                # overlapping second commit so the read is a real merge
-                upd1 = _li10().filter(F.col("l_orderkey") % 7 == 0) \
-                    .withColumn("l_quantity", F.col("l_quantity") + 1)
-                tb.write(spark, upd1)
-                return tb
-
-            def _build_orc():
-                tb = cat1.create_table(
-                    "bench.li1_orc", lineitem.schema,
-                    primary_keys=["l_orderkey", "l_linenumber"],
-                    options={"bucket": "16", "file.format": "orc"},
-                    ignore_if_exists=True)
-                tb.write(spark, _li10())
-                return tb
-
-            def _build_avro():
-                tb = cat1.create_table(
-                    "bench.li1_avro", lineitem.schema,
-                    options={"file.format": "avro"}, ignore_if_exists=True)
-                tb.write(spark, _li10())
-                return tb
-
-            t1pk = _cached("li1_pk", _build_pk)
+            t1pk = cat1.get_table("bench.li1_pk")
             got = timed("sf1_pk_read_full",
                         lambda: t1pk.read(spark).count(), reps=3)
             if got is not None:
@@ -492,11 +599,11 @@ def main():
                                     projection=["l_orderkey", "l_quantity"])
                   .agg(F.sum("l_quantity")).collect(), reps=3)
 
-            t1orc = _cached("li1_orc", _build_orc)
+            t1orc = cat1.get_table("bench.li1_orc")
             timed("sf1_orc_read", lambda: t1orc.read(spark).count(), reps=3)
             rate("sf1_orc_read", n_sf1, "sf1_orc_read_rows_per_sec")
 
-            t1av = _cached("li1_avro", _build_avro)
+            t1av = cat1.get_table("bench.li1_avro")
             timed("sf1_avro_read", lambda: t1av.read(spark).count(), reps=3)
             rate("sf1_avro_read", n_sf1, "sf1_avro_read_rows_per_sec")
 
@@ -520,6 +627,8 @@ def main():
         "rows": {"lineitem": n_lineitem},
         "derived": extra,
     }
+    if rep_spread:
+        result["rep_spread"] = rep_spread
     if errors:
         result["errors"] = {k: v.splitlines()[-1] if v else v
                             for k, v in errors.items()}
@@ -527,4 +636,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--build-caches" in sys.argv:
+        build_caches()
+    else:
+        main()

@@ -114,20 +114,27 @@ def _create_unit(runs, max_level, run_count):
 def compact_table(spark: SparkSession, table, full: bool = False,
                   predicate: Predicate | None = None,
                   order_by: list[str] | None = None,
-                  strategy: str | None = None):
+                  strategy: str | None = None,
+                  buckets: set | None = None,
+                  entries: list | None = None):
     """CALL sys.compact parity (CompactProcedure.java:99-218).
 
     - PK tables: universal (or full) merge per bucket.
     - Append tables: small-file rewrite per partition; with order_by +
       strategy in {order, zorder} a sort compaction rewrites the selected
       partitions clustered by the given columns.
+    `buckets` (a set of `(sorted partition items, bucket)` keys) scopes
+    the pick to specific buckets, and `entries` reuses an already-read
+    manifest — the write-time compaction hook passes both so a commit's
+    post-hook compacts ONLY its touched buckets without re-reading the
+    live manifest (MergeTreeWriter owns a per-bucket CompactManager).
     Returns the COMPACT snapshot (or None when nothing to do)."""
     if order_by or strategy:
         return _sort_compact(spark, table, order_by or [], strategy or "order",
                              predicate)
     if table.is_primary_key_table():
-        return _compact_pk(spark, table, full, predicate)
-    return _compact_append(spark, table, predicate)
+        return _compact_pk(spark, table, full, predicate, buckets, entries)
+    return _compact_append(spark, table, predicate, buckets, entries)
 
 
 def _group_by_bucket(entries):
@@ -138,11 +145,12 @@ def _group_by_bucket(entries):
     return by_bucket
 
 
-def _compact_pk(spark, table, full, predicate):
+def _compact_pk(spark, table, full, predicate, buckets=None, entries=None):
     schema = table.schema
     opts = schema.core_options
     max_level = opts.num_levels - 1
-    entries = table.entries_at()
+    if entries is None:
+        entries = table.entries_at()
     if predicate is not None:
         from .predicate import split_by_fields
         part_pred, _ = split_by_fields(predicate, set(schema.partition_keys))
@@ -151,6 +159,8 @@ def _compact_pk(spark, table, full, predicate):
 
     to_rewrite: list[tuple[int, list[ManifestEntry]]] = []
     for _key, bucket_entries in _group_by_bucket(entries).items():
+        if buckets is not None and _key not in buckets:
+            continue
         runs = bucket_sorted_runs(bucket_entries)
         if full:
             if len(runs) == 1 and runs[0].level == max_level:
@@ -239,12 +249,13 @@ def _record_level_expire(df: DataFrame, opts) -> DataFrame:
     return df
 
 
-def _compact_append(spark, table, predicate):
+def _compact_append(spark, table, predicate, buckets=None, entries=None):
     """Append-table compaction: rewrite partitions whose file count exceeds
     the trigger into target-size files (AppendOnlyCompactManager)."""
     schema = table.schema
     opts = schema.core_options
-    entries = table.entries_at()
+    if entries is None:
+        entries = table.entries_at()
     if predicate is not None:
         from .predicate import split_by_fields
         part_pred, _ = split_by_fields(predicate, set(schema.partition_keys))
@@ -253,6 +264,8 @@ def _compact_append(spark, table, predicate):
     trigger = opts.num_sorted_run_compaction_trigger
     victims = []
     for _key, es in _group_by_bucket(entries).items():
+        if buckets is not None and _key not in buckets:
+            continue
         small = [e for e in es if e.file.file_size < opts.target_file_size]
         if len(small) > trigger:
             victims.extend(small)

@@ -357,9 +357,13 @@ def _exec_select(spark, catalog, statement):
             table = catalog.get_table(base)
         except Exception:
             db, _, rest = ident.partition(".")
-            if db.lower() == "sys" and rest:
+            from .system_tables import GLOBAL_SYSTEM_TABLES
+            if (db.lower() == "sys" and rest
+                    and rest.lstrip("$").lower() in GLOBAL_SYSTEM_TABLES):
                 # global system tables: FROM sys.all_table_options etc.
-                # (SystemTableLoader.loadGlobal)
+                # (SystemTableLoader.loadGlobal); an UNKNOWN sys.<x>
+                # falls through to Spark resolution so a host-session
+                # database actually named `sys` stays queryable
                 from .system_tables import catalog_system_table
                 view = re.sub(r"\W", "_", f"pmn_sysg_{rest.lower()}")
                 catalog_system_table(spark, catalog, rest) \

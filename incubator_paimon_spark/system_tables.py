@@ -205,6 +205,9 @@ _TABLES = {
 # (SystemTableLoader.loadGlobal; AllTableOptionsTable.java:55-88 —
 # database_name/table_name/key/value rows for every table's options;
 # CatalogOptionsTable.java:51-76 — the catalog's own configuration)
+GLOBAL_SYSTEM_TABLES = frozenset({"all_table_options", "catalog_options"})
+
+
 def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
     n = name.lstrip("$").lower()
     if n == "all_table_options":
@@ -218,8 +221,10 @@ def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
             rows, "database_name string, table_name string, "
                   "`key` string, value string")
     if n == "catalog_options":
-        rows = sorted({"warehouse": catalog.warehouse,
-                       "metastore": "filesystem"}.items())
-        return spark.createDataFrame(rows, "`key` string, value string")
+        opts = {"warehouse": catalog.warehouse,
+                **{k: str(v) for k, v in
+                   getattr(catalog, "options", {}).items()}}
+        return spark.createDataFrame(sorted(opts.items()),
+                                     "`key` string, value string")
     raise ValueError(f"unknown global system table sys.{n}; "
-                     "have ['all_table_options', 'catalog_options']")
+                     f"have {sorted(GLOBAL_SYSTEM_TABLES)}")

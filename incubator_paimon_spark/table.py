@@ -337,24 +337,35 @@ class Table:
                        for e in self.delta_entries(snapshot)}
             if touched:
                 from .compact import (_group_by_bucket, bucket_sorted_runs,
-                                      compact_table)
-                by_bucket = _group_by_bucket(self.entries_at())
+                                      compact_table, pick_compaction)
+                entries = self.entries_at()
+                by_bucket = _group_by_bucket(entries)
+                # run the ACTUAL picker per touched bucket (no looser
+                # proxy threshold — r8 advice: `runs >= trigger` fired
+                # whole-table compactions that picked nothing), then
+                # scope the rewrite to exactly those buckets, reusing
+                # the manifest already read here.
                 if self.is_primary_key_table():
-                    fire = any(
-                        len(bucket_sorted_runs(by_bucket.get(k, []))) >= trigger
-                        for k in touched)
+                    eligible = {
+                        k for k in touched
+                        if pick_compaction(
+                            bucket_sorted_runs(by_bucket.get(k, [])),
+                            opts.num_levels - 1,
+                            opts.compaction_max_size_amplification_percent,
+                            opts.compaction_size_ratio, trigger) is not None}
                 else:
                     # append tables: small-file accumulation in a touched
                     # partition (AppendOnlyWriter.java:70 owns a
                     # CompactManager the same way; same threshold
                     # _compact_append applies)
                     tfs = opts.target_file_size
-                    fire = any(
-                        sum(1 for e in by_bucket.get(k, ())
-                            if e.file.file_size < tfs) > trigger
-                        for k in touched)
-                if fire:
-                    compact_table(spark, self)
+                    eligible = {
+                        k for k in touched
+                        if sum(1 for e in by_bucket.get(k, ())
+                               if e.file.file_size < tfs) > trigger}
+                if eligible:
+                    compact_table(spark, self, buckets=eligible,
+                                  entries=entries)
         # tag.automatic-creation (TagAutoCreation.java:48)
         from .maintenance import auto_create_tags
         auto_create_tags(self, snapshot)
@@ -408,9 +419,14 @@ class Table:
 class Catalog:
     """Filesystem catalog: <warehouse>/<db>.db/<table> (FileSystemCatalog)."""
 
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, options: dict | None = None):
         from .fileio import for_path
         self.warehouse = warehouse
+        # catalog construction options, surfaced verbatim through
+        # sys.catalog_options (CatalogOptionsTable exposes the real
+        # option map, not a hardcoded pair — r8 advice)
+        self.options = dict(options or {})
+        self.options.setdefault("metastore", "filesystem")
         self.io = for_path(warehouse)
         self.io.mkdirs(warehouse)
 

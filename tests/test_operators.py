@@ -831,31 +831,35 @@ def test_dsir_and_semdedup_release_executor_storage(spark):
     import gc
     import time
 
-    jsc = spark.sparkContext._jsc.sc()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
 
-    def settle(target, tries=40):
+    def persisted_ids() -> set:
+        return {int(k) for k in jmap().keySet().toArray()}
+
+    # ORDER-ROBUST (r8 verdict #2): track only RDD ids CREATED BY OUR
+    # CALLS (ids are never reused), instead of the store's global size.
+    # Earlier suite tests' lingering entries — and the async
+    # ContextCleaner reclaiming them mid-test — then cannot move the
+    # measurement in either direction.
+    base_ids = persisted_ids()
+
+    def settle_new(limit, tries=40) -> bool:
         """ContextCleaner reclamation is async: drop Python refs, nudge
-        both GCs, and wait for the store to drain to `target`."""
+        both GCs, and wait until at most `limit` of OUR new entries
+        survive."""
         for _ in range(tries):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-            if jsc.getPersistentRDDs().size() <= target:
+            if len(persisted_ids() - base_ids) <= limit:
                 return True
             time.sleep(0.25)
         return False
 
-    # settle to the suite's floor first — earlier tests may legitimately
-    # hold persisted RDDs; everything below is relative to that baseline
-    settle(0)
-    base = jsc.getPersistentRDDs().size()
     SA.dsir_logweights(d, d.limit(10), "text", "doc_id", buckets=256).count()
     # dsir is synchronous: its caches are explicitly unpersisted inside
-    # the call — no settling allowed. <= not ==: if settle() gave up at
-    # a non-zero floor, the async ContextCleaner may reclaim an EARLIER
-    # test's lingering checkpoint while dsir runs, shrinking the store
-    # below the captured baseline (full-suite flake); the property under
-    # test is only that dsir ADDS nothing.
-    assert jsc.getPersistentRDDs().size() <= base
+    # the call — it must ADD no surviving entries (a short settle only
+    # covers the non-blocking unpersist's bookkeeping).
+    assert settle_new(0, tries=8), "dsir left persisted RDDs behind"
     for _ in range(3):
         S.semdedup(e, "embedding", "vec_id", num_centroids=4,
                    threshold=0.99, dim=64).count()
@@ -863,10 +867,10 @@ def test_dsir_and_semdedup_release_executor_storage(spark):
         # is dropped — unlike a persist(), which pins forever. The MOST
         # RECENT checkpoint can linger until the next query's bookkeeping
         # flushes it (observed: call N's entry clears when call N+1
-        # runs), so the bounded-storage property is ≤1 surviving entry
-        # above the baseline at any point — with the old persist() leak
-        # this loop pinned one n×vector projection PER CALL.
-        assert settle(base + 1), \
+        # runs), so the bounded-storage property is ≤1 surviving NEW
+        # entry at any point — with the old persist() leak this loop
+        # pinned one n×vector projection PER CALL.
+        assert settle_new(1), \
             "semdedup retains more than the latest checkpoint"
 
 
