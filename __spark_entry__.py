@@ -1553,7 +1553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "stream_neardup": q_stream_neardup,
         "crosscorpus_neardup": q_crosscorpus_neardup,
-        "simhash": q_simhash,
         "ivf_table_search": q_ivf_table_search,
         # r7: every query whose operator CHANGED this round is gated —
         # char_entropy (rewritten as the sorted-run fold), kmeans
@@ -1579,8 +1578,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan). All stay oracle-checked in rotation.
         "crosscorpus_indexed": q_crosscorpus_indexed,
         "dsir_incremental": q_dsir_incremental,
-        "hybrid_search": q_hybrid_search,
         "bm25_indexed": q_bm25_indexed,
+        # r9 (VERDICT r8 #6): the two flagship integration shapes join
+        # the gate. hybrid_indexed SUPERSEDES hybrid_search in the gated
+        # set (same RRF fusion path, but BOTH rankers run off maintained
+        # indexes — strictly more of the engine under the hash);
+        # partial_lookup gates the PartialLookup batch-probe join whose
+        # probe path is point_lookup's. Rotated out to make room:
+        # hybrid_search (its from-scratch legs stay gated via bm25 +
+        # ivf_table_search, its fusion via hybrid_indexed) and simhash
+        # (stable since its r7 hot-bucket caps; the banded-LSH shape
+        # stays gated via minhash_pairs). Both remain oracle-checked in
+        # rotation.
+        "hybrid_indexed": q_hybrid_indexed,
+        "partial_lookup": q_partial_lookup,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
         # entries ride the exact same raw-parquet scan path the gated
         # pricing_summary exercises (spark.sql window/agg/join over _t
@@ -1625,11 +1636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25_indexed and ivf_table_search paths, its fusion the gated
         # hybrid_search path
         "doc_stats": q_doc_stats,
-        # r8 rotation: partial-mode lookup join — its probe path is the
-        # gated point_lookup; the join itself is a broadcast the gated
-        # host-SQL queries exercise
-        "partial_lookup": q_partial_lookup,
-        "hybrid_indexed": q_hybrid_indexed,
+        # r9 rotations (see the gate comment above): hybrid_search and
+        # simhash swap out for the gated hybrid_indexed/partial_lookup
+        "hybrid_search": q_hybrid_search,
+        "simhash": q_simhash,
         "ivf_synced_search": q_ivf_synced_search,
         "ivf_quantized_search": q_ivf_quantized_search,
         "span_dedup": q_span_dedup,

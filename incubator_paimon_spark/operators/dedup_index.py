@@ -120,11 +120,21 @@ def index_params(index_table) -> tuple[int, int, int]:
 def read_minhash_index(spark: SparkSession, index_table,
                        num_hashes: int | None = None,
                        bands: int | None = None,
-                       shingle_n: int | None = None) -> DataFrame:
+                       shingle_n: int | None = None,
+                       source_table=None,
+                       consumer_id: str | None = None) -> DataFrame:
     """The index as the canonical (id, sig, band, bh) projection, for
     `minhash_lsh_pairs_between(..., base_index=...)`. Passing the LSH
     params asserts they match the family the index was built with —
-    mixing families would silently return garbage candidates."""
+    mixing families would silently return garbage candidates. Passing
+    `source_table` arms the staleness guard (sync.check_index_current;
+    mode from the index's ``index.staleness-check`` option)."""
+    if source_table is not None:
+        from .sync import check_index_current
+        check_index_current(
+            source_table, consumer_id or f"index:{index_table.name}",
+            (index_table.schema.options or {})
+            .get("index.staleness-check", "warn"))
     nh, bd, sh = index_params(index_table)
     for want, have, label in ((num_hashes, nh, "num_hashes"),
                               (bands, bd, "bands"),

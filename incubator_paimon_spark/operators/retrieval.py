@@ -195,7 +195,9 @@ def update_bm25_index(spark, postings_table, stats_table,
 
 def bm25_search_indexed(spark, postings_table, stats_table,
                         query_terms: list[str], k: int = 10,
-                        k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                        k1: float = 1.2, b: float = 0.75,
+                        source_table=None,
+                        consumer_id: str | None = None) -> DataFrame:
     """Top-k BM25 over the postings index: identical results to
     `bm25_search` over the full corpus (a document scoring 0 contains
     no query term, hence has no posting for any of them — exactly the
@@ -205,10 +207,23 @@ def bm25_search_indexed(spark, postings_table, stats_table,
     read (≤ |terms| of `term_buckets` partitions, verifiable via
     `new_scan().plan(...)` entry counts), one ≤|terms|-row df
     aggregate, and a (id → score) sum whose shuffle carries only
-    matching docs. The corpus itself is never scanned."""
+    matching docs. The corpus itself is never scanned.
+
+    Passing `source_table` arms the staleness guard (r8 verdict #7): a
+    foreign-process writer's commits leave the index lagging with no
+    in-process hook to heal it — the guard compares the sync consumer
+    against the source's latest snapshot and warns/fails per the
+    postings table's ``index.staleness-check`` option."""
     import math
 
     from ..predicate import P
+    if source_table is not None:
+        from .sync import check_index_current
+        check_index_current(
+            source_table,
+            consumer_id or f"index:{postings_table.name}",
+            (postings_table.schema.options or {})
+            .get("index.staleness-check", "warn"))
 
     buckets = int((postings_table.schema.options or {})[OPT_TERM_BUCKETS])
     terms = [t.lower() for t in query_terms]

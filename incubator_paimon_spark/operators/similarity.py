@@ -306,7 +306,81 @@ def build_ivf_table(spark, catalog, name: str, df: DataFrame, vec_col: str,
                                  partition_keys=["centroid_id"],
                                  ignore_if_exists=False, **kw)
     t_idx.write(spark, assigned)
+    # record the build-time assignment quality as the drift BASELINE
+    # (r8 verdict #5): syncs assign against FROZEN centroids, so recall
+    # can degrade silently as the data distribution moves — the
+    # baseline gives ivf_drift something to compare against.
+    base = _mean_assignment_cosine(t_idx.read(spark), persisted, vec_col)
+    if base is not None:
+        t_c.schemas.update_options(
+            {"ivf.baseline-mean-cosine": repr(base)})
     return t_idx, t_c
+
+
+def _mean_assignment_cosine(indexed: DataFrame, centroids: DataFrame,
+                            vec_col: str) -> float | None:
+    """Mean cosine of each indexed vector to its ASSIGNED centroid — the
+    IVF quality scalar. One broadcast join on centroid_id + one 1-row
+    agg; O(rows in `indexed`), no shuffle of the vectors."""
+    c = F.broadcast(centroids.select(F.col("cid").alias("centroid_id"),
+                                     "cv"))
+    row = (indexed.join(c, "centroid_id")
+                  .agg(F.avg(cosine(F.col(vec_col), F.col("cv")))
+                        .alias("m")).collect()[0])
+    return None if row["m"] is None else float(row["m"])
+
+
+def ivf_drift(spark, index_table, centroids_table, vec_col: str) -> dict:
+    """Centroid-staleness report for a synced IVF index: current mean
+    assignment cosine over the WHOLE index vs the build-time baseline
+    (``ivf.baseline-mean-cosine``) and the last sync's incremental
+    reading (``ivf.last-sync-mean-cosine``). `drift` is baseline −
+    current: positive and growing means the frozen centroids no longer
+    fit the data and `recluster_ivf_table` should run — the reference's
+    "stale structure is healed by a rewrite" contract
+    (UniversalCompaction.java:42), applied to vector search."""
+    raw = centroids_table.schema.options or {}
+    cur = _mean_assignment_cosine(index_table.read(spark),
+                                  centroids_table.read(spark), vec_col)
+    base = raw.get("ivf.baseline-mean-cosine")
+    base = float(base) if base is not None else None
+    last = raw.get("ivf.last-sync-mean-cosine")
+    return {"mean_cosine": cur,
+            "baseline": base,
+            "last_sync_mean_cosine":
+                float(last) if last is not None else None,
+            "drift": (base - cur) if base is not None and cur is not None
+                     else None}
+
+
+def recluster_ivf_table(spark, index_table, centroids_table, vec_col: str,
+                        id_col: str = "vec_id",
+                        num_centroids: int | None = None,
+                        iters: int = 1) -> dict:
+    """Rebuild the centroids from the index's CURRENT vectors and
+    reassign every vector — the compaction analog for a drifted IVF
+    index (VERDICT r8 #5). Runs in place: centroids are overwritten,
+    the index is re-partitioned by the new assignment via INSERT
+    OVERWRITE, and the drift baseline is reset to the post-recluster
+    quality. Returns the before/after mean assignment cosine."""
+    vectors = index_table.read(spark).drop("centroid_id")
+    old_cents = centroids_table.read(spark)
+    if num_centroids is None:
+        num_centroids = old_cents.count()
+    before = _mean_assignment_cosine(index_table.read(spark), old_cents,
+                                     vec_col)
+    cents = ivf_centroids(vectors, vec_col, id_col, num_centroids,
+                          iters=iters)
+    centroids_table.write(spark, cents, overwrite=True)
+    persisted = centroids_table.read(spark)
+    assigned = assign_ivf(vectors, persisted, vec_col, id_col)
+    index_table.write(spark, assigned, overwrite=True)
+    after = _mean_assignment_cosine(index_table.read(spark), persisted,
+                                    vec_col)
+    if after is not None:
+        centroids_table.schemas.update_options(
+            {"ivf.baseline-mean-cosine": repr(after)})
+    return {"before_mean_cosine": before, "after_mean_cosine": after}
 
 
 def sync_ivf_table(spark, source_table, index_table, centroids_table,
@@ -336,6 +410,16 @@ def sync_ivf_table(spark, source_table, index_table, centroids_table,
         index_table.write(spark, up.withColumn(ROW_KIND, F.lit(INSERT))
                                    .unionByName(del_rows),
                           commit_identifier=sid)
+        # drift tracking (r8 verdict #5): record THIS sync's mean
+        # assignment cosine against the frozen centroids — an O(chunk)
+        # 1-row agg. A distribution shift shows up here first (new
+        # vectors fit the old centroids worse); ivf_drift compares it
+        # and the full-index mean against the build-time baseline, and
+        # recluster_ivf_table heals.
+        m = _mean_assignment_cosine(up, persisted, vec_col)
+        if m is not None:
+            centroids_table.schemas.update_options(
+                {"ivf.last-sync-mean-cosine": repr(m)})
 
     return replay_changelog(spark, source_table, cid, apply)
 

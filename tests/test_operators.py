@@ -1064,6 +1064,62 @@ def test_ivf_sync_cross_partition_moves(spark, catalog):
                 S.cosine_topk(final, "embedding", qv, 10).collect()])
 
 
+def test_ivf_drift_detects_shift_and_recluster_heals(spark, catalog):
+    """VERDICT r8 #5: syncs assign against FROZEN centroids, so a
+    distribution shift degrades assignment quality silently. The drift
+    metric must (a) read ~zero right after build, (b) trip after a
+    shifted-distribution sync (per-sync mean recorded in the centroids
+    table), and (c) recover after recluster_ivf_table rebuilds the
+    centroids — with exact nprobe=all search parity preserved."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+               .select("vec_id", "embedding")
+    src = catalog.create_table("db.drift_src", emb.schema,
+                               primary_keys=["vec_id"],
+                               options={"bucket": "2"})
+    src.write(spark, emb.filter(F.col("vec_id") % 2 == 0))
+    t_idx, t_c = S.build_ivf_table(spark, catalog, "db.drift_ivf",
+                                   src.read(spark), "embedding",
+                                   num_centroids=4, dim=64,
+                                   updatable=True)
+    cid = "index:drift"
+    src.write_consumer(cid, src.snapshots.latest().id)
+
+    d0 = S.ivf_drift(spark, t_idx, t_c, "embedding")
+    assert d0["baseline"] is not None
+    assert abs(d0["drift"]) < 1e-6  # fresh build: current == baseline
+
+    # shifted distribution: new vectors live in a corner of the space
+    # the original centroids never saw (constant-ish positive vectors
+    # plus a tiny id-dependent wiggle so they are not all identical)
+    shifted = (emb.filter(F.col("vec_id") % 2 == 1)
+               .withColumn("embedding", F.transform(
+                   "embedding",
+                   lambda x, i: F.lit(5.0) + (F.col("vec_id") % 7) / 7.0
+                   + 0.01 * i.cast("double"))))
+    src.write(spark, shifted)
+    assert S.sync_ivf_table(spark, src, t_idx, t_c, "embedding",
+                            consumer_id=cid) == 1
+
+    d1 = S.ivf_drift(spark, t_idx, t_c, "embedding")
+    assert d1["last_sync_mean_cosine"] is not None
+    assert d1["drift"] > 0.01, d1  # frozen centroids fit the union worse
+
+    out = S.recluster_ivf_table(spark, t_idx, t_c, "embedding")
+    assert out["after_mean_cosine"] > out["before_mean_cosine"]
+    d2 = S.ivf_drift(spark, t_idx, t_c, "embedding")
+    assert abs(d2["drift"]) < 1e-6  # baseline reset to healed quality
+    assert d2["mean_cosine"] > d1["mean_cosine"]
+
+    # exact-search parity survives the rebuild
+    final = src.read(spark)
+    qv = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    assert ([tuple(r) for r in
+             S.ivf_search_table(spark, t_idx, t_c, "embedding", qv, 10,
+                                nprobe=None).collect()]
+            == [tuple(r) for r in
+                S.cosine_topk(final, "embedding", qv, 10).collect()])
+
+
 def test_auto_sync_keeps_index_current_through_commits(spark, catalog):
     """sync.auto_sync rides the post-commit listener: after plain
     writes — and a MERGE INTO through the SQL surface — the minhash

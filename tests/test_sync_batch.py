@@ -173,3 +173,14 @@ def test_index_staleness_guard(spark, catalog):
 
     DI.sync_minhash_index(spark, src, idx, consumer_id=cid)
     assert check_index_current(src, cid) == 0
+
+    # the guard is armed from the indexed query paths themselves via
+    # source_table=: a lagging index warns (default) / fails (option)
+    src.write(spark, d.limit(2))
+    with pytest.warns(StaleIndexWarning):
+        DI.read_minhash_index(spark, idx, source_table=src,
+                              consumer_id=cid)
+    idx.schemas.update_options({"index.staleness-check": "fail"})
+    with pytest.raises(StaleIndexError):
+        DI.read_minhash_index(spark, idx, source_table=src,
+                              consumer_id=cid)
