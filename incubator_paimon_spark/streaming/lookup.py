@@ -114,8 +114,12 @@ class PartialLookup:
                 f"batch has more than {self.max_keys} distinct keys; "
                 "partial lookup would collect them on the driver — use "
                 "lookup_join() (full-cache mode) for high-cardinality batches")
+        # lookup_many prefetches all candidate files with concurrent
+        # columnar reads before probing — a cold batch touching many
+        # buckets pays max(file reads), not a sequential sum (r8 #4)
         rows = [r for r in
-                (self.query.lookup(dict(zip(self.on, k))) for k in keys)
+                self.query.lookup_many([dict(zip(self.on, k))
+                                        for k in keys])
                 if r is not None]
 
         full = self.table.schema.spark_schema()

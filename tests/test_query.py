@@ -159,6 +159,36 @@ def test_lookup_schema_evolution_rename(spark, catalog, customer):
     assert "balance" in q.lookup(9)
 
 
+def test_lookup_casts_defaults_and_widened_types_like_scan(spark, catalog,
+                                                           customer):
+    """r8 advice: a column added later with fields.X.default-value must
+    come back from lookup as the RUNTIME type (bigint 7, not the raw
+    option string '7'), and a column widened after old files were
+    written must cast old-file values — both exactly as the scan path's
+    evolve() does, so lookup == scan under schema evolution."""
+    import pyspark.sql.types as T
+    t = catalog.create_table("db.q_cast", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    t.write(spark, customer)
+    t.schemas.add_column("loyalty_tier", T.LongType())
+    t.schemas.update_options({"fields.loyalty_tier.default-value": "7"})
+    t.schemas.update_column_type("c_nationkey", T.LongType())
+
+    q = t.new_query()
+    truth = _scan_rows(spark, t, ["c_custkey"])
+    for k in (1, 5, 9):
+        got = q.lookup(k)
+        want = truth[(k,)]
+        assert got == want
+        # same VALUES is not enough — same TYPES (7 == '7' is False,
+        # but 7 == 7.0 is True; pin the classes)
+        assert type(got["loyalty_tier"]) is type(want["loyalty_tier"]), \
+            (got["loyalty_tier"], want["loyalty_tier"])
+        assert type(got["c_nationkey"]) is type(want["c_nationkey"])
+    q.close()
+
+
 def test_lookup_cache_eviction_still_correct(spark, catalog, customer):
     t = catalog.create_table("db.q_lru", customer.schema,
                              primary_keys=["c_custkey"], options={"bucket": "4"})
