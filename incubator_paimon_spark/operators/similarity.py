@@ -420,8 +420,26 @@ def sync_ivf_table(spark, source_table, index_table, centroids_table,
         if m is not None:
             centroids_table.schemas.update_options(
                 {"ivf.last-sync-mean-cosine": repr(m)})
+            raw = centroids_table.schema.options or {}
+            thr = raw.get("ivf.drift-threshold")
+            base = raw.get("ivf.baseline-mean-cosine")
+            if thr is not None and base is not None \
+                    and float(base) - m > float(thr):
+                import warnings
+                warnings.warn(
+                    f"IVF sync of {index_table.name}: this chunk's mean "
+                    f"assignment cosine {m:.4f} is more than "
+                    f"{float(thr)} below the build baseline "
+                    f"{float(base):.4f} — the frozen centroids no "
+                    f"longer fit the data; run recluster_ivf_table "
+                    f"(CALL sys.recluster_ivf)", IvfDriftWarning,
+                    stacklevel=2)
 
     return replay_changelog(spark, source_table, cid, apply)
+
+
+class IvfDriftWarning(UserWarning):
+    """A sync chunk assigned markedly worse than the build baseline."""
 
 
 def ivf_search_table(spark, index_table, centroids_table, vec_col: str,

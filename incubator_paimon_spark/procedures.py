@@ -321,8 +321,26 @@ def _revoke_privilege_from_user(spark, catalog, username, privilege,
     return f"revoked {n} grant(s)"
 
 
+def _recluster_ivf(spark, catalog, index_table, centroids_table=None,
+                   vec_col="embedding", id_col="vec_id",
+                   num_centroids=None, iters=1, **_):
+    """CALL sys.recluster_ivf(index_table => 'db.idx', ...): rebuild a
+    drifted IVF index's centroids and reassign in place (the compaction
+    analog for vector-search structure; see similarity.ivf_drift)."""
+    from .operators.similarity import recluster_ivf_table
+    t_idx = _t(catalog, index_table)
+    t_c = _t(catalog, centroids_table if centroids_table is not None
+             else f"{index_table}_centroids")
+    out = recluster_ivf_table(spark, t_idx, t_c, vec_col, id_col=id_col,
+                              num_centroids=num_centroids, iters=iters)
+    return (f"reclustered {index_table}: mean assignment cosine "
+            f"{out['before_mean_cosine']:.4f} -> "
+            f"{out['after_mean_cosine']:.4f}")
+
+
 _PROCEDURES = {
     "compact": _compact,
+    "recluster_ivf": _recluster_ivf,
     "expire_snapshots": _expire_snapshots,
     "expire_partitions": _expire_partitions,
     "create_tag": _create_tag,

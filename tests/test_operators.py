@@ -1097,8 +1097,11 @@ def test_ivf_drift_detects_shift_and_recluster_heals(spark, catalog):
                    lambda x, i: F.lit(5.0) + (F.col("vec_id") % 7) / 7.0
                    + 0.01 * i.cast("double"))))
     src.write(spark, shifted)
-    assert S.sync_ivf_table(spark, src, t_idx, t_c, "embedding",
-                            consumer_id=cid) == 1
+    t_c.schemas.update_options({"ivf.drift-threshold": "0.05"})
+    import pytest as _pt
+    with _pt.warns(S.IvfDriftWarning):
+        assert S.sync_ivf_table(spark, src, t_idx, t_c, "embedding",
+                                consumer_id=cid) == 1
 
     d1 = S.ivf_drift(spark, t_idx, t_c, "embedding")
     assert d1["last_sync_mean_cosine"] is not None
@@ -1118,6 +1121,12 @@ def test_ivf_drift_detects_shift_and_recluster_heals(spark, catalog):
                                 nprobe=None).collect()]
             == [tuple(r) for r in
                 S.cosine_topk(final, "embedding", qv, 10).collect()])
+
+    # the CALL surface drives the same rebuild (SparkProcedures parity)
+    from incubator_paimon_spark.procedures import call
+    msg = call(spark, catalog, "sys.recluster_ivf",
+               index_table="db.drift_ivf", vec_col="embedding")
+    assert msg.startswith("reclustered db.drift_ivf")
 
 
 def test_auto_sync_keeps_index_current_through_commits(spark, catalog):
