@@ -946,6 +946,38 @@ def q_source_cap(spark, sf_dir):
                     F.sum("n_chars").alias("chars_sum")))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Token-weighted temperature re-mixing with UniMax-style epoch caps
+    (Arivazhagan 2019; Chung 2023): scarce sources are UPSAMPLED by
+    repetition (epoch column), capped at 3 epochs; the per-domain plan is
+    one control-plane aggregate and the data is never shuffled — the
+    output is a broadcast-join + explode over a single scan. n_chars
+    stands in for the per-doc token mass (real pipelines pass a token
+    count column)."""
+    from incubator_paimon_spark.operators import sampling as S
+    d = _t(spark, sf_dir, "documents")
+    out = S.temperature_mixture(d, "doc_id", "source", tau=2.0,
+                                token_col="n_chars", max_epochs=3.0)
+    return (out.groupBy("source", "epoch")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("id_sum"))
+               .orderBy("source", "epoch"))
+
+
+def q_leakage_split(spark, sf_dir):
+    """Duplicate-safe train/val/test split: the split decision hashes the
+    normalized-text duplicate group's canonical min-id representative, so
+    reformatted copies of a document can never straddle the train/test
+    boundary (Lee et al. 2022's eval-leak). One hash-partitioned window,
+    no join."""
+    from incubator_paimon_spark.operators import sampling as S
+    d = _t(spark, sf_dir, "documents")
+    out = S.leakage_safe_split(d, "text", "doc_id", (0.8, 0.1, 0.1))
+    return (out.groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("id_sum")))
+
+
 def q_doc_chunks(spark, sf_dir):
     """RAG/embedding chunking: overlapping 40-word windows (8-word
     overlap); zero-shuffle projection + posexplode."""
@@ -1665,6 +1697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
+        "temperature_mix": q_temperature_mix,
+        "leakage_split": q_leakage_split,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,
         "clusters_incremental": q_clusters_incremental,

@@ -13,7 +13,7 @@ projection — no shuffle, no state, trivially parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import h32
@@ -85,6 +85,106 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
              for g, pi in target_mix.items()}
     return stratified_hash_sample(df, key_col, domain_col, rates,
                                   default_rate=0.0)
+
+
+def temperature_epochs(df: DataFrame, domain_col: str, token_col: str,
+                       tau: float, total_tokens: float | None = None,
+                       max_epochs: float = 4.0) -> DataFrame:
+    """Per-domain epoch plan for temperature-based mixture re-balancing
+    (Arivazhagan et al. 2019 §4; the UniMax epoch cap of Chung et al.
+    2023): domain d with token mass T_d gets target share
+    p_d ∝ T_d^(1/tau), i.e. tau=1 keeps the natural mix and tau→∞ moves
+    toward uniform, boosting scarce domains. With token budget B
+    (default: the corpus' own total, a pure re-balance) the plan is
+    e_d = min(max_epochs, B·p_d / T_d) — the cap stops any scarce
+    domain from being repeated into memorization territory. Returns
+    (domain, domain_tokens, epochs).
+
+    Every step is a Column expression (pow/sum/least in double math) so
+    the SQL oracle reproduces the plan bit-for-bit; the frame is
+    #domains rows — control-plane sized.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    dom = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.sum(token_col).cast("double").alias("domain_tokens")))
+    w = F.pow(F.col("domain_tokens"), F.lit(1.0 / tau))
+    # ordered unbounded frame: both Spark and the SQL oracle fold the
+    # handful of per-domain doubles in domain order, so the shares are
+    # bit-identical cross-engine (an unordered total's fold order is
+    # engine-internal)
+    everything = (Window.partitionBy().orderBy("domain")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+    sw = F.sum(w).over(everything)
+    b = (F.lit(float(total_tokens)) if total_tokens is not None
+         else F.sum("domain_tokens").over(everything))
+    e = F.least(F.lit(float(max_epochs)), b * w / sw / F.col("domain_tokens"))
+    return dom.select("domain", "domain_tokens", e.alias("epochs"))
+
+
+def temperature_mixture(df: DataFrame, key_col: str, domain_col: str,
+                        tau: float, token_col: str,
+                        total_tokens: float | None = None,
+                        max_epochs: float = 4.0,
+                        epoch_col: str = "epoch") -> DataFrame:
+    """Materialize the temperature mixture: each row is repeated
+    floor(e_d) times plus one more for the deterministic hash fraction
+    of its domain, with an `epoch` column (0-based copy index) so the
+    output key is (key, epoch). Unlike mixture_sample (downsample-only)
+    this UPSAMPLES scarce domains — the actual shape of pretraining
+    mixes, where code/papers run multiple epochs against one pass of web.
+
+    Scale shape: one map-side-combined #domains aggregate, an explicit
+    broadcast join of the plan, then a single scan + explode. The data
+    itself is never shuffled; output size is bounded by
+    max_epochs × |df| by construction.
+    """
+    plan = temperature_epochs(df, domain_col, token_col, tau,
+                              total_tokens, max_epochs)
+    e = F.col("epochs")
+    thr = F.round((e - F.floor(e)) * _SLOTS).cast("long")
+    plan = plan.select("domain", F.floor(e).cast("long").alias("_full"),
+                       thr.alias("_thr"))
+    joined = df.join(F.broadcast(plan),
+                     df[domain_col] == plan["domain"], "inner").drop("domain")
+    copies = (F.col("_full")
+              + F.when(hash_bucket(F.col(key_col)) < F.col("_thr"), 1)
+                 .otherwise(0))
+    seq = F.when(copies > 0, F.sequence(F.lit(0), (copies - 1).cast("int"))) \
+           .otherwise(F.array().cast("array<int>"))
+    return (joined.select(*df.columns, F.explode(seq).alias(epoch_col)))
+
+
+def leakage_safe_split(df: DataFrame, text_col: str, id_col: str,
+                       weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+                       split_col: str = "split") -> DataFrame:
+    """train/val/test split that cannot leak duplicated text across the
+    boundary: the split decision hashes the duplicate GROUP's canonical
+    representative (min id over the normalized-text fingerprint), not
+    the row, so every copy of a document — byte-identical or
+    whitespace/case-reformatted — lands on the same side. Plain
+    hash-splits put near-identical copies in both train and test, which
+    inflates eval (Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" measures exactly this leak).
+
+    Scale shape: one hash-partitioned window (min over the fingerprint
+    — the same shuffle key exact dedup uses) then a pure projection; no
+    join, no driver state.
+    """
+    if len(weights) != 3 or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must be 3 values summing to 1, got {weights}")
+    from .text import fingerprint
+    rep = F.min(F.col(id_col)).over(
+        Window.partitionBy(fingerprint(F.col(text_col))))
+    b = hash_bucket(rep)
+    t_hi = int(weights[0] * _SLOTS)
+    v_hi = t_hi + int(weights[1] * _SLOTS)
+    return df.withColumn(
+        split_col,
+        F.when(b < t_hi, F.lit("train"))
+         .when(b < v_hi, F.lit("val"))
+         .otherwise(F.lit("test")))
 
 
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,

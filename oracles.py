@@ -636,6 +636,59 @@ SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
 FROM s GROUP BY split
 """
 
+# temperature_mix: the whole plan (shares, epochs, fractional-copy
+# threshold) is recomputed in SQL double math with the SAME expression
+# shapes and an ORDERED window fold, so epochs match Spark bit-for-bit;
+# membership of the fractional copy is the shared md5 hash-bucket.
+ORACLES["temperature_mix"] = f"""
+WITH dom AS (
+  SELECT source, sum(n_chars)::DOUBLE AS t FROM documents GROUP BY source
+),
+plan AS (
+  SELECT source,
+    least(3.0, sum(t) OVER w * pow(t, 0.5) / sum(pow(t, 0.5)) OVER w / t)
+      AS e
+  FROM dom
+  WINDOW w AS (ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+cop AS (
+  SELECT d.doc_id, d.source,
+    floor(e)::BIGINT
+    + CASE WHEN {_HB.format(k='d.doc_id')}
+                < round((e - floor(e)) * 1000000)::BIGINT
+           THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN plan USING (source)
+),
+ex AS (
+  SELECT doc_id, source, unnest(range(n))::INT AS epoch
+  FROM cop WHERE n > 0
+)
+SELECT source, epoch, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM ex GROUP BY source, epoch ORDER BY source, epoch
+"""
+
+# leakage_split: split decided by the duplicate group's min-id
+# representative over the normalized-text fingerprint — every copy of a
+# document lands on one side.
+ORACLES["leakage_split"] = f"""
+WITH rep AS (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY
+      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS rep_id
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN {_HB.format(k='rep_id')} < 800000 THEN 'train'
+         WHEN {_HB.format(k='rep_id')} < 900000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM rep
+)
+SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM s GROUP BY split
+"""
+
 # source_cap: top-N per domain by n_chars, ties on the raw 32-bit md5
 # prefix then doc_id — the identical total order the Spark window uses,
 # so the kept SET matches for any salt.

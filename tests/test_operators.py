@@ -357,6 +357,68 @@ def test_mixture_sample_hits_target(spark):
     assert ids1 == ids2
 
 
+def test_temperature_mixture_upsamples_scarce_domain(spark):
+    from incubator_paimon_spark.operators import sampling as SA
+    # 100 web docs of 100 tokens vs 5 code docs of 100 tokens: at tau=2
+    # the scarce domain's share rises, so code must run >1 epoch while
+    # web runs <1; the cap binds when set low
+    rows = [(i, "web", 100) for i in range(100)] + \
+           [(1000 + i, "code", 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    plan = {r["domain"]: r["epochs"] for r in
+            SA.temperature_epochs(df, "source", "n_tok", tau=2.0).collect()}
+    assert plan["code"] > 1.0 and plan["web"] < 1.0
+    # total token budget is conserved up to hash-fraction granularity
+    out = SA.temperature_mixture(df, "doc_id", "source", tau=2.0,
+                                 token_col="n_tok")
+    got = out.groupBy("source").count().collect()
+    by_dom = {r["source"]: r["count"] for r in got}
+    assert by_dom["code"] >= 5          # at least one full epoch
+    assert by_dom["web"] < 100          # downsampled
+    # epoch column is a dense 0-based copy index per row
+    mx = out.filter("source = 'code'").groupBy("doc_id") \
+            .agg(F.max("epoch").alias("m"), F.count("*").alias("c")).collect()
+    for r in mx:
+        assert r["c"] == r["m"] + 1
+    # cap binds: epochs never exceed max_epochs
+    capped = {r["domain"]: r["epochs"] for r in
+              SA.temperature_epochs(df, "source", "n_tok", tau=100.0,
+                                    max_epochs=2.0).collect()}
+    assert capped["code"] == 2.0
+    # determinism: same call replicates identical (id, epoch) pairs
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    out2 = SA.temperature_mixture(df, "doc_id", "source", tau=2.0,
+                                  token_col="n_tok")
+    assert a == sorted((r["doc_id"], r["epoch"]) for r in out2.collect())
+    # plan shape: the per-domain plan is broadcast, the data itself is
+    # never shuffled (no Exchange hashpartitioning on the big side)
+    explained = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in explained
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark):
+    from incubator_paimon_spark.operators import sampling as SA
+    base = [(i, f"unique document number {i} with words") for i in range(300)]
+    # 40 reformatted copies of one document, ids spread across the range
+    dups = [(10_000 + i, "The  Quick\tBrown Fox" if i % 2 else
+             "the quick brown fox") for i in range(40)]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    out = SA.leakage_safe_split(df, "text", "doc_id", (0.5, 0.25, 0.25))
+    # every copy (including case/whitespace variants) lands in ONE split
+    dup_splits = {r["split"] for r in
+                  out.filter("doc_id >= 10000").select("split").collect()}
+    assert len(dup_splits) == 1
+    # all three splits are populated on the unique docs at these weights
+    got = {r["split"] for r in out.select("split").distinct().collect()}
+    assert got == {"train", "val", "test"}
+    # a plain hash split would scatter the dup ids (sanity that the test
+    # would catch a regression to row-hash behavior)
+    plain = SA.train_val_test_split(df, "doc_id", (0.5, 0.25, 0.25))
+    plain_splits = {r["split"] for r in
+                    plain.filter("doc_id >= 10000").select("split").collect()}
+    assert len(plain_splits) > 1
+
+
 def test_mixture_sample_validation(spark):
     import pytest
     from incubator_paimon_spark.operators import sampling as SA
