@@ -946,6 +946,45 @@ def q_source_cap(spark, sf_dir):
                     F.sum("n_chars").alias("chars_sum")))
 
 
+def q_matview_incremental(spark, sf_dir):
+    """Incremental materialized aggregation view: per-source
+    count/sum/avg maintained from the source table's changelog through
+    inserts, UPDATEs (sum/count retract the engine's true before-image)
+    and DELETEs — the view after three commits + sync must equal a
+    from-scratch GROUP BY over the source's final state (the oracle).
+    Each sync chunk is one bounded partial-aggregate commit; the view's
+    size is |groups|, independent of source scale."""
+    from incubator_paimon_spark.operators import matview as MVW
+    fx = _fixtures(spark, sf_dir)
+    if "matview" not in fx:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                  "n_chars")
+        src = fx["cat"].create_table(
+            "fx.mv_docs", d.schema, primary_keys=["doc_id"],
+            options={"bucket": "2", "changelog-producer": "lookup",
+                     "write-only": "true"})
+        mv = MVW.create_materialized_agg(
+            fx["cat"], "fx.mv_by_source", src, ["source"],
+            {"n_docs": ("count", "doc_id"),
+             "chars_sum": ("sum", "n_chars"),
+             "avg_chars": ("avg", "n_chars")})
+        src.write(spark, d.filter(F.col("doc_id") % 2 == 0))
+        upd = (d.filter(F.col("doc_id") % 10 == 0)
+                .withColumn("n_chars", F.col("n_chars") + F.lit(7)))
+        src.write(spark,
+                  d.filter(F.col("doc_id") % 2 == 1).unionByName(upd))
+        src.write(spark, d.filter(F.col("doc_id") % 97 == 0)
+                          .withColumn("_row_kind", F.lit("-D")))
+        MVW.sync_materialized_agg(spark, src, mv)
+        fx["matview"] = mv
+    out = MVW.read_materialized(spark, fx["matview"])
+    return (out.select("source", "n_docs",
+                       F.col("chars_sum").cast("long").alias("chars_sum"),
+                       TX.quantize(F.col("avg_chars"), 4)
+                         .alias("avg_chars"))
+               .orderBy("source"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Token-weighted temperature re-mixing with UniMax-style epoch caps
     (Arivazhagan 2019; Chung 2023): scarce sources are UPSAMPLED by
@@ -1575,7 +1614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM pipeline
         "media_meta": q_media_meta,
         "doc_quality": q_doc_quality,
-        "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_pipeline": q_corpus_pipeline,
@@ -1624,6 +1662,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation.
         "hybrid_indexed": q_hybrid_indexed,
         "partial_lookup": q_partial_lookup,
+        # r9: incremental materialized aggregation views join the gate —
+        # the aggregation-merge-engine + changelog-replay protocol as a
+        # user-facing feature, checked through insert/UPDATE/DELETE
+        # commits against the from-scratch GROUP BY oracle. Rotated out
+        # to make room: exact_dedup (md5-groupBy — the gated
+        # corpus_pipeline's survivor table rides the same fingerprint
+        # fold, and it stays oracle-checked in rotation).
+        "matview_incremental": q_matview_incremental,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
         # entries ride the exact same raw-parquet scan path the gated
         # pricing_summary exercises (spark.sql window/agg/join over _t
@@ -1699,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "temperature_mix": q_temperature_mix,
         "leakage_split": q_leakage_split,
+        "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,
         "clusters_incremental": q_clusters_incremental,

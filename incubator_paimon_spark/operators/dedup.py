@@ -694,7 +694,7 @@ def remove_frequent_segments_from_table(spark, df: DataFrame, counts_table,
 
 def sync_segment_df_counts(spark, source_table, counts_table,
                            text_col: str, id_col: str,
-                           consumer_id: str | None = None) -> int:
+                           consumer_id: str | None = None, **kw) -> int:
     """Keep a segment doc-frequency table current from the source
     table's changelog (same consumer protocol as the other maintained
     structures): +1 per (added doc, distinct segment), -1 per removed;
@@ -712,7 +712,7 @@ def sync_segment_df_counts(spark, source_table, counts_table,
         # commit, so frequency deltas can never double-apply
         counts_table.write(spark, net, commit_identifier=sid)
 
-    return replay_changelog(spark, source_table, cid, apply)
+    return replay_changelog(spark, source_table, cid, apply, **kw)
 
 
 # ----------------------------------------------------------------------

@@ -147,7 +147,7 @@ def read_minhash_index(spark: SparkSession, index_table,
 
 
 def sync_minhash_index(spark: SparkSession, source_table, index_table,
-                       consumer_id: str | None = None) -> int:
+                       consumer_id: str | None = None, **kw) -> int:
     """Advance the index to the source table's latest snapshot by
     replaying its changelog, one index commit per source snapshot.
     Returns the number of source snapshots applied.
@@ -179,4 +179,4 @@ def sync_minhash_index(spark: SparkSession, source_table, index_table,
                                         .unionByName(del_rows),
                           commit_identifier=sid)
 
-    return replay_changelog(spark, source_table, cid, apply)
+    return replay_changelog(spark, source_table, cid, apply, **kw)

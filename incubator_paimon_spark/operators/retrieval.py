@@ -285,7 +285,7 @@ def bm25_search_indexed(spark, postings_table, stats_table,
 
 def sync_bm25_index(spark, source_table, postings_table, stats_table,
                     text_col: str, id_col: str,
-                    consumer_id: str | None = None) -> int:
+                    consumer_id: str | None = None, **kw) -> int:
     """Advance the postings index to the source table's latest snapshot
     by replaying its changelog. Unlike `update_bm25_index` (append-only
     ingest), this handles UPDATES and DELETES: a changed document's
@@ -319,7 +319,7 @@ def sync_bm25_index(spark, source_table, postings_table, stats_table,
               (a[1] or 0) - (r[1] or 0))],
             stats_table.schema.spark_schema()), commit_identifier=sid)
 
-    return replay_changelog(spark, source_table, cid, apply)
+    return replay_changelog(spark, source_table, cid, apply, **kw)
 
 
 def hybrid_search_indexed(spark, postings_table, stats_table,

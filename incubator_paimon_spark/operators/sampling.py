@@ -447,7 +447,8 @@ def dsir_sample(df: DataFrame, target: DataFrame, text_col: str,
 
 
 def sync_dsir_counts(spark, source_table, counts_table, text_col: str,
-                     id_col: str, consumer_id: str | None = None) -> int:
+                     id_col: str, consumer_id: str | None = None,
+                     **kw) -> int:
     """Advance a DSIR counts table to the source table's latest
     snapshot by replaying its changelog: per snapshot, one bounded
     (≤2·buckets-row) NET bucket-delta commit — counts(new rows) minus
@@ -475,4 +476,4 @@ def sync_dsir_counts(spark, source_table, counts_table, text_col: str,
         # commit, so count deltas can never double-apply
         counts_table.write(spark, net, commit_identifier=sid)
 
-    return replay_changelog(spark, source_table, cid, apply)
+    return replay_changelog(spark, source_table, cid, apply, **kw)

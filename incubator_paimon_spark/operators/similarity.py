@@ -385,7 +385,7 @@ def recluster_ivf_table(spark, index_table, centroids_table, vec_col: str,
 
 def sync_ivf_table(spark, source_table, index_table, centroids_table,
                    vec_col: str, id_col: str = "vec_id",
-                   consumer_id: str | None = None) -> int:
+                   consumer_id: str | None = None, **kw) -> int:
     """Advance an UPDATABLE IVF index (build_ivf_table(updatable=True))
     to the source table's latest snapshot by replaying its changelog:
     new/changed vectors are assigned against the PERSISTED centroids and
@@ -435,7 +435,7 @@ def sync_ivf_table(spark, source_table, index_table, centroids_table,
                     f"(CALL sys.recluster_ivf)", IvfDriftWarning,
                     stacklevel=2)
 
-    return replay_changelog(spark, source_table, cid, apply)
+    return replay_changelog(spark, source_table, cid, apply, **kw)
 
 
 class IvfDriftWarning(UserWarning):

@@ -291,6 +291,15 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
             raise ValueError(f"bad DROP TABLE: {statement!r}")
         return catalog.drop_table(m.group(2),
                                   ignore_if_not_exists=bool(m.group(1)))
+    if kw == "REFRESH":
+        m = re.match(
+            r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$",
+            statement, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"bad REFRESH MATERIALIZED VIEW: {statement!r}")
+        from .operators.matview import refresh_materialized
+        return refresh_materialized(spark, catalog,
+                                    catalog.get_table(m.group(1)))
     if kw == "SHOW":
         return _exec_show(spark, catalog, statement)
     if kw in ("DESC", "DESCRIBE"):
@@ -746,6 +755,63 @@ def _parse_props(block: str) -> dict:
     return props
 
 
+_MV_QUERY = re.compile(
+    r"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<src>[\w.]+)\s+"
+    r"GROUP\s+BY\s+(?P<grp>[\w\s,.]+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_MV_AGG = re.compile(
+    r"(?P<fn>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|[\w.]+)\s*\)\s+"
+    r"AS\s+(?P<alias>\w+)\s*$", re.IGNORECASE)
+
+
+def _exec_create_mv(spark, catalog, statement, head_match):
+    """CREATE MATERIALIZED VIEW <name> AS SELECT <group cols and
+    fn(col) AS alias ...> FROM <table> GROUP BY <cols> — the restricted
+    declarative surface over operators/matview.py: the view is created
+    as an aggregation-merge-engine table, registered on the source's
+    post-commit hook (auto_sync), and immediately synced to the
+    source's current state. fn ∈ sum|count|min|max|avg; every
+    non-aggregate SELECT item must be a GROUP BY column."""
+    from .operators.matview import (create_materialized_agg,
+                                    sync_materialized_agg)
+    from .operators.sync import auto_sync
+
+    ident = head_match.group(1)
+    qm = _MV_QUERY.match(statement[head_match.end():].strip())
+    if not qm:
+        raise ValueError(
+            f"bad CREATE MATERIALIZED VIEW (expected SELECT ... FROM "
+            f"<table> GROUP BY <cols>): {statement!r}")
+    group_by = [c.strip() for c in qm.group("grp").split(",")]
+    src = catalog.get_table(qm.group("src"))
+    aggs, depth, item, items = {}, 0, [], []
+    for ch in qm.group("items"):
+        if ch == "," and depth == 0:
+            items.append("".join(item).strip())
+            item = []
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        item.append(ch)
+    items.append("".join(item).strip())
+    for it in items:
+        am = _MV_AGG.match(it)
+        if am:
+            col = am.group("col")
+            aggs[am.group("alias")] = (
+                am.group("fn").lower(),
+                group_by[0] if col == "*" else col)
+        elif it not in group_by:
+            raise ValueError(
+                f"materialized-view SELECT item {it!r} is neither "
+                f"fn(col) AS alias nor a GROUP BY column")
+    mv = create_materialized_agg(catalog, ident, src, group_by, aggs)
+    auto_sync(spark, src, mv.name,
+              lambda s: sync_materialized_agg(s, src, mv))
+    sync_materialized_agg(spark, src, mv)
+    return mv
+
+
 def _parse_create_tail(tail: str):
     """PARTITIONED BY / TBLPROPERTIES / primary-key out of the clause
     section of a CREATE TABLE statement."""
@@ -764,6 +830,10 @@ def _parse_create_tail(tail: str):
 
 def _exec_create(spark, catalog, statement):
     masked = _mask_literals(statement)
+    mv = re.match(r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+",
+                  masked, re.IGNORECASE)
+    if mv:
+        return _exec_create_mv(spark, catalog, statement, mv)
     m = re.match(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*",
                  masked, re.IGNORECASE)
     if not m:

@@ -636,6 +636,22 @@ SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
 FROM s GROUP BY split
 """
 
+# matview_incremental: the view was maintained through insert / update
+# (+7 on doc_id%10==0) / delete (doc_id%97==0) commits; the oracle is
+# the from-scratch GROUP BY over that final state — incremental must
+# equal recompute.
+ORACLES["matview_incremental"] = f"""
+WITH cur AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 7
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars_sum,
+       {_q('sum(n_chars)::DOUBLE / count(*)')} AS avg_chars
+FROM cur GROUP BY source ORDER BY source
+"""
+
 # temperature_mix: the whole plan (shares, epochs, fractional-copy
 # threshold) is recomputed in SQL double math with the SAME expression
 # shapes and an ORDERED window fold, so epochs match Spark bit-for-bit;

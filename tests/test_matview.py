@@ -1,0 +1,212 @@
+"""Incremental materialized aggregation views (operators/matview.py, r9).
+
+The invariant under test everywhere: after any sequence of source
+commits (inserts, updates, deletes) + sync, `read_materialized` equals
+a from-scratch GROUP BY over the source's CURRENT state.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_paimon_spark.operators import matview as MV
+from tests.conftest import SF_DIR as SF
+
+
+def _docs(spark, n=80):
+    return (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id").limit(n))
+
+
+def _mk_src(catalog, name, schema):
+    return catalog.create_table(name, schema, primary_keys=["doc_id"],
+                                options={"bucket": "2",
+                                         "changelog-producer": "lookup",
+                                         "write-only": "true"})
+
+
+def _scratch(src_df):
+    return {(r["source"], r["n_docs"], r["chars_sum"],
+             round(r["avg_chars"], 9))
+            for r in (src_df.groupBy("source")
+                      .agg(F.count(F.lit(1)).alias("n_docs"),
+                           F.sum("n_chars").alias("chars_sum"),
+                           F.avg("n_chars").alias("avg_chars"))
+                      .collect())}
+
+
+def _view(spark, mv):
+    return {(r["source"], r["n_docs"], r["chars_sum"],
+             round(r["avg_chars"], 9))
+            for r in MV.read_materialized(spark, mv).collect()}
+
+
+def test_matview_tracks_inserts_updates_deletes(spark, catalog):
+    d = _docs(spark)
+    src = _mk_src(catalog, "db.mv_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_by_source", src, ["source"],
+        {"n_docs": ("count", "doc_id"),
+         "chars_sum": ("sum", "n_chars"),
+         "avg_chars": ("avg", "n_chars")})
+
+    rows = d.collect()
+    # commit 1: first half
+    src.write(spark, spark.createDataFrame(rows[:40], d.schema))
+    assert MV.sync_materialized_agg(spark, src, mv) == 1
+    assert _view(spark, mv) == _scratch(src.read(spark))
+
+    # commit 2: second half + UPDATE (n_chars changes on 10 ids)
+    upd = [(r["doc_id"], r["source"], r["n_chars"] + 7) for r in rows[:10]]
+    src.write(spark, spark.createDataFrame(rows[40:] + upd, d.schema))
+    # commit 3: DELETE 5 ids (changelog carries the old images)
+    dels = (spark.createDataFrame(rows[20:25], d.schema)
+            .withColumn("_row_kind", F.lit("-D")))
+    src.write(spark, dels)
+    assert MV.sync_materialized_agg(spark, src, mv) == 2
+    assert _view(spark, mv) == _scratch(src.read(spark))
+
+    # idempotent
+    assert MV.sync_materialized_agg(spark, src, mv) == 0
+
+
+def test_matview_group_disappears_when_fully_retracted(spark, catalog):
+    d = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_gone_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_gone", src, ["source"],
+        {"n_docs": ("count", "doc_id"),
+         "chars_sum": ("sum", "n_chars")})
+    src.write(spark, d)
+    src.write(spark, d.filter("source = 'a'")
+                     .withColumn("_row_kind", F.lit("-D")))
+    MV.sync_materialized_agg(spark, src, mv)
+    got = {r["source"]: (r["n_docs"], r["chars_sum"])
+           for r in MV.read_materialized(spark, mv).collect()}
+    assert got == {"b": (1, 30)}
+
+
+def test_matview_retracts_engine_before_image_not_writer_payload(spark,
+                                                                 catalog):
+    """A -D write may carry STALE column values (the writer only needs
+    the key); the lookup changelog must emit the table's true previous
+    image, and the view must retract THAT — not the writer's payload."""
+    d = spark.createDataFrame([(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_img_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_img", src, ["source"],
+        {"n_docs": ("count", "doc_id"),
+         "chars_sum": ("sum", "n_chars")})
+    src.write(spark, d)
+    src.write(spark, spark.createDataFrame([(1, "a", 110)], d.schema))
+    src.write(spark, spark.createDataFrame([(1, "a", 10)], d.schema)
+                     .withColumn("_row_kind", F.lit("-D")))
+    MV.sync_materialized_agg(spark, src, mv)
+    got = {r["source"]: (r["n_docs"], r["chars_sum"])
+           for r in MV.read_materialized(spark, mv).collect()}
+    assert got == {"a": (1, 20), "b": (1, 30)}
+
+
+def test_matview_minmax_append_only(spark, catalog):
+    d = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_mm_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_mm", src, ["source"],
+        {"lo": ("min", "n_chars"), "hi": ("max", "n_chars")})
+    src.write(spark, d)
+    src.write(spark, spark.createDataFrame(
+        [(4, "a", 5), (5, "b", 99)], d.schema))
+    MV.sync_materialized_agg(spark, src, mv)
+    got = {r["source"]: (r["lo"], r["hi"])
+           for r in MV.read_materialized(spark, mv).collect()}
+    assert got == {"a": (5, 20), "b": (30, 99)}
+    # a remove in the changelog must fail fast, not silently corrupt
+    src.write(spark, d.filter("doc_id = 1")
+                     .withColumn("_row_kind", F.lit("-D")))
+    with pytest.raises(ValueError, match="cannot retract"):
+        MV.sync_materialized_agg(spark, src, mv)
+
+
+def test_matview_rides_auto_sync_hook(spark, catalog):
+    """Registered on the post-commit listener, the view follows plain
+    writes with no explicit sync call (same seam the maintained indexes
+    use)."""
+    from incubator_paimon_spark.operators import matview as MVmod
+    from incubator_paimon_spark.operators.sync import auto_sync
+    d = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_auto_src", d.schema)
+    mv = MVmod.create_materialized_agg(
+        catalog, "db.mv_auto", src, ["source"],
+        {"n_docs": ("count", "doc_id"),
+         "chars_sum": ("sum", "n_chars")})
+    auto_sync(spark, src, mv.name,
+              lambda s: MVmod.sync_materialized_agg(s, src, mv))
+    src.write(spark, d)
+    src.write(spark, spark.createDataFrame([(3, "a", 5)], d.schema))
+    got = {r["source"]: (r["n_docs"], r["chars_sum"])
+           for r in MVmod.read_materialized(spark, mv).collect()}
+    assert got == {"a": (2, 15), "b": (1, 20)}
+
+
+def test_matview_sql_surface(spark, catalog):
+    """CREATE MATERIALIZED VIEW ... AS SELECT ... GROUP BY creates the
+    aggregation table, hooks auto-sync, and syncs to current state;
+    plain SELECT reads merged totals; REFRESH heals a missed hook."""
+    d = spark.createDataFrame([(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_sql_src", d.schema)
+    src.write(spark, d)
+    catalog.sql(spark, """
+        CREATE MATERIALIZED VIEW db.mv_sql AS
+        SELECT source, count(*) AS n_docs, sum(n_chars) AS chars_sum
+        FROM db.mv_sql_src GROUP BY source
+    """)
+    got = {r["source"]: (r["n_docs"], r["chars_sum"]) for r in
+           catalog.sql(spark, "SELECT source, n_docs, chars_sum "
+                              "FROM db.mv_sql").collect()}
+    assert got == {"a": (2, 30), "b": (1, 30)}
+
+    # the hook keeps it current through a plain INSERT...
+    catalog.sql(spark, "INSERT INTO db.mv_sql_src VALUES (4, 'b', 5)")
+    got = {r["source"]: r["chars_sum"] for r in
+           catalog.sql(spark,
+                       "SELECT source, chars_sum FROM db.mv_sql").collect()}
+    assert got == {"a": 30, "b": 35}
+
+    # ...and REFRESH covers writes the hook never saw (simulated by a
+    # direct table write after dropping the in-process listener)
+    from incubator_paimon_spark.metadata.commit import on_commit
+    on_commit(src.path, "index-sync:mv_sql", lambda _s: None)
+    src.write(spark, spark.createDataFrame([(5, "a", 100)], d.schema))
+    covered = catalog.sql(spark, "REFRESH MATERIALIZED VIEW db.mv_sql")
+    assert covered >= 1
+    got = {r["source"]: r["chars_sum"] for r in
+           catalog.sql(spark,
+                       "SELECT source, chars_sum FROM db.mv_sql").collect()}
+    assert got == {"a": 130, "b": 35}
+
+    # malformed declarations fail fast
+    with pytest.raises(ValueError, match="GROUP BY column"):
+        catalog.sql(spark, """
+            CREATE MATERIALIZED VIEW db.mv_sql_bad AS
+            SELECT n_chars, count(*) AS n FROM db.mv_sql_src
+            GROUP BY source
+        """)
+
+
+def test_matview_rejects_unknown_aggregate(spark, catalog):
+    d = spark.createDataFrame([(1, "a", 1)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_bad_src", d.schema)
+    with pytest.raises(ValueError, match="unsupported"):
+        MV.create_materialized_agg(catalog, "db.mv_bad", src, ["source"],
+                                   {"x": ("median", "n_chars")})
+    with pytest.raises(ValueError, match="non-numeric"):
+        MV.create_materialized_agg(catalog, "db.mv_bad2", src, ["source"],
+                                   {"x": ("sum", "source")})
