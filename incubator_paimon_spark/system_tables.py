@@ -205,7 +205,8 @@ _TABLES = {
 # (SystemTableLoader.loadGlobal; AllTableOptionsTable.java:55-88 —
 # database_name/table_name/key/value rows for every table's options;
 # CatalogOptionsTable.java:51-76 — the catalog's own configuration)
-GLOBAL_SYSTEM_TABLES = frozenset({"all_table_options", "catalog_options"})
+GLOBAL_SYSTEM_TABLES = frozenset({"all_table_options", "catalog_options",
+                                  "materialized_views"})
 
 
 def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
@@ -226,5 +227,29 @@ def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
                    getattr(catalog, "options", {}).items()}}
         return spark.createDataFrame(sorted(opts.items()),
                                      "`key` string, value string")
+    if n == "materialized_views":
+        # one row per MV (tables created by operators/matview.py):
+        # definition + how many source snapshots it lags (0 = current —
+        # the freshness signal the staleness guard and REFRESH act on)
+        from .operators.sync import index_staleness
+        rows = []
+        for db in catalog.list_databases():
+            for tn in catalog.list_tables(db):
+                t = catalog.get_table(f"{db}.{tn}")
+                opts = t.schema.options or {}
+                src_ident = opts.get("mv.source")
+                if not src_ident:
+                    continue
+                try:
+                    lag = index_staleness(catalog.get_table(src_ident),
+                                          f"index:{t.name}")
+                except Exception:  # noqa: BLE001 — dropped source
+                    lag = None
+                rows.append((db, tn, src_ident, opts.get("mv.group-by"),
+                             opts.get("mv.aggs"), lag))
+        return spark.createDataFrame(
+            rows, "database_name string, view_name string, "
+                  "source_table string, group_by string, aggregates "
+                  "string, staleness_snapshots long")
     raise ValueError(f"unknown global system table sys.{n}; "
                      f"have {sorted(GLOBAL_SYSTEM_TABLES)}")

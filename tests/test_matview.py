@@ -200,6 +200,29 @@ def test_matview_sql_surface(spark, catalog):
         """)
 
 
+def test_matview_listed_in_sys_materialized_views(spark, catalog):
+    """sys.materialized_views enumerates every MV with its definition
+    and snapshot lag — 0 when current, >0 after an unsynced commit."""
+    d = spark.createDataFrame([(1, "a", 10)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_ls_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_ls", src, ["source"],
+        {"n_docs": ("count", "doc_id")})
+    src.write(spark, d)
+    rows = {r["view_name"]: r for r in
+            catalog.sql(spark, "SELECT * FROM sys.materialized_views")
+                   .collect()}
+    assert rows["mv_ls"]["source_table"] == "db.mv_ls_src"
+    assert rows["mv_ls"]["group_by"] == "source"
+    assert rows["mv_ls"]["staleness_snapshots"] == 1  # unsynced commit
+    MV.sync_materialized_agg(spark, src, mv)
+    rows = {r["view_name"]: r for r in
+            catalog.sql(spark, "SELECT * FROM sys.materialized_views")
+                   .collect()}
+    assert rows["mv_ls"]["staleness_snapshots"] == 0
+
+
 def test_matview_rejects_unknown_aggregate(spark, catalog):
     d = spark.createDataFrame([(1, "a", 1)],
                               "doc_id long, source string, n_chars long")
