@@ -7,30 +7,36 @@ yields the running aggregate. This module generalizes the pattern the
 engine's own maintained stats tables use (DSIR counts, BM25 doc stats)
 into a user-facing feature: declare `SELECT group_by, agg(col) ...` once,
 and the view is maintained from the source table's changelog at
-O(changed rows) per sync — never O(source).
+O(changed rows) per sync — never O(source), except the documented
+dirty-group recompute below.
 
 Design (Spark-first):
 - The view IS an engine table: PK = group-by columns,
-  merge-engine=aggregation, one field aggregator per output column. All
-  merge work is the engine's normal merge-on-read; reading the view is a
-  plain table read.
+  merge-engine=aggregation. Reading the view is a plain table read.
 - Maintenance is `sync.replay_changelog`: each chunk contributes one
-  bounded partial-aggregate commit. sum/count RETRACT exactly — removed
-  or pre-update row images enter the fold with sign −1, so UPDATE and
-  DELETE on the source keep the view consistent, not just INSERT.
-  min/max cannot retract from a fold (dropping the current minimum would
-  need the runner-up); views containing them are append-only and the
-  sync fails fast when the changelog carries removes.
+  bounded commit. sum/count fields RETRACT exactly as fold deltas —
+  removed or pre-update row images enter with sign −1 (the sum field
+  aggregator nets them), so UPDATE and DELETE keep those outputs
+  consistent with zero extra IO.
 - avg is derived: declared `avg` columns materialize hidden `__sum` /
   `__cnt` fields (both retractable) and `read_materialized` projects the
-  quotient — the view stays exact under updates without storing floats
-  that would drift.
+  quotient — exact under updates, no float drift.
+- min/max cannot retract from a fold (dropping the current minimum needs
+  the runner-up), so they use the textbook hybrid: the stored field is a
+  RESOLVED extreme under last_value (replacement) semantics; a sync
+  chunk combines it with the chunk's own extreme for groups that only
+  gained rows, and RECOMPUTES from the source — restricted to the dirty
+  groups, a leftsemi join the planner can prune — for groups that lost
+  rows. Views with min/max also carry a hidden `mv__alive` row count so
+  fully-retracted groups disappear at read and a revived group cannot
+  inherit a stale extreme.
 
 Scale shape: each sync chunk is one groupBy over the chunk's changed
-rows (map-side combined, output ≤ |touched groups|), one table commit.
-The view's own size is |groups|, independent of source size; reads are
-merge-on-read over PK buckets, so a 100 TB source with a 1 M-group view
-costs the view's bytes, not the source's.
+rows (map-side combined, output ≤ |touched groups|) plus, for min/max
+views, one |groups|-sized view read and — only when the chunk deleted
+or updated rows — one source scan semi-joined down to the dirty groups.
+The view's own size is |groups|, independent of source size; a 100 TB
+source with a 1 M-group view costs the view's bytes at read time.
 """
 
 from __future__ import annotations
@@ -39,9 +45,11 @@ import json
 
 from pyspark.sql import functions as F
 
-_RETRACTABLE = {"sum", "count"}
-_APPEND_ONLY = {"min", "max"}
-_FNS = _RETRACTABLE | _APPEND_ONLY | {"avg"}
+_RETRACTABLE = {"sum", "count", "avg"}
+_EXTREMES = {"min", "max"}
+_FNS = _RETRACTABLE | _EXTREMES
+
+_ALIVE = "mv__alive"
 
 # sum of small ints must not overflow at corpus scale: widen the stored
 # accumulator the way Spark's own sum() does
@@ -66,6 +74,8 @@ def create_materialized_agg(catalog, name: str, source_table,
     min | max | avg. The definition is pinned in table options
     (`mv.*`) so sync_materialized_agg needs only the two tables.
     """
+    import os
+
     import pyspark.sql.types as T
 
     if not group_by:
@@ -75,7 +85,6 @@ def create_materialized_agg(catalog, name: str, source_table,
         raise ValueError(f"unsupported aggregate(s) {bad}; "
                          f"supported: {sorted(_FNS)}")
 
-    import os
     fields = [T.StructField(g, _src_field(source_table, g).dataType)
               for g in group_by]
     db_dir = os.path.basename(os.path.dirname(source_table.root_path))
@@ -85,34 +94,34 @@ def create_materialized_agg(catalog, name: str, source_table,
             "mv.group-by": ",".join(group_by),
             "mv.aggs": json.dumps({k: list(v) for k, v in aggs.items()})}
 
-    def add(out, fn, stored_type):
+    def add(out, agg_fn, stored_type):
         fields.append(T.StructField(out, stored_type))
-        # count deltas fold as a SUM of ±1 contributions (the count
-        # aggregator cannot retract); min/max use their own aggregators
-        opts[f"fields.{out}.aggregate-function"] = \
-            "sum" if fn in _RETRACTABLE else fn
+        opts[f"fields.{out}.aggregate-function"] = agg_fn
 
+    def sum_type(col, fn):
+        st = _SUM_TYPE.get(
+            _src_field(source_table, col).dataType.simpleString())
+        if st is None:
+            raise ValueError(f"{fn}({col}): non-numeric source column")
+        return T.DoubleType() if st == "double" else T.LongType()
+
+    has_extreme = False
     for out, (fn, col) in aggs.items():
         if fn == "count":
-            add(out, fn, T.LongType())
+            # count deltas fold as a SUM of ±1 contributions (the count
+            # field aggregator cannot retract)
+            add(out, "sum", T.LongType())
         elif fn == "sum":
-            st = _SUM_TYPE.get(
-                _src_field(source_table, col).dataType.simpleString())
-            if st is None:
-                raise ValueError(f"sum({col}): non-numeric source column")
-            add(out, fn, T.DoubleType() if st == "double" else T.LongType())
+            add(out, "sum", sum_type(col, fn))
         elif fn == "avg":
-            st = _SUM_TYPE.get(
-                _src_field(source_table, col).dataType.simpleString())
-            if st is None:
-                raise ValueError(f"avg({col}): non-numeric source column")
-            add(f"{out}__sum", "sum",
-                T.DoubleType() if st == "double" else T.LongType())
-            add(f"{out}__cnt", "count", T.LongType())
-        else:  # min / max keep the source column's type
-            fields.append(
-                T.StructField(out, _src_field(source_table, col).dataType))
-            opts[f"fields.{out}.aggregate-function"] = fn
+            add(f"{out}__sum", "sum", sum_type(col, fn))
+            add(f"{out}__cnt", "sum", T.LongType())
+        else:  # min / max: the stored value is a RESOLVED extreme under
+            # replacement semantics; sync combines/recomputes (module doc)
+            has_extreme = True
+            add(out, "last_value", _src_field(source_table, col).dataType)
+    if has_extreme:
+        add(_ALIVE, "sum", T.LongType())
 
     mv = catalog.create_table(name, T.StructType(fields),
                               primary_keys=list(group_by), options=opts)
@@ -131,9 +140,9 @@ def _definition(mv_table):
     return group_by, aggs
 
 
-def _partials(df, group_by, aggs, sign: int):
-    """One bounded partial-aggregate frame: each retractable output is
-    its signed contribution; min/max only ever see sign=+1."""
+def _delta_partials(df, group_by, aggs, sign: int, with_alive: bool):
+    """Signed fold contributions for the retractable outputs of one
+    chunk side (adds = +1, removed/previous images = −1)."""
     exprs = []
     for out, (fn, col) in aggs.items():
         if fn == "count":
@@ -142,46 +151,89 @@ def _partials(df, group_by, aggs, sign: int):
             exprs.append((F.sum(col) * sign).alias(out))
         elif fn == "avg":
             exprs.append((F.sum(col) * sign).alias(f"{out}__sum"))
-            exprs.append(F.sum(F.lit(sign)).cast("long").alias(f"{out}__cnt"))
-        elif fn == "min":
-            exprs.append(F.min(col).alias(out))
-        else:
-            exprs.append(F.max(col).alias(out))
+            exprs.append(F.sum(F.lit(sign)).cast("long")
+                          .alias(f"{out}__cnt"))
+    if with_alive:
+        exprs.append(F.sum(F.lit(sign)).cast("long").alias(_ALIVE))
     return df.groupBy(*group_by).agg(*exprs)
+
+
+def _extreme_exprs(aggs):
+    return [(F.min(col) if fn == "min" else F.max(col)).alias(out)
+            for out, (fn, col) in aggs.items() if fn in _EXTREMES]
 
 
 def sync_materialized_agg(spark, source_table, mv_table,
                           consumer_id: str | None = None, **kw) -> int:
     """Advance the view to the source's latest snapshot by changelog
-    replay (one bounded partial-aggregate commit per chunk, stamped
-    `commit_identifier=snapshot id` — crash-replay is a filtered
-    no-op). Returns source snapshots covered."""
+    replay (one bounded commit per chunk, stamped
+    `commit_identifier=snapshot id` — crash-replay is a filtered no-op,
+    so the combine-with-current-state step below can never
+    double-apply). Returns source snapshots covered."""
     from .sync import replay_changelog
 
     group_by, aggs = _definition(mv_table)
-    append_only = any(fn in _APPEND_ONLY for fn, _ in aggs.values())
+    extremes = {out: v for out, v in aggs.items() if v[0] in _EXTREMES}
     cid = consumer_id or f"index:{mv_table.name}"
     mv_schema = mv_table.schema.spark_schema()
 
     def apply(adds, removes, sid):
-        plus = _partials(adds, group_by, aggs, +1)
-        if append_only:
-            if not removes.isEmpty():
-                raise ValueError(
-                    f"materialized view {mv_table.name} contains min/max "
-                    f"(fold cannot retract) but the source changelog "
-                    f"carries UPDATE/DELETE row images; rebuild the view "
-                    f"or restrict it to sum/count/avg")
-            net = plus
-        else:
-            minus = _partials(removes, group_by, aggs, -1)
-            net = plus.unionByName(minus).groupBy(*group_by).agg(
-                *[F.sum(c).alias(c) for c in plus.columns
-                  if c not in group_by])
+        plus = _delta_partials(adds, group_by, aggs, +1, bool(extremes))
+        minus = _delta_partials(removes, group_by, aggs, -1, bool(extremes))
+        delta_cols = [c for c in plus.columns if c not in group_by]
+        net = (plus.unionByName(minus).groupBy(*group_by)
+               .agg(*[F.sum(c).alias(c) for c in delta_cols]))
+        if extremes:
+            net = _resolve_extremes(spark, source_table, mv_table, net,
+                                    adds, removes, group_by, extremes, sid)
         cols = [F.col(f.name).cast(f.dataType) for f in mv_schema.fields]
         mv_table.write(spark, net.select(*cols), commit_identifier=sid)
 
     return replay_changelog(spark, source_table, cid, apply, **kw)
+
+
+def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
+                      group_by, extremes, sid):
+    """Attach one RESOLVED value per min/max output to every touched
+    group: groups that only gained rows combine the stored extreme with
+    the chunk's (both folds are monotone under inserts); groups that
+    lost rows ("dirty") are recomputed from the source, semi-joined down
+    to just those groups — the bounded partial-recompute classic
+    incremental view maintenance prescribes for non-invertible
+    aggregates. A dirty group absent from the source resolves to NULL,
+    so a later revival starts fresh instead of inheriting a stale
+    extreme."""
+    chunk = adds.groupBy(*group_by).agg(*_extreme_exprs(extremes))
+    dirty = removes.select(*group_by).distinct() \
+                   .withColumn("mv__dirty", F.lit(True))
+    stored = mv_table.read(spark).select(
+        *group_by, *[F.col(o).alias(f"mv__stored_{o}") for o in extremes])
+    # read AS OF the chunk's end snapshot, not latest: with more chunks
+    # pending, the latest state would leak future rows into this
+    # chunk's resolved extremes (convergent for monotone min/max, but
+    # each intermediate commit should reflect exactly its snapshot)
+    recomputed = (source_table.read(spark, snapshot_id=sid)
+                  .join(dirty.drop("mv__dirty"), group_by, "leftsemi")
+                  .groupBy(*group_by).agg(*_extreme_exprs(extremes)))
+    out = (net.join(chunk.select(
+                        *group_by,
+                        *[F.col(o).alias(f"mv__chunk_{o}") for o in extremes]),
+                    group_by, "left")
+              .join(dirty, group_by, "left")
+              .join(stored, group_by, "left")
+              .join(recomputed.select(
+                        *group_by,
+                        *[F.col(o).alias(f"mv__rec_{o}") for o in extremes]),
+                    group_by, "left"))
+    for o, (fn, _) in extremes.items():
+        comb = F.least if fn == "min" else F.greatest
+        resolved = F.when(F.col("mv__dirty"), F.col(f"mv__rec_{o}")) \
+            .otherwise(comb(F.col(f"mv__stored_{o}"),
+                            F.col(f"mv__chunk_{o}")))
+        out = out.withColumn(o, resolved)
+    return out.drop("mv__dirty",
+                    *[f"mv__{p}_{o}" for o in extremes
+                      for p in ("chunk", "stored", "rec")])
 
 
 def refresh_materialized(spark, catalog, mv_table) -> int:
@@ -199,12 +251,13 @@ def read_materialized(spark, mv_table):
     """Read the view with declared output columns: hidden avg partials
     project to the exact quotient; everything else passes through. A
     group whose rows were ALL retracted folds to count 0 — such groups
-    are filtered out when the view carries a count (declare one to get
-    group-deletion semantics; a sum-only view keeps the zeroed row)."""
+    are filtered out when the view carries a count (declared, or the
+    hidden `mv__alive` every min/max view maintains; a sum-only view
+    keeps the zeroed row)."""
     group_by, aggs = _definition(mv_table)
     df = mv_table.read(spark)
     cols = [F.col(g) for g in group_by]
-    alive = None
+    alive = F.col(_ALIVE) if _ALIVE in df.columns else None
     for out, (fn, _) in aggs.items():
         if fn == "avg":
             cols.append((F.col(f"{out}__sum")

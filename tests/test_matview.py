@@ -110,7 +110,12 @@ def test_matview_retracts_engine_before_image_not_writer_payload(spark,
     assert got == {"a": (1, 20), "b": (1, 30)}
 
 
-def test_matview_minmax_append_only(spark, catalog):
+def test_matview_minmax_through_updates_and_deletes(spark, catalog):
+    """min/max use the hybrid protocol: inserts combine monotonically;
+    a chunk that removes rows recomputes ONLY the dirty groups from the
+    source — so the minimum can RISE when the current minimum is
+    updated away (the case a pure fold gets wrong), and a fully-deleted
+    group disappears and revives fresh."""
     d = spark.createDataFrame(
         [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
         "doc_id long, source string, n_chars long")
@@ -118,18 +123,47 @@ def test_matview_minmax_append_only(spark, catalog):
     mv = MV.create_materialized_agg(
         catalog, "db.mv_mm", src, ["source"],
         {"lo": ("min", "n_chars"), "hi": ("max", "n_chars")})
+
+    def view():
+        return {r["source"]: (r["lo"], r["hi"])
+                for r in MV.read_materialized(spark, mv).collect()}
+
     src.write(spark, d)
     src.write(spark, spark.createDataFrame(
         [(4, "a", 5), (5, "b", 99)], d.schema))
     MV.sync_materialized_agg(spark, src, mv)
-    got = {r["source"]: (r["lo"], r["hi"])
-           for r in MV.read_materialized(spark, mv).collect()}
-    assert got == {"a": (5, 20), "b": (30, 99)}
-    # a remove in the changelog must fail fast, not silently corrupt
-    src.write(spark, d.filter("doc_id = 1")
+    assert view() == {"a": (5, 20), "b": (30, 99)}
+
+    # UPDATE the group-a minimum upward: min must RISE to 10
+    src.write(spark, spark.createDataFrame([(4, "a", 500)], d.schema))
+    MV.sync_materialized_agg(spark, src, mv)
+    assert view() == {"a": (10, 500), "b": (30, 99)}
+
+    # DELETE the group-b maximum: max must fall back to 30
+    src.write(spark, spark.createDataFrame([(5, "b", 99)], d.schema)
                      .withColumn("_row_kind", F.lit("-D")))
-    with pytest.raises(ValueError, match="cannot retract"):
-        MV.sync_materialized_agg(spark, src, mv)
+    MV.sync_materialized_agg(spark, src, mv)
+    assert view() == {"a": (10, 500), "b": (30, 30)}
+
+    # delete ALL of group b, then revive with a fresh row: the revived
+    # extremes must not inherit the dead group's history
+    src.write(spark, spark.createDataFrame([(3, "b", 30)], d.schema)
+                     .withColumn("_row_kind", F.lit("-D")))
+    MV.sync_materialized_agg(spark, src, mv)
+    assert view() == {"a": (10, 500)}
+    src.write(spark, spark.createDataFrame([(6, "b", 77)], d.schema))
+    MV.sync_materialized_agg(spark, src, mv)
+    assert view() == {"a": (10, 500), "b": (77, 77)}
+
+    # mixed view: extremes + retractable outputs stay consistent in the
+    # SAME sync (one commit carries delta sums and resolved extremes)
+    mv2 = MV.create_materialized_agg(
+        catalog, "db.mv_mm2", src, ["source"],
+        {"n_docs": ("count", "doc_id"), "lo": ("min", "n_chars")})
+    MV.sync_materialized_agg(spark, src, mv2)
+    got = {r["source"]: (r["n_docs"], r["lo"]) for r in
+           MV.read_materialized(spark, mv2).collect()}
+    assert got == {"a": (3, 10), "b": (1, 77)}
 
 
 def test_matview_rides_auto_sync_hook(spark, catalog):
