@@ -42,6 +42,12 @@ def on_commit(table_path: str, key: str, fn) -> None:
     _COMMIT_LISTENERS.setdefault(os.path.normpath(table_path), {})[key] = fn
 
 
+def unregister_commit_listener(table_path: str, key: str) -> None:
+    """Drop a listener registered with on_commit; unknown keys no-op."""
+    import os
+    _COMMIT_LISTENERS.get(os.path.normpath(table_path), {}).pop(key, None)
+
+
 def _notify_commit(table_path: str, snapshot) -> None:
     import os
     for fn in list(_COMMIT_LISTENERS.get(os.path.normpath(table_path), {})

@@ -67,12 +67,19 @@ def _src_field(source_table, col: str):
 def create_materialized_agg(catalog, name: str, source_table,
                             group_by: list[str],
                             aggs: dict[str, tuple[str, str]],
-                            buckets: int = 4):
-    """Create the view table for `SELECT group_by…, fn(col) AS out…`.
+                            buckets: int = 4,
+                            where: str | None = None):
+    """Create the view table for `SELECT group_by…, fn(col) AS out… …
+    [WHERE pred]`.
 
     `aggs` maps output column → (fn, source column); fn ∈ sum | count |
-    min | max | avg. The definition is pinned in table options
-    (`mv.*`) so sync_materialized_agg needs only the two tables.
+    min | max | avg. `where` is an optional deterministic row predicate
+    (Spark SQL expression over source columns — no subqueries): the
+    view aggregates only matching rows, and because the changelog hands
+    sync BOTH row images, an UPDATE that moves a row across the
+    predicate boundary retracts/admits it correctly. The definition is
+    pinned in table options (`mv.*`) so sync_materialized_agg needs
+    only the two tables.
     """
     import os
 
@@ -93,6 +100,8 @@ def create_materialized_agg(catalog, name: str, source_table,
             "mv.source": src_ident,
             "mv.group-by": ",".join(group_by),
             "mv.aggs": json.dumps({k: list(v) for k, v in aggs.items()})}
+    if where:
+        opts["mv.where"] = where
 
     def add(out, agg_fn, stored_type):
         fields.append(T.StructField(out, stored_type))
@@ -137,7 +146,7 @@ def _definition(mv_table):
     raw = mv_table.schema.options or {}
     group_by = raw["mv.group-by"].split(",")
     aggs = {k: tuple(v) for k, v in json.loads(raw["mv.aggs"]).items()}
-    return group_by, aggs
+    return group_by, aggs, raw.get("mv.where")
 
 
 def _delta_partials(df, group_by, aggs, sign: int, with_alive: bool):
@@ -172,12 +181,18 @@ def sync_materialized_agg(spark, source_table, mv_table,
     double-apply). Returns source snapshots covered."""
     from .sync import replay_changelog
 
-    group_by, aggs = _definition(mv_table)
+    group_by, aggs, where = _definition(mv_table)
     extremes = {out: v for out, v in aggs.items() if v[0] in _EXTREMES}
     cid = consumer_id or f"index:{mv_table.name}"
     mv_schema = mv_table.schema.spark_schema()
 
     def apply(adds, removes, sid):
+        if where:
+            # both row images filter independently: an UPDATE crossing
+            # the predicate boundary retracts on one side and admits on
+            # the other
+            adds = adds.filter(F.expr(where))
+            removes = removes.filter(F.expr(where))
         plus = _delta_partials(adds, group_by, aggs, +1, bool(extremes))
         minus = _delta_partials(removes, group_by, aggs, -1, bool(extremes))
         delta_cols = [c for c in plus.columns if c not in group_by]
@@ -185,7 +200,8 @@ def sync_materialized_agg(spark, source_table, mv_table,
                .agg(*[F.sum(c).alias(c) for c in delta_cols]))
         if extremes:
             net = _resolve_extremes(spark, source_table, mv_table, net,
-                                    adds, removes, group_by, extremes, sid)
+                                    adds, removes, group_by, extremes,
+                                    sid, where)
         cols = [F.col(f.name).cast(f.dataType) for f in mv_schema.fields]
         mv_table.write(spark, net.select(*cols), commit_identifier=sid)
 
@@ -193,7 +209,7 @@ def sync_materialized_agg(spark, source_table, mv_table,
 
 
 def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
-                      group_by, extremes, sid):
+                      group_by, extremes, sid, where=None):
     """Attach one RESOLVED value per min/max output to every touched
     group: groups that only gained rows combine the stored extreme with
     the chunk's (both folds are monotone under inserts); groups that
@@ -212,7 +228,10 @@ def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
     # pending, the latest state would leak future rows into this
     # chunk's resolved extremes (convergent for monotone min/max, but
     # each intermediate commit should reflect exactly its snapshot)
-    recomputed = (source_table.read(spark, snapshot_id=sid)
+    src = source_table.read(spark, snapshot_id=sid)
+    if where:
+        src = src.filter(F.expr(where))
+    recomputed = (src
                   .join(dirty.drop("mv__dirty"), group_by, "leftsemi")
                   .groupBy(*group_by).agg(*_extreme_exprs(extremes)))
     out = (net.join(chunk.select(
@@ -247,6 +266,38 @@ def refresh_materialized(spark, catalog, mv_table) -> int:
                                  mv_table)
 
 
+def check_materialized(spark, catalog, mv_table) -> dict:
+    """Operational consistency check: compare the incremental view
+    against a from-scratch GROUP BY over the source's CURRENT state.
+    Doubles quantize to 6 digits before comparison (the incremental
+    fold's float order legitimately differs in the last ulp). Returns
+    {'consistent': bool, 'view_only': n, 'recompute_only': n}."""
+    group_by, aggs, where = _definition(mv_table)
+    src = catalog.get_table((mv_table.schema.options or {})["mv.source"])
+    s = src.read(spark)
+    if where:
+        s = s.filter(F.expr(where))
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        f = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum,
+             "avg": F.avg, "min": F.min, "max": F.max}[fn]
+        exprs.append(f(col).alias(out))
+    scratch = s.groupBy(*group_by).agg(*exprs)
+    view = read_materialized(spark, mv_table)
+
+    def canon(df):
+        cols = [F.round(F.col(f.name).cast("double"), 6).alias(f.name)
+                if f.dataType.simpleString() in ("double", "float")
+                else F.col(f.name) for f in df.schema.fields]
+        return df.select(*cols)
+
+    v, r = canon(view), canon(scratch.select(*view.columns))
+    view_only = v.exceptAll(r).count()
+    rec_only = r.exceptAll(v).count()
+    return {"consistent": view_only == 0 and rec_only == 0,
+            "view_only": view_only, "recompute_only": rec_only}
+
+
 def read_materialized(spark, mv_table):
     """Read the view with declared output columns: hidden avg partials
     project to the exact quotient; everything else passes through. A
@@ -254,7 +305,7 @@ def read_materialized(spark, mv_table):
     are filtered out when the view carries a count (declared, or the
     hidden `mv__alive` every min/max view maintains; a sum-only view
     keeps the zeroed row)."""
-    group_by, aggs = _definition(mv_table)
+    group_by, aggs, _where = _definition(mv_table)
     df = mv_table.read(spark)
     cols = [F.col(g) for g in group_by]
     alive = F.col(_ALIVE) if _ALIVE in df.columns else None

@@ -338,9 +338,22 @@ def _recluster_ivf(spark, catalog, index_table, centroids_table=None,
             f"{out['after_mean_cosine']:.4f}")
 
 
+def _check_mv(spark, catalog, view, **_):
+    """CALL sys.check_mv(view => 'db.mv'): audit an incremental
+    materialized view against a from-scratch recompute over its
+    source's current state (operators/matview.check_materialized)."""
+    from .operators.matview import check_materialized
+    out = check_materialized(spark, catalog, _t(catalog, view))
+    if out["consistent"]:
+        return f"{view} is consistent with a from-scratch recompute"
+    return (f"{view} INCONSISTENT: {out['view_only']} view-only rows, "
+            f"{out['recompute_only']} recompute-only rows")
+
+
 _PROCEDURES = {
     "compact": _compact,
     "recluster_ivf": _recluster_ivf,
+    "check_mv": _check_mv,
     "expire_snapshots": _expire_snapshots,
     "expire_partitions": _expire_partitions,
     "create_tag": _create_tag,

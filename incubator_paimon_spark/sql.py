@@ -285,12 +285,25 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
     if kw == "INSERT":
         return _exec_insert(spark, catalog, statement)
     if kw == "DROP":
-        m = re.match(r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+        m = re.match(r"\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW)\s+"
+                     r"(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
                      statement, re.IGNORECASE)
         if not m:
-            raise ValueError(f"bad DROP TABLE: {statement!r}")
-        return catalog.drop_table(m.group(2),
-                                  ignore_if_not_exists=bool(m.group(1)))
+            raise ValueError(f"bad DROP: {statement!r}")
+        ident = m.group(3)
+        if "VIEW" in m.group(1).upper():
+            # unhook the view's auto-sync from its source before the
+            # table goes away (a swallowed hook error would hide bugs)
+            try:
+                t = catalog.get_table(ident)
+                src = catalog.get_table(t.schema.options["mv.source"])
+                from .metadata.commit import unregister_commit_listener
+                unregister_commit_listener(src.path,
+                                           f"index-sync:{t.name}")
+            except Exception:  # noqa: BLE001 — IF EXISTS / never hooked
+                pass
+        return catalog.drop_table(ident,
+                                  ignore_if_not_exists=bool(m.group(2)))
     if kw == "REFRESH":
         m = re.match(
             r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$",
@@ -756,8 +769,9 @@ def _parse_props(block: str) -> dict:
 
 
 _MV_QUERY = re.compile(
-    r"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<src>[\w.]+)\s+"
-    r"GROUP\s+BY\s+(?P<grp>[\w\s,.]+?)\s*;?\s*$",
+    r"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<src>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<grp>[\w\s,.]+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _MV_AGG = re.compile(
     r"(?P<fn>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|[\w.]+)\s*\)\s+"
@@ -805,7 +819,8 @@ def _exec_create_mv(spark, catalog, statement, head_match):
             raise ValueError(
                 f"materialized-view SELECT item {it!r} is neither "
                 f"fn(col) AS alias nor a GROUP BY column")
-    mv = create_materialized_agg(catalog, ident, src, group_by, aggs)
+    mv = create_materialized_agg(catalog, ident, src, group_by, aggs,
+                                 where=qm.group("where"))
     auto_sync(spark, src, mv.name,
               lambda s: sync_materialized_agg(s, src, mv))
     sync_materialized_agg(spark, src, mv)

@@ -257,6 +257,77 @@ def test_matview_listed_in_sys_materialized_views(spark, catalog):
     assert rows["mv_ls"]["staleness_snapshots"] == 0
 
 
+def test_matview_where_predicate_boundary_crossing(spark, catalog):
+    """A filtered view (WHERE n_chars < 100) must follow rows ACROSS
+    the predicate boundary: updating a row from 50→150 retracts it
+    (old image passes the filter, new image fails), 150→50 admits it —
+    both row images filter independently in sync."""
+    d = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 150), (3, "b", 30)],
+        "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_w_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_w", src, ["source"],
+        {"n_docs": ("count", "doc_id"), "chars_sum": ("sum", "n_chars"),
+         "lo": ("min", "n_chars")},
+        where="n_chars < 100")
+    src.write(spark, d)
+    MV.sync_materialized_agg(spark, src, mv)
+
+    def view():
+        return {r["source"]: (r["n_docs"], r["chars_sum"], r["lo"])
+                for r in MV.read_materialized(spark, mv).collect()}
+
+    assert view() == {"a": (1, 50, 50), "b": (1, 30, 30)}
+    # leave the view: 50 -> 150
+    src.write(spark, spark.createDataFrame([(1, "a", 150)], d.schema))
+    # enter the view: 150 -> 60 (id 2)
+    src.write(spark, spark.createDataFrame([(2, "a", 60)], d.schema))
+    MV.sync_materialized_agg(spark, src, mv)
+    assert view() == {"a": (1, 60, 60), "b": (1, 30, 30)}
+    # and the auditor agrees
+    got = MV.check_materialized(spark, catalog, mv)
+    assert got["consistent"], got
+
+
+def test_matview_drop_statement_unhooks_auto_sync(spark, catalog):
+    d = spark.createDataFrame([(1, "a", 10)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_dr_src", d.schema)
+    src.write(spark, d)
+    catalog.sql(spark, """
+        CREATE MATERIALIZED VIEW db.mv_dr AS
+        SELECT source, count(*) AS n FROM db.mv_dr_src GROUP BY source
+    """)
+    catalog.sql(spark, "DROP MATERIALIZED VIEW db.mv_dr")
+    with pytest.raises(Exception):
+        catalog.get_table("db.mv_dr")
+    # the source keeps accepting writes with no orphan hook firing
+    src.write(spark, spark.createDataFrame([(2, "b", 5)], d.schema))
+    from incubator_paimon_spark.metadata.commit import _COMMIT_LISTENERS
+    import os
+    keys = _COMMIT_LISTENERS.get(os.path.normpath(src.path), {})
+    assert "index-sync:mv_dr" not in keys
+
+
+def test_matview_check_mv_procedure_flags_divergence(spark, catalog):
+    from incubator_paimon_spark.procedures import call
+    d = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_ck_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_ck", src, ["source"],
+        {"n_docs": ("count", "doc_id"), "avg_chars": ("avg", "n_chars")})
+    src.write(spark, d)
+    MV.sync_materialized_agg(spark, src, mv)
+    msg = call(spark, catalog, "sys.check_mv", view="db.mv_ck")
+    assert "is consistent" in msg
+    # a stale view (unsynced source commit) must be flagged
+    src.write(spark, spark.createDataFrame([(3, "a", 99)], d.schema))
+    msg = call(spark, catalog, "sys.check_mv", view="db.mv_ck")
+    assert "INCONSISTENT" in msg
+
+
 def test_matview_rejects_unknown_aggregate(spark, catalog):
     d = spark.createDataFrame([(1, "a", 1)],
                               "doc_id long, source string, n_chars long")
