@@ -985,6 +985,53 @@ def q_matview_incremental(spark, sf_dir):
                .orderBy("source"))
 
 
+def q_matview_filtered(spark, sf_dir):
+    """WHERE-filtered materialized view with a min/max output — the
+    hybrid maintenance path under oracle: updates move rows ACROSS the
+    predicate boundary (retract one side, admit the other) and deletes
+    force the dirty-group extreme recompute; the result must equal a
+    from-scratch filtered GROUP BY over the final state."""
+    from incubator_paimon_spark.operators import matview as MVW
+    fx = _fixtures(spark, sf_dir)
+    if "matview_f" not in fx:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                  "n_chars")
+        src = fx["cat"].create_table(
+            "fx.mvf_docs", d.schema, primary_keys=["doc_id"],
+            options={"bucket": "2", "changelog-producer": "lookup",
+                     "write-only": "true"})
+        mv = MVW.create_materialized_agg(
+            fx["cat"], "fx.mv_filtered", src, ["source"],
+            {"n_docs": ("count", "doc_id"),
+             "chars_sum": ("sum", "n_chars"),
+             "min_chars": ("min", "n_chars"),
+             "max_chars": ("max", "n_chars")},
+            where="n_chars < 306")
+        src.write(spark, d)
+        # boundary-crossing UPDATE: doc_id%7==0 gets n_chars*3 (some
+        # leave the view); %11==0 gets n_chars-min(n_chars,20) (some
+        # enter); both images flow through the changelog
+        upd = (d.filter((F.col("doc_id") % 7 == 0)
+                        | (F.col("doc_id") % 11 == 0))
+                .withColumn("n_chars",
+                            F.when(F.col("doc_id") % 7 == 0,
+                                   F.col("n_chars") * 3)
+                             .otherwise(F.greatest(
+                                 F.col("n_chars") - 20, F.lit(1)))))
+        src.write(spark, upd)
+        # DELETEs hit current minima often enough to force recomputes
+        src.write(spark, d.filter(F.col("doc_id") % 13 == 0)
+                          .withColumn("_row_kind", F.lit("-D")))
+        MVW.sync_materialized_agg(spark, src, mv)
+        fx["matview_f"] = mv
+    out = MVW.read_materialized(spark, fx["matview_f"])
+    return (out.select("source", "n_docs",
+                       F.col("chars_sum").cast("long").alias("chars_sum"),
+                       F.col("min_chars").cast("long").alias("min_chars"),
+                       F.col("max_chars").cast("long").alias("max_chars"))
+               .orderBy("source"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Token-weighted temperature re-mixing with UniMax-style epoch caps
     (Arivazhagan 2019; Chung 2023): scarce sources are UPSAMPLED by
@@ -1745,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "temperature_mix": q_temperature_mix,
         "leakage_split": q_leakage_split,
+        "matview_filtered": q_matview_filtered,
         "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,

@@ -246,10 +246,11 @@ def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
                 except Exception:  # noqa: BLE001 — dropped source
                     lag = None
                 rows.append((db, tn, src_ident, opts.get("mv.group-by"),
-                             opts.get("mv.aggs"), lag))
+                             opts.get("mv.aggs"), opts.get("mv.where"),
+                             lag))
         return spark.createDataFrame(
             rows, "database_name string, view_name string, "
                   "source_table string, group_by string, aggregates "
-                  "string, staleness_snapshots long")
+                  "string, where_clause string, staleness_snapshots long")
     raise ValueError(f"unknown global system table sys.{n}; "
                      f"have {sorted(GLOBAL_SYSTEM_TABLES)}")

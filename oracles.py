@@ -652,6 +652,23 @@ SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars_sum,
 FROM cur GROUP BY source ORDER BY source
 """
 
+# matview_filtered: final source state = updates applied (%7 triples,
+# else %11 shrinks), %13 deleted; the filtered GROUP BY with min/max is
+# what the hybrid-maintained view must equal.
+ORACLES["matview_filtered"] = """
+WITH cur AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars * 3
+              WHEN doc_id % 11 = 0 THEN greatest(n_chars - 20, 1)
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars_sum,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+FROM cur WHERE n_chars < 306
+GROUP BY source ORDER BY source
+"""
+
 # temperature_mix: the whole plan (shares, epochs, fractional-copy
 # threshold) is recomputed in SQL double math with the SAME expression
 # shapes and an ORDERED window fold, so epochs match Spark bit-for-bit;
