@@ -255,6 +255,38 @@ def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
                       for p in ("chunk", "stored", "rec")])
 
 
+def materialize_stream(spark, source_table, mv_table, checkpoint: str,
+                       trigger: dict | None = None):
+    """Continuous view maintenance as a Structured Streaming query: the
+    engine's streaming source on the source table is the TRIGGER (its
+    offsets track source snapshots, so FOREIGN-process commits wake the
+    daemon — the gap in-process auto_sync cannot cover), and each
+    micro-batch runs the normal consumer-tracked sync. The batch's own
+    rows are not applied directly: sync re-reads the changelog under
+    `replay_changelog`'s pinned-chunk identifiers, so exactly-once
+    comes from the table commit protocol rather than the stream's
+    checkpoint, and the two progress trackers can never disagree about
+    what has been applied (a replayed micro-batch finds the consumer
+    already advanced and no-ops). Returns the StreamingQuery.
+    """
+    from ..datasource import register
+    register(spark)
+    # cover the backlog inline; the stream (scan.mode=latest on first
+    # start, stored offsets on restart) only needs to wake us for
+    # commits that arrive AFTER this point, so the trigger never
+    # re-scans standing data
+    sync_materialized_agg(spark, source_table, mv_table)
+    st = (spark.readStream.format("paimon")
+          .option("scan.mode", "latest").load(source_table.path))
+
+    def on_batch(_batch_df, _batch_id):
+        sync_materialized_agg(spark, source_table, mv_table)
+
+    w = (st.writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", checkpoint))
+    return w.trigger(**(trigger or {"availableNow": True})).start()
+
+
 def refresh_materialized(spark, catalog, mv_table) -> int:
     """`REFRESH MATERIALIZED VIEW` body: resolve the pinned source
     identifier and sync. Returns source snapshots covered."""

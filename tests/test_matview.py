@@ -328,6 +328,50 @@ def test_matview_check_mv_procedure_flags_divergence(spark, catalog):
     assert "INCONSISTENT" in msg
 
 
+def test_matview_stream_daemon_heals_foreign_commits(spark, catalog):
+    """materialize_stream: the engine's streaming source is the wake
+    signal, the consumer-tracked sync is the work — commits the
+    in-process hook never saw (here: written between daemon runs, the
+    foreign-writer shape) are applied on the next run from the stream's
+    stored offsets, and the stream itself never re-scans old data."""
+    import tempfile
+
+    from incubator_paimon_spark.operators import matview as MVmod
+    d = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_st_src", d.schema)
+    mv = MVmod.create_materialized_agg(
+        catalog, "db.mv_st", src, ["source"],
+        {"n_docs": ("count", "doc_id"), "chars_sum": ("sum", "n_chars")})
+    src.write(spark, d)
+    ckpt = tempfile.mkdtemp(prefix="mv_stream_ckpt_")
+
+    q = MVmod.materialize_stream(spark, src, mv, ckpt)
+    q.awaitTermination(120)
+    got = {r["source"]: r["chars_sum"] for r in
+           MVmod.read_materialized(spark, mv).collect()}
+    assert got == {"a": 10, "b": 20}
+
+    # a LIVE daemon: commit while it runs; the stream — not the inline
+    # backlog sync, which already finished — must wake the sync
+    import time
+    q2 = MVmod.materialize_stream(
+        spark, src, mv, ckpt, trigger={"processingTime": "1 seconds"})
+    try:
+        src.write(spark, spark.createDataFrame([(3, "a", 5)], d.schema))
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            got = {r["source"]: r["chars_sum"] for r in
+                   MVmod.read_materialized(spark, mv).collect()}
+            if got.get("a") == 15:
+                break
+            time.sleep(1)
+        assert got == {"a": 15, "b": 20}
+    finally:
+        q2.stop()
+
+
 def test_matview_rejects_unknown_aggregate(spark, catalog):
     d = spark.createDataFrame([(1, "a", 1)],
                               "doc_id long, source string, n_chars long")
