@@ -114,6 +114,8 @@ def create_materialized_agg(catalog, name: str, source_table,
             raise ValueError(f"{fn}({col}): non-numeric source column")
         return T.DoubleType() if st == "double" else T.LongType()
 
+    if any(out.startswith("mv__") for out in aggs):
+        raise ValueError("output names starting with 'mv__' are reserved")
     has_extreme = False
     for out, (fn, col) in aggs.items():
         if fn == "count":
@@ -131,6 +133,12 @@ def create_materialized_agg(catalog, name: str, source_table,
             add(out, "last_value", _src_field(source_table, col).dataType)
     if has_extreme:
         add(_ALIVE, "sum", T.LongType())
+
+    names = [f.name for f in fields]
+    dup = sorted({n for n in names if names.count(n) > 1})
+    if dup:
+        # e.g. an avg output named `x` plus a declared output `x__sum`
+        raise ValueError(f"view column name collision: {dup}")
 
     mv = catalog.create_table(name, T.StructType(fields),
                               primary_keys=list(group_by), options=opts)

@@ -382,3 +382,10 @@ def test_matview_rejects_unknown_aggregate(spark, catalog):
     with pytest.raises(ValueError, match="non-numeric"):
         MV.create_materialized_agg(catalog, "db.mv_bad2", src, ["source"],
                                    {"x": ("sum", "source")})
+    with pytest.raises(ValueError, match="reserved"):
+        MV.create_materialized_agg(catalog, "db.mv_bad3", src, ["source"],
+                                   {"mv__x": ("count", "doc_id")})
+    with pytest.raises(ValueError, match="collision"):
+        MV.create_materialized_agg(
+            catalog, "db.mv_bad4", src, ["source"],
+            {"x": ("avg", "n_chars"), "x__cnt": ("count", "doc_id")})
