@@ -880,80 +880,27 @@ def test_dsir_incremental_counts_match_scratch(spark, catalog):
         SA.dsir_logweights_from_tables(spark, d, qt, other, "text", "doc_id")
 
 
-def test_dsir_and_semdedup_release_executor_storage(spark):
+def test_dsir_and_semdedup_release_executor_storage():
     """VERDICT r7 #3: repeated per-corpus calls must not accumulate
-    persisted state. dsir leaves ZERO persistent RDDs (its caches are
-    released inside the call); semdedup's only surviving entry is its
-    GC-managed localCheckpoint, so the count stays bounded across calls
-    instead of growing by one persist per call."""
-    from incubator_paimon_spark.operators import sampling as SA
-    from incubator_paimon_spark.operators import similarity as S
-    d = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
-    e = spark.read.parquet(f"{SF}/embeddings.parquet")
-    import gc
-    import time
+    persisted state — dsir unpersists its caches in-call; semdedup's
+    localCheckpoint is GC-managed, so call 1's entry must be reclaimed
+    by the end of a 3-call loop (the old persist() pinned one per call
+    forever). Asserting on GC behavior inside the shared suite JVM was
+    order-sensitive regardless of baseline scoping (flaked in r8 AND
+    twice in r9 full-suite runs while passing standalone every time),
+    so the measurement runs in a FRESH session: a subprocess driving
+    tools/storage_release_check.py, deterministic by construction."""
+    import subprocess
+    import sys
 
-    jmap = spark.sparkContext._jsc.getPersistentRDDs
-
-    def persisted_ids() -> set:
-        return {int(k) for k in jmap().keySet().toArray()}
-
-    # ORDER-ROBUST (r8 verdict #2): track only RDD ids CREATED BY OUR
-    # CALLS (ids are never reused), instead of the store's global size.
-    # Earlier suite tests' lingering entries — and the async
-    # ContextCleaner reclaiming them mid-test — then cannot move the
-    # measurement in either direction.
-    base_ids = persisted_ids()
-
-    def settle_new(limit, tries=40) -> bool:
-        """ContextCleaner reclamation is async: drop Python refs, nudge
-        both GCs, and wait until at most `limit` of OUR new entries
-        survive."""
-        for _ in range(tries):
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            if len(persisted_ids() - base_ids) <= limit:
-                return True
-            time.sleep(0.25)
-        return False
-
-    SA.dsir_logweights(d, d.limit(10), "text", "doc_id", buckets=256).count()
-    # dsir is synchronous: its caches are explicitly unpersisted inside
-    # the call — it must ADD no surviving entries (a short settle only
-    # covers the non-blocking unpersist's bookkeeping).
-    assert settle_new(0, tries=8), "dsir left persisted RDDs behind"
-
-    # semdedup: each call's localCheckpoint is GC-reclaimable once the
-    # result is dropped — unlike the old persist(), which pinned one
-    # n×vector projection PER CALL forever. Asserting on the TOTAL
-    # surviving count races the async ContextCleaner (how many of the
-    # later checkpoints momentarily linger depends on suite-wide JVM
-    # state — the r8/r9 full-suite flake). The leak SIGNATURE is
-    # sharper: with a per-call pin, call 1's entry survives to the end
-    # no matter what; with GC-managed retention it must clear once
-    # later calls have run and both GCs are nudged. Assert exactly
-    # that, and never on the later calls' transient entries.
-    seen = set(base_ids)
-    first_call_ids: set = set()
-    for i in range(3):
-        S.semdedup(e, "embedding", "vec_id", num_centroids=4,
-                   threshold=0.99, dim=64).count()
-        if i == 0:
-            first_call_ids = persisted_ids() - seen
-            assert first_call_ids, "expected call 1 to checkpoint"
-        seen |= persisted_ids()
-
-    def first_call_cleared(tries=60) -> bool:
-        for _ in range(tries):
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            if not (first_call_ids & persisted_ids()):
-                return True
-            time.sleep(0.25)
-        return False
-
-    assert first_call_cleared(), \
-        "call-1 checkpoint never reclaimed (per-call persist leak)"
+    out = subprocess.run(
+        [sys.executable, "tools/storage_release_check.py", SF],
+        capture_output=True, text=True, timeout=600,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+    assert "STORAGE_RELEASE_OK" in out.stdout, (
+        f"storage-release check failed:\nstdout: {out.stdout[-2000:]}\n"
+        f"stderr: {out.stderr[-2000:]}")
 
 
 def test_lsh_bucket_truncation_audit(spark):
