@@ -338,14 +338,28 @@ def check_materialized(spark, catalog, mv_table) -> dict:
             "view_only": view_only, "recompute_only": rec_only}
 
 
-def read_materialized(spark, mv_table):
+def read_materialized(spark, mv_table, catalog=None):
     """Read the view with declared output columns: hidden avg partials
     project to the exact quotient; everything else passes through. A
     group whose rows were ALL retracted folds to count 0 — such groups
     are filtered out when the view carries a count (declared, or the
     hidden `mv__alive` every min/max view maintains; a sum-only view
-    keeps the zeroed row)."""
+    keeps the zeroed row).
+
+    Pass `catalog` to arm the same staleness guard the `*_indexed`
+    query paths use: when the source has snapshots the view's consumer
+    has not applied (foreign-process writer, missed hook), `warn`
+    (default), `fail`, or stay `silent` per the view's
+    ``index.staleness-check`` option."""
     group_by, aggs, _where = _definition(mv_table)
+    if catalog is not None:
+        from .sync import check_index_current
+        src = catalog.get_table(
+            (mv_table.schema.options or {})["mv.source"])
+        check_index_current(
+            src, f"index:{mv_table.name}",
+            (mv_table.schema.options or {})
+            .get("index.staleness-check", "warn"))
     df = mv_table.read(spark)
     cols = [F.col(g) for g in group_by]
     alive = F.col(_ALIVE) if _ALIVE in df.columns else None

@@ -372,6 +372,34 @@ def test_matview_stream_daemon_heals_foreign_commits(spark, catalog):
         q2.stop()
 
 
+def test_matview_read_staleness_guard(spark, catalog):
+    """read_materialized(catalog=...) arms the shared staleness guard:
+    a source commit the consumer has not applied warns (default) or
+    fails per the view's index.staleness-check option."""
+    from incubator_paimon_spark.operators.sync import (StaleIndexError,
+                                                       StaleIndexWarning)
+    d = spark.createDataFrame([(1, "a", 10)],
+                              "doc_id long, source string, n_chars long")
+    src = _mk_src(catalog, "db.mv_sg_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_sg", src, ["source"],
+        {"n_docs": ("count", "doc_id")})
+    src.write(spark, d)
+    MV.sync_materialized_agg(spark, src, mv)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # current view: no warning
+        MV.read_materialized(spark, mv, catalog=catalog).collect()
+    src.write(spark, spark.createDataFrame([(2, "b", 5)], d.schema))
+    with pytest.warns(StaleIndexWarning):
+        MV.read_materialized(spark, mv, catalog=catalog).collect()
+    mv.schemas.update_options({"index.staleness-check": "fail"})
+    with pytest.raises(StaleIndexError):
+        MV.read_materialized(spark, mv, catalog=catalog)
+    MV.sync_materialized_agg(spark, src, mv)
+    assert MV.read_materialized(spark, mv, catalog=catalog).count() == 2
+
+
 def test_matview_rejects_unknown_aggregate(spark, catalog):
     d = spark.createDataFrame([(1, "a", 1)],
                               "doc_id long, source string, n_chars long")
