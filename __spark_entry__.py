@@ -946,6 +946,29 @@ def q_source_cap(spark, sf_dir):
                     F.sum("n_chars").alias("chars_sum")))
 
 
+def _mv_source(spark, sf_dir, fx):
+    """Shared matview fixture source: three commits (insert, update with
+    doc_id%10 getting n_chars+7, delete of doc_id%97) over documents —
+    a view created on it AFTER the commits still replays from 0 (the
+    create-time consumer pin), so the fixture is order-independent."""
+    if "mv_src" not in fx:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                  "n_chars")
+        src = fx["cat"].create_table(
+            "fx.mv_docs", d.schema, primary_keys=["doc_id"],
+            options={"bucket": "2", "changelog-producer": "lookup",
+                     "write-only": "true"})
+        src.write(spark, d.filter(F.col("doc_id") % 2 == 0))
+        upd = (d.filter(F.col("doc_id") % 10 == 0)
+                .withColumn("n_chars", F.col("n_chars") + F.lit(7)))
+        src.write(spark,
+                  d.filter(F.col("doc_id") % 2 == 1).unionByName(upd))
+        src.write(spark, d.filter(F.col("doc_id") % 97 == 0)
+                          .withColumn("_row_kind", F.lit("-D")))
+        fx["mv_src"] = src
+    return fx["mv_src"]
+
+
 def q_matview_incremental(spark, sf_dir):
     """Incremental materialized aggregation view: per-source
     count/sum/avg maintained from the source table's changelog through
@@ -957,24 +980,12 @@ def q_matview_incremental(spark, sf_dir):
     from incubator_paimon_spark.operators import matview as MVW
     fx = _fixtures(spark, sf_dir)
     if "matview" not in fx:
-        d = _t(spark, sf_dir, "documents").select("doc_id", "source",
-                                                  "n_chars")
-        src = fx["cat"].create_table(
-            "fx.mv_docs", d.schema, primary_keys=["doc_id"],
-            options={"bucket": "2", "changelog-producer": "lookup",
-                     "write-only": "true"})
+        src = _mv_source(spark, sf_dir, fx)
         mv = MVW.create_materialized_agg(
             fx["cat"], "fx.mv_by_source", src, ["source"],
             {"n_docs": ("count", "doc_id"),
              "chars_sum": ("sum", "n_chars"),
              "avg_chars": ("avg", "n_chars")})
-        src.write(spark, d.filter(F.col("doc_id") % 2 == 0))
-        upd = (d.filter(F.col("doc_id") % 10 == 0)
-                .withColumn("n_chars", F.col("n_chars") + F.lit(7)))
-        src.write(spark,
-                  d.filter(F.col("doc_id") % 2 == 1).unionByName(upd))
-        src.write(spark, d.filter(F.col("doc_id") % 97 == 0)
-                          .withColumn("_row_kind", F.lit("-D")))
         MVW.sync_materialized_agg(spark, src, mv)
         fx["matview"] = mv
     out = MVW.read_materialized(spark, fx["matview"])
@@ -1030,6 +1041,25 @@ def q_matview_filtered(spark, sf_dir):
                        F.col("min_chars").cast("long").alias("min_chars"),
                        F.col("max_chars").cast("long").alias("max_chars"))
                .orderBy("source"))
+
+
+def q_matview_distinct(spark, sf_dir):
+    """approx_distinct materialized view: per-source KMV sketch (k=16)
+    maintained through the same insert/update/delete commits — the
+    oracle replays the IDENTICAL sketch in SQL (k smallest distinct
+    md5-derived hashes of the final state, same estimator arithmetic),
+    so the maintained sketch must be hash-equal to a from-scratch one."""
+    from incubator_paimon_spark.operators import matview as MVW
+    fx = _fixtures(spark, sf_dir)
+    if "matview_ad" not in fx:
+        src = _mv_source(spark, sf_dir, fx)
+        mv = MVW.create_materialized_agg(
+            fx["cat"], "fx.mv_distinct", src, ["source"],
+            {"n_vals": ("approx_distinct", "n_chars")}, kmv_k=16)
+        MVW.sync_materialized_agg(spark, src, mv)
+        fx["matview_ad"] = mv
+    return (MVW.read_materialized(spark, fx["matview_ad"])
+            .select("source", "n_vals").orderBy("source"))
 
 
 def q_temperature_mix(spark, sf_dir):
@@ -1793,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "leakage_split": q_leakage_split,
         "matview_filtered": q_matview_filtered,
+        "matview_distinct": q_matview_distinct,
         "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,

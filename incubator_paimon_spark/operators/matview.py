@@ -46,10 +46,17 @@ import json
 from pyspark.sql import functions as F
 
 _RETRACTABLE = {"sum", "count", "avg"}
-_EXTREMES = {"min", "max"}
+# monotone-on-insert aggregates: resolvable by combining the stored
+# value with the chunk's (inserts only grow them), recomputed for
+# dirty groups on delete — min/max plus the KMV distinct sketch
+# (Bar-Yossef et al. 2002; the same estimator text.kmv_distinct_estimate
+# uses), whose "k smallest distinct hashes" set is monotone exactly
+# like a min
+_EXTREMES = {"min", "max", "approx_distinct"}
 _FNS = _RETRACTABLE | _EXTREMES
 
 _ALIVE = "mv__alive"
+_KMV_K = 256  # default sketch size; override per view via kmv_k=
 
 # sum of small ints must not overflow at corpus scale: widen the stored
 # accumulator the way Spark's own sum() does
@@ -68,7 +75,8 @@ def create_materialized_agg(catalog, name: str, source_table,
                             group_by: list[str],
                             aggs: dict[str, tuple[str, str]],
                             buckets: int = 4,
-                            where: str | None = None):
+                            where: str | None = None,
+                            kmv_k: int = _KMV_K):
     """Create the view table for `SELECT group_by…, fn(col) AS out… …
     [WHERE pred]`.
 
@@ -127,12 +135,19 @@ def create_materialized_agg(catalog, name: str, source_table,
         elif fn == "avg":
             add(f"{out}__sum", "sum", sum_type(col, fn))
             add(f"{out}__cnt", "sum", T.LongType())
+        elif fn == "approx_distinct":
+            # the sketch = k smallest distinct 32-bit hashes, sorted —
+            # resolved like an extreme (monotone union on insert)
+            has_extreme = True
+            _src_field(source_table, col)  # must exist
+            add(out, "last_value", T.ArrayType(T.LongType()))
         else:  # min / max: the stored value is a RESOLVED extreme under
             # replacement semantics; sync combines/recomputes (module doc)
             has_extreme = True
             add(out, "last_value", _src_field(source_table, col).dataType)
     if has_extreme:
         add(_ALIVE, "sum", T.LongType())
+        opts["mv.kmv-k"] = str(kmv_k)
 
     names = [f.name for f in fields]
     dup = sorted({n for n in names if names.count(n) > 1})
@@ -154,7 +169,8 @@ def _definition(mv_table):
     raw = mv_table.schema.options or {}
     group_by = raw["mv.group-by"].split(",")
     aggs = {k: tuple(v) for k, v in json.loads(raw["mv.aggs"]).items()}
-    return group_by, aggs, raw.get("mv.where")
+    return (group_by, aggs, raw.get("mv.where"),
+            int(raw.get("mv.kmv-k", _KMV_K)))
 
 
 def _delta_partials(df, group_by, aggs, sign: int, with_alive: bool):
@@ -175,9 +191,33 @@ def _delta_partials(df, group_by, aggs, sign: int, with_alive: bool):
     return df.groupBy(*group_by).agg(*exprs)
 
 
-def _extreme_exprs(aggs):
-    return [(F.min(col) if fn == "min" else F.max(col)).alias(out)
-            for out, (fn, col) in aggs.items() if fn in _EXTREMES]
+def _extreme_frame(df, group_by, extremes, k):
+    """Per-group resolved extremes of `df`: min/max as plain aggregates,
+    approx_distinct as the k smallest distinct hashes (distinct on the
+    8-byte hash first, then a bounded per-group top-k window — the
+    collect is ≤k elements per group, never the group's raw values)."""
+    from pyspark.sql import Window
+
+    from .dedup import h32
+
+    plain = [(F.min(col) if fn == "min" else F.max(col)).alias(out)
+             for out, (fn, col) in extremes.items()
+             if fn in ("min", "max")]
+    out_df = df.groupBy(*group_by).agg(*plain) if plain else None
+    for out, (fn, col) in extremes.items():
+        if fn != "approx_distinct":
+            continue
+        hashed = (df.select(*group_by,
+                            h32(F.col(col).cast("string")).alias("__h"))
+                    .filter(F.col("__h").isNotNull()).distinct())
+        w = Window.partitionBy(*group_by).orderBy("__h")
+        topk = (hashed.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") <= k)
+                      .groupBy(*group_by)
+                      .agg(F.sort_array(F.collect_list("__h")).alias(out)))
+        out_df = topk if out_df is None else out_df.join(topk, group_by,
+                                                         "outer")
+    return out_df
 
 
 def sync_materialized_agg(spark, source_table, mv_table,
@@ -189,7 +229,7 @@ def sync_materialized_agg(spark, source_table, mv_table,
     double-apply). Returns source snapshots covered."""
     from .sync import replay_changelog
 
-    group_by, aggs, where = _definition(mv_table)
+    group_by, aggs, where, kmv_k = _definition(mv_table)
     extremes = {out: v for out, v in aggs.items() if v[0] in _EXTREMES}
     cid = consumer_id or f"index:{mv_table.name}"
     mv_schema = mv_table.schema.spark_schema()
@@ -209,7 +249,7 @@ def sync_materialized_agg(spark, source_table, mv_table,
         if extremes:
             net = _resolve_extremes(spark, source_table, mv_table, net,
                                     adds, removes, group_by, extremes,
-                                    sid, where)
+                                    sid, where, kmv_k)
         cols = [F.col(f.name).cast(f.dataType) for f in mv_schema.fields]
         mv_table.write(spark, net.select(*cols), commit_identifier=sid)
 
@@ -217,7 +257,7 @@ def sync_materialized_agg(spark, source_table, mv_table,
 
 
 def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
-                      group_by, extremes, sid, where=None):
+                      group_by, extremes, sid, where=None, kmv_k=_KMV_K):
     """Attach one RESOLVED value per min/max output to every touched
     group: groups that only gained rows combine the stored extreme with
     the chunk's (both folds are monotone under inserts); groups that
@@ -227,7 +267,7 @@ def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
     aggregates. A dirty group absent from the source resolves to NULL,
     so a later revival starts fresh instead of inheriting a stale
     extreme."""
-    chunk = adds.groupBy(*group_by).agg(*_extreme_exprs(extremes))
+    chunk = _extreme_frame(adds, group_by, extremes, kmv_k)
     dirty = removes.select(*group_by).distinct() \
                    .withColumn("mv__dirty", F.lit(True))
     stored = mv_table.read(spark).select(
@@ -239,9 +279,9 @@ def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
     src = source_table.read(spark, snapshot_id=sid)
     if where:
         src = src.filter(F.expr(where))
-    recomputed = (src
-                  .join(dirty.drop("mv__dirty"), group_by, "leftsemi")
-                  .groupBy(*group_by).agg(*_extreme_exprs(extremes)))
+    recomputed = _extreme_frame(
+        src.join(dirty.drop("mv__dirty"), group_by, "leftsemi"),
+        group_by, extremes, kmv_k)
     out = (net.join(chunk.select(
                         *group_by,
                         *[F.col(o).alias(f"mv__chunk_{o}") for o in extremes]),
@@ -252,12 +292,20 @@ def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
                         *group_by,
                         *[F.col(o).alias(f"mv__rec_{o}") for o in extremes]),
                     group_by, "left"))
+    empty = F.array().cast("array<bigint>")
     for o, (fn, _) in extremes.items():
-        comb = F.least if fn == "min" else F.greatest
-        resolved = F.when(F.col("mv__dirty"), F.col(f"mv__rec_{o}")) \
-            .otherwise(comb(F.col(f"mv__stored_{o}"),
-                            F.col(f"mv__chunk_{o}")))
-        out = out.withColumn(o, resolved)
+        if fn == "approx_distinct":
+            # sketch union: merged k smallest distinct hashes
+            combined = F.slice(F.array_sort(F.array_distinct(F.concat(
+                F.coalesce(F.col(f"mv__stored_{o}"), empty),
+                F.coalesce(F.col(f"mv__chunk_{o}"), empty)))), 1, kmv_k)
+        else:
+            comb = F.least if fn == "min" else F.greatest
+            combined = comb(F.col(f"mv__stored_{o}"),
+                            F.col(f"mv__chunk_{o}"))
+        out = out.withColumn(
+            o, F.when(F.col("mv__dirty"), F.col(f"mv__rec_{o}"))
+                .otherwise(combined))
     return out.drop("mv__dirty",
                     *[f"mv__{p}_{o}" for o in extremes
                       for p in ("chunk", "stored", "rec")])
@@ -306,23 +354,45 @@ def refresh_materialized(spark, catalog, mv_table) -> int:
                                  mv_table)
 
 
+def _kmv_estimate(arr, k: int):
+    """The KMV estimator over a stored sketch, mirroring
+    text.kmv_distinct_estimate: exact size below k, else
+    (k-1) / (max hash / 2^32), rounded to 2 — the identical double
+    arithmetic the SQL oracle replays."""
+    a = F.coalesce(arr, F.array().cast("array<bigint>"))
+    n = F.size(a)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1))
+                / (F.element_at(a, -1).cast("double") / F.lit(2.0 ** 32)),
+                2))
+
+
 def check_materialized(spark, catalog, mv_table) -> dict:
     """Operational consistency check: compare the incremental view
     against a from-scratch GROUP BY over the source's CURRENT state.
     Doubles quantize to 6 digits before comparison (the incremental
     fold's float order legitimately differs in the last ulp). Returns
     {'consistent': bool, 'view_only': n, 'recompute_only': n}."""
-    group_by, aggs, where = _definition(mv_table)
+    group_by, aggs, where, kmv_k = _definition(mv_table)
     src = catalog.get_table((mv_table.schema.options or {})["mv.source"])
     s = src.read(spark)
     if where:
         s = s.filter(F.expr(where))
     exprs = []
     for out, (fn, col) in aggs.items():
+        if fn in _EXTREMES and fn != "min" and fn != "max":
+            continue  # sketches recomputed via _extreme_frame below
         f = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum,
              "avg": F.avg, "min": F.min, "max": F.max}[fn]
         exprs.append(f(col).alias(out))
-    scratch = s.groupBy(*group_by).agg(*exprs)
+    scratch = (s.groupBy(*group_by).agg(*exprs) if exprs
+               else s.select(*group_by).distinct())
+    sketches = {o: v for o, v in aggs.items() if v[0] == "approx_distinct"}
+    if sketches:
+        frame = _extreme_frame(s, group_by, sketches, kmv_k)
+        for o in sketches:
+            frame = frame.withColumn(o, _kmv_estimate(F.col(o), kmv_k))
+        scratch = scratch.join(frame, group_by, "left")
     view = read_materialized(spark, mv_table)
 
     def canon(df):
@@ -351,7 +421,7 @@ def read_materialized(spark, mv_table, catalog=None):
     has not applied (foreign-process writer, missed hook), `warn`
     (default), `fail`, or stay `silent` per the view's
     ``index.staleness-check`` option."""
-    group_by, aggs, _where = _definition(mv_table)
+    group_by, aggs, _where, kmv_k = _definition(mv_table)
     if catalog is not None:
         from .sync import check_index_current
         src = catalog.get_table(
@@ -368,6 +438,8 @@ def read_materialized(spark, mv_table, catalog=None):
             cols.append((F.col(f"{out}__sum")
                          / F.col(f"{out}__cnt")).alias(out))
             alive = alive if alive is not None else F.col(f"{out}__cnt")
+        elif fn == "approx_distinct":
+            cols.append(_kmv_estimate(F.col(out), kmv_k).alias(out))
         else:
             cols.append(F.col(out))
             if fn == "count" and alive is None:

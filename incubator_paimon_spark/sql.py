@@ -774,7 +774,8 @@ _MV_QUERY = re.compile(
     r"\s+GROUP\s+BY\s+(?P<grp>[\w\s,.]+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _MV_AGG = re.compile(
-    r"(?P<fn>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|[\w.]+)\s*\)\s+"
+    r"(?P<fn>sum|count|min|max|avg|approx_distinct)\s*"
+    r"\(\s*(?P<col>\*|[\w.]+)\s*\)\s+"
     r"AS\s+(?P<alias>\w+)\s*$", re.IGNORECASE)
 
 

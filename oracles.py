@@ -669,6 +669,36 @@ FROM cur WHERE n_chars < 306
 GROUP BY source ORDER BY source
 """
 
+# matview_distinct: the maintained KMV sketch must equal a from-scratch
+# sketch over the final state — k smallest distinct md5-derived hashes,
+# exact count below k, (k-1)/(max/2^32) above, rounded 2 (the identical
+# arithmetic of matview._kmv_estimate / text.kmv_distinct_estimate).
+ORACLES["matview_distinct"] = f"""
+WITH cur AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 7
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+),
+h AS (
+  SELECT DISTINCT source, {_H32.format(x='n_chars::VARCHAR')} AS hh
+  FROM cur
+),
+topk AS (
+  SELECT source, hh,
+         row_number() OVER (PARTITION BY source ORDER BY hh) AS rn
+  FROM h
+),
+sk AS (
+  SELECT source, count(*) AS n, max(hh) AS mx
+  FROM topk WHERE rn <= 16 GROUP BY source
+)
+SELECT source,
+       CASE WHEN n < 16 THEN n::DOUBLE
+            ELSE round(15.0 / (mx::DOUBLE / 4294967296.0), 2) END AS n_vals
+FROM sk ORDER BY source
+"""
+
 # temperature_mix: the whole plan (shares, epochs, fractional-copy
 # threshold) is recomputed in SQL double math with the SAME expression
 # shapes and an ORDERED window fold, so epochs match Spark bit-for-bit;

@@ -372,6 +372,51 @@ def test_matview_stream_daemon_heals_foreign_commits(spark, catalog):
         q2.stop()
 
 
+def test_matview_approx_distinct_sketch(spark, catalog):
+    """approx_distinct = KMV sketch maintained like an extreme: exact
+    below k, estimator above k (same formula as
+    text.kmv_distinct_estimate), union-combine on insert, dirty-group
+    recompute on delete so removing a value REDUCES the count."""
+    from incubator_paimon_spark.operators.text import kmv_distinct_estimate
+    rows = [(i, "a", i % 7) for i in range(30)] + \
+           [(100 + i, "b", i) for i in range(40)]
+    d = spark.createDataFrame(rows,
+                              "doc_id long, source string, val long")
+    src = _mk_src(catalog, "db.mv_ad_src", d.schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_ad", src, ["source"],
+        {"n_vals": ("approx_distinct", "val")}, kmv_k=16)
+    src.write(spark, d)
+    MV.sync_materialized_agg(spark, src, mv)
+
+    def view():
+        return {r["source"]: r["n_vals"] for r in
+                MV.read_materialized(spark, mv).collect()}
+
+    got = view()
+    # group a: 7 distinct values < k=16 -> exact
+    assert got["a"] == 7.0
+    # group b: 40 distinct > k -> the estimator, equal to the one-shot
+    # KMV operator over the same values at the same k
+    ref = kmv_distinct_estimate(
+        d.filter("source = 'b'"), "val", k=16).first()["distinct_est"]
+    assert got["b"] == ref
+    # new values union in
+    src.write(spark, spark.createDataFrame(
+        [(200, "a", 100), (201, "a", 101)], d.schema))
+    MV.sync_materialized_agg(spark, src, mv)
+    assert view()["a"] == 9.0
+    # deleting rows that carried distinct values shrinks the count
+    # (impossible for a pure union fold — the dirty recompute path)
+    src.write(spark, spark.createDataFrame(
+        [(200, "a", 100), (201, "a", 101)], d.schema)
+        .withColumn("_row_kind", F.lit("-D")))
+    MV.sync_materialized_agg(spark, src, mv)
+    assert view()["a"] == 7.0
+    # the auditor compares sketch estimates too
+    assert MV.check_materialized(spark, catalog, mv)["consistent"]
+
+
 def test_matview_read_staleness_guard(spark, catalog):
     """read_materialized(catalog=...) arms the shared staleness guard:
     a source commit the consumer has not applied warns (default) or
