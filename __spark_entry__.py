@@ -1690,7 +1690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         # LLM pipeline
         "media_meta": q_media_meta,
-        "doc_quality": q_doc_quality,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_pipeline": q_corpus_pipeline,
@@ -1747,6 +1746,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_pipeline's survivor table rides the same fingerprint
         # fold, and it stays oracle-checked in rotation).
         "matview_incremental": q_matview_incremental,
+        # r10 (VERDICT r9 #3): matview_filtered joins the gate — it
+        # carries the riskiest matview machinery (boundary-crossing
+        # WHERE updates + the min/max runner-up-buffer delete path,
+        # rewritten this round). Rotated out to make room: doc_quality
+        # (stable zero-shuffle documents scan+agg since r4; the gated
+        # corpus_pipeline rides the same quality-scoring projection
+        # end-to-end, and doc_quality stays oracle-checked in rotation).
+        "matview_filtered": q_matview_filtered,
         # Queries rotated past the driver's 50-entry gate. The host-SQL
         # entries ride the exact same raw-parquet scan path the gated
         # pricing_summary exercises (spark.sql window/agg/join over _t
@@ -1822,7 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "temperature_mix": q_temperature_mix,
         "leakage_split": q_leakage_split,
-        "matview_filtered": q_matview_filtered,
+        "doc_quality": q_doc_quality,
         "matview_distinct": q_matview_distinct,
         "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,

@@ -677,14 +677,22 @@ def update_segment_df_counts(spark, counts_table, df_batch: DataFrame,
 
 def remove_frequent_segments_from_table(spark, df: DataFrame, counts_table,
                                         text_col: str, id_col: str,
-                                        max_doc_freq: int = 2) -> DataFrame:
+                                        max_doc_freq: int = 2,
+                                        source_table=None,
+                                        consumer_id: str | None = None
+                                        ) -> DataFrame:
     """`remove_frequent_segments` with the corpus-wide doc-frequency
     pass replaced by the MAINTAINED counts table: cleaning tonight's
     crawl costs O(|batch|) segmentation + one join against the counts
     — the standing corpus is never re-segmented (the amortization the
     signature index applies to near-dup candidates). Segments absent
     from the table are novel and kept. Identical to the from-scratch
-    operator when the table's counts cover exactly `df` (tested)."""
+    operator when the table's counts cover exactly `df` (tested).
+    Passing `source_table` arms the staleness guard (r9 verdict #1) —
+    warn/fail/silent per the counts table's ``index.staleness-check``
+    option."""
+    from .sync import guard_index
+    guard_index(counts_table, source_table, consumer_id)
     w = int((counts_table.schema.options or {})["segdf.segment_words"])
     ex = _segments_exploded(df, text_col, id_col, w)
     freq = (counts_table.read(spark)

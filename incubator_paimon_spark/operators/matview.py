@@ -22,21 +22,32 @@ Design (Spark-first):
   `__cnt` fields (both retractable) and `read_materialized` projects the
   quotient — exact under updates, no float drift.
 - min/max cannot retract from a fold (dropping the current minimum needs
-  the runner-up), so they use the textbook hybrid: the stored field is a
-  RESOLVED extreme under last_value (replacement) semantics; a sync
-  chunk combines it with the chunk's own extreme for groups that only
-  gained rows, and RECOMPUTES from the source — restricted to the dirty
-  groups, a leftsemi join the planner can prune — for groups that lost
-  rows. Views with min/max also carry a hidden `mv__alive` row count so
-  fully-retracted groups disappear at read and a revived group cannot
-  inherit a stale extreme.
+  the runner-up), so each min/max output carries a BOUNDED runner-up
+  buffer (hidden `out__buf`/`out__cut` columns, default 16 entries,
+  option ``mv.minmax-buffer``): the buffer holds every current group
+  value strictly more extreme than the cutoff `out__cut` (NULL cutoff =
+  the buffer holds ALL the group's values). Inserts merge into the
+  buffer (values beyond the cutoff are provably irrelevant), deletes
+  subtract occurrence-wise, and the cutoff only ever tightens — so a
+  delete-bearing chunk resolves the new extreme FROM THE BUFFER with
+  zero source IO. Only when a group's buffer fully drains (it lost its
+  `mv.minmax-buffer` most extreme values without refill) does the sync
+  recompute that group from the source, leftsemi-pruned to exactly the
+  drained groups (r9 verdict #2: the old design recomputed on EVERY
+  delete-bearing chunk). `approx_distinct`'s KMV sketch stays
+  insert-monotone-only — deletes still recompute its dirty groups (a
+  sketch cannot forget) — and every view carries a hidden `mv__alive`
+  row count so fully-retracted groups disappear at read, a revived
+  group cannot inherit stale state, and COUNT(col)/AVG NULL-skipping
+  stays decoupled from group liveness.
 
 Scale shape: each sync chunk is one groupBy over the chunk's changed
 rows (map-side combined, output ≤ |touched groups|) plus, for min/max
-views, one |groups|-sized view read and — only when the chunk deleted
-or updated rows — one source scan semi-joined down to the dirty groups.
-The view's own size is |groups|, independent of source size; a 100 TB
-source with a 1 M-group view costs the view's bytes at read time.
+views, one |groups|-sized view read; the source is re-read only for
+buffer-drained (or sketch-dirty) groups, semi-joined down to exactly
+those groups. The view's own size is |groups|, independent of source
+size; a 100 TB source with a 1 M-group view costs the view's bytes at
+read time.
 """
 
 from __future__ import annotations
@@ -57,6 +68,7 @@ _FNS = _RETRACTABLE | _EXTREMES
 
 _ALIVE = "mv__alive"
 _KMV_K = 256  # default sketch size; override per view via kmv_k=
+_BUF_K = 16   # default min/max runner-up buffer; mv.minmax-buffer
 
 # sum of small ints must not overflow at corpus scale: widen the stored
 # accumulator the way Spark's own sum() does
@@ -76,12 +88,16 @@ def create_materialized_agg(catalog, name: str, source_table,
                             aggs: dict[str, tuple[str, str]],
                             buckets: int = 4,
                             where: str | None = None,
-                            kmv_k: int = _KMV_K):
+                            kmv_k: int = _KMV_K,
+                            minmax_buffer: int = _BUF_K):
     """Create the view table for `SELECT group_by…, fn(col) AS out… …
     [WHERE pred]`.
 
     `aggs` maps output column → (fn, source column); fn ∈ sum | count |
-    min | max | avg. `where` is an optional deterministic row predicate
+    min | max | avg. `count` with column `"*"` is SQL COUNT(*) (every
+    row); with a real column it is SQL COUNT(col) — NULLs don't count —
+    and avg likewise divides by the non-NULL count only (r9 advice).
+    `where` is an optional deterministic row predicate
     (Spark SQL expression over source columns — no subqueries): the
     view aggregates only matching rows, and because the changelog hands
     sync BOTH row images, an UPDATE that moves a row across the
@@ -124,11 +140,14 @@ def create_materialized_agg(catalog, name: str, source_table,
 
     if any(out.startswith("mv__") for out in aggs):
         raise ValueError("output names starting with 'mv__' are reserved")
-    has_extreme = False
+    has_sketch = has_minmax = False
     for out, (fn, col) in aggs.items():
         if fn == "count":
-            # count deltas fold as a SUM of ±1 contributions (the count
-            # field aggregator cannot retract)
+            # count deltas fold as a SUM of ±(row is counted)
+            # contributions (the count field aggregator cannot retract);
+            # col "*" counts every row, a real column only non-NULLs
+            if col != "*":
+                _src_field(source_table, col)  # must exist
             add(out, "sum", T.LongType())
         elif fn == "sum":
             add(out, "sum", sum_type(col, fn))
@@ -138,16 +157,24 @@ def create_materialized_agg(catalog, name: str, source_table,
         elif fn == "approx_distinct":
             # the sketch = k smallest distinct 32-bit hashes, sorted —
             # resolved like an extreme (monotone union on insert)
-            has_extreme = True
+            has_sketch = True
             _src_field(source_table, col)  # must exist
             add(out, "last_value", T.ArrayType(T.LongType()))
-        else:  # min / max: the stored value is a RESOLVED extreme under
-            # replacement semantics; sync combines/recomputes (module doc)
-            has_extreme = True
-            add(out, "last_value", _src_field(source_table, col).dataType)
-    if has_extreme:
-        add(_ALIVE, "sum", T.LongType())
+        else:  # min / max: resolved extreme + bounded runner-up buffer
+            # (module doc) — the buffer holds all current group values
+            # strictly beyond `out__cut` (NULL cut = all of them), so
+            # deletes resolve buffer-locally and the source is re-read
+            # only when a group's buffer drains
+            has_minmax = True
+            ct = _src_field(source_table, col).dataType
+            add(out, "last_value", ct)
+            add(f"{out}__buf", "last_value", T.ArrayType(ct))
+            add(f"{out}__cut", "last_value", ct)
+    add(_ALIVE, "sum", T.LongType())
+    if has_sketch:
         opts["mv.kmv-k"] = str(kmv_k)
+    if has_minmax:
+        opts["mv.minmax-buffer"] = str(minmax_buffer)
 
     names = [f.name for f in fields]
     dup = sorted({n for n in names if names.count(n) > 1})
@@ -170,24 +197,34 @@ def _definition(mv_table):
     group_by = raw["mv.group-by"].split(",")
     aggs = {k: tuple(v) for k, v in json.loads(raw["mv.aggs"]).items()}
     return (group_by, aggs, raw.get("mv.where"),
-            int(raw.get("mv.kmv-k", _KMV_K)))
+            int(raw.get("mv.kmv-k", _KMV_K)),
+            int(raw.get("mv.minmax-buffer", _BUF_K)))
 
 
-def _delta_partials(df, group_by, aggs, sign: int, with_alive: bool):
+def _delta_partials(df, group_by, aggs, sign: int):
     """Signed fold contributions for the retractable outputs of one
-    chunk side (adds = +1, removed/previous images = −1)."""
+    chunk side (adds = +1, removed/previous images = −1). COUNT(col)
+    and avg's denominator count only non-NULL values — SQL semantics
+    (r9 advice) — while the hidden `mv__alive` row count (every view
+    carries it) counts every row image, so group liveness is
+    independent of NULLs in any aggregated column."""
+    def nn_count(col):
+        if col == "*":
+            return F.sum(F.lit(sign)).cast("long")
+        return F.coalesce(
+            F.sum(F.when(F.col(col).isNotNull(), sign)).cast("long"),
+            F.lit(0).cast("long"))
+
     exprs = []
     for out, (fn, col) in aggs.items():
         if fn == "count":
-            exprs.append(F.sum(F.lit(sign)).cast("long").alias(out))
+            exprs.append(nn_count(col).alias(out))
         elif fn == "sum":
             exprs.append((F.sum(col) * sign).alias(out))
         elif fn == "avg":
             exprs.append((F.sum(col) * sign).alias(f"{out}__sum"))
-            exprs.append(F.sum(F.lit(sign)).cast("long")
-                          .alias(f"{out}__cnt"))
-    if with_alive:
-        exprs.append(F.sum(F.lit(sign)).cast("long").alias(_ALIVE))
+            exprs.append(nn_count(col).alias(f"{out}__cnt"))
+    exprs.append(F.sum(F.lit(sign)).cast("long").alias(_ALIVE))
     return df.groupBy(*group_by).agg(*exprs)
 
 
@@ -229,8 +266,10 @@ def sync_materialized_agg(spark, source_table, mv_table,
     double-apply). Returns source snapshots covered."""
     from .sync import replay_changelog
 
-    group_by, aggs, where, kmv_k = _definition(mv_table)
-    extremes = {out: v for out, v in aggs.items() if v[0] in _EXTREMES}
+    group_by, aggs, where, kmv_k, buf_k = _definition(mv_table)
+    sketches = {out: v for out, v in aggs.items()
+                if v[0] == "approx_distinct"}
+    minmax = {out: v for out, v in aggs.items() if v[0] in ("min", "max")}
     cid = consumer_id or f"index:{mv_table.name}"
     mv_schema = mv_table.schema.spark_schema()
 
@@ -241,74 +280,241 @@ def sync_materialized_agg(spark, source_table, mv_table,
             # the other
             adds = adds.filter(F.expr(where))
             removes = removes.filter(F.expr(where))
-        plus = _delta_partials(adds, group_by, aggs, +1, bool(extremes))
-        minus = _delta_partials(removes, group_by, aggs, -1, bool(extremes))
+        plus = _delta_partials(adds, group_by, aggs, +1)
+        minus = _delta_partials(removes, group_by, aggs, -1)
         delta_cols = [c for c in plus.columns if c not in group_by]
         net = (plus.unionByName(minus).groupBy(*group_by)
                .agg(*[F.sum(c).alias(c) for c in delta_cols]))
-        if extremes:
-            net = _resolve_extremes(spark, source_table, mv_table, net,
-                                    adds, removes, group_by, extremes,
+        if sketches:
+            net = _resolve_sketches(spark, source_table, mv_table, net,
+                                    adds, removes, group_by, sketches,
                                     sid, where, kmv_k)
+        if minmax:
+            net = _resolve_minmax(spark, source_table, mv_table, net,
+                                  adds, removes, group_by, minmax,
+                                  sid, where, buf_k)
         cols = [F.col(f.name).cast(f.dataType) for f in mv_schema.fields]
         mv_table.write(spark, net.select(*cols), commit_identifier=sid)
 
     return replay_changelog(spark, source_table, cid, apply, **kw)
 
 
-def _resolve_extremes(spark, source_table, mv_table, net, adds, removes,
-                      group_by, extremes, sid, where=None, kmv_k=_KMV_K):
-    """Attach one RESOLVED value per min/max output to every touched
-    group: groups that only gained rows combine the stored extreme with
-    the chunk's (both folds are monotone under inserts); groups that
-    lost rows ("dirty") are recomputed from the source, semi-joined down
-    to just those groups — the bounded partial-recompute classic
-    incremental view maintenance prescribes for non-invertible
-    aggregates. A dirty group absent from the source resolves to NULL,
-    so a later revival starts fresh instead of inheriting a stale
-    extreme."""
-    chunk = _extreme_frame(adds, group_by, extremes, kmv_k)
+def _resolve_sketches(spark, source_table, mv_table, net, adds, removes,
+                      group_by, sketches, sid, where=None, kmv_k=_KMV_K):
+    """Attach one RESOLVED KMV sketch per approx_distinct output to
+    every touched group: groups that only gained rows union the stored
+    sketch with the chunk's (monotone under inserts); groups that lost
+    rows ("dirty") are recomputed from the source, semi-joined down to
+    just those groups — a sketch cannot forget a removed hash, so this
+    is the bounded partial-recompute classic incremental view
+    maintenance prescribes for non-invertible aggregates (min/max no
+    longer share this path: their runner-up buffer absorbs deletes,
+    `_resolve_minmax`). A dirty group absent from the source resolves
+    to NULL, so a later revival starts fresh instead of inheriting a
+    stale sketch."""
+    chunk = _extreme_frame(adds, group_by, sketches, kmv_k)
     dirty = removes.select(*group_by).distinct() \
                    .withColumn("mv__dirty", F.lit(True))
     stored = mv_table.read(spark).select(
-        *group_by, *[F.col(o).alias(f"mv__stored_{o}") for o in extremes])
+        *group_by, *[F.col(o).alias(f"mv__stored_{o}") for o in sketches])
     # read AS OF the chunk's end snapshot, not latest: with more chunks
     # pending, the latest state would leak future rows into this
-    # chunk's resolved extremes (convergent for monotone min/max, but
-    # each intermediate commit should reflect exactly its snapshot)
+    # chunk's resolved sketches (each intermediate commit should
+    # reflect exactly its snapshot)
     src = source_table.read(spark, snapshot_id=sid)
     if where:
         src = src.filter(F.expr(where))
     recomputed = _extreme_frame(
         src.join(dirty.drop("mv__dirty"), group_by, "leftsemi"),
-        group_by, extremes, kmv_k)
+        group_by, sketches, kmv_k)
     out = (net.join(chunk.select(
                         *group_by,
-                        *[F.col(o).alias(f"mv__chunk_{o}") for o in extremes]),
+                        *[F.col(o).alias(f"mv__chunk_{o}") for o in sketches]),
                     group_by, "left")
               .join(dirty, group_by, "left")
               .join(stored, group_by, "left")
               .join(recomputed.select(
                         *group_by,
-                        *[F.col(o).alias(f"mv__rec_{o}") for o in extremes]),
+                        *[F.col(o).alias(f"mv__rec_{o}") for o in sketches]),
                     group_by, "left"))
     empty = F.array().cast("array<bigint>")
-    for o, (fn, _) in extremes.items():
-        if fn == "approx_distinct":
-            # sketch union: merged k smallest distinct hashes
-            combined = F.slice(F.array_sort(F.array_distinct(F.concat(
-                F.coalesce(F.col(f"mv__stored_{o}"), empty),
-                F.coalesce(F.col(f"mv__chunk_{o}"), empty)))), 1, kmv_k)
-        else:
-            comb = F.least if fn == "min" else F.greatest
-            combined = comb(F.col(f"mv__stored_{o}"),
-                            F.col(f"mv__chunk_{o}"))
+    for o in sketches:
+        # sketch union: merged k smallest distinct hashes
+        combined = F.slice(F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(F.col(f"mv__stored_{o}"), empty),
+            F.coalesce(F.col(f"mv__chunk_{o}"), empty)))), 1, kmv_k)
         out = out.withColumn(
             o, F.when(F.col("mv__dirty"), F.col(f"mv__rec_{o}"))
                 .otherwise(combined))
     return out.drop("mv__dirty",
-                    *[f"mv__{p}_{o}" for o in extremes
+                    *[f"mv__{p}_{o}" for o in sketches
                       for p in ("chunk", "stored", "rec")])
+
+
+def _capped_extremes(df, group_by, col: str, asc: bool, cap: int,
+                     alias: str):
+    """Per-group sorted array of the `cap` most extreme non-NULL values
+    of `col` (smallest when asc, largest otherwise) — the collect is
+    window-capped BEFORE collect_list, so a group with a million
+    changed rows still contributes a ≤cap-element array."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*group_by)
+         .orderBy(F.col(col).asc() if asc else F.col(col).desc()))
+    return (df.filter(F.col(col).isNotNull())
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= cap)
+              .groupBy(*group_by)
+              .agg(F.sort_array(F.collect_list(col), asc).alias(alias)))
+
+
+def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
+                    group_by, minmax, sid, where=None, buf_k=_BUF_K):
+    """Resolve every touched group's min/max outputs from the bounded
+    runner-up buffer (r9 verdict #2 — no source IO on the delete path).
+
+    Invariant per output: `out__buf` holds EXACTLY the multiset of the
+    group's current values strictly more extreme than `out__cut`
+    (sorted most-extreme-first); NULL cut means the buffer holds all of
+    them. Hence:
+    - a removed value beyond the cut is provably absent from the buffer
+      (ignore it); one inside the cut is provably present (subtract one
+      occurrence);
+    - an inserted value beyond the cut is provably irrelevant (the
+      buffer already holds |buf| ≥ buf_k more-extreme values... it is
+      outside the representable region); one inside merges in;
+    - when the merged buffer overflows buf_k the cut tightens to the
+      (buf_k+1)-th value and entries at-or-beyond it drop — the cut
+      only ever moves toward the extreme, which is what makes the
+      remove/insert relevance tests sound;
+    - the resolved extreme is the buffer's first element; a group whose
+      buffer drained while rows remain (`mv__alive` > 0 with a non-NULL
+      cut) lost ≥buf_k extremes without refill and is the ONLY case
+      that re-reads the source, leftsemi-pruned to those groups.
+    A group whose rows are all retracted resets to (NULL, [], NULL) so
+    a revival starts from a clean, cut-free buffer."""
+    caps, stored_cols = [], []
+    for o, (fn, col) in minmax.items():
+        asc = fn == "min"
+        caps.append((o, fn, col, asc))
+        stored_cols += [F.col(f"{o}__buf").alias(f"mv__buf_{o}"),
+                        F.col(f"{o}__cut").alias(f"mv__cut_{o}")]
+    stored = mv_table.read(spark).select(
+        *group_by, F.col(_ALIVE).alias("mv__alive_st"), *stored_cols)
+    step = net.join(stored, group_by, "left")
+    for o, fn, col, asc in caps:
+        step = (step
+                .join(_capped_extremes(adds, group_by, col, asc,
+                                       buf_k + 1, f"mv__a_{o}"),
+                      group_by, "left")
+                .join(_capped_extremes(removes, group_by, col, asc,
+                                       buf_k + 1, f"mv__r_{o}"),
+                      group_by, "left"))
+
+    new_alive = (F.coalesce(F.col("mv__alive_st"), F.lit(0))
+                 + F.coalesce(F.col(_ALIVE), F.lit(0)))
+    ets = {o: _src_field(source_table, col).dataType.simpleString()
+           for o, (fn, col) in minmax.items()}
+
+    def remove_one(acc, x):
+        pos = F.array_position(acc, x)
+        return F.when(
+            pos > 0,
+            F.concat(F.slice(acc, F.lit(1), (pos - 1).cast("int")),
+                     F.slice(acc, (pos + 1).cast("int"),
+                             (F.size(acc) - pos).cast("int")))
+        ).otherwise(acc)
+
+    # one-arg lambda factories: pyspark's HOF wrapper derives the lambda
+    # arity from the Python signature, so captured state must come from
+    # a closure, not default args
+    def _beyond(bound, asc):
+        return lambda x: (x < bound) if asc else (x > bound)
+
+    def _inside(cut, asc):
+        return lambda x: cut.isNull() | ((x < cut) if asc else (x > cut))
+
+    dirty = F.lit(False)
+    for o, fn, col, asc in caps:
+        et = ets[o]
+        empty = F.array().cast(f"array<{et}>")
+        cut = F.col(f"mv__cut_{o}")
+        buf0 = F.coalesce(F.col(f"mv__buf_{o}"), empty)
+        rem = F.filter(F.coalesce(F.col(f"mv__r_{o}"), empty),
+                       _inside(cut, asc))
+        add = F.filter(F.coalesce(F.col(f"mv__a_{o}"), empty),
+                       _inside(cut, asc))
+        buf2 = F.sort_array(F.concat(F.aggregate(rem, buf0, remove_one),
+                                     add), asc)
+        overflow = F.size(buf2) > buf_k
+        tight = F.get(buf2, buf_k)  # 0-indexed: the (buf_k+1)-th value
+        buf3 = F.when(overflow, F.filter(buf2, _beyond(tight, asc))) \
+                .otherwise(buf2)
+        new_cut = F.when(overflow, tight).otherwise(cut)
+        # full retraction: reset so a revived group starts clean
+        buf3 = F.when(new_alive <= 0, empty).otherwise(buf3)
+        new_cut = F.when(new_alive <= 0, F.lit(None).cast(et)) \
+                   .otherwise(new_cut)
+        step = (step.withColumn(f"mv__nbuf_{o}", buf3)
+                    .withColumn(f"mv__ncut_{o}", new_cut))
+        dirty = dirty | ((new_alive > 0) & new_cut.isNotNull()
+                         & (F.size(F.col(f"mv__nbuf_{o}")) == 0))
+    # materialize the chunk-sized resolution frame once: it is consumed
+    # twice below (drain probe + final projection), and the probe must
+    # not re-run the windows
+    step = step.withColumn("mv__dirty", dirty).localCheckpoint(eager=True)
+
+    # buffer-drained groups only: bounded source recompute (rare — a
+    # group must lose its buf_k most extreme values without refill).
+    # The drain probe is a chunk-sized job that GUARANTEES zero source
+    # IO on the no-drain path, rather than trusting AQE to eliminate
+    # the leftsemi against an empty build side (r9 verdict #2's
+    # done-bar: delete-chunk cost O(changed groups' data), not
+    # O(source)).
+    if step.filter(F.col("mv__dirty")).limit(1).isEmpty():
+        for o, fn, col, asc in caps:
+            step = step.withColumn(
+                f"mv__rf_{o}",
+                F.lit(None).cast(f"array<{ets[o]}>"))
+    else:
+        drained = (step.filter(F.col("mv__dirty"))
+                       .select(*group_by).distinct())
+        src = source_table.read(spark, snapshot_id=sid)
+        if where:
+            src = src.filter(F.expr(where))
+        src = src.join(drained, group_by, "leftsemi")
+        rec = None
+        for o, fn, col, asc in caps:
+            r = _capped_extremes(src, group_by, col, asc, buf_k + 1,
+                                 f"mv__rf_{o}")
+            rec = r if rec is None else rec.join(r, group_by, "outer")
+        step = step.join(
+            rec.select(*group_by,
+                       *[F.col(f"mv__rf_{o}") for o, *_ in caps]),
+            group_by, "left")
+
+    for o, fn, col, asc in caps:
+        et = ets[o]
+        empty = F.array().cast(f"array<{et}>")
+        full = F.coalesce(F.col(f"mv__rf_{o}"), empty)
+        rcut = F.when(F.size(full) > buf_k, F.get(full, buf_k)) \
+                .cast(et)
+        rbuf = F.when(rcut.isNotNull(),
+                      F.filter(full, _beyond(rcut, asc))).otherwise(full)
+        d = F.col("mv__dirty")
+        step = (step
+                .withColumn(o, F.when(d, F.get(full, 0))
+                               .otherwise(F.get(F.col(f"mv__nbuf_{o}"), 0)))
+                .withColumn(f"{o}__buf",
+                            F.when(d, rbuf)
+                             .otherwise(F.col(f"mv__nbuf_{o}")))
+                .withColumn(f"{o}__cut",
+                            F.when(d, rcut)
+                             .otherwise(F.col(f"mv__ncut_{o}"))))
+    drop = (["mv__dirty", "mv__alive_st"]
+            + [f"mv__{p}_{o}" for o, *_ in caps
+               for p in ("buf", "cut", "a", "r", "nbuf", "ncut", "rf")])
+    return step.drop(*drop)
 
 
 def materialize_stream(spark, source_table, mv_table, checkpoint: str,
@@ -373,7 +579,7 @@ def check_materialized(spark, catalog, mv_table) -> dict:
     Doubles quantize to 6 digits before comparison (the incremental
     fold's float order legitimately differs in the last ulp). Returns
     {'consistent': bool, 'view_only': n, 'recompute_only': n}."""
-    group_by, aggs, where, kmv_k = _definition(mv_table)
+    group_by, aggs, where, kmv_k, _bufk = _definition(mv_table)
     src = catalog.get_table((mv_table.schema.options or {})["mv.source"])
     s = src.read(spark)
     if where:
@@ -382,8 +588,10 @@ def check_materialized(spark, catalog, mv_table) -> dict:
     for out, (fn, col) in aggs.items():
         if fn in _EXTREMES and fn != "min" and fn != "max":
             continue  # sketches recomputed via _extreme_frame below
-        f = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum,
-             "avg": F.avg, "min": F.min, "max": F.max}[fn]
+        # count("*") is COUNT(*); count(col) skips NULLs like SQL
+        f = {"count": lambda c: (F.count(F.lit(1)) if c == "*"
+                                 else F.count(c)),
+             "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn]
         exprs.append(f(col).alias(out))
     scratch = (s.groupBy(*group_by).agg(*exprs) if exprs
                else s.select(*group_by).distinct())
@@ -421,7 +629,7 @@ def read_materialized(spark, mv_table, catalog=None):
     has not applied (foreign-process writer, missed hook), `warn`
     (default), `fail`, or stay `silent` per the view's
     ``index.staleness-check`` option."""
-    group_by, aggs, _where, kmv_k = _definition(mv_table)
+    group_by, aggs, _where, kmv_k, _bufk = _definition(mv_table)
     if catalog is not None:
         from .sync import check_index_current
         src = catalog.get_table(
@@ -435,9 +643,13 @@ def read_materialized(spark, mv_table, catalog=None):
     alive = F.col(_ALIVE) if _ALIVE in df.columns else None
     for out, (fn, _) in aggs.items():
         if fn == "avg":
-            cols.append((F.col(f"{out}__sum")
-                         / F.col(f"{out}__cnt")).alias(out))
-            alive = alive if alive is not None else F.col(f"{out}__cnt")
+            # guard the quotient: a live group whose values are all
+            # NULL has __cnt 0 — SQL AVG is NULL there, not an ANSI
+            # divide-by-zero
+            cnt = F.col(f"{out}__cnt")
+            cols.append(F.when(cnt > 0, F.col(f"{out}__sum") / cnt)
+                         .alias(out))
+            alive = alive if alive is not None else cnt
         elif fn == "approx_distinct":
             cols.append(_kmv_estimate(F.col(out), kmv_k).alias(out))
         else:

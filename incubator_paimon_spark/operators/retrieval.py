@@ -329,22 +329,36 @@ def hybrid_search_indexed(spark, postings_table, stats_table,
                           k_each: int = 20, rrf_k: int = 60,
                           nprobe: int | None = None,
                           vec_col: str = "embedding",
-                          vec_id_col: str = "vec_id") -> DataFrame:
+                          vec_id_col: str = "vec_id",
+                          source_table=None,
+                          consumer_id: str | None = None,
+                          vec_source_table=None,
+                          vec_consumer_id: str | None = None) -> DataFrame:
     """Hybrid retrieval where BOTH rankers run off maintained index
     tables: BM25 over the term-bucket-pruned postings index + ANN over
     the centroid-partitioned IVF table, fused with RRF. At
     nprobe=all this returns exactly `hybrid_search`'s result while
     touching only |query terms| postings partitions + nprobe IVF
     partitions — the per-query cost no longer scales with the corpus
-    on either modality."""
+    on either modality.
+
+    Staleness guard (r9 verdict #1): `source_table` guards the BM25
+    leg's postings index, `vec_source_table` the IVF leg — the two
+    legs usually track DIFFERENT sources (documents vs embeddings), so
+    each arms independently; mode comes from each index table's
+    ``index.staleness-check`` option."""
     from .similarity import ivf_search_table
 
     # nprobe=None flows through to _probe_ids' no-limit path (exact
     # parity) — no extra count job, one centroids read (r8 review)
     lex = bm25_search_indexed(spark, postings_table, stats_table,
-                              query_terms, k=k_each)
+                              query_terms, k=k_each,
+                              source_table=source_table,
+                              consumer_id=consumer_id)
     sem = (ivf_search_table(spark, ivf_index_table, ivf_centroids_table,
                             vec_col, query_vec, k_each, nprobe=nprobe,
-                            id_col=vec_id_col)
+                            id_col=vec_id_col,
+                            source_table=vec_source_table,
+                            consumer_id=vec_consumer_id)
            .select(F.col(vec_id_col).alias("id"), "cosine"))
     return rrf_fuse([(lex, "score"), (sem, "cosine")], k=k, rrf_k=rrf_k)

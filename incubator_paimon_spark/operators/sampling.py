@@ -144,10 +144,15 @@ def temperature_mixture(df: DataFrame, key_col: str, domain_col: str,
                               total_tokens, max_epochs)
     e = F.col("epochs")
     thr = F.round((e - F.floor(e)) * _SLOTS).cast("long")
-    plan = plan.select("domain", F.floor(e).cast("long").alias("_full"),
+    # reserved join-key alias: with domain_col == "domain", joining on
+    # the raw name and drop("domain") would drop BOTH sides' columns
+    # and break the final select (r9 advice)
+    plan = plan.select(F.col("domain").alias("_mv_domain"),
+                       F.floor(e).cast("long").alias("_full"),
                        thr.alias("_thr"))
     joined = df.join(F.broadcast(plan),
-                     df[domain_col] == plan["domain"], "inner").drop("domain")
+                     df[domain_col] == plan["_mv_domain"], "inner") \
+               .drop("_mv_domain")
     copies = (F.col("_full")
               + F.when(hash_bucket(F.col(key_col)) < F.col("_thr"), 1)
                  .otherwise(0))

@@ -444,12 +444,20 @@ class IvfDriftWarning(UserWarning):
 
 def ivf_search_table(spark, index_table, centroids_table, vec_col: str,
                      query: list[float], k: int, nprobe: int = 4,
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id", source_table=None,
+                     consumer_id: str | None = None) -> DataFrame:
     """ANN search against a persisted IVF table: pick the nprobe closest
     centroids (tiny scan), then read ONLY those centroid partitions via
     predicate pushdown — the scan plan shrinks to nprobe partitions'
-    files, verifiable via index_table.new_scan().plan(pred).entries."""
+    files, verifiable via index_table.new_scan().plan(pred).entries.
+
+    Passing `source_table` arms the staleness guard (r9 verdict #1): a
+    foreign-process writer's commits leave the index lagging with no
+    in-process hook to heal it — warn/fail/silent per the index table's
+    ``index.staleness-check`` option."""
     from ..predicate import P
+    from .sync import guard_index
+    guard_index(index_table, source_table, consumer_id)
 
     q = F.array(*[F.lit(float(x)) for x in query])
     probe_ids = _probe_ids(centroids_table.read(spark), q, nprobe)
@@ -617,7 +625,8 @@ def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
 def semdedup_from_index(spark, index_table, vec_col: str,
                         id_col: str = "vec_id", threshold: float = 0.95,
                         max_cluster_heads: int | None = 10_000,
-                        materialize: bool = True) -> DataFrame:
+                        materialize: bool = True, source_table=None,
+                        consumer_id: str | None = None) -> DataFrame:
     """SemDeDup over a MAINTAINED IVF table (`build_ivf_table`, kept
     current by `sync_ivf_table`/`auto_sync`): the O(n·k) centroid
     assignment — measured at ~95 % of semdedup's cost (SURVEY §6) — is
@@ -626,8 +635,13 @@ def semdedup_from_index(spark, index_table, vec_col: str,
     `minhash_lsh_pairs_between(base_index=...)`: cluster once per
     corpus, re-run the dedup verdict per crawl/threshold sweep.
     Identical output to `semdedup` when the index was built with the
-    same centroids (tested row-for-row)."""
+    same centroids (tested row-for-row). Passing `source_table` arms the
+    staleness guard (r9 verdict #1) — warn/fail/silent per the index
+    table's ``index.staleness-check`` option."""
     from pyspark import StorageLevel
+
+    from .sync import guard_index
+    guard_index(index_table, source_table, consumer_id)
     slim = (index_table.read(spark)
             .select(F.col(id_col).alias("id"), "centroid_id",
                     F.col(vec_col).alias("v"),
@@ -674,13 +688,17 @@ def build_ivf_quantized_table(spark, catalog, name: str, df: DataFrame,
 def ivf_search_quantized_table(spark, index_table, centroids_table,
                                query: list[float], k: int,
                                nprobe: int = 4,
-                               id_col: str = "vec_id") -> DataFrame:
+                               id_col: str = "vec_id", source_table=None,
+                               consumer_id: str | None = None) -> DataFrame:
     """ANN search over the quantized IVF table: centroid probe on the
     tiny fp32 centroids, then cosine directly over the int codes of the
     probed partitions (the per-vector scale cancels out of cosine —
     no dequantization). At nprobe=all this equals
-    `cosine_topk_quantized` over the whole corpus."""
+    `cosine_topk_quantized` over the whole corpus. `source_table` arms
+    the staleness guard (r9 verdict #1)."""
     from ..predicate import P
+    from .sync import guard_index
+    guard_index(index_table, source_table, consumer_id)
 
     q = F.array(*[F.lit(float(x)) for x in query])
     probe_ids = _probe_ids(centroids_table.read(spark), q, nprobe)

@@ -36,8 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..types import (ADD_KINDS, DELETE, ROW_KIND, UPDATE_BEFORE,
-                     VALUE_KIND)
+from ..types import (ADD_KINDS, DELETE, ROW_KIND, SEQUENCE_NUMBER,
+                     UPDATE_BEFORE, VALUE_KIND)
 
 
 def replay_changelog(spark, source_table, consumer_id: str, apply, *,
@@ -143,7 +143,9 @@ def _net_range(spark, table, s1: int, s2: int):
         d = read_files_df(spark, table, es, schema)
         pieces.append(d.select(*cols,
                                F.col(VALUE_KIND).alias(ROW_KIND),
-                               F.lit(sid).alias("__sid")))
+                               F.lit(sid).alias("__sid"),
+                               F.coalesce(F.col(SEQUENCE_NUMBER),
+                                          F.lit(0)).alias("__seq")))
     delta = pieces[0]
     for p in pieces[1:]:
         delta = delta.unionByName(p)
@@ -154,16 +156,18 @@ def _net_range(spark, table, s1: int, s2: int):
         removes = delta.filter(~is_add).select(*cols)
         return adds, removes, True
 
-    # per-key net: order events by (snapshot, remove-before-add, file
-    # row order — monotonically_increasing_id follows union branch and
-    # partition order, i.e. input order within a snapshot). The first
-    # event being a remove means the key existed before the range (its
-    # initial image); the last being an add means it exists after (its
-    # final image); intermediate versions cancel exactly.
+    # per-key net: order events by (snapshot, remove-before-add, the
+    # PERSISTED _SEQUENCE_NUMBER the writer stamped into the changelog
+    # file — the same commit LSN the merge engine resolves same-key
+    # conflicts by, so the "last add" here is exactly the version a
+    # merged read returns; r9 verdict #3 replaced the plan-shape
+    # monotonically_increasing_id token with this data contract). The
+    # first event being a remove means the key existed before the
+    # range (its initial image); the last being an add means it exists
+    # after (its final image); intermediate versions cancel exactly.
     ev = (delta.withColumn("__k", F.when(is_add, 1).otherwise(0))
                .withColumn("__o", F.struct(
-                   F.col("__sid"), F.col("__k"),
-                   F.monotonically_increasing_id().alias("__ord"))))
+                   F.col("__sid"), F.col("__k"), F.col("__seq"))))
     payload = F.struct(*[F.col(c) for c in cols], F.col("__k"))
     agg = ev.groupBy(*[F.col(k) for k in keys]).agg(
         F.min_by(payload, F.col("__o")).alias("__first"),
@@ -232,6 +236,32 @@ def check_index_current(source_table, consumer_id: str,
         if mode != "silent":
             import warnings
             warnings.warn(msg, StaleIndexWarning, stacklevel=3)
+    return lag
+
+
+def guard_index(index_table, source_table, consumer_id: str | None = None,
+                *, stacklevel: int = 4) -> int:
+    """Arm `check_index_current` from an indexed QUERY path: no-op when
+    the caller did not opt in (`source_table is None`); otherwise the
+    consumer defaults to ``index:<index table name>`` and the mode to
+    the index table's ``index.staleness-check`` option (warn / fail /
+    silent). One helper so every `*_indexed` read path guards the same
+    way (r9 verdict #1: half the surface had no hook at all)."""
+    if source_table is None:
+        return 0
+    lag = index_staleness(
+        source_table, consumer_id or f"index:{index_table.name}")
+    if lag > 0:
+        mode = (index_table.schema.options or {}) \
+            .get("index.staleness-check", "warn")
+        msg = (f"index {index_table.name} on {source_table.name} is "
+               f"{lag} snapshot(s) behind — results may be stale; run "
+               f"the index's sync_* function (or attach auto_sync)")
+        if mode == "fail":
+            raise StaleIndexError(msg)
+        if mode != "silent":
+            import warnings
+            warnings.warn(msg, StaleIndexWarning, stacklevel=stacklevel)
     return lag
 
 

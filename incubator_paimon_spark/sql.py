@@ -792,36 +792,58 @@ def _exec_create_mv(spark, catalog, statement, head_match):
     from .operators.sync import auto_sync
 
     ident = head_match.group(1)
-    qm = _MV_QUERY.match(statement[head_match.end():].strip())
+    # locate clauses on the MASKED statement (length-preserving), then
+    # slice captured values from the original: a WHERE predicate whose
+    # string literal contains 'GROUP BY' can no longer mis-split the
+    # statement (r9 advice)
+    off = head_match.end()
+    qm = _MV_QUERY.match(_mask_literals(statement)[off:])
     if not qm:
         raise ValueError(
             f"bad CREATE MATERIALIZED VIEW (expected SELECT ... FROM "
             f"<table> GROUP BY <cols>): {statement!r}")
+
+    def orig(group):
+        s, e = qm.span(group)
+        return statement[off + s:off + e]
+
     group_by = [c.strip() for c in qm.group("grp").split(",")]
     src = catalog.get_table(qm.group("src"))
-    aggs, depth, item, items = {}, 0, [], []
-    for ch in qm.group("items"):
+    where = orig("where") if qm.group("where") else None
+    if where:
+        try:  # validate the pinned predicate NOW, not at first sync
+            F.expr(where)
+        except Exception as e:
+            raise ValueError(
+                f"bad materialized-view WHERE predicate {where!r}: {e}"
+            ) from None
+    aggs, depth, spans, seg = {}, 0, [], 0
+    items_masked, istart = qm.group("items"), qm.start("items")
+    for i, ch in enumerate(items_masked):
         if ch == "," and depth == 0:
-            items.append("".join(item).strip())
-            item = []
+            spans.append((seg, i))
+            seg = i + 1
             continue
         depth += ch == "("
         depth -= ch == ")"
-        item.append(ch)
-    items.append("".join(item).strip())
+    spans.append((seg, len(items_masked)))
+    items = [statement[off + istart + s:off + istart + e].strip()
+             for s, e in spans]
     for it in items:
         am = _MV_AGG.match(it)
         if am:
-            col = am.group("col")
-            aggs[am.group("alias")] = (
-                am.group("fn").lower(),
-                group_by[0] if col == "*" else col)
+            col, fn = am.group("col"), am.group("fn").lower()
+            if col == "*" and fn != "count":
+                raise ValueError(f"{fn}(*) is not a valid aggregate")
+            # "*" flows through: COUNT(*) counts rows, COUNT(col)
+            # counts non-NULL values (matview COUNT semantics)
+            aggs[am.group("alias")] = (fn, col)
         elif it not in group_by:
             raise ValueError(
                 f"materialized-view SELECT item {it!r} is neither "
                 f"fn(col) AS alias nor a GROUP BY column")
     mv = create_materialized_agg(catalog, ident, src, group_by, aggs,
-                                 where=qm.group("where"))
+                                 where=where)
     auto_sync(spark, src, mv.name,
               lambda s: sync_materialized_agg(s, src, mv))
     sync_materialized_agg(spark, src, mv)

@@ -184,3 +184,119 @@ def test_index_staleness_guard(spark, catalog):
     with pytest.raises(StaleIndexError):
         DI.read_minhash_index(spark, idx, source_table=src,
                               consumer_id=cid)
+
+
+def test_staleness_guard_covers_all_indexed_paths(spark, catalog):
+    """r9 verdict #1: EVERY *_indexed read path accepts source_table=
+    and arms the shared guard — after a foreign-process commit each
+    warns (default), fails, or stays silent per the index table's
+    index.staleness-check option; a current index never warns."""
+    import warnings
+
+    from incubator_paimon_spark.operators import dedup as D
+    from incubator_paimon_spark.operators import retrieval as R
+    from incubator_paimon_spark.operators import similarity as S
+    from incubator_paimon_spark.operators.sync import (StaleIndexError,
+                                                       StaleIndexWarning)
+    d = _docs(spark, 20)
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "embedding").orderBy("vec_id").limit(40))
+
+    dsrc = _mk_src(catalog, "db.gsrc", d.schema)
+    dsrc.write(spark, d)
+    esrc = catalog.create_table("db.gesrc", emb.schema,
+                                primary_keys=["vec_id"],
+                                options={"bucket": "2"})
+    esrc.write(spark, emb)
+
+    tp, ts = R.build_bm25_index(spark, catalog, "db.g_bm",
+                                dsrc.read(spark), "text", "doc_id")
+    seg = D.create_segment_df_table(catalog, "db.g_seg", segment_words=5)
+    D.update_segment_df_counts(spark, seg, dsrc.read(spark), "text",
+                               "doc_id")
+    t_idx, t_c = S.build_ivf_table(spark, catalog, "db.g_ivf",
+                                   esrc.read(spark), "embedding",
+                                   num_centroids=2, dim=64,
+                                   updatable=True)
+    tq_idx, tq_c = S.build_ivf_quantized_table(
+        spark, catalog, "db.g_qivf", esrc.read(spark), "embedding",
+        num_centroids=2, dim=64)
+    for t in (tp, seg):
+        dsrc.write_consumer(f"index:{t.name}", dsrc.snapshots.latest().id)
+    for t in (t_idx, tq_idx):
+        esrc.write_consumer(f"index:{t.name}", esrc.snapshots.latest().id)
+
+    qv = [((i * 13) % 7 - 3) / 3.0 for i in range(64)]
+    paths = [
+        lambda: S.ivf_search_table(spark, t_idx, t_c, "embedding", qv, 3,
+                                   source_table=esrc),
+        lambda: S.ivf_search_quantized_table(spark, tq_idx, tq_c, qv, 3,
+                                             source_table=esrc),
+        lambda: S.semdedup_from_index(spark, t_idx, "embedding",
+                                      source_table=esrc,
+                                      materialize=False),
+        lambda: D.remove_frequent_segments_from_table(
+            spark, d, seg, "text", "doc_id", source_table=dsrc),
+        lambda: R.hybrid_search_indexed(spark, tp, ts, t_idx, t_c,
+                                        ["merge"], qv, k=3,
+                                        source_table=dsrc,
+                                        vec_source_table=esrc),
+    ]
+
+    with warnings.catch_warnings():  # current indexes: silent everywhere
+        warnings.simplefilter("error", StaleIndexWarning)
+        for p in paths:
+            p()
+
+    dsrc.write(spark, d.limit(2))   # foreign commits, no hook attached
+    esrc.write(spark, emb.limit(2))
+    for p in paths:
+        with pytest.warns(StaleIndexWarning):
+            p()
+
+    for t in (tp, seg, t_idx, tq_idx):
+        t.schemas.update_options({"index.staleness-check": "fail"})
+    for p in paths:
+        with pytest.raises(StaleIndexError):
+            p()
+
+    for t in (tp, seg, t_idx, tq_idx):
+        t.schemas.update_options({"index.staleness-check": "silent"})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleIndexWarning)
+        for p in paths:
+            p()
+
+
+def test_multi_version_single_commit_nets_to_merge_winner(spark, catalog):
+    """r9 verdict #3 done-bar: several versions of ONE key written
+    inside single commits (duplicate keys in one batch, across rolled
+    files) must net to exactly the version a merged read returns — the
+    order token is the persisted _SEQUENCE_NUMBER, the same LSN the
+    merge engine resolves same-key conflicts by, not plan shape."""
+    from incubator_paimon_spark.operators import dedup_index as DI
+    d = _docs(spark, 24)
+    src = _mk_src(catalog, "db.mvk", d.schema)
+    src.write(spark, d)
+    idx = DI.build_minhash_index(spark, catalog, "db.mvk_idx",
+                                 src.read(spark), "text", "doc_id")
+    cid = "index:mvk"
+    src.write_consumer(cid, src.snapshots.latest().id)
+
+    rows = d.collect()
+    for i in range(4):
+        # each commit carries THREE versions of the same key (plus a
+        # second key) — the engine's dedup winner is the highest
+        # sequence number, and the sync's "last add" must agree
+        k = rows[i % len(rows)]
+        batch = [(k[0], k[1] + f" v{i}.1"), (k[0], k[1] + f" v{i}.2"),
+                 (k[0], k[1] + f" v{i}.3"),
+                 (rows[(i + 9) % len(rows)][0], f"other {i}")]
+        src.write(spark, spark.createDataFrame(batch, d.schema))
+
+    assert DI.sync_minhash_index(spark, src, idx, consumer_id=cid) == 4
+    fresh = DI.minhash_index_rows(src.read(spark), "text", "doc_id")
+    cols = ["id", "band", "bh", "sig"]
+    assert ({tuple(map(str, r)) for r in
+             DI.read_minhash_index(spark, idx).select(cols).collect()}
+            == {tuple(map(str, r)) for r in fresh.select(cols).collect()})

@@ -83,6 +83,52 @@ def main():
           f"standing corpus: {dt_scratch:6.2f}s   "
           f"({dt_scratch/dt_sync:.1f}x; results identical)")
 
+    # r10 (VERDICT r9 #2 done-bar): a DELETE-bearing chunk on a min/max
+    # view must cost O(changed rows), not O(source) — deletes resolve
+    # from the bounded runner-up buffer; the drained-group source
+    # recompute is skipped entirely when no group lost its whole
+    # buffer. Run this probe at n_base and 4*n_base: the delete-chunk
+    # sync time should stay FLAT while the from-scratch recompute grows
+    # with the corpus.
+    mv2 = MV.create_materialized_agg(
+        cat, "db.mv_mm", src, ["source"],
+        {"lo": ("min", "n_chars"), "hi": ("max", "n_chars")})
+    t0 = time.time()
+    MV.sync_materialized_agg(spark, src, mv2)
+    print(f"min/max bootstrap sync (O(corpus), one-time): "
+          f"{time.time()-t0:6.2f}s")
+    dels = (wide.orderBy(F.col("doc_id").desc()).limit(n_delta)
+            .withColumn("_row_kind", F.lit("-D")))
+    src.write(spark, dels)
+    real_read, drains = src.read, []
+    src.read = lambda s, **kw: (
+        drains.append(kw["snapshot_id"])
+        if kw.get("snapshot_id") is not None else None,
+        real_read(s, **kw))[1]
+    t0 = time.time()
+    MV.sync_materialized_agg(spark, src, mv2)
+    dt_del = time.time() - t0
+    src.read = real_read
+    print(f"buffer-drain recomputes this chunk: {len(drains)} "
+          f"(0 = delete fully buffer-absorbed, zero source IO)")
+    t0 = time.time()
+    mm_scratch = (src.read(spark).groupBy("source")
+                  .agg(F.min("n_chars").alias("lo"),
+                       F.max("n_chars").alias("hi")).collect())
+    dt_mm_scratch = time.time() - t0
+    got = {(r["source"], r["lo"], r["hi"])
+           for r in MV.read_materialized(spark, mv2)
+                      .select("source", "lo", "hi").collect()}
+    want = {(r["source"], r["lo"], r["hi"]) for r in mm_scratch}
+    assert got == want, "min/max view diverged after delete chunk"
+    print(f"min/max DELETE-chunk sync ({n_delta} deletes): "
+          f"{dt_del:6.2f}s   from-scratch min/max over standing corpus: "
+          f"{dt_mm_scratch:6.2f}s   "
+          f"({dt_mm_scratch/dt_del:.1f}x; results identical)")
+    # note: the count/sum/avg view (db.mv) is still registered on the
+    # same source consumer protocol; its own next sync nets the deletes
+    # as pure retractable folds
+
 
 if __name__ == "__main__":
     main()
