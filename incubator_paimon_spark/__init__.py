@@ -6,6 +6,7 @@ protocol, changelog, time travel, compaction) are DataFrame programs and
 driver-side planning code."""
 
 from .table import Catalog, Table  # noqa: F401
+from .jdbc_catalog import JdbcCatalog  # noqa: F401
 from .predicate import P, Predicate  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .metadata.schema import TableSchema  # noqa: F401
