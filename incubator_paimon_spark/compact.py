@@ -129,12 +129,24 @@ def compact_table(spark: SparkSession, table, full: bool = False,
     post-hook compacts ONLY its touched buckets without re-reading the
     live manifest (MergeTreeWriter owns a per-bucket CompactManager).
     Returns the COMPACT snapshot (or None when nothing to do)."""
+    import time as _time
+
+    from .metrics import record
+    _t0 = _time.time()
     if order_by or strategy:
-        return _sort_compact(spark, table, order_by or [], strategy or "order",
-                             predicate)
-    if table.is_primary_key_table():
-        return _compact_pk(spark, table, full, predicate, buckets, entries)
-    return _compact_append(spark, table, predicate, buckets, entries)
+        snap = _sort_compact(spark, table, order_by or [],
+                             strategy or "order", predicate)
+    elif table.is_primary_key_table():
+        snap = _compact_pk(spark, table, full, predicate, buckets, entries)
+    else:
+        snap = _compact_append(spark, table, predicate, buckets, entries)
+    # CompactionMetrics parity: duration + whether the picker found
+    # work; rewritten file counts live in the commit group's
+    # files_added/files_deleted for the COMPACT snapshot
+    record(table.path, "compaction",
+           duration_ms=(_time.time() - _t0) * 1000,
+           performed=1 if snap is not None else 0)
+    return snap
 
 
 def _group_by_bucket(entries):

@@ -96,6 +96,7 @@ class FileStoreCommit:
     ) -> Snapshot | None:
         """Returns the committed Snapshot, or None when this identifier was
         already committed (exactly-once replay)."""
+        _t0 = time.time()
         for attempt in range(max_retries):
             latest = self.snapshots.latest()
 
@@ -162,6 +163,17 @@ class FileStoreCommit:
                             else (latest.statistics if latest else None)),
             )
             if self.snapshots.try_commit(snapshot):
+                # CommitMetrics parity: duration, CAS attempts, file and
+                # row deltas — retries climbing is the first signal of
+                # writer contention on a hot table (sys.metrics)
+                from ..metrics import record
+                record(self.table_path, "commit",
+                       duration_ms=(time.time() - _t0) * 1000,
+                       attempts=attempt + 1, retries=attempt,
+                       files_added=len(message.add),
+                       files_deleted=len(message.delete),
+                       changelog_files=len(message.changelog),
+                       rows_added=add_rows, rows_deleted=del_rows)
                 _notify_commit(self.table_path, snapshot)
                 return snapshot
             # lost CAS; replan from fresh latest. Exponential backoff WITH

@@ -91,13 +91,17 @@ class TableScan:
         return t.snapshots.latest()
 
     def plan(self, predicate: Predicate | None = None, limit: int | None = None) -> ScanPlan:
+        import time as _time
         t = self.table
+        _t0 = _time.time()
         snapshot = self.resolve_snapshot()
         if snapshot is None:
             return ScanPlan(None, [], predicate)
-        entries = live_entries(
-            t.manifests.read_all_entries(snapshot.base_manifest_list)
-            + t.manifests.read_all_entries(snapshot.delta_manifest_list))
+        raw = (t.manifests.read_all_entries(snapshot.base_manifest_list)
+               + t.manifests.read_all_entries(snapshot.delta_manifest_list))
+        entries = live_entries(raw)
+        _n_live = len(entries)
+        _n_part = _n_bucket = _n_stats = None
 
         time_travel = (self.tag is not None or self.snapshot_id is not None
                        or self.timestamp_ms is not None)
@@ -105,18 +109,21 @@ class TableScan:
         if self.read_optimized and schema.primary_keys:
             max_level = schema.core_options.num_levels - 1
             entries = [e for e in entries if e.file.level == max_level]
+            _n_live = len(entries)  # count pruning from the RO base
 
         residual = predicate
         if predicate is not None:
             part_pred, rest = split_by_fields(predicate, set(schema.partition_keys))
             if part_pred is not None:
                 entries = [e for e in entries if part_pred.test_value(e.partition)]
+            _n_part = len(entries)
             # bucket pruning: equality on every bucket key pins the single
             # bucket a fixed-hash write placed the row in
             # (ScanBucketFilter / ReadBuilder.withBucketFilter :111)
             b = _pinned_bucket(schema, predicate)
             if b is not None:
                 entries = [e for e in entries if e.bucket == b]
+            _n_bucket = len(entries)
             # stats-based file skipping (AbstractFileStoreScan.java:519) +
             # bloom-filter file index (BloomFilterFileIndex.java:48).
             # On PK tables, per-file value-column pruning is NOT merge-safe:
@@ -149,6 +156,7 @@ class TableScan:
                 entries = [e for e in entries
                            if (q := pp(e)) is None
                            or (_stats_keep(e, q) and _bloom_keep(e, q))]
+            _n_stats = len(entries)
             residual = predicate  # keep full predicate as residual (cheap, exact)
 
         if limit is not None and not schema.primary_keys:
@@ -161,6 +169,23 @@ class TableScan:
                 if total >= limit:
                     break
             entries = picked
+
+        # ScanMetrics parity: skipped-per-stage counters make pruning
+        # efficacy observable instead of plan-inferred (sys.metrics)
+        from .metrics import record
+        _np = _n_part if _n_part is not None else _n_live
+        _nb = _n_bucket if _n_bucket is not None else _np
+        _ns = _n_stats if _n_stats is not None else _nb
+        record(t.path, "scan",
+               duration_ms=(_time.time() - _t0) * 1000,
+               manifest_entries=len(raw),
+               live_files=_n_live,
+               skipped_by_partition=_n_live - _np,
+               skipped_by_bucket=_np - _nb,
+               skipped_by_stats=_nb - _ns,
+               skipped_by_limit=_ns - len(entries),
+               resulted_files=len(entries),
+               resulted_rows=sum(e.file.row_count for e in entries))
         return ScanPlan(snapshot, entries, residual, schema)
 
 

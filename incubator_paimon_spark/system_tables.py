@@ -182,6 +182,17 @@ def _read_optimized(spark, table):
     return plan_to_df(spark, table, plan)
 
 
+def _metrics(spark, table):
+    """Operation metrics recorded by THIS process for the table
+    ($metrics; MetricRegistry.java's commit/scan/compaction groups via
+    metrics.py — last/total convention per counter)."""
+    from .metrics import rows
+    return spark.createDataFrame(
+        [(grp, metric, value) for _p, grp, metric, value
+         in rows(table.path)] or [],
+        "metric_group string, metric_name string, value double")
+
+
 _TABLES = {
     "snapshots": _snapshots,
     "schemas": _schemas,
@@ -197,6 +208,7 @@ _TABLES = {
     "statistics": _statistics,
     "aggregation_fields": _aggregation_fields,
     "read_optimized": _read_optimized,
+    "metrics": _metrics,
 }
 
 
@@ -206,7 +218,7 @@ _TABLES = {
 # database_name/table_name/key/value rows for every table's options;
 # CatalogOptionsTable.java:51-76 — the catalog's own configuration)
 GLOBAL_SYSTEM_TABLES = frozenset({"all_table_options", "catalog_options",
-                                  "materialized_views"})
+                                  "materialized_views", "metrics"})
 
 
 def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
@@ -252,5 +264,13 @@ def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
             rows, "database_name string, view_name string, "
                   "source_table string, group_by string, aggregates "
                   "string, where_clause string, staleness_snapshots long")
+    if n == "metrics":
+        # every operation THIS process recorded, across all tables —
+        # the catalog-wide view of the per-table $metrics
+        from .metrics import rows
+        return spark.createDataFrame(
+            rows() or [],
+            "table_path string, metric_group string, metric_name string, "
+            "value double")
     raise ValueError(f"unknown global system table sys.{n}; "
                      f"have {sorted(GLOBAL_SYSTEM_TABLES)}")
