@@ -1062,6 +1062,72 @@ def q_matview_distinct(spark, sf_dir):
             .select("source", "n_vals").orderBy("source"))
 
 
+def q_matview_nulls(spark, sf_dir):
+    """NULL semantics under incremental maintenance (r9 advice /
+    verdict #8): an update commit NULLs n_chars on doc_id%3==0, a
+    delete removes doc_id%97==0 — COUNT(*) counts rows, COUNT(col) and
+    AVG skip NULLs, and groups stay alive on row count (not value
+    count). The oracle is the same NULL-skipping GROUP BY in SQL."""
+    from incubator_paimon_spark.operators import matview as MVW
+    fx = _fixtures(spark, sf_dir)
+    if "matview_n" not in fx:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                  "n_chars")
+        src = fx["cat"].create_table(
+            "fx.mvn_docs", d.schema, primary_keys=["doc_id"],
+            options={"bucket": "2", "changelog-producer": "lookup",
+                     "write-only": "true"})
+        mv = MVW.create_materialized_agg(
+            fx["cat"], "fx.mv_nulls", src, ["source"],
+            {"n_rows": ("count", "*"),
+             "n_vals": ("count", "n_chars"),
+             "chars_sum": ("sum", "n_chars"),
+             "avg_chars": ("avg", "n_chars")})
+        src.write(spark, d)
+        src.write(spark, d.filter(F.col("doc_id") % 3 == 0)
+                          .withColumn("n_chars",
+                                      F.lit(None).cast("long")))
+        src.write(spark, d.filter(F.col("doc_id") % 97 == 0)
+                          .withColumn("_row_kind", F.lit("-D")))
+        MVW.sync_materialized_agg(spark, src, mv)
+        fx["matview_n"] = mv
+    out = MVW.read_materialized(spark, fx["matview_n"])
+    return (out.select("source", "n_rows", "n_vals",
+                       F.col("chars_sum").cast("long").alias("chars_sum"),
+                       TX.quantize(F.col("avg_chars"), 4)
+                         .alias("avg_chars"))
+               .orderBy("source"))
+
+
+def q_matview_append(spark, sf_dir):
+    """A view over a NO-PK append source (r9 verdict #8): two append
+    commits, the second re-appending doc_id%4==0 as true duplicates —
+    the changelog replay's no-keys branch must contribute pure adds and
+    the min/max runner-up buffers only grow."""
+    from incubator_paimon_spark.operators import matview as MVW
+    fx = _fixtures(spark, sf_dir)
+    if "matview_a" not in fx:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                  "n_chars")
+        src = fx["cat"].create_table("fx.mva_docs", d.schema)
+        mv = MVW.create_materialized_agg(
+            fx["cat"], "fx.mv_append", src, ["source"],
+            {"n_rows": ("count", "*"),
+             "chars_sum": ("sum", "n_chars"),
+             "lo": ("min", "n_chars"),
+             "hi": ("max", "n_chars")})
+        src.write(spark, d)
+        src.write(spark, d.filter(F.col("doc_id") % 4 == 0))
+        MVW.sync_materialized_agg(spark, src, mv)
+        fx["matview_a"] = mv
+    out = MVW.read_materialized(spark, fx["matview_a"])
+    return (out.select("source", "n_rows",
+                       F.col("chars_sum").cast("long").alias("chars_sum"),
+                       F.col("lo").cast("long").alias("lo"),
+                       F.col("hi").cast("long").alias("hi"))
+               .orderBy("source"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Token-weighted temperature re-mixing with UniMax-style epoch caps
     (Arivazhagan 2019; Chung 2023): scarce sources are UPSAMPLED by
@@ -1831,6 +1897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "doc_quality": q_doc_quality,
         "matview_distinct": q_matview_distinct,
+        "matview_nulls": q_matview_nulls,
+        "matview_append": q_matview_append,
         "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,

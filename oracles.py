@@ -1503,3 +1503,32 @@ ORACLES["ivf_synced_search"] = ORACLES["cosine_topk"]
 # ivf_quantized_search: quantized-IVF table at nprobe=all == cosine over
 # the int8 codes of the whole corpus — shared oracle.
 ORACLES["ivf_quantized_search"] = ORACLES["quantized_topk"]
+
+# matview_nulls (r10): update commit NULLed n_chars on doc_id%3==0,
+# %97 deleted; COUNT(*) vs COUNT(col) vs AVG NULL-skipping under
+# incremental maintenance must equal the SQL semantics exactly.
+ORACLES["matview_nulls"] = f"""
+WITH cur AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT source, count(*) AS n_rows, count(n_chars) AS n_vals,
+       sum(n_chars)::BIGINT AS chars_sum,
+       {_q('sum(n_chars)::DOUBLE / count(n_chars)')} AS avg_chars
+FROM cur GROUP BY source ORDER BY source
+"""
+
+# matview_append (r10): no-PK append source, second commit re-appends
+# doc_id%4==0 as true duplicate rows — the view over UNION ALL.
+ORACLES["matview_append"] = """
+WITH cur AS (
+  SELECT source, n_chars FROM documents
+  UNION ALL
+  SELECT source, n_chars FROM documents WHERE doc_id % 4 = 0
+)
+SELECT source, count(*) AS n_rows, sum(n_chars)::BIGINT AS chars_sum,
+       min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi
+FROM cur GROUP BY source ORDER BY source
+"""
