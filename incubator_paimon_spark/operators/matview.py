@@ -23,18 +23,19 @@ Design (Spark-first):
   quotient — exact under updates, no float drift.
 - min/max cannot retract from a fold (dropping the current minimum needs
   the runner-up), so each min/max output carries a BOUNDED runner-up
-  buffer (hidden `out__buf`/`out__cut` columns, default 16 entries,
-  option ``mv.minmax-buffer``): the buffer holds every current group
-  value strictly more extreme than the cutoff `out__cut` (NULL cutoff =
-  the buffer holds ALL the group's values). Inserts merge into the
-  buffer (values beyond the cutoff are provably irrelevant), deletes
-  subtract occurrence-wise, and the cutoff only ever tightens — so a
-  delete-bearing chunk resolves the new extreme FROM THE BUFFER with
-  zero source IO. Only when a group's buffer fully drains (it lost its
-  `mv.minmax-buffer` most extreme values without refill) does the sync
-  recompute that group from the source, leftsemi-pruned to exactly the
-  drained groups (r9 verdict #2: the old design recomputed on EVERY
-  delete-bearing chunk). `approx_distinct`'s KMV sketch stays
+  buffer (hidden `out__buf`/`out__cut` columns, default 16 distinct
+  values, option ``mv.minmax-buffer``): the buffer holds (value, count)
+  pairs for every current group value strictly more extreme than the
+  cutoff `out__cut` (NULL cutoff = the buffer covers ALL the group's
+  values). Inserts merge into the buffer (values beyond the cutoff are
+  provably irrelevant), deletes decrement counts — a million ties of
+  one value cost one count, not a drain — and the cutoff only ever
+  tightens, so a delete-bearing chunk resolves the new extreme FROM THE
+  BUFFER with zero source IO. Only when a group's buffer fully drains
+  (it lost its `mv.minmax-buffer` most extreme DISTINCT values without
+  refill) does the sync recompute that group from the source,
+  leftsemi-pruned to exactly the drained groups (r9 verdict #2: the
+  old design recomputed on EVERY delete-bearing chunk). `approx_distinct`'s KMV sketch stays
   insert-monotone-only — deletes still recompute its dirty groups (a
   sketch cannot forget) — and every view carries a hidden `mv__alive`
   row count so fully-retracted groups disappear at read, a revived
@@ -168,7 +169,10 @@ def create_materialized_agg(catalog, name: str, source_table,
             has_minmax = True
             ct = _src_field(source_table, col).dataType
             add(out, "last_value", ct)
-            add(f"{out}__buf", "last_value", T.ArrayType(ct))
+            # (value, count) pairs: ties cost a count decrement, not a
+            # buffer entry — heavy-tie columns no longer drain early
+            add(f"{out}__buf", "last_value", T.ArrayType(T.StructType([
+                T.StructField("v", ct), T.StructField("c", T.LongType())])))
             add(f"{out}__cut", "last_value", ct)
     add(_ALIVE, "sum", T.LongType())
     if has_sketch:
@@ -351,21 +355,28 @@ def _resolve_sketches(spark, source_table, mv_table, net, adds, removes,
                       for p in ("chunk", "stored", "rec")])
 
 
-def _capped_extremes(df, group_by, col: str, asc: bool, cap: int,
-                     alias: str):
-    """Per-group sorted array of the `cap` most extreme non-NULL values
-    of `col` (smallest when asc, largest otherwise) — the collect is
-    window-capped BEFORE collect_list, so a group with a million
-    changed rows still contributes a ≤cap-element array."""
+def _capped_pairs(df, group_by, col: str, asc: bool, cap: int,
+                  alias: str):
+    """Per-group sorted array of (v, c) pairs for the `cap` most
+    extreme DISTINCT non-NULL values of `col` (smallest when asc,
+    largest otherwise) with their occurrence counts — the distinct
+    values are window-capped BEFORE collect_list, so a group with a
+    million changed rows still contributes a ≤cap-element array, and a
+    million ties of one value contribute ONE pair."""
     from pyspark.sql import Window
 
     w = (Window.partitionBy(*group_by)
          .orderBy(F.col(col).asc() if asc else F.col(col).desc()))
-    return (df.filter(F.col(col).isNotNull())
-              .withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") <= cap)
-              .groupBy(*group_by)
-              .agg(F.sort_array(F.collect_list(col), asc).alias(alias)))
+    per_val = (df.filter(F.col(col).isNotNull())
+                 .groupBy(*group_by, col)
+                 .agg(F.count(F.lit(1)).alias("__c")))
+    return (per_val.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .groupBy(*group_by)
+            .agg(F.sort_array(
+                F.collect_list(F.struct(F.col(col).alias("v"),
+                                        F.col("__c").alias("c"))),
+                asc).alias(alias)))
 
 
 def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
@@ -374,23 +385,27 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
     runner-up buffer (r9 verdict #2 — no source IO on the delete path).
 
     Invariant per output: `out__buf` holds EXACTLY the multiset of the
-    group's current values strictly more extreme than `out__cut`
-    (sorted most-extreme-first); NULL cut means the buffer holds all of
-    them. Hence:
+    group's current (value → occurrence count) pairs for values
+    strictly more extreme than `out__cut`, sorted most-extreme-first;
+    NULL cut means the buffer holds all of them. Counts mean ties cost
+    a decrement, never a buffer slot — a column with few distinct
+    values (the common heavy-tie shape) is as drain-resistant as a
+    high-cardinality one. Hence:
     - a removed value beyond the cut is provably absent from the buffer
-      (ignore it); one inside the cut is provably present (subtract one
-      occurrence);
+      (ignore it); one inside the cut is provably present (decrement
+      its count; a drained count drops the pair);
     - an inserted value beyond the cut is provably irrelevant (the
-      buffer already holds |buf| ≥ buf_k more-extreme values... it is
-      outside the representable region); one inside merges in;
-    - when the merged buffer overflows buf_k the cut tightens to the
-      (buf_k+1)-th value and entries at-or-beyond it drop — the cut
-      only ever moves toward the extreme, which is what makes the
-      remove/insert relevance tests sound;
-    - the resolved extreme is the buffer's first element; a group whose
+      buffer already holds buf_k more-extreme distinct values); one
+      inside increments its pair or adds one;
+    - when the merged buffer overflows buf_k DISTINCT values the cut
+      tightens to the (buf_k+1)-th distinct value and pairs at-or-
+      beyond it drop — the cut only ever moves toward the extreme,
+      which is what makes the remove/insert relevance tests sound;
+    - the resolved extreme is the first pair's value; a group whose
       buffer drained while rows remain (`mv__alive` > 0 with a non-NULL
-      cut) lost ≥buf_k extremes without refill and is the ONLY case
-      that re-reads the source, leftsemi-pruned to those groups.
+      cut) lost its buf_k most extreme distinct values without refill
+      and is the ONLY case that re-reads the source, leftsemi-pruned
+      to those groups.
     A group whose rows are all retracted resets to (NULL, [], NULL) so
     a revival starts from a clean, cut-free buffer."""
     caps, stored_cols = [], []
@@ -404,11 +419,11 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
     step = net.join(stored, group_by, "left")
     for o, fn, col, asc in caps:
         step = (step
-                .join(_capped_extremes(adds, group_by, col, asc,
-                                       buf_k + 1, f"mv__a_{o}"),
+                .join(_capped_pairs(adds, group_by, col, asc,
+                                    buf_k + 1, f"mv__a_{o}"),
                       group_by, "left")
-                .join(_capped_extremes(removes, group_by, col, asc,
-                                       buf_k + 1, f"mv__r_{o}"),
+                .join(_capped_pairs(removes, group_by, col, asc,
+                                    buf_k + 1, f"mv__r_{o}"),
                       group_by, "left"))
 
     new_alive = (F.coalesce(F.col("mv__alive_st"), F.lit(0))
@@ -416,38 +431,51 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
     ets = {o: _src_field(source_table, col).dataType.simpleString()
            for o, (fn, col) in minmax.items()}
 
-    def remove_one(acc, x):
-        pos = F.array_position(acc, x)
-        return F.when(
-            pos > 0,
-            F.concat(F.slice(acc, F.lit(1), (pos - 1).cast("int")),
-                     F.slice(acc, (pos + 1).cast("int"),
-                             (F.size(acc) - pos).cast("int")))
-        ).otherwise(acc)
+    def _sub_pair(acc, p):
+        # decrement the matching value's count; a drained value drops.
+        # A value absent from acc (invariant break) no-ops; counts
+        # over-subtracted below zero drop too — both conservative, the
+        # drain check catches the fallout.
+        return F.filter(
+            F.transform(acc, lambda e: F.when(
+                e["v"] == p["v"],
+                F.struct(e["v"].alias("v"),
+                         (e["c"] - p["c"]).alias("c"))).otherwise(e)),
+            lambda e: e["c"] > 0)
+
+    def _add_pair(acc, p):
+        bumped = F.transform(acc, lambda e: F.when(
+            e["v"] == p["v"],
+            F.struct(e["v"].alias("v"),
+                     (e["c"] + p["c"]).alias("c"))).otherwise(e))
+        return F.when(F.exists(acc, lambda e: e["v"] == p["v"]), bumped) \
+                .otherwise(F.concat(acc, F.array(p)))
 
     # one-arg lambda factories: pyspark's HOF wrapper derives the lambda
     # arity from the Python signature, so captured state must come from
     # a closure, not default args
     def _beyond(bound, asc):
-        return lambda x: (x < bound) if asc else (x > bound)
+        return lambda p: (p["v"] < bound) if asc else (p["v"] > bound)
 
     def _inside(cut, asc):
-        return lambda x: cut.isNull() | ((x < cut) if asc else (x > cut))
+        return lambda p: cut.isNull() | ((p["v"] < cut) if asc
+                                         else (p["v"] > cut))
 
     dirty = F.lit(False)
     for o, fn, col, asc in caps:
         et = ets[o]
-        empty = F.array().cast(f"array<{et}>")
+        empty = F.array().cast(f"array<struct<v:{et},c:bigint>>")
         cut = F.col(f"mv__cut_{o}")
         buf0 = F.coalesce(F.col(f"mv__buf_{o}"), empty)
         rem = F.filter(F.coalesce(F.col(f"mv__r_{o}"), empty),
                        _inside(cut, asc))
         add = F.filter(F.coalesce(F.col(f"mv__a_{o}"), empty),
                        _inside(cut, asc))
-        buf2 = F.sort_array(F.concat(F.aggregate(rem, buf0, remove_one),
-                                     add), asc)
+        buf2 = F.sort_array(
+            F.aggregate(add, F.aggregate(rem, buf0, _sub_pair),
+                        _add_pair), asc)
         overflow = F.size(buf2) > buf_k
-        tight = F.get(buf2, buf_k)  # 0-indexed: the (buf_k+1)-th value
+        tight = F.get(buf2, buf_k)["v"]  # the (buf_k+1)-th DISTINCT value
         buf3 = F.when(overflow, F.filter(buf2, _beyond(tight, asc))) \
                 .otherwise(buf2)
         new_cut = F.when(overflow, tight).otherwise(cut)
@@ -475,7 +503,7 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
         for o, fn, col, asc in caps:
             step = step.withColumn(
                 f"mv__rf_{o}",
-                F.lit(None).cast(f"array<{ets[o]}>"))
+                F.lit(None).cast(f"array<struct<v:{ets[o]},c:bigint>>"))
     else:
         drained = (step.filter(F.col("mv__dirty"))
                        .select(*group_by).distinct())
@@ -485,8 +513,8 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
         src = src.join(drained, group_by, "leftsemi")
         rec = None
         for o, fn, col, asc in caps:
-            r = _capped_extremes(src, group_by, col, asc, buf_k + 1,
-                                 f"mv__rf_{o}")
+            r = _capped_pairs(src, group_by, col, asc, buf_k + 1,
+                              f"mv__rf_{o}")
             rec = r if rec is None else rec.join(r, group_by, "outer")
         step = step.join(
             rec.select(*group_by,
@@ -495,16 +523,17 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
 
     for o, fn, col, asc in caps:
         et = ets[o]
-        empty = F.array().cast(f"array<{et}>")
+        empty = F.array().cast(f"array<struct<v:{et},c:bigint>>")
         full = F.coalesce(F.col(f"mv__rf_{o}"), empty)
-        rcut = F.when(F.size(full) > buf_k, F.get(full, buf_k)) \
+        rcut = F.when(F.size(full) > buf_k, F.get(full, buf_k)["v"]) \
                 .cast(et)
         rbuf = F.when(rcut.isNotNull(),
                       F.filter(full, _beyond(rcut, asc))).otherwise(full)
         d = F.col("mv__dirty")
         step = (step
-                .withColumn(o, F.when(d, F.get(full, 0))
-                               .otherwise(F.get(F.col(f"mv__nbuf_{o}"), 0)))
+                .withColumn(o, F.when(d, F.get(full, 0)["v"])
+                               .otherwise(
+                                   F.get(F.col(f"mv__nbuf_{o}"), 0)["v"]))
                 .withColumn(f"{o}__buf",
                             F.when(d, rbuf)
                              .otherwise(F.col(f"mv__nbuf_{o}")))
