@@ -590,3 +590,46 @@ def test_matview_over_append_only_source(spark, catalog):
     assert got == expect
     assert src.read(spark).count() == 50  # both batches appended
     assert MV.check_materialized(spark, catalog, mv)["consistent"]
+
+
+def test_matview_minmax_randomized_convergence(spark, catalog):
+    """Randomized upsert/delete sequences over a TINY value domain
+    (heavy ties) with a 2-value buffer: every sync point must equal a
+    from-scratch GROUP BY over the engine's current state — covering
+    buffer-local deletes, count decrements on tied values, drains with
+    refill, and full-group retraction/revival in one walk."""
+    import random
+    rnd = random.Random(7)
+    schema = "doc_id long, source string, n_chars long, _row_kind string"
+    src = _mk_src(catalog, "db.mv_rnd_src",
+                  spark.createDataFrame([], schema).drop("_row_kind").schema)
+    mv = MV.create_materialized_agg(
+        catalog, "db.mv_rnd", src, ["source"],
+        {"lo": ("min", "n_chars"), "hi": ("max", "n_chars"),
+         "n": ("count", "*")},
+        minmax_buffer=2)
+    live = set()
+    for step in range(10):
+        batch = []
+        for _ in range(rnd.randint(2, 6)):
+            doc = rnd.randint(1, 12)
+            if live and rnd.random() < 0.35:
+                doc = rnd.choice(sorted(live))
+                batch.append((doc, "src%d" % (doc % 2),
+                              rnd.randint(1, 4), "-D"))
+                live.discard(doc)
+            else:
+                batch.append((doc, "src%d" % (doc % 2),
+                              rnd.randint(1, 4), "+I"))
+                live.add(doc)
+        src.write(spark, spark.createDataFrame(batch, schema))
+        if step % 2 == 1:
+            MV.sync_materialized_agg(spark, src, mv)
+            got = {(r["source"], r["lo"], r["hi"], r["n"]) for r in
+                   MV.read_materialized(spark, mv).collect()}
+            want = {(r["source"], r["lo"], r["hi"], r["n"]) for r in
+                    (src.read(spark).groupBy("source")
+                     .agg(F.min("n_chars").alias("lo"),
+                          F.max("n_chars").alias("hi"),
+                          F.count(F.lit(1)).alias("n")).collect())}
+            assert got == want, f"diverged at step {step}"
