@@ -166,8 +166,13 @@ class JdbcCatalog(Catalog):
                 (self.catalog_key,)).fetchall()
         return [r[0] for r in rows]
 
-    def drop_database(self, db: str, cascade: bool = False):
+    def drop_database(self, db: str, cascade: bool = False,
+                      ignore_if_not_exists: bool = True):
         with self.lock(db):
+            if db not in self.list_databases():
+                if not ignore_if_not_exists:
+                    raise ValueError(f"database {db} does not exist")
+                return
             tables = self.list_tables(db)
             if tables and not cascade:
                 raise ValueError(f"database {db} is not empty: {tables}")

@@ -285,6 +285,12 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
     if kw == "INSERT":
         return _exec_insert(spark, catalog, statement)
     if kw == "DROP":
+        dm = re.match(r"\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([\w]+)"
+                      r"\s*(CASCADE)?\s*;?\s*$", statement, re.IGNORECASE)
+        if dm:
+            return catalog.drop_database(
+                dm.group(2), cascade=bool(dm.group(3)),
+                ignore_if_not_exists=bool(dm.group(1)))
         m = re.match(r"\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW)\s+"
                      r"(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
                      statement, re.IGNORECASE)
@@ -872,6 +878,11 @@ def _exec_create(spark, catalog, statement):
                   masked, re.IGNORECASE)
     if mv:
         return _exec_create_mv(spark, catalog, statement, mv)
+    dm = re.match(r"\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w]+)"
+                  r"\s*;?\s*$", masked, re.IGNORECASE)
+    if dm:
+        return catalog.create_database(
+            dm.group(2), ignore_if_exists=bool(dm.group(1)))
     m = re.match(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*",
                  masked, re.IGNORECASE)
     if not m:

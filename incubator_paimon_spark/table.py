@@ -449,6 +449,20 @@ class Catalog:
         return sorted(n[:-3] for n in self.io.list_names(self.warehouse)
                       if n.endswith(".db"))
 
+    def drop_database(self, db: str, cascade: bool = False,
+                      ignore_if_not_exists: bool = True):
+        """DROP DATABASE [CASCADE] (FileSystemCatalog.dropDatabase:
+        refuses a non-empty database unless cascade)."""
+        p = self._db_path(db)
+        if not self.io.is_dir(p):
+            if not ignore_if_not_exists:
+                raise ValueError(f"database {db} does not exist")
+            return
+        tables = self.list_tables(db)
+        if tables and not cascade:
+            raise ValueError(f"database {db} is not empty: {tables}")
+        self.io.delete_dir(p)
+
     def list_tables(self, db: str) -> list[str]:
         p = self._db_path(db)
         return sorted(n for n in self.io.list_names(p)

@@ -773,3 +773,24 @@ def test_global_system_tables(spark, catalog):
     t1.write(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
     assert execute_sql(spark, catalog,
                        "SELECT count(*) AS c FROM db.gsys1").first()["c"] == 1
+
+
+def test_create_drop_database_sql(spark, catalog):
+    """CREATE/DROP DATABASE [IF (NOT) EXISTS] [CASCADE] through the SQL
+    surface (sql-ddl parity: dropping a non-empty database needs
+    CASCADE; bare re-create / re-drop raise without the IF guard)."""
+    import pytest
+    catalog.sql(spark, "CREATE DATABASE dbx")
+    assert "dbx" in catalog.list_databases()
+    with pytest.raises(ValueError, match="exists"):
+        catalog.sql(spark, "CREATE DATABASE dbx")
+    catalog.sql(spark, "CREATE DATABASE IF NOT EXISTS dbx")
+
+    catalog.sql(spark, "CREATE TABLE dbx.t (id BIGINT, v STRING)")
+    with pytest.raises(ValueError, match="not empty"):
+        catalog.sql(spark, "DROP DATABASE dbx")
+    catalog.sql(spark, "DROP DATABASE dbx CASCADE")
+    assert "dbx" not in catalog.list_databases()
+    with pytest.raises(ValueError, match="does not exist"):
+        catalog.sql(spark, "DROP DATABASE dbx")
+    catalog.sql(spark, "DROP DATABASE IF EXISTS dbx")
