@@ -50,10 +50,13 @@ _SCHEMA = (
         database_name TEXT NOT NULL,
         properties TEXT NOT NULL DEFAULT '{}',
         PRIMARY KEY (catalog_key, database_name))""",
-    # AbstractDistributedLockDialect.getCreateTableSql
+    # AbstractDistributedLockDialect.getCreateTableSql — plus the
+    # holder's own lease duration, so a reaper judges expiry by the
+    # HOLDER's declared lease, not its own
     """CREATE TABLE IF NOT EXISTS paimon_distributed_locks(
         lock_id TEXT NOT NULL PRIMARY KEY,
-        acquired_at REAL NOT NULL)""",
+        acquired_at REAL NOT NULL,
+        lease_s REAL NOT NULL DEFAULT 60.0)""",
 )
 
 
@@ -78,18 +81,24 @@ class JdbcCatalogLock:
         self.acquire_timeout_ms = acquire_timeout_ms
         self.check_max_sleep_ms = check_max_sleep_ms
         self.lease_ms = lease_ms
+        self._token: float | None = None
 
     def _try_acquire(self) -> bool:
         with _connect(self.db_path) as con:
-            # tryReleaseTimedOutLock: reap an expired holder first
+            # tryReleaseTimedOutLock: reap a holder that outlived ITS
+            # OWN declared lease (stored in the row — a reaper's lease
+            # must not shorten someone else's)
             con.execute(
                 "DELETE FROM paimon_distributed_locks "
-                "WHERE lock_id = ? AND acquired_at < ?",
-                (self.lock_id, time.time() - self.lease_ms / 1000.0))
+                "WHERE lock_id = ? AND acquired_at + lease_s < ?",
+                (self.lock_id, time.time()))
             try:
+                token = time.time()
                 con.execute(
-                    "INSERT INTO paimon_distributed_locks VALUES (?, ?)",
-                    (self.lock_id, time.time()))
+                    "INSERT INTO paimon_distributed_locks "
+                    "VALUES (?, ?, ?)",
+                    (self.lock_id, token, self.lease_ms / 1000.0))
+                self._token = token
                 return True
             except sqlite3.IntegrityError:
                 return False
@@ -106,18 +115,36 @@ class JdbcCatalogLock:
         return self
 
     def __exit__(self, *exc):
+        # FENCED release: only delete the row THIS acquire inserted — a
+        # holder that outlived its lease must not release the lock a
+        # reaping process has since re-acquired (mutual-exclusion break
+        # found in review)
         with _connect(self.db_path) as con:
             con.execute("DELETE FROM paimon_distributed_locks "
-                        "WHERE lock_id = ?", (self.lock_id,))
+                        "WHERE lock_id = ? AND acquired_at = ?",
+                        (self.lock_id, self._token))
+        self._token = None
         return False
 
 
-def _connect(db_path: str) -> sqlite3.Connection:
+from contextlib import contextmanager
+
+
+@contextmanager
+def _connect(db_path: str):
+    """One short-lived connection per operation: the inner `with con`
+    scopes the transaction (commit on success, rollback on error) and
+    the finally CLOSES the handle — `with sqlite3.connect(...)` alone
+    commits but leaks the connection to GC, pinning WAL/-shm files."""
     con = sqlite3.connect(db_path, timeout=30.0,
                           isolation_level="IMMEDIATE")
-    con.execute("PRAGMA journal_mode=WAL")
-    con.execute("PRAGMA busy_timeout=30000")
-    return con
+    try:
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA busy_timeout=30000")
+        with con:
+            yield con
+    finally:
+        con.close()
 
 
 class JdbcCatalog(Catalog):
@@ -143,8 +170,14 @@ class JdbcCatalog(Catalog):
     # -- lock surface (JdbcCatalogLock.runWithLock) --------------------
     def lock(self, database: str, table: str = "",
              **kw) -> JdbcCatalogLock:
+        """DATABASE-scoped lock id (the `table` arg is accepted for
+        call-site readability but does not narrow the scope): every
+        DDL on one database serializes against every other — required
+        so a create_table cannot interleave with drop_database
+        CASCADE's multi-step metastore+filesystem teardown (review
+        finding). DDL rates make the coarser scope free."""
         return JdbcCatalogLock(
-            self.uri, f"{self.catalog_key}.{database}.{table}", **kw)
+            self.uri, f"{self.catalog_key}.{database}", **kw)
 
     # -- databases ------------------------------------------------------
     def create_database(self, db: str, ignore_if_exists: bool = True):
@@ -198,8 +231,15 @@ class JdbcCatalog(Catalog):
     def _claim(self, db: str, name: str) -> bool:
         """One metastore INSERT claims the identifier; the composite
         primary key is the create-race arbiter (JdbcUtils: the insert's
-        uniqueness violation, not a filesystem check)."""
+        uniqueness violation, not a filesystem check). The database row
+        is verified in the SAME transaction so a claim cannot land in a
+        database a concurrent DROP DATABASE is tearing down."""
         with _connect(self.uri) as con:
+            if con.execute(
+                    "SELECT 1 FROM paimon_databases WHERE catalog_key = ?"
+                    " AND database_name = ?",
+                    (self.catalog_key, db)).fetchone() is None:
+                raise ValueError(f"database {db} does not exist")
             try:
                 con.execute(
                     "INSERT INTO paimon_tables VALUES (?, ?, ?)",
@@ -214,26 +254,31 @@ class JdbcCatalog(Catalog):
         db, name = identifier.split(".", 1)
         self.create_database(db)
         path = os.path.join(self._db_path(db), name)
-        if not self._claim(db, name):
-            if ignore_if_exists:
-                return Table(path)
-            raise ValueError(f"table {identifier} already exists")
-        try:
-            from .metadata.schema import SchemaManager, TableSchema
-            from .table import _validate
-            ts = TableSchema.create(schema, partition_keys, primary_keys,
-                                    options, comment)
-            _validate(ts)
-            SchemaManager(path).commit_new(ts)
-        except Exception:
-            # a claim without a schema is a phantom: release it so the
-            # failed create doesn't poison the identifier
-            with _connect(self.uri) as con:
-                con.execute(
-                    "DELETE FROM paimon_tables WHERE catalog_key = ? AND "
-                    "database_name = ? AND table_name = ?",
-                    (self.catalog_key, db, name))
-            raise
+        # the db-scoped catalog lock serializes the claim+schema-write
+        # against drop_database CASCADE's teardown (review finding: an
+        # unlocked create could write schema files into a directory the
+        # cascade was about to delete)
+        with self.lock(db):
+            if not self._claim(db, name):
+                if ignore_if_exists:
+                    return Table(path)
+                raise ValueError(f"table {identifier} already exists")
+            try:
+                from .metadata.schema import SchemaManager, TableSchema
+                from .table import _validate
+                ts = TableSchema.create(schema, partition_keys,
+                                        primary_keys, options, comment)
+                _validate(ts)
+                SchemaManager(path).commit_new(ts)
+            except Exception:
+                # a claim without a schema is a phantom: release it so
+                # the failed create doesn't poison the identifier
+                with _connect(self.uri) as con:
+                    con.execute(
+                        "DELETE FROM paimon_tables WHERE catalog_key = ? "
+                        "AND database_name = ? AND table_name = ?",
+                        (self.catalog_key, db, name))
+                raise
         t = Table(path)
         for ref, database in getattr(self, "_attached", []):
             s = ref()
@@ -270,10 +315,16 @@ class JdbcCatalog(Catalog):
     def rename_table(self, old: str, new: str):
         db1, n1 = old.split(".", 1)
         db2, n2 = new.split(".", 1)
-        # lock the SOURCE identifier (reference locks the fromTable) so
-        # two racing renames of one table serialize; the metastore
-        # UPDATE inside one transaction is the arbiter for the target
-        with self.lock(db1, n1):
+        # db-scoped source lock (reference locks the fromTable) so two
+        # racing renames of one table serialize; a cross-db rename also
+        # locks the target database — in sorted order so two opposed
+        # renames cannot deadlock. The metastore UPDATE inside one
+        # transaction is the arbiter for the target identifier.
+        import contextlib
+        locks = contextlib.ExitStack()
+        for db in sorted({db1, db2}):
+            locks.enter_context(self.lock(db))
+        with locks:
             with _connect(self.uri) as con:
                 try:
                     cur = con.execute(

@@ -29,6 +29,12 @@ import threading
 _LOCK = threading.Lock()
 # (table_path, group) -> {"ops": n, "last_<k>": v, "total_<k>": sum}
 _REG: dict[tuple[str, str], dict[str, float]] = {}
+# bound the registry: a long-lived driver touching ephemeral tables
+# (test fixtures, per-crawl scratch sources) must not accumulate an
+# entry per table forever — oldest-inserted table evicts first (the
+# reference closes a table's metric group with the table; we
+# approximate with insertion-order eviction)
+_MAX_TABLES = 512
 
 
 def record(table_path: str, group: str, **counters) -> None:
@@ -45,6 +51,11 @@ def record(table_path: str, group: str, **counters) -> None:
             v = float(v)
             g[f"last_{k}"] = v
             g[f"total_{k}"] = g.get(f"total_{k}", 0.0) + v
+        paths = list(dict.fromkeys(p for p, _ in _REG))
+        if len(paths) > _MAX_TABLES:
+            for stale in paths[:len(paths) - _MAX_TABLES]:
+                for key in [k for k in _REG if k[0] == stale]:
+                    _REG.pop(key, None)
 
 
 def get(table_path: str, group: str, metric: str,

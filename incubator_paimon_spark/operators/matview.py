@@ -141,6 +141,15 @@ def create_materialized_agg(catalog, name: str, source_table,
 
     if any(out.startswith("mv__") for out in aggs):
         raise ValueError("output names starting with 'mv__' are reserved")
+    trivial = {out: col for out, (fn, col) in aggs.items()
+               if col in group_by and fn in ("min", "max", "avg")}
+    if trivial:
+        # min/max/avg of a grouping key is the key itself — and the
+        # maintenance windows would group by a duplicated column
+        raise ValueError(
+            f"aggregate over its own GROUP BY column is trivial "
+            f"(the value IS the key): {trivial} — select the column "
+            f"directly instead")
     has_sketch = has_minmax = False
     for out, (fn, col) in aggs.items():
         if fn == "count":
@@ -276,6 +285,14 @@ def sync_materialized_agg(spark, source_table, mv_table,
     minmax = {out: v for out, v in aggs.items() if v[0] in ("min", "max")}
     cid = consumer_id or f"index:{mv_table.name}"
     mv_schema = mv_table.schema.spark_schema()
+    missing = [o for o in minmax
+               if f"{o}__buf" not in mv_schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"materialized view {mv_table.name} stores min/max outputs "
+            f"{missing} without runner-up buffer columns — it was "
+            f"created by an older engine revision; DROP and re-CREATE "
+            f"the view (its definition is in the mv.* table options)")
 
     def apply(adds, removes, sid):
         if where:
@@ -355,28 +372,33 @@ def _resolve_sketches(spark, source_table, mv_table, net, adds, removes,
                       for p in ("chunk", "stored", "rec")])
 
 
-def _capped_pairs(df, group_by, col: str, asc: bool, cap: int,
-                  alias: str):
-    """Per-group sorted array of (v, c) pairs for the `cap` most
-    extreme DISTINCT non-NULL values of `col` (smallest when asc,
-    largest otherwise) with their occurrence counts — the distinct
-    values are window-capped BEFORE collect_list, so a group with a
-    million changed rows still contributes a ≤cap-element array, and a
-    million ties of one value contribute ONE pair."""
+def _capped_pairs(df, group_by, col: str, wants, cap: int):
+    """Per-group sorted arrays of (v, c) pairs for the `cap` most
+    extreme DISTINCT non-NULL values of `col` with their occurrence
+    counts — one array per requested `(alias, asc)` in `wants`. The
+    distinct values are window-capped BEFORE collect_list, so a group
+    with a million changed rows still contributes ≤cap-element arrays
+    and a million ties of one value contribute ONE pair. Both
+    directions (the common lo=min/hi=max pair over one column) share
+    the single per-(group, value) count aggregate — one shuffle, two
+    sorts — instead of re-counting per output (review finding)."""
     from pyspark.sql import Window
 
-    w = (Window.partitionBy(*group_by)
-         .orderBy(F.col(col).asc() if asc else F.col(col).desc()))
-    per_val = (df.filter(F.col(col).isNotNull())
-                 .groupBy(*group_by, col)
-                 .agg(F.count(F.lit(1)).alias("__c")))
-    return (per_val.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= cap)
-            .groupBy(*group_by)
-            .agg(F.sort_array(
-                F.collect_list(F.struct(F.col(col).alias("v"),
-                                        F.col("__c").alias("c"))),
-                asc).alias(alias)))
+    pv = (df.filter(F.col(col).isNotNull())
+            .groupBy(*group_by, col)
+            .agg(F.count(F.lit(1)).alias("__c")))
+    aggs = []
+    for alias, asc in wants:
+        w = (Window.partitionBy(*group_by)
+             .orderBy(F.col(col).asc() if asc else F.col(col).desc()))
+        pv = pv.withColumn(f"__rn_{alias}", F.row_number().over(w))
+        # collect_list skips the when()'s NULLs: only the cap survives
+        aggs.append(F.sort_array(F.collect_list(
+            F.when(F.col(f"__rn_{alias}") <= cap,
+                   F.struct(F.col(col).alias("v"),
+                            F.col("__c").alias("c")))),
+            asc).alias(alias))
+    return pv.groupBy(*group_by).agg(*aggs)
 
 
 def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
@@ -417,13 +439,18 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
     stored = mv_table.read(spark).select(
         *group_by, F.col(_ALIVE).alias("mv__alive_st"), *stored_cols)
     step = net.join(stored, group_by, "left")
+    by_col: dict = {}
     for o, fn, col, asc in caps:
+        by_col.setdefault(col, []).append((o, asc))
+    for col, outs in by_col.items():
         step = (step
-                .join(_capped_pairs(adds, group_by, col, asc,
-                                    buf_k + 1, f"mv__a_{o}"),
+                .join(_capped_pairs(adds, group_by, col,
+                                    [(f"mv__a_{o}", asc)
+                                     for o, asc in outs], buf_k + 1),
                       group_by, "left")
-                .join(_capped_pairs(removes, group_by, col, asc,
-                                    buf_k + 1, f"mv__r_{o}"),
+                .join(_capped_pairs(removes, group_by, col,
+                                    [(f"mv__r_{o}", asc)
+                                     for o, asc in outs], buf_k + 1),
                       group_by, "left"))
 
     new_alive = (F.coalesce(F.col("mv__alive_st"), F.lit(0))
@@ -512,9 +539,10 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
             src = src.filter(F.expr(where))
         src = src.join(drained, group_by, "leftsemi")
         rec = None
-        for o, fn, col, asc in caps:
-            r = _capped_pairs(src, group_by, col, asc, buf_k + 1,
-                              f"mv__rf_{o}")
+        for col, outs in by_col.items():
+            r = _capped_pairs(src, group_by, col,
+                              [(f"mv__rf_{o}", asc) for o, asc in outs],
+                              buf_k + 1)
             rec = r if rec is None else rec.join(r, group_by, "outer")
         step = step.join(
             rec.select(*group_by,

@@ -239,30 +239,21 @@ def check_index_current(source_table, consumer_id: str,
     return lag
 
 
-def guard_index(index_table, source_table, consumer_id: str | None = None,
-                *, stacklevel: int = 4) -> int:
+def guard_index(index_table, source_table,
+                consumer_id: str | None = None) -> int:
     """Arm `check_index_current` from an indexed QUERY path: no-op when
     the caller did not opt in (`source_table is None`); otherwise the
     consumer defaults to ``index:<index table name>`` and the mode to
     the index table's ``index.staleness-check`` option (warn / fail /
     silent). One helper so every `*_indexed` read path guards the same
-    way (r9 verdict #1: half the surface had no hook at all)."""
+    way (r9 verdict #1: half the surface had no hook at all) — the
+    policy body itself lives ONLY in check_index_current."""
     if source_table is None:
         return 0
-    lag = index_staleness(
-        source_table, consumer_id or f"index:{index_table.name}")
-    if lag > 0:
-        mode = (index_table.schema.options or {}) \
-            .get("index.staleness-check", "warn")
-        msg = (f"index {index_table.name} on {source_table.name} is "
-               f"{lag} snapshot(s) behind — results may be stale; run "
-               f"the index's sync_* function (or attach auto_sync)")
-        if mode == "fail":
-            raise StaleIndexError(msg)
-        if mode != "silent":
-            import warnings
-            warnings.warn(msg, StaleIndexWarning, stacklevel=stacklevel)
-    return lag
+    return check_index_current(
+        source_table, consumer_id or f"index:{index_table.name}",
+        (index_table.schema.options or {})
+        .get("index.staleness-check", "warn"))
 
 
 class StaleIndexWarning(UserWarning):

@@ -255,6 +255,19 @@ def where_to_predicate(where: str | None) -> Predicate | None:
 # ----------------------------------------------------------------------
 # statement execution
 # ----------------------------------------------------------------------
+def _unhook_mv_listener(catalog, ident: str) -> None:
+    """Unhook a materialized view's auto-sync from its source before
+    the view table goes away (a swallowed hook error would hide bugs).
+    No-op for non-views / already-dropped tables."""
+    try:
+        t = catalog.get_table(ident)
+        src = catalog.get_table(t.schema.options["mv.source"])
+        from .metadata.commit import unregister_commit_listener
+        unregister_commit_listener(src.path, f"index-sync:{t.name}")
+    except Exception:  # noqa: BLE001 — IF EXISTS / never hooked
+        pass
+
+
 def execute_sql(spark: SparkSession, catalog, statement: str):
     """Execute one DML/procedure statement against catalog tables."""
     head = statement.lstrip().split(None, 1)
@@ -288,6 +301,16 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
         dm = re.match(r"\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([\w]+)"
                       r"\s*(CASCADE)?\s*;?\s*$", statement, re.IGNORECASE)
         if dm:
+            if dm.group(3):
+                # CASCADE drops materialized views too: unhook each
+                # view's auto-sync from its (possibly surviving) source
+                # first, or every later source commit would fire a
+                # doomed sync against the deleted view path (review)
+                try:
+                    for tn in catalog.list_tables(dm.group(2)):
+                        _unhook_mv_listener(catalog, f"{dm.group(2)}.{tn}")
+                except Exception:  # noqa: BLE001 — db may not exist
+                    pass
             return catalog.drop_database(
                 dm.group(2), cascade=bool(dm.group(3)),
                 ignore_if_not_exists=bool(dm.group(1)))
@@ -298,16 +321,7 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
             raise ValueError(f"bad DROP: {statement!r}")
         ident = m.group(3)
         if "VIEW" in m.group(1).upper():
-            # unhook the view's auto-sync from its source before the
-            # table goes away (a swallowed hook error would hide bugs)
-            try:
-                t = catalog.get_table(ident)
-                src = catalog.get_table(t.schema.options["mv.source"])
-                from .metadata.commit import unregister_commit_listener
-                unregister_commit_listener(src.path,
-                                           f"index-sync:{t.name}")
-            except Exception:  # noqa: BLE001 — IF EXISTS / never hooked
-                pass
+            _unhook_mv_listener(catalog, ident)
         return catalog.drop_table(ident,
                                   ignore_if_not_exists=bool(m.group(2)))
     if kw == "REFRESH":

@@ -86,7 +86,8 @@ def test_catalog_lock_blocks_and_lease_reaps(warehouse):
     with jcat.lock("db", "t", acquire_timeout_ms=300):
         pass
     # a crashed holder (never released) is reaped once the lease expires
-    crashed = JdbcCatalogLock(jcat.uri, "paimon.db.t", lease_ms=100)
+    # (lock ids are database-scoped: "paimon.db")
+    crashed = JdbcCatalogLock(jcat.uri, "paimon.db", lease_ms=100)
     assert crashed._try_acquire()
     import time
     time.sleep(0.15)
@@ -194,3 +195,21 @@ except ValueError as e:
     tables = cat2.list_tables("db")
     assert len(tables) == 1 and tables[0].startswith("dst"), tables
     cat2.get_table(f"db.{tables[0]}")  # metastore and filesystem agree
+
+
+def test_lock_release_is_fenced(warehouse):
+    """A holder that outlived its lease must NOT release the lock a
+    reaping process has since re-acquired (review finding: an
+    unfenced DELETE broke mutual exclusion for the third contender)."""
+    import time
+    jcat = JdbcCatalog(warehouse)
+    stale = JdbcCatalogLock(jcat.uri, "paimon.dbf", lease_ms=100)
+    assert stale._try_acquire()
+    time.sleep(0.15)
+    fresh = JdbcCatalogLock(jcat.uri, "paimon.dbf")
+    assert fresh._try_acquire()        # reaps the expired row
+    stale.__exit__(None, None, None)   # fenced: must not touch fresh's
+    third = JdbcCatalogLock(jcat.uri, "paimon.dbf")
+    assert not third._try_acquire()    # fresh still holds
+    fresh.__exit__(None, None, None)
+    assert third._try_acquire()

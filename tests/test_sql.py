@@ -794,3 +794,28 @@ def test_create_drop_database_sql(spark, catalog):
     with pytest.raises(ValueError, match="does not exist"):
         catalog.sql(spark, "DROP DATABASE dbx")
     catalog.sql(spark, "DROP DATABASE IF EXISTS dbx")
+
+
+def test_drop_database_cascade_unhooks_mv_sync(spark, catalog):
+    """DROP DATABASE ... CASCADE over a database holding a materialized
+    view must unregister the view's auto-sync commit listener from its
+    (surviving) source — otherwise every later source commit fires a
+    doomed sync against the deleted view path."""
+    import os
+
+    from incubator_paimon_spark.metadata.commit import _COMMIT_LISTENERS
+    catalog.sql(spark, "CREATE TABLE src.docs (id BIGINT, s STRING, "
+                       "n BIGINT) TBLPROPERTIES ('primary-key'='id', "
+                       "'bucket'='1', 'changelog-producer'='lookup')")
+    catalog.sql(spark, "INSERT INTO src.docs VALUES (1, 'a', 10)")
+    catalog.sql(spark, "CREATE DATABASE views")
+    catalog.sql(spark, "CREATE MATERIALIZED VIEW views.mv AS "
+                       "SELECT s, count(*) AS n FROM src.docs GROUP BY s")
+    src_path = os.path.normpath(catalog.get_table("src.docs").path)
+    assert any(k.startswith("index-sync:mv")
+               for k in _COMMIT_LISTENERS.get(src_path, {}))
+    catalog.sql(spark, "DROP DATABASE views CASCADE")
+    assert not any(k.startswith("index-sync:mv")
+                   for k in _COMMIT_LISTENERS.get(src_path, {}))
+    # the source keeps working with no dangling hook
+    catalog.sql(spark, "INSERT INTO src.docs VALUES (2, 'b', 20)")
