@@ -415,6 +415,22 @@ def _exec_select(spark, catalog, statement):
                 last = m.end()
             continue  # not a catalog table (temp view etc.): leave as-is
         ver, ts = _g(m, statement, 3), _g(m, statement, 4)
+        if sysname and sysname.lower().startswith("branch_"):
+            # branch read: SELECT ... FROM db.t$branch_<name> reads the
+            # BRANCH's data (docs/content/maintenance/manage-branches.md
+            # "Read / Write branch" — reference resolves the $branch_
+            # suffix to the branch's own snapshot chain)
+            bt = table.branch_table(sysname[len("branch_"):])
+            import hashlib
+            ph = hashlib.md5(bt.path.encode()).hexdigest()[:6]
+            view = re.sub(r"\W", "_",
+                          f"pmn_br_{ident}_{ph}"
+                          f"_{bt.snapshots.latest_id() or 0}")
+            bt.read(spark).createOrReplaceTempView(view)
+            out.append(statement[last:m.start()])
+            out.append(f"{m.group(1)} {view}")
+            last = m.end()
+            continue
         if sysname:
             # reference parity: SELECT ... FROM db.t$snapshots etc.
             # (docs/content/maintenance/system-tables.md); bound at the
@@ -1043,13 +1059,22 @@ def _parse_partition_spec(block: str) -> dict:
 
 
 def _exec_insert(spark, catalog, statement):
-    m = re.match(r"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*"
+    m = re.match(r"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                 r"([\w.]+(?:\$\w+)?)\s*"
                  r"(?:PARTITION\s*\(([^)]*)\)\s*)?(.*?);?\s*$",
                  statement, re.IGNORECASE | re.DOTALL)
     if not m:
         raise ValueError(f"bad INSERT: {statement!r}")
     mode, ident, part_spec, query = m.groups()
+    ident, _, sysname = ident.partition("$")
     table = catalog.get_table(ident)
+    if sysname:
+        # branch write: INSERT INTO db.t$branch_<name> ... commits to
+        # the branch's own snapshot chain (manage-branches.md parity)
+        if not sysname.lower().startswith("branch_"):
+            raise ValueError(f"cannot INSERT into system table "
+                             f"{ident}${sysname}")
+        table = table.branch_table(sysname[len("branch_"):])
     schema = table.schema
     df = _exec_select(spark, catalog, query.strip())
 

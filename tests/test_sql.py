@@ -819,3 +819,39 @@ def test_drop_database_cascade_unhooks_mv_sync(spark, catalog):
                    for k in _COMMIT_LISTENERS.get(src_path, {}))
     # the source keeps working with no dangling hook
     catalog.sql(spark, "INSERT INTO src.docs VALUES (2, 'b', 20)")
+
+
+def test_branch_read_via_dollar_suffix(spark, catalog):
+    """SELECT ... FROM db.t$branch_<name> reads the BRANCH's data
+    (manage-branches.md parity): the branch pins its creation point
+    while main moves on."""
+    catalog.sql(spark, "CREATE TABLE bb.t (id BIGINT, v STRING) "
+                       "TBLPROPERTIES ('primary-key'='id', 'bucket'='1')")
+    catalog.sql(spark, "INSERT INTO bb.t VALUES (1, 'a'), (2, 'b')")
+    t = catalog.get_table("bb.t")
+    t.create_branch("dev")
+    catalog.sql(spark, "INSERT INTO bb.t VALUES (3, 'c')")
+    main = catalog.sql(
+        spark, "SELECT count(*) AS n FROM bb.t").collect()[0]["n"]
+    dev = catalog.sql(
+        spark, "SELECT count(*) AS n FROM bb.t$branch_dev").collect()[0]["n"]
+    assert (main, dev) == (3, 2)
+
+
+def test_branch_write_via_dollar_suffix(spark, catalog):
+    """INSERT INTO db.t$branch_<name> commits to the branch's own
+    snapshot chain; main is untouched until fast_forward merges."""
+    catalog.sql(spark, "CREATE TABLE bw.t (id BIGINT, v STRING) "
+                       "TBLPROPERTIES ('primary-key'='id', 'bucket'='1')")
+    catalog.sql(spark, "INSERT INTO bw.t VALUES (1, 'a')")
+    t = catalog.get_table("bw.t")
+    t.create_branch("dev")
+    catalog.sql(spark, "INSERT INTO bw.t$branch_dev VALUES (2, 'b')")
+    assert catalog.sql(spark, "SELECT count(*) AS n FROM bw.t") \
+        .collect()[0]["n"] == 1
+    assert catalog.sql(
+        spark, "SELECT count(*) AS n FROM bw.t$branch_dev") \
+        .collect()[0]["n"] == 2
+    t.fast_forward("dev")
+    assert catalog.sql(spark, "SELECT count(*) AS n FROM bw.t") \
+        .collect()[0]["n"] == 2
