@@ -1128,6 +1128,39 @@ def q_matview_append(spark, sf_dir):
                .orderBy("source"))
 
 
+def q_rescale_bucket(spark, sf_dir):
+    """Rescale-bucket parity (rescale-bucket.md; ManifestEntry totalBuckets):
+    PK table written at bucket=2, ALTER to 4 (metadata-only), the F
+    partition INSERT OVERWRITE-rescaled with halved prices, then an upsert
+    lands in the NEW layout — the mixed-layout merge-on-read must equal
+    plain upsert semantics while other partitions keep the old count."""
+    fx = _fixtures(spark, sf_dir)
+    if "rescale" not in fx:
+        cat = fx["cat"]
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        t = cat.create_table("fx.rescale", o.schema,
+                             primary_keys=["o_orderkey", "o_orderstatus"],
+                             partition_keys=["o_orderstatus"],
+                             options={"bucket": "2"})
+        t.write(spark, o)
+        cat.sql(spark,
+                "ALTER TABLE fx.rescale SET TBLPROPERTIES ('bucket'='4')")
+        t = cat.get_table("fx.rescale")
+        # +10000 keeps the 2-decimal tail: no new round-tie digits, so
+        # Spark's HALF_UP and DuckDB's double-round agree (halving would
+        # mint .xx5 ties that the engines break differently)
+        t.write(spark, o.filter("o_orderstatus = 'F'").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10000.0),
+            overwrite={"o_orderstatus": "F"})
+        t.write(spark, o.filter("o_orderstatus = 'F' AND o_orderkey % 10 = 0")
+                .withColumn("o_totalprice", F.lit(1.0)))
+        fx["rescale"] = t
+    df = fx["rescale"].read(spark)
+    return df.select("o_orderkey", "o_orderstatus", "o_custkey",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Token-weighted temperature re-mixing with UniMax-style epoch caps
     (Arivazhagan 2019; Chung 2023): scarce sources are UPSAMPLED by
@@ -1899,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_distinct": q_matview_distinct,
         "matview_nulls": q_matview_nulls,
         "matview_append": q_matview_append,
+        "rescale_bucket": q_rescale_bucket,
         "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,

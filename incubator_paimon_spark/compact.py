@@ -202,13 +202,21 @@ def _compact_pk(spark, table, full, predicate, buckets=None, entries=None):
     if full and opts.changelog_producer == "full-compaction":
         extra_cl = _full_compaction_changelog(spark, table, schema)
 
-    # group rewrites by output level so each level is one Spark job
-    by_level: dict[int, list[ManifestEntry]] = {}
+    # group rewrites by output level so each level is one Spark job; after
+    # a bucket rescale (rescale-bucket.md) partitions may carry different
+    # layouts, and the rewrite must rehash with the layout its input files
+    # used — so the recorded totalBuckets joins the grouping key and is
+    # pinned through bucket_num_override (None = pre-rescale legacy files,
+    # hashed with the then-immutable current option)
+    by_level: dict[tuple, list[ManifestEntry]] = {}
     for lvl, files in to_rewrite:
-        by_level.setdefault(lvl, []).extend(files)
+        layout = next((e.file.total_buckets for e in files
+                       if e.file.total_buckets is not None), None)
+        by_level.setdefault((lvl, layout), []).extend(files)
 
     snap = None
-    for out_level, files in sorted(by_level.items()):
+    for (out_level, layout), files in sorted(
+            by_level.items(), key=lambda kv: (kv[0][0], kv[0][1] or 0)):
         df = read_files_df(spark, table, files, schema, with_level=True)
         merged = apply_merge(df, schema, drop_deletes=(out_level == max_level))
         merged = _record_level_expire(merged, opts)
@@ -217,7 +225,8 @@ def _compact_pk(spark, table, full, predicate, buckets=None, entries=None):
         snap = table.new_write().write(
             spark, merged, level=out_level, extra_delete_entries=deletes,
             extra_changelog_entries=extra_cl,
-            commit_kind=COMMIT_COMPACT, preserve_system_cols=True)
+            commit_kind=COMMIT_COMPACT, preserve_system_cols=True,
+            bucket_num_override=layout)
         extra_cl = None  # only the first compact commit carries it
     return snap
 

@@ -49,6 +49,13 @@ class DataFileMeta:
     # when saturated (BloomFilterFileIndex.java:48, embedded in the manifest
     # like the reference's embedded_index)
     file_index: dict = dc_field(default_factory=dict)
+    # fixed-bucket layout this file was hashed with (ManifestEntry.java
+    # totalBuckets — the rescale-bucket arbiter, rescale-bucket.md): after
+    # `ALTER TABLE SET ('bucket'=N)` different partitions may legally carry
+    # different counts, so bucket pruning and the INSERT INTO layout guard
+    # consult the file's recorded count, never the current option. None =
+    # pre-rescale legacy file or a bucket-unaware/dynamic layout.
+    total_buckets: int | None = None
 
     def to_json(self):
         return {
@@ -65,6 +72,7 @@ class DataFileMeta:
             "deleteRowCount": self.delete_row_count,
             "rowKindCounts": self.row_kind_counts,
             "fileIndex": self.file_index,
+            "totalBuckets": self.total_buckets,
         }
 
     @staticmethod
@@ -87,6 +95,7 @@ class DataFileMeta:
             delete_row_count=j.get("deleteRowCount") if j.get("_v", 0) >= 2 else None,
             row_kind_counts=j.get("rowKindCounts", {}),
             file_index=j.get("fileIndex", {}),
+            total_buckets=j.get("totalBuckets"),
         )
 
 
@@ -148,6 +157,7 @@ _MANIFEST_COLS = [
     ("schemaId", "int"), ("level", "int"), ("stats", "json"),
     ("creationTimeMillis", "int"), ("deleteRowCount", "int"),
     ("rowKindCounts", "json"), ("fileIndex", "json"),
+    ("totalBuckets", "int"),
 ]
 
 
@@ -200,7 +210,7 @@ class ManifestStore:
             cols["bucket"].append(e.bucket)
             for k in ("fileName", "fileSize", "rowCount", "minSequenceNumber",
                       "maxSequenceNumber", "schemaId", "level",
-                      "creationTimeMillis", "deleteRowCount"):
+                      "creationTimeMillis", "deleteRowCount", "totalBuckets"):
                 cols[k].append(j[k])
             cols["stats"].append(dumps(j["stats"]))
             cols["rowKindCounts"].append(dumps(j["rowKindCounts"]))
@@ -241,6 +251,8 @@ class ManifestStore:
         with self.io.open_input(path) as f:
             tbl = pq.read_table(f)
         d = tbl.to_pydict()
+        # manifests written before the rescale-bucket column lack it
+        tb = d.get("totalBuckets", [None] * tbl.num_rows)
         out = []
         for i in range(tbl.num_rows):
             meta = DataFileMeta(
@@ -256,6 +268,7 @@ class ManifestStore:
                 delete_row_count=d["deleteRowCount"][i],
                 row_kind_counts=loads(d["rowKindCounts"][i]),
                 file_index=loads(d["fileIndex"][i]),
+                total_buckets=tb[i],
             )
             out.append(ManifestEntry(d["kind"][i], loads(d["partition"][i]),
                                      d["bucket"][i], meta))

@@ -188,15 +188,15 @@ class LocalTableQuery:
 
     def _candidate_entries(self, key_dict, part) -> list[ManifestEntry]:
         schema = self.schema
-        # fixed-bucket pin: same hash the write path used (write.bucket_expr)
-        bucket = None
+        # fixed-bucket pin: same hash the write path used (write.bucket_expr).
+        # The hash maps to a bucket per group via that group's recorded
+        # layout (rescale-bucket.md: partitions may carry different counts).
+        key_hash = None
         bkeys = schema.bucket_keys()
         nb = schema.core_options.bucket
         if bkeys and nb > 0:
             types = [schema.field_by_name(k).type.simpleString() for k in bkeys]
-            h = spark_hash([key_dict.get(k) for k in bkeys], types)
-            if h is not None:
-                bucket = h % nb
+            key_hash = spark_hash([key_dict.get(k) for k in bkeys], types)
         part_pred = None
         if part:
             part_pred = And([P.eq(c, v) for c, v in part.items()]) \
@@ -208,7 +208,8 @@ class LocalTableQuery:
 
         out = []
         for (pt, b), entries in self._groups.items():
-            if bucket is not None and b != bucket:
+            if key_hash is not None and b != key_hash % (
+                    entries[0].file.total_buckets or nb):
                 continue
             if part_pred is not None and not part_pred.test_value(self._parts[pt]):
                 continue

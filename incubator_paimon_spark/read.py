@@ -120,9 +120,15 @@ class TableScan:
             # bucket pruning: equality on every bucket key pins the single
             # bucket a fixed-hash write placed the row in
             # (ScanBucketFilter / ReadBuilder.withBucketFilter :111)
-            b = _pinned_bucket(schema, predicate)
-            if b is not None:
-                entries = [e for e in entries if e.bucket == b]
+            h = _bucket_key_hash(schema, predicate)
+            if h is not None:
+                # per-entry layout: after a rescale (rescale-bucket.md)
+                # partitions may carry different bucket counts — each file's
+                # recorded totalBuckets decides which bucket the key hashes
+                # to in THAT layout (None = legacy, current option)
+                nb = schema.core_options.bucket
+                entries = [e for e in entries
+                           if e.bucket == h % (e.file.total_buckets or nb)]
             _n_bucket = len(entries)
             # stats-based file skipping (AbstractFileStoreScan.java:519) +
             # bloom-filter file index (BloomFilterFileIndex.java:48).
@@ -205,21 +211,20 @@ def _top_level_equalities(pred: Predicate) -> dict:
     return out
 
 
-def _pinned_bucket(schema: TableSchema, pred: Predicate) -> int | None:
-    """The single bucket all matching rows live in, or None (no pruning)."""
+def _bucket_key_hash(schema: TableSchema, pred: Predicate) -> int | None:
+    """Bucket-key hash when the predicate pins every bucket key by equality,
+    else None. The caller maps it to a bucket per file via the file's
+    recorded layout (`h % total_buckets`; Python % is already non-negative),
+    so pruning stays exact across rescaled partitions."""
     keys = schema.bucket_keys()
-    nb = schema.core_options.bucket
-    if not keys or nb <= 0:
+    if not keys or schema.core_options.bucket <= 0:
         return None
     eqs = _top_level_equalities(pred)
     if not all(k in eqs and eqs[k] is not None for k in keys):
         return None
     from .murmur import spark_hash
     types = [schema.field_by_name(k).type.simpleString() for k in keys]
-    h = spark_hash([eqs[k] for k in keys], types)
-    if h is None:
-        return None
-    return h % nb  # pmod: Python % is already non-negative for nb > 0
+    return spark_hash([eqs[k] for k in keys], types)
 
 
 def _prune_whole_buckets(entries: list[ManifestEntry], pred_of) -> list[ManifestEntry]:

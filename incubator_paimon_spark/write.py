@@ -320,6 +320,7 @@ class BatchTableWrite:
         changelog_from_input: bool | None = None,
         preserve_system_cols: bool = False,
         dv_manifest=...,
+        bucket_num_override: int | None = None,
     ):
         table = self.table
         schema: TableSchema = table.schema
@@ -374,7 +375,11 @@ class BatchTableWrite:
         elif has_row_kind and not preserve_system_cols:
             df = df.drop(ROW_KIND)
 
-        num_buckets = opts.bucket
+        # rescale-bucket (rescale-bucket.md): compaction rewrites must keep
+        # the layout its input files were hashed with, which after an ALTER
+        # may differ from the current option — the caller pins it here
+        num_buckets = (bucket_num_override if bucket_num_override is not None
+                       else opts.bucket)
         pt_cols = [f"{PT_PREFIX}{c}" for c in schema.partition_keys]
         for c in schema.partition_keys:
             df = df.withColumn(f"{PT_PREFIX}{c}", F.col(c))
@@ -441,7 +446,17 @@ class BatchTableWrite:
         staged_fmt = "parquet" if opts.file_format == "avro" else opts.file_format
         writer.format(staged_fmt).save(staging)
 
-        adds = self._collect_entries(spark, staging, schema, level)
+        adds = self._collect_entries(
+            spark, staging, schema, level,
+            total_buckets=num_buckets if is_pk and num_buckets > 0 else None)
+        if (is_pk and num_buckets > 0 and adds
+                and overwrite is None and not dynamic_overwrite):
+            try:
+                self._check_bucket_layout(adds, num_buckets, latest)
+            except Exception:
+                from .fileio import for_path
+                for_path(staging).delete_dir(staging)
+                raise
         bloom_cols = [c for c in opts.bloom_filter_columns
                       if c in schema.field_names()]
         if bloom_cols and adds:
@@ -512,7 +527,31 @@ class BatchTableWrite:
         return snap
 
     # ------------------------------------------------------------------
-    def _collect_entries(self, spark, staging: str, schema: TableSchema, level: int):
+    def _check_bucket_layout(self, adds, num_buckets: int, latest):
+        """INSERT INTO guard after a bucket rescale (rescale-bucket.md;
+        reference raises TableException from the Flink sink): a partition
+        whose live files were hashed with a different bucket count must be
+        INSERT OVERWRITE-rewritten before plain appends resume, or one key
+        would land in two buckets and merge-on-read would split it. Legacy
+        files (no recorded count) predate rescale support and are assumed
+        to match the current option, which was immutable back then."""
+        if latest is None:
+            return
+        touched = {tuple(sorted(a.partition.items())) for a in adds}
+        for e in self.table.entries_at(latest):
+            tb = e.file.total_buckets
+            if (tb is not None and tb != num_buckets
+                    and tuple(sorted(e.partition.items())) in touched):
+                part = dict(e.partition) or "<unpartitioned>"
+                raise ValueError(
+                    f"Try to write table/partition {part} with a new bucket "
+                    f"num {num_buckets}, but the previous bucket num is {tb}. "
+                    f"Please perform INSERT OVERWRITE to rescale the current "
+                    f"data layout first (rescale-bucket.md).")
+
+    # ------------------------------------------------------------------
+    def _collect_entries(self, spark, staging: str, schema: TableSchema,
+                         level: int, total_buckets: int | None = None):
         """Walk staging output, collect footer stats distributedly, build ADD
         entries with final (relative) file names."""
         from .fileio import for_path
@@ -592,6 +631,7 @@ class BatchTableWrite:
                 stats=st["cols"],
                 creation_time_millis=now,
                 delete_row_count=delete_rows,
+                total_buckets=total_buckets,
             )
             entries.append(_AddEntry(path, partition, bucket, meta))
         return entries

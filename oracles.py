@@ -1532,3 +1532,15 @@ SELECT source, count(*) AS n_rows, sum(n_chars)::BIGINT AS chars_sum,
        min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi
 FROM cur GROUP BY source ORDER BY source
 """
+
+# rescale_bucket (r10): F partition overwritten at the new bucket count
+# with halved prices, then an upsert of o_orderkey%10==0 into the new
+# layout; other partitions keep the old layout. Merge-on-read semantics
+# are layout-independent, so the oracle is plain last-write-wins.
+ORACLES["rescale_bucket"] = """
+SELECT o_orderkey, o_orderstatus, o_custkey,
+  round(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0 THEN 1.0
+             WHEN o_orderstatus = 'F' THEN o_totalprice + 10000.0
+             ELSE o_totalprice END, 2) AS o_totalprice
+FROM orders
+"""

@@ -1,0 +1,137 @@
+"""Rescale-bucket tests (docs/content/maintenance/rescale-bucket.md):
+ALTER TABLE SET ('bucket'=N) is metadata-only; INSERT OVERWRITE reorganizes
+a partition into the new layout; plain INSERT INTO a stale-layout partition
+must fail (the reference raises TableException from the Flink sink); reads
+and bucket pruning stay exact across partitions with different counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_paimon_spark import P
+from incubator_paimon_spark.predicate import And
+
+
+def _mk(spark, catalog, orders, bucket=2):
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                      "o_orderstatus")
+    t = catalog.create_table(
+        "db.resc", o.schema, primary_keys=["o_orderkey", "o_orderstatus"],
+        partition_keys=["o_orderstatus"], options={"bucket": str(bucket)})
+    t.write(spark, o)
+    return t, o
+
+
+def _rescale(spark, catalog, ident, n):
+    catalog.sql(spark,
+                f"ALTER TABLE {ident} SET TBLPROPERTIES ('bucket'='{n}')")
+    return catalog.get_table(ident)
+
+
+def _layouts(t):
+    by_part = {}
+    for e in t.entries_at():
+        by_part.setdefault(e.partition.get("o_orderstatus"), set()).add(
+            e.file.total_buckets)
+    return by_part
+
+
+def test_rescale_guard_and_overwrite(spark, catalog, orders):
+    t, o = _mk(spark, catalog, orders)
+    live = t.entries_at()
+    assert {e.file.total_buckets for e in live} == {2}
+    assert {e.bucket for e in live} == {0, 1}
+
+    t = _rescale(spark, catalog, "db.resc", 4)
+    # metadata-only: reads still correct against the old layout
+    assert t.read(spark).count() == o.count()
+
+    # plain INSERT INTO a stale-layout partition raises
+    with pytest.raises(ValueError, match="bucket num"):
+        t.write(spark, o.filter("o_orderstatus = 'F'").limit(5))
+
+    # INSERT OVERWRITE of one partition reorganizes it
+    t.write(spark, o.filter("o_orderstatus = 'F'"),
+            overwrite={"o_orderstatus": "F"})
+    by_part = _layouts(t)
+    assert by_part["F"] == {4}
+    assert by_part["O"] == {2}  # untouched partition keeps the old layout
+
+    # mixed-layout table reads exactly
+    got = t.read(spark).agg(F.count("*"), F.sum("o_totalprice")).collect()[0]
+    exp = o.agg(F.count("*"), F.sum("o_totalprice")).collect()[0]
+    assert (got[0], round(got[1], 2)) == (exp[0], round(exp[1], 2))
+
+    # INSERT INTO the rescaled partition now works; the stale one still fails
+    extra = o.filter("o_orderstatus = 'F'").limit(3).withColumn(
+        "o_totalprice", F.lit(0.5))
+    t.write(spark, extra)
+    assert t.read(spark).filter("o_totalprice = 0.5").count() == 3
+    with pytest.raises(ValueError, match="bucket num"):
+        t.write(spark, o.filter("o_orderstatus = 'O'").limit(5))
+
+
+def test_rescale_bucket_pruning_per_layout(spark, catalog, orders):
+    t, o = _mk(spark, catalog, orders)
+    t = _rescale(spark, catalog, "db.resc", 4)
+    t.write(spark, o.filter("o_orderstatus = 'F'"),
+            overwrite={"o_orderstatus": "F"})
+
+    # keys from both layouts: pruned plans return exactly the merged row
+    for status in ("F", "O"):
+        row = o.filter(F.col("o_orderstatus") == status).limit(1).collect()[0]
+        pred = And([P.eq("o_orderkey", row.o_orderkey),
+                    P.eq("o_orderstatus", status)])
+        plan_all = t.new_scan().plan(P.eq("o_orderstatus", status))
+        plan = t.new_scan().plan(pred)
+        assert len(plan.entries) <= len(plan_all.entries)
+        got = t.read(spark, predicate=pred).collect()
+        assert len(got) == 1 and got[0].o_orderkey == row.o_orderkey
+
+    # point lookup resolves keys in both layouts
+    q = t.new_query()
+    for status in ("F", "O"):
+        row = o.filter(F.col("o_orderstatus") == status).limit(1).collect()[0]
+        hit = q.lookup({"o_orderkey": row.o_orderkey,
+                        "o_orderstatus": status})
+        assert hit is not None and hit["o_custkey"] == row.o_custkey
+
+
+def test_rescale_compaction_preserves_layout(spark, catalog, orders):
+    from incubator_paimon_spark.compact import compact_table
+    t, o = _mk(spark, catalog, orders)
+    t = _rescale(spark, catalog, "db.resc", 4)
+    t.write(spark, o.filter("o_orderstatus = 'F'"),
+            overwrite={"o_orderstatus": "F"})
+    # several appends into the rescaled partition to give compaction work
+    for i in range(4):
+        t.write(spark, o.filter("o_orderstatus = 'F'")
+                .withColumn("o_totalprice", F.col("o_totalprice") + i))
+    compact_table(spark, t, full=True)
+    by_part = _layouts(t)
+    assert by_part["F"] == {4}
+    assert by_part["O"] == {2}
+    # merged result: last write wins per key in F
+    out = t.read(spark).filter("o_orderstatus = 'F'")
+    exp = o.filter("o_orderstatus = 'F'").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 3)
+    assert out.count() == exp.count()
+    assert out.agg(F.sum("o_totalprice")).collect()[0][0] == \
+        pytest.approx(exp.agg(F.sum("o_totalprice")).collect()[0][0])
+
+
+def test_rescale_via_sql(spark, catalog, orders):
+    o = orders.select("o_orderkey", "o_totalprice").limit(100)
+    catalog.sql(spark, """
+        CREATE TABLE db.sresc (o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='2')""")
+    t = catalog.get_table("db.sresc")
+    t.write(spark, o)
+    catalog.sql(spark, "ALTER TABLE db.sresc SET TBLPROPERTIES ('bucket'='8')")
+    with pytest.raises(ValueError, match="bucket num"):
+        catalog.sql(spark, "INSERT INTO db.sresc SELECT 1 AS o_orderkey, "
+                           "2.0 AS o_totalprice")
+    catalog.sql(spark, "INSERT OVERWRITE db.sresc SELECT * FROM db.sresc")
+    t2 = catalog.get_table("db.sresc")
+    assert {e.file.total_buckets for e in t2.entries_at()} == {8}
+    assert {e.bucket for e in t2.entries_at()} <= set(range(8))
+    assert t2.read(spark).count() == 100
