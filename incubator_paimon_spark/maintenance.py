@@ -270,3 +270,90 @@ def drop_partition(table, *specs: dict):
                                               e.bucket, e.file) for e in victims])
     return table.commit.commit(msg, schema_id=table.schema.id,
                                kind=COMMIT_OVERWRITE)
+
+
+def clone_table(spark, src_table, dst_catalog, dst_ident: str,
+                parallelism: int | None = None) -> dict:
+    """Clone a table for data migration (clone-tables.md; the reference's
+    Flink clone action, paimon-flink/.../clone/CloneAction): only files
+    referenced by the LATEST snapshot travel — live data files, the index
+    and deletion-vector manifests + their files, the statistics file, and
+    the full schema history (old data files cite their schemaId). The
+    target starts at snapshot-1 APPEND listing the same entries; tags,
+    branches, consumers and older snapshots are not cloned. The file copy
+    is one distributed Spark job over the file list (the reference
+    parallelizes the same way); immutable data files hard-link when source
+    and target share a filesystem."""
+    from .metadata.commit import CommitMessage
+    from .types import COMMIT_APPEND
+
+    snap = src_table.snapshots.latest()
+    entries = src_table.entries_at(snap) if snap is not None else []
+
+    dst = dst_catalog.create_table(
+        dst_ident, src_table.schema.spark_schema(),
+        partition_keys=src_table.schema.partition_keys or None,
+        primary_keys=src_table.schema.primary_keys or None,
+        options=dict(src_table.schema.options))
+    # replace the fresh schema-0 with the source's FULL history: live data
+    # files written under older schemas resolve their schemaId at read
+    src_io, dst_io = src_table.io, dst.io
+    for name in src_io.list_names(os.path.join(src_table.path, "schema")):
+        src_io.copy(os.path.join(src_table.path, "schema", name),
+                    os.path.join(dst.path, "schema", name))
+    if snap is None:
+        return {"table": dst, "files": 0, "bytes": 0}
+
+    # (src_abs, dst_abs) for every latest-snapshot-referenced file
+    pairs = [(os.path.join(src_table.path, e.file.file_name),
+              os.path.join(dst.path, e.file.file_name)) for e in entries]
+
+    def _add_tree(rel_dir_names, subdir):
+        for name in rel_dir_names:
+            p = os.path.join(src_table.path, subdir, name)
+            if src_io.is_dir(p):
+                for f, _sz in src_io.walk_files(p):
+                    rel = f[len(src_table.path):].lstrip("/")
+                    pairs.append((f, os.path.join(dst.path, rel)))
+            else:
+                pairs.append((p, os.path.join(dst.path, subdir, name)))
+
+    if snap.index_manifest:
+        _add_tree([snap.index_manifest], "index")
+        _add_tree(src_table.index.read_files(snap), "index")
+    if snap.dv_manifest:
+        _add_tree([snap.dv_manifest], "dv")
+        _add_tree(src_table.dv.read_manifest(snap)["dirs"], "dv")
+    if snap.statistics:
+        _add_tree([snap.statistics], "statistics")
+
+    n_bytes = sum(e.file.file_size for e in entries)
+    par = max(1, min(len(pairs), parallelism
+                     or spark.sparkContext.defaultParallelism))
+
+    def _copy_part(it):
+        from incubator_paimon_spark.fileio import for_path
+        n = 0
+        io = None
+        for s, d in it:
+            if io is None:
+                io = for_path(d)
+            io.link_or_copy(s, d)
+            n += 1
+        yield n
+
+    copied = sum(spark.sparkContext.parallelize(pairs, par)
+                 .mapPartitions(_copy_part).collect())
+    assert copied == len(pairs), f"clone copied {copied}/{len(pairs)} files"
+
+    dst = type(dst)(dst.path)  # drop any cached schema from the fresh create
+    dst.commit.commit(
+        CommitMessage(add=list(entries)),
+        schema_id=snap.schema_id,
+        kind=COMMIT_APPEND,
+        next_sequence_number=snap.next_sequence_number,
+        index_manifest=snap.index_manifest,
+        dv_manifest=snap.dv_manifest,
+        statistics=snap.statistics,
+    )
+    return {"table": dst, "files": len(pairs), "bytes": n_bytes}

@@ -350,6 +350,23 @@ def _check_mv(spark, catalog, view, **_):
             f"{out['recompute_only']} recompute-only rows")
 
 
+def _clone(spark, catalog, table, target_table, target_warehouse=None,
+           parallelism=None, **_):
+    """CALL sys.clone(table => 'db.t', target_table => 'db2.t'[,
+    target_warehouse => '/other/wh'][, parallelism => N]) — the reference's
+    clone action (clone-tables.md) as a procedure: latest-snapshot files
+    copied by one distributed job into a fresh table."""
+    from .maintenance import clone_table
+    src = _t(catalog, table)
+    dst_cat = catalog
+    if target_warehouse:
+        from .table import Catalog
+        dst_cat = Catalog(target_warehouse)
+    out = clone_table(spark, src, dst_cat, target_table,
+                      parallelism=int(parallelism) if parallelism else None)
+    return {"files": out["files"], "bytes": out["bytes"]}
+
+
 _PROCEDURES = {
     "compact": _compact,
     "recluster_ivf": _recluster_ivf,
@@ -369,6 +386,7 @@ _PROCEDURES = {
     "analyze": _analyze,
     "migrate_table": _migrate_table,
     "migrate_file": _migrate_file,
+    "clone": _clone,
     "repair": _repair,
     "drop_partition": _drop_partition,
     # privilege procedures (reference: paimon-flink/.../procedure/privilege/)
