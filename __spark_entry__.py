@@ -1161,6 +1161,31 @@ def q_rescale_bucket(spark, sf_dir):
                      F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
+def q_tag_partitioned(spark, sf_dir):
+    """Upsert-to-partitioned (upsert-to-partitioned.md): a non-partitioned
+    PK table exposed as partitioned by tag name — each partition is the
+    merged state AT that tag; two commits/tags here, so the same key shows
+    both its historical and current value under different dt."""
+    from incubator_paimon_spark.read import read_tag_partitioned
+    fx = _fixtures(spark, sf_dir)
+    if "tagpart" not in fx:
+        c = _t(spark, sf_dir, "customer")
+        t = fx["cat"].create_table(
+            "fx.tagpart", c.select("c_custkey", "c_acctbal").schema,
+            primary_keys=["c_custkey"],
+            options={"bucket": "2", "metastore.tag-to-partition": "dt"})
+        t.write(spark, c.select("c_custkey",
+                                F.lit(-1.0).alias("c_acctbal")))
+        t.create_tag("2023-10-16", 1)
+        t.write(spark, c.filter(F.col("c_custkey") % 3 == 0)
+                .select("c_custkey", "c_acctbal"))
+        t.create_tag("2023-10-17", 2)
+        fx["tagpart"] = t
+    df = read_tag_partitioned(spark, fx["tagpart"])
+    return df.select("c_custkey", "dt",
+                     F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Token-weighted temperature re-mixing with UniMax-style epoch caps
     (Arivazhagan 2019; Chung 2023): scarce sources are UPSAMPLED by
@@ -1933,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_nulls": q_matview_nulls,
         "matview_append": q_matview_append,
         "rescale_bucket": q_rescale_bucket,
+        "tag_partitioned": q_tag_partitioned,
         "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,

@@ -635,3 +635,58 @@ def _interval_sections(ranged):
     if current:
         sections.append(current)
     return sections
+
+
+def read_tag_partitioned(spark, table, predicate=None, projection=None):
+    """Upsert-to-partitioned reads (upsert-to-partitioned.md): a
+    (typically non-partitioned) PK table whose options carry
+    `metastore.tag-to-partition = <col>` is exposed as if partitioned by
+    <col>, one partition per tag, each holding the merged state AT that
+    tag. With `metastore.tag-to-partition.preview = process-time` the
+    LATEST snapshot additionally appears under today's date before its
+    tag exists (the reference maps the same thing into the Hive
+    metastore; we build the partitioned view directly).
+
+    Scale shape: an equality/IN predicate on <col> prunes driver-side to
+    the named tags before any plan is built, and every leg reuses the
+    full stats/bucket pruning of a normal tag read; the synthetic column
+    is a per-leg literal, so Catalyst constant-folds residual filters on
+    it to prune legs even when the pruning happens post-hoc in SQL."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    col = table.schema.options.get("metastore.tag-to-partition")
+    if not col:
+        raise ValueError("table has no metastore.tag-to-partition option")
+    if col in table.schema.field_names():
+        raise ValueError(f"tag-to-partition column {col!r} collides with a "
+                         f"table field")
+
+    parts: list[tuple[str, dict]] = [(name, {"tag": name})
+                                     for name in table.list_tags()]
+    preview = table.schema.options.get("metastore.tag-to-partition.preview")
+    if preview and table.snapshots.latest() is not None:
+        today = datetime.now().strftime("%Y-%m-%d")
+        if today not in {n for n, _ in parts}:
+            parts.append((today, {}))  # latest snapshot, tag not cut yet
+
+    residual = predicate
+    if predicate is not None:
+        part_pred, residual = split_by_fields(predicate, {col})
+        if part_pred is not None:
+            parts = [(n, k) for n, k in parts
+                     if part_pred.test_value({col: n})]
+
+    legs = []
+    for name, kw in parts:
+        df = table.read(spark, predicate=residual, projection=projection,
+                        **kw)
+        legs.append(df.withColumn(col, F.lit(name)))
+    if not legs:
+        empty = table.read(spark, projection=projection).limit(0)
+        return empty.withColumn(col, F.lit(None).cast("string"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

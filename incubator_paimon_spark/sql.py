@@ -388,8 +388,33 @@ def _rewrite_incremental_tvf(spark, catalog, statement: str) -> str:
     return "".join(out)
 
 
+# paimon_tag_partitioned('db.t') exposes a tag-to-partition table
+# (upsert-to-partitioned.md) as the partitioned view Hive would see: one
+# partition per tag (+ the process-time preview partition). Residual
+# filters on the tag column constant-fold per leg, so Catalyst prunes
+# unnamed tags' scans even though the rewrite binds all of them.
+_TAGPART_TVF = re.compile(
+    r"\bpaimon_tag_partitioned\s*\(\s*('[^']*')\s*\)", re.IGNORECASE)
+
+
+def _rewrite_tag_partitioned_tvf(spark, catalog, statement: str) -> str:
+    out, last = [], 0
+    for m in _TAGPART_TVF.finditer(_mask_literals(statement)):
+        ident = _g(m, statement, 1).strip()[1:-1]
+        from .read import read_tag_partitioned
+        view = re.sub(r"\W", "_", f"pmn_tagpart_{ident}")
+        read_tag_partitioned(spark, catalog.get_table(ident)) \
+            .createOrReplaceTempView(view)
+        out.append(statement[last:m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(statement[last:])
+    return "".join(out)
+
+
 def _exec_select(spark, catalog, statement):
     statement = _rewrite_incremental_tvf(spark, catalog, statement)
+    statement = _rewrite_tag_partitioned_tvf(spark, catalog, statement)
     out = []
     last = 0
     for m in _TT_REF.finditer(_mask_literals(statement)):

@@ -1533,6 +1533,17 @@ SELECT source, count(*) AS n_rows, sum(n_chars)::BIGINT AS chars_sum,
 FROM cur GROUP BY source ORDER BY source
 """
 
+# tag_partitioned (r10): tag-to-partition view — partition 2023-10-16 is
+# the sentinel-balance state at tag 1, 2023-10-17 the post-upsert state.
+ORACLES["tag_partitioned"] = """
+SELECT c_custkey, '2023-10-16' AS dt, -1.0 AS c_acctbal FROM customer
+UNION ALL
+SELECT c_custkey, '2023-10-17' AS dt,
+  round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -1.0 END, 2)
+    AS c_acctbal
+FROM customer
+"""
+
 # rescale_bucket (r10): F partition overwritten at the new bucket count
 # with halved prices, then an upsert of o_orderkey%10==0 into the new
 # layout; other partitions keep the old layout. Merge-on-read semantics

@@ -1,0 +1,89 @@
+"""Upsert-to-partitioned tests (docs/content/migration/
+upsert-to-partitioned.md): metastore.tag-to-partition exposes a
+non-partitioned PK table as partitioned by tag name — one partition per
+tag holding the merged state AT that tag — with driver-side tag pruning,
+plus the process-time preview partition over the latest snapshot."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_paimon_spark import P
+from incubator_paimon_spark.read import read_tag_partitioned
+
+
+def _mk(spark, catalog, customer, preview=False):
+    opts = {"bucket": "2", "metastore.tag-to-partition": "dt"}
+    if preview:
+        opts["metastore.tag-to-partition.preview"] = "process-time"
+    t = catalog.create_table("db.tp", customer.schema,
+                             primary_keys=["c_custkey"], options=opts)
+    t.write(spark, customer.withColumn("c_acctbal", F.lit(1.0)))
+    t.create_tag("2023-10-16", 1)
+    t.write(spark, customer.limit(40).withColumn("c_acctbal", F.lit(2.0)))
+    t.create_tag("2023-10-17", 2)
+    return t
+
+
+def test_tag_partitions_and_pruning(spark, catalog, customer):
+    t = _mk(spark, catalog, customer)
+    n = customer.count()
+    df = read_tag_partitioned(spark, t)
+    assert df.count() == 2 * n
+    assert dict(df.groupBy("dt").count().collect()) == \
+        {"2023-10-16": n, "2023-10-17": n}
+    # each partition is the merged state AT its tag
+    assert df.filter("dt = '2023-10-16' AND c_acctbal = 2.0").count() == 0
+    assert df.filter("dt = '2023-10-17' AND c_acctbal = 2.0").count() == 40
+
+    # driver-side tag pruning: equality on dt builds ONE leg
+    one = read_tag_partitioned(spark, t, predicate=P.eq("dt", "2023-10-16"))
+    assert one.count() == n
+    assert one.select("dt").distinct().collect()[0][0] == "2023-10-16"
+    # residual predicate pushes into the tag read
+    from incubator_paimon_spark.predicate import And
+    mixed = read_tag_partitioned(
+        spark, t, predicate=And([P.eq("dt", "2023-10-17"),
+                                 P.le("c_custkey", 10)]))
+    assert mixed.count() == customer.filter("c_custkey <= 10").count()
+
+    # no tags matched → empty frame with the synthetic column
+    none = read_tag_partitioned(spark, t, predicate=P.eq("dt", "1999-01-01"))
+    assert none.count() == 0 and "dt" in none.columns
+
+
+def test_tag_partition_preview(spark, catalog, customer):
+    t = _mk(spark, catalog, customer, preview=True)
+    # un-tagged third commit becomes visible under today's partition
+    t.write(spark, customer.limit(10).withColumn("c_acctbal", F.lit(3.0)))
+    today = datetime.now().strftime("%Y-%m-%d")
+    df = read_tag_partitioned(spark, t)
+    parts = {r[0] for r in df.select("dt").distinct().collect()}
+    assert parts == {"2023-10-16", "2023-10-17", today}
+    assert df.filter(F.col("dt") == today)
+    assert df.filter((F.col("dt") == today) &
+                     (F.col("c_acctbal") == 3.0)).count() == 10
+
+
+def test_tag_partition_sql_tvf(spark, catalog, customer):
+    t = _mk(spark, catalog, customer)
+    got = catalog.sql(spark, """
+        SELECT dt, count(*) AS n
+        FROM paimon_tag_partitioned('db.tp') GROUP BY dt ORDER BY dt""")
+    assert [(r.dt, r.n) for r in got.collect()] == \
+        [("2023-10-16", customer.count()), ("2023-10-17", customer.count())]
+
+
+def test_tag_partition_errors(spark, catalog, customer):
+    t = catalog.create_table("db.notp", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+    with pytest.raises(ValueError, match="tag-to-partition"):
+        read_tag_partitioned(spark, t)
+    t2 = catalog.create_table(
+        "db.coll", customer.schema, primary_keys=["c_custkey"],
+        options={"bucket": "2",
+                 "metastore.tag-to-partition": "c_name"})
+    with pytest.raises(ValueError, match="collides"):
+        read_tag_partitioned(spark, t2)
