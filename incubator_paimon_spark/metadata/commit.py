@@ -186,6 +186,56 @@ class FileStoreCommit:
         raise ConflictError(f"commit failed after {max_retries} retries")
 
     # ------------------------------------------------------------------
+    def rewrite_metadata(self, patch, kind=COMMIT_COMPACT, max_retries=100):
+        """Metadata-only commit: pass the LIVE entry set through `patch`
+        (list -> new list over the SAME data files — e.g. attaching an
+        embedded file index, RewriteFileIndexProcedure parity) and commit
+        it as the new base with an EMPTY delta, so incremental/changelog
+        readers see no data change (kind COMPACT, like other state-neutral
+        commits). Record counts and sequence numbers carry over. CAS-
+        retried; a lost race re-reads the fresh live set and re-patches."""
+        _t0 = time.time()
+        for attempt in range(max_retries):
+            latest = self.snapshots.latest()
+            if latest is None:
+                return None
+            live = live_entries(self._base_entries(latest))
+            patched = patch(live)
+            if patched is None:
+                return None  # patch found nothing to change
+            base_list = self.manifests.write_manifest_list(
+                self.manifests.write_manifests(patched) if patched else [])
+            snapshot = Snapshot(
+                id=latest.id + 1,
+                schema_id=latest.schema_id,
+                base_manifest_list=base_list,
+                delta_manifest_list=self.manifests.write_manifest_list([]),
+                commit_user=self.commit_user,
+                commit_kind=kind,
+                total_record_count=latest.total_record_count,
+                delta_record_count=0,
+                watermark=latest.watermark,
+                next_sequence_number=latest.next_sequence_number,
+                index_manifest=latest.index_manifest,
+                dv_manifest=latest.dv_manifest,
+                statistics=latest.statistics,
+            )
+            if self.snapshots.try_commit(snapshot):
+                from ..metrics import record
+                record(self.table_path, "commit",
+                       duration_ms=(time.time() - _t0) * 1000,
+                       attempts=attempt + 1, retries=attempt,
+                       files_added=0, files_deleted=0, changelog_files=0,
+                       rows_added=0, rows_deleted=0)
+                _notify_commit(self.table_path, snapshot)
+                return snapshot
+            import random
+            time.sleep(random.random() * min(0.01 * (2 ** min(attempt, 6)),
+                                             0.5))
+        raise ConflictError(
+            f"rewrite_metadata failed after {max_retries} retries")
+
+    # ------------------------------------------------------------------
     def _compact_manifests(self, names: list[str]) -> list[str]:
         """Merge small/dirty manifests, keep near-full clean ones verbatim.
         A manifest is dirty when it holds DELETE entries or any of its ADDs

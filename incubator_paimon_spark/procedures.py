@@ -350,6 +350,60 @@ def _check_mv(spark, catalog, view, **_):
             f"{out['recompute_only']} recompute-only rows")
 
 
+def _rewrite_file_index(spark, catalog, table, **_):
+    """CALL sys.rewrite_file_index(table => 'db.t') — add the embedded
+    bloom file index to EXISTING data files without rewriting them
+    (file-index.md Procedure / RewriteFileIndexProcedure): first ALTER the
+    table's `file-index.bloom-filter.columns`, then this computes blooms
+    for every live file missing one (one distributed pass) and commits a
+    metadata-only snapshot (empty delta; kind COMPACT so stream readers
+    see no data change). Returns the number of files indexed."""
+    import dataclasses
+    import os
+
+    from .write import compute_bloom_positions, _path_key
+
+    t = _t(catalog, table)
+    schema = t.schema
+    cols = [c for c in schema.core_options.bloom_filter_columns
+            if c in schema.field_names()]
+    if not cols:
+        raise ValueError(
+            "set 'file-index.bloom-filter.columns' via ALTER TABLE first")
+    fmt = schema.core_options.file_format
+    if fmt == "avro":
+        raise ValueError("rewrite_file_index reads parquet/orc files; avro "
+                         "tables get their index at write time")
+    todo = [e for e in t.entries_at()
+            if any(c not in e.file.file_index for c in cols)]
+    if not todo:
+        return {"files_indexed": 0}
+    paths = {e.file.file_name: os.path.join(t.path, e.file.file_name)
+             for e in todo}
+    by_file = compute_bloom_positions(spark, sorted(paths.values()), fmt,
+                                      cols)
+    new_idx = {rel: by_file.get(_path_key(p), {})
+               for rel, p in paths.items()}
+
+    def patch(live):
+        out, changed = [], 0
+        for e in live:
+            idx = new_idx.get(e.file.file_name)
+            if idx is not None and any(c not in e.file.file_index
+                                       for c in cols):
+                # copy — never mutate entries owned by the manifest cache
+                merged = {**e.file.file_index, **idx}
+                out.append(dataclasses.replace(
+                    e, file=dataclasses.replace(e.file, file_index=merged)))
+                changed += 1
+            else:
+                out.append(e)
+        return out if changed else None
+
+    snap = t.commit.rewrite_metadata(patch)
+    return {"files_indexed": len(todo) if snap is not None else 0}
+
+
 def _clone(spark, catalog, table, target_table, target_warehouse=None,
            parallelism=None, **_):
     """CALL sys.clone(table => 'db.t', target_table => 'db2.t'[,
@@ -387,6 +441,7 @@ _PROCEDURES = {
     "migrate_table": _migrate_table,
     "migrate_file": _migrate_file,
     "clone": _clone,
+    "rewrite_file_index": _rewrite_file_index,
     "repair": _repair,
     "drop_partition": _drop_partition,
     # privilege procedures (reference: paimon-flink/.../procedure/privilege/)

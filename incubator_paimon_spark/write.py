@@ -724,16 +724,16 @@ def _collect_stats_spark(spark, files: list[str], fmt: str, schema,
     return out
 
 
-def _attach_bloom_index(spark, staging, adds, cols):
-    """Per-file per-column bloom positions, computed in ONE distributed pass
-    over the freshly written staging files (BloomFilterFileIndex.java:48).
-    The hash family is h32(i ':' value) mod M — the md5-based h32 shared
-    with the planner (plan-time membership check is pure Python hashlib).
-    Saturated filters (>M/2 set bits) are stored as None = no pruning."""
+def compute_bloom_positions(spark, paths: list[str], fmt: str,
+                            cols: list[str]) -> dict:
+    """Per-file per-column bloom positions in ONE distributed pass
+    (BloomFilterFileIndex.java:48). The hash family is h32(i ':' value)
+    mod M — the md5-based h32 shared with the planner (plan-time
+    membership check is pure Python hashlib). Saturated filters (>M/2
+    set bits) come back as None = no pruning. Returns
+    {path_key: {col: sorted positions | None}}."""
     from .operators.dedup import h32
 
-    paths = [e.staging_path for e in adds]
-    fmt = "orc" if paths and paths[0].endswith(".orc") else "parquet"
     df = spark.read.format(fmt).load(paths).select(
         F.col("_metadata.file_path").alias("__f"),
         *[F.col(c).cast("string").alias(c) for c in cols])
@@ -749,12 +749,18 @@ def _attach_bloom_index(spark, staging, adds, cols):
               .collect())
     by_file: dict = {}
     for r in rows:
-        by_file.setdefault(_path_key(r["__f"]), {})[r["c"]] = sorted(r["ps"])
+        ps = sorted(r["ps"])
+        by_file.setdefault(_path_key(r["__f"]), {})[r["c"]] = \
+            None if len(ps) > BLOOM_M // 2 else ps
+    return by_file
+
+
+def _attach_bloom_index(spark, staging, adds, cols):
+    paths = [e.staging_path for e in adds]
+    fmt = "orc" if paths and paths[0].endswith(".orc") else "parquet"
+    by_file = compute_bloom_positions(spark, paths, fmt, cols)
     for e in adds:
-        idx = by_file.get(_path_key(e.staging_path), {})
-        e.file.file_index = {
-            c: (None if ps and len(ps) > BLOOM_M // 2 else ps)
-            for c, ps in idx.items()}
+        e.file.file_index = dict(by_file.get(_path_key(e.staging_path), {}))
 
 
 def state_diff_kinds(old_df, new_df, schema):

@@ -873,3 +873,31 @@ def test_write_time_universal_compaction_trigger(spark, catalog, customer):
         wo.write(spark, customer.filter(F.col("c_custkey") % 7 == i))
     assert [s.commit_kind for s in wo.snapshots.list_all()] == ["APPEND"] * 7
     assert len(wo.entries_at()) == 7
+
+
+def test_rewrite_file_index(spark, catalog, customer):
+    """CALL sys.rewrite_file_index adds blooms to existing files without
+    rewriting data (file-index.md Procedure / RewriteFileIndexProcedure)."""
+    t = catalog.create_table("db.rfi", customer.schema)  # no bloom option
+    t.write(spark, customer.filter("c_custkey < 50"))
+    t.write(spark, customer.filter("c_custkey >= 50 AND c_custkey < 100"))
+    t.write(spark, customer.filter("c_custkey >= 100"))
+    assert all(not e.file.file_index for e in t.entries_at())
+    with pytest.raises(ValueError, match="bloom-filter.columns"):
+        catalog.sql(spark, "CALL sys.rewrite_file_index(table => 'db.rfi')")
+    catalog.sql(spark, "ALTER TABLE db.rfi SET TBLPROPERTIES ("
+                       "'file-index.bloom-filter.columns'='c_name')")
+    catalog.sql(spark, "CALL sys.rewrite_file_index(table => 'db.rfi')")
+    t = catalog.get_table("db.rfi")
+    assert all("c_name" in e.file.file_index for e in t.entries_at())
+    name = customer.filter("c_custkey = 120").first()["c_name"]
+    assert len(t.new_scan().plan(P.eq("c_name", name)).entries) == 1
+    assert len(t.new_scan().plan(P.eq("c_name", "no-such")).entries) == 0
+    # metadata-only snapshot: state unchanged, empty delta, COMPACT kind
+    assert t.read(spark).count() == customer.count()
+    s = t.snapshots.latest()
+    assert s.commit_kind == "COMPACT" and s.delta_record_count == 0
+    assert s.total_record_count == customer.count()
+    # idempotent: a second call finds nothing and commits nothing
+    catalog.sql(spark, "CALL sys.rewrite_file_index(table => 'db.rfi')")
+    assert catalog.get_table("db.rfi").snapshots.latest().id == s.id
