@@ -85,6 +85,34 @@ def _rollback(spark, catalog, table, version=None, tag=None, **_):
     return _t(catalog, table).rollback_to(snapshot_id=version, tag=tag)
 
 
+def _compact_database(spark, catalog, including_databases=None,
+                      including_tables=None, excluding_tables=None,
+                      full=False, **_):
+    """CALL sys.compact_database([includingDatabases][, mode][,
+    includingTables][, excludingTables]) — compact every matching table
+    (CompactDatabaseProcedure; 'db1|db2' and table regexes as in the
+    reference). Tables with nothing to compact are skipped by the picker.
+    Returns {'db.table': snapshot_id | None}."""
+    import re as _re
+
+    dbs = catalog.list_databases()
+    if including_databases:
+        pat = _re.compile(f"^(?:{including_databases})$")
+        dbs = [d for d in dbs if pat.match(d)]
+    inc = _re.compile(f"^(?:{including_tables})$") if including_tables else None
+    exc = _re.compile(f"^(?:{excluding_tables})$") if excluding_tables else None
+    out = {}
+    for db in dbs:
+        for name in catalog.list_tables(db):
+            if inc and not inc.match(name):
+                continue
+            if exc and exc.match(name):
+                continue
+            snap = catalog.get_table(f"{db}.{name}").compact(spark, full=full)
+            out[f"{db}.{name}"] = snap.id if snap is not None else None
+    return out
+
+
 def _create_branch(spark, catalog, table, branch, tag=None, snapshot=None, **_):
     return _t(catalog, table).create_branch(branch, tag=tag, snapshot_id=snapshot)
 
@@ -430,6 +458,8 @@ _PROCEDURES = {
     "create_tag": _create_tag,
     "delete_tag": _delete_tag,
     "rollback": _rollback,
+    "rollback_to": _rollback,  # the Flink surface's name for the same op
+    "compact_database": _compact_database,
     "create_branch": _create_branch,
     "delete_branch": _delete_branch,
     "fast_forward": _fast_forward,

@@ -207,3 +207,33 @@ def test_lifecycle_soak_many_commits(spark, catalog):
     got2 = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got2 == model
     assert {r["k"]: r["v"] for r in t.read(spark, tag="t10").collect()} == tagged
+
+
+def test_compact_database_and_rollback_to(spark, catalog, customer):
+    """CALL sys.compact_database with db/table regexes
+    (CompactDatabaseProcedure) + the rollback_to procedure alias."""
+    for name in ("ca", "cb", "skipme"):
+        t = catalog.create_table(f"db.{name}", customer.schema,
+                                 primary_keys=["c_custkey"],
+                                 options={"bucket": "1"})
+        for _ in range(6):  # enough sorted runs to trigger the picker
+            t.write(spark, customer.limit(30))
+    got = catalog.sql(spark, "CALL sys.compact_database("
+                             "including_databases => 'db', "
+                             "including_tables => 'c.*', "
+                             "excluding_tables => 'cb', full => true)")
+    assert set(got) == {"db.ca"} and got["db.ca"] is not None
+    t = catalog.get_table("db.ca")
+    max_level = t.schema.core_options.num_levels - 1
+    assert {e.file.level for e in t.entries_at()} == {max_level}
+    # untouched tables keep their level-0 runs
+    assert 0 in {e.file.level
+                 for e in catalog.get_table("db.cb").entries_at()}
+
+    before = t.read(spark).count()
+    sid = t.snapshots.latest().id
+    t.write(spark, customer.limit(5).withColumn(
+        "c_custkey", F.col("c_custkey") + 90_000))
+    catalog.sql(spark, f"CALL sys.rollback_to(table => 'db.ca', "
+                       f"version => {sid})")
+    assert catalog.get_table("db.ca").read(spark).count() == before
