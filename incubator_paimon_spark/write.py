@@ -537,6 +537,16 @@ class BatchTableWrite:
         to match the current option, which was immutable back then."""
         if latest is None:
             return
+        # 100× short-circuit: mixed layouts can only exist after an ALTER
+        # changed 'bucket' somewhere in the schema history. Schema files are
+        # few and cached, so this check is O(schemas); without it every
+        # INSERT INTO a never-rescaled 10^6-file table would walk all live
+        # entries below just to find nothing.
+        t = self.table
+        cur = t.schema.options.get("bucket")
+        if all(t.schema_at(sid).options.get("bucket") == cur
+               for sid in range(t.schema.id)):
+            return
         touched = {tuple(sorted(a.partition.items())) for a in adds}
         for e in self.table.entries_at(latest):
             tb = e.file.total_buckets
