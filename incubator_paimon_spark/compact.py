@@ -208,15 +208,18 @@ def _compact_pk(spark, table, full, predicate, buckets=None, entries=None):
     # used — so the recorded totalBuckets joins the grouping key and is
     # pinned through bucket_num_override (None = pre-rescale legacy files,
     # hashed with the then-immutable current option)
+    from .read import file_layout_buckets
+    _memo: dict = {}
     by_level: dict[tuple, list[ManifestEntry]] = {}
     for lvl, files in to_rewrite:
-        layout = next((e.file.total_buckets for e in files
-                       if e.file.total_buckets is not None), None)
+        # resolved per group: recorded totalBuckets, else the write-time
+        # schema's bucket option (legacy files) — never the current option
+        layout = file_layout_buckets(table, files[0], opts.bucket, _memo)
         by_level.setdefault((lvl, layout), []).extend(files)
 
     snap = None
-    for (out_level, layout), files in sorted(
-            by_level.items(), key=lambda kv: (kv[0][0], kv[0][1] or 0)):
+    for (out_level, layout), files in sorted(by_level.items(),
+                                             key=lambda kv: kv[0]):
         df = read_files_df(spark, table, files, schema, with_level=True)
         merged = apply_merge(df, schema, drop_deletes=(out_level == max_level))
         merged = _record_level_expire(merged, opts)

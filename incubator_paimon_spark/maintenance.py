@@ -346,7 +346,11 @@ def clone_table(spark, src_table, dst_catalog, dst_ident: str,
                  .mapPartitions(_copy_part).collect())
     assert copied == len(pairs), f"clone copied {copied}/{len(pairs)} files"
 
-    dst = type(dst)(dst.path)  # drop any cached schema from the fresh create
+    # re-open from the path: drops the cached schema from the fresh create
+    # and sidesteps catalog wrappers (PrivilegedCatalog returns a proxy
+    # whose constructor is not path-only)
+    from .table import Table
+    dst = Table(dst.path)
     dst.commit.commit(
         CommitMessage(add=list(entries)),
         schema_id=snap.schema_id,

@@ -87,12 +87,15 @@ def _rollback(spark, catalog, table, version=None, tag=None, **_):
 
 def _compact_database(spark, catalog, including_databases=None,
                       including_tables=None, excluding_tables=None,
-                      full=False, **_):
-    """CALL sys.compact_database([includingDatabases][, mode][,
+                      full=False, mode=None, **_):
+    """CALL sys.compact_database([includingDatabases][,
     includingTables][, excludingTables]) — compact every matching table
     (CompactDatabaseProcedure; 'db1|db2' and table regexes as in the
     reference). Tables with nothing to compact are skipped by the picker.
-    Returns {'db.table': snapshot_id | None}."""
+    `mode` ('divided'/'combined') shapes the FLINK job topology in the
+    reference; here every table is its own Spark job either way, so it is
+    accepted for signature parity and has no effect. Returns
+    {'db.table': snapshot_id | None}."""
     import re as _re
 
     dbs = catalog.list_databases()
@@ -410,26 +413,33 @@ def _rewrite_file_index(spark, catalog, table, **_):
              for e in todo}
     by_file = compute_bloom_positions(spark, sorted(paths.values()), fmt,
                                       cols)
-    new_idx = {rel: by_file.get(_path_key(p), {})
+    # a column yielding no positions (all-NULL in that file) gets an EMPTY
+    # bloom: nothing was inserted, so equality probes prune the file —
+    # correct, and it keeps the procedure convergent (the column can never
+    # re-enter `todo`)
+    new_idx = {rel: {c: by_file.get(_path_key(p), {}).get(c, [])
+                     for c in cols}
                for rel, p in paths.items()}
+
+    n_changed = [0]
 
     def patch(live):
         out, changed = [], 0
         for e in live:
             idx = new_idx.get(e.file.file_name)
-            if idx is not None and any(c not in e.file.file_index
-                                       for c in cols):
+            merged = {**e.file.file_index, **idx} if idx is not None else None
+            if merged is not None and merged != e.file.file_index:
                 # copy — never mutate entries owned by the manifest cache
-                merged = {**e.file.file_index, **idx}
                 out.append(dataclasses.replace(
                     e, file=dataclasses.replace(e.file, file_index=merged)))
                 changed += 1
             else:
                 out.append(e)
+        n_changed[0] = changed
         return out if changed else None
 
     snap = t.commit.rewrite_metadata(patch)
-    return {"files_indexed": len(todo) if snap is not None else 0}
+    return {"files_indexed": n_changed[0] if snap is not None else 0}
 
 
 def _clone(spark, catalog, table, target_table, target_warehouse=None,

@@ -207,9 +207,11 @@ class LocalTableQuery:
         kp = per_schema_predicate(self.table, schema, key_pred)
 
         out = []
+        from .read import file_layout_buckets
+        _memo: dict = {}
         for (pt, b), entries in self._groups.items():
-            if key_hash is not None and b != key_hash % (
-                    entries[0].file.total_buckets or nb):
+            if key_hash is not None and b != key_hash % file_layout_buckets(
+                    self.table, entries[0], nb, _memo):
                 continue
             if part_pred is not None and not part_pred.test_value(self._parts[pt]):
                 continue

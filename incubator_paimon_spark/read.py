@@ -124,11 +124,13 @@ class TableScan:
             if h is not None:
                 # per-entry layout: after a rescale (rescale-bucket.md)
                 # partitions may carry different bucket counts — each file's
-                # recorded totalBuckets decides which bucket the key hashes
-                # to in THAT layout (None = legacy, current option)
+                # recorded (or write-time-schema-derived) layout decides
+                # which bucket the key hashes to in THAT layout
                 nb = schema.core_options.bucket
+                memo: dict = {}
                 entries = [e for e in entries
-                           if e.bucket == h % (e.file.total_buckets or nb)]
+                           if e.bucket == h % file_layout_buckets(
+                               t, e, nb, memo)]
             _n_bucket = len(entries)
             # stats-based file skipping (AbstractFileStoreScan.java:519) +
             # bloom-filter file index (BloomFilterFileIndex.java:48).
@@ -208,6 +210,29 @@ def _top_level_equalities(pred: Predicate) -> dict:
         elif isinstance(p, Leaf) and p.op == "eq":
             out[p.field] = p.literal
     walk(pred)
+    return out
+
+
+def file_layout_buckets(table, entry, default_nb: int,
+                        memo: dict | None = None) -> int:
+    """The bucket count `entry`'s file was hashed with. Recorded files
+    carry it (manifest totalBuckets); legacy files predate the recording,
+    and their layout is the 'bucket' option of their WRITE-TIME schema
+    (entries carry schemaId, schemas never expire) — never the current
+    option, which an ALTER may have changed since. Pass a dict as `memo`
+    when resolving many entries: schema lookups collapse to O(schemas)."""
+    tb = entry.file.total_buckets
+    if tb is not None:
+        return tb
+    sid = entry.file.schema_id
+    if memo is not None and sid in memo:
+        return memo[sid]
+    try:
+        out = int(table.schema_at(sid).options.get("bucket", default_nb))
+    except Exception:
+        out = default_nb
+    if memo is not None:
+        memo[sid] = out
     return out
 
 
@@ -666,17 +691,25 @@ def read_tag_partitioned(spark, table, predicate=None, projection=None):
     parts: list[tuple[str, dict]] = [(name, {"tag": name})
                                      for name in table.list_tags()]
     preview = table.schema.options.get("metastore.tag-to-partition.preview")
-    if preview and table.snapshots.latest() is not None:
+    # the documented (and only) preview mode; any other value stays off
+    if preview == "process-time" and table.snapshots.latest() is not None:
         today = datetime.now().strftime("%Y-%m-%d")
         if today not in {n for n, _ in parts}:
             parts.append((today, {}))  # latest snapshot, tag not cut yet
 
     residual = predicate
+    post_filter = None
     if predicate is not None:
         part_pred, residual = split_by_fields(predicate, {col})
         if part_pred is not None:
             parts = [(n, k) for n, k in parts
                      if part_pred.test_value({col: n})]
+        if residual is not None and col in residual.fields():
+            # non-AND shapes (e.g. OR over the tag column) don't split:
+            # the table itself has no tag column, so apply the whole
+            # residual AFTER the union, where the per-leg literal exists —
+            # Catalyst still constant-folds it into per-leg pruning
+            post_filter, residual = residual, None
 
     legs = []
     for name, kw in parts:
@@ -689,4 +722,6 @@ def read_tag_partitioned(spark, table, predicate=None, projection=None):
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
+    if post_filter is not None:
+        out = out.filter(post_filter.to_column())
     return out

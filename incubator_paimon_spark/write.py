@@ -533,8 +533,9 @@ class BatchTableWrite:
         whose live files were hashed with a different bucket count must be
         INSERT OVERWRITE-rewritten before plain appends resume, or one key
         would land in two buckets and merge-on-read would split it. Legacy
-        files (no recorded count) predate rescale support and are assumed
-        to match the current option, which was immutable back then."""
+        files (no recorded count) resolve their layout from their
+        write-time schema's bucket option (file_layout_buckets), so tables
+        that predate the recording are protected too."""
         if latest is None:
             return
         # 100× short-circuit: mixed layouts can only exist after an ALTER
@@ -547,10 +548,12 @@ class BatchTableWrite:
         if all(t.schema_at(sid).options.get("bucket") == cur
                for sid in range(t.schema.id)):
             return
+        from .read import file_layout_buckets
         touched = {tuple(sorted(a.partition.items())) for a in adds}
+        _memo: dict = {}
         for e in self.table.entries_at(latest):
-            tb = e.file.total_buckets
-            if (tb is not None and tb != num_buckets
+            tb = file_layout_buckets(t, e, num_buckets, _memo)
+            if (tb != num_buckets
                     and tuple(sorted(e.partition.items())) in touched):
                 part = dict(e.partition) or "<unpartitioned>"
                 raise ValueError(

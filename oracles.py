@@ -1545,7 +1545,8 @@ FROM customer
 """
 
 # rescale_bucket (r10): F partition overwritten at the new bucket count
-# with halved prices, then an upsert of o_orderkey%10==0 into the new
+# with +10000 prices (an integer shift keeps the 2-decimal tail — no
+# round-tie digits), then an upsert of o_orderkey%10==0 into the new
 # layout; other partitions keep the old layout. Merge-on-read semantics
 # are layout-independent, so the oracle is plain last-write-wins.
 ORACLES["rescale_bucket"] = """

@@ -135,3 +135,37 @@ def test_rescale_via_sql(spark, catalog, orders):
     assert {e.file.total_buckets for e in t2.entries_at()} == {8}
     assert {e.bucket for e in t2.entries_at()} <= set(range(8))
     assert t2.read(spark).count() == 100
+
+
+def test_rescale_protects_legacy_files(spark, catalog, orders):
+    """Files written before totalBuckets was recorded (None in the
+    manifest) resolve their layout from their WRITE-TIME schema's bucket
+    option — so pre-feature tables are guarded and pruned exactly too."""
+    import dataclasses
+    t, o = _mk(spark, catalog, orders)
+    # simulate a pre-feature table: strip the recorded layout
+    t.commit.rewrite_metadata(lambda live: [
+        dataclasses.replace(e, file=dataclasses.replace(
+            e.file, total_buckets=None)) for e in live])
+    t = catalog.get_table("db.resc")
+    assert {e.file.total_buckets for e in t.entries_at()} == {None}
+
+    t = _rescale(spark, catalog, "db.resc", 4)
+    # guard: legacy layout (schema-0 bucket=2) != new option
+    with pytest.raises(ValueError, match="bucket num"):
+        t.write(spark, o.filter("o_orderstatus = 'F'").limit(5))
+    # pruned reads and point lookups still resolve the legacy layout
+    row = o.filter("o_orderstatus = 'F'").limit(1).collect()[0]
+    from incubator_paimon_spark.predicate import And
+    pred = And([P.eq("o_orderkey", row.o_orderkey),
+                P.eq("o_orderstatus", "F")])
+    got = t.read(spark, predicate=pred).collect()
+    assert len(got) == 1 and got[0].o_custkey == row.o_custkey
+    q = t.new_query()
+    hit = q.lookup({"o_orderkey": row.o_orderkey, "o_orderstatus": "F"})
+    assert hit is not None and hit["o_custkey"] == row.o_custkey
+    # after OVERWRITE the partition is stamped with the new layout
+    t.write(spark, o.filter("o_orderstatus = 'F'"),
+            overwrite={"o_orderstatus": "F"})
+    assert _layouts(t)["F"] == {4}
+    assert t.read(spark).count() == o.count()

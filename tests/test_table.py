@@ -901,3 +901,29 @@ def test_rewrite_file_index(spark, catalog, customer):
     # idempotent: a second call finds nothing and commits nothing
     catalog.sql(spark, "CALL sys.rewrite_file_index(table => 'db.rfi')")
     assert catalog.get_table("db.rfi").snapshots.latest().id == s.id
+
+
+def test_rewrite_file_index_null_column_converges(spark, catalog, customer):
+    """A file whose bloom column is entirely NULL gets an EMPTY bloom
+    (nothing inserted → equality probes prune it, which is exact), and the
+    procedure converges instead of committing a no-op snapshot forever."""
+    t = catalog.create_table("db.rfin", customer.schema)
+    t.write(spark, customer.filter("c_custkey < 50")
+            .withColumn("c_name", F.lit(None).cast("string")))
+    t.write(spark, customer.filter("c_custkey >= 50"))
+    catalog.sql(spark, "ALTER TABLE db.rfin SET TBLPROPERTIES ("
+                       "'file-index.bloom-filter.columns'='c_name')")
+    got = catalog.sql(spark,
+                      "CALL sys.rewrite_file_index(table => 'db.rfin')")
+    assert got["files_indexed"] == 2
+    t = catalog.get_table("db.rfin")
+    assert all("c_name" in e.file.file_index for e in t.entries_at())
+    sid = t.snapshots.latest().id
+    # converged: the all-NULL file never re-enters the todo set
+    got = catalog.sql(spark,
+                      "CALL sys.rewrite_file_index(table => 'db.rfin')")
+    assert got["files_indexed"] == 0
+    assert catalog.get_table("db.rfin").snapshots.latest().id == sid
+    # the empty bloom prunes every equality probe on the NULL file
+    name = customer.filter("c_custkey = 120").first()["c_name"]
+    assert len(t.new_scan().plan(P.eq("c_name", name)).entries) == 1

@@ -87,3 +87,28 @@ def test_tag_partition_errors(spark, catalog, customer):
                  "metastore.tag-to-partition": "c_name"})
     with pytest.raises(ValueError, match="collides"):
         read_tag_partitioned(spark, t2)
+
+
+def test_tag_partition_or_predicate_and_preview_off(spark, catalog,
+                                                    customer):
+    """OR shapes over the tag column can't split into a partition filter:
+    they apply AFTER the union (the table has no tag field). A preview
+    value other than 'process-time' stays off."""
+    from incubator_paimon_spark.predicate import Or
+    t = _mk(spark, catalog, customer)
+    pred = Or([P.eq("dt", "2023-10-16"), P.le("c_custkey", 10)])
+    got = read_tag_partitioned(spark, t, predicate=pred)
+    n = customer.count()
+    small = customer.filter("c_custkey <= 10").count()
+    assert got.count() == n + small  # all of tag1 + small slice of tag2
+
+    t2 = catalog.create_table(
+        "db.tpoff", customer.schema, primary_keys=["c_custkey"],
+        options={"bucket": "1", "metastore.tag-to-partition": "dt",
+                 "metastore.tag-to-partition.preview": "false"})
+    t2.write(spark, customer)
+    t2.create_tag("2023-10-16", 1)
+    t2.write(spark, customer.limit(5))  # untagged commit
+    parts = {r[0] for r in read_tag_partitioned(spark, t2)
+             .select("dt").distinct().collect()}
+    assert parts == {"2023-10-16"}
