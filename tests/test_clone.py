@@ -84,3 +84,23 @@ def test_clone_procedure(spark, catalog, dst_catalog, orders):
     catalog.sql(spark, "CALL sys.clone(table => 'db.po', "
                        "target_table => 'db.po2', parallelism => 2)")
     assert _same(t.read(spark), catalog.get_table("db.po2").read(spark))
+
+
+def test_clone_dynamic_bucket_index(spark, catalog, dst_catalog, customer):
+    """Dynamic-bucket tables carry a hash index referenced by the
+    snapshot's indexManifest — the clone must copy it so upserts into the
+    clone keep routing keys to their existing buckets."""
+    t = catalog.create_table("db.dynsrc", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "-1"})
+    t.write(spark, customer)
+    t.write(spark, customer.limit(30).withColumn("c_acctbal", F.lit(9.0)))
+    assert t.snapshots.latest().index_manifest is not None
+
+    c = clone_table(spark, t, dst_catalog, "db2.dyndst")["table"]
+    assert c.snapshots.latest().index_manifest is not None
+    assert _same(t.read(spark), c.read(spark))
+    # upsert into the clone: index routing keeps the key unique
+    c.write(spark, customer.limit(30).withColumn("c_acctbal", F.lit(7.0)))
+    assert c.read(spark).count() == customer.count()
+    assert c.read(spark).filter("c_acctbal = 7.0").count() == 30
