@@ -1163,8 +1163,24 @@ def _exec_show(spark, catalog, statement):
         return spark.createDataFrame(rows or [], "namespace string, tableName string")
     m = re.match(r"SHOW\s+PARTITIONS\s+([\w.]+)\s*$", s, re.IGNORECASE)
     if m:
+        t = catalog.get_table(m.group(1))
+        tag_col = t.schema.options.get("metastore.tag-to-partition")
+        if tag_col:
+            # tag-to-partition tables list their TAGS as partitions, the
+            # exact rows Hive shows in upsert-to-partitioned.md (plus the
+            # process-time preview partition when enabled)
+            from datetime import datetime
+            names = t.list_tags()
+            if (t.schema.options.get("metastore.tag-to-partition.preview")
+                    == "process-time" and t.snapshots.latest() is not None):
+                today = datetime.now().strftime("%Y-%m-%d")
+                if today not in names:
+                    names = names + [today]
+            return spark.createDataFrame(
+                [(f"{tag_col}={n}",) for n in sorted(names)],
+                "partition string")
         from .system_tables import system_table
-        return system_table(spark, catalog.get_table(m.group(1)), "partitions")
+        return system_table(spark, t, "partitions")
     m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", s, re.IGNORECASE)
     if m:
         # DDL that round-trips through our own CREATE parser (DDLTestBase

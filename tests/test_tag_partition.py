@@ -112,3 +112,11 @@ def test_tag_partition_or_predicate_and_preview_off(spark, catalog,
     parts = {r[0] for r in read_tag_partitioned(spark, t2)
              .select("dt").distinct().collect()}
     assert parts == {"2023-10-16"}
+
+
+def test_show_partitions_lists_tags(spark, catalog, customer):
+    """SHOW PARTITIONS on a tag-to-partition table lists tags exactly as
+    the reference's Hive surface does (upsert-to-partitioned.md)."""
+    t = _mk(spark, catalog, customer)
+    rows = catalog.sql(spark, "SHOW PARTITIONS db.tp").collect()
+    assert [r.partition for r in rows] == ["dt=2023-10-16", "dt=2023-10-17"]
