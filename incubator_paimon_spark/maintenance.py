@@ -304,19 +304,19 @@ def clone_table(spark, src_table, dst_catalog, dst_ident: str,
     if snap is None:
         return {"table": dst, "files": 0, "bytes": 0}
 
-    # (src_abs, dst_abs) for every latest-snapshot-referenced file
-    pairs = [(os.path.join(src_table.path, e.file.file_name),
-              os.path.join(dst.path, e.file.file_name)) for e in entries]
+    # table-relative paths of every latest-snapshot-referenced file — the
+    # job ships ONLY these strings (roots travel once in the closure), so
+    # the driver-side list stays one short string per file at 10^6 files
+    rels = [e.file.file_name for e in entries]
 
     def _add_tree(rel_dir_names, subdir):
         for name in rel_dir_names:
             p = os.path.join(src_table.path, subdir, name)
             if src_io.is_dir(p):
                 for f, _sz in src_io.walk_files(p):
-                    rel = f[len(src_table.path):].lstrip("/")
-                    pairs.append((f, os.path.join(dst.path, rel)))
+                    rels.append(f[len(src_table.path):].lstrip("/"))
             else:
-                pairs.append((p, os.path.join(dst.path, subdir, name)))
+                rels.append(f"{subdir}/{name}")
 
     if snap.index_manifest:
         _add_tree([snap.index_manifest], "index")
@@ -328,23 +328,24 @@ def clone_table(spark, src_table, dst_catalog, dst_ident: str,
         _add_tree([snap.statistics], "statistics")
 
     n_bytes = sum(e.file.file_size for e in entries)
-    par = max(1, min(len(pairs), parallelism
+    par = max(1, min(len(rels), parallelism
                      or spark.sparkContext.defaultParallelism))
+    src_root, dst_root = src_table.path, dst.path
 
     def _copy_part(it):
+        import os as _os
         from incubator_paimon_spark.fileio import for_path
+        io = for_path(dst_root)
         n = 0
-        io = None
-        for s, d in it:
-            if io is None:
-                io = for_path(d)
-            io.link_or_copy(s, d)
+        for rel in it:
+            io.link_or_copy(_os.path.join(src_root, rel),
+                            _os.path.join(dst_root, rel))
             n += 1
         yield n
 
-    copied = sum(spark.sparkContext.parallelize(pairs, par)
+    copied = sum(spark.sparkContext.parallelize(rels, par)
                  .mapPartitions(_copy_part).collect())
-    assert copied == len(pairs), f"clone copied {copied}/{len(pairs)} files"
+    assert copied == len(rels), f"clone copied {copied}/{len(rels)} files"
 
     # re-open from the path: drops the cached schema from the fresh create
     # and sidesteps catalog wrappers (PrivilegedCatalog returns a proxy
@@ -360,4 +361,4 @@ def clone_table(spark, src_table, dst_catalog, dst_ident: str,
         dv_manifest=snap.dv_manifest,
         statistics=snap.statistics,
     )
-    return {"table": dst, "files": len(pairs), "bytes": n_bytes}
+    return {"table": dst, "files": len(rels), "bytes": n_bytes}
