@@ -216,7 +216,27 @@ def auto_create_tags(table, snapshot):
         tags = table.list_tags()
         for old in tags[:-retained]:
             table.delete_tag(old)
+    expire_tags_by_time(table)
     return name
+
+
+def expire_tags_by_time(table, now_ms: int | None = None) -> list[str]:
+    """tag.default-time-retained (manage-tags.md; TagTimeExpire): delete
+    tags whose tagged snapshot's commit time fell out of the retention
+    window. Runs from the auto-tag hook; `now_ms` is injectable for tests.
+    Returns the deleted tag names."""
+    from .options import parse_duration_ms
+    ttl = table.options.raw.get("tag.default-time-retained")
+    if not ttl:
+        return []
+    cutoff = (now_ms if now_ms is not None
+              else int(time.time() * 1000)) - parse_duration_ms(ttl)
+    out = []
+    for name in table.list_tags():
+        if table.tag_snapshot(name).time_millis < cutoff:
+            table.delete_tag(name)
+            out.append(name)
+    return out
 
 
 def expire_changelogs(table, older_than_ms=None, retain_max=None):

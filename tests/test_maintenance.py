@@ -237,3 +237,25 @@ def test_compact_database_and_rollback_to(spark, catalog, customer):
     catalog.sql(spark, f"CALL sys.rollback_to(table => 'db.ca', "
                        f"version => {sid})")
     assert catalog.get_table("db.ca").read(spark).count() == before
+
+
+def test_tag_time_retention(spark, catalog, customer):
+    """tag.default-time-retained deletes tags whose tagged snapshot aged
+    out (manage-tags.md); fresh tags survive."""
+    from incubator_paimon_spark.maintenance import expire_tags_by_time
+    t = catalog.create_table(
+        "db.tagttl", customer.schema,
+        options={"tag.default-time-retained": "1 h"})
+    t.write(spark, customer.limit(20))
+    t.write(spark, customer.limit(40))
+    t.create_tag("old", 1)
+    t.create_tag("fresh", 2)
+    now = t.tag_snapshot("fresh").time_millis
+    # both snapshots are seconds apart: with now just after the commits,
+    # both tags are inside the 1h window
+    assert expire_tags_by_time(t, now_ms=now + 10_000) == []
+    assert set(t.list_tags()) == {"old", "fresh"}
+    # pretend 2h passed: both tagged snapshots aged out
+    aged_now = t.tag_snapshot("old").time_millis + 2 * 3600 * 1000
+    assert set(expire_tags_by_time(t, now_ms=aged_now)) == {"old", "fresh"}
+    assert t.list_tags() == []
