@@ -221,19 +221,27 @@ def auto_create_tags(table, snapshot):
 
 
 def expire_tags_by_time(table, now_ms: int | None = None) -> list[str]:
-    """tag.default-time-retained (manage-tags.md; TagTimeExpire): delete
-    tags whose tagged snapshot's commit time fell out of the retention
-    window. Runs from the auto-tag hook; `now_ms` is injectable for tests.
-    Returns the deleted tag names."""
+    """Time-based tag expiry (manage-tags.md; TagTimeExpire): a tag ages
+    out when its CREATION time (recorded in the tag file; legacy tags fall
+    back to the tagged snapshot's commit time) passes the tag's own
+    time_retained, else the table's tag.default-time-retained. Runs from
+    the auto-tag hook; `now_ms` is injectable for tests. Returns the
+    deleted tag names."""
+    import os
+
+    from .metadata.util import read_json
     from .options import parse_duration_ms
-    ttl = table.options.raw.get("tag.default-time-retained")
-    if not ttl:
-        return []
-    cutoff = (now_ms if now_ms is not None
-              else int(time.time() * 1000)) - parse_duration_ms(ttl)
+    default = table.options.raw.get("tag.default-time-retained")
+    default_ms = parse_duration_ms(default) if default else None
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
     out = []
     for name in table.list_tags():
-        if table.tag_snapshot(name).time_millis < cutoff:
+        j = read_json(os.path.join(table.path, "tag", f"tag-{name}"))
+        ttl = j.get("tagTimeRetained", default_ms)
+        if ttl is None:
+            continue
+        born = j.get("tagCreateTime", j.get("timeMillis", 0))
+        if born + ttl < now:
             table.delete_tag(name)
             out.append(name)
     return out

@@ -73,8 +73,10 @@ def _expire_partitions(spark, catalog, table, expiration_time=None,
                              timestamp_formatter=timestamp_formatter)
 
 
-def _create_tag(spark, catalog, table, tag, snapshot=None, **_):
-    return _t(catalog, table).create_tag(tag, snapshot_id=snapshot)
+def _create_tag(spark, catalog, table, tag, snapshot=None,
+                time_retained=None, **_):
+    return _t(catalog, table).create_tag(tag, snapshot_id=snapshot,
+                                         time_retained=time_retained)
 
 
 def _delete_tag(spark, catalog, table, tag, **_):

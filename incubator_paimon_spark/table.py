@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -172,12 +173,22 @@ class Table:
 
     # ------------------------------------------------------------------
     # tags (TagAutoCreation.java:48, Table.java:78-116): full snapshot copy
-    def create_tag(self, name: str, snapshot_id: int | None = None):
+    def create_tag(self, name: str, snapshot_id: int | None = None,
+                   time_retained: str | None = None):
+        """`time_retained` ('1 d' style) gives THIS tag its own expiry
+        window (manage-tags.md CALL sys.create_tag time_retained),
+        overriding the table's tag.default-time-retained; the tag file
+        additionally records its creation time so retention measures tag
+        age, not the tagged snapshot's commit age."""
         sid = snapshot_id if snapshot_id is not None else self.snapshots.latest_id()
         if sid is None:
             raise RuntimeError("cannot tag an empty table")
-        snap = self.snapshots.read(sid)
-        ok = atomic_write_json(os.path.join(self.path, TAG_DIR, f"tag-{name}"), snap.to_json())
+        j = self.snapshots.read(sid).to_json()
+        j["tagCreateTime"] = int(time.time() * 1000)
+        if time_retained is not None:
+            from .options import parse_duration_ms
+            j["tagTimeRetained"] = parse_duration_ms(time_retained)
+        ok = atomic_write_json(os.path.join(self.path, TAG_DIR, f"tag-{name}"), j)
         if not ok:
             raise ValueError(f"tag {name!r} already exists")
 

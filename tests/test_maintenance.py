@@ -251,11 +251,18 @@ def test_tag_time_retention(spark, catalog, customer):
     t.create_tag("old", 1)
     t.create_tag("fresh", 2)
     now = t.tag_snapshot("fresh").time_millis
-    # both snapshots are seconds apart: with now just after the commits,
-    # both tags are inside the 1h window
+    # both tags were just created: inside the 1h window
     assert expire_tags_by_time(t, now_ms=now + 10_000) == []
     assert set(t.list_tags()) == {"old", "fresh"}
-    # pretend 2h passed: both tagged snapshots aged out
+    # pretend 2h passed: both tags aged out of the table default
     aged_now = t.tag_snapshot("old").time_millis + 2 * 3600 * 1000
     assert set(expire_tags_by_time(t, now_ms=aged_now)) == {"old", "fresh"}
     assert t.list_tags() == []
+    # per-tag time_retained overrides the table default (create_tag arg /
+    # CALL sys.create_tag time_retained): '1 m' expires while the sibling
+    # under the 1h default survives the same clock
+    t.create_tag("short", 1, time_retained="1 m")
+    t.create_tag("long", 2)
+    later = now + 10 * 60 * 1000  # 10 minutes on
+    assert expire_tags_by_time(t, now_ms=later) == ["short"]
+    assert t.list_tags() == ["long"]
