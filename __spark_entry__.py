@@ -1161,6 +1161,27 @@ def q_rescale_bucket(spark, sf_dir):
                      F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
+def q_bucketed_append(spark, sf_dir):
+    """Bucketed append table (bucketed-append.md): bucket-key routing on
+    o_custkey, then a filtered read over a key set (stats-pruned; single-
+    key equality additionally bucket-prunes, pinned in test_table) — the
+    engine read must return exactly the rows a plain filter would."""
+    fx = _fixtures(spark, sf_dir)
+    if "bucketed_append" not in fx:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        t = fx["cat"].create_table(
+            "fx.bapp", o.schema,
+            options={"bucket": "8", "bucket-key": "o_custkey"})
+        t.write(spark, o)
+        fx["bucketed_append"] = t
+    t = fx["bucketed_append"]
+    from incubator_paimon_spark import P
+    df = t.read(spark, predicate=P.isin("o_custkey", [7, 70, 700]))
+    return df.select("o_orderkey", "o_custkey",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 def q_tag_partitioned(spark, sf_dir):
     """Upsert-to-partitioned (upsert-to-partitioned.md): a non-partitioned
     PK table exposed as partitioned by tag name — each partition is the
@@ -1959,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_append": q_matview_append,
         "rescale_bucket": q_rescale_bucket,
         "tag_partitioned": q_tag_partitioned,
+        "bucketed_append": q_bucketed_append,
         "exact_dedup": q_exact_dedup,
         "semdedup_indexed": q_semdedup_indexed,
         "boilerplate_indexed": q_boilerplate_indexed,

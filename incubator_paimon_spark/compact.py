@@ -298,13 +298,30 @@ def _compact_append(spark, table, predicate, buckets=None, entries=None):
     # apply deletion vectors while rewriting: deleted rows are physically
     # dropped and the replacement files are DV-free (stale DV rows are inert
     # because data file names are never reused)
-    df = read_append_entries(spark, table, victims, schema,
-                             table.snapshots.latest())
-    deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
-               for e in victims]
-    return table.new_write().write(
-        spark, df, extra_delete_entries=deletes,
-        commit_kind=COMMIT_COMPACT, preserve_system_cols=True)
+    # bucketed-append rewrites must rehash with the layout the victims
+    # were written under (rescale-bucket.md, same rule as the PK path);
+    # post-rescale a sweep can straddle layouts → one write per layout
+    from .read import file_layout_buckets
+    by_layout: dict = {None: victims}
+    if opts.bucket > 0 and schema.bucket_keys():
+        memo: dict = {}
+        by_layout = {}
+        for e in victims:
+            by_layout.setdefault(
+                file_layout_buckets(table, e, opts.bucket, memo),
+                []).append(e)
+    snap = None
+    for layout, vs in sorted(by_layout.items(),
+                             key=lambda kv: kv[0] or 0):
+        df = read_append_entries(spark, table, vs, schema,
+                                 table.snapshots.latest())
+        deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+                   for e in vs]
+        snap = table.new_write().write(
+            spark, df, extra_delete_entries=deletes,
+            commit_kind=COMMIT_COMPACT, preserve_system_cols=True,
+            bucket_num_override=layout)
+    return snap
 
 
 # ----------------------------------------------------------------------

@@ -405,6 +405,18 @@ class BatchTableWrite:
             # file is a sorted run (MergeTreeWriter's sorted level-0 flush)
             df = df.repartition(*[F.col(c) for c in layout_cols])
             df = df.sortWithinPartitions(*(schema.trimmed_primary_keys() + [SEQUENCE_NUMBER]))
+        elif not is_pk and num_buckets > 0:
+            # bucketed append (bucketed-append.md; BucketedAppendFileStore
+            # Table): a Kafka-like keyed queue — same bucket-key → same
+            # bucket, so equality filters bucket-prune and per-bucket
+            # append compaction keeps each queue's file count bounded
+            if not schema.bucket_keys():
+                raise ValueError(
+                    "bucketed append table requires 'bucket-key' when "
+                    "'bucket' > 0 (bucketed-append.md)")
+            df = df.withColumn(BUCKET_COL, bucket_expr(schema, num_buckets))
+            layout_cols.append(BUCKET_COL)
+            df = df.repartition(*[F.col(c) for c in layout_cols])
         else:
             df = df.withColumn(BUCKET_COL, F.lit(0))
             layout_cols.append(BUCKET_COL)
@@ -446,10 +458,11 @@ class BatchTableWrite:
         staged_fmt = "parquet" if opts.file_format == "avro" else opts.file_format
         writer.format(staged_fmt).save(staging)
 
+        fixed_layout = num_buckets > 0 and bool(schema.bucket_keys())
         adds = self._collect_entries(
             spark, staging, schema, level,
-            total_buckets=num_buckets if is_pk and num_buckets > 0 else None)
-        if (is_pk and num_buckets > 0 and adds
+            total_buckets=num_buckets if fixed_layout else None)
+        if (fixed_layout and adds
                 and overwrite is None and not dynamic_overwrite):
             try:
                 self._check_bucket_layout(adds, num_buckets, latest)

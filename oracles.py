@@ -1533,6 +1533,13 @@ SELECT source, count(*) AS n_rows, sum(n_chars)::BIGINT AS chars_sum,
 FROM cur GROUP BY source ORDER BY source
 """
 
+# bucketed_append (r10): bucket-key routed append table; the engine-side
+# read bucket-prunes on the IN filter, semantics are a plain filter.
+ORACLES["bucketed_append"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_custkey IN (7, 70, 700)
+"""
+
 # tag_partitioned (r10): tag-to-partition view — partition 2023-10-16 is
 # the sentinel-balance state at tag 1, 2023-10-17 the post-upsert state.
 ORACLES["tag_partitioned"] = """

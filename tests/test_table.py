@@ -927,3 +927,61 @@ def test_rewrite_file_index_null_column_converges(spark, catalog, customer):
     # the empty bloom prunes every equality probe on the NULL file
     name = customer.filter("c_custkey = 120").first()["c_name"]
     assert len(t.new_scan().plan(P.eq("c_name", name)).entries) == 1
+
+
+def test_bucketed_append_table(spark, catalog, orders):
+    """Bucketed append (bucketed-append.md): bucket-key routes rows to
+    fixed buckets — equality filters bucket-prune, per-bucket compaction
+    keeps layouts, and rescale rules apply like the PK path."""
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    t = catalog.create_table("db.bapp", o.schema,
+                             options={"bucket": "4",
+                                      "bucket-key": "o_custkey"})
+    t.write(spark, o)
+    t.write(spark, o.limit(50))
+    assert {e.bucket for e in t.entries_at()} == {0, 1, 2, 3}
+    assert {e.file.total_buckets for e in t.entries_at()} == {4}
+    assert t.read(spark).count() == o.count() + 50
+
+    # bucket pruning on the bucket-key equality
+    k = o.select("o_custkey").first()[0]
+    full = t.new_scan().plan()
+    pruned = t.new_scan().plan(P.eq("o_custkey", k))
+    assert len(pruned.entries) < len(full.entries)
+    # pruned read loses nothing vs an unpruned scan filtered post-hoc
+    assert t.read(spark, predicate=P.eq("o_custkey", k)).count() == \
+        t.read(spark).filter(F.col("o_custkey") == k).count()
+
+    # bucket>0 without bucket-key on an append table is rejected
+    t2 = catalog.create_table("db.bapp2", o.schema,
+                              options={"bucket": "4"})
+    with pytest.raises(ValueError, match="bucket-key"):
+        t2.write(spark, o.limit(5))
+
+    # rescale applies: stale layout guarded, overwrite reorganizes
+    catalog.sql(spark,
+                "ALTER TABLE db.bapp SET TBLPROPERTIES ('bucket'='8')")
+    t = catalog.get_table("db.bapp")
+    with pytest.raises(ValueError, match="bucket num"):
+        t.write(spark, o.limit(5))
+    t.write(spark, o, overwrite=True)
+    assert {e.file.total_buckets for e in t.entries_at()} == {8}
+    assert t.read(spark).count() == o.count()
+
+
+def test_bucketed_append_compaction_keeps_layout(spark, catalog, orders):
+    from incubator_paimon_spark.compact import compact_table
+    o = orders.select("o_orderkey", "o_custkey").limit(200)
+    t = catalog.create_table("db.bappc", o.schema,
+                             options={"bucket": "2",
+                                      "bucket-key": "o_custkey",
+                                      "write-only": "true"})
+    for i in range(8):  # many small files per bucket
+        t.write(spark, o)
+    before = len(t.entries_at())
+    compact_table(spark, t)
+    after = t.entries_at()
+    assert len(after) < before
+    assert {e.file.total_buckets for e in after} == {2}
+    assert {e.bucket for e in after} == {0, 1}
+    assert t.read(spark).count() == 8 * 200
