@@ -662,7 +662,8 @@ def _interval_sections(ranged):
     return sections
 
 
-def read_tag_partitioned(spark, table, predicate=None, projection=None):
+def read_tag_partitioned(spark, table, predicate=None, projection=None,
+                         tag_pattern: str | None = None):
     """Upsert-to-partitioned reads (upsert-to-partitioned.md): a
     (typically non-partitioned) PK table whose options carry
     `metastore.tag-to-partition = <col>` is exposed as if partitioned by
@@ -696,6 +697,15 @@ def read_tag_partitioned(spark, table, predicate=None, projection=None):
         today = datetime.now().strftime("%Y-%m-%d")
         if today not in {n for n, _ in parts}:
             parts.append((today, {}))  # latest snapshot, tag not cut yet
+
+    if tag_pattern is not None:
+        # SQL-LIKE pattern over tag NAMES, pruned before any leg is built:
+        # each leg costs ~70 ms of DataFrame planning, so a year of daily
+        # tags pays ~25 s just to construct the union — the pattern keeps
+        # the TVF O(matching tags) when the caller knows the slice
+        import fnmatch
+        pat = tag_pattern.replace("%", "*").replace("_", "?")
+        parts = [(n, k) for n, k in parts if fnmatch.fnmatch(n, pat)]
 
     residual = predicate
     post_filter = None

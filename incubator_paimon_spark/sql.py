@@ -394,16 +394,22 @@ def _rewrite_incremental_tvf(spark, catalog, statement: str) -> str:
 # filters on the tag column constant-fold per leg, so Catalyst prunes
 # unnamed tags' scans even though the rewrite binds all of them.
 _TAGPART_TVF = re.compile(
-    r"\bpaimon_tag_partitioned\s*\(\s*('[^']*')\s*\)", re.IGNORECASE)
+    r"\bpaimon_tag_partitioned\s*\(\s*('[^']*')"
+    r"(?:\s*,\s*('[^']*'))?\s*\)", re.IGNORECASE)
 
 
 def _rewrite_tag_partitioned_tvf(spark, catalog, statement: str) -> str:
     out, last = [], 0
     for m in _TAGPART_TVF.finditer(_mask_literals(statement)):
         ident = _g(m, statement, 1).strip()[1:-1]
+        pattern = None
+        if m.group(2):
+            pattern = _g(m, statement, 2).strip()[1:-1]
         from .read import read_tag_partitioned
-        view = re.sub(r"\W", "_", f"pmn_tagpart_{ident}")
-        read_tag_partitioned(spark, catalog.get_table(ident)) \
+        view = re.sub(r"\W", "_",
+                      f"pmn_tagpart_{ident}_{pattern or 'all'}")
+        read_tag_partitioned(spark, catalog.get_table(ident),
+                             tag_pattern=pattern) \
             .createOrReplaceTempView(view)
         out.append(statement[last:m.start()])
         out.append(view)

@@ -120,3 +120,17 @@ def test_show_partitions_lists_tags(spark, catalog, customer):
     t = _mk(spark, catalog, customer)
     rows = catalog.sql(spark, "SHOW PARTITIONS db.tp").collect()
     assert [r.partition for r in rows] == ["dt=2023-10-16", "dt=2023-10-17"]
+
+
+def test_tag_partition_pattern_prunes_legs(spark, catalog, customer):
+    """The TVF's optional tag pattern prunes legs BEFORE they are built
+    (O(matching tags) planning); LIKE-style % and _ wildcards."""
+    t = _mk(spark, catalog, customer)
+    got = catalog.sql(spark, """
+        SELECT dt, count(*) AS n
+        FROM paimon_tag_partitioned('db.tp', '%-17') GROUP BY dt""")
+    assert [(r.dt, r.n) for r in got.collect()] == \
+        [("2023-10-17", customer.count())]
+    # python API equivalent
+    df = read_tag_partitioned(spark, t, tag_pattern="2023-10-1_")
+    assert df.select("dt").distinct().count() == 2
