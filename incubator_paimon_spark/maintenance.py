@@ -192,6 +192,10 @@ def auto_create_tags(table, snapshot):
     opts = table.options.raw
     mode = opts.get("tag.automatic-creation", "none")
     if mode == "none":
+        # time-based retention is independent of auto-creation: manual
+        # tags with time_retained (and tables with only the default TTL)
+        # must still age out on commit activity
+        expire_tags_by_time(table)
         return None
     if mode == "watermark":
         base_ms = snapshot.watermark
@@ -225,17 +229,29 @@ def expire_tags_by_time(table, now_ms: int | None = None) -> list[str]:
     out when its CREATION time (recorded in the tag file; legacy tags fall
     back to the tagged snapshot's commit time) passes the tag's own
     time_retained, else the table's tag.default-time-retained. Runs from
-    the auto-tag hook; `now_ms` is injectable for tests. Returns the
-    deleted tag names."""
-    import os
+    the post-commit tag hook regardless of auto-creation mode; `now_ms`
+    is injectable for tests. Returns the deleted tag names.
 
+    Control-plane cost: with no table default, only tags carrying a
+    per-tag TTL marker (`tag/ttl-<name>`, written by create_tag) have
+    their snapshot-sized tag file read — a table with thousands of plain
+    tags pays one directory listing per commit, not O(tags) file reads."""
     from .metadata.util import read_json
     from .options import parse_duration_ms
     default = table.options.raw.get("tag.default-time-retained")
     default_ms = parse_duration_ms(default) if default else None
+    names = table.list_tags()
+    if default_ms is None:
+        ttl_marked = {n[len("ttl-"):]
+                      for n in table.io.list_names(
+                          os.path.join(table.path, "tag"))
+                      if n.startswith("ttl-")}
+        names = [n for n in names if n in ttl_marked]
+    if not names:
+        return []
     now = now_ms if now_ms is not None else int(time.time() * 1000)
     out = []
-    for name in table.list_tags():
+    for name in names:
         j = read_json(os.path.join(table.path, "tag", f"tag-{name}"))
         ttl = j.get("tagTimeRetained", default_ms)
         if ttl is None:

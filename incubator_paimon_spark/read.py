@@ -662,6 +662,25 @@ def _interval_sections(ranged):
     return sections
 
 
+def tag_partition_names(table) -> list[tuple[str, dict]]:
+    """The (partition name, read kwargs) rows a tag-to-partition table
+    exposes: one per tag, plus the process-time preview partition (latest
+    snapshot under today's date, until its tag is cut). Shared by
+    read_tag_partitioned and SHOW PARTITIONS so the listing can never
+    drift from what the reads actually serve."""
+    from datetime import datetime
+
+    parts: list[tuple[str, dict]] = [(name, {"tag": name})
+                                     for name in table.list_tags()]
+    preview = table.schema.options.get("metastore.tag-to-partition.preview")
+    # the documented (and only) preview mode; any other value stays off
+    if preview == "process-time" and table.snapshots.latest() is not None:
+        today = datetime.now().strftime("%Y-%m-%d")
+        if today not in {n for n, _ in parts}:
+            parts.append((today, {}))  # latest snapshot, tag not cut yet
+    return parts
+
+
 def read_tag_partitioned(spark, table, predicate=None, projection=None,
                          tag_pattern: str | None = None):
     """Upsert-to-partitioned reads (upsert-to-partitioned.md): a
@@ -678,8 +697,6 @@ def read_tag_partitioned(spark, table, predicate=None, projection=None,
     full stats/bucket pruning of a normal tag read; the synthetic column
     is a per-leg literal, so Catalyst constant-folds residual filters on
     it to prune legs even when the pruning happens post-hoc in SQL."""
-    from datetime import datetime
-
     from pyspark.sql import functions as F
 
     col = table.schema.options.get("metastore.tag-to-partition")
@@ -689,23 +706,19 @@ def read_tag_partitioned(spark, table, predicate=None, projection=None,
         raise ValueError(f"tag-to-partition column {col!r} collides with a "
                          f"table field")
 
-    parts: list[tuple[str, dict]] = [(name, {"tag": name})
-                                     for name in table.list_tags()]
-    preview = table.schema.options.get("metastore.tag-to-partition.preview")
-    # the documented (and only) preview mode; any other value stays off
-    if preview == "process-time" and table.snapshots.latest() is not None:
-        today = datetime.now().strftime("%Y-%m-%d")
-        if today not in {n for n, _ in parts}:
-            parts.append((today, {}))  # latest snapshot, tag not cut yet
+    parts = tag_partition_names(table)
 
     if tag_pattern is not None:
         # SQL-LIKE pattern over tag NAMES, pruned before any leg is built:
         # each leg costs ~70 ms of DataFrame planning, so a year of daily
         # tags pays ~25 s just to construct the union — the pattern keeps
-        # the TVF O(matching tags) when the caller knows the slice
-        import fnmatch
-        pat = tag_pattern.replace("%", "*").replace("_", "?")
-        parts = [(n, k) for n, k in parts if fnmatch.fnmatch(n, pat)]
+        # the TVF O(matching tags) when the caller knows the slice.
+        # LIKE semantics exactly: %/_ are the only wildcards; regex/glob
+        # metacharacters in the pattern or tag names stay literal
+        import re as _re
+        rx = "".join(".*" if ch == "%" else "." if ch == "_"
+                     else _re.escape(ch) for ch in tag_pattern)
+        parts = [(n, k) for n, k in parts if _re.fullmatch(rx, n)]
 
     residual = predicate
     post_filter = None

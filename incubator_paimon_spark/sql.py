@@ -406,8 +406,11 @@ def _rewrite_tag_partitioned_tvf(spark, catalog, statement: str) -> str:
         if m.group(2):
             pattern = _g(m, statement, 2).strip()[1:-1]
         from .read import read_tag_partitioned
-        view = re.sub(r"\W", "_",
-                      f"pmn_tagpart_{ident}_{pattern or 'all'}")
+        # hash keeps distinct (table, pattern) pairs in distinct views —
+        # sanitizing alone would collapse '%-17' and '_-17' to one name
+        import hashlib
+        sig = hashlib.md5(f"{ident}|{pattern}".encode()).hexdigest()[:8]
+        view = re.sub(r"\W", "_", f"pmn_tagpart_{ident}_{sig}")
         read_tag_partitioned(spark, catalog.get_table(ident),
                              tag_pattern=pattern) \
             .createOrReplaceTempView(view)
@@ -1173,17 +1176,14 @@ def _exec_show(spark, catalog, statement):
         tag_col = t.schema.options.get("metastore.tag-to-partition")
         if tag_col:
             # tag-to-partition tables list their TAGS as partitions, the
-            # exact rows Hive shows in upsert-to-partitioned.md (plus the
-            # process-time preview partition when enabled)
-            from datetime import datetime
-            names = t.list_tags()
-            if (t.schema.options.get("metastore.tag-to-partition.preview")
-                    == "process-time" and t.snapshots.latest() is not None):
-                today = datetime.now().strftime("%Y-%m-%d")
-                if today not in names:
-                    names = names + [today]
+            # exact rows Hive shows in upsert-to-partitioned.md — through
+            # the SAME enumeration the reads serve, so the listing and
+            # the TVF can never drift
+            from .read import tag_partition_names
             return spark.createDataFrame(
-                [(f"{tag_col}={n}",) for n in sorted(names)],
+                [(f"{tag_col}={n}",)
+                 for n, _kw in sorted(tag_partition_names(t),
+                                      key=lambda p: p[0])],
                 "partition string")
         from .system_tables import system_table
         return system_table(spark, t, "partitions")

@@ -191,9 +191,18 @@ class Table:
         ok = atomic_write_json(os.path.join(self.path, TAG_DIR, f"tag-{name}"), j)
         if not ok:
             raise ValueError(f"tag {name!r} already exists")
+        if time_retained is not None:
+            # marker lets expire_tags_by_time find TTL-carrying tags from
+            # one directory listing instead of reading every tag file
+            atomic_write_json(
+                os.path.join(self.path, TAG_DIR, f"ttl-{name}"), {})
 
     def delete_tag(self, name: str):
         self.io.delete(os.path.join(self.path, TAG_DIR, f"tag-{name}"))
+        try:
+            self.io.delete(os.path.join(self.path, TAG_DIR, f"ttl-{name}"))
+        except FileNotFoundError:
+            pass
 
     def list_tags(self) -> list[str]:
         d = os.path.join(self.path, TAG_DIR)

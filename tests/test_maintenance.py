@@ -266,3 +266,18 @@ def test_tag_time_retention(spark, catalog, customer):
     later = now + 10 * 60 * 1000  # 10 minutes on
     assert expire_tags_by_time(t, now_ms=later) == ["short"]
     assert t.list_tags() == ["long"]
+
+
+def test_tag_ttl_expires_from_commit_hook(spark, catalog, customer):
+    """Time-based tag expiry runs on commit even WITHOUT
+    tag.automatic-creation: a manual tag with a tiny time_retained is
+    gone after the next write; tags without TTL are untouched and (with
+    no table default) their snapshot files are never even read."""
+    t = catalog.create_table("db.taghook", customer.schema)
+    t.write(spark, customer.limit(10))
+    t.create_tag("keep", 1)
+    t.create_tag("fleeting", 1, time_retained="1 ms")
+    import time as _t
+    _t.sleep(0.05)
+    t.write(spark, customer.limit(5))  # post-commit hook fires expiry
+    assert t.list_tags() == ["keep"]
