@@ -213,8 +213,9 @@ def _compact_pk(spark, table, full, predicate, buckets=None, entries=None):
     by_level: dict[tuple, list[ManifestEntry]] = {}
     for lvl, files in to_rewrite:
         # resolved per group: recorded totalBuckets, else the write-time
-        # schema's bucket option (legacy files) — never the current option
-        layout = file_layout_buckets(table, files[0], opts.bucket, _memo)
+        # schema's bucket option (legacy files) — never the current option;
+        # <= 0 resolves to the dynamic path in write() (layout preserved)
+        layout = file_layout_buckets(table, files[0], _memo)
         by_level.setdefault((lvl, layout), []).extend(files)
 
     snap = None
@@ -308,7 +309,7 @@ def _compact_append(spark, table, predicate, buckets=None, entries=None):
         by_layout = {}
         for e in victims:
             by_layout.setdefault(
-                file_layout_buckets(table, e, opts.bucket, memo),
+                file_layout_buckets(table, e, memo),
                 []).append(e)
     snap = None
     for layout, vs in sorted(by_layout.items(),

@@ -326,6 +326,15 @@ class JdbcCatalog(Catalog):
             locks.enter_context(self.lock(db))
         with locks:
             with _connect(self.uri) as con:
+                # the UPDATE has no FK: verify the target database row
+                # exists (same check _claim does) — the reference's
+                # JdbcCatalog rejects renames into an unknown database
+                if db2 != db1 and con.execute(
+                        "SELECT 1 FROM paimon_databases WHERE catalog_key = ?"
+                        " AND database_name = ?",
+                        (self.catalog_key, db2)).fetchone() is None:
+                    raise ValueError(
+                        f"target database {db2} does not exist in metastore")
                 try:
                     cur = con.execute(
                         "UPDATE paimon_tables SET database_name = ?, "

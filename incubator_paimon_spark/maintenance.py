@@ -191,11 +191,11 @@ def auto_create_tags(table, snapshot):
     tag.num-retained-max automatic tags."""
     opts = table.options.raw
     mode = opts.get("tag.automatic-creation", "none")
+    # time-based retention is independent of auto-creation: it must run on
+    # every commit in EVERY mode — including watermark-mode commits that
+    # carry no watermark — or TTL tags never age out on such tables
+    expire_tags_by_time(table)
     if mode == "none":
-        # time-based retention is independent of auto-creation: manual
-        # tags with time_retained (and tables with only the default TTL)
-        # must still age out on commit activity
-        expire_tags_by_time(table)
         return None
     if mode == "watermark":
         base_ms = snapshot.watermark

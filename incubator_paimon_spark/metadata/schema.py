@@ -280,10 +280,54 @@ class SchemaManager:
         base = self.latest()
         s = self._next(base)
         for k, v in (set_options or {}).items():
+            if (k in _IMMUTABLE_OPTIONS
+                    and str(v) != base.options.get(k)):
+                # SchemaManager.checkAlterTableOption (SchemaManager.java:519)
+                # — these shape the on-disk layout/merge semantics; changing
+                # them would misread every existing file. Re-setting the
+                # current value is an allowed no-op.
+                raise ValueError(f"Change '{k}' is not supported.")
             s.options[k] = str(v)
         for k in remove or []:
+            if k in _IMMUTABLE_OPTIONS and k in base.options:
+                raise ValueError(f"Change '{k}' is not supported.")
             s.options.pop(k, None)
+        _validate_bucket_change(base, s)
         return self.commit_new(s)
+
+
+# CoreOptions.getImmutableOptionKeys() (@Immutable annotations,
+# CoreOptions.java:97,306,313,534,543,755,763): options that pin the
+# physical layout or merge semantics of already-written files.
+_IMMUTABLE_OPTIONS = {
+    "bucket-key", "merge-engine", "ignore-delete",
+    "sequence.field", "rowkind.field", "primary-key", "partition",
+}
+
+
+def _validate_bucket_change(base: TableSchema, s: TableSchema) -> None:
+    """ALTER-time bucket-transition guard (SchemaValidation.java:539-565 +
+    rescale-bucket.md): rescaling is only defined BETWEEN fixed counts.
+    A -1 <-> fixed transition would mix hash-routed files with
+    dynamic-index / bucket-unaware files in one table — bucket pruning
+    and the dynamic-bucket index both break — so the reference requires
+    recreating the table instead."""
+    old_b = base.core_options.bucket
+    new_b = s.core_options.bucket
+    if new_b == old_b:
+        return
+    if new_b == 0 or new_b < -1:
+        raise ValueError("The number of buckets needs to be greater than 0.")
+    if old_b == -1 or new_b == -1:
+        raise ValueError(
+            f"Cannot change 'bucket' from {old_b} to {new_b}: transitions "
+            f"between -1 (dynamic/bucket-unaware) and a fixed count are not "
+            f"supported — recreate the table, or rescale between fixed "
+            f"counts (rescale-bucket.md).")
+    if not s.bucket_keys():
+        raise ValueError(
+            "Cannot rescale 'bucket' on a table without a bucket key "
+            "(bucket-key or primary key).")
 
 
 def _type_root(t: T.DataType) -> str:

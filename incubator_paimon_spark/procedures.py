@@ -454,8 +454,19 @@ def _clone(spark, catalog, table, target_table, target_warehouse=None,
     src = _t(catalog, table)
     dst_cat = catalog
     if target_warehouse:
+        # a JDBC-metastore-managed warehouse stores its listing in
+        # paimon_catalog.sqlite next to the data — cloning through a plain
+        # filesystem Catalog would leave the new table invisible to that
+        # metastore (no paimon_tables row) until register_existing() runs,
+        # so detect the store and route DDL through JdbcCatalog instead
+        import os
         from .table import Catalog
-        dst_cat = Catalog(target_warehouse)
+        meta = os.path.join(target_warehouse, "paimon_catalog.sqlite")
+        if os.path.exists(meta):
+            from .jdbc_catalog import JdbcCatalog
+            dst_cat = JdbcCatalog(target_warehouse)
+        else:
+            dst_cat = Catalog(target_warehouse)
     out = clone_table(spark, src, dst_cat, target_table,
                       parallelism=int(parallelism) if parallelism else None)
     return {"files": out["files"], "bytes": out["bytes"]}

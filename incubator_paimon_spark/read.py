@@ -125,12 +125,13 @@ class TableScan:
                 # per-entry layout: after a rescale (rescale-bucket.md)
                 # partitions may carry different bucket counts — each file's
                 # recorded (or write-time-schema-derived) layout decides
-                # which bucket the key hashes to in THAT layout
-                nb = schema.core_options.bucket
+                # which bucket the key hashes to in THAT layout; a
+                # non-fixed layout (<= 0: legacy dynamic/unaware file)
+                # is unprunable, keep it
                 memo: dict = {}
                 entries = [e for e in entries
-                           if e.bucket == h % file_layout_buckets(
-                               t, e, nb, memo)]
+                           if (_lb := file_layout_buckets(t, e, memo)) <= 0
+                           or e.bucket == h % _lb]
             _n_bucket = len(entries)
             # stats-based file skipping (AbstractFileStoreScan.java:519) +
             # bloom-filter file index (BloomFilterFileIndex.java:48).
@@ -213,14 +214,18 @@ def _top_level_equalities(pred: Predicate) -> dict:
     return out
 
 
-def file_layout_buckets(table, entry, default_nb: int,
-                        memo: dict | None = None) -> int:
+def file_layout_buckets(table, entry, memo: dict | None = None) -> int:
     """The bucket count `entry`'s file was hashed with. Recorded files
     carry it (manifest totalBuckets); legacy files predate the recording,
-    and their layout is the 'bucket' option of their WRITE-TIME schema
-    (entries carry schemaId, schemas never expire) — never the current
-    option, which an ALTER may have changed since. Pass a dict as `memo`
-    when resolving many entries: schema lookups collapse to O(schemas)."""
+    and their layout is the parsed 'bucket' CORE option of their
+    WRITE-TIME schema with its OWN default (-1) — never the current
+    option, which an ALTER may have changed since, and never the current
+    count as a fallback (a legacy dynamic/bucket-unaware file resolved
+    against the current fixed count would be silently mis-pruned).
+    A return <= 0 means the file was NOT written with a fixed hash
+    layout: callers must treat it as unprunable (reads) or as a layout
+    conflict (fixed-layout writes). Pass a dict as `memo` when resolving
+    many entries: schema lookups collapse to O(schemas)."""
     tb = entry.file.total_buckets
     if tb is not None:
         return tb
@@ -228,9 +233,9 @@ def file_layout_buckets(table, entry, default_nb: int,
     if memo is not None and sid in memo:
         return memo[sid]
     try:
-        out = int(table.schema_at(sid).options.get("bucket", default_nb))
+        out = table.schema_at(sid).core_options.bucket
     except Exception:
-        out = default_nb
+        out = -1  # unknown layout → unprunable, never assume the current one
     if memo is not None:
         memo[sid] = out
     return out

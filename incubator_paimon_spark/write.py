@@ -565,13 +565,18 @@ class BatchTableWrite:
         touched = {tuple(sorted(a.partition.items())) for a in adds}
         _memo: dict = {}
         for e in self.table.entries_at(latest):
-            tb = file_layout_buckets(t, e, num_buckets, _memo)
+            tb = file_layout_buckets(t, e, _memo)
+            # tb <= 0: a legacy dynamic/bucket-unaware file in a partition
+            # the fixed-hash write touches — mixing fixed-hash rows with
+            # index-assigned rows would split keys across buckets, so it is
+            # a layout conflict too, not a pass
             if (tb != num_buckets
                     and tuple(sorted(e.partition.items())) in touched):
                 part = dict(e.partition) or "<unpartitioned>"
+                prev = tb if tb > 0 else "dynamic/bucket-unaware"
                 raise ValueError(
                     f"Try to write table/partition {part} with a new bucket "
-                    f"num {num_buckets}, but the previous bucket num is {tb}. "
+                    f"num {num_buckets}, but the previous bucket num is {prev}. "
                     f"Please perform INSERT OVERWRITE to rescale the current "
                     f"data layout first (rescale-bucket.md).")
 

@@ -104,3 +104,27 @@ def test_clone_dynamic_bucket_index(spark, catalog, dst_catalog, customer):
     c.write(spark, customer.limit(30).withColumn("c_acctbal", F.lit(7.0)))
     assert c.read(spark).count() == customer.count()
     assert c.read(spark).filter("c_acctbal = 7.0").count() == 30
+
+
+def test_clone_into_jdbc_managed_warehouse(spark, catalog, orders):
+    """CALL sys.clone with a target_warehouse that a JdbcCatalog manages
+    (paimon_catalog.sqlite present) must register the clone in that
+    metastore — otherwise the clone is invisible to listings/get_table
+    until register_existing() runs."""
+    import tempfile
+    from incubator_paimon_spark.jdbc_catalog import JdbcCatalog
+    t = catalog.create_table("db.jsrc", orders.schema,
+                             partition_keys=["o_orderstatus"])
+    t.write(spark, orders.limit(500))
+    wh = tempfile.mkdtemp(prefix="pmn_jclone_wh_")
+    try:
+        jcat = JdbcCatalog(wh)  # initializes paimon_catalog.sqlite
+        catalog.sql(spark, f"CALL sys.clone(table => 'db.jsrc', "
+                           f"target_table => 'dbj.jdst', "
+                           f"target_warehouse => '{wh}')")
+        # visible to the metastore without register_existing
+        assert jcat.list_tables("dbj") == ["jdst"]
+        c = jcat.get_table("dbj.jdst")
+        assert _same(t.read(spark), c.read(spark))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

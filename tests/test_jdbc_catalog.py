@@ -213,3 +213,21 @@ def test_lock_release_is_fenced(warehouse):
     assert not third._try_acquire()    # fresh still holds
     fresh.__exit__(None, None, None)
     assert third._try_acquire()
+
+
+def test_rename_into_missing_database_rejected(jcat):
+    """Cross-db rename must verify the target database row exists (the
+    reference's JdbcCatalog rejects renames into an unknown database) —
+    otherwise paimon_tables holds rows whose database is absent from
+    paimon_databases and listings disagree."""
+    jcat.create_table("db.r1", _schema())
+    with pytest.raises(ValueError, match="does not exist"):
+        jcat.rename_table("db.r1", "nodb.r1")
+    # nothing moved: still listed (and only) in the source database
+    assert jcat.list_tables("db") == ["r1"]
+    assert "nodb" not in jcat.list_databases()
+    # after creating the target database the same rename succeeds
+    jcat.create_database("db2")
+    jcat.rename_table("db.r1", "db2.r1")
+    assert jcat.list_tables("db2") == ["r1"]
+    assert jcat.list_tables("db") == []

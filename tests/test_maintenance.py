@@ -281,3 +281,19 @@ def test_tag_ttl_expires_from_commit_hook(spark, catalog, customer):
     _t.sleep(0.05)
     t.write(spark, customer.limit(5))  # post-commit hook fires expiry
     assert t.list_tags() == ["keep"]
+
+
+def test_tag_ttl_expires_in_watermark_mode_without_watermark(spark, catalog,
+                                                             customer):
+    """tag.automatic-creation=watermark + commits carrying no watermark:
+    time-based expiry must still run from the post-commit hook (it is
+    independent of auto-creation), so TTL tags age out."""
+    t = catalog.create_table(
+        "db.tagwm", customer.schema,
+        options={"tag.automatic-creation": "watermark"})
+    t.write(spark, customer.limit(10))
+    t.create_tag("fleeting", 1, time_retained="1 ms")
+    import time as _t
+    _t.sleep(0.05)
+    t.write(spark, customer.limit(5))  # snapshot.watermark is None
+    assert t.list_tags() == []
