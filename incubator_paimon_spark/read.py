@@ -90,22 +90,37 @@ class TableScan:
             return latest if latest is not None else t.snapshots.latest()
         return t.snapshots.latest()
 
-    def plan(self, predicate: Predicate | None = None, limit: int | None = None) -> ScanPlan:
+    def plan(self, predicate: Predicate | None = None, limit: int | None = None,
+             planner: str = "auto") -> ScanPlan:
+        """planner: "auto" (DataFrame pruning when the manifest set is large
+        and a SparkSession is active, else the driver pass), "python"
+        (force the driver pass), "dataframe" (force executor-side pruning;
+        falls back to the driver pass only when a gate fails — see
+        plan_distributed.py)."""
         import time as _time
         t = self.table
         _t0 = _time.time()
         snapshot = self.resolve_snapshot()
         if snapshot is None:
             return ScanPlan(None, [], predicate)
+
+        time_travel = (self.tag is not None or self.snapshot_id is not None
+                       or self.timestamp_ms is not None)
+        schema = t.schema_at(snapshot.schema_id) if time_travel else t.schema
+
+        if planner != "python" and predicate is not None:
+            plan = self._plan_dataframe(snapshot, schema, predicate, limit,
+                                        force=(planner == "dataframe"),
+                                        t0=_t0)
+            if plan is not None:
+                return plan
+
         raw = (t.manifests.read_all_entries(snapshot.base_manifest_list)
                + t.manifests.read_all_entries(snapshot.delta_manifest_list))
         entries = live_entries(raw)
         _n_live = len(entries)
         _n_part = _n_bucket = _n_stats = None
 
-        time_travel = (self.tag is not None or self.snapshot_id is not None
-                       or self.timestamp_ms is not None)
-        schema = t.schema_at(snapshot.schema_id) if time_travel else t.schema
         if self.read_optimized and schema.primary_keys:
             max_level = schema.core_options.num_levels - 1
             entries = [e for e in entries if e.file.level == max_level]
@@ -196,6 +211,57 @@ class TableScan:
                resulted_files=len(entries),
                resulted_rows=sum(e.file.row_count for e in entries))
         return ScanPlan(snapshot, entries, residual, schema)
+
+    def _plan_dataframe(self, snapshot, schema, predicate, limit,
+                        force: bool, t0: float) -> ScanPlan | None:
+        """Executor-side pruning path (plan_distributed.py). Returns None
+        when not applicable (caller runs the driver pass): no active
+        SparkSession, manifest set under the size threshold (unless
+        forced), or a plan_distributed gate fails."""
+        import time as _time
+
+        from pyspark.sql import SparkSession
+
+        from .plan_distributed import (PLAN_DF_MIN_MANIFESTS,
+                                       plan_entries_distributed)
+        t = self.table
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        if not force:
+            n_manifests = (
+                len(t.manifests.read_manifest_list(snapshot.base_manifest_list))
+                + len(t.manifests.read_manifest_list(snapshot.delta_manifest_list)))
+            if n_manifests < PLAN_DF_MIN_MANIFESTS:
+                return None
+        entries = plan_entries_distributed(
+            spark, t, snapshot, schema, predicate, self.read_optimized)
+        if entries is None:
+            return None
+        # stage 6: whole-bucket value pruning (not row-local — needs every
+        # surviving file of a bucket; survivor set is small by now)
+        if schema.primary_keys:
+            safe = set(schema.trimmed_primary_keys()) | set(schema.partition_keys)
+            _, value_pred = split_by_fields(predicate, safe)
+            if (value_pred is not None and
+                    schema.core_options.merge_engine in ("deduplicate", "first-row")):
+                entries = _prune_whole_buckets(
+                    entries, per_schema_predicate(t, schema, value_pred))
+        if limit is not None and not schema.primary_keys:
+            picked, total = [], 0
+            for e in entries:
+                picked.append(e)
+                total += e.file.row_count
+                if total >= limit:
+                    break
+            entries = picked
+        from .metrics import record
+        record(t.path, "scan",
+               duration_ms=(_time.time() - t0) * 1000,
+               distributed_plan=1,
+               resulted_files=len(entries),
+               resulted_rows=sum(e.file.row_count for e in entries))
+        return ScanPlan(snapshot, entries, predicate, schema)
 
 
 def _top_level_equalities(pred: Predicate) -> dict:

@@ -1,0 +1,106 @@
+"""Probe: driver-side plan() cost at 10^6 manifest entries (VERDICT r10 #1).
+
+A 100-TB table holds O(10^6) data files. The planner is a pure-Python pass
+over manifest entries (read.py plan()); this probe fabricates a
+metadata-only table with 1,000,000 DataFileMeta entries (no data files are
+written) and measures cold / warm plan() with a partition + stats
+predicate, plus the unpredicated full plan.
+
+Run: python tools/probe_planner_scale.py [n_entries]
+"""
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import types as T
+
+from incubator_paimon_spark import Catalog
+from incubator_paimon_spark.metadata.commit import CommitMessage, FileStoreCommit
+from incubator_paimon_spark.metadata.manifest import (
+    DataFileMeta, ManifestEntry, ManifestStore)
+from incubator_paimon_spark.predicate import P
+
+
+def build_table(wh: str, n: int):
+    cat = Catalog(wh)
+    schema = T.StructType([
+        T.StructField("dt", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = cat.create_table("probe.big", schema, partition_keys=["dt"])
+    # 365 partitions x ~2740 files each; ids strictly increasing so the
+    # stats predicate prunes to a narrow band within the partition
+    n_parts = 365
+    per_part = n // n_parts
+    entries = []
+    fid = 0
+    for p in range(n_parts):
+        dt = f"2025-{p // 31 + 1:02d}-{p % 31 + 1:02d}"
+        for i in range(per_part):
+            lo = fid * 1000
+            entries.append(ManifestEntry(
+                "ADD", {"dt": dt}, 0,
+                DataFileMeta(
+                    file_name=f"dt={dt}/bucket-0/f{fid}.parquet",
+                    file_size=128 << 20, row_count=100_000,
+                    schema_id=0, level=0,
+                    stats={"id": {"min": lo, "max": lo + 999, "null_count": 0},
+                           "v": {"min": 0.0, "max": 1.0, "null_count": 0}},
+                )))
+            fid += 1
+    t0 = time.time()
+    FileStoreCommit(t.path).commit(CommitMessage(add=entries), schema_id=0)
+    print(f"committed {len(entries):,} entries in {time.time()-t0:.1f}s "
+          f"({len(ManifestStore(t.path).read_manifest_list(t.snapshots.latest().delta_manifest_list))} manifests)")
+    return t
+
+
+def timed_plan(t, pred, label, planner="python"):
+    t0 = time.time()
+    plan = t.new_scan().plan(pred, planner=planner)
+    dt = time.time() - t0
+    print(f"{label:55s} {dt*1000:9.0f} ms  -> {len(plan.entries):,} files")
+    return dt
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    wh = tempfile.mkdtemp(prefix="pmn_probe_planner_")
+    try:
+        t = build_table(wh, n)
+        # partition 2025-06-15 is p=169: its files span ids ~[463.0M, 465.7M)
+        pred = P.eq("dt", "2025-06-15") & P.between("id", 463_100_000, 463_600_000)
+        ManifestStore._CACHE.clear()
+        timed_plan(t, pred, "python cold plan (partition+stats predicate)")
+        timed_plan(t, pred, "python warm plan (partition+stats predicate)")
+        timed_plan(t, P.eq("dt", "2025-06-15"), "python warm plan (partition only)")
+        timed_plan(t, None, "python warm plan (no predicate)")
+
+        from incubator_paimon_spark import get_spark
+        spark = get_spark("probe_planner", cpus=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        ManifestStore._CACHE.clear()
+        timed_plan(t, pred, "dataframe cold plan (partition+stats predicate)",
+                   planner="dataframe")
+        timed_plan(t, pred, "dataframe warm plan (partition+stats predicate)",
+                   planner="dataframe")
+        timed_plan(t, P.eq("dt", "2025-06-15"),
+                   "dataframe warm plan (partition only)", planner="dataframe")
+        # equality pin at probe scale
+        a = t.new_scan().plan(pred, planner="python").entries
+        b = t.new_scan().plan(pred, planner="dataframe").entries
+        ia = sorted(e.identifier() for e in a)
+        ib = sorted(e.identifier() for e in b)
+        print(f"equality: python={len(ia)} dataframe={len(ib)} "
+              f"match={ia == ib}")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
