@@ -595,6 +595,38 @@ def q_media_features(spark, sf_dir):
           .alias(f"f{i}") for i in range(4)])
 
 
+def _bmp_header_8x4() -> bytes:
+    """54-byte BITMAPFILEHEADER+BITMAPINFOHEADER for an 8x4 24bpp BMP.
+    Row stride 8*3=24 bytes is already 4-byte aligned, so the pixel
+    section is exactly the 96 payload bytes."""
+    import struct
+    return (struct.pack("<2sIHHI", b"BM", 54 + 96, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 8, 4, 1, 24, 0, 96, 2835,
+                          2835, 0, 0))
+
+
+def q_media_real_decode(spark, sf_dir):
+    """REAL codec path (VERDICT r10 #3): construct a genuine 8x4 24bpp BMP
+    per document JVM-side (header literal + md5-hex-derived pixel bytes),
+    decode it with the pure-Python BMP parser on executors, and emit
+    features computed from the DECODED pixel array. The oracle replays the
+    same channel means directly from the construction arithmetic. All
+    divisions are by powers of two, so float32 features compare exactly."""
+    from incubator_paimon_spark.operators import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.substring(F.repeat(F.md5(F.encode("text", "utf-8")), 3), 1, 96),
+        "utf-8")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_bmp_header_8x4()), payload).alias("bytes"))
+    m = MM.extract_features(media, dim=5, decode="real")
+    f = lambda i: F.round(F.element_at("features", i + 1).cast("double"), 4)
+    return m.select("media_id", f(0).alias("width"), f(1).alias("height"),
+                    f(2).alias("mean_r"), f(3).alias("mean_g"),
+                    f(4).alias("mean_b"))
+
+
 # ----------------------------------------------------------------------
 # engine-semantics queries (incubator_paimon_spark owns these)
 # ----------------------------------------------------------------------
@@ -1967,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        # r11: features from REAL decoded BMP pixel arrays (media_codecs.py)
+        "media_real_decode": q_media_real_decode,
         "corpus_stats": q_corpus_stats,
         "top_terms": q_top_terms,
         "hash_split": q_hash_split,

@@ -181,15 +181,19 @@ def main():
 
     def timed(name, fn, reps=1):
         """reps>1 (read-only paths): best-of-N, matching the reference
-        micro-benchmarks' best/avg convention (TableReadBenchmark JMH).
+        micro-benchmarks' best/avg convention (TableReadBenchmark JMH);
+        all rep durations land in rep_spread so a one-GC-pause outlier
+        is visible instead of silently eaten or silently gated (the
+        r9-r10 dsir_10x/semdedup_10x drift was single-shot noise).
         A failing query is recorded in `errors` and skipped — one broken
         query must never zero the whole round's numbers (VERDICT r4)."""
-        best, out = None, None
+        best, out, ds = None, None, []
         try:
             for _ in range(reps):
                 t0 = time.time()
                 out = fn()
                 dt = time.time() - t0
+                ds.append(dt)
                 best = dt if best is None or dt < best else best
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             import traceback
@@ -197,6 +201,11 @@ def main():
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             return None
         times[name] = round(best, 3)
+        if reps > 1:
+            ds.sort()
+            rep_spread[name] = {"reps": reps, "min": round(ds[0], 3),
+                                "median": round(ds[len(ds) // 2], 3),
+                                "max": round(ds[-1], 3)}
         return out
 
     from contextlib import contextmanager
@@ -291,7 +300,7 @@ def main():
         timed("point_lookup_cold", lambda: sum(
             1 for r in q.lookup_many(keys) if r is not None))
         got = timed("point_lookup_warm", lambda: sum(
-            1 for r in q.lookup_many(keys) if r is not None), reps=3)
+            1 for r in q.lookup_many(keys) if r is not None), reps=5)
         q.close()
         if got is not None and got != len(keys):
             errors["point_lookup_warm"] = f"hits {got} != {len(keys)}"
@@ -574,11 +583,11 @@ def main():
             timed("dsir_10x",
                   lambda: dsir_logweights(
                       docs10, docs10.filter(F.col("doc_id") % 20 == 0),
-                      "text", "doc_id").count())
+                      "text", "doc_id").count(), reps=3)
             timed("semdedup_10x",
                   lambda: S.semdedup(emb10, "embedding", "vec_id",
                                      num_centroids=320, threshold=0.4,
-                                     dim=64).filter("keep").count())
+                                     dim=64).filter("keep").count(), reps=3)
 
     with section("sf1_reads"):
         # Read anchors at amortized scale (6 M rows): at sf0.1 the fast

@@ -49,14 +49,20 @@ def extract_features(df: DataFrame, bytes_col: str = "bytes", dim: int = 8,
                      decode: str = "fake") -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Output adds `features array<float>`. decode="real" is the seam where an
-    image/audio decoder plugs in; it raises here because the container has
-    no codec libraries.
+    Output adds `features array<float>`. decode="real" parses actual
+    BMP/PPM pixel arrays and WAV PCM samples (media_codecs.py — pure
+    stdlib+numpy, no codec libraries) and emits [w, h, channel means] /
+    [rate, frames, mean, rms] zero-padded to `dim`; decode="fake" keeps
+    the deterministic md5-derived stand-in the replay oracles use.
+    Formats beyond the stdlib-decodable three (JPEG/MP3/H.264...) would
+    plug in at the same seam but need codec libs this container lacks.
     """
     if decode == "real":
-        raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg (not in this container); "
-            "use decode='fake' for the deterministic test path")
+        from .media_codecs import real_features as _feat
+    elif decode == "fake":
+        _feat = _fake_feature
+    else:
+        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
 
     fields = df.schema.fields + [T.StructField("features",
                                                T.ArrayType(T.FloatType()), True)]
@@ -66,7 +72,7 @@ def extract_features(df: DataFrame, bytes_col: str = "bytes", dim: int = 8,
         for pdf in it:
             pdf = pdf.copy()
             pdf["features"] = [
-                _fake_feature(b if isinstance(b, (bytes, bytearray)) else bytes(b or b""), dim)
+                _feat(b if isinstance(b, (bytes, bytearray)) else bytes(b or b""), dim)
                 for b in pdf[bytes_col]
             ]
             yield pdf

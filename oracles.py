@@ -987,6 +987,29 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# media_real_decode mirror: the Spark side builds an 8x4 24bpp BMP whose
+# 96 pixel bytes are the ASCII codes of substr(repeat(md5(text),3),1,96)
+# in file order [B,G,R] per pixel, then REALLY decodes it
+# (operators/media_codecs.decode_bmp) and emits per-channel means of the
+# decoded array. The oracle replays the construction arithmetic: channel
+# means over the 32 pixels are sums of known ASCII codes / 32 (a power of
+# two, so float32 round-trips exactly). 1-based byte 3k+1=B, 3k+2=G, 3k+3=R.
+def _bmp_chan_mean_sql(off):
+    return (f"round(list_avg(list_transform(range(0, 32), "
+            f"k -> ascii(substr(s, 3 * k + {off}, 1)))), 4)")
+
+ORACLES["media_real_decode"] = f"""
+WITH p AS (
+  SELECT doc_id AS media_id, substr(repeat(md5(text), 3), 1, 96) AS s
+  FROM documents
+)
+SELECT media_id, 8.0 AS width, 4.0 AS height,
+  {_bmp_chan_mean_sql(3)} AS mean_r,
+  {_bmp_chan_mean_sql(2)} AS mean_g,
+  {_bmp_chan_mean_sql(1)} AS mean_b
+FROM p
+"""
+
 
 # ------------------------------------------------- r5 pipeline operators
 

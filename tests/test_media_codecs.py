@@ -1,0 +1,119 @@
+"""Real media decoders (operators/media_codecs.py): exact pixel/sample
+arrays from hand-built BMP/PPM/WAV binaries, plus the mapInPandas
+decode="real" path end-to-end."""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from incubator_paimon_spark.operators.media_codecs import (
+    decode_bmp, decode_ppm, decode_wav, real_features, sniff)
+
+
+def make_bmp(px_rgb: np.ndarray, top_down=False) -> bytes:
+    """Encode (h, w, 3) RGB uint8 as 24bpp BMP (file order BGR, padded
+    rows, bottom-up unless top_down)."""
+    h, w, _ = px_rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = px_rgb if top_down else px_rgb[::-1]
+    body = b"".join(
+        row[:, ::-1].tobytes() + b"\x00" * (stride - w * 3) for row in rows)
+    hdr = (struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24,
+                         0, len(body), 2835, 2835, 0, 0))
+    return hdr + body
+
+
+def test_bmp_roundtrip_bottom_up_and_padding():
+    # w=3 -> stride 12 (3 pad bytes per row), exercising the padding path
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    got = decode_bmp(make_bmp(px))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_bmp_top_down():
+    px = np.random.default_rng(7).integers(0, 256, (4, 8, 3), np.uint8)
+    np.testing.assert_array_equal(decode_bmp(make_bmp(px, top_down=True)), px)
+    np.testing.assert_array_equal(decode_bmp(make_bmp(px)), px)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG....")
+    bad = bytearray(make_bmp(np.zeros((1, 1, 3), np.uint8)))
+    struct.pack_into("<H", bad, 28, 8)  # bpp=8
+    with pytest.raises(ValueError, match="24bpp"):
+        decode_bmp(bytes(bad))
+
+
+def test_ppm_with_comments():
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    buf = b"P6\n# a comment\n2 2\n# another\n255\n" + px.tobytes()
+    np.testing.assert_array_equal(decode_ppm(buf), px)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(buf[:-1])
+
+
+def test_wav_16bit_against_stdlib_writer():
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32767, (100, 2), np.int16)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    rate, got = decode_wav(bio.getvalue())
+    assert rate == 16000
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_wav_8bit_and_chunk_skipping():
+    # hand-build: LIST chunk before fmt/data must be skipped; 8-bit
+    # unsigned centers at 128
+    raw = bytes([0, 128, 255, 64])
+    chunks = (b"LIST" + struct.pack("<I", 4) + b"INFO"
+              + b"fmt " + struct.pack("<I", 16)
+              + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+              + b"data" + struct.pack("<I", len(raw)) + raw)
+    buf = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, got = decode_wav(buf)
+    assert rate == 8000
+    np.testing.assert_array_equal(got.ravel(),
+                                  np.array([-128, 0, 127, -64], np.int16))
+
+
+def test_sniff_and_real_features():
+    px = np.full((4, 8, 3), 10, np.uint8)
+    px[..., 0] = 200  # R
+    bmp = make_bmp(px)
+    assert sniff(bmp) == "bmp"
+    f = real_features(bmp, 8)
+    assert f[:5] == [8.0, 4.0, 200.0, 10.0, 10.0]
+    assert f[5:] == [0.0, 0.0, 0.0]
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(np.array([3, -3, 3, -3], np.int16).tobytes())
+    fa = real_features(bio.getvalue(), 6)
+    assert fa == [44100.0, 4.0, 0.0, 3.0, 0.0, 0.0]
+
+    with pytest.raises(ValueError, match="undecodable"):
+        real_features(b"\x89PNG\r\n", 4)
+
+
+def test_extract_features_real_mapinpandas(spark):
+    from incubator_paimon_spark.operators.multimodal import extract_features
+    px = np.zeros((4, 8, 3), np.uint8)
+    px[..., 1] = 77
+    rows = [(1, make_bmp(px)), (2, make_bmp(px, top_down=True))]
+    df = spark.createDataFrame(rows, "media_id long, bytes binary")
+    got = {r.media_id: r.features
+           for r in extract_features(df, dim=5, decode="real").collect()}
+    assert got[1] == got[2] == [8.0, 4.0, 0.0, 77.0, 0.0]
