@@ -753,7 +753,7 @@ def tag_partition_names(table) -> list[tuple[str, dict]]:
 
 
 def read_tag_partitioned(spark, table, predicate=None, projection=None,
-                         tag_pattern: str | None = None):
+                         tag_pattern: "str | list[str] | None" = None):
     """Upsert-to-partitioned reads (upsert-to-partitioned.md): a
     (typically non-partitioned) PK table whose options carry
     `metastore.tag-to-partition = <col>` is exposed as if partitioned by
@@ -780,16 +780,21 @@ def read_tag_partitioned(spark, table, predicate=None, projection=None,
     parts = tag_partition_names(table)
 
     if tag_pattern is not None:
-        # SQL-LIKE pattern over tag NAMES, pruned before any leg is built:
-        # each leg costs ~70 ms of DataFrame planning, so a year of daily
-        # tags pays ~25 s just to construct the union — the pattern keeps
-        # the TVF O(matching tags) when the caller knows the slice.
+        # SQL-LIKE pattern(s) over tag NAMES, pruned before any leg is
+        # built: each leg costs ~70 ms of DataFrame planning, so a year of
+        # daily tags pays ~25 s just to construct the union — the pattern
+        # keeps the TVF O(matching tags) when the caller knows the slice.
+        # A list means EVERY pattern must match (the SQL rewrite lifts
+        # multiple LIKE conjuncts from one WHERE).
         # LIKE semantics exactly: %/_ are the only wildcards; regex/glob
         # metacharacters in the pattern or tag names stay literal
         import re as _re
-        rx = "".join(".*" if ch == "%" else "." if ch == "_"
-                     else _re.escape(ch) for ch in tag_pattern)
-        parts = [(n, k) for n, k in parts if _re.fullmatch(rx, n)]
+        pats = ([tag_pattern] if isinstance(tag_pattern, str)
+                else list(tag_pattern))
+        for pat in pats:
+            rx = "".join(".*" if ch == "%" else "." if ch == "_"
+                         else _re.escape(ch) for ch in pat)
+            parts = [(n, k) for n, k in parts if _re.fullmatch(rx, n)]
 
     residual = predicate
     post_filter = None

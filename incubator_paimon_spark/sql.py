@@ -24,7 +24,7 @@ from datetime import date, datetime
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
-from .predicate import And, Leaf, Or, Predicate
+from .predicate import And, Leaf, Or, P, Predicate
 
 # WHERE-subquery results are materialized on the driver (reference
 # parity: EvalSubqueriesForDeleteTable pre-evaluates too); this bounds
@@ -398,21 +398,151 @@ _TAGPART_TVF = re.compile(
     r"(?:\s*,\s*('[^']*'))?\s*\)", re.IGNORECASE)
 
 
+_SQL_STOPPERS = re.compile(
+    r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE)
+_NOT_ALIASES = {
+    "WHERE", "JOIN", "ON", "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW",
+    "UNION", "INTERSECT", "EXCEPT", "LEFT", "RIGHT", "INNER", "FULL",
+    "CROSS", "USING", "NATURAL", "SEMI", "ANTI", "LATERAL", "AS"}
+
+
+def _tvf_alias(masked: str, pos: int) -> str | None:
+    m = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", masked[pos:], re.IGNORECASE)
+    if m and m.group(1).upper() not in _NOT_ALIASES:
+        return m.group(1)
+    return None
+
+
+def _block_where_span(masked: str, pos: int) -> tuple[int, int] | None:
+    """Span of the WHERE expression belonging to the SELECT block whose
+    FROM contains position `pos`: scan forward at the same paren depth;
+    the first WHERE before the block closes (')' below start depth) or a
+    set-operator/GROUP/ORDER keyword is the block's own."""
+    depth, i, n = 0, pos, len(masked)
+    while i < n:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0:
+            mm = _SQL_STOPPERS.match(masked, i)
+            if mm:
+                if mm.group(1).upper() != "WHERE":
+                    return None
+                start = j = mm.end()
+                d2 = 0
+                while j < n:
+                    c2 = masked[j]
+                    if c2 == "(":
+                        d2 += 1
+                    elif c2 == ")":
+                        d2 -= 1
+                        if d2 < 0:
+                            break
+                    elif d2 == 0 and _SQL_STOPPERS.match(masked, j):
+                        break
+                    j += 1
+                return (start, j)
+        i += 1
+    return None
+
+
+def _tag_constraints(masked: str, statement: str, pos: int,
+                     col: str, alias: str | None):
+    """Lift `col = '…'` / `col IN ('…', …)` / `col LIKE '…'` conjuncts of
+    the TVF block's own WHERE (VERDICT r10 #4). Only top-level AND
+    conjuncts in exactly those shapes count — an OR / NOT / function /
+    subquery conjunct simply doesn't match and nothing is pruned, which
+    is always sound (pruning is a superset: the WHERE still filters the
+    unioned rows). Qualified references must use the TVF's own alias;
+    an unqualified reference to a DIFFERENT table's same-named column
+    would be ambiguous against the view and fail anyway.
+    Returns (eq_value_sets, like_patterns)."""
+    span = _block_where_span(masked, pos)
+    if span is None:
+        return [], []
+    s, e = span
+    # split the expression on top-level ANDs
+    cuts, depth, i = [s], 0, s
+    while i < e:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            mm = re.compile(r"\bAND\b", re.IGNORECASE).match(masked, i)
+            if mm:
+                cuts.append(i)
+                i = mm.end()
+                cuts.append(i)
+                continue
+        i += 1
+    cuts.append(e)
+    spans = [(cuts[k], cuts[k + 1]) for k in range(0, len(cuts), 2)]
+
+    c = re.escape(col)
+    q = r"(?:([A-Za-z_]\w*)\s*\.\s*)?"
+    rx_eq = re.compile(rf"^\s*{q}{c}\s*=\s*'[^']*'\s*$", re.IGNORECASE)
+    rx_in = re.compile(rf"^\s*{q}{c}\s+IN\s*\(\s*'[^']*'"
+                       rf"(?:\s*,\s*'[^']*')*\s*\)\s*$", re.IGNORECASE)
+    rx_like = re.compile(rf"^\s*{q}{c}\s+LIKE\s*'[^']*'\s*$", re.IGNORECASE)
+    lit = re.compile(r"'([^']*)'")
+
+    value_sets, likes = [], []
+    for cs, ce in spans:
+        frag = masked[cs:ce]
+        for rx in (rx_eq, rx_in, rx_like):
+            mm = rx.match(frag)
+            if mm is None:
+                continue
+            if mm.group(1) is not None and mm.group(1) != alias:
+                break  # qualified with some other table's alias
+            vals = [statement[cs + lm.start(1):cs + lm.end(1)]
+                    for lm in lit.finditer(frag)]
+            if rx is rx_like:
+                likes.append(vals[0])
+            else:
+                value_sets.append(set(vals))
+            break
+    return value_sets, likes
+
+
 def _rewrite_tag_partitioned_tvf(spark, catalog, statement: str) -> str:
     out, last = [], 0
-    for m in _TAGPART_TVF.finditer(_mask_literals(statement)):
+    masked = _mask_literals(statement)
+    for m in _TAGPART_TVF.finditer(masked):
         ident = _g(m, statement, 1).strip()[1:-1]
         pattern = None
         if m.group(2):
             pattern = _g(m, statement, 2).strip()[1:-1]
         from .read import read_tag_partitioned
-        # hash keeps distinct (table, pattern) pairs in distinct views —
-        # sanitizing alone would collapse '%-17' and '_-17' to one name
+        table = catalog.get_table(ident)
+        # bare-TVF leg pruning: tag-equality/IN/LIKE conjuncts of the
+        # block's own WHERE prune legs BEFORE they are built — the same
+        # driver pruning the Python API and the explicit pattern argument
+        # get, so `WHERE dt = '…'` costs O(1 leg), not O(tags) plan-build
+        pred = None
+        col = table.schema.options.get("metastore.tag-to-partition")
+        eq_sets, likes = ([], []) if not col else _tag_constraints(
+            masked, statement, m.end(), col, _tvf_alias(masked, m.end()))
+        if eq_sets:
+            vals = set.intersection(*eq_sets)
+            pred = P.isin(col, sorted(vals))
+        patterns = ([pattern] if pattern is not None else []) + likes
+        # hash keeps distinct (table, pattern, constraint) triples in
+        # distinct views — sanitizing alone would collapse '%-17'/'_-17'
         import hashlib
-        sig = hashlib.md5(f"{ident}|{pattern}".encode()).hexdigest()[:8]
+        sig = hashlib.md5(
+            f"{ident}|{patterns}|{sorted(s for v in eq_sets for s in v)}"
+            .encode()).hexdigest()[:8]
         view = re.sub(r"\W", "_", f"pmn_tagpart_{ident}_{sig}")
-        read_tag_partitioned(spark, catalog.get_table(ident),
-                             tag_pattern=pattern) \
+        read_tag_partitioned(spark, table, predicate=pred,
+                             tag_pattern=patterns or None) \
             .createOrReplaceTempView(view)
         out.append(statement[last:m.start()])
         out.append(view)

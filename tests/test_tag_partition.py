@@ -134,3 +134,93 @@ def test_tag_partition_pattern_prunes_legs(spark, catalog, customer):
     # python API equivalent
     df = read_tag_partitioned(spark, t, tag_pattern="2023-10-1_")
     assert df.select("dt").distinct().count() == 2
+
+
+def test_bare_tvf_where_prunes_legs(spark, catalog, customer, monkeypatch):
+    """r11 (VERDICT r10 #4): tag-equality/IN/LIKE conjuncts of the TVF
+    block's own WHERE prune legs before they are built — no explicit
+    pattern argument needed."""
+    import incubator_paimon_spark.read as R
+    t = _mk(spark, catalog, customer)
+    calls = []
+    orig = R.read_tag_partitioned
+
+    def spy(spark_, table, predicate=None, projection=None, tag_pattern=None):
+        calls.append((predicate, tag_pattern))
+        return orig(spark_, table, predicate=predicate,
+                    projection=projection, tag_pattern=tag_pattern)
+
+    monkeypatch.setattr(R, "read_tag_partitioned", spy)
+    n = customer.count()
+
+    got = catalog.sql(spark, """
+        SELECT dt, count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        WHERE dt = '2023-10-16' GROUP BY dt""").collect()
+    assert [(r.dt, r.n) for r in got] == [("2023-10-16", n)]
+    pred, pat = calls[-1]
+    assert pred is not None and pred.test_value({"dt": "2023-10-16"})
+    assert not pred.test_value({"dt": "2023-10-17"})
+
+    # IN + residual conjunct on a real column
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        WHERE dt IN ('2023-10-16', '2023-10-17') AND c_custkey <= 10
+        """).collect()
+    assert got[0].n == 2 * customer.filter("c_custkey <= 10").count()
+    pred, _ = calls[-1]
+    assert pred is not None and pred.test_value({"dt": "2023-10-17"})
+
+    # LIKE conjunct arrives as a tag pattern
+    got = catalog.sql(spark, """
+        SELECT dt FROM paimon_tag_partitioned('db.tp')
+        WHERE dt LIKE '%-17' GROUP BY dt""").collect()
+    assert [r.dt for r in got] == ["2023-10-17"]
+    pred, pat = calls[-1]
+    assert pred is None and pat == ["%-17"]
+
+    # alias-qualified reference prunes; explicit pattern argument composes
+    got = catalog.sql(spark, """
+        SELECT tp.dt FROM paimon_tag_partitioned('db.tp', '2023%') tp
+        WHERE tp.dt = '2023-10-17' GROUP BY tp.dt""").collect()
+    assert [r.dt for r in got] == ["2023-10-17"]
+    pred, pat = calls[-1]
+    assert pred is not None and pat == ["2023%"]
+
+
+def test_bare_tvf_where_no_false_pruning(spark, catalog, customer,
+                                         monkeypatch):
+    """Shapes that must NOT prune: OR conjuncts, NOT/!= forms, and a WHERE
+    belonging to an enclosing block (TVF inside a subquery)."""
+    import incubator_paimon_spark.read as R
+    t = _mk(spark, catalog, customer)
+    calls = []
+    orig = R.read_tag_partitioned
+
+    def spy(spark_, table, predicate=None, projection=None, tag_pattern=None):
+        calls.append((predicate, tag_pattern))
+        return orig(spark_, table, predicate=predicate,
+                    projection=projection, tag_pattern=tag_pattern)
+
+    monkeypatch.setattr(R, "read_tag_partitioned", spy)
+    n = customer.count()
+
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        WHERE dt = '2023-10-16' OR c_custkey = 1""").collect()
+    assert got[0].n == n + 1  # the whole -16 tag plus one -17 row
+    assert calls[-1] == (None, None)
+
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        WHERE dt != '2023-10-16'""").collect()
+    assert got[0].n == n
+    assert calls[-1] == (None, None)
+
+    # outer WHERE over a subquery: sound either way, but the scanner must
+    # not claim it (it stops at the subquery's closing paren)
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n
+        FROM (SELECT * FROM paimon_tag_partitioned('db.tp')) z
+        WHERE z.dt = '2023-10-17'""").collect()
+    assert got[0].n == n
+    assert calls[-1] == (None, None)
