@@ -113,8 +113,76 @@ def expire_partitions(table, expiration_time_ms=None, timestamp_formatter=None):
         return None
     msg = CommitMessage(delete=[ManifestEntry(ENTRY_DELETE, e.partition,
                                               e.bucket, e.file) for e in victims])
-    return table.commit.commit(msg, schema_id=table.schema.id,
+    snap = table.commit.commit(msg, schema_id=table.schema.id,
                                kind=COMMIT_OVERWRITE)
+    dropped = {tuple(sorted(e.partition.items())) for e in victims}
+    clear_partition_done(table, *[dict(t) for t in dropped])
+    return snap
+
+
+# ---------------------------------------------------------------- partition
+# done markers (success-file mode): downstream schedulers poll these
+# (paimon-core/.../partition/actions/SuccessFileMarkDoneAction.java,
+# MarkPartitionDoneProcedure.java:46)
+SUCCESS_FILE = "_SUCCESS"
+
+
+def _partition_dir(table, spec: dict) -> str:
+    """Relative directory of one FULLY-bound partition spec."""
+    from .write import _dir_value
+    keys = table.schema.partition_keys
+    if not keys:
+        raise ValueError("table is not partitioned")
+    missing = [k for k in keys if k not in spec]
+    extra = sorted(set(spec) - set(keys))
+    if missing or extra:
+        raise ValueError(f"partition spec must bind exactly {keys}; "
+                         f"missing={missing} unknown={extra}")
+    return "/".join(f"{k}={_dir_value(spec[k])}" for k in keys)
+
+
+def mark_partition_done(table, *specs: dict) -> list[str]:
+    """Write a `_SUCCESS` marker under each partition's directory
+    (SuccessFile shape: creation + modification time). Idempotent:
+    re-marking keeps creationTime and refreshes modificationTime, like
+    the reference's SuccessFile.safelyFromPath+refresh cycle. Returns
+    the marker paths relative to the table root."""
+    from .metadata.util import dumps, loads
+    out = []
+    now = int(time.time() * 1000)
+    for spec in specs:
+        rel = f"{_partition_dir(table, spec)}/{SUCCESS_FILE}"
+        path = os.path.join(table.path, rel)
+        created = now
+        try:
+            with table.io.open_input(path) as f:
+                created = loads(f.read().decode()).get("creationTime", now)
+        except Exception:  # noqa: BLE001 — first mark
+            pass
+        table.io.write_overwrite(path, dumps(
+            {"creationTime": created, "modificationTime": now}).encode())
+        out.append(rel)
+    return out
+
+
+def partition_done(table, spec: dict) -> bool:
+    path = os.path.join(table.path, _partition_dir(table, spec), SUCCESS_FILE)
+    try:
+        with table.io.open_input(path):
+            return True
+    except Exception:  # noqa: BLE001 — missing marker
+        return False
+
+
+def clear_partition_done(table, *partitions: dict) -> None:
+    """Remove markers (used by drop/expire so a re-created partition never
+    looks done from a stale marker)."""
+    for p in partitions:
+        try:
+            rel = _partition_dir(table, p)
+        except ValueError:
+            continue
+        table.io.delete(os.path.join(table.path, rel, SUCCESS_FILE))
 
 
 def remove_orphan_files(table, older_than_ms=None, dry_run=False):
@@ -312,8 +380,11 @@ def drop_partition(table, *specs: dict):
         return None
     msg = CommitMessage(delete=[ManifestEntry(ENTRY_DELETE, e.partition,
                                               e.bucket, e.file) for e in victims])
-    return table.commit.commit(msg, schema_id=table.schema.id,
+    snap = table.commit.commit(msg, schema_id=table.schema.id,
                                kind=COMMIT_OVERWRITE)
+    dropped = {tuple(sorted(e.partition.items())) for e in victims}
+    clear_partition_done(table, *[dict(t) for t in dropped])
+    return snap
 
 
 def clone_table(spark, src_table, dst_catalog, dst_ident: str,
@@ -405,4 +476,10 @@ def clone_table(spark, src_table, dst_catalog, dst_ident: str,
         dv_manifest=snap.dv_manifest,
         statistics=snap.statistics,
     )
+    import contextlib
+
+    from . import lineage
+    with contextlib.suppress(Exception):  # lineage is advisory
+        lineage.record("clone", sources=[(src_table, snap.id)],
+                       sinks=[(dst, 1)])
     return {"table": dst, "files": len(rels), "bytes": n_bytes}

@@ -317,7 +317,19 @@ def sync_materialized_agg(spark, source_table, mv_table,
         cols = [F.col(f.name).cast(f.dataType) for f in mv_schema.fields]
         mv_table.write(spark, net.select(*cols), commit_identifier=sid)
 
-    return replay_changelog(spark, source_table, cid, apply, **kw)
+    covered = replay_changelog(spark, source_table, cid, apply, **kw)
+    if covered:
+        import contextlib
+
+        from .. import lineage
+        with contextlib.suppress(Exception):  # lineage is advisory
+            s_latest = source_table.snapshots.latest()
+            m_latest = mv_table.snapshots.latest()
+            lineage.record(
+                "matview_sync",
+                sources=[(source_table, s_latest.id if s_latest else None)],
+                sinks=[(mv_table, m_latest.id if m_latest else None)])
+    return covered
 
 
 def _resolve_sketches(spark, source_table, mv_table, net, adds, removes,

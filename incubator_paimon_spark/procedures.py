@@ -246,9 +246,15 @@ def _analyze(spark, catalog, table, cols=None, **_):
 
 
 def _drop_partition(spark, catalog, table, partitions, **_):
-    """ALTER TABLE DROP PARTITION surface: `partitions` is
-    'k=v[,k2=v2][;k=v...]' — commas bind keys within one spec, semicolons
-    separate specs."""
+    """ALTER TABLE DROP PARTITION surface (spec string shape as in
+    _parse_partition_specs)."""
+    return _t(catalog, table).drop_partition(
+        *_parse_partition_specs(partitions))
+
+
+def _parse_partition_specs(partitions) -> list[dict]:
+    """'k=v[,k2=v2][;k=v...]' — commas bind keys in one spec, semicolons
+    separate specs (the reference procedures' partition string shape)."""
     specs = []
     for spec_src in str(partitions).split(";"):
         spec = {}
@@ -256,7 +262,38 @@ def _drop_partition(spark, catalog, table, partitions, **_):
             k, v = kv.split("=", 1)
             spec[k.strip()] = v.strip()
         specs.append(spec)
-    return _t(catalog, table).drop_partition(*specs)
+    return specs
+
+
+def _mark_partition_done(spark, catalog, table, partitions, **_):
+    """CALL sys.mark_partition_done(table => 'db.t', partitions =>
+    'dt=20240101[;dt=...]') — success-file markers downstream schedulers
+    poll (MarkPartitionDoneProcedure.java:46); visible as the `done`
+    column of t$partitions."""
+    from .maintenance import mark_partition_done
+    return mark_partition_done(_t(catalog, table),
+                               *_parse_partition_specs(partitions))
+
+
+def _migrate_database(spark, catalog, database, source_dir, options=None, **_):
+    """Import every Parquet table directory under `source_dir` as
+    `<database>.<dirname>` (MigrateDatabaseProcedure.java:31 — one loop
+    over the migrate_table core; zero-copy link + footer stats)."""
+    import os
+
+    from .fileio import for_path
+    io = for_path(source_dir)
+    migrated = []
+    for name in sorted(io.list_names(source_dir)):
+        p = os.path.join(source_dir, name)
+        if not io.is_dir(p):
+            continue
+        if not any(f.endswith(".parquet") for f, _ in io.walk_files(p)):
+            continue
+        _migrate_table(spark, catalog, f"{database}.{name}", p,
+                       options=options)
+        migrated.append(f"{database}.{name}")
+    return migrated
 
 
 def _repair(spark, catalog, database_or_table=None, **_):
@@ -493,6 +530,8 @@ _PROCEDURES = {
     "analyze": _analyze,
     "migrate_table": _migrate_table,
     "migrate_file": _migrate_file,
+    "migrate_database": _migrate_database,
+    "mark_partition_done": _mark_partition_done,
     "clone": _clone,
     "rewrite_file_index": _rewrite_file_index,
     "repair": _repair,

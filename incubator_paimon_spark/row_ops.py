@@ -163,6 +163,7 @@ def merge_into(
     matched: list[tuple] | None = None,
     not_matched: list[tuple] | None = None,
     not_matched_by_source: list[tuple] | None = None,
+    lineage_source=None,  # Table the USING clause named, when known
 ):
     """MERGE INTO for PK tables (MergeIntoPaimonTable.scala:41-257).
 
@@ -281,8 +282,19 @@ def merge_into(
     changelog = out_parts[0]
     for p in out_parts[1:]:
         changelog = changelog.unionByName(p)
-    return table.new_write().write(spark, changelog,
+    snap = table.new_write().write(spark, changelog,
                                    commit_identifier=commit_identifier)
+    import contextlib
+
+    from . import lineage
+    with contextlib.suppress(Exception):  # lineage is advisory
+        srcs = []
+        if lineage_source is not None:
+            s_latest = lineage_source.snapshots.latest()
+            srcs = [(lineage_source, s_latest.id if s_latest else None)]
+        lineage.record("merge_into", sources=srcs,
+                       sinks=[(table, snap.id if snap else None)])
+    return snap
 
 
 def truncate(table):

@@ -859,13 +859,15 @@ def _exec_merge(spark, catalog, statement):
     src, on_src = _g(m, statement, 3), _g(m, statement, 5)
     table = catalog.get_table(tbl_name)
 
+    lineage_source = None
     if src.startswith("("):
         source = spark.sql(src[1:-1])
     else:
         try:
             source = spark.table(src)
         except Exception:
-            source = catalog.get_table(src).read(spark)
+            lineage_source = catalog.get_table(src)
+            source = lineage_source.read(spark)
 
     rw = lambda e: _rewrite_aliases(e, t_alias, s_alias)
     on = F.expr(rw(on_src))
@@ -929,7 +931,8 @@ def _exec_merge(spark, catalog, statement):
         raise ValueError("MERGE INTO needs at least one WHEN clause")
     return table.merge_into(spark, source, on, matched=matched,
                             not_matched=not_matched,
-                            not_matched_by_source=by_source)
+                            not_matched_by_source=by_source,
+                            lineage_source=lineage_source)
 
 
 # ---------------------------------------------------------------- DDL + DML

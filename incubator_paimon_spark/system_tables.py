@@ -85,17 +85,25 @@ def _manifests(spark, table):
 
 
 def _partitions(spark, table):
+    from .maintenance import partition_done
     agg: dict = {}
     for e in table.entries_at():
         key = json.dumps(e.partition, sort_keys=True, default=str)
-        a = agg.setdefault(key, [0, 0, 0, 0])
+        a = agg.setdefault(key, [0, 0, 0, 0, e.partition])
         a[0] += e.file.row_count
         a[1] += e.file.file_size
         a[2] += 1
         a[3] = max(a[3], e.file.creation_time_millis)
-    rows = [(k, v[0], v[1], v[2], v[3]) for k, v in sorted(agg.items())]
+    rows = []
+    for k, v in sorted(agg.items()):
+        try:  # `done` = success-file marker present (mark_partition_done)
+            done = partition_done(table, v[4]) if v[4] else False
+        except ValueError:
+            done = False
+        rows.append((k, v[0], v[1], v[2], v[3], done))
     return spark.createDataFrame(rows, """partition string, record_count long,
-        file_size_in_bytes long, file_count long, last_update_time long""")
+        file_size_in_bytes long, file_count long, last_update_time long,
+        done boolean""")
 
 
 def _buckets(spark, table):
@@ -218,7 +226,8 @@ _TABLES = {
 # database_name/table_name/key/value rows for every table's options;
 # CatalogOptionsTable.java:51-76 — the catalog's own configuration)
 GLOBAL_SYSTEM_TABLES = frozenset({"all_table_options", "catalog_options",
-                                  "materialized_views", "metrics"})
+                                  "materialized_views", "metrics",
+                                  "table_lineage", "data_lineage"})
 
 
 def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
@@ -272,5 +281,22 @@ def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
             rows() or [],
             "table_path string, metric_group string, metric_name string, "
             "value double")
+    if n == "table_lineage":
+        # which jobs read/wrote which tables (Source/SinkTableLineageTable
+        # with a direction column); persisted per-warehouse, so events from
+        # any process writing through this warehouse appear
+        from .lineage import table_lineage_rows
+        return spark.createDataFrame(
+            table_lineage_rows(catalog.warehouse) or [],
+            "direction string, database_name string, table_name string, "
+            "job_name string, create_time_ms long")
+    if n == "data_lineage":
+        # snapshot-level lineage (DataLineageTable's barrier→snapshot
+        # relation): which source snapshot fed which sink snapshot
+        from .lineage import data_lineage_rows
+        return spark.createDataFrame(
+            data_lineage_rows(catalog.warehouse) or [],
+            "direction string, database_name string, table_name string, "
+            "snapshot_id long, job_name string, create_time_ms long")
     raise ValueError(f"unknown global system table sys.{n}; "
                      f"have {sorted(GLOBAL_SYSTEM_TABLES)}")

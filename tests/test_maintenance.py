@@ -297,3 +297,75 @@ def test_tag_ttl_expires_in_watermark_mode_without_watermark(spark, catalog,
     _t.sleep(0.05)
     t.write(spark, customer.limit(5))  # snapshot.watermark is None
     assert t.list_tags() == []
+
+
+def test_mark_partition_done(spark, catalog, customer):
+    """Success-file markers (MarkPartitionDoneProcedure.java:46): mark →
+    $partitions.done, idempotent re-mark keeps creationTime, drop/expire
+    clears the marker."""
+    from incubator_paimon_spark.metadata.util import loads
+    from incubator_paimon_spark.maintenance import partition_done
+    from incubator_paimon_spark.procedures import call_sql
+
+    t = catalog.create_table(
+        "db.mpd", customer.select("c_custkey", "c_name",
+                                  "c_mktsegment").schema,
+        partition_keys=["c_mktsegment"])
+    t.write(spark, customer.select("c_custkey", "c_name", "c_mktsegment"))
+    segs = [r.c_mktsegment for r in
+            t.read(spark).select("c_mktsegment").distinct().collect()]
+    seg = sorted(segs)[0]
+
+    done = {r.partition: r.done
+            for r in t.system(spark, "partitions").collect()}
+    assert set(done.values()) == {False}
+
+    marked = call_sql(spark, catalog,
+                      f"CALL sys.mark_partition_done(table => 'db.mpd', "
+                      f"partitions => 'c_mktsegment={seg}')")
+    assert marked == [f"c_mktsegment={seg}/_SUCCESS"]
+    done = {r.partition: r.done
+            for r in t.system(spark, "partitions").collect()}
+    assert sum(done.values()) == 1
+    assert partition_done(t, {"c_mktsegment": seg})
+
+    # idempotent re-mark: creationTime survives, modificationTime moves
+    import os
+    p = os.path.join(t.path, marked[0])
+    first = loads(open(p).read())
+    time.sleep(0.01)
+    call_sql(spark, catalog,
+             f"CALL sys.mark_partition_done(table => 'db.mpd', "
+             f"partitions => 'c_mktsegment={seg}')")
+    second = loads(open(p).read())
+    assert second["creationTime"] == first["creationTime"]
+    assert second["modificationTime"] >= first["modificationTime"]
+
+    # unknown / partial specs are rejected
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bind exactly"):
+        call_sql(spark, catalog,
+                 "CALL sys.mark_partition_done(table => 'db.mpd', "
+                 "partitions => 'nope=1')")
+
+    # drop clears the marker
+    t.drop_partition({"c_mktsegment": seg})
+    assert not partition_done(t, {"c_mktsegment": seg})
+
+
+def test_migrate_database(spark, catalog, customer, orders, tmp_path):
+    """MigrateDatabaseProcedure.java:31: every Parquet dir under
+    source_dir becomes <db>.<dirname>, zero-copy."""
+    from incubator_paimon_spark.procedures import call_sql
+    c = customer.select("c_custkey", "c_name")
+    o = orders.select("o_orderkey", "o_totalprice")
+    c.write.parquet(str(tmp_path / "cust"))
+    o.write.parquet(str(tmp_path / "ords"))
+    (tmp_path / "not_a_table").mkdir()
+
+    got = call_sql(spark, catalog,
+                   f"CALL sys.migrate_database(database => 'mig', "
+                   f"source_dir => '{tmp_path}')")
+    assert got == ["mig.cust", "mig.ords"]
+    assert catalog.get_table("mig.cust").read(spark).count() == c.count()
+    assert catalog.get_table("mig.ords").read(spark).count() == o.count()
