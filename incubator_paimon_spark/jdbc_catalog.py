@@ -1,4 +1,4 @@
-"""JDBC-backed metastore catalog (sqlite), with distributed DDL locks.
+"""JDBC-backed metastore catalog, with distributed DDL locks.
 
 The filesystem catalog (`table.Catalog`) derives its listing from the
 directory tree and its DDL atomicity from the filesystem — fine for a
@@ -14,26 +14,34 @@ ships exactly this as its JDBC catalog:
 - `JdbcCatalogLock.java:52-86` — `runWithLock(db, table, body)`
   acquiring `catalog_key.db.table` in a `paimon_distributed_locks`
   relation, exponential-backoff retry capped by an acquire timeout;
-- `AbstractDistributedLockDialect.java` / `SqlLiteDistributedLockDialect`
-  — acquire = INSERT of the lock id (conflict = held), release =
-  DELETE, plus timed-out-lock cleanup so a crashed holder cannot wedge
-  the catalog forever.
+- `AbstractDistributedLockDialect.java` with per-database
+  implementations (`SqlLiteDistributedLockDialect`,
+  `MysqlDistributedLockDialect`...) — acquire = INSERT of the lock id
+  (conflict = held), release = DELETE, plus timed-out-lock cleanup so a
+  crashed holder cannot wedge the catalog forever.
 
-This module re-expresses that on Python's stdlib `sqlite3` (the
-reference itself ships a SQLite dialect, so a file-backed store is
-in-family). Data files stay exactly where the filesystem catalog puts
-them (`<warehouse>/<db>.db/<table>`), so `Table` and every engine path
-work unchanged — only listing/DDL go through the metastore. Cross-
-process safety comes from sqlite's own locking: WAL journal + BEGIN
-IMMEDIATE write transactions; every helper opens a short-lived
-connection (no pooling needed at catalog-DDL rates).
+The dialect seam mirrors that structure: `MetastoreDialect` is the
+operation-level contract (atomic claim / rename arbiters + the three
+lock verbs), `SqliteDialect` implements it on stdlib sqlite3 (the
+reference itself ships a SQLite dialect; WAL journal + BEGIN IMMEDIATE
+short-lived connections give cross-PROCESS safety), and
+`InMemoryDialect` is a second, trivially-auditable implementation (one
+shared store per uri, a single RLock per store) that proves the catalog
+logic is dialect-independent — the thread-race tests run against both.
+A MySQL/Postgres dialect would implement the same dozen verbs.
+
+Data files stay exactly where the filesystem catalog puts them
+(`<warehouse>/<db>.db/<table>`), so `Table` and every engine path work
+unchanged — only listing/DDL go through the metastore.
 """
 
 from __future__ import annotations
 
 import os
 import sqlite3
+import threading
 import time
+from contextlib import contextmanager
 
 from .table import Catalog, Table
 
@@ -64,108 +72,353 @@ class LockNotAcquiredError(RuntimeError):
     """Catalog lock could not be acquired within the timeout."""
 
 
-class JdbcCatalogLock:
-    """`JdbcCatalogLock.runWithLock` parity: acquire = INSERT of the
-    lock id (a PRIMARY KEY conflict means someone holds it), release =
-    DELETE, a lock older than `lease_ms` is reaped before retrying (a
-    crashed holder can't wedge the catalog), and acquisition retries
-    with doubling sleeps capped at `check_max_sleep_ms` until
-    `acquire_timeout_ms` elapses."""
+# ----------------------------------------------------------------------
+# dialect contract
+# ----------------------------------------------------------------------
+class MetastoreDialect:
+    """Operation-level metastore contract. Multi-step verbs (claim,
+    rename, purge) are ATOMIC in every implementation — that atomicity
+    is what the catalog's race-correctness proofs rest on."""
 
-    def __init__(self, db_path: str, lock_id: str,
-                 acquire_timeout_ms: int = 10_000,
-                 check_max_sleep_ms: int = 500,
-                 lease_ms: int = 60_000):
-        self.db_path = db_path
-        self.lock_id = lock_id
-        self.acquire_timeout_ms = acquire_timeout_ms
-        self.check_max_sleep_ms = check_max_sleep_ms
-        self.lease_ms = lease_ms
-        self._token: float | None = None
+    # --- locks (AbstractDistributedLockDialect: acquire-INSERT,
+    #     lease reap, fenced release) ---
+    def lock_acquire(self, lock_id: str, lease_s: float):
+        """Reap a holder that outlived its OWN declared lease, then try
+        to insert the lock row. Returns a fencing token (truthy) on
+        success, None when someone holds it."""
+        raise NotImplementedError
 
-    def _try_acquire(self) -> bool:
-        with _connect(self.db_path) as con:
-            # tryReleaseTimedOutLock: reap a holder that outlived ITS
-            # OWN declared lease (stored in the row — a reaper's lease
-            # must not shorten someone else's)
+    def lock_release(self, lock_id: str, token) -> None:
+        """Fenced release: only delete the row carrying `token`."""
+        raise NotImplementedError
+
+    # --- catalog relations (JdbcUtils statement set) ---
+    def insert_database(self, key: str, db: str) -> bool: ...
+    def list_databases(self, key: str) -> list[str]: ...
+    def database_exists(self, key: str, db: str) -> bool: ...
+    def purge_database(self, key: str, db: str) -> None:
+        """Delete the database row AND its table rows, atomically."""
+    def claim_table(self, key: str, db: str, name: str) -> bool:
+        """Atomically: verify the database row exists (ValueError
+        otherwise) and insert the table row; False = already claimed."""
+    def release_table(self, key: str, db: str, name: str) -> bool: ...
+    def list_tables(self, key: str, db: str) -> list[str]: ...
+    def table_exists(self, key: str, db: str, name: str) -> bool: ...
+    def rename_table(self, key: str, db1: str, n1: str,
+                     db2: str, n2: str) -> None:
+        """Atomically: verify db2 exists (cross-db), UPDATE the row.
+        ValueError on missing source/target-db or existing target."""
+
+
+class SqliteDialect(MetastoreDialect):
+    """stdlib sqlite3: WAL + BEGIN IMMEDIATE short-lived connections —
+    cross-process correct on one host (the reference's SQLite dialect
+    has the same single-host scope; MySQL/Postgres widen it)."""
+
+    def __init__(self, uri: str):
+        self.uri = uri
+        with self._connect() as con:
+            for ddl in _SCHEMA:
+                con.execute(ddl)
+
+    @contextmanager
+    def _connect(self):
+        """One short-lived connection per operation: the inner `with
+        con` scopes the transaction (commit on success, rollback on
+        error) and the finally CLOSES the handle — `with
+        sqlite3.connect(...)` alone commits but leaks the connection to
+        GC, pinning WAL/-shm files."""
+        con = sqlite3.connect(self.uri, timeout=30.0,
+                              isolation_level="IMMEDIATE")
+        try:
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA busy_timeout=30000")
+            with con:
+                yield con
+        finally:
+            con.close()
+
+    # --- locks ---
+    def lock_acquire(self, lock_id, lease_s):
+        with self._connect() as con:
             con.execute(
                 "DELETE FROM paimon_distributed_locks "
                 "WHERE lock_id = ? AND acquired_at + lease_s < ?",
-                (self.lock_id, time.time()))
+                (lock_id, time.time()))
             try:
                 token = time.time()
+                con.execute("INSERT INTO paimon_distributed_locks "
+                            "VALUES (?, ?, ?)", (lock_id, token, lease_s))
+                return token
+            except sqlite3.IntegrityError:
+                return None
+
+    def lock_release(self, lock_id, token):
+        with self._connect() as con:
+            con.execute("DELETE FROM paimon_distributed_locks "
+                        "WHERE lock_id = ? AND acquired_at = ?",
+                        (lock_id, token))
+
+    # --- relations ---
+    def insert_database(self, key, db):
+        with self._connect() as con:
+            try:
                 con.execute(
-                    "INSERT INTO paimon_distributed_locks "
-                    "VALUES (?, ?, ?)",
-                    (self.lock_id, token, self.lease_ms / 1000.0))
-                self._token = token
+                    "INSERT INTO paimon_databases(catalog_key, "
+                    "database_name) VALUES (?, ?)", (key, db))
                 return True
             except sqlite3.IntegrityError:
                 return False
 
+    def list_databases(self, key):
+        with self._connect() as con:
+            rows = con.execute(
+                "SELECT database_name FROM paimon_databases "
+                "WHERE catalog_key = ? ORDER BY database_name",
+                (key,)).fetchall()
+        return [r[0] for r in rows]
+
+    def database_exists(self, key, db):
+        with self._connect() as con:
+            return con.execute(
+                "SELECT 1 FROM paimon_databases WHERE catalog_key = ? "
+                "AND database_name = ?", (key, db)).fetchone() is not None
+
+    def purge_database(self, key, db):
+        with self._connect() as con:
+            con.execute("DELETE FROM paimon_tables WHERE catalog_key = ? "
+                        "AND database_name = ?", (key, db))
+            con.execute("DELETE FROM paimon_databases WHERE catalog_key = ?"
+                        " AND database_name = ?", (key, db))
+
+    def claim_table(self, key, db, name):
+        with self._connect() as con:
+            if con.execute(
+                    "SELECT 1 FROM paimon_databases WHERE catalog_key = ?"
+                    " AND database_name = ?", (key, db)).fetchone() is None:
+                raise ValueError(f"database {db} does not exist")
+            try:
+                con.execute("INSERT INTO paimon_tables VALUES (?, ?, ?)",
+                            (key, db, name))
+                return True
+            except sqlite3.IntegrityError:
+                return False
+
+    def release_table(self, key, db, name):
+        with self._connect() as con:
+            cur = con.execute(
+                "DELETE FROM paimon_tables WHERE catalog_key = ? AND "
+                "database_name = ? AND table_name = ?", (key, db, name))
+            return cur.rowcount > 0
+
+    def list_tables(self, key, db):
+        with self._connect() as con:
+            rows = con.execute(
+                "SELECT table_name FROM paimon_tables WHERE "
+                "catalog_key = ? AND database_name = ? ORDER BY table_name",
+                (key, db)).fetchall()
+        return [r[0] for r in rows]
+
+    def table_exists(self, key, db, name):
+        with self._connect() as con:
+            return con.execute(
+                "SELECT 1 FROM paimon_tables WHERE catalog_key = ? AND "
+                "database_name = ? AND table_name = ?",
+                (key, db, name)).fetchone() is not None
+
+    def rename_table(self, key, db1, n1, db2, n2):
+        with self._connect() as con:
+            # the UPDATE has no FK: verify the target database row
+            # exists (same check claim_table does) — the reference's
+            # JdbcCatalog rejects renames into an unknown database
+            if db2 != db1 and con.execute(
+                    "SELECT 1 FROM paimon_databases WHERE catalog_key = ?"
+                    " AND database_name = ?",
+                    (key, db2)).fetchone() is None:
+                raise ValueError(
+                    f"target database {db2} does not exist in metastore")
+            try:
+                cur = con.execute(
+                    "UPDATE paimon_tables SET database_name = ?, "
+                    "table_name = ? WHERE catalog_key = ? AND "
+                    "database_name = ? AND table_name = ?",
+                    (db2, n2, key, db1, n1))
+            except sqlite3.IntegrityError:
+                raise ValueError(
+                    f"rename target {db2}.{n2} already exists") from None
+            if cur.rowcount == 0:
+                raise ValueError(f"table {db1}.{n1} does not exist")
+
+
+# one shared store per uri — two InMemoryDialect("mem://x") instances
+# are two "connections" to the same server state, which is what makes
+# the thread-race tests meaningful against this dialect
+_MEM_STORES: dict[str, dict] = {}
+_MEM_GUARD = threading.Lock()
+
+
+class InMemoryDialect(MetastoreDialect):
+    """Dict-backed second dialect: every verb holds the store's single
+    RLock, so the contract's atomicity is trivially satisfied — the
+    auditable reference implementation the seam is proven against."""
+
+    def __init__(self, uri: str = "memory://default"):
+        self.uri = uri
+        with _MEM_GUARD:
+            self._s = _MEM_STORES.setdefault(uri, {
+                "lock": threading.RLock(),
+                "databases": set(),   # (key, db)
+                "tables": set(),      # (key, db, name)
+                "locks": {},          # lock_id -> (token, lease_s)
+            })
+
+    def lock_acquire(self, lock_id, lease_s):
+        with self._s["lock"]:
+            held = self._s["locks"].get(lock_id)
+            if held is not None and held[0] + held[1] < time.time():
+                del self._s["locks"][lock_id]  # lease reap
+                held = None
+            if held is not None:
+                return None
+            token = time.time()
+            self._s["locks"][lock_id] = (token, lease_s)
+            return token
+
+    def lock_release(self, lock_id, token):
+        with self._s["lock"]:
+            if self._s["locks"].get(lock_id, (None,))[0] == token:
+                del self._s["locks"][lock_id]
+
+    def insert_database(self, key, db):
+        with self._s["lock"]:
+            if (key, db) in self._s["databases"]:
+                return False
+            self._s["databases"].add((key, db))
+            return True
+
+    def list_databases(self, key):
+        with self._s["lock"]:
+            return sorted(d for k, d in self._s["databases"] if k == key)
+
+    def database_exists(self, key, db):
+        with self._s["lock"]:
+            return (key, db) in self._s["databases"]
+
+    def purge_database(self, key, db):
+        with self._s["lock"]:
+            self._s["tables"] = {t for t in self._s["tables"]
+                                 if t[:2] != (key, db)}
+            self._s["databases"].discard((key, db))
+
+    def claim_table(self, key, db, name):
+        with self._s["lock"]:
+            if (key, db) not in self._s["databases"]:
+                raise ValueError(f"database {db} does not exist")
+            if (key, db, name) in self._s["tables"]:
+                return False
+            self._s["tables"].add((key, db, name))
+            return True
+
+    def release_table(self, key, db, name):
+        with self._s["lock"]:
+            had = (key, db, name) in self._s["tables"]
+            self._s["tables"].discard((key, db, name))
+            return had
+
+    def list_tables(self, key, db):
+        with self._s["lock"]:
+            return sorted(n for k, d, n in self._s["tables"]
+                          if (k, d) == (key, db))
+
+    def table_exists(self, key, db, name):
+        with self._s["lock"]:
+            return (key, db, name) in self._s["tables"]
+
+    def rename_table(self, key, db1, n1, db2, n2):
+        with self._s["lock"]:
+            if db2 != db1 and (key, db2) not in self._s["databases"]:
+                raise ValueError(
+                    f"target database {db2} does not exist in metastore")
+            if (key, db1, n1) not in self._s["tables"]:
+                raise ValueError(f"table {db1}.{n1} does not exist")
+            if (key, db2, n2) in self._s["tables"]:
+                raise ValueError(f"rename target {db2}.{n2} already exists")
+            self._s["tables"].remove((key, db1, n1))
+            self._s["tables"].add((key, db2, n2))
+
+
+def _as_dialect(dialect_or_uri) -> MetastoreDialect:
+    if isinstance(dialect_or_uri, MetastoreDialect):
+        return dialect_or_uri
+    return SqliteDialect(dialect_or_uri)
+
+
+# ----------------------------------------------------------------------
+class JdbcCatalogLock:
+    """`JdbcCatalogLock.runWithLock` parity: acquire = INSERT of the
+    lock id (a conflict means someone holds it), release = fenced
+    DELETE of the token this acquire inserted (a holder that outlived
+    its lease must not release the lock a reaping process has since
+    re-acquired), a lock older than `lease_ms` is reaped before
+    retrying (a crashed holder can't wedge the catalog), and
+    acquisition retries with doubling sleeps capped at
+    `check_max_sleep_ms` until `acquire_timeout_ms` elapses."""
+
+    def __init__(self, dialect, lock_id: str,
+                 acquire_timeout_ms: int = 10_000,
+                 check_max_sleep_ms: int = 500,
+                 lease_ms: int = 60_000):
+        self.dialect = _as_dialect(dialect)
+        self.lock_id = lock_id
+        self.acquire_timeout_ms = acquire_timeout_ms
+        self.check_max_sleep_ms = check_max_sleep_ms
+        self.lease_ms = lease_ms
+        self._token = None
+
+    def _try_acquire(self) -> bool:
+        self._token = self.dialect.lock_acquire(self.lock_id,
+                                                self.lease_ms / 1000.0)
+        return self._token is not None
+
     def __enter__(self):
         start, sleep = time.time(), 0.05
-        while not self._try_acquire():
+        while True:
+            if self._try_acquire():
+                return self
             if (time.time() - start) * 1000 > self.acquire_timeout_ms:
                 raise LockNotAcquiredError(
                     f"could not acquire catalog lock {self.lock_id!r} "
                     f"within {self.acquire_timeout_ms} ms")
             time.sleep(sleep)
             sleep = min(sleep * 2, self.check_max_sleep_ms / 1000.0)
-        return self
 
     def __exit__(self, *exc):
-        # FENCED release: only delete the row THIS acquire inserted — a
-        # holder that outlived its lease must not release the lock a
-        # reaping process has since re-acquired (mutual-exclusion break
-        # found in review)
-        with _connect(self.db_path) as con:
-            con.execute("DELETE FROM paimon_distributed_locks "
-                        "WHERE lock_id = ? AND acquired_at = ?",
-                        (self.lock_id, self._token))
+        self.dialect.lock_release(self.lock_id, self._token)
         self._token = None
         return False
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
-def _connect(db_path: str):
-    """One short-lived connection per operation: the inner `with con`
-    scopes the transaction (commit on success, rollback on error) and
-    the finally CLOSES the handle — `with sqlite3.connect(...)` alone
-    commits but leaks the connection to GC, pinning WAL/-shm files."""
-    con = sqlite3.connect(db_path, timeout=30.0,
-                          isolation_level="IMMEDIATE")
-    try:
-        con.execute("PRAGMA journal_mode=WAL")
-        con.execute("PRAGMA busy_timeout=30000")
-        with con:
-            yield con
-    finally:
-        con.close()
-
-
 class JdbcCatalog(Catalog):
     """Metastore-backed catalog: listings and DDL arbitration live in a
-    sqlite store (default ``<warehouse>/paimon_catalog.sqlite``; pass
-    ``uri=`` to share one store across warehouses/processes), table
-    data stays on the warehouse filesystem in the same layout the
-    filesystem catalog uses. Every inherited surface — `attach`,
-    `sql`, system tables, privilege checks — works unchanged, because
-    only the listing/DDL primitives are overridden."""
+    metastore dialect (default: sqlite at
+    ``<warehouse>/paimon_catalog.sqlite``; pass ``uri=`` to share one
+    store across warehouses/processes, or ``dialect=`` for a custom
+    MetastoreDialect), table data stays on the warehouse filesystem in
+    the same layout the filesystem catalog uses. Every inherited
+    surface — `attach`, `sql`, system tables, privilege checks — works
+    unchanged, because only the listing/DDL primitives are overridden."""
 
     def __init__(self, warehouse: str, uri: str | None = None,
-                 options: dict | None = None, catalog_key: str = "paimon"):
+                 options: dict | None = None, catalog_key: str = "paimon",
+                 dialect: MetastoreDialect | None = None):
         super().__init__(warehouse, options)
         self.uri = uri or os.path.join(warehouse, "paimon_catalog.sqlite")
         self.catalog_key = catalog_key
+        self.dialect = dialect or SqliteDialect(self.uri)
+        if dialect is not None:
+            self.uri = getattr(dialect, "uri", self.uri)
         self.options["metastore"] = "jdbc"
         self.options.setdefault("uri", self.uri)
-        with _connect(self.uri) as con:
-            for ddl in _SCHEMA:
-                con.execute(ddl)
 
     # -- lock surface (JdbcCatalogLock.runWithLock) --------------------
     def lock(self, database: str, table: str = "",
@@ -177,76 +430,44 @@ class JdbcCatalog(Catalog):
         CASCADE's multi-step metastore+filesystem teardown (review
         finding). DDL rates make the coarser scope free."""
         return JdbcCatalogLock(
-            self.uri, f"{self.catalog_key}.{database}", **kw)
+            self.dialect, f"{self.catalog_key}.{database}", **kw)
 
     # -- databases ------------------------------------------------------
     def create_database(self, db: str, ignore_if_exists: bool = True):
-        with _connect(self.uri) as con:
-            try:
-                con.execute(
-                    "INSERT INTO paimon_databases(catalog_key, "
-                    "database_name) VALUES (?, ?)", (self.catalog_key, db))
-            except sqlite3.IntegrityError:
-                if not ignore_if_exists:
-                    raise ValueError(f"database {db} exists") from None
+        if not self.dialect.insert_database(self.catalog_key, db) \
+                and not ignore_if_exists:
+            raise ValueError(f"database {db} exists")
         self.io.mkdirs(self._db_path(db))
 
     def list_databases(self) -> list[str]:
-        with _connect(self.uri) as con:
-            rows = con.execute(
-                "SELECT database_name FROM paimon_databases "
-                "WHERE catalog_key = ? ORDER BY database_name",
-                (self.catalog_key,)).fetchall()
-        return [r[0] for r in rows]
+        return self.dialect.list_databases(self.catalog_key)
 
     def drop_database(self, db: str, cascade: bool = False,
                       ignore_if_not_exists: bool = True):
         with self.lock(db):
-            if db not in self.list_databases():
+            if not self.dialect.database_exists(self.catalog_key, db):
                 if not ignore_if_not_exists:
                     raise ValueError(f"database {db} does not exist")
                 return
             tables = self.list_tables(db)
             if tables and not cascade:
                 raise ValueError(f"database {db} is not empty: {tables}")
-            with _connect(self.uri) as con:
-                con.execute(
-                    "DELETE FROM paimon_tables WHERE catalog_key = ? "
-                    "AND database_name = ?", (self.catalog_key, db))
-                con.execute(
-                    "DELETE FROM paimon_databases WHERE catalog_key = ? "
-                    "AND database_name = ?", (self.catalog_key, db))
+            self.dialect.purge_database(self.catalog_key, db)
             if self.io.is_dir(self._db_path(db)):
                 self.io.delete_dir(self._db_path(db))
 
     # -- tables ---------------------------------------------------------
     def list_tables(self, db: str) -> list[str]:
-        with _connect(self.uri) as con:
-            rows = con.execute(
-                "SELECT table_name FROM paimon_tables WHERE "
-                "catalog_key = ? AND database_name = ? ORDER BY table_name",
-                (self.catalog_key, db)).fetchall()
-        return [r[0] for r in rows]
+        return self.dialect.list_tables(self.catalog_key, db)
 
     def _claim(self, db: str, name: str) -> bool:
-        """One metastore INSERT claims the identifier; the composite
-        primary key is the create-race arbiter (JdbcUtils: the insert's
-        uniqueness violation, not a filesystem check). The database row
-        is verified in the SAME transaction so a claim cannot land in a
-        database a concurrent DROP DATABASE is tearing down."""
-        with _connect(self.uri) as con:
-            if con.execute(
-                    "SELECT 1 FROM paimon_databases WHERE catalog_key = ?"
-                    " AND database_name = ?",
-                    (self.catalog_key, db)).fetchone() is None:
-                raise ValueError(f"database {db} does not exist")
-            try:
-                con.execute(
-                    "INSERT INTO paimon_tables VALUES (?, ?, ?)",
-                    (self.catalog_key, db, name))
-                return True
-            except sqlite3.IntegrityError:
-                return False
+        """One metastore insert claims the identifier; the dialect's
+        atomic claim is the create-race arbiter (JdbcUtils: the
+        insert's uniqueness violation, not a filesystem check). The
+        database row is verified in the SAME transaction so a claim
+        cannot land in a database a concurrent DROP DATABASE is
+        tearing down."""
+        return self.dialect.claim_table(self.catalog_key, db, name)
 
     def create_table(self, identifier: str, schema, partition_keys=None,
                      primary_keys=None, options=None, comment=None,
@@ -273,11 +494,7 @@ class JdbcCatalog(Catalog):
             except Exception:
                 # a claim without a schema is a phantom: release it so
                 # the failed create doesn't poison the identifier
-                with _connect(self.uri) as con:
-                    con.execute(
-                        "DELETE FROM paimon_tables WHERE catalog_key = ? "
-                        "AND database_name = ? AND table_name = ?",
-                        (self.catalog_key, db, name))
+                self.dialect.release_table(self.catalog_key, db, name)
                 raise
         t = Table(path)
         for ref, database in getattr(self, "_attached", []):
@@ -288,24 +505,14 @@ class JdbcCatalog(Catalog):
 
     def get_table(self, identifier: str) -> Table:
         db, name = identifier.split(".", 1)
-        with _connect(self.uri) as con:
-            row = con.execute(
-                "SELECT 1 FROM paimon_tables WHERE catalog_key = ? AND "
-                "database_name = ? AND table_name = ?",
-                (self.catalog_key, db, name)).fetchone()
-        if row is None:
+        if not self.dialect.table_exists(self.catalog_key, db, name):
             raise ValueError(f"table {identifier} not found in metastore")
         return super().get_table(identifier)
 
     def drop_table(self, identifier: str, ignore_if_not_exists: bool = True):
         db, name = identifier.split(".", 1)
         with self.lock(db, name):
-            with _connect(self.uri) as con:
-                cur = con.execute(
-                    "DELETE FROM paimon_tables WHERE catalog_key = ? AND "
-                    "database_name = ? AND table_name = ?",
-                    (self.catalog_key, db, name))
-                existed = cur.rowcount > 0
+            existed = self.dialect.release_table(self.catalog_key, db, name)
             if not existed and not ignore_if_not_exists:
                 raise ValueError(f"table {identifier} does not exist")
             path = os.path.join(self._db_path(db), name)
@@ -318,34 +525,14 @@ class JdbcCatalog(Catalog):
         # db-scoped source lock (reference locks the fromTable) so two
         # racing renames of one table serialize; a cross-db rename also
         # locks the target database — in sorted order so two opposed
-        # renames cannot deadlock. The metastore UPDATE inside one
-        # transaction is the arbiter for the target identifier.
+        # renames cannot deadlock. The dialect's atomic UPDATE is the
+        # arbiter for the target identifier.
         import contextlib
         locks = contextlib.ExitStack()
         for db in sorted({db1, db2}):
             locks.enter_context(self.lock(db))
         with locks:
-            with _connect(self.uri) as con:
-                # the UPDATE has no FK: verify the target database row
-                # exists (same check _claim does) — the reference's
-                # JdbcCatalog rejects renames into an unknown database
-                if db2 != db1 and con.execute(
-                        "SELECT 1 FROM paimon_databases WHERE catalog_key = ?"
-                        " AND database_name = ?",
-                        (self.catalog_key, db2)).fetchone() is None:
-                    raise ValueError(
-                        f"target database {db2} does not exist in metastore")
-                try:
-                    cur = con.execute(
-                        "UPDATE paimon_tables SET database_name = ?, "
-                        "table_name = ? WHERE catalog_key = ? AND "
-                        "database_name = ? AND table_name = ?",
-                        (db2, n2, self.catalog_key, db1, n1))
-                except sqlite3.IntegrityError:
-                    raise ValueError(
-                        f"rename target {new} already exists") from None
-                if cur.rowcount == 0:
-                    raise ValueError(f"table {old} does not exist")
+            self.dialect.rename_table(self.catalog_key, db1, n1, db2, n2)
             try:
                 self.io.mkdirs(self._db_path(db2))
                 self.io.rename(os.path.join(self._db_path(db1), n1),
@@ -353,12 +540,8 @@ class JdbcCatalog(Catalog):
             except Exception:
                 # filesystem move failed: revert the metastore row so
                 # the catalog and the data agree again
-                with _connect(self.uri) as con:
-                    con.execute(
-                        "UPDATE paimon_tables SET database_name = ?, "
-                        "table_name = ? WHERE catalog_key = ? AND "
-                        "database_name = ? AND table_name = ?",
-                        (db1, n1, self.catalog_key, db2, n2))
+                self.dialect.rename_table(self.catalog_key, db2, n2,
+                                          db1, n1)
                 raise
 
     # -- migration ------------------------------------------------------
