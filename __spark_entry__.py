@@ -627,6 +627,34 @@ def q_media_real_decode(spark, sf_dir):
                     f(4).alias("mean_b"))
 
 
+def _wav_header_8bit_mono(n: int, rate: int = 8000) -> bytes:
+    """Canonical RIFF/WAVE header for n 8-bit mono PCM samples."""
+    import struct
+    return (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+            + b"data" + struct.pack("<I", n))
+
+
+def q_media_wav_decode(spark, sf_dir):
+    """REAL audio codec path: a genuine 8-bit mono PCM WAV per document
+    (header literal + md5-hex bytes AS the samples), decoded by the
+    pure-Python RIFF parser on executors; mean/rms come from the DECODED
+    sample array (8-bit PCM centers at 128). The oracle replays the
+    arithmetic from the same construction, including the float32
+    round-trip (features are array<float>), then both sides round to 4
+    decimals."""
+    from incubator_paimon_spark.operators import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")
+    samples = F.encode(F.md5(F.encode("text", "utf-8")), "utf-8")  # 32 bytes
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_wav_header_8bit_mono(32)), samples).alias("bytes"))
+    m = MM.extract_features(media, dim=4, decode="real")
+    f = lambda i: F.round(F.element_at("features", i + 1).cast("double"), 4)
+    return m.select("media_id", f(0).alias("rate"), f(1).alias("frames"),
+                    f(2).alias("mean_pcm"), f(3).alias("rms_pcm"))
+
+
 # ----------------------------------------------------------------------
 # engine-semantics queries (incubator_paimon_spark owns these)
 # ----------------------------------------------------------------------
@@ -2025,6 +2053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        # r11: REAL WAV PCM decode (sibling of the gated media_real_decode)
+        "media_wav_decode": q_media_wav_decode,
         "corpus_stats": q_corpus_stats,
         "top_terms": q_top_terms,
         "hash_split": q_hash_split,

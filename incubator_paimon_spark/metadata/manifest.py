@@ -254,7 +254,21 @@ class ManifestStore:
         # manifests written before the rescale-bucket column lack it
         tb = d.get("totalBuckets", [None] * tbl.num_rows)
         out = []
+        # decode fast paths (driver planning is a hot loop at 10^5-10^6
+        # entries): "{}" cells skip json entirely (rowKindCounts/fileIndex
+        # on data files, partition on unpartitioned tables), and partition
+        # strings memoize — a table has few distinct partitions, so the
+        # parse collapses to O(partitions). The shared dicts are treated
+        # as immutable by every reader (planning only tests them).
+        part_cache: dict = {}
         for i in range(tbl.num_rows):
+            st = d["stats"][i]
+            rkc = d["rowKindCounts"][i]
+            fi = d["fileIndex"][i]
+            ps = d["partition"][i]
+            partition = part_cache.get(ps)
+            if partition is None:
+                partition = part_cache[ps] = loads(ps)
             meta = DataFileMeta(
                 file_name=d["fileName"][i],
                 file_size=d["fileSize"][i],
@@ -263,14 +277,14 @@ class ManifestStore:
                 max_seq=d["maxSequenceNumber"][i],
                 schema_id=d["schemaId"][i],
                 level=d["level"][i],
-                stats=loads(d["stats"][i]),
+                stats={} if st == "{}" else loads(st),
                 creation_time_millis=d["creationTimeMillis"][i],
                 delete_row_count=d["deleteRowCount"][i],
-                row_kind_counts=loads(d["rowKindCounts"][i]),
-                file_index=loads(d["fileIndex"][i]),
+                row_kind_counts={} if rkc == "{}" else loads(rkc),
+                file_index={} if fi == "{}" else loads(fi),
                 total_buckets=tb[i],
             )
-            out.append(ManifestEntry(d["kind"][i], loads(d["partition"][i]),
+            out.append(ManifestEntry(d["kind"][i], partition,
                                      d["bucket"][i], meta))
         return out
 

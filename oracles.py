@@ -998,6 +998,25 @@ def _bmp_chan_mean_sql(off):
     return (f"round(list_avg(list_transform(range(0, 32), "
             f"k -> ascii(substr(s, 3 * k + {off}, 1)))), 4)")
 
+# media_wav_decode mirror: 32 8-bit mono PCM samples ARE the ASCII codes
+# of md5(text); the decoder centers at 128. mean = (sum-32*128)/32 is exact
+# (power-of-two divide over small ints); rms rounds to 4 decimals on both
+# sides (numpy sqrt vs duckdb sqrt agree far beyond that).
+ORACLES["media_wav_decode"] = """
+WITH p AS (
+  SELECT doc_id AS media_id, md5(text) AS s FROM documents
+), v AS (
+  SELECT media_id,
+    list_transform(range(0, 32), k -> ascii(substr(s, k + 1, 1)) - 128) AS xs
+  FROM p
+)
+SELECT media_id, 8000.0 AS rate, 32.0 AS frames,
+  round(list_avg(xs)::FLOAT::DOUBLE, 4) AS mean_pcm,
+  round(sqrt(list_avg(list_transform(xs, x -> x * x)))::FLOAT::DOUBLE, 4)
+    AS rms_pcm
+FROM v
+"""
+
 ORACLES["media_real_decode"] = f"""
 WITH p AS (
   SELECT doc_id AS media_id, substr(repeat(md5(text), 3), 1, 96) AS s

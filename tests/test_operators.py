@@ -111,9 +111,14 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 20
     assert frames.filter("frame_no % 2 <> 0").count() == 0
 
+    # r11: decode="real" is a real codec path now (media_codecs.py —
+    # covered in depth by test_media_codecs.py); raw text bytes are not
+    # decodable media, so the real path rejects them per-batch
     import pytest
-    with pytest.raises(NotImplementedError):
-        M.extract_features(d, decode="real")
+    with pytest.raises(Exception, match="undecodable"):
+        M.extract_features(d, decode="real").collect()
+    with pytest.raises(ValueError, match="'real' or 'fake'"):
+        M.extract_features(d, decode="jpeg")
 
 
 def test_quality_and_langid_ranges(spark):
