@@ -289,17 +289,49 @@ class ManifestStore:
         return out
 
     # --- manifest lists ---
+    # List items are either plain names (legacy) or
+    # {"name", "numAdded", "numDeleted"} dicts — the reference's
+    # ManifestFileMeta records the same counts (ManifestFileMeta.java
+    # numAddedFiles/numDeletedFiles) precisely so manifest compaction can
+    # keep clean full manifests WITHOUT reading them.
 
-    def write_manifest_list(self, manifest_names: list[str]) -> str:
+    def write_manifest_list(self, manifests: list) -> str:
+        items = []
+        for m in manifests:
+            if isinstance(m, (str, dict)):
+                items.append(m)
+            else:  # (name, num_added, num_deleted)
+                items.append({"name": m[0], "numAdded": m[1],
+                              "numDeleted": m[2]})
         name = f"manifest-list-{new_uuid()}.json"
-        ok = atomic_write_json(os.path.join(self.dir, name), manifest_names)
+        ok = atomic_write_json(os.path.join(self.dir, name), items)
         assert ok, "uuid collision writing manifest list"
         return name
 
     def read_manifest_list(self, name: str | None) -> list[str]:
+        return [m["name"] for m in self.read_manifest_list_meta(name)]
+
+    def read_manifest_list_meta(self, name: str | None) -> list[dict]:
+        """Items as dicts; legacy name-only entries carry None counts."""
         if not name:
             return []
-        return read_json(os.path.join(self.dir, name))
+        out = []
+        for m in read_json(os.path.join(self.dir, name)):
+            if isinstance(m, str):
+                out.append({"name": m, "numAdded": None, "numDeleted": None})
+            else:
+                out.append(m)
+        return out
+
+    def write_manifests_meta(self, entries: list[ManifestEntry]) -> list[dict]:
+        """Rolled write returning list items WITH per-manifest counts."""
+        out = []
+        for i in range(0, len(entries), MANIFEST_ROLL_COUNT):
+            chunk = entries[i:i + MANIFEST_ROLL_COUNT]
+            dels = sum(1 for e in chunk if e.kind == ENTRY_DELETE)
+            out.append({"name": self._write_one(chunk),
+                        "numAdded": len(chunk) - dels, "numDeleted": dels})
+        return out
 
     def read_all_entries(self, manifest_list: str | None) -> list[ManifestEntry]:
         out = []

@@ -278,8 +278,14 @@ class TestIncrementalManifestCompaction:
         s2 = ms.write_manifest([_del("d-3"), _add("s-3")])
 
         out = fc._compact_manifests([big, dirty, s1, s2])
-        assert big in out and dirty not in out and s1 not in out
-        merged = [e for n in out if n != big for e in ms.read_manifest(n)]
+        out_names = [m["name"] for m in out]
+        assert big in out_names and dirty not in out_names \
+            and s1 not in out_names
+        # the kept clean manifest's counts are recorded in the list item
+        assert next(m for m in out if m["name"] == big) == \
+            {"name": big, "numAdded": 10, "numDeleted": 0}
+        merged = [e for n in out_names if n != big
+                  for e in ms.read_manifest(n)]
         names = sorted(e.file.file_name for e in merged)
         assert "d-3" not in names          # cancelled pair dropped
         assert all(e.kind == "ADD" for e in merged)
@@ -287,10 +293,48 @@ class TestIncrementalManifestCompaction:
                                + ["s-1", "s-2", "s-3"])
         # total live set preserved
         all_live = {e.file.file_name
-                    for n in out for e in ms.read_manifest(n)}
+                    for n in out_names for e in ms.read_manifest(n)}
         assert all_live == ({f"big-{i}" for i in range(10)}
                             | {f"d-{i}" for i in range(10)} - {"d-3"}
                             | {"s-1", "s-2", "s-3"})
+
+    def test_zero_delete_fast_path_never_reads_full_manifests(
+            self, tmp_path, monkeypatch):
+        """With list-level counts proving a delete-free chain, near-full
+        manifests are kept WITHOUT being read (ManifestFileMeta parity);
+        only the small tail is merged — the O(delta) steady-state commit
+        at 10^6 entries rests on exactly this."""
+        from incubator_paimon_spark.metadata import manifest as mmod
+        from incubator_paimon_spark.metadata.commit import FileStoreCommit
+
+        monkeypatch.setattr(mmod, "MANIFEST_ROLL_COUNT", 10)
+        fc = FileStoreCommit(str(tmp_path))
+        ms = fc.manifests
+
+        fulls = [ms.write_manifests_meta([_add(f"f{k}-{i}")
+                                          for i in range(10)])[0]
+                 for k in range(3)]
+        smalls = [ms.write_manifests_meta([_add(f"s{k}-{i}")
+                                           for i in range(2)])[0]
+                  for k in range(2)]
+
+        read_names = []
+        orig = mmod.ManifestStore.read_manifest
+
+        def spy(self_, name):
+            read_names.append(name)
+            return orig(self_, name)
+
+        monkeypatch.setattr(mmod.ManifestStore, "read_manifest", spy)
+        out = fc._compact_manifests(fulls + smalls)
+        assert [m["name"] for m in out[:3]] == [m["name"] for m in fulls]
+        assert all(n not in read_names for n in
+                   [m["name"] for m in fulls])  # fulls never read
+        # the merged tail carries exact counts
+        assert out[3]["numAdded"] == 4 and out[3]["numDeleted"] == 0
+        tail = ms.read_manifest(out[3]["name"])
+        assert sorted(e.file.file_name for e in tail) == \
+            ["s0-0", "s0-1", "s1-0", "s1-1"]
 
 
 class TestPlanningScale:

@@ -98,6 +98,19 @@ def main():
         ib = sorted(e.identifier() for e in b)
         print(f"equality: python={len(ia)} dataframe={len(ib)} "
               f"match={ia == ib}")
+
+        # steady-state commit cost on the 1M-entry table: a small append
+        # reads only the manifest NAME list (not entries), so it must be
+        # O(delta), not O(live files)
+        small = [ManifestEntry(
+            "ADD", {"dt": "2025-06-15"}, 0,
+            DataFileMeta(file_name=f"dt=2025-06-15/bucket-0/x{i}.parquet",
+                         file_size=1 << 20, row_count=1000))
+            for i in range(100)]
+        t0 = time.time()
+        FileStoreCommit(t.path).commit(CommitMessage(add=small), schema_id=0)
+        print(f"steady-state 100-file commit on 1M-entry table: "
+              f"{(time.time()-t0)*1000:.0f} ms")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
