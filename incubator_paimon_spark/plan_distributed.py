@@ -135,6 +135,40 @@ def _entry_from_row(kind, row) -> ManifestEntry:
     return ManifestEntry(kind, loads(row.partition), int(row.bucket), meta)
 
 
+def files_df_distributed(spark, table):
+    """`$files` rows as a DataFrame READ FROM the manifests (no driver
+    materialization): live set = ADD rows anti-joined against DELETE
+    identifiers — at 10^6 files the driver path (parse + createDataFrame
+    of every entry) is tens of seconds, this is one Spark job whose
+    output STAYS distributed. Returns None when a gate fails (caller
+    uses the driver path). Partition strings pass through verbatim
+    (metadata.util.dumps form, e.g. datetimes as {"__dt__": iso})."""
+    snapshot = table.snapshots.latest()
+    if snapshot is None or "://" in table.path:
+        return None
+    manifests = (table.manifests.read_manifest_list(snapshot.base_manifest_list)
+                 + table.manifests.read_manifest_list(snapshot.delta_manifest_list))
+    if not manifests or any(m.endswith(".json") for m in manifests):
+        return None
+    paths = [os.path.join(table.path, "manifest", m) for m in manifests]
+    df = spark.read.schema(_MANIFEST_READ_SCHEMA).parquet(*paths)
+    ident = ["partition", "bucket", "fileName"]
+    dels = df.where(F.col("kind") == "DELETE").select(*ident)
+    live = df.where(F.col("kind") == "ADD").join(dels, ident, "left_anti")
+    return live.select(
+        F.col("partition"), F.col("bucket").cast("int"),
+        F.col("fileName").alias("file_path"),
+        F.lit("parquet").alias("file_format"),
+        F.col("schemaId").alias("schema_id"),
+        F.col("level").cast("int"),
+        F.col("rowCount").alias("record_count"),
+        F.col("fileSize").alias("file_size_in_bytes"),
+        F.col("minSequenceNumber").alias("min_sequence_number"),
+        F.col("maxSequenceNumber").alias("max_sequence_number"),
+        F.col("creationTimeMillis").alias("creation_time"),
+        F.col("stats"))
+
+
 def plan_entries_distributed(spark, table, snapshot, schema,
                              predicate: Predicate | None,
                              read_optimized: bool) -> list[ManifestEntry] | None:

@@ -57,6 +57,18 @@ def _options(spark, table):
 
 
 def _files(spark, table):
+    # large tables (manifest set past the cache bound): serve the rows
+    # straight from the manifest parquet as a distributed DataFrame
+    # instead of materializing 10^6 entries on the driver
+    snap = table.snapshots.latest()
+    if snap is not None:
+        from .plan_distributed import PLAN_DF_MIN_MANIFESTS, files_df_distributed
+        n = (len(table.manifests.read_manifest_list(snap.base_manifest_list))
+             + len(table.manifests.read_manifest_list(snap.delta_manifest_list)))
+        if n >= PLAN_DF_MIN_MANIFESTS:
+            df = files_df_distributed(spark, table)
+            if df is not None:
+                return df
     rows = []
     for e in table.entries_at():
         f = e.file

@@ -137,3 +137,29 @@ def test_read_optimized_level_filter(spark, catalog, orders):
     assert len(py.entries) > 0
     max_level = t.schema.core_options.num_levels - 1
     assert all(e.file.level == max_level for e in df.entries)
+
+
+def test_files_df_distributed_matches_driver_path(spark, catalog, orders):
+    """$files served from the manifests as a distributed frame equals the
+    driver-materialized rows, including after compaction DELETEs."""
+    from incubator_paimon_spark.plan_distributed import files_df_distributed
+    o = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    t = catalog.create_table("db.fdf", o.schema,
+                             primary_keys=["o_orderkey", "o_orderstatus"],
+                             partition_keys=["o_orderstatus"],
+                             options={"bucket": "2"})
+    t.write(spark, o.limit(1000))
+    t.write(spark, o.limit(300))
+    t.compact(spark, full=True)     # DELETE entries enter the chain
+    t.write(spark, o.limit(50))
+
+    driver = t.system(spark, "files")
+    dist = files_df_distributed(spark, t)
+    assert dist is not None
+    assert driver.columns == dist.columns
+    key = ["file_path", "record_count", "file_size_in_bytes", "level",
+           "bucket", "schema_id", "min_sequence_number",
+           "max_sequence_number"]
+    a = sorted(tuple(r) for r in driver.select(*key).collect())
+    b = sorted(tuple(r) for r in dist.select(*key).collect())
+    assert a == b and len(a) > 0
