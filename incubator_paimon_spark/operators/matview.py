@@ -323,11 +323,15 @@ def sync_materialized_agg(spark, source_table, mv_table,
 
         from .. import lineage
         with contextlib.suppress(Exception):  # lineage is advisory
-            s_latest = source_table.snapshots.latest()
+            # the source snapshot this sync COVERED is the consumer's
+            # recorded position (replay_changelog advances it to the
+            # chunk end), not snapshots.latest() — a concurrent source
+            # commit landing during the replay must not be claimed
+            end = source_table.read_consumer(cid)
             m_latest = mv_table.snapshots.latest()
             lineage.record(
                 "matview_sync",
-                sources=[(source_table, s_latest.id if s_latest else None)],
+                sources=[(source_table, end)],
                 sinks=[(mv_table, m_latest.id if m_latest else None)])
     return covered
 

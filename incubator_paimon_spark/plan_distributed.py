@@ -135,19 +135,23 @@ def _entry_from_row(kind, row) -> ManifestEntry:
     return ManifestEntry(kind, loads(row.partition), int(row.bucket), meta)
 
 
-def files_df_distributed(spark, table):
+def files_df_distributed(spark, table, manifests: list[str] | None = None):
     """`$files` rows as a DataFrame READ FROM the manifests (no driver
     materialization): live set = ADD rows anti-joined against DELETE
     identifiers — at 10^6 files the driver path (parse + createDataFrame
     of every entry) is tens of seconds, this is one Spark job whose
     output STAYS distributed. Returns None when a gate fails (caller
     uses the driver path). Partition strings pass through verbatim
-    (metadata.util.dumps form, e.g. datetimes as {"__dt__": iso})."""
+    (metadata.util.dumps form, e.g. datetimes as {"__dt__": iso}) — the
+    driver path serializes with the same codec, so the column format is
+    identical on both paths."""
     snapshot = table.snapshots.latest()
     if snapshot is None or "://" in table.path:
         return None
-    manifests = (table.manifests.read_manifest_list(snapshot.base_manifest_list)
-                 + table.manifests.read_manifest_list(snapshot.delta_manifest_list))
+    if manifests is None:
+        manifests = (
+            table.manifests.read_manifest_list(snapshot.base_manifest_list)
+            + table.manifests.read_manifest_list(snapshot.delta_manifest_list))
     if not manifests or any(m.endswith(".json") for m in manifests):
         return None
     paths = [os.path.join(table.path, "manifest", m) for m in manifests]
@@ -171,19 +175,24 @@ def files_df_distributed(spark, table):
 
 def plan_entries_distributed(spark, table, snapshot, schema,
                              predicate: Predicate | None,
-                             read_optimized: bool) -> list[ManifestEntry] | None:
+                             read_optimized: bool,
+                             manifests: list[str] | None = None
+                             ) -> list[ManifestEntry] | None:
     """Stages 1-5 of plan() (cancellation, RO level, partition, bucket,
     per-file key-stats+bloom) on executors. Returns the pruned LIVE entry
     set sorted by file name, or None when a gate fails (caller falls back
-    to the Python planner)."""
+    to the Python planner). Pass `manifests` when the caller already read
+    the snapshot's manifest lists (avoids a second list read per plan)."""
     from .read import _bucket_key_hash, devolve_predicate
 
     if "://" in table.path:
         return None  # manifest paths not readable by this Spark session
     if not _is_shippable(predicate):
         return None
-    manifests = (table.manifests.read_manifest_list(snapshot.base_manifest_list)
-                 + table.manifests.read_manifest_list(snapshot.delta_manifest_list))
+    if manifests is None:
+        manifests = (
+            table.manifests.read_manifest_list(snapshot.base_manifest_list)
+            + table.manifests.read_manifest_list(snapshot.delta_manifest_list))
     if not manifests or any(m.endswith(".json") for m in manifests):
         return None
     paths = [os.path.join(table.path, "manifest", m) for m in manifests]

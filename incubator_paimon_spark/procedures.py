@@ -482,26 +482,31 @@ def _rewrite_file_index(spark, catalog, table, **_):
 
 
 def _clone(spark, catalog, table, target_table, target_warehouse=None,
-           parallelism=None, **_):
+           target_metastore_uri=None, parallelism=None, **_):
     """CALL sys.clone(table => 'db.t', target_table => 'db2.t'[,
-    target_warehouse => '/other/wh'][, parallelism => N]) — the reference's
-    clone action (clone-tables.md) as a procedure: latest-snapshot files
-    copied by one distributed job into a fresh table."""
+    target_warehouse => '/other/wh'][, target_metastore_uri => '...'][,
+    parallelism => N]) — the reference's clone action (clone-tables.md)
+    as a procedure: latest-snapshot files copied by one distributed job
+    into a fresh table."""
     from .maintenance import clone_table
     src = _t(catalog, table)
     dst_cat = catalog
     if target_warehouse:
-        # a JDBC-metastore-managed warehouse stores its listing in
-        # paimon_catalog.sqlite next to the data — cloning through a plain
-        # filesystem Catalog would leave the new table invisible to that
-        # metastore (no paimon_tables row) until register_existing() runs,
-        # so detect the store and route DDL through JdbcCatalog instead
+        # a JDBC-metastore-managed warehouse stores its listing in a
+        # metastore — cloning through a plain filesystem Catalog would
+        # leave the new table invisible to it (no paimon_tables row)
+        # until register_existing() runs. Route DDL through JdbcCatalog
+        # when the caller names the store (target_metastore_uri — needed
+        # for a shared/custom-uri store, which leaves no trace in the
+        # warehouse) or when the default store file is present.
         import os
         from .table import Catalog
-        meta = os.path.join(target_warehouse, "paimon_catalog.sqlite")
-        if os.path.exists(meta):
+        default_store = os.path.join(target_warehouse,
+                                     "paimon_catalog.sqlite")
+        if target_metastore_uri or os.path.exists(default_store):
             from .jdbc_catalog import JdbcCatalog
-            dst_cat = JdbcCatalog(target_warehouse)
+            dst_cat = JdbcCatalog(target_warehouse,
+                                  uri=target_metastore_uri or None)
         else:
             dst_cat = Catalog(target_warehouse)
     out = clone_table(spark, src, dst_cat, target_table,

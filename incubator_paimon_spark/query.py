@@ -210,10 +210,13 @@ class LocalTableQuery:
         from .read import file_layout_buckets
         _memo: dict = {}
         for (pt, b), entries in self._groups.items():
-            # a non-fixed group layout (<= 0) is unprunable — scan it
-            _lb = file_layout_buckets(self.table, entries[0], _memo)
-            if key_hash is not None and _lb > 0 and b != key_hash % _lb:
-                continue
+            # a non-fixed group layout (<= 0) is unprunable — scan it.
+            # Resolve the layout only when bucket pruning can apply
+            # (key_hash None = unpredicated lookup, layout unused)
+            if key_hash is not None:
+                _lb = file_layout_buckets(self.table, entries[0], _memo)
+                if _lb > 0 and b != key_hash % _lb:
+                    continue
             if part_pred is not None and not part_pred.test_value(self._parts[pt]):
                 continue
             for e in entries:

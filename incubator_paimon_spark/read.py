@@ -108,7 +108,12 @@ class TableScan:
                        or self.timestamp_ms is not None)
         schema = t.schema_at(snapshot.schema_id) if time_travel else t.schema
 
-        if planner != "python" and predicate is not None:
+        # auto only engages with a predicate (an unpredicated full plan
+        # would collect every entry through the executor pass — slower
+        # than the driver parse); an explicit planner="dataframe" runs it
+        # regardless, as documented
+        if planner == "dataframe" or (planner == "auto"
+                                      and predicate is not None):
             plan = self._plan_dataframe(snapshot, schema, predicate, limit,
                                         force=(planner == "dataframe"),
                                         t0=_t0)
@@ -228,14 +233,14 @@ class TableScan:
         spark = SparkSession.getActiveSession()
         if spark is None:
             return None
-        if not force:
-            n_manifests = (
-                len(t.manifests.read_manifest_list(snapshot.base_manifest_list))
-                + len(t.manifests.read_manifest_list(snapshot.delta_manifest_list)))
-            if n_manifests < PLAN_DF_MIN_MANIFESTS:
-                return None
+        manifests = (
+            t.manifests.read_manifest_list(snapshot.base_manifest_list)
+            + t.manifests.read_manifest_list(snapshot.delta_manifest_list))
+        if not force and len(manifests) < PLAN_DF_MIN_MANIFESTS:
+            return None
         entries = plan_entries_distributed(
-            spark, t, snapshot, schema, predicate, self.read_optimized)
+            spark, t, snapshot, schema, predicate, self.read_optimized,
+            manifests=manifests)
         if entries is None:
             return None
         # stage 6: whole-bucket value pruning (not row-local — needs every

@@ -502,10 +502,18 @@ def _tag_constraints(masked: str, statement: str, pos: int,
                 continue
             if mm.group(1) is not None and mm.group(1) != alias:
                 break  # qualified with some other table's alias
+            # slice ORIGINAL text, then undo the SQL '' quote escape —
+            # Spark compares against the unescaped literal
             vals = [statement[cs + lm.start(1):cs + lm.end(1)]
+                    .replace("''", "'")
                     for lm in lit.finditer(frag)]
             if rx is rx_like:
-                likes.append(vals[0])
+                # Spark LIKE treats backslash as an escape; the tag
+                # matcher treats it literally — lifting such a pattern
+                # could prune legs Spark's own LIKE would keep, so skip
+                # (no pruning is always sound, the WHERE still filters)
+                if "\\" not in vals[0]:
+                    likes.append(vals[0])
             else:
                 value_sets.append(set(vals))
             break

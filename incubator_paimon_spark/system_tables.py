@@ -63,19 +63,24 @@ def _files(spark, table):
     snap = table.snapshots.latest()
     if snap is not None:
         from .plan_distributed import PLAN_DF_MIN_MANIFESTS, files_df_distributed
-        n = (len(table.manifests.read_manifest_list(snap.base_manifest_list))
-             + len(table.manifests.read_manifest_list(snap.delta_manifest_list)))
-        if n >= PLAN_DF_MIN_MANIFESTS:
-            df = files_df_distributed(spark, table)
+        names = (table.manifests.read_manifest_list(snap.base_manifest_list)
+                 + table.manifests.read_manifest_list(snap.delta_manifest_list))
+        if len(names) >= PLAN_DF_MIN_MANIFESTS:
+            df = files_df_distributed(spark, table, manifests=names)
             if df is not None:
                 return df
+    # partition/stats serialize via the metadata codec (util.dumps) so the
+    # driver path and the distributed path (raw manifest strings) emit the
+    # SAME encoding — a table crossing the size threshold must not change
+    # the column format (datetime/date values appear as {"__dt__"/"__d__"})
+    from .metadata.util import dumps as _mdumps
     rows = []
     for e in table.entries_at():
         f = e.file
-        rows.append((json.dumps(e.partition, default=str), e.bucket, f.file_name,
+        rows.append((_mdumps(e.partition), e.bucket, f.file_name,
                      "parquet", f.schema_id, f.level, f.row_count, f.file_size,
                      f.min_seq, f.max_seq, f.creation_time_millis,
-                     json.dumps(f.stats, default=str)))
+                     _mdumps(f.stats)))
     return spark.createDataFrame(rows, """partition string, bucket int,
         file_path string, file_format string, schema_id long, level int,
         record_count long, file_size_in_bytes long, min_sequence_number long,

@@ -76,6 +76,13 @@ def test_matview_sync_lineage(spark, catalog):
     rows = _tl(spark, catalog)
     assert ("source", "db", "lin_src", "matview_sync") in rows
     assert ("sink", "db", "lin_mv", "matview_sync") in rows
+    # the recorded source snapshot is the one the sync COVERED (the
+    # consumer's next-1), not whatever latest() is at record time
+    dl = {(r.direction, r.table_name): r.snapshot_id
+          for r in catalog.system(spark, "data_lineage").collect()
+          if r.job_name == "matview_sync"}
+    assert dl[("source", "lin_src")] == 1
+    assert dl[("sink", "lin_mv")] == mv.snapshots.latest().id
 
     # a no-op sync (nothing new) records nothing further
     before = catalog.system(spark, "table_lineage").count()

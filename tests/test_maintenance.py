@@ -369,3 +369,18 @@ def test_migrate_database(spark, catalog, customer, orders, tmp_path):
     assert got == ["mig.cust", "mig.ords"]
     assert catalog.get_table("mig.cust").read(spark).count() == c.count()
     assert catalog.get_table("mig.ords").read(spark).count() == o.count()
+
+
+def test_drop_clears_marker_even_without_files(spark, catalog, customer):
+    """A done-marker on a partition with no live files must not survive
+    DROP PARTITION (a re-created partition would look done)."""
+    from incubator_paimon_spark.maintenance import (mark_partition_done,
+                                                    partition_done)
+    t = catalog.create_table(
+        "db.mpd2", customer.select("c_custkey", "c_mktsegment").schema,
+        partition_keys=["c_mktsegment"])
+    # marker on a partition that has never had files
+    mark_partition_done(t, {"c_mktsegment": "GHOST"})
+    assert partition_done(t, {"c_mktsegment": "GHOST"})
+    assert t.drop_partition({"c_mktsegment": "GHOST"}) is None  # no victims
+    assert not partition_done(t, {"c_mktsegment": "GHOST"})

@@ -163,3 +163,10 @@ def test_files_df_distributed_matches_driver_path(spark, catalog, orders):
     a = sorted(tuple(r) for r in driver.select(*key).collect())
     b = sorted(tuple(r) for r in dist.select(*key).collect())
     assert a == b and len(a) > 0
+    # both paths serialize partition/stats with the SAME codec, so the
+    # string columns are byte-identical too
+    pa = sorted((r.file_path, r.partition, r.stats)
+                for r in driver.collect())
+    pb = sorted((r.file_path, r.partition, r.stats)
+                for r in dist.collect())
+    assert pa == pb

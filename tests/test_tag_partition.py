@@ -224,3 +224,39 @@ def test_bare_tvf_where_no_false_pruning(spark, catalog, customer,
         WHERE z.dt = '2023-10-17'""").collect()
     assert got[0].n == n
     assert calls[-1] == (None, None)
+
+
+def test_bare_tvf_where_escape_semantics(spark, catalog, customer,
+                                         monkeypatch):
+    """Escape handling in lifted conjuncts: a LIKE pattern containing a
+    backslash must NOT be lifted (Spark treats backslash as an escape,
+    the tag matcher treats it literally), and eq literals with SQL ''
+    escapes must compare unescaped."""
+    import incubator_paimon_spark.read as R
+    t = _mk(spark, catalog, customer)
+    t.create_tag("it's-special", 2)
+    calls = []
+    orig = R.read_tag_partitioned
+
+    def spy(spark_, table, predicate=None, projection=None, tag_pattern=None):
+        calls.append((predicate, tag_pattern))
+        return orig(spark_, table, predicate=predicate,
+                    projection=projection, tag_pattern=tag_pattern)
+
+    monkeypatch.setattr(R, "read_tag_partitioned", spy)
+    n = customer.count()
+
+    # eq literal with doubled-quote escape: must prune to the right tag
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        WHERE dt = 'it''s-special'""").collect()
+    assert got[0].n == n
+    pred, _ = calls[-1]
+    assert pred is not None and pred.test_value({"dt": "it's-special"})
+
+    # backslash LIKE: not lifted (no pattern), result still correct via
+    # the post-union WHERE under Spark's own escape semantics
+    got = catalog.sql(spark, r"""
+        SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        WHERE dt LIKE '%\_special'""").collect()
+    assert calls[-1][1] is None  # not lifted
