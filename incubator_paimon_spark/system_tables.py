@@ -91,12 +91,18 @@ def _manifests(spark, table):
     latest = table.snapshots.latest()
     rows = []
     if latest:
-        for name in (table.manifests.read_manifest_list(latest.base_manifest_list)
-                     + table.manifests.read_manifest_list(latest.delta_manifest_list)):
-            entries = table.manifests.read_manifest(name)
-            adds = sum(1 for e in entries if e.kind == "ADD")
-            dels = len(entries) - adds
-            rows.append((name, len(entries), adds, dels, latest.schema_id))
+        # list-level counts (ManifestFileMeta parity) serve the row
+        # without reading the manifest; only legacy count-less items
+        # fall back to a parse
+        for m in (table.manifests.read_manifest_list_meta(latest.base_manifest_list)
+                  + table.manifests.read_manifest_list_meta(latest.delta_manifest_list)):
+            adds, dels = m["numAdded"], m["numDeleted"]
+            if adds is None or dels is None:
+                entries = table.manifests.read_manifest(m["name"])
+                adds = sum(1 for e in entries if e.kind == "ADD")
+                dels = len(entries) - adds
+            rows.append((m["name"], adds + dels, adds, dels,
+                         latest.schema_id))
     return spark.createDataFrame(rows, """file_name string, num_entries long,
         num_added_files long, num_deleted_files long, schema_id long""")
 
