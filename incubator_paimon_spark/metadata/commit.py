@@ -104,10 +104,8 @@ class FileStoreCommit:
                 if self._already_committed(commit_identifier):
                     return None
 
-            base_entries = None  # lazily materialized for conflict check
             if message.delete:
-                base_entries = self._base_entries(latest)
-                self._check_conflicts(message, base_entries)
+                self._check_conflicts(message, latest)
 
             new_id = (latest.id if latest else 0) + 1
 
@@ -131,7 +129,13 @@ class FileStoreCommit:
                 prev_manifests = self._compact_manifests(prev_manifests)
 
             base_list = self.manifests.write_manifest_list(prev_manifests)
-            delta = message.add + message.delete
+            # membership in message.delete IS the deletion intent:
+            # normalize the kind so a caller handing back entries it read
+            # (kind ADD) cannot silently re-add the files it meant to drop
+            delta = message.add + [
+                e if e.kind == ENTRY_DELETE
+                else ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
+                for e in message.delete]
             delta_list = self.manifests.write_manifest_list(
                 self.manifests.write_manifests_meta(delta) if delta else [])
             changelog_list = None
@@ -272,6 +276,33 @@ class FileStoreCommit:
             return keep + (self.manifests.write_manifests_meta(live)
                            if live else [])
 
+        # dirty chain: decide cleanliness from COLUMNAR identifier triples
+        # (no entry objects) and fully read only the manifests being
+        # rewritten. Sound only while raw-string identity holds chain-wide
+        # (dels ⊆ adds — every DELETE matches its ADD byte-for-byte, which
+        # our writers guarantee by round-tripping read entries); otherwise
+        # keeping a manifest whose cancelled ADD we failed to match would
+        # RESURRECT the file, so fall back to the full object pass.
+        names = [m["name"] for m in metas]
+        per_ids = self.manifests.read_ident_sets(names)
+        adds_all = set().union(*(a for a, _ in per_ids.values()))
+        dels_all = set().union(*(d for _, d in per_ids.values()))
+        if dels_all <= adds_all:
+            keep, rewrite_names = [], []
+            for m in metas:
+                a, d = per_ids[m["name"]]
+                if not d and len(a) >= full and not (a & dels_all):
+                    keep.append({"name": m["name"], "numAdded": len(a),
+                                 "numDeleted": 0})
+                else:
+                    rewrite_names.append(m["name"])
+            rewrite = [e for n in rewrite_names
+                       for e in self.manifests.read_manifest(n)]
+            live = [ManifestEntry(ENTRY_ADD, e.partition, e.bucket, e.file)
+                    for e in live_entries(rewrite)]
+            return keep + (self.manifests.write_manifests_meta(live)
+                           if live else [])
+
         per = [(m, self.manifests.read_manifest(m["name"])) for m in metas]
         deleted = {e.identifier() for _m, es in per
                    for e in es if e.kind == ENTRY_DELETE}
@@ -298,14 +329,47 @@ class FileStoreCommit:
         entries.extend(self.manifests.read_all_entries(latest.delta_manifest_list))
         return entries
 
-    def _check_conflicts(self, message: CommitMessage, base_entries: list[ManifestEntry]):
-        """Deleted files must still be live (FileStoreCommitImpl.java:261-305)."""
-        live = {e.identifier()[0:3] for e in live_entries(base_entries)}
-        for e in message.delete:
-            key = e.identifier()[0:3]
-            if key not in live:
+    def _check_conflicts(self, message: CommitMessage, latest: Snapshot | None):
+        """Deleted files must still be live (FileStoreCommitImpl.java:261-305).
+
+        Fast path: identifiers compare as (raw partition JSON, bucket,
+        fileName) triples read COLUMNAR from the manifests — no entry
+        objects, so a delete-bearing commit on a 10^6-entry table costs
+        ~1-2 s, not a full re-parse. A miss falls back to the canonical
+        sorted-tuple identifiers (a writer whose partition dict serialized
+        in a different key order must not be declared a conflict) before
+        raising."""
+        from .util import dumps
+        names = []
+        if latest is not None:
+            names = (self.manifests.read_manifest_list(latest.base_manifest_list)
+                     + self.manifests.read_manifest_list(latest.delta_manifest_list))
+        adds, dels = self.manifests.read_ident_strings(names)
+        if dels and not dels <= adds:
+            # raw-string identity broke (a DELETE that matches no ADD
+            # byte-for-byte): distrust the fast set algebra entirely —
+            # canonical identifiers for the whole check
+            canon = {e.identifier()[0:3]
+                     for e in live_entries(self._base_entries(latest))}
+            for e in message.delete:
+                if e.identifier()[0:3] not in canon:
+                    raise ConflictError(
+                        f"conflict: file {e.file.file_name} was removed "
+                        f"by a concurrent commit")
+            return
+        live = adds - dels
+        misses = [e for e in message.delete
+                  if (dumps(e.partition), e.bucket, e.file.file_name)
+                  not in live]
+        if not misses:
+            return
+        canon = {e.identifier()[0:3]
+                 for e in live_entries(self._base_entries(latest))}
+        for e in misses:
+            if e.identifier()[0:3] not in canon:
                 raise ConflictError(
-                    f"conflict: file {e.file.file_name} was removed by a concurrent commit")
+                    f"conflict: file {e.file.file_name} was removed by a "
+                    f"concurrent commit")
 
     def _already_committed(self, identifier: int) -> bool:
         for s in reversed(self.snapshots.list_all()):

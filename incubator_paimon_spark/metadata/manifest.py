@@ -178,6 +178,10 @@ class ManifestStore:
     # makes per-query re-planning cheap on a long-lived driver.
     _CACHE: dict[str, list] = {}
     _CACHE_MAX_ENTRIES = 500_000
+    # identifier triples per manifest (commit conflict checks + manifest
+    # compaction cleanliness) — far lighter than entry objects, so the
+    # bound is 4x the entry cache's; immutable files, epoch eviction
+    _IDENT_CACHE: dict[str, tuple[set, set]] = {}
 
     def __init__(self, table_path: str):
         from ..fileio import for_path
@@ -287,6 +291,58 @@ class ManifestStore:
             out.append(ManifestEntry(d["kind"][i], partition,
                                      d["bucket"][i], meta))
         return out
+
+    def read_ident_sets(self, names: list[str]) -> dict[str, tuple[set, set]]:
+        """Per-manifest (ADD idents, DELETE idents) as (partition_json,
+        bucket, fileName) triples, read COLUMNAR — no entry objects, no
+        JSON parsing. The raw partition string is identity here because
+        every DELETE producer builds its entries from READ entries (the
+        dict — and therefore its serialization order — round-trips);
+        consumers verify dels ⊆ adds before trusting the string algebra
+        and fall back to canonical identifiers otherwise."""
+        import pyarrow.parquet as pq
+        out: dict[str, tuple[set, set]] = {}
+        for name in names:
+            path = os.path.join(self.dir, name)
+            hit = ManifestStore._IDENT_CACHE.get(path)
+            if hit is not None:
+                out[name] = hit
+                continue
+            adds: set = set()
+            dels: set = set()
+            if name.endswith(".json"):  # legacy: parse fully
+                for e in (ManifestEntry.from_json(j) for j in read_json(path)):
+                    tgt = adds if e.kind == ENTRY_ADD else dels
+                    tgt.add((dumps(e.partition), e.bucket, e.file.file_name))
+            elif (cached := ManifestStore._CACHE.get(path)) is not None:
+                for e in cached:
+                    tgt = adds if e.kind == ENTRY_ADD else dels
+                    tgt.add((dumps(e.partition), e.bucket, e.file.file_name))
+            else:
+                with self.io.open_input(path) as f:
+                    t = pq.read_table(f, columns=["kind", "partition",
+                                                  "bucket", "fileName"])
+                d = t.to_pydict()
+                for k, p, b, fn in zip(d["kind"], d["partition"],
+                                       d["bucket"], d["fileName"]):
+                    (adds if k == ENTRY_ADD else dels).add((p, b, fn))
+            out[name] = (adds, dels)
+            cache = ManifestStore._IDENT_CACHE
+            if (sum(len(a) + len(d) for a, d in cache.values())
+                    + len(adds) + len(dels) > self._CACHE_MAX_ENTRIES * 4):
+                cache.clear()  # epoch eviction, same policy as _CACHE
+            cache[path] = (adds, dels)
+        return out
+
+    def read_ident_strings(self, names: list[str]) -> tuple[set, set]:
+        """Chain-wide (ADD idents, DELETE idents) — union of
+        read_ident_sets."""
+        adds: set = set()
+        dels: set = set()
+        for a, d in self.read_ident_sets(names).values():
+            adds |= a
+            dels |= d
+        return adds, dels
 
     # --- manifest lists ---
     # List items are either plain names (legacy) or
