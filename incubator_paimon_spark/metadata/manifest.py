@@ -334,6 +334,123 @@ class ManifestStore:
             cache[path] = (adds, dels)
         return out
 
+    def read_entries_filtered(self, names: list[str],
+                              wanted: set) -> list[ManifestEntry]:
+        """Entries whose (raw partition JSON, bucket) is in `wanted`,
+        object-parsing ONLY matching rows — the write-time compaction
+        hook's per-commit cost at 10^6 entries becomes O(touched files),
+        not a full manifest parse. Raw-string partition identity holds
+        for our writers (round-tripped dicts); a foreign key order would
+        only make a file invisible to the PICKER (missed compaction — a
+        perf effect; read-time merge stays correct via sequence
+        numbers), never to reads."""
+        out: list[ManifestEntry] = []
+        for name in names:
+            path = os.path.join(self.dir, name)
+            cached = ManifestStore._CACHE.get(path)
+            if cached is not None:
+                memo: dict = {}
+                for e in cached:
+                    ps = memo.get(id(e.partition))
+                    if ps is None:
+                        ps = memo[id(e.partition)] = dumps(e.partition)
+                    if (ps, e.bucket) in wanted:
+                        out.append(e)
+                continue
+            if not (wanted & self._pair_set(name, path)):
+                continue  # proven disjoint from a 2-column read (cached)
+            if name.endswith(".json"):
+                for e in (ManifestEntry.from_json(j) for j in read_json(path)):
+                    if (dumps(e.partition), e.bucket) in wanted:
+                        out.append(e)
+                continue
+            import pyarrow.parquet as pq
+            with self.io.open_input(path) as f:
+                tbl = pq.read_table(f)
+            d = tbl.to_pydict()
+            tb = d.get("totalBuckets", [None] * tbl.num_rows)
+            part_cache: dict = {}
+            for i in range(tbl.num_rows):
+                key = (d["partition"][i], d["bucket"][i])
+                if key not in wanted:
+                    continue
+                ps = d["partition"][i]
+                partition = part_cache.get(ps)
+                if partition is None:
+                    partition = part_cache[ps] = loads(ps)
+                st, rkc, fi = d["stats"][i], d["rowKindCounts"][i], d["fileIndex"][i]
+                out.append(ManifestEntry(
+                    d["kind"][i], partition, d["bucket"][i],
+                    DataFileMeta(
+                        file_name=d["fileName"][i],
+                        file_size=d["fileSize"][i],
+                        row_count=d["rowCount"][i],
+                        min_seq=d["minSequenceNumber"][i],
+                        max_seq=d["maxSequenceNumber"][i],
+                        schema_id=d["schemaId"][i],
+                        level=d["level"][i],
+                        stats={} if st == "{}" else loads(st),
+                        creation_time_millis=d["creationTimeMillis"][i],
+                        delete_row_count=d["deleteRowCount"][i],
+                        row_kind_counts={} if rkc == "{}" else loads(rkc),
+                        file_index={} if fi == "{}" else loads(fi),
+                        total_buckets=tb[i])))
+        return out
+
+    # distinct (partition_json, bucket) pairs per manifest — the filtered
+    # reader's skip index (a manifest holds few distinct buckets relative
+    # to its entries); immutable files, tiny values, no bound needed
+    _PB_CACHE: dict[str, set] = {}
+
+    def _pair_set(self, name: str, path: str) -> set:
+        hit = ManifestStore._PB_CACHE.get(path)
+        if hit is not None:
+            return hit
+        if name.endswith(".json"):
+            pairs = {(dumps(e.partition), e.bucket)
+                     for e in (ManifestEntry.from_json(j)
+                               for j in read_json(path))}
+        else:
+            import pyarrow.parquet as pq
+            with self.io.open_input(path) as f:
+                t = pq.read_table(f, columns=["partition", "bucket"])
+            d = t.to_pydict()
+            pairs = set(zip(d["partition"], d["bucket"]))
+        ManifestStore._PB_CACHE[path] = pairs
+        return pairs
+
+    # columnar (ADD rows, ADD bytes) per manifest — the bytes/row roll
+    # estimate's input; immutable files, unbounded-safe (2 ints per file)
+    _TOTALS_CACHE: dict[str, tuple[int, int]] = {}
+
+    def read_add_totals(self, names: list[str]) -> tuple[int, int]:
+        """(sum rowCount, sum fileSize) over ADD entries — columnar."""
+        import pyarrow.parquet as pq
+        rows = size = 0
+        for name in names:
+            path = os.path.join(self.dir, name)
+            hit = ManifestStore._TOTALS_CACHE.get(path)
+            if hit is None:
+                if name.endswith(".json"):
+                    es = [ManifestEntry.from_json(j) for j in read_json(path)]
+                    r = sum(e.file.row_count for e in es
+                            if e.kind == ENTRY_ADD)
+                    s = sum(e.file.file_size for e in es
+                            if e.kind == ENTRY_ADD)
+                else:
+                    with self.io.open_input(path) as f:
+                        t = pq.read_table(f, columns=["kind", "rowCount",
+                                                      "fileSize"])
+                    d = t.to_pydict()
+                    r = sum(rc for k, rc in zip(d["kind"], d["rowCount"])
+                            if k == ENTRY_ADD)
+                    s = sum(fs for k, fs in zip(d["kind"], d["fileSize"])
+                            if k == ENTRY_ADD)
+                hit = ManifestStore._TOTALS_CACHE[path] = (r, s)
+            rows += hit[0]
+            size += hit[1]
+        return rows, size
+
     def read_ident_strings(self, names: list[str]) -> tuple[set, set]:
         """Chain-wide (ADD idents, DELETE idents) — union of
         read_ident_sets."""

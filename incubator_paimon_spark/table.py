@@ -358,13 +358,24 @@ class Table:
             if touched:
                 from .compact import (_group_by_bucket, bucket_sorted_runs,
                                       compact_table, pick_compaction)
-                entries = self.entries_at()
+                from .metadata.manifest import live_entries as _live
+                from .metadata.util import dumps as _dumps
+                # read ONLY the touched buckets' entries (object-parsed
+                # selectively from the columnar manifests): the hook runs
+                # on EVERY commit, so at 10^6 live files a full manifest
+                # parse here would tax every write by tens of seconds
+                touched_raw = {(_dumps(e.partition), e.bucket)
+                               for e in self.delta_entries(snapshot)}
+                entries = _live(self.manifests.read_entries_filtered(
+                    (self.manifests.read_manifest_list(snapshot.base_manifest_list)
+                     + self.manifests.read_manifest_list(snapshot.delta_manifest_list)),
+                    touched_raw))
                 by_bucket = _group_by_bucket(entries)
                 # run the ACTUAL picker per touched bucket (no looser
                 # proxy threshold — r8 advice: `runs >= trigger` fired
                 # whole-table compactions that picked nothing), then
                 # scope the rewrite to exactly those buckets, reusing
-                # the manifest already read here.
+                # the (touched-scoped) entries already read here.
                 if self.is_primary_key_table():
                     eligible = {
                         k for k in touched

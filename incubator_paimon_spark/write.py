@@ -439,12 +439,16 @@ class BatchTableWrite:
         max_rec = opts.write_max_records_per_file
         if max_rec is None and latest is not None:
             # roll data files near target-file-size (RollingFileWriter):
-            # bytes/row estimated from the live file set's manifest stats —
-            # cached manifests make this a metadata-only lookup
+            # bytes/row estimated COLUMNAR from the manifests' ADD rows
+            # (per-file cached sums) — an estimate input, so dead files'
+            # inclusion is immaterial, and a 10^6-entry table never pays
+            # an object parse on the write path for it
             try:
-                live = table.entries_at(latest)
-                tot_rows = sum(e.file.row_count for e in live)
-                tot_bytes = sum(e.file.file_size for e in live)
+                names = (table.manifests.read_manifest_list(
+                            latest.base_manifest_list)
+                         + table.manifests.read_manifest_list(
+                            latest.delta_manifest_list))
+                tot_rows, tot_bytes = table.manifests.read_add_totals(names)
                 if tot_rows > 0 and tot_bytes > 0:
                     max_rec = max(10_000,
                                   opts.target_file_size * tot_rows // tot_bytes)
