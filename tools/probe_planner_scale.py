@@ -111,6 +111,50 @@ def main():
         FileStoreCommit(t.path).commit(CommitMessage(add=small), schema_id=0)
         print(f"steady-state 100-file commit on 1M-entry table: "
               f"{(time.time()-t0)*1000:.0f} ms")
+
+        # delete-bearing commit (compaction shape): conflict check +
+        # next-commit manifest compaction must run on columnar identifier
+        # triples, not a full entry parse
+        from incubator_paimon_spark.types import ENTRY_DELETE
+        victims = t.manifests.read_manifest(
+            t.manifests.read_manifest_list(
+                t.snapshots.latest().base_manifest_list)[0])[:2]
+        for rep, v in enumerate(victims):
+            msg = CommitMessage(
+                add=[ManifestEntry("ADD", v.partition, 0, DataFileMeta(
+                    file_name=f"{list(v.partition.values())[0]}/bucket-0/"
+                              f"rw{rep}.parquet",
+                    file_size=1, row_count=v.file.row_count, level=5))],
+                delete=[ManifestEntry(ENTRY_DELETE, v.partition, v.bucket,
+                                      v.file)])
+            t0 = time.time()
+            FileStoreCommit(t.path).commit(msg, schema_id=0, kind="COMPACT")
+            print(f"delete-bearing commit rep{rep}: "
+                  f"{(time.time()-t0)*1000:.0f} ms")
+        try:  # conflict detection still fires on a dead file
+            FileStoreCommit(t.path).commit(
+                CommitMessage(delete=[victims[0]]), schema_id=0)
+            print("ERROR: conflict not detected")
+        except Exception as exc:  # noqa: BLE001
+            print(f"conflict correctly raised: {type(exc).__name__}")
+
+        # write-time hook inputs: touched-bucket filtered read + roll
+        # totals (the per-commit costs of the post-commit picker)
+        from incubator_paimon_spark.metadata.util import dumps
+        snap2 = t.snapshots.latest()
+        names = (t.manifests.read_manifest_list(snap2.base_manifest_list)
+                 + t.manifests.read_manifest_list(snap2.delta_manifest_list))
+        wanted = {(dumps({"dt": "2025-06-15"}), 0)}
+        for rep in range(2):
+            ManifestStore._CACHE.clear()
+            t0 = time.time()
+            es = t.manifests.read_entries_filtered(names, wanted)
+            t1 = time.time()
+            t.manifests.read_add_totals(names)
+            t2 = time.time()
+            print(f"hook rep{rep}: touched-bucket read {len(es)} files "
+                  f"{(t1-t0)*1000:.0f} ms; roll totals "
+                  f"{(t2-t1)*1000:.0f} ms")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
