@@ -161,6 +161,40 @@ _MANIFEST_COLS = [
 ]
 
 
+def _row_entry(d: dict, tb: list, i: int, part_cache: dict) -> ManifestEntry:
+    """One parquet-manifest row -> ManifestEntry (the SINGLE decode used by
+    the full and the filtered readers — format rules live here once).
+    Decode fast paths (driver planning is a hot loop at 10^5-10^6 entries):
+    "{}" cells skip json entirely (rowKindCounts/fileIndex on data files,
+    partition on unpartitioned tables), and partition strings memoize via
+    `part_cache` — a table has few distinct partitions, so that parse
+    collapses to O(partitions). The shared dicts are treated as immutable
+    by every reader (planning only tests them)."""
+    st = d["stats"][i]
+    rkc = d["rowKindCounts"][i]
+    fi = d["fileIndex"][i]
+    ps = d["partition"][i]
+    partition = part_cache.get(ps)
+    if partition is None:
+        partition = part_cache[ps] = loads(ps)
+    meta = DataFileMeta(
+        file_name=d["fileName"][i],
+        file_size=d["fileSize"][i],
+        row_count=d["rowCount"][i],
+        min_seq=d["minSequenceNumber"][i],
+        max_seq=d["maxSequenceNumber"][i],
+        schema_id=d["schemaId"][i],
+        level=d["level"][i],
+        stats={} if st == "{}" else loads(st),
+        creation_time_millis=d["creationTimeMillis"][i],
+        delete_row_count=d["deleteRowCount"][i],
+        row_kind_counts={} if rkc == "{}" else loads(rkc),
+        file_index={} if fi == "{}" else loads(fi),
+        total_buckets=tb[i],
+    )
+    return ManifestEntry(d["kind"][i], partition, d["bucket"][i], meta)
+
+
 class ManifestStore:
     """Reads/writes manifest files + manifest lists under <table>/manifest.
 
@@ -178,6 +212,10 @@ class ManifestStore:
     # makes per-query re-planning cheap on a long-lived driver.
     _CACHE: dict[str, list] = {}
     _CACHE_MAX_ENTRIES = 500_000
+    # guards size-check + clear/insert on the caches: an eviction scan
+    # (sum over .values()) racing another thread's clear() would raise
+    # "dictionary changed size during iteration" out of a commit
+    _CACHE_GUARD = __import__("threading").Lock()
     # identifier triples per manifest (commit conflict checks + manifest
     # compaction cleanliness) — far lighter than entry objects, so the
     # bound is 4x the entry cache's; immutable files, epoch eviction
@@ -242,9 +280,11 @@ class ManifestStore:
             return cached
         out = self._read_uncached(name, path)
         cache = ManifestStore._CACHE
-        if sum(map(len, cache.values())) + len(out) > self._CACHE_MAX_ENTRIES:
-            cache.clear()  # simple epoch eviction; refill is one plan away
-        cache[path] = out
+        with ManifestStore._CACHE_GUARD:
+            if (sum(map(len, cache.values())) + len(out)
+                    > self._CACHE_MAX_ENTRIES):
+                cache.clear()  # simple epoch eviction; refill is one plan away
+            cache[path] = out
         return out
 
     def _read_uncached(self, name: str, path: str) -> list[ManifestEntry]:
@@ -257,40 +297,9 @@ class ManifestStore:
         d = tbl.to_pydict()
         # manifests written before the rescale-bucket column lack it
         tb = d.get("totalBuckets", [None] * tbl.num_rows)
-        out = []
-        # decode fast paths (driver planning is a hot loop at 10^5-10^6
-        # entries): "{}" cells skip json entirely (rowKindCounts/fileIndex
-        # on data files, partition on unpartitioned tables), and partition
-        # strings memoize — a table has few distinct partitions, so the
-        # parse collapses to O(partitions). The shared dicts are treated
-        # as immutable by every reader (planning only tests them).
         part_cache: dict = {}
-        for i in range(tbl.num_rows):
-            st = d["stats"][i]
-            rkc = d["rowKindCounts"][i]
-            fi = d["fileIndex"][i]
-            ps = d["partition"][i]
-            partition = part_cache.get(ps)
-            if partition is None:
-                partition = part_cache[ps] = loads(ps)
-            meta = DataFileMeta(
-                file_name=d["fileName"][i],
-                file_size=d["fileSize"][i],
-                row_count=d["rowCount"][i],
-                min_seq=d["minSequenceNumber"][i],
-                max_seq=d["maxSequenceNumber"][i],
-                schema_id=d["schemaId"][i],
-                level=d["level"][i],
-                stats={} if st == "{}" else loads(st),
-                creation_time_millis=d["creationTimeMillis"][i],
-                delete_row_count=d["deleteRowCount"][i],
-                row_kind_counts={} if rkc == "{}" else loads(rkc),
-                file_index={} if fi == "{}" else loads(fi),
-                total_buckets=tb[i],
-            )
-            out.append(ManifestEntry(d["kind"][i], partition,
-                                     d["bucket"][i], meta))
-        return out
+        return [_row_entry(d, tb, i, part_cache)
+                for i in range(tbl.num_rows)]
 
     def read_ident_sets(self, names: list[str]) -> dict[str, tuple[set, set]]:
         """Per-manifest (ADD idents, DELETE idents) as (partition_json,
@@ -328,10 +337,12 @@ class ManifestStore:
                     (adds if k == ENTRY_ADD else dels).add((p, b, fn))
             out[name] = (adds, dels)
             cache = ManifestStore._IDENT_CACHE
-            if (sum(len(a) + len(d) for a, d in cache.values())
-                    + len(adds) + len(dels) > self._CACHE_MAX_ENTRIES * 4):
-                cache.clear()  # epoch eviction, same policy as _CACHE
-            cache[path] = (adds, dels)
+            with ManifestStore._CACHE_GUARD:
+                if (sum(len(a) + len(d) for a, d in cache.values())
+                        + len(adds) + len(dels)
+                        > self._CACHE_MAX_ENTRIES * 4):
+                    cache.clear()  # epoch eviction, same policy as _CACHE
+                cache[path] = (adds, dels)
         return out
 
     def read_entries_filtered(self, names: list[str],
@@ -357,13 +368,15 @@ class ManifestStore:
                     if (ps, e.bucket) in wanted:
                         out.append(e)
                 continue
-            if not (wanted & self._pair_set(name, path)):
-                continue  # proven disjoint from a 2-column read (cached)
             if name.endswith(".json"):
+                # legacy manifests parse once and filter directly (a
+                # _pair_set pre-pass would be the same full JSON parse)
                 for e in (ManifestEntry.from_json(j) for j in read_json(path)):
                     if (dumps(e.partition), e.bucket) in wanted:
                         out.append(e)
                 continue
+            if not (wanted & self._pair_set(name, path)):
+                continue  # proven disjoint from a 2-column read (cached)
             import pyarrow.parquet as pq
             with self.io.open_input(path) as f:
                 tbl = pq.read_table(f)
@@ -371,30 +384,8 @@ class ManifestStore:
             tb = d.get("totalBuckets", [None] * tbl.num_rows)
             part_cache: dict = {}
             for i in range(tbl.num_rows):
-                key = (d["partition"][i], d["bucket"][i])
-                if key not in wanted:
-                    continue
-                ps = d["partition"][i]
-                partition = part_cache.get(ps)
-                if partition is None:
-                    partition = part_cache[ps] = loads(ps)
-                st, rkc, fi = d["stats"][i], d["rowKindCounts"][i], d["fileIndex"][i]
-                out.append(ManifestEntry(
-                    d["kind"][i], partition, d["bucket"][i],
-                    DataFileMeta(
-                        file_name=d["fileName"][i],
-                        file_size=d["fileSize"][i],
-                        row_count=d["rowCount"][i],
-                        min_seq=d["minSequenceNumber"][i],
-                        max_seq=d["maxSequenceNumber"][i],
-                        schema_id=d["schemaId"][i],
-                        level=d["level"][i],
-                        stats={} if st == "{}" else loads(st),
-                        creation_time_millis=d["creationTimeMillis"][i],
-                        delete_row_count=d["deleteRowCount"][i],
-                        row_kind_counts={} if rkc == "{}" else loads(rkc),
-                        file_index={} if fi == "{}" else loads(fi),
-                        total_buckets=tb[i])))
+                if (d["partition"][i], d["bucket"][i]) in wanted:
+                    out.append(_row_entry(d, tb, i, part_cache))
         return out
 
     # distinct (partition_json, bucket) pairs per manifest — the filtered
@@ -430,6 +421,10 @@ class ManifestStore:
         for name in names:
             path = os.path.join(self.dir, name)
             hit = ManifestStore._TOTALS_CACHE.get(path)
+            if hit is None and (es := ManifestStore._CACHE.get(path)) is not None:
+                hit = ManifestStore._TOTALS_CACHE[path] = (
+                    sum(e.file.row_count for e in es if e.kind == ENTRY_ADD),
+                    sum(e.file.file_size for e in es if e.kind == ENTRY_ADD))
             if hit is None:
                 if name.endswith(".json"):
                     es = [ManifestEntry.from_json(j) for j in read_json(path)]

@@ -353,8 +353,9 @@ class Table:
         # have crossed the trigger since their last write).
         if snapshot.commit_kind in ("APPEND", "OVERWRITE"):
             trigger = opts.num_sorted_run_compaction_trigger
+            _delta = self.delta_entries(snapshot)
             touched = {(tuple(sorted(e.partition.items())), e.bucket)
-                       for e in self.delta_entries(snapshot)}
+                       for e in _delta}
             if touched:
                 from .compact import (_group_by_bucket, bucket_sorted_runs,
                                       compact_table, pick_compaction)
@@ -365,7 +366,7 @@ class Table:
                 # on EVERY commit, so at 10^6 live files a full manifest
                 # parse here would tax every write by tens of seconds
                 touched_raw = {(_dumps(e.partition), e.bucket)
-                               for e in self.delta_entries(snapshot)}
+                               for e in _delta}
                 entries = _live(self.manifests.read_entries_filtered(
                     (self.manifests.read_manifest_list(snapshot.base_manifest_list)
                      + self.manifests.read_manifest_list(snapshot.delta_manifest_list)),
