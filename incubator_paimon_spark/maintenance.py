@@ -18,7 +18,10 @@ from .types import COMMIT_OVERWRITE, ENTRY_DELETE
 
 
 def _referenced_by(table, snapshots) -> tuple[set, set]:
-    """(manifest names, data file names) referenced by the given snapshots."""
+    """(manifest names, data file names) referenced by the given snapshots.
+    File names come from a one-column read (read_file_names) — snapshot
+    chains share most manifests, and only the NAMES matter here, so the
+    per-manifest work is de-duplicated and columnar."""
     manifests, files = set(), set()
     for s in snapshots:
         for ml in (s.base_manifest_list, s.delta_manifest_list,
@@ -27,9 +30,10 @@ def _referenced_by(table, snapshots) -> tuple[set, set]:
                 continue
             manifests.add(ml)
             for m in table.manifests.read_manifest_list(ml):
+                if m in manifests:
+                    continue  # shared across snapshots: names already taken
                 manifests.add(m)
-                for e in table.manifests.read_manifest(m):
-                    files.add(e.file.file_name)
+                files.update(table.manifests.read_file_names(m))
     return manifests, files
 
 

@@ -446,6 +446,25 @@ class ManifestStore:
             size += hit[1]
         return rows, size
 
+    def read_file_names(self, name: str) -> list[str]:
+        """Just the fileName column — snapshot expiry and orphan sweeps
+        collect referenced names over every retained snapshot's
+        manifests, where a full object parse at 10^6 entries is ~20x
+        the one-column read. Entry/ident caches are consulted first."""
+        path = os.path.join(self.dir, name)
+        cached = ManifestStore._CACHE.get(path)
+        if cached is not None:
+            return [e.file.file_name for e in cached]
+        ids = ManifestStore._IDENT_CACHE.get(path)
+        if ids is not None:
+            return [fn for _p, _b, fn in ids[0] | ids[1]]
+        if name.endswith(".json"):
+            return [j["file"]["fileName"] for j in read_json(path)]
+        import pyarrow.parquet as pq
+        with self.io.open_input(path) as f:
+            t = pq.read_table(f, columns=["fileName"])
+        return t.column("fileName").to_pylist()
+
     def read_ident_strings(self, names: list[str]) -> tuple[set, set]:
         """Chain-wide (ADD idents, DELETE idents) — union of
         read_ident_sets."""
