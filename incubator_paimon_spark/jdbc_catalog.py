@@ -286,7 +286,10 @@ class InMemoryDialect(MetastoreDialect):
 
     def lock_release(self, lock_id, token):
         with self._s["lock"]:
-            if self._s["locks"].get(lock_id, (None,))[0] == token:
+            held = self._s["locks"].get(lock_id)
+            # a double release / release-after-failed-acquire is a no-op,
+            # same as the sqlite dialect's fenced DELETE matching nothing
+            if held is not None and token is not None and held[0] == token:
                 del self._s["locks"][lock_id]
 
     def insert_database(self, key, db):

@@ -380,18 +380,22 @@ def drop_partition(table, *specs: dict):
                    for spec in specs)
 
     victims = [e for e in table.entries_at() if matches(e.partition)]
-    # clear done-markers for the named specs EVEN when no files matched —
-    # a marker on an already-empty partition must not survive the drop and
-    # flag a later re-created partition as done (fully-bound specs only;
-    # clear_partition_done skips prefix specs it cannot resolve to a dir)
-    dropped = {tuple(sorted(e.partition.items())) for e in victims}
-    clear_partition_done(table, *specs, *[dict(t) for t in dropped])
     if not victims:
+        # no files, but a done-marker on an already-empty partition must
+        # not survive the drop and flag a later re-created partition as
+        # done (fully-bound specs only; clear_partition_done skips prefix
+        # specs it cannot resolve to a dir)
+        clear_partition_done(table, *specs)
         return None
     msg = CommitMessage(delete=[ManifestEntry(ENTRY_DELETE, e.partition,
                                               e.bucket, e.file) for e in victims])
-    return table.commit.commit(msg, schema_id=table.schema.id,
+    # commit FIRST: a failed/conflicted drop must leave the partition's
+    # marker intact (the data survived, so "done" still holds)
+    snap = table.commit.commit(msg, schema_id=table.schema.id,
                                kind=COMMIT_OVERWRITE)
+    dropped = {tuple(sorted(e.partition.items())) for e in victims}
+    clear_partition_done(table, *specs, *[dict(t) for t in dropped])
+    return snap
 
 
 def clone_table(spark, src_table, dst_catalog, dst_ident: str,

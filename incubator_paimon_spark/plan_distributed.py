@@ -46,24 +46,16 @@ from .predicate import And, Leaf, Or, Predicate, split_by_fields
 # a cold re-parse (~40 s at 1M) while the executor pass holds at ~2.4 s.
 PLAN_DF_MIN_MANIFESTS = int(os.environ.get("PAIMON_PLAN_DF_MIN_MANIFESTS", "50"))
 
+# derived from the manifest writer's single source of truth so a new
+# column lands in both the parquet layout and this read schema at once;
+# _entry_from_row below must then decode it (it handles the pandas-side
+# NaN form of nullable ints, which metadata.manifest._row_entry — the
+# pydict decoder — never sees)
+from .metadata.manifest import _MANIFEST_COLS
+
 _MANIFEST_READ_SCHEMA = T.StructType([
-    T.StructField("kind", T.StringType()),
-    T.StructField("partition", T.StringType()),
-    T.StructField("bucket", T.LongType()),
-    T.StructField("fileName", T.StringType()),
-    T.StructField("fileSize", T.LongType()),
-    T.StructField("rowCount", T.LongType()),
-    T.StructField("minSequenceNumber", T.LongType()),
-    T.StructField("maxSequenceNumber", T.LongType()),
-    T.StructField("schemaId", T.LongType()),
-    T.StructField("level", T.LongType()),
-    T.StructField("stats", T.StringType()),
-    T.StructField("creationTimeMillis", T.LongType()),
-    T.StructField("deleteRowCount", T.LongType()),
-    T.StructField("rowKindCounts", T.StringType()),
-    T.StructField("fileIndex", T.StringType()),
-    T.StructField("totalBuckets", T.LongType()),
-])
+    T.StructField(c, T.LongType() if t == "int" else T.StringType())
+    for c, t in _MANIFEST_COLS])
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -82,10 +74,14 @@ def _is_shippable(pred: Predicate | None) -> bool:
 
 def _native_prefilter(part_pred: Predicate | None):
     """A JVM-side SUPERSET filter from top-level partition equalities:
-    get_json_object(partition, '$.k') == str(v) for str/int literals on
-    plain-identifier keys. Sound because it is re-tested exactly in the
-    pandas pass and identifier-consistent (a function of partition only);
-    DELETE rows always pass so cancellation stays exact."""
+    get_json_object(partition, '$.k') == literal, STRING literals only —
+    a numeric literal's text need not match the stored JSON's (an int 5
+    against a double partition serialized as 5.0 would drop rows the
+    Python `==` test keeps, and a dropped row can never be re-tested).
+    Sound because string equality implies JSON-text equality, the pandas
+    pass re-tests exactly, and the condition is identifier-consistent (a
+    function of partition only); DELETE rows always pass so cancellation
+    stays exact."""
     if part_pred is None:
         return None
     conds = []
@@ -95,11 +91,10 @@ def _native_prefilter(part_pred: Predicate | None):
             for c in p.children:
                 walk(c)
         elif (isinstance(p, Leaf) and p.op == "eq" and _IDENT_RE.match(p.field)
-              and isinstance(p.literal, (str, int))
-              and not isinstance(p.literal, bool)):
+              and isinstance(p.literal, str)):
             conds.append(
                 F.get_json_object(F.col("partition"), f"$.{p.field}")
-                == str(p.literal))
+                == p.literal)
     walk(part_pred)
     if not conds:
         return None

@@ -491,6 +491,9 @@ def _clone(spark, catalog, table, target_table, target_warehouse=None,
     from .maintenance import clone_table
     src = _t(catalog, table)
     dst_cat = catalog
+    if target_metastore_uri and not target_warehouse:
+        raise ValueError("target_metastore_uri requires target_warehouse "
+                         "(it names the metastore OF that warehouse)")
     if target_warehouse:
         # a JDBC-metastore-managed warehouse stores its listing in a
         # metastore — cloning through a plain filesystem Catalog would

@@ -398,6 +398,29 @@ _TAGPART_TVF = re.compile(
     r"(?:\s*,\s*('[^']*'))?\s*\)", re.IGNORECASE)
 
 
+def _mask_comments(masked: str) -> str:
+    """Length-preserving mask of SQL comments (`-- …\\n`, `/* … */`) over
+    ALREADY literal-masked text (so '--' inside a string can't start one).
+    Newlines survive; everything else becomes \\x01 — a WHERE or TVF call
+    inside a comment must be invisible to the statement scanners."""
+    out, i, n = [], 0, len(masked)
+    while i < n:
+        if masked.startswith("--", i):
+            j = masked.find("\n", i)
+            j = n if j == -1 else j
+            out.append("\x01" * (j - i))
+            i = j
+        elif masked.startswith("/*", i):
+            j = masked.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out.append("\x01" * (j - i))
+            i = j
+        else:
+            out.append(masked[i])
+            i += 1
+    return "".join(out)
+
+
 _SQL_STOPPERS = re.compile(
     r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT)\b",
     re.IGNORECASE)
@@ -522,7 +545,7 @@ def _tag_constraints(masked: str, statement: str, pos: int,
 
 def _rewrite_tag_partitioned_tvf(spark, catalog, statement: str) -> str:
     out, last = [], 0
-    masked = _mask_literals(statement)
+    masked = _mask_comments(_mask_literals(statement))
     for m in _TAGPART_TVF.finditer(masked):
         ident = _g(m, statement, 1).strip()[1:-1]
         pattern = None
@@ -535,6 +558,7 @@ def _rewrite_tag_partitioned_tvf(spark, catalog, statement: str) -> str:
         # driver pruning the Python API and the explicit pattern argument
         # get, so `WHERE dt = '…'` costs O(1 leg), not O(tags) plan-build
         pred = None
+        vals = None
         col = table.schema.options.get("metastore.tag-to-partition")
         eq_sets, likes = ([], []) if not col else _tag_constraints(
             masked, statement, m.end(), col, _tvf_alias(masked, m.end()))
@@ -543,10 +567,12 @@ def _rewrite_tag_partitioned_tvf(spark, catalog, statement: str) -> str:
             pred = P.isin(col, sorted(vals))
         patterns = ([pattern] if pattern is not None else []) + likes
         # hash keeps distinct (table, pattern, constraint) triples in
-        # distinct views — sanitizing alone would collapse '%-17'/'_-17'
+        # distinct views — the EFFECTIVE constraint (the intersection)
+        # is hashed, not the raw value union: two occurrences with equal
+        # unions but different intersections must not share a view
         import hashlib
         sig = hashlib.md5(
-            f"{ident}|{patterns}|{sorted(s for v in eq_sets for s in v)}"
+            f"{ident}|{patterns}|{sorted(vals) if vals is not None else None}"
             .encode()).hexdigest()[:8]
         view = re.sub(r"\W", "_", f"pmn_tagpart_{ident}_{sig}")
         read_tag_partitioned(spark, table, predicate=pred,

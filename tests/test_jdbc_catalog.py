@@ -323,3 +323,21 @@ def test_dialect_thread_racing_rename(warehouse, idx):
     assert sorted(outcomes) == ["LOSER", "WINNER"]
     assert cat.list_tables("db") == [f"rn_{name}_new"]
     cat.get_table(f"db.rn_{name}_new")
+
+
+def test_inmemory_lock_release_is_noop_safe(warehouse):
+    """Double release / release-after-failed-acquire is a no-op on BOTH
+    dialects (the sqlite DELETE matches nothing; the in-memory dialect
+    must not KeyError)."""
+    from incubator_paimon_spark.jdbc_catalog import InMemoryDialect
+    d = InMemoryDialect(f"memory://{warehouse}/noop")
+    lk = JdbcCatalogLock(d, "paimon.x")
+    assert lk._try_acquire()
+    lk.__exit__(None, None, None)
+    lk.__exit__(None, None, None)          # second release: no-op
+    loser = JdbcCatalogLock(d, "paimon.x")
+    assert loser._try_acquire()
+    failed = JdbcCatalogLock(d, "paimon.x")
+    assert not failed._try_acquire()
+    failed.__exit__(None, None, None)      # release after failed acquire
+    assert not JdbcCatalogLock(d, "paimon.x")._try_acquire()  # still held

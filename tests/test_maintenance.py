@@ -384,3 +384,15 @@ def test_drop_clears_marker_even_without_files(spark, catalog, customer):
     assert partition_done(t, {"c_mktsegment": "GHOST"})
     assert t.drop_partition({"c_mktsegment": "GHOST"}) is None  # no victims
     assert not partition_done(t, {"c_mktsegment": "GHOST"})
+
+
+def test_clone_uri_requires_warehouse(spark, catalog, customer):
+    from incubator_paimon_spark.procedures import call_sql
+    t = catalog.create_table(
+        "db.cu", customer.select("c_custkey", "c_name").schema)
+    t.write(spark, customer.select("c_custkey", "c_name").limit(5))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="requires target_warehouse"):
+        call_sql(spark, catalog,
+                 "CALL sys.clone(table => 'db.cu', target_table => "
+                 "'db.cu2', target_metastore_uri => '/tmp/nope.sqlite')")

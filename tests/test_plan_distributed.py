@@ -170,3 +170,23 @@ def test_files_df_distributed_matches_driver_path(spark, catalog, orders):
     pb = sorted((r.file_path, r.partition, r.stats)
                 for r in dist.collect())
     assert pa == pb
+
+
+def test_numeric_partition_literal_not_misprefiltered(spark, catalog):
+    """A numeric literal against a double-typed partition value must not
+    be dropped by the JVM prefilter (5 vs JSON text '5.0'): the string
+    prefilter is restricted to string literals, and plan equality holds
+    for the numeric shapes."""
+    df = spark.createDataFrame(
+        [(float(p), i, i * 2.0) for p in range(3) for i in range(10)],
+        "p double, id long, v double")
+    t = catalog.create_table("db.nump", df.schema, partition_keys=["p"])
+    for p in range(3):
+        t.write(spark, df.filter(f"p = {p}.0"))
+    py = t.new_scan().plan(P.eq("p", 1), planner="python")
+    dd = t.new_scan().plan(P.eq("p", 1), planner="dataframe")
+    assert _idents(py) == _idents(dd)
+    assert len(py.entries) > 0  # int literal matches the double partition
+    py2 = t.new_scan().plan(P.eq("p", 1.0), planner="python")
+    dd2 = t.new_scan().plan(P.eq("p", 1.0), planner="dataframe")
+    assert _idents(py2) == _idents(dd2) == _idents(py)

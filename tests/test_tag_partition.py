@@ -260,3 +260,49 @@ def test_bare_tvf_where_escape_semantics(spark, catalog, customer,
         SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
         WHERE dt LIKE '%\_special'""").collect()
     assert calls[-1][1] is None  # not lifted
+
+
+def test_bare_tvf_comments_and_view_signatures(spark, catalog, customer,
+                                               monkeypatch):
+    """A WHERE inside a SQL comment must not be lifted (and a TVF call in
+    a comment must not be rewritten); two TVF occurrences whose eq-sets
+    have equal unions but different intersections get distinct views."""
+    import incubator_paimon_spark.read as R
+    t = _mk(spark, catalog, customer)
+    n = customer.count()
+    calls = []
+    orig = R.read_tag_partitioned
+
+    def spy(spark_, table, predicate=None, projection=None, tag_pattern=None):
+        calls.append((predicate, tag_pattern))
+        return orig(spark_, table, predicate=predicate,
+                    projection=projection, tag_pattern=tag_pattern)
+
+    monkeypatch.setattr(R, "read_tag_partitioned", spy)
+
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        -- WHERE dt = '1999-01-01'
+        WHERE dt = '2023-10-16'""").collect()
+    assert got[0].n == n
+    pred, _ = calls[-1]
+    assert pred is not None and pred.test_value({"dt": "2023-10-16"})
+    assert not pred.test_value({"dt": "1999-01-01"})
+
+    # block comment containing WHERE-shaped text
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n FROM paimon_tag_partitioned('db.tp')
+        /* WHERE dt = '1999-01-01' */""").collect()
+    assert got[0].n == 2 * n and calls[-1] == (None, None)
+
+    # same union {'16','17'} per leg, different intersections: the two
+    # views must not collide (the second would otherwise serve both)
+    got = catalog.sql(spark, """
+        SELECT count(*) AS n FROM (
+          SELECT * FROM paimon_tag_partitioned('db.tp')
+          WHERE dt IN ('2023-10-16', '2023-10-17')
+          UNION ALL
+          SELECT * FROM paimon_tag_partitioned('db.tp')
+          WHERE dt = '2023-10-16' AND dt = '2023-10-17'
+        ) u""").collect()
+    assert got[0].n == 2 * n  # first leg 2n rows, second leg empty
