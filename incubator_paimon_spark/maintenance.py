@@ -158,11 +158,19 @@ def mark_partition_done(table, *specs: dict) -> list[str]:
         rel = f"{_partition_dir(table, spec)}/{SUCCESS_FILE}"
         path = os.path.join(table.path, rel)
         created = now
-        try:
+        # creationTime resets ONLY on a genuinely missing marker; a read
+        # error on an existing one propagates (transient IO must not
+        # silently restart the partition's done-age), while a corrupt
+        # JSON body (foreign non-atomic writer) recovers by rewrite
+        if table.io.exists(path):
             with table.io.open_input(path) as f:
-                created = loads(f.read().decode()).get("creationTime", now)
-        except Exception:  # noqa: BLE001 — first mark
-            pass
+                raw = f.read().decode()
+            try:
+                created = loads(raw).get("creationTime", now)
+            except ValueError:
+                pass
+        # write_overwrite is atomic on every backend (tmp+replace locally,
+        # single PUT on object stores) — no partial marker is ever visible
         table.io.write_overwrite(path, dumps(
             {"creationTime": created, "modificationTime": now}).encode())
         out.append(rel)

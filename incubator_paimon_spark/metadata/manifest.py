@@ -350,11 +350,22 @@ class ManifestStore:
         """Entries whose (raw partition JSON, bucket) is in `wanted`,
         object-parsing ONLY matching rows — the write-time compaction
         hook's per-commit cost at 10^6 entries becomes O(touched files),
-        not a full manifest parse. Raw-string partition identity holds
-        for our writers (round-tripped dicts); a foreign key order would
-        only make a file invisible to the PICKER (missed compaction — a
-        perf effect; read-time merge stays correct via sequence
-        numbers), never to reads."""
+        not a full manifest parse. Raw-string partition identity is
+        verified before being trusted (same dels ⊆ adds check the commit
+        conflict path uses, served from _IDENT_CACHE): a foreign writer
+        re-serializing partition JSON could otherwise split an ADD/DELETE
+        pair across the filter, and a dead file surviving the caller's
+        live_entries() merge would be PICKED for compaction, whose
+        rewrite-delete then raises ConflictError on a valid write. On
+        mismatch, fall back to a full parse + canonical-identifier
+        filter (correct for any serialization)."""
+        adds, dels = self.read_ident_strings(names)
+        if not dels <= adds:
+            want_c = {(tuple(sorted(loads(p).items())), b)
+                      for p, b in wanted}
+            return [e for name in names for e in self.read_manifest(name)
+                    if (tuple(sorted(e.partition.items())), e.bucket)
+                    in want_c]
         out: list[ManifestEntry] = []
         for name in names:
             path = os.path.join(self.dir, name)
@@ -390,7 +401,10 @@ class ManifestStore:
 
     # distinct (partition_json, bucket) pairs per manifest — the filtered
     # reader's skip index (a manifest holds few distinct buckets relative
-    # to its entries); immutable files, tiny values, no bound needed
+    # to its entries, but partition-heavy tables can approach one pair per
+    # entry, so the same guarded epoch eviction as _IDENT_CACHE applies —
+    # manifests superseded by compaction would otherwise pin memory on a
+    # long-lived driver forever)
     _PB_CACHE: dict[str, set] = {}
 
     def _pair_set(self, name: str, path: str) -> set:
@@ -407,24 +421,40 @@ class ManifestStore:
                 t = pq.read_table(f, columns=["partition", "bucket"])
             d = t.to_pydict()
             pairs = set(zip(d["partition"], d["bucket"]))
-        ManifestStore._PB_CACHE[path] = pairs
+        with ManifestStore._CACHE_GUARD:
+            cache = ManifestStore._PB_CACHE
+            if (sum(map(len, cache.values())) + len(pairs)
+                    > self._CACHE_MAX_ENTRIES * 4):
+                cache.clear()  # epoch eviction, same policy as _IDENT_CACHE
+            cache[path] = pairs
         return pairs
 
     # columnar (ADD rows, ADD bytes) per manifest — the bytes/row roll
-    # estimate's input; immutable files, unbounded-safe (2 ints per file)
+    # estimate's input. Values are 2 ints, so the bound is on KEY count
+    # (one per manifest ever read — compaction superseding manifests
+    # would otherwise grow this without limit on a long-lived driver)
     _TOTALS_CACHE: dict[str, tuple[int, int]] = {}
+    _TOTALS_CACHE_MAX_KEYS = 100_000
 
     def read_add_totals(self, names: list[str]) -> tuple[int, int]:
         """(sum rowCount, sum fileSize) over ADD entries — columnar."""
         import pyarrow.parquet as pq
         rows = size = 0
+        def _put(path, val):
+            with ManifestStore._CACHE_GUARD:
+                cache = ManifestStore._TOTALS_CACHE
+                if len(cache) >= self._TOTALS_CACHE_MAX_KEYS:
+                    cache.clear()  # epoch eviction (values are 2 ints/key)
+                cache[path] = val
+            return val
+
         for name in names:
             path = os.path.join(self.dir, name)
             hit = ManifestStore._TOTALS_CACHE.get(path)
             if hit is None and (es := ManifestStore._CACHE.get(path)) is not None:
-                hit = ManifestStore._TOTALS_CACHE[path] = (
+                hit = _put(path, (
                     sum(e.file.row_count for e in es if e.kind == ENTRY_ADD),
-                    sum(e.file.file_size for e in es if e.kind == ENTRY_ADD))
+                    sum(e.file.file_size for e in es if e.kind == ENTRY_ADD)))
             if hit is None:
                 if name.endswith(".json"):
                     es = [ManifestEntry.from_json(j) for j in read_json(path)]
@@ -441,7 +471,7 @@ class ManifestStore:
                             if k == ENTRY_ADD)
                     s = sum(fs for k, fs in zip(d["kind"], d["fileSize"])
                             if k == ENTRY_ADD)
-                hit = ManifestStore._TOTALS_CACHE[path] = (r, s)
+                hit = _put(path, (r, s))
             rows += hit[0]
             size += hit[1]
         return rows, size

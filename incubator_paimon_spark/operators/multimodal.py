@@ -3,11 +3,13 @@
 Design (per the build brief): the engine treats media as `binary` columns
 with a metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas functions over ``mapInPandas`` so each executor
-processes whole record batches. The actual codec step is STUBBED (no
-image/audio libs in this container): ``decode=fake`` produces deterministic
-features derived from the bytes so the Spark-side plumbing — schema,
-partitioning, batch iteration, UDF signatures — is real and tested;
-``decode=real`` raises NotImplementedError where libjpeg/ffmpeg would go.
+processes whole record batches. ``decode=real`` runs REAL decoders for every
+format decodable without codec libraries — BMP, PPM images and WAV PCM
+audio, pure stdlib+numpy in media_codecs.py — and features come from the
+decoded pixel/sample arrays; ``decode=fake`` keeps a deterministic
+md5-derived stand-in (the replay-oracle form). Formats that genuinely need
+codec libraries this container lacks (JPEG/MP3/H.264) plug in at the same
+seam.
 """
 
 from __future__ import annotations

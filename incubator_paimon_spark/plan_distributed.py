@@ -151,9 +151,13 @@ def files_df_distributed(spark, table, manifests: list[str] | None = None):
         return None
     paths = [os.path.join(table.path, "manifest", m) for m in manifests]
     df = spark.read.schema(_MANIFEST_READ_SCHEMA).parquet(*paths)
-    ident = ["partition", "bucket", "fileName"]
-    dels = df.where(F.col("kind") == "DELETE").select(*ident)
-    live = df.where(F.col("kind") == "ADD").join(dels, ident, "left_anti")
+    # cancellation keys on fileName ALONE: file names embed partition dir
+    # + bucket and a uuid basename, so they are globally unique within a
+    # table — matching on the raw partition JSON text would let a DELETE
+    # whose partition serialization differs from its ADD's (foreign or
+    # re-serializing writer) miss, making a dead file look live in $files
+    dels = df.where(F.col("kind") == "DELETE").select("fileName")
+    live = df.where(F.col("kind") == "ADD").join(dels, "fileName", "left_anti")
     return live.select(
         F.col("partition"), F.col("bucket").cast("int"),
         F.col("fileName").alias("file_path"),

@@ -190,7 +190,11 @@ class TableScan:
 
         if limit is not None and not schema.primary_keys:
             # limit pushdown: stop listing once enough raw rows (append only,
-            # PaimonScanBuilder.scala:29-35)
+            # PaimonScanBuilder.scala:29-35). Planner parity: the distributed
+            # path returns entries sorted by file name, so pick the prefix in
+            # the same order — crossing PLAN_DF_MIN_MANIFESTS must never
+            # change which files a limited scan reads (cheap: pruned set)
+            entries = sorted(entries, key=lambda e: e.file.file_name)
             picked, total = [], 0
             for e in entries:
                 picked.append(e)

@@ -396,8 +396,15 @@ class Table:
                         if sum(1 for e in by_bucket.get(k, ())
                                if e.file.file_size < tfs) > trigger}
                 if eligible:
-                    compact_table(spark, self, buckets=eligible,
-                                  entries=entries)
+                    from .metadata.commit import ConflictError
+                    try:
+                        compact_table(spark, self, buckets=eligible,
+                                      entries=entries)
+                    except ConflictError:
+                        # advisory compaction: a concurrent committer won
+                        # the race — the user's write already succeeded,
+                        # and the next commit's hook re-picks these buckets
+                        pass
         # tag.automatic-creation (TagAutoCreation.java:48)
         from .maintenance import auto_create_tags
         auto_create_tags(self, snapshot)
