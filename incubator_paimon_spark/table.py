@@ -112,10 +112,11 @@ class Table:
         file_metadata: bool = False,
         scan_mode: str | None = None,
         watermark: int | None = None,
+        planner: str = "auto",
     ) -> DataFrame:
         scan = self.new_scan(snapshot_id, tag, timestamp_ms, read_optimized,
                              scan_mode=scan_mode, watermark=watermark)
-        plan = scan.plan(predicate, limit)
+        plan = scan.plan(predicate, limit, planner=planner)
         df = plan_to_df(spark, self, plan, projection, with_system_cols,
                         file_metadata=file_metadata)
         if limit is not None:

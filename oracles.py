@@ -476,6 +476,14 @@ FROM orders WHERE o_orderstatus = 'O'
 GROUP BY o_orderstatus
 """
 
+# same shape through the executor-side manifest planner (the 'P'
+# partition is untouched by the fixture's dynamic overwrite of 'F')
+ORACLES["partition_prune_distributed"] = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus = 'P'
+GROUP BY o_orderstatus
+"""
+
 ORACLES["schema_evolution"] = """
 SELECT o_orderkey, round(o_totalprice, 2) AS price,
        NULL::VARCHAR AS o_orderpriority
