@@ -107,37 +107,81 @@ def _manifests(spark, table):
         num_added_files long, num_deleted_files long, schema_id long""")
 
 
+def _grouped_file_stats(spark, table, with_bucket: bool):
+    """(partition_dict, bucket|None) → [rows, bytes, files, max_ctime],
+    keyed canonically (sorted partition items). Above the manifest-cache
+    bound the sums run as ONE Spark job over the manifest parquet
+    (files_df_distributed + groupBy — at 10^6 entries the driver parse
+    this replaces is tens of seconds); the collected result is
+    O(partitions|buckets), and canonicalization happens driver-side on
+    that small set, so two raw partition serializations of the same
+    value can never split a group. Falls back to the driver pass below
+    the bound or when a distributed gate fails."""
+    agg: dict = {}
+
+    def _acc(part, bucket, rows, size, files, ctime):
+        # repr keeps 5 / 5.0 / "5" distinct (both paths decode partition
+        # values through the same metadata codec, so types agree)
+        key = (tuple(sorted((k, repr(v)) for k, v in part.items())),
+               bucket)
+        a = agg.setdefault(key, [0, 0, 0, 0, part])
+        a[0] += rows
+        a[1] += size
+        a[2] += files
+        a[3] = max(a[3], ctime)
+
+    snap = table.snapshots.latest()
+    if snap is not None:
+        from .plan_distributed import (PLAN_DF_MIN_MANIFESTS,
+                                       files_df_distributed)
+        names = (table.manifests.read_manifest_list(snap.base_manifest_list)
+                 + table.manifests.read_manifest_list(snap.delta_manifest_list))
+        if len(names) >= PLAN_DF_MIN_MANIFESTS:
+            df = files_df_distributed(spark, table, manifests=names)
+            if df is not None:
+                from pyspark.sql import functions as F
+
+                from .metadata.util import loads as _mloads
+                keys = ["partition"] + (["bucket"] if with_bucket else [])
+                got = (df.groupBy(*keys)
+                         .agg(F.sum("record_count"),
+                              F.sum("file_size_in_bytes"), F.count("*"),
+                              F.max("creation_time"))
+                         .collect())
+                for r in got:
+                    _acc(_mloads(r[0]), r[1] if with_bucket else None,
+                         *r[len(keys):])
+                return agg
+
+    for e in table.entries_at():
+        _acc(e.partition, e.bucket if with_bucket else None,
+             e.file.row_count, e.file.file_size, 1,
+             e.file.creation_time_millis)
+    return agg
+
+
 def _partitions(spark, table):
     from .maintenance import partition_done
-    agg: dict = {}
-    for e in table.entries_at():
-        key = json.dumps(e.partition, sort_keys=True, default=str)
-        a = agg.setdefault(key, [0, 0, 0, 0, e.partition])
-        a[0] += e.file.row_count
-        a[1] += e.file.file_size
-        a[2] += 1
-        a[3] = max(a[3], e.file.creation_time_millis)
     rows = []
-    for k, v in sorted(agg.items()):
+    agg = _grouped_file_stats(spark, table, with_bucket=False)
+    for v in agg.values():
         try:  # `done` = success-file marker present (mark_partition_done)
             done = partition_done(table, v[4]) if v[4] else False
         except ValueError:
             done = False
-        rows.append((k, v[0], v[1], v[2], v[3], done))
+        rows.append((json.dumps(v[4], sort_keys=True, default=str),
+                     v[0], v[1], v[2], v[3], done))
+    rows.sort()
     return spark.createDataFrame(rows, """partition string, record_count long,
         file_size_in_bytes long, file_count long, last_update_time long,
         done boolean""")
 
 
 def _buckets(spark, table):
-    agg: dict = {}
-    for e in table.entries_at():
-        key = (json.dumps(e.partition, sort_keys=True, default=str), e.bucket)
-        a = agg.setdefault(key, [0, 0, 0])
-        a[0] += e.file.row_count
-        a[1] += e.file.file_size
-        a[2] += 1
-    rows = [(k[0], k[1], v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+    agg = _grouped_file_stats(spark, table, with_bucket=True)
+    rows = sorted(
+        (json.dumps(v[4], sort_keys=True, default=str), b, v[0], v[1], v[2])
+        for (_k, b), v in agg.items())
     return spark.createDataFrame(rows, """partition string, bucket int,
         record_count long, file_size_in_bytes long, file_count long""")
 

@@ -155,6 +155,34 @@ def main():
             print(f"hook rep{rep}: touched-bucket read {len(es)} files "
                   f"{(t1-t0)*1000:.0f} ms; roll totals "
                   f"{(t2-t1)*1000:.0f} ms")
+
+        # $partitions / $buckets above the cache bound: one distributed
+        # groupBy over the manifest parquet vs the driver entry parse
+        import incubator_paimon_spark.plan_distributed as PD
+        ManifestStore._CACHE.clear()
+        t0 = time.time()
+        parts = t.system(spark, "partitions").collect()
+        t1 = time.time()
+        bks = t.system(spark, "buckets").collect()
+        t2 = time.time()
+        print(f"$partitions distributed: {len(parts)} rows "
+              f"{(t1-t0)*1000:.0f} ms; $buckets {len(bks)} rows "
+              f"{(t2-t1)*1000:.0f} ms")
+        old = PD.PLAN_DF_MIN_MANIFESTS
+        try:
+            PD.PLAN_DF_MIN_MANIFESTS = 10**9  # force the driver path
+            t0 = time.time()
+            parts_drv = t.system(spark, "partitions").collect()
+            t1 = time.time()
+            bks_drv = t.system(spark, "buckets").collect()
+            t2 = time.time()
+        finally:
+            PD.PLAN_DF_MIN_MANIFESTS = old
+        print(f"$partitions driver:      {len(parts_drv)} rows "
+              f"{(t1-t0)*1000:.0f} ms; $buckets {len(bks_drv)} rows "
+              f"{(t2-t1)*1000:.0f} ms")
+        print(f"equality: partitions={sorted(map(tuple, parts)) == sorted(map(tuple, parts_drv))} "
+              f"buckets={sorted(map(tuple, bks)) == sorted(map(tuple, bks_drv))}")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
