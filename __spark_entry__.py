@@ -627,6 +627,71 @@ def q_media_real_decode(spark, sf_dir):
                     f(4).alias("mean_b"))
 
 
+def q_media_png_decode(spark, sf_dir):
+    """REAL PNG codec path (r12): a genuine zlib-compressed 8x4 RGB PNG
+    per document — pixels are the ASCII codes of substr(repeat(md5(text),
+    3),1,96) in RGB order — assembled executor-side (zlib.compress is
+    per-row Python; PNG cannot be concatenated from JVM literals because
+    the IDAT checksum covers the payload), then decoded by the pure-
+    stdlib PNG parser (chunk walk, inflate, per-row defilter; rows carry
+    rotating filter types 0/1/2/4 so defiltering is really exercised).
+    Features come from the DECODED pixel array; the oracle replays the
+    construction arithmetic (means over 32 pixels — a power of two, so
+    float32 round-trips exactly)."""
+    import pandas as pd
+
+    from incubator_paimon_spark.operators import multimodal as MM
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.repeat(F.md5(F.encode("text", "utf-8")), 3),
+                    1, 96).alias("s"))
+
+    def mk(batches):
+        import struct
+        import zlib
+
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", zlib.crc32(cid + body)))
+
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 4, 8, 2, 0, 0, 0))
+        for pdf in batches:
+            outs = []
+            for s in pdf["s"]:
+                px = s.encode()  # 96 bytes = 4 rows x 8 px x RGB
+                # forward-filter rows with types 0/1/2/4 (None/Sub/Up/
+                # Paeth) so decode must actually invert each
+                rows = [px[r * 24:(r + 1) * 24] for r in range(4)]
+                raw = b"\x00" + rows[0]
+                raw += b"\x01" + bytes(
+                    (rows[1][x] - (rows[1][x - 3] if x >= 3 else 0)) & 0xFF
+                    for x in range(24))
+                raw += b"\x02" + bytes((rows[2][x] - rows[1][x]) & 0xFF
+                                       for x in range(24))
+
+                def paeth(a, b, c):
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                raw += b"\x04" + bytes(
+                    (rows[3][x] - paeth(rows[3][x - 3] if x >= 3 else 0,
+                                        rows[2][x],
+                                        rows[2][x - 3] if x >= 3 else 0))
+                    & 0xFF for x in range(24))
+                outs.append(b"\x89PNG\r\n\x1a\n" + ihdr
+                            + chunk(b"IDAT", zlib.compress(raw))
+                            + chunk(b"IEND", b""))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "bytes": pd.Series(outs, dtype="object")})
+
+    media = docs.mapInPandas(mk, "media_id long, bytes binary")
+    m = MM.extract_features(media, dim=5, decode="real")
+    f = lambda i: F.round(F.element_at("features", i + 1).cast("double"), 4)
+    return m.select("media_id", f(0).alias("width"), f(1).alias("height"),
+                    f(2).alias("mean_r"), f(3).alias("mean_g"),
+                    f(4).alias("mean_b"))
+
+
 def _wav_header_8bit_mono(n: int, rate: int = 8000) -> bytes:
     """Canonical RIFF/WAVE header for n 8-bit mono PCM samples."""
     import struct
@@ -2105,6 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by bm25_indexed / dsir_incremental
         "bm25": q_bm25,
         "dsir": q_dsir,
+        # r12: REAL PNG decode (stdlib inflate + defilter; sibling of the
+        # gated media_real_decode / media_wav_decode)
+        "media_png_decode": q_media_png_decode,
         # r11 rotations (see the gate comment above)
         "media_meta": q_media_meta,
         "repetition": q_repetition,

@@ -1,31 +1,38 @@
 """Real pure-Python media decoders for the multimodal seam.
 
-BMP (24bpp uncompressed), PPM (binary P6) and WAV (PCM 16/8-bit) are
-header-plus-raw-samples formats decodable with struct + numpy alone — no
-codec libraries, which this container does not have. These are the `real`
-half of multimodal.extract_features: the deterministic `fake` path remains
+BMP (24bpp uncompressed), PPM (binary P6), PNG (non-interlaced 8-bit
+gray/RGB/RGBA — zlib inflate + per-row unfilter, both stdlib) and WAV
+(PCM 16/8-bit) are decodable with struct + zlib + numpy alone — no codec
+libraries, which this container does not have. These are the `real` half
+of multimodal.extract_features: the deterministic `fake` path remains
 for the md5-replay oracles; `decode="real"` now parses actual pixel and
 sample arrays.
 
 Formats per their public specs (BITMAPFILEHEADER/BITMAPINFOHEADER layout,
-Netpbm P6, RIFF/WAVE canonical PCM); the reference engine has no media
-codecs at all — this is part of the training-data-pipeline surface the
-build brief adds on top of reference parity.
+Netpbm P6, RFC 2083 PNG chunks + filter types 0-4, RIFF/WAVE canonical
+PCM); the reference engine has no media codecs at all — this is part of
+the training-data-pipeline surface the build brief adds on top of
+reference parity.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff(buf: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'wav' | None."""
+    """'bmp' | 'ppm' | 'png' | 'wav' | None."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:2] == b"P6":
         return "ppm"
+    if buf[:8] == _PNG_SIG:
+        return "png"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     return None
@@ -82,6 +89,77 @@ def decode_ppm(buf: bytes) -> np.ndarray:
         .reshape(h, w, 3).copy()
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6) over single bytes."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → (h, w, channels) uint8 array.
+    Color types: 0 grayscale (1 ch), 2 truecolor (3), 4 gray+alpha (2),
+    6 truecolor+alpha (4). Pure stdlib: chunk walk, zlib inflate of the
+    concatenated IDAT stream, then per-row defilter (types 0-4). Palette,
+    16-bit and Adam7-interlaced images raise (they need no codec library
+    either, but are rare in training corpora; extend here if met)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (size,), cid = struct.unpack_from(">I", buf, pos), buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"only 8-bit non-interlaced PNG supported "
+                         f"(depth={depth}, interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=y * (stride + 1) + 1)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:          # None
+            out[y] = line
+        elif ftype == 2:        # Up — fully vectorized
+            out[y] = line + prev
+        elif ftype in (1, 3, 4):
+            cur = out[y]
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ftype == 1:      # Sub
+                    cur[x] = (li[x] + a) & 0xFF
+                elif ftype == 3:    # Average
+                    cur[x] = (li[x] + ((a + int(pv[x])) >> 1)) & 0xFF
+                else:               # Paeth
+                    c = int(out[y - 1, x - bpp]) if (x >= bpp and y) else 0
+                    cur[x] = (li[x] + _paeth(a, int(pv[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.reshape(h, w, channels)
+
+
 def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     """Canonical RIFF/WAVE PCM → (sample_rate, (n, channels) array).
     16-bit little-endian or 8-bit unsigned samples; walks chunks so extra
@@ -119,10 +197,14 @@ def real_features(buf: bytes, dim: int) -> list[float]:
     pixel counts; when those are powers of two the result is exact in
     float32, which the media_real_decode oracle relies on."""
     kind = sniff(buf)
-    if kind in ("bmp", "ppm"):
-        px = decode_bmp(buf) if kind == "bmp" else decode_ppm(buf)
+    if kind in ("bmp", "ppm", "png"):
+        px = {"bmp": decode_bmp, "ppm": decode_ppm,
+              "png": decode_png}[kind](buf)
         h, w = px.shape[0], px.shape[1]
-        means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        # grayscale replicates its mean across the 3 slots; alpha ignored
+        rgb = (px[:, :, :3] if px.shape[2] >= 3
+               else px[:, :, :1].repeat(3, axis=2))
+        means = rgb.reshape(-1, 3).astype(np.float64).mean(axis=0)
         out = [float(w), float(h), float(means[0]), float(means[1]),
                float(means[2])]
     elif kind == "wav":
@@ -131,6 +213,6 @@ def real_features(buf: bytes, dim: int) -> list[float]:
         out = [float(rate), float(frames.shape[0]), float(x.mean()),
                float(np.sqrt((x * x).mean()))]
     else:
-        raise ValueError("undecodable media bytes (expected BMP/PPM/WAV)")
+        raise ValueError("undecodable media bytes (expected BMP/PPM/PNG/WAV)")
     out = out[:dim]
     return out + [0.0] * (dim - len(out))

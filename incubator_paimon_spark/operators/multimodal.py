@@ -4,7 +4,7 @@ Design (per the build brief): the engine treats media as `binary` columns
 with a metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas functions over ``mapInPandas`` so each executor
 processes whole record batches. ``decode=real`` runs REAL decoders for every
-format decodable without codec libraries — BMP, PPM images and WAV PCM
+format decodable without codec libraries — BMP, PPM, PNG images and WAV PCM
 audio, pure stdlib+numpy in media_codecs.py — and features come from the
 decoded pixel/sample arrays; ``decode=fake`` keeps a deterministic
 md5-derived stand-in (the replay-oracle form). Formats that genuinely need
@@ -52,11 +52,11 @@ def extract_features(df: DataFrame, bytes_col: str = "bytes", dim: int = 8,
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     Output adds `features array<float>`. decode="real" parses actual
-    BMP/PPM pixel arrays and WAV PCM samples (media_codecs.py — pure
+    BMP/PPM/PNG pixel arrays and WAV PCM samples (media_codecs.py — pure
     stdlib+numpy, no codec libraries) and emits [w, h, channel means] /
     [rate, frames, mean, rms] zero-padded to `dim`; decode="fake" keeps
     the deterministic md5-derived stand-in the replay oracles use.
-    Formats beyond the stdlib-decodable three (JPEG/MP3/H.264...) would
+    Formats beyond the stdlib-decodable four (JPEG/MP3/H.264...) would
     plug in at the same seam but need codec libs this container lacks.
     """
     if decode == "real":

@@ -1037,6 +1037,22 @@ SELECT media_id, 8.0 AS width, 4.0 AS height,
 FROM p
 """
 
+# media_png_decode mirror: the same 96 md5-derived bytes are the pixels
+# of a REAL zlib-compressed 8x4 RGB PNG (filter types 0/1/2/4 across the
+# rows), decoded by media_codecs.decode_png — PNG stores RGB in order,
+# so 1-based byte 3k+1=R, 3k+2=G, 3k+3=B (the BMP mirror's reverse)
+ORACLES["media_png_decode"] = f"""
+WITH p AS (
+  SELECT doc_id AS media_id, substr(repeat(md5(text), 3), 1, 96) AS s
+  FROM documents
+)
+SELECT media_id, 8.0 AS width, 4.0 AS height,
+  {_bmp_chan_mean_sql(1)} AS mean_r,
+  {_bmp_chan_mean_sql(2)} AS mean_g,
+  {_bmp_chan_mean_sql(3)} AS mean_b
+FROM p
+"""
+
 
 # ------------------------------------------------- r5 pipeline operators
 

@@ -117,3 +117,106 @@ def test_extract_features_real_mapinpandas(spark):
     got = {r.media_id: r.features
            for r in extract_features(df, dim=5, decode="real").collect()}
     assert got[1] == got[2] == [8.0, 4.0, 0.0, 77.0, 0.0]
+
+
+# ----------------------------------------------------------------------
+# PNG (r12): non-interlaced 8-bit gray/RGB/RGBA, all five filter types
+
+def make_png(px: np.ndarray, filters=None) -> bytes:
+    """Encode (h, w, c) uint8 as an 8-bit PNG, forward-filtering each row
+    with the given filter type (so decode must exactly invert)."""
+    import zlib
+
+    from incubator_paimon_spark.operators.media_codecs import _paeth
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters if filters is not None else [0] * h
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = b""
+    for y, ft in enumerate(filters):
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        enc = bytearray()
+        for x in range(stride):
+            a = int(flat[y, x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if (x >= c and y) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                    4: _paeth(a, b, cc)}[ft]
+            enc.append((int(flat[y, x]) - pred) & 0xFF)
+        raw += bytes([ft]) + bytes(enc)
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_all_filters():
+    from incubator_paimon_spark.operators.media_codecs import decode_png
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (5, 7, 3), np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+        got = decode_png(make_png(px, filters))
+        np.testing.assert_array_equal(got, px, err_msg=str(filters))
+
+
+def test_png_gray_and_rgba():
+    from incubator_paimon_spark.operators.media_codecs import decode_png
+    rng = np.random.default_rng(13)
+    for c in (1, 2, 4):
+        px = rng.integers(0, 256, (3, 4, c), np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(make_png(px, [0, 2, 4])), px)
+
+
+def test_png_split_idat_and_rejects():
+    import zlib
+
+    from incubator_paimon_spark.operators.media_codecs import decode_png
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    buf = make_png(px)
+    # split the IDAT payload into two chunks: decoders must concatenate
+    i = buf.index(b"IDAT") - 4
+    (size,) = struct.unpack_from(">I", buf, i)
+    body = buf[i + 8:i + 8 + size]
+    def chunk(cid, b):
+        return (struct.pack(">I", len(b)) + cid + b
+                + struct.pack(">I", zlib.crc32(cid + b)))
+    two = (buf[:i] + chunk(b"IDAT", body[:3]) + chunk(b"IDAT", body[3:])
+           + buf[i + 12 + size:])
+    np.testing.assert_array_equal(decode_png(two), px)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM123456")
+    bad = bytearray(make_png(px))
+    bad[24] = 16  # bit depth 16
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(bad))
+    bad = bytearray(make_png(px))
+    bad[28] = 1  # Adam7 interlace
+    with pytest.raises(ValueError, match="8-bit|interlace"):
+        decode_png(bytes(bad))
+    bad = bytearray(make_png(px))
+    bad[25] = 3  # palette color type
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bytes(bad))
+
+
+def test_png_real_features_and_sniff():
+    from incubator_paimon_spark.operators.media_codecs import sniff as sn
+    px = np.full((4, 8, 3), 10, np.uint8)
+    px[..., 2] = 160  # B
+    buf = make_png(px, [0, 1, 2, 4])
+    assert sn(buf) == "png"
+    assert real_features(buf, 6) == [8.0, 4.0, 10.0, 10.0, 160.0, 0.0]
+    # grayscale replicates its mean; alpha is ignored
+    g = np.full((2, 4, 1), 40, np.uint8)
+    assert real_features(make_png(g), 5) == [4.0, 2.0, 40.0, 40.0, 40.0]
+    ra = np.zeros((2, 2, 4), np.uint8)
+    ra[..., 0] = 90
+    ra[..., 3] = 255
+    assert real_features(make_png(ra), 5) == [2.0, 2.0, 90.0, 0.0, 0.0]
