@@ -962,6 +962,32 @@ def q_partition_prune_distributed(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
 
 
+def q_partition_done_marker(spark, sf_dir):
+    """mark_partition_done → the $partitions `done` column, oracle-backed
+    (VERDICT r11 #6): mark two of the three status partitions and project
+    the per-partition rollup; the oracle recomputes record counts from
+    the raw table and the done flags from the marked set."""
+    from incubator_paimon_spark.maintenance import mark_partition_done
+    fx = _fixtures(spark, sf_dir)
+    t = fx["orders_part"]
+    mark_partition_done(t, {"o_orderstatus": "O"}, {"o_orderstatus": "P"})
+    return t.system(spark, "partitions") \
+            .select("partition", "record_count", "done")
+
+
+def q_lineage_rows(spark, sf_dir):
+    """sys.data_lineage rows for the fixture warehouse's MERGE INTO jobs,
+    oracle-backed (VERDICT r11 #6): both fixture merges USING temp views
+    record exactly one sink endpoint each at their commit snapshot, so
+    the row set is deterministic and the oracle is a VALUES literal."""
+    fx = _fixtures(spark, sf_dir)
+    cat = fx["cat"]
+    return (cat.system(spark, "data_lineage")
+               .where(F.col("job_name") == "merge_into")
+               .select("direction", "database_name", "table_name",
+                       "snapshot_id", "job_name"))
+
+
 def q_schema_evolution(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["orders_evolve"].read(spark)
@@ -2173,6 +2199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: REAL PNG decode (stdlib inflate + defilter; sibling of the
         # gated media_real_decode / media_wav_decode)
         "media_png_decode": q_media_png_decode,
+        # r12 (VERDICT r11 #6): hash oracles for the r11 surfaces —
+        # mark_partition_done's $partitions.done column and the lineage
+        # store's data_lineage rows
+        "partition_done_marker": q_partition_done_marker,
+        "lineage_rows": q_lineage_rows,
         # r11 rotations (see the gate comment above)
         "media_meta": q_media_meta,
         "repetition": q_repetition,

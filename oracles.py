@@ -484,6 +484,24 @@ FROM orders WHERE o_orderstatus = 'P'
 GROUP BY o_orderstatus
 """
 
+# $partitions rollup with mark_partition_done flags on O and P; the 'F'
+# dynamic overwrite replaced that partition with the same row count
+ORACLES["partition_done_marker"] = """
+SELECT '{"o_orderstatus": "' || o_orderstatus || '"}' AS partition,
+       count(*) AS record_count,
+       o_orderstatus IN ('O', 'P') AS done
+FROM orders GROUP BY o_orderstatus
+"""
+
+# the fixture's two MERGE INTO jobs (USING temp views -> sink-only
+# endpoints) at their commit snapshots: write = snap 1, merge = snap 2
+ORACLES["lineage_rows"] = """
+SELECT * FROM (VALUES
+  ('sink', 'fx', 'customer_merge', CAST(2 AS BIGINT), 'merge_into'),
+  ('sink', 'fx', 'customer_mwm',   CAST(2 AS BIGINT), 'merge_into'))
+  AS t(direction, database_name, table_name, snapshot_id, job_name)
+"""
+
 ORACLES["schema_evolution"] = """
 SELECT o_orderkey, round(o_totalprice, 2) AS price,
        NULL::VARCHAR AS o_orderpriority
