@@ -250,6 +250,232 @@ class SqliteDialect(MetastoreDialect):
                 raise ValueError(f"table {db1}.{n1} does not exist")
 
 
+# ----------------------------------------------------------------------
+# networked SQL dialects (DB-API 2.0) — the reference's MySQL/Postgres
+# metastore reach (JdbcUtils.java:41-130 statement set;
+# MysqlDistributedLockDialect / AbstractDistributedLockDialect)
+# ----------------------------------------------------------------------
+class DbApiDialect(MetastoreDialect):
+    """MetastoreDialect over any DB-API 2.0 driver. The verb logic is
+    shared — one transaction per verb, the INSERT's uniqueness violation
+    as the create-race arbiter, ``SELECT ... FOR UPDATE`` pinning the
+    database row inside claim/rename so a concurrent DROP DATABASE
+    cannot interleave on MVCC servers — and subclasses pin the SQL
+    flavor (column types, paramstyle, row-lock clause).
+
+    No database SERVICE exists in this sandbox, so in-repo certification
+    runs the dialect CONTRACT suite (test_jdbc_catalog.py: 32-thread
+    create races, rename races, the three lock verbs with lease reap and
+    fenced release) over these exact statements against a sqlite DB-API
+    connection (paramstyle translated to qmark; FOR UPDATE elided —
+    sqlite serializes whole write transactions instead, giving the same
+    guarantee the row lock gives an MVCC server). Against a live server,
+    pass the driver's connect as ``connect`` (e.g.
+    ``functools.partial(pymysql.connect, host=..., db=...)``) and run
+    the same suite — it is the certification bar.
+    """
+
+    TYPE_TEXT = "VARCHAR(255)"
+    TYPE_REAL = "DOUBLE PRECISION"
+    TYPE_PROPS = "VARCHAR(4000) NOT NULL DEFAULT '{}'"
+    FOR_UPDATE = " FOR UPDATE"
+    PARAMSTYLE = "format"  # %s — pymysql and psycopg2 both use it
+
+    def __init__(self, connect, uri: str = "dbapi://",
+                 integrity_error: type | None = None):
+        self._connect = connect
+        self.uri = uri
+        if integrity_error is None:
+            # DB-API hangs the exception classes off the driver MODULE:
+            # resolve it from the connection's root package
+            # (pymysql.IntegrityError, psycopg2.IntegrityError,
+            # sqlite3.IntegrityError)
+            import importlib
+            probe = connect()
+            try:
+                root = type(probe).__module__.split(".")[0]
+                integrity_error = importlib.import_module(root).IntegrityError
+            finally:
+                probe.close()
+        self._integrity = integrity_error
+        with self._tx() as cur:
+            for ddl in (
+                f"""CREATE TABLE IF NOT EXISTS paimon_tables(
+                    catalog_key {self.TYPE_TEXT} NOT NULL,
+                    database_name {self.TYPE_TEXT} NOT NULL,
+                    table_name {self.TYPE_TEXT} NOT NULL,
+                    PRIMARY KEY (catalog_key, database_name, table_name))""",
+                f"""CREATE TABLE IF NOT EXISTS paimon_databases(
+                    catalog_key {self.TYPE_TEXT} NOT NULL,
+                    database_name {self.TYPE_TEXT} NOT NULL,
+                    properties {self.TYPE_PROPS},
+                    PRIMARY KEY (catalog_key, database_name))""",
+                f"""CREATE TABLE IF NOT EXISTS paimon_distributed_locks(
+                    lock_id {self.TYPE_TEXT} NOT NULL PRIMARY KEY,
+                    acquired_at {self.TYPE_REAL} NOT NULL,
+                    lease_s {self.TYPE_REAL} NOT NULL)""",
+            ):
+                cur.execute(ddl)
+
+    @contextmanager
+    def _tx(self):
+        """One short-lived connection per verb: commit on success,
+        rollback on error, always closed (the sqlite dialect's
+        discipline, which the contract races depend on)."""
+        con = self._connect()
+        try:
+            cur = con.cursor()
+            yield cur
+            con.commit()
+        except BaseException:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+
+    def _sql(self, s: str) -> str:
+        return s if self.PARAMSTYLE == "format" else s.replace("%s", "?")
+
+    # --- locks (AbstractDistributedLockDialect verb set) ---
+    def lock_acquire(self, lock_id, lease_s):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "DELETE FROM paimon_distributed_locks "
+                "WHERE lock_id = %s AND acquired_at + lease_s < %s"),
+                (lock_id, time.time()))
+            try:
+                token = time.time()
+                cur.execute(self._sql(
+                    "INSERT INTO paimon_distributed_locks "
+                    "VALUES (%s, %s, %s)"), (lock_id, token, lease_s))
+                return token
+            except self._integrity:
+                return None
+
+    def lock_release(self, lock_id, token):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "DELETE FROM paimon_distributed_locks "
+                "WHERE lock_id = %s AND acquired_at = %s"),
+                (lock_id, token))
+
+    # --- relations (JdbcUtils statement set) ---
+    def insert_database(self, key, db):
+        with self._tx() as cur:
+            try:
+                cur.execute(self._sql(
+                    "INSERT INTO paimon_databases(catalog_key, "
+                    "database_name) VALUES (%s, %s)"), (key, db))
+                return True
+            except self._integrity:
+                return False
+
+    def list_databases(self, key):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "SELECT database_name FROM paimon_databases "
+                "WHERE catalog_key = %s ORDER BY database_name"), (key,))
+            return [r[0] for r in cur.fetchall()]
+
+    def database_exists(self, key, db):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "SELECT 1 FROM paimon_databases WHERE catalog_key = %s "
+                "AND database_name = %s"), (key, db))
+            return cur.fetchone() is not None
+
+    def purge_database(self, key, db):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "DELETE FROM paimon_tables WHERE catalog_key = %s "
+                "AND database_name = %s"), (key, db))
+            cur.execute(self._sql(
+                "DELETE FROM paimon_databases WHERE catalog_key = %s "
+                "AND database_name = %s"), (key, db))
+
+    def claim_table(self, key, db, name):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "SELECT 1 FROM paimon_databases WHERE catalog_key = %s "
+                "AND database_name = %s") + self.FOR_UPDATE, (key, db))
+            if cur.fetchone() is None:
+                raise ValueError(f"database {db} does not exist")
+            try:
+                cur.execute(self._sql(
+                    "INSERT INTO paimon_tables VALUES (%s, %s, %s)"),
+                    (key, db, name))
+                return True
+            except self._integrity:
+                return False
+
+    def release_table(self, key, db, name):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "DELETE FROM paimon_tables WHERE catalog_key = %s AND "
+                "database_name = %s AND table_name = %s"), (key, db, name))
+            return cur.rowcount > 0
+
+    def list_tables(self, key, db):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "SELECT table_name FROM paimon_tables WHERE "
+                "catalog_key = %s AND database_name = %s "
+                "ORDER BY table_name"), (key, db))
+            return [r[0] for r in cur.fetchall()]
+
+    def table_exists(self, key, db, name):
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "SELECT 1 FROM paimon_tables WHERE catalog_key = %s AND "
+                "database_name = %s AND table_name = %s"), (key, db, name))
+            return cur.fetchone() is not None
+
+    def rename_table(self, key, db1, n1, db2, n2):
+        with self._tx() as cur:
+            if db2 != db1:
+                cur.execute(self._sql(
+                    "SELECT 1 FROM paimon_databases WHERE catalog_key = %s"
+                    " AND database_name = %s") + self.FOR_UPDATE, (key, db2))
+                if cur.fetchone() is None:
+                    raise ValueError(
+                        f"target database {db2} does not exist in metastore")
+            try:
+                cur.execute(self._sql(
+                    "UPDATE paimon_tables SET database_name = %s, "
+                    "table_name = %s WHERE catalog_key = %s AND "
+                    "database_name = %s AND table_name = %s"),
+                    (db2, n2, key, db1, n1))
+            except self._integrity:
+                raise ValueError(
+                    f"rename target {db2}.{n2} already exists") from None
+            if cur.rowcount == 0:
+                raise ValueError(f"table {db1}.{n1} does not exist")
+
+
+class MysqlDialect(DbApiDialect):
+    """MySQL flavor (MysqlDistributedLockDialect.java's statement shapes
+    over the JdbcUtils relations): %s paramstyle (pymysql/mysqlclient),
+    DOUBLE columns, InnoDB row locks via FOR UPDATE. Construct with the
+    driver's connect factory, e.g.
+    ``MysqlDialect(functools.partial(pymysql.connect, host=..., db=...),
+    uri="mysql://host/db")``."""
+
+    TYPE_REAL = "DOUBLE"
+
+    def __init__(self, connect, uri: str = "mysql://", **kw):
+        super().__init__(connect, uri=uri, **kw)
+
+
+class PostgresDialect(DbApiDialect):
+    """PostgreSQL flavor: %s paramstyle (psycopg2/psycopg), DOUBLE
+    PRECISION columns, MVCC row locks via FOR UPDATE. Construct with
+    ``PostgresDialect(functools.partial(psycopg2.connect, dsn),
+    uri="postgresql://host/db")``."""
+
+    def __init__(self, connect, uri: str = "postgresql://", **kw):
+        super().__init__(connect, uri=uri, **kw)
+
+
 # one shared store per uri — two InMemoryDialect("mem://x") instances
 # are two "connections" to the same server state, which is what makes
 # the thread-race tests meaningful against this dialect

@@ -237,6 +237,35 @@ def test_rename_into_missing_database_rejected(jcat):
 # dialect seam (r11, VERDICT r10 #8): the same races, run against BOTH
 # dialects — sqlite (file store) and the in-memory second implementation
 # (two instances of one uri = two connections to one shared server state)
+def _dbapi_over_sqlite(warehouse, tag, flavor):
+    """Certify the networked DB-API dialects' statements in-sandbox: the
+    MySQL/Postgres flavor executes its EXACT verb SQL against a sqlite
+    DB-API connection (paramstyle translated to qmark; FOR UPDATE elided
+    — sqlite's BEGIN IMMEDIATE serializes write transactions, giving the
+    row lock's guarantee). A live server swaps only the connect factory."""
+    import sqlite3
+
+    from incubator_paimon_spark.jdbc_catalog import (MysqlDialect,
+                                                     PostgresDialect)
+
+    path = os.path.join(warehouse, f"dbapi_{flavor}_{tag}.sqlite")
+
+    def connect():
+        con = sqlite3.connect(path, timeout=30.0,
+                              isolation_level="IMMEDIATE")
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA busy_timeout=30000")
+        return con
+
+    base = MysqlDialect if flavor == "mysql" else PostgresDialect
+
+    class Certified(base):
+        PARAMSTYLE = "qmark"
+        FOR_UPDATE = ""
+
+    return Certified(connect, uri=f"{flavor}+sqlite://{path}")
+
+
 def _dialects(warehouse, tag):
     from incubator_paimon_spark.jdbc_catalog import (InMemoryDialect,
                                                      SqliteDialect)
@@ -244,10 +273,13 @@ def _dialects(warehouse, tag):
         ("sqlite", lambda: SqliteDialect(
             os.path.join(warehouse, f"seam_{tag}.sqlite"))),
         ("memory", lambda: InMemoryDialect(f"memory://{warehouse}/{tag}")),
+        ("mysql", lambda: _dbapi_over_sqlite(warehouse, tag, "mysql")),
+        ("pg", lambda: _dbapi_over_sqlite(warehouse, tag, "pg")),
     ]
 
 
-@pytest.mark.parametrize("idx", [0, 1], ids=["sqlite", "memory"])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3],
+                         ids=["sqlite", "memory", "mysql", "pg"])
 def test_dialect_thread_racing_create(warehouse, idx):
     """32 threads x 2 catalog connections race CREATE TABLE on one
     identifier: exactly one winner, everyone else gets the exists
@@ -274,7 +306,8 @@ def test_dialect_thread_racing_create(warehouse, idx):
     assert cats[0].list_tables("db") == [f"raced_{name}"]
 
 
-@pytest.mark.parametrize("idx", [0, 1], ids=["sqlite", "memory"])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3],
+                         ids=["sqlite", "memory", "mysql", "pg"])
 def test_dialect_lock_contract(warehouse, idx):
     """Mutual exclusion + lease reap + fenced release hold for both
     dialect implementations of the AbstractDistributedLockDialect
@@ -296,7 +329,8 @@ def test_dialect_lock_contract(warehouse, idx):
     assert third._try_acquire()
 
 
-@pytest.mark.parametrize("idx", [0, 1], ids=["sqlite", "memory"])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3],
+                         ids=["sqlite", "memory", "mysql", "pg"])
 def test_dialect_thread_racing_rename(warehouse, idx):
     """Two threads race the same rename: one wins, the loser sees the
     missing-source or existing-target error, and the final state is
