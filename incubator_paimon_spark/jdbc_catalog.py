@@ -639,7 +639,8 @@ class JdbcCatalog(Catalog):
 
     def __init__(self, warehouse: str, uri: str | None = None,
                  options: dict | None = None, catalog_key: str = "paimon",
-                 dialect: MetastoreDialect | None = None):
+                 dialect: MetastoreDialect | None = None,
+                 lineage_store=None):
         super().__init__(warehouse, options)
         self.uri = uri or os.path.join(warehouse, "paimon_catalog.sqlite")
         self.catalog_key = catalog_key
@@ -648,6 +649,12 @@ class JdbcCatalog(Catalog):
             self.uri = getattr(dialect, "uri", self.uri)
         self.options["metastore"] = "jdbc"
         self.options.setdefault("uri", self.uri)
+        if lineage_store is not None:
+            # route this warehouse's lineage through the metastore
+            # database instead of _lineage/ files (the reference's JDBC
+            # LineageMeta wiring — lineage.JdbcLineageStore)
+            from .lineage import set_lineage_store
+            set_lineage_store(warehouse, lineage_store)
 
     # -- lock surface (JdbcCatalogLock.runWithLock) --------------------
     def lock(self, database: str, table: str = "",

@@ -70,13 +70,118 @@ def _endpoint(table, snapshot_id=None) -> dict:
             "snapshot_id": snapshot_id}
 
 
+# ----------------------------------------------------------------------
+# pluggable store (the reference's catalog LineageMeta seam: file-based
+# by default, a JDBC LineageMeta plugs in per warehouse). Registered
+# stores receive the flattened rows; unregistered warehouses use the
+# file store below (loose JSON + parquet segments).
+_STORES: dict[str, "JdbcLineageStore"] = {}
+
+
+def set_lineage_store(warehouse: str, store) -> None:
+    """Route `warehouse`'s lineage through `store` (None resets to the
+    file store). The store must provide append_rows / all_rows /
+    expire — see JdbcLineageStore."""
+    if store is None:
+        _STORES.pop(warehouse, None)
+    else:
+        _STORES[warehouse] = store
+
+
+class JdbcLineageStore:
+    """Lineage rows in a metastore database over any DB-API 2.0 driver —
+    the reference's JDBC LineageMeta (the catalog populates lineage
+    through a pluggable LineageMeta; TableLineageTable.java:59 serves
+    it). One relation of flattened endpoint rows, (event_id, direction,
+    ord) primary key so a replayed producer write is idempotent (the
+    same dedupe rule the file store's crash contract uses). PARAMSTYLE
+    follows the driver ('format' = %s for pymysql/psycopg2; 'qmark' for
+    sqlite3), like jdbc_catalog.DbApiDialect."""
+
+    TYPE_TEXT = "VARCHAR(255)"
+    PARAMSTYLE = "format"
+
+    def __init__(self, connect, paramstyle: str | None = None,
+                 integrity_error: type | None = None):
+        self._connect = connect
+        if paramstyle is not None:
+            self.PARAMSTYLE = paramstyle
+        if integrity_error is None:
+            import importlib
+            probe = connect()
+            try:
+                root = type(probe).__module__.split(".")[0]
+                integrity_error = importlib.import_module(root).IntegrityError
+            finally:
+                probe.close()
+        self._integrity = integrity_error
+        with self._tx() as cur:
+            cur.execute(f"""CREATE TABLE IF NOT EXISTS paimon_lineage(
+                event_id {self.TYPE_TEXT} NOT NULL,
+                ord BIGINT NOT NULL,
+                direction {self.TYPE_TEXT} NOT NULL,
+                database_name {self.TYPE_TEXT} NOT NULL,
+                table_name {self.TYPE_TEXT} NOT NULL,
+                path {self.TYPE_TEXT},
+                snapshot_id BIGINT,
+                job_name {self.TYPE_TEXT} NOT NULL,
+                create_time_ms BIGINT NOT NULL,
+                PRIMARY KEY (event_id, direction, ord))""")
+
+    def _tx(self):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def tx():
+            con = self._connect()
+            try:
+                cur = con.cursor()
+                yield cur
+                con.commit()
+            except BaseException:
+                con.rollback()
+                raise
+            finally:
+                con.close()
+        return tx()
+
+    def _sql(self, s: str) -> str:
+        return s if self.PARAMSTYLE == "format" else s.replace("%s", "?")
+
+    def append_rows(self, rows: list[tuple]) -> None:
+        with self._tx() as cur:
+            for r in rows:
+                try:
+                    cur.execute(self._sql(
+                        "INSERT INTO paimon_lineage VALUES "
+                        "(%s, %s, %s, %s, %s, %s, %s, %s, %s)"), r)
+                except self._integrity:
+                    pass  # replayed event: idempotent
+
+    def all_rows(self) -> list[tuple]:
+        with self._tx() as cur:
+            cur.execute("SELECT event_id, ord, direction, database_name, "
+                        "table_name, path, snapshot_id, job_name, "
+                        "create_time_ms FROM paimon_lineage "
+                        "ORDER BY create_time_ms, event_id, direction, ord")
+            return [tuple(r) for r in cur.fetchall()]
+
+    def expire(self, older_than_ms: int) -> dict:
+        with self._tx() as cur:
+            cur.execute(self._sql(
+                "DELETE FROM paimon_lineage WHERE create_time_ms < %s"),
+                (older_than_ms,))
+            return {"expired_events": cur.rowcount, "expired_segments": 0}
+
+
 def record(job: str, sources=(), sinks=()) -> None:
     """One lineage event. `sources` / `sinks` are (table, snapshot_id)
     pairs (snapshot_id None when the event is not snapshot-specific).
     The event is written to every distinct warehouse involved so both
-    sides' catalogs can serve it (clone across warehouses). Each write
-    opportunistically rolls the warehouse's loose tail when it crossed
-    the segment threshold (one listdir of a BOUNDED directory)."""
+    sides' catalogs can serve it (clone across warehouses) — through the
+    warehouse's registered store, or the file store, whose writes
+    opportunistically roll the loose tail when it crossed the segment
+    threshold (one listdir of a BOUNDED directory)."""
     ev = {
         "job": job,
         "created_at_ms": int(time.time() * 1000),
@@ -85,6 +190,10 @@ def record(job: str, sources=(), sinks=()) -> None:
     }
     warehouses = {_warehouse_of(t.root_path) for t, _ in (*sources, *sinks)}
     for wh in warehouses:
+        store = _STORES.get(wh)
+        if store is not None:
+            store.append_rows(_flatten(new_uuid(), ev))
+            continue
         path = os.path.join(wh, "_lineage", f"ev-{new_uuid()}.json")
         atomic_write_json(path, ev)
         maybe_compact(wh)
@@ -182,10 +291,14 @@ def expire_lineage(warehouse: str, older_than_ms: int) -> dict:
     """Drop lineage older than the epoch-ms cutoff: loose events by their
     created_at_ms, segments only when their NEWEST row is past the cutoff
     (segment granularity — a straddling segment stays whole, the same
-    keep-the-tail rule snapshot expiry applies). Returns counts."""
+    keep-the-tail rule snapshot expiry applies). A registered JDBC
+    store expires row-exact instead. Returns counts."""
     import pyarrow.parquet as pq
 
     from .fileio import for_path
+    store = _STORES.get(warehouse)
+    if store is not None:
+        return store.expire(older_than_ms)
     d = _dir(warehouse)
     io = for_path(warehouse)
     loose, segs = _split_names(io, d)
@@ -225,10 +338,14 @@ def read_rows(warehouse: str) -> list[tuple]:
     """All flattened endpoint rows (_SEG_FIELDS order), deduped: loose
     tail first, then segments RE-LISTED — a compactor racing this read
     can delete a loose file we already listed, but its segment is durable
-    before any delete, so the second listing is guaranteed to contain it."""
+    before any delete, so the second listing is guaranteed to contain it.
+    A registered JDBC store serves its relation directly (PK-deduped)."""
     import pyarrow.parquet as pq
 
     from .fileio import for_path
+    store = _STORES.get(warehouse)
+    if store is not None:
+        return store.all_rows()
     d = _dir(warehouse)
     io = for_path(warehouse)
     loose, _ = _split_names(io, d)
@@ -258,7 +375,9 @@ def lineage_df(spark, warehouse: str):
     """The flattened rows as a DataFrame: segments via spark.read.parquet
     (stays distributed at any history size), loose tail via
     createDataFrame (bounded by the segment threshold), deduped on the
-    (event_id, direction, ord) key. Same race-ordering as read_rows."""
+    (event_id, direction, ord) key. Same race-ordering as read_rows.
+    A registered JDBC store's relation loads via createDataFrame (a
+    metastore database is a control-plane volume, not a data lake)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -266,6 +385,11 @@ def lineage_df(spark, warehouse: str):
     schema = T.StructType([
         T.StructField(f, T.LongType() if t == "int" else T.StringType())
         for f, t in _SEG_FIELDS])
+    store = _STORES.get(warehouse)
+    if store is not None:
+        return (spark.createDataFrame(store.all_rows(), schema)
+                     .drop("event_id", "ord", "path")
+                     .orderBy(F.col("create_time_ms")))
     d = _dir(warehouse)
     io = for_path(warehouse)
     loose, _ = _split_names(io, d)

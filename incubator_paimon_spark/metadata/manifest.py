@@ -345,8 +345,9 @@ class ManifestStore:
                 cache[path] = (adds, dels)
         return out
 
-    def read_entries_filtered(self, names: list[str],
-                              wanted: set) -> list[ManifestEntry]:
+    def read_entries_filtered(self, names: list[str], wanted: set,
+                              delete_free: bool = False
+                              ) -> list[ManifestEntry]:
         """Entries whose (raw partition JSON, bucket) is in `wanted`,
         object-parsing ONLY matching rows — the write-time compaction
         hook's per-commit cost at 10^6 entries becomes O(touched files),
@@ -358,14 +359,18 @@ class ManifestStore:
         live_entries() merge would be PICKED for compaction, whose
         rewrite-delete then raises ConflictError on a valid write. On
         mismatch, fall back to a full parse + canonical-identifier
-        filter (correct for any serialization)."""
-        adds, dels = self.read_ident_strings(names)
-        if not dels <= adds:
-            want_c = {(tuple(sorted(loads(p).items())), b)
-                      for p, b in wanted}
-            return [e for name in names for e in self.read_manifest(name)
-                    if (tuple(sorted(e.partition.items())), e.bucket)
-                    in want_c]
+        filter (correct for any serialization). Pass ``delete_free=True``
+        when the manifest-list counts prove the chain holds no DELETE
+        rows at all (dels ⊆ adds trivially) — skips the ident read."""
+        if not delete_free:
+            adds, dels = self.read_ident_strings(names)
+            if not dels <= adds:
+                want_c = {(tuple(sorted(loads(p).items())), b)
+                          for p, b in wanted}
+                return [e for name in names
+                        for e in self.read_manifest(name)
+                        if (tuple(sorted(e.partition.items())), e.bucket)
+                        in want_c]
         out: list[ManifestEntry] = []
         for name in names:
             path = os.path.join(self.dir, name)

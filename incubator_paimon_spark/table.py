@@ -368,10 +368,16 @@ class Table:
                 # parse here would tax every write by tens of seconds
                 touched_raw = {(_dumps(e.partition), e.bucket)
                                for e in _delta}
+                metas = (self.manifests.read_manifest_list_meta(
+                             snapshot.base_manifest_list)
+                         + self.manifests.read_manifest_list_meta(
+                             snapshot.delta_manifest_list))
+                # list-level counts prove a delete-free chain for free —
+                # the raw-identity filter then needs no ident-read
+                # verification (a DELETE that doesn't exist can't split)
                 entries = _live(self.manifests.read_entries_filtered(
-                    (self.manifests.read_manifest_list(snapshot.base_manifest_list)
-                     + self.manifests.read_manifest_list(snapshot.delta_manifest_list)),
-                    touched_raw))
+                    [m["name"] for m in metas], touched_raw,
+                    delete_free=all(m["numDeleted"] == 0 for m in metas)))
                 by_bucket = _group_by_bucket(entries)
                 # run the ACTUAL picker per touched bucket (no looser
                 # proxy threshold — r8 advice: `runs >= trigger` fired

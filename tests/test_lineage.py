@@ -214,3 +214,62 @@ def test_expire_lineage_segment_granularity(spark, catalog, customer):
     res = catalog.sql(spark, "CALL sys.expire_lineage(older_than => "
                              f"{int(time.time() * 1000) + 1})")
     assert L.table_lineage_rows(catalog.warehouse) == []
+
+
+def test_jdbc_lineage_store(spark, warehouse, customer):
+    """The pluggable LineageMeta seam's JDBC implementation: lineage
+    rows land in a metastore relation instead of _lineage/ files, the
+    system tables serve them, replays are PK-idempotent, and expiry is
+    row-exact (reference: the catalog's LineageMeta, JDBC-backed)."""
+    import sqlite3
+
+    from incubator_paimon_spark import lineage as L
+    from incubator_paimon_spark.jdbc_catalog import JdbcCatalog
+    from incubator_paimon_spark.lineage import (JdbcLineageStore,
+                                                set_lineage_store)
+
+    db_path = os.path.join(warehouse, "lineage_meta.sqlite")
+
+    def connect():
+        con = sqlite3.connect(db_path, timeout=30.0,
+                              isolation_level="IMMEDIATE")
+        con.execute("PRAGMA busy_timeout=30000")
+        return con
+
+    store = JdbcLineageStore(connect, paramstyle="qmark")
+    cat = JdbcCatalog(warehouse, lineage_store=store)
+    try:
+        t = cat.create_table("db.jl_t", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1"})
+        t.write(spark, customer.limit(30))
+        s = cat.create_table("db.jl_s", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1"})
+        s.write(spark, customer.limit(10).withColumn("c_acctbal",
+                                                     F.lit(1.0)))
+        cat.sql(spark, """
+            MERGE INTO db.jl_t t USING db.jl_s s
+            ON t.c_custkey = s.c_custkey
+            WHEN MATCHED THEN UPDATE SET *""")
+
+        # no file store was touched; rows come from the DB relation
+        assert not os.path.isdir(os.path.join(warehouse, "_lineage"))
+        rows = _tl(spark, cat)
+        assert ("sink", "db", "jl_t", "merge_into") in rows
+        assert ("source", "db", "jl_s", "merge_into") in rows
+        dl = {(r.direction, r.table_name, r.snapshot_id)
+              for r in cat.system(spark, "data_lineage").collect()}
+        assert ("sink", "jl_t", 2) in dl and ("source", "jl_s", 1) in dl
+
+        # replayed producer write (same event id) is idempotent
+        got = store.all_rows()
+        store.append_rows(got)
+        assert store.all_rows() == got
+
+        # row-exact expiry through the shared surface
+        res = L.expire_lineage(warehouse, int(time.time() * 1000) + 1)
+        assert res["expired_events"] == len(got)
+        assert cat.system(spark, "table_lineage").count() == 0
+    finally:
+        set_lineage_store(warehouse, None)
