@@ -263,26 +263,33 @@ def compact_events(warehouse: str) -> str | None:
         loose, _ = _split_names(io, d)  # re-list under the lock
         if not loose:
             return None
-        rows: list[tuple] = []
-        rolled: list[str] = []
-        for n in loose:
-            try:
-                ev = read_json(os.path.join(d, n))
-            except Exception:  # noqa: BLE001 — half-written foreign file
+        # roll in bounded slices so an enormous backlog (e.g. first
+        # compaction of a pre-segment deployment) never materializes
+        # every event in driver memory at once
+        last = None
+        for i in range(0, len(loose), 100_000):
+            chunk = loose[i:i + 100_000]
+            rows: list[tuple] = []
+            rolled: list[str] = []
+            for n in chunk:
+                try:
+                    ev = read_json(os.path.join(d, n))
+                except Exception:  # noqa: BLE001 — half-written foreign file
+                    continue
+                rows.extend(_flatten(n[3:-5], ev))
+                rolled.append(n)
+            if not rolled:
                 continue
-            rows.extend(_flatten(n[3:-5], ev))
-            rolled.append(n)
-        if not rolled:
-            return None
-        cols = list(zip(*rows)) if rows else [[] for _ in _SEG_FIELDS]
-        tbl = pa.table({f: pa.array(list(v), type=pa.int64()
-                                    if t == "int" else pa.string())
-                        for (f, t), v in zip(_SEG_FIELDS, cols)})
-        name = f"seg-{new_uuid()}.parquet"
-        io.write_parquet(tbl, os.path.join(d, name))
-        for n in rolled:  # only after the segment is durable
-            io.delete(os.path.join(d, n))
-        return name
+            cols = list(zip(*rows)) if rows else [[] for _ in _SEG_FIELDS]
+            tbl = pa.table({f: pa.array(list(v), type=pa.int64()
+                                        if t == "int" else pa.string())
+                            for (f, t), v in zip(_SEG_FIELDS, cols)})
+            name = f"seg-{new_uuid()}.parquet"
+            io.write_parquet(tbl, os.path.join(d, name))
+            for n in rolled:  # only after the segment is durable
+                io.delete(os.path.join(d, n))
+            last = name
+        return last
     finally:
         lock.__exit__(None, None, None)
 
@@ -378,7 +385,6 @@ def lineage_df(spark, warehouse: str):
     (event_id, direction, ord) key. Same race-ordering as read_rows.
     A registered JDBC store's relation loads via createDataFrame (a
     metastore database is a control-plane volume, not a data lake)."""
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from .fileio import for_path
@@ -388,8 +394,7 @@ def lineage_df(spark, warehouse: str):
     store = _STORES.get(warehouse)
     if store is not None:
         return (spark.createDataFrame(store.all_rows(), schema)
-                     .drop("event_id", "ord", "path")
-                     .orderBy(F.col("create_time_ms")))
+                     .drop("event_id", "ord", "path"))
     d = _dir(warehouse)
     io = for_path(warehouse)
     loose, _ = _split_names(io, d)
@@ -406,9 +411,10 @@ def lineage_df(spark, warehouse: str):
         seg_df = spark.read.schema(schema).parquet(
             *[os.path.join(d, n) for n in segs])
         df = df.unionByName(seg_df)
+    # no global orderBy: a system-table read must not pay a sort shuffle
+    # at segment scale (consumers order explicitly when they need it)
     return df.dropDuplicates(["event_id", "direction", "ord"]) \
-             .drop("event_id", "ord", "path") \
-             .orderBy(F.col("create_time_ms"))
+             .drop("event_id", "ord", "path")
 
 
 def read_events(warehouse: str) -> list[dict]:
