@@ -1,8 +1,8 @@
 """Real pure-Python media decoders for the multimodal seam.
 
-BMP (24bpp uncompressed), PPM (binary P6), PNG (non-interlaced 8-bit
+BMP (24/32bpp uncompressed), PPM (binary P6), PNG (non-interlaced 8-bit
 gray/RGB/RGBA — zlib inflate + per-row unfilter, both stdlib) and WAV
-(PCM 16/8-bit) are decodable with struct + zlib + numpy alone — no codec
+(PCM 8/16/24/32-bit) are decodable with struct + zlib + numpy alone — no codec
 libraries, which this container does not have. These are the `real` half
 of multimodal.extract_features: the deterministic `fake` path remains
 for the md5-replay oracles; `decode="real"` now parses actual pixel and
@@ -39,24 +39,30 @@ def sniff(buf: bytes) -> str | None:
 
 
 def decode_bmp(buf: bytes) -> np.ndarray:
-    """24bpp uncompressed BMP → (h, w, 3) uint8 RGB. Handles 4-byte row
-    padding, bottom-up (positive height) and top-down (negative) layouts,
-    and the file's BGR channel order."""
+    """24bpp (BGR) or 32bpp (BGRA) uncompressed BMP → (h, w, 3|4) uint8
+    RGB(A). Handles 4-byte row padding, bottom-up (positive height) and
+    top-down (negative) layouts, and the file's blue-first channel
+    order (output is red-first; 32bpp keeps alpha as the 4th channel)."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP stream")
     (pixel_off,) = struct.unpack_from("<I", buf, 10)
     _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"only 24bpp uncompressed BMP supported (bpp={bpp}, "
-                         f"compression={comp})")
+    if bpp not in (24, 32) or comp != 0:
+        raise ValueError(f"only 24/32bpp uncompressed BMP supported "
+                         f"(bpp={bpp}, compression={comp})")
+    c = bpp // 8
     bottom_up = h > 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3
+    stride = (w * c + 3) & ~3
     if pixel_off + stride * h > len(buf):
         raise ValueError("truncated BMP pixel data")
-    rows = [np.frombuffer(buf, np.uint8, count=w * 3,
-                          offset=pixel_off + r * stride).reshape(w, 3)[:, ::-1]
-            for r in range(h)]
+    rows = []
+    for r in range(h):
+        row = np.frombuffer(buf, np.uint8, count=w * c,
+                            offset=pixel_off + r * stride).reshape(w, c)
+        # BGR(A) -> RGB(A): reverse only the color channels
+        rows.append(np.concatenate([row[:, 2::-1], row[:, 3:]], axis=1)
+                    if c == 4 else row[:, ::-1])
     px = np.stack(rows)
     return px[::-1].copy() if bottom_up else px
 
@@ -161,9 +167,9 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
-    """Canonical RIFF/WAVE PCM → (sample_rate, (n, channels) array).
-    16-bit little-endian or 8-bit unsigned samples; walks chunks so extra
-    chunks (LIST, fact) before 'data' are skipped."""
+    """Canonical RIFF/WAVE PCM → (sample_rate, (n, channels) int32 array).
+    8-bit unsigned (centered), 16/24/32-bit little-endian signed samples;
+    walks chunks so extra chunks (LIST, fact) before 'data' are skipped."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAVE stream")
     pos, fmt, data = 12, None, None
@@ -181,9 +187,20 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     if audio_fmt != 1:
         raise ValueError(f"only PCM WAV supported (format={audio_fmt})")
     if bits == 16:
-        samples = np.frombuffer(data, "<i2", count=len(data) // 2)
+        samples = np.frombuffer(data, "<i2", count=len(data) // 2) \
+            .astype(np.int32)
     elif bits == 8:
-        samples = np.frombuffer(data, np.uint8).astype(np.int16) - 128
+        samples = np.frombuffer(data, np.uint8).astype(np.int32) - 128
+    elif bits == 24:
+        # 3-byte little-endian signed: widen via a zero low byte, then
+        # arithmetic-shift back (keeps the sign without a Python loop)
+        n3 = len(data) // 3
+        b = np.frombuffer(data, np.uint8, count=n3 * 3).reshape(n3, 3)
+        wide = np.zeros((n3, 4), np.uint8)
+        wide[:, 1:] = b
+        samples = wide.view("<i4").reshape(n3) >> 8
+    elif bits == 32:
+        samples = np.frombuffer(data, "<i4", count=len(data) // 4)
     else:
         raise ValueError(f"unsupported bit depth {bits}")
     n = len(samples) // channels

@@ -45,7 +45,7 @@ def test_bmp_rejects_unsupported():
         decode_bmp(b"PNG....")
     bad = bytearray(make_bmp(np.zeros((1, 1, 3), np.uint8)))
     struct.pack_into("<H", bad, 28, 8)  # bpp=8
-    with pytest.raises(ValueError, match="24bpp"):
+    with pytest.raises(ValueError, match="24/32bpp"):
         decode_bmp(bytes(bad))
 
 
@@ -220,3 +220,79 @@ def test_png_real_features_and_sniff():
     ra[..., 0] = 90
     ra[..., 3] = 255
     assert real_features(make_png(ra), 5) == [2.0, 2.0, 90.0, 0.0, 0.0]
+
+
+def make_bmp32(px_rgba: np.ndarray, top_down=False) -> bytes:
+    """Encode (h, w, 4) RGBA uint8 as 32bpp BMP (file order BGRA)."""
+    h, w, _ = px_rgba.shape
+    rows = px_rgba if top_down else px_rgba[::-1]
+    body = b"".join(
+        np.concatenate([row[:, 2::-1], row[:, 3:]], axis=1).tobytes()
+        for row in rows)
+    hdr = (struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 32,
+                         0, len(body), 2835, 2835, 0, 0))
+    return hdr + body
+
+
+def test_bmp_32bpp_roundtrip():
+    px = np.random.default_rng(3).integers(0, 256, (3, 5, 4), np.uint8)
+    np.testing.assert_array_equal(decode_bmp(make_bmp32(px)), px)
+    np.testing.assert_array_equal(decode_bmp(make_bmp32(px, top_down=True)),
+                                  px)
+    # features ignore alpha (same rule as RGBA PNG)
+    solid = np.zeros((2, 4, 4), np.uint8)
+    solid[..., 1] = 55
+    solid[..., 3] = 200
+    assert real_features(make_bmp32(solid), 5) == [4.0, 2.0, 0.0, 55.0, 0.0]
+
+
+def test_wav_24_and_32_bit():
+    from incubator_paimon_spark.operators.media_codecs import decode_wav
+
+    def wav(bits, payload, channels=1, rate=8000):
+        return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                        rate * channels * bits // 8,
+                                        channels * bits // 8, bits)
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -123_456]
+    payload = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    rate, frames = wav(24, payload), None
+    r, frames = decode_wav(rate)
+    assert r == 8000
+    assert frames[:, 0].tolist() == vals
+
+    vals32 = [0, 2**31 - 1, -(2**31), 42, -42]
+    payload = np.array(vals32, "<i4").tobytes()
+    r, frames = decode_wav(wav(32, payload))
+    assert frames[:, 0].tolist() == vals32
+
+    # stereo 24-bit: interleave splits into 2 channels
+    payload = b"".join((v & 0xFFFFFF).to_bytes(3, "little")
+                       for v in [10, -10, 20, -20])
+    r, frames = decode_wav(wav(24, payload, channels=2))
+    assert frames.tolist() == [[10, -10], [20, -20]]
+
+
+def test_png_roundtrip_property():
+    """Randomized round-trip across sizes, channel counts and per-row
+    filter choices (hypothesis): encode with forward filtering, decode,
+    compare exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from incubator_paimon_spark.operators.media_codecs import decode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 6),
+           st.sampled_from([1, 2, 3, 4]), st.data())
+    def check(w, h, c, data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        px = rng.integers(0, 256, (h, w, c), np.uint8)
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        np.testing.assert_array_equal(decode_png(make_png(px, filters)), px)
+
+    check()
