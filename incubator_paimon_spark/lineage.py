@@ -149,14 +149,22 @@ class JdbcLineageStore:
         return s if self.PARAMSTYLE == "format" else s.replace("%s", "?")
 
     def append_rows(self, rows: list[tuple]) -> None:
-        with self._tx() as cur:
-            for r in rows:
-                try:
-                    cur.execute(self._sql(
-                        "INSERT INTO paimon_lineage VALUES "
-                        "(%s, %s, %s, %s, %s, %s, %s, %s, %s)"), r)
-                except self._integrity:
-                    pass  # replayed event: idempotent
+        sql = self._sql("INSERT INTO paimon_lineage VALUES "
+                        "(%s, %s, %s, %s, %s, %s, %s, %s, %s)")
+        try:  # fast path: one executemany round trip
+            with self._tx() as cur:
+                cur.executemany(sql, rows)
+            return
+        except self._integrity:
+            pass  # replayed rows in the batch: redo tolerantly
+        # one transaction per row: a conflict must not poison the rest
+        # (PostgreSQL aborts the whole tx on the first unique violation)
+        for r in rows:
+            try:
+                with self._tx() as cur:
+                    cur.execute(sql, r)
+            except self._integrity:
+                pass  # replayed event: idempotent
 
     def all_rows(self) -> list[tuple]:
         with self._tx() as cur:
