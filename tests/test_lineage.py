@@ -273,3 +273,40 @@ def test_jdbc_lineage_store(spark, warehouse, customer):
         assert cat.system(spark, "table_lineage").count() == 0
     finally:
         set_lineage_store(warehouse, None)
+
+
+def test_concurrent_compactors_no_loss_no_dupes(spark, catalog, customer):
+    """Two threads race compact_events on one warehouse: the lease lock
+    serializes rollers (the loser skips or rolls the remainder), and the
+    served row set is exactly the written events — nothing lost, nothing
+    doubled."""
+    import threading
+
+    from incubator_paimon_spark import lineage as L
+    t = catalog.create_table("db.cc_t", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1"})
+    t.write(spark, customer.limit(5))
+    # write loose events WITHOUT auto-compaction (threshold stays high)
+    for i in range(60):
+        L.record(f"cc{i}", sinks=[(t, 1)])
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def run():
+        barrier.wait()
+        try:
+            L.compact_events(catalog.warehouse)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    jobs = sorted(r[3] for r in L.table_lineage_rows(catalog.warehouse))
+    assert jobs == sorted(f"cc{i}" for i in range(60))
+    _d, loose, segs = _store(catalog)
+    assert loose == [] and len(segs) >= 1
