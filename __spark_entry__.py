@@ -1895,6 +1895,22 @@ def q_dedup_clusters(spark, sf_dir):
                             shingle_n=3, threshold=0.7)
 
 
+def q_canonical_by_quality(spark, sf_dir):
+    """Quality-aware survivor selection (r12): near-dup clusters keep
+    their HIGHEST-quality member (ties → smallest id) instead of the
+    min-id canonical — operators/dedup.select_canonical. The oracle
+    replays the cluster CTEs plus the exact quality arithmetic and the
+    same two-key window order."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(d, "text", "doc_id", num_hashes=16,
+                                bands=4, shingle_n=3, threshold=0.7)
+    quality = d.select(F.col("doc_id").alias("id"),
+                       TX.quality_score(F.col("text")).alias("q"))
+    out = D.select_canonical(clusters, quality, id_col="id",
+                             quality_col="q")
+    return out.select("id", "cluster_id", "cluster_size", "keep")
+
+
 def q_clusters_incremental(spark, sf_dir):
     """Near-dup clusters maintained ACROSS crawls: half the corpus
     bootstraps the cluster table, the other half arrives as a crawl
@@ -2204,6 +2220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # store's data_lineage rows
         "partition_done_marker": q_partition_done_marker,
         "lineage_rows": q_lineage_rows,
+        # r12: quality-aware best-of-cluster retention over the gated
+        # dedup_clusters components
+        "canonical_by_quality": q_canonical_by_quality,
         # r11 rotations (see the gate comment above)
         "media_meta": q_media_meta,
         "repetition": q_repetition,

@@ -903,3 +903,25 @@ def read_dedup_clusters(spark, clusters_table) -> DataFrame:
                       "cluster_size",
                       (F.col("id") == F.col("component"))
                       .alias("is_canonical")))
+
+
+def select_canonical(clusters: DataFrame, quality: DataFrame,
+                     id_col: str = "id",
+                     quality_col: str = "quality") -> DataFrame:
+    """Quality-aware survivor selection per near-dup cluster: keep the
+    HIGHEST-quality member (ties → smallest id) instead of the min-id
+    member `is_canonical` marks — the standard retention policy when
+    near-dups differ in quality (a boilerplate-laden mirror vs the
+    clean original; RefinedWeb/FineWeb-style pipelines keep
+    best-of-cluster). `clusters` is dedup_clusters' output; `quality`
+    carries (id_col, quality_col). Adds a boolean `keep`.
+
+    Shape at 100 TB: the cluster table is tiny relative to the corpus
+    (only docs in some near-dup pair), the quality join hashes on the
+    id key (AQE broadcasts when small), and the winner is one
+    hash-partitioned window on cluster_id — no global sort."""
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("cluster_id")
+          .orderBy(F.col(quality_col).desc(), F.col(id_col).asc()))
+    return (clusters.join(quality, id_col)
+                    .withColumn("keep", F.row_number().over(w) == 1))

@@ -832,6 +832,11 @@ FROM comp c
 # both halves and the cross pass ⇒ identical candidate pair set
 ORACLES["clusters_incremental"] = ORACLES["dedup_clusters"]
 
+# quality-aware survivor selection: same cluster CTEs, winner = argmax
+# quality (ties -> min id) per cluster; quality arithmetic is the exact
+# replay defined below (_QUALITY_EXPR), so the ordering keys agree
+# byte-for-byte between engines. Defined after _QUALITY_EXPR exists.
+
 _QUALITY_EXPR = _q(
     "least(length(text)::DOUBLE / 400.0, 1.0) * 0.3 + "
     f"(CASE WHEN {_mwl} >= 3.0 AND {_mwl} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 + "
@@ -839,6 +844,30 @@ _QUALITY_EXPR = _q(
     f"AND {_stop_ratio(_w_text, _QUALITY_STOPWORDS)} <= 0.6 "
     f"THEN 1.0 ELSE 0.5 END) * 0.25 + "
     f"greatest(0.0, 1.0 - ({_punct_ratio('text')} + {_digit_ratio('text')}) * 2) * 0.25")
+
+ORACLES["canonical_by_quality"] = _minhash_sql(16, 4, 3) + f"""
+, edges0 AS (
+  SELECT id_a AS a, id_b AS b FROM pairs WHERE {_EST} >= 0.7
+), edges AS (
+  SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+  ) SELECT * FROM r
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), qual AS (
+  SELECT doc_id AS id, {_QUALITY_EXPR} AS q FROM documents
+)
+SELECT c.id, c.cluster_id,
+       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q DESC, c.id ASC) = 1 AS keep
+FROM comp c JOIN qual USING (id)
+"""
 
 # full curation pipeline: gate -> exact dedup -> near-dup cluster removal ->
 # split; the minhash WITH-prefix is re-rooted onto the deduped subset
