@@ -975,6 +975,28 @@ def q_partition_done_marker(spark, sf_dir):
             .select("partition", "record_count", "done")
 
 
+def q_partitions_distributed(spark, sf_dir):
+    """$partitions THROUGH the distributed groupBy path (threshold
+    forced under the table's manifest count) — shares the
+    partition_done_marker oracle, so the aggregate-over-manifest-parquet
+    rollup is hash-pinned equal to the driver parse the sibling query
+    exercises."""
+    import incubator_paimon_spark.plan_distributed as PD
+    from incubator_paimon_spark.maintenance import mark_partition_done
+    fx = _fixtures(spark, sf_dir)
+    t = fx["orders_part"]
+    mark_partition_done(t, {"o_orderstatus": "O"}, {"o_orderstatus": "P"})
+    old = PD.PLAN_DF_MIN_MANIFESTS
+    PD.PLAN_DF_MIN_MANIFESTS = 1
+    try:
+        # the aggregation collects eagerly inside system(), so the
+        # threshold can be restored before returning
+        df = t.system(spark, "partitions")
+    finally:
+        PD.PLAN_DF_MIN_MANIFESTS = old
+    return df.select("partition", "record_count", "done")
+
+
 def q_lineage_rows(spark, sf_dir):
     """sys.data_lineage rows for the fixture warehouse's MERGE INTO jobs,
     oracle-backed (VERDICT r11 #6): both fixture merges USING temp views
@@ -2219,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mark_partition_done's $partitions.done column and the lineage
         # store's data_lineage rows
         "partition_done_marker": q_partition_done_marker,
+        "partitions_distributed": q_partitions_distributed,
         "lineage_rows": q_lineage_rows,
         # r12: quality-aware best-of-cluster retention over the gated
         # dedup_clusters components

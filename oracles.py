@@ -493,6 +493,10 @@ SELECT '{"o_orderstatus": "' || o_orderstatus || '"}' AS partition,
 FROM orders GROUP BY o_orderstatus
 """
 
+# the same rollup served by the DISTRIBUTED groupBy over the manifest
+# parquet (threshold forced) — must hash-match the driver-path sibling
+ORACLES["partitions_distributed"] = ORACLES["partition_done_marker"]
+
 # the fixture's two MERGE INTO jobs (USING temp views -> sink-only
 # endpoints) at their commit snapshots: write = snap 1, merge = snap 2
 ORACLES["lineage_rows"] = """
