@@ -307,26 +307,31 @@ def expire_lineage(warehouse: str, older_than_ms: int) -> dict:
     created_at_ms, segments only when their NEWEST row is past the cutoff
     (segment granularity — a straddling segment stays whole, the same
     keep-the-tail rule snapshot expiry applies). A registered JDBC
-    store expires row-exact instead. Returns counts."""
+    store expires row-exact instead. Holds the compactor's lease while
+    deleting loose events: an unlocked expiry racing compact_events
+    could delete an event the compactor had already read, and the
+    segment write would RESURRECT it past its expiry. Returns counts."""
     import pyarrow.parquet as pq
 
-    from .fileio import for_path
+    from .fileio import LeaseFileLock, for_path
     store = _STORES.get(warehouse)
     if store is not None:
         return store.expire(older_than_ms)
     d = _dir(warehouse)
     io = for_path(warehouse)
-    loose, segs = _split_names(io, d)
     n_events = n_segs = 0
-    for n in loose:
-        p = os.path.join(d, n)
-        try:
-            ev = read_json(p)
-        except Exception:  # noqa: BLE001
-            continue
-        if ev.get("created_at_ms", 0) < older_than_ms:
-            io.delete(p)
-            n_events += 1
+    with LeaseFileLock(io, os.path.join(d, "compact.lock"),
+                       lease_ms=60_000):
+        loose, segs = _split_names(io, d)
+        for n in loose:
+            p = os.path.join(d, n)
+            try:
+                ev = read_json(p)
+            except Exception:  # noqa: BLE001
+                continue
+            if ev.get("created_at_ms", 0) < older_than_ms:
+                io.delete(p)
+                n_events += 1
     for n in segs:
         p = os.path.join(d, n)
         # newest row from footer stats — no row reads
