@@ -1010,6 +1010,37 @@ def q_lineage_rows(spark, sf_dir):
                        "snapshot_id", "job_name"))
 
 
+_MIGRATED: dict = {}
+
+
+def q_migrate_partitioned(spark, sf_dir):
+    """Hive-partitioned zero-copy migrate under the hash gate (r12):
+    orders written as a hive `o_orderstatus=X/` parquet layout, migrated
+    with partition values parsed from the paths (partitionInData=false —
+    the file bytes LACK the column), read back through a partition-
+    pruned scan whose reader injects the column. The oracle is the
+    plain filtered source."""
+    from incubator_paimon_spark.procedures import call_sql
+    fx = _fixtures(spark, sf_dir)
+    if sf_dir not in _MIGRATED:
+        src_dir = tempfile.mkdtemp(prefix="pmn_hive_src_")
+        atexit.register(shutil.rmtree, src_dir, True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus")
+        orders.write.mode("overwrite").partitionBy("o_orderstatus") \
+              .parquet(src_dir)
+        _MIGRATED[sf_dir] = call_sql(
+            spark, fx["cat"],
+            f"CALL sys.migrate_table(table => 'fx.orders_hive', "
+            f"source_dir => '{src_dir}', "
+            f"partition_keys => 'o_orderstatus')")
+    t = _MIGRATED[sf_dir]
+    df = t.read(spark, predicate=P.eq("o_orderstatus", "F"))
+    return df.select("o_orderkey",
+                     F.round("o_totalprice", 2).alias("price"),
+                     "o_orderstatus")
+
+
 def q_schema_evolution(spark, sf_dir):
     fx = _fixtures(spark, sf_dir)
     df = fx["orders_evolve"].read(spark)
@@ -2242,6 +2273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # store's data_lineage rows
         "partition_done_marker": q_partition_done_marker,
         "partitions_distributed": q_partitions_distributed,
+        # r12: hive-partitioned zero-copy migrate (reader-injected
+        # partition columns) under the hash gate
+        "migrate_partitioned": q_migrate_partitioned,
         "lineage_rows": q_lineage_rows,
         # r12: quality-aware best-of-cluster retention over the gated
         # dedup_clusters components

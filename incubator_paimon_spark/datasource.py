@@ -82,6 +82,9 @@ class _Split(InputPartition):
     ignore_delete: bool = False
     dv_dirs: tuple = ()   # absolute dv dir paths (only set when covered)
     dv_files: tuple = ()  # rel names with live deletion vectors
+    # hive-migrated files: (col, value) pairs ABSENT from the file bytes
+    # that the worker injects as constant columns (partitionInData=false)
+    inject: tuple = ()
 
 
 class PaimonDataSource(DataSource):
@@ -161,13 +164,24 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
         def mk(entries, pks):
             rel = [e.file.file_name for e in entries]
             cov = tuple(n for n in rel if n in covered)
+            inj = ()
+            if entries and not entries[0].file.partition_in_data:
+                # hive-migrated file (one entry per raw split; PK merge
+                # splits never hold such files — migrate is append-only):
+                # ship (col, value, arrow type) for worker-side injection
+                from pyspark.sql.pandas.types import to_arrow_type
+                st = schema.spark_schema()
+                inj = tuple((k, v, to_arrow_type(st[k].dataType))
+                            for k, v in entries[0].partition.items()
+                            if k in user_cols)
             return _Split(files=[os.path.join(t.path, n) for n in rel],
                           rel_names=rel, pks=pks,
                           seq_fields=opts.sequence_field,
                           user_cols=user_cols, changelog=self.changelog,
                           merge_engine=opts.merge_engine,
                           ignore_delete=opts.ignore_delete,
-                          dv_dirs=dv_dirs if cov else (), dv_files=cov)
+                          dv_dirs=dv_dirs if cov else (), dv_files=cov,
+                          inject=inj)
 
         if schema.primary_keys and not self.changelog:
             raw, merging = _split_raw_buckets(
@@ -230,6 +244,17 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
             mask[local] = False
             return tb.filter(pa.array(mask))
 
+        def injected(tb):
+            """Constant partition columns for hive-migrated files (the
+            bytes lack them; values come from the manifest entry)."""
+            for k, v, typ in split.inject:
+                arr = pa.array([v] * tb.num_rows, type=typ)
+                if k in tb.column_names:
+                    tb = tb.set_column(tb.column_names.index(k), k, arr)
+                else:
+                    tb = tb.append_column(k, arr)
+            return tb
+
         def project(tb):
             if split.changelog and VALUE_KIND in tb.column_names:
                 arrays = [tb[c] for c in cols] + [tb[VALUE_KIND]]
@@ -255,7 +280,8 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
             for f, rel in zip(split.files, split.rel_names):
                 offset = 0
                 for b in stream_file(f):
-                    tb = masked(pa.Table.from_batches([b]), rel, offset)
+                    tb = injected(masked(pa.Table.from_batches([b]),
+                                         rel, offset))
                     offset += b.num_rows
                     yield from project(tb).to_batches()
             return
@@ -414,6 +440,9 @@ class _StreamSplit(InputPartition):
     cols: tuple               # output column names, schema order
     changelog: bool           # append _row_kind as the last column
     arrow_schema_bytes: bytes  # serialized target pa.Schema (evolution-safe)
+    # (col, value) constants for hive-migrated files whose bytes lack the
+    # partition columns (partitionInData=false)
+    inject: tuple = ()
 
 
 
@@ -514,7 +543,9 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
                 splits.append(_StreamSplit(
                     path=os.path.join(t.path, e.file.file_name),
                     cols=cols, changelog=self.changelog,
-                    arrow_schema_bytes=sbytes))
+                    arrow_schema_bytes=sbytes,
+                    inject=() if e.file.partition_in_data
+                    else tuple(e.partition.items())))
         return splits
 
     def read(self, partition):
@@ -532,10 +563,13 @@ class PaimonStreamReaderDist(DataSourceStreamReader):
             tbl = pq.read_table(partition.path)
         target = ipc.read_schema(pa.py_buffer(partition.arrow_schema_bytes))
         n = tbl.num_rows
+        inject = dict(partition.inject)
         arrays = []
         for name in partition.cols:
             field = target.field(name)
-            if name in tbl.column_names:
+            if name in inject:  # hive-migrated: constant from the entry
+                arrays.append(pa.array([inject[name]] * n, field.type))
+            elif name in tbl.column_names:
                 arrays.append(tbl[name].combine_chunks().cast(field.type))
             else:  # file predates the column (schema evolution): nulls
                 arrays.append(pa.nulls(n, field.type))

@@ -56,6 +56,12 @@ class DataFileMeta:
     # consult the file's recorded count, never the current option. None =
     # pre-rescale legacy file or a bucket-unaware/dynamic layout.
     total_buckets: int | None = None
+    # False = a hive-style migrated file whose bytes LACK the partition
+    # columns (they lived in the directory path); the reader injects them
+    # from entry.partition (the reference's migrate keeps hive files
+    # zero-copy the same way — partition fields come from PartitionInfo,
+    # not the file). Files our writers produce always embed them (True).
+    partition_in_data: bool = True
 
     def to_json(self):
         return {
@@ -73,6 +79,7 @@ class DataFileMeta:
             "rowKindCounts": self.row_kind_counts,
             "fileIndex": self.file_index,
             "totalBuckets": self.total_buckets,
+            "partitionInData": self.partition_in_data,
         }
 
     @staticmethod
@@ -96,6 +103,7 @@ class DataFileMeta:
             row_kind_counts=j.get("rowKindCounts", {}),
             file_index=j.get("fileIndex", {}),
             total_buckets=j.get("totalBuckets"),
+            partition_in_data=j.get("partitionInData", True) is not False,
         )
 
 
@@ -157,7 +165,7 @@ _MANIFEST_COLS = [
     ("schemaId", "int"), ("level", "int"), ("stats", "json"),
     ("creationTimeMillis", "int"), ("deleteRowCount", "int"),
     ("rowKindCounts", "json"), ("fileIndex", "json"),
-    ("totalBuckets", "int"),
+    ("totalBuckets", "int"), ("partitionInData", "int"),
 ]
 
 
@@ -174,6 +182,7 @@ def _row_entry(d: dict, tb: list, i: int, part_cache: dict) -> ManifestEntry:
     rkc = d["rowKindCounts"][i]
     fi = d["fileIndex"][i]
     ps = d["partition"][i]
+    pid = d.get("partitionInData")  # pre-r12 manifests lack the column
     partition = part_cache.get(ps)
     if partition is None:
         partition = part_cache[ps] = loads(ps)
@@ -191,6 +200,7 @@ def _row_entry(d: dict, tb: list, i: int, part_cache: dict) -> ManifestEntry:
         row_kind_counts={} if rkc == "{}" else loads(rkc),
         file_index={} if fi == "{}" else loads(fi),
         total_buckets=tb[i],
+        partition_in_data=pid is None or pid[i] is None or pid[i] != 0,
     )
     return ManifestEntry(d["kind"][i], partition, d["bucket"][i], meta)
 
@@ -254,6 +264,7 @@ class ManifestStore:
                       "maxSequenceNumber", "schemaId", "level",
                       "creationTimeMillis", "deleteRowCount", "totalBuckets"):
                 cols[k].append(j[k])
+            cols["partitionInData"].append(1 if j["partitionInData"] else 0)
             cols["stats"].append(dumps(j["stats"]))
             cols["rowKindCounts"].append(dumps(j["rowKindCounts"]))
             cols["fileIndex"].append(dumps(j["fileIndex"]))

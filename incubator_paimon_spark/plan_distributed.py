@@ -126,6 +126,7 @@ def _entry_from_row(kind, row) -> ManifestEntry:
         row_kind_counts=loads(row.rowKindCounts),
         file_index=loads(row.fileIndex),
         total_buckets=_opt_int(row.totalBuckets),
+        partition_in_data=_opt_int(row.partitionInData) != 0,
     )
     return ManifestEntry(kind, loads(row.partition), int(row.bucket), meta)
 

@@ -150,18 +150,67 @@ def _reset_consumer(spark, catalog, table, consumer_id, next_snapshot_id=None, *
         t.write_consumer(consumer_id, next_snapshot_id)
 
 
+def _hive_partition_of(rel_path: str, spark_schema, partition_keys) -> dict:
+    """Partition values from hive-style ``k=v`` path segments, cast per
+    the table schema's column types (hive %-encodes special characters;
+    ``__HIVE_DEFAULT_PARTITION__`` means NULL). Raises when a declared
+    partition key is missing from the path — a silently-empty partition
+    would break pruning for every query on the migrated table."""
+    import datetime
+    from urllib.parse import unquote
+
+    from pyspark.sql import types as T
+    found: dict = {}
+    for seg in rel_path.replace("\\", "/").split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        if k not in partition_keys:
+            continue
+        v = unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            found[k] = None
+            continue
+        dt = spark_schema[k].dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            found[k] = int(v)
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            found[k] = float(v)
+        elif isinstance(dt, T.BooleanType):
+            found[k] = v.lower() == "true"
+        elif isinstance(dt, T.DateType):
+            found[k] = datetime.date.fromisoformat(v)
+        elif isinstance(dt, T.TimestampType):
+            found[k] = datetime.datetime.fromisoformat(v)
+        else:
+            found[k] = v
+    missing = [k for k in partition_keys if k not in found]
+    if missing:
+        raise ValueError(f"partition keys {missing} not found in hive "
+                         f"path {rel_path!r}")
+    return {k: found[k] for k in partition_keys}  # schema order
+
+
 def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
                    options=None, **_):
     """Import an existing Parquet directory as snapshot 1 without rewriting
     data (MigrateTableProcedure / migrate/). Files are hard-linked into the
-    table layout; stats come from their footers."""
+    table layout; stats come from their footers. With `partition_keys`,
+    hive-style `k=v` directories become the files' partitions: the bytes
+    are linked AS-IS (they lack the partition columns — the reader injects
+    them from the manifest entry, `partitionInData=false`), so partitioned
+    hive tables migrate zero-copy with pruning intact."""
     import os
     from .metadata.manifest import DataFileMeta, ManifestEntry
     from .metadata.commit import CommitMessage
     from .metadata.stats import collect_file_stats
     from .metadata.util import new_uuid
     from .types import ENTRY_ADD
+    from .write import _dir_value
 
+    if isinstance(partition_keys, str):  # CALL surface: 'a,b'
+        partition_keys = [c.strip() for c in partition_keys.split(",")]
     sample = spark.read.parquet(source_dir)
     t = catalog.create_table(table, sample.schema, partition_keys=partition_keys,
                              options=options)
@@ -173,12 +222,20 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
     adds = []
     for i, p in enumerate(files):
         st = collect_file_stats(p)
-        rel = f"bucket-0/data-{new_uuid()}-{i}.parquet"
+        part: dict = {}
+        pdir = ""
+        if partition_keys:
+            part = _hive_partition_of(os.path.relpath(p, source_dir),
+                                      sample.schema, partition_keys)
+            pdir = "/".join(f"{k}={_dir_value(v)}"
+                            for k, v in part.items()) + "/"
+        rel = f"{pdir}bucket-0/data-{new_uuid()}-{i}.parquet"
         dst = os.path.join(t.path, rel)
         t.io.link_or_copy(p, dst)
-        adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
+        adds.append(ManifestEntry(ENTRY_ADD, part, 0, DataFileMeta(
             file_name=rel, file_size=sizes[p],
-            row_count=st["_row_count"], stats=st["cols"])))
+            row_count=st["_row_count"], stats=st["cols"],
+            partition_in_data=not partition_keys)))
     t.commit.commit(CommitMessage(add=adds), schema_id=0)
     return t
 

@@ -476,18 +476,28 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
     if not entries:
         return None
     is_pk = bool(target_schema.primary_keys)
-    groups: dict[tuple[int, int, str], list[tuple[str, int]]] = {}
+    from .metadata.util import dumps as _mdumps
+    groups: dict[tuple[int, int, str, str], list[tuple[str, int]]] = {}
+    inject: dict[str, dict] = {}
     for e in entries:
         n = e.file.file_name
         fmt = ("orc" if n.endswith(".orc")
                else "avro" if n.endswith(".avro") else "parquet")
-        key = (e.file.schema_id, e.file.level if with_level else 0, fmt)
+        # hive-style migrated files lack the partition columns in their
+        # bytes: group them per partition so the reader can inject the
+        # values as literals (group count = touched partitions, which
+        # planning already pruned)
+        pkey = "" if e.file.partition_in_data else _mdumps(e.partition)
+        key = (e.file.schema_id, e.file.level if with_level else 0, fmt,
+               pkey)
         groups.setdefault(key, []).append((os.path.join(table.path, n),
                                            e.file.file_size))
+        if pkey:
+            inject[pkey] = e.partition
 
     prefix = "file:" + table.path.rstrip("/") + "/"
     out = None
-    for (schema_id, level, fmt), sized in sorted(groups.items()):
+    for (schema_id, level, fmt, pkey), sized in sorted(groups.items()):
         paths = [p for p, _ in sized]
         file_schema = table.schema_at(schema_id)
         read_schema = _with_system_cols(file_schema.spark_schema(), is_pk)
@@ -501,6 +511,15 @@ def read_files_df(spark: SparkSession, table, entries: list[ManifestEntry],
                                     sizes=[s for _, s in sized])
         else:
             df = spark.read.schema(read_schema).format(fmt).load(paths)
+        if pkey:
+            # partition columns absent from the file bytes read as NULL
+            # under the explicit schema; overwrite them with the
+            # entry-recorded partition values (reference migrate parity:
+            # hive files stay zero-copy, PartitionInfo fills the fields)
+            for k, v in inject[pkey].items():
+                if k in read_schema.fieldNames():
+                    df = df.withColumn(
+                        k, F.lit(v).cast(read_schema[k].dataType))
         if with_metadata:
             df = (df.withColumn(
                 METADATA_FILE,

@@ -497,6 +497,14 @@ FROM orders GROUP BY o_orderstatus
 # parquet (threshold forced) — must hash-match the driver-path sibling
 ORACLES["partitions_distributed"] = ORACLES["partition_done_marker"]
 
+# hive-partitioned zero-copy migrate: the pruned read of the migrated
+# table (partition column reconstructed from the path by the reader)
+# must equal the plain filtered source
+ORACLES["migrate_partitioned"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
 # the fixture's two MERGE INTO jobs (USING temp views -> sink-only
 # endpoints) at their commit snapshots: write = snap 1, merge = snap 2
 ORACLES["lineage_rows"] = """

@@ -396,3 +396,98 @@ def test_clone_uri_requires_warehouse(spark, catalog, customer):
         call_sql(spark, catalog,
                  "CALL sys.clone(table => 'db.cu', target_table => "
                  "'db.cu2', target_metastore_uri => '/tmp/nope.sqlite')")
+
+
+def test_migrate_partitioned_hive_layout(spark, catalog, orders, tmp_path):
+    """migrate_table over a hive-partitioned parquet dir (the common
+    migrate case): partition values come from the k=v path segments, the
+    file bytes stay zero-copy WITHOUT the partition columns
+    (partitionInData=false), the reader injects them, and partition
+    pruning actually prunes (r12; reference migrate/ keeps hive files
+    and fills partition fields reader-side)."""
+    from incubator_paimon_spark import P
+    from incubator_paimon_spark.procedures import call_sql
+
+    src = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    src.write.partitionBy("o_orderstatus").parquet(str(tmp_path / "hive"))
+
+    t = call_sql(spark, catalog,
+                 f"CALL sys.migrate_table(table => 'db.mig_part', "
+                 f"source_dir => '{tmp_path / 'hive'}', "
+                 f"partition_keys => 'o_orderstatus')")
+    got = t.read(spark)
+    # full equality with the source, partition column reconstructed
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in got.select(*src.columns).collect())
+    assert a == b
+
+    # pruning: only the 'F' partition's files are planned
+    plan_all = t.new_scan().plan()
+    plan_f = t.new_scan().plan(P.eq("o_orderstatus", "F"))
+    assert 0 < len(plan_f.entries) < len(plan_all.entries)
+    assert all(e.partition == {"o_orderstatus": "F"}
+               for e in plan_f.entries)
+    assert all(not e.file.partition_in_data for e in plan_all.entries)
+    n_f = src.filter("o_orderstatus = 'F'").count()
+    assert t.read(spark, predicate=P.eq("o_orderstatus", "F")).count() == n_f
+
+    # both planners pick identical entries over migrated manifests
+    dd = t.new_scan().plan(P.eq("o_orderstatus", "F"), planner="dataframe")
+    assert (sorted(e.identifier() for e in dd.entries)
+            == sorted(e.identifier() for e in plan_f.entries))
+
+    # $partitions aggregates by the reconstructed partitions
+    parts = {r.partition: r.record_count
+             for r in t.system(spark, "partitions").collect()}
+    assert parts['{"o_orderstatus": "F"}'] == n_f
+
+    # a declared key missing from the path fails loudly
+    src.limit(5).coalesce(1).write.parquet(str(tmp_path / "flat"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not found in hive path"):
+        call_sql(spark, catalog,
+                 f"CALL sys.migrate_table(table => 'db.mig_bad', "
+                 f"source_dir => '{tmp_path / 'flat'}', "
+                 f"partition_keys => 'o_orderstatus')")
+
+
+def test_migrated_hive_table_through_datasource(spark, catalog, orders,
+                                                tmp_path):
+    """format('paimon') batch + readStream over a hive-migrated table:
+    the executor-side readers inject the path-derived partition columns
+    (split.inject), matching Table.read exactly."""
+    from incubator_paimon_spark.datasource import register
+    from incubator_paimon_spark.procedures import call_sql
+    register(spark)
+
+    src = orders.select("o_orderkey", "o_totalprice", "o_orderstatus") \
+                .limit(600)
+    src.write.partitionBy("o_orderstatus").parquet(str(tmp_path / "h2"))
+    t = call_sql(spark, catalog,
+                 f"CALL sys.migrate_table(table => 'db.mig_ds', "
+                 f"source_dir => '{tmp_path / 'h2'}', "
+                 f"partition_keys => 'o_orderstatus')")
+
+    a = sorted(tuple(r) for r in t.read(spark)
+               .select("o_orderkey", "o_orderstatus").collect())
+    ds = (spark.read.format("paimon").load(t.path)
+          .select("o_orderkey", "o_orderstatus"))
+    assert sorted(tuple(r) for r in ds.collect()) == a
+    # no NULL partition values anywhere
+    assert ds.where("o_orderstatus IS NULL").count() == 0
+
+    # streaming source over the migrated snapshot
+    q = (spark.readStream.format("paimon")
+         .option("scan.mode", "earliest").load(t.path)
+         .groupBy("o_orderstatus").count())
+    import tempfile
+    chk = tempfile.mkdtemp(prefix="pmn_mig_chk_")
+    sq = (q.writeStream.format("memory").queryName("mig_stream")
+          .outputMode("complete").option("checkpointLocation", chk)
+          .trigger(availableNow=True).start())
+    sq.awaitTermination(120)
+    got = {r.o_orderstatus: r["count"]
+           for r in spark.sql("SELECT * FROM mig_stream").collect()}
+    want = {r.o_orderstatus: r["count"] for r in
+            src.groupBy("o_orderstatus").count().collect()}
+    assert got == want
