@@ -212,13 +212,23 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
     if isinstance(partition_keys, str):  # CALL surface: 'a,b'
         partition_keys = [c.strip() for c in partition_keys.split(",")]
     sample = spark.read.parquet(source_dir)
-    t = catalog.create_table(table, sample.schema, partition_keys=partition_keys,
-                             options=options)
     from .fileio import for_path
     src_io = for_path(source_dir)
     sizes = {p: sz for p, sz in src_io.walk_files(source_dir)
              if p.endswith(".parquet")}
     files = sorted(sizes)
+    if partition_keys is None and files:
+        # auto-detect a hive layout (the reference's migrate reads the
+        # partition spec from the hive metastore; path-sniffing is the
+        # library equivalent): k=v path segments of the first file, in
+        # depth order — non-hive layouts have none and stay unpartitioned
+        partition_keys = [
+            seg.split("=", 1)[0]
+            for seg in os.path.relpath(files[0], source_dir)
+                         .replace("\\", "/").split("/")[:-1]
+            if "=" in seg] or None
+    t = catalog.create_table(table, sample.schema, partition_keys=partition_keys,
+                             options=options)
     adds = []
     for i, p in enumerate(files):
         st = collect_file_stats(p)

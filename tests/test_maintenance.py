@@ -491,3 +491,28 @@ def test_migrated_hive_table_through_datasource(spark, catalog, orders,
     want = {r.o_orderstatus: r["count"] for r in
             src.groupBy("o_orderstatus").count().collect()}
     assert got == want
+
+
+def test_migrate_autodetects_hive_partitions(spark, catalog, orders,
+                                             tmp_path):
+    """migrate_table/migrate_database without partition_keys sniff the
+    hive k=v layout from the file paths (the reference reads the spec
+    from the hive metastore) — a database sweep picks up partitioned
+    and flat tables alike."""
+    from incubator_paimon_spark.procedures import call_sql
+    src = orders.select("o_orderkey", "o_orderstatus").limit(300)
+    src.write.partitionBy("o_orderstatus").parquet(str(tmp_path / "hp"))
+    orders.select("o_orderkey").limit(50).write.parquet(
+        str(tmp_path / "flat"))
+
+    got = call_sql(spark, catalog,
+                   f"CALL sys.migrate_database(database => 'adb', "
+                   f"source_dir => '{tmp_path}')")
+    assert sorted(got) == ["adb.flat", "adb.hp"]
+    hp = catalog.get_table("adb.hp")
+    assert hp.schema.partition_keys == ["o_orderstatus"]
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in hp.read(spark)
+               .select("o_orderkey", "o_orderstatus").collect())
+    assert a == b
+    assert catalog.get_table("adb.flat").schema.partition_keys == []
