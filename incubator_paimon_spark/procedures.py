@@ -263,16 +263,13 @@ def _migrate_file(spark, catalog, source_dir, target_table, **_):
     from .types import ENTRY_ADD
     from .fileio import for_path
 
+    from .write import _dir_value
+
     t = _t(catalog, target_table)
     schema = t.schema
     if schema.primary_keys:
         raise ValueError("migrate_file targets append tables only "
                          "(PK tables need the bucket shuffle: use INSERT)")
-    if schema.partition_keys:
-        # files land with an empty partition spec — partition pruning and
-        # DROP/OVERWRITE PARTITION would silently miss them (r5 review #2)
-        raise ValueError("migrate_file targets unpartitioned tables; "
-                         "use INSERT INTO for partitioned targets")
     sample = spark.read.parquet(source_dir)
     if set(sample.columns) != set(schema.field_names()):
         raise ValueError(f"schema mismatch: source {sorted(sample.columns)} "
@@ -283,12 +280,25 @@ def _migrate_file(spark, catalog, source_dir, target_table, **_):
     adds = []
     for i, p in enumerate(sorted(sizes)):
         st = collect_file_stats(p)
-        rel = f"bucket-0/data-{new_uuid()}-{i}.parquet"
+        part: dict = {}
+        pdir = ""
+        if schema.partition_keys:
+            # r12: a hive-layout source binds the target's partition
+            # keys from its k=v paths (raises when absent — a file in an
+            # empty partition spec would hide from pruning/DROP
+            # PARTITION); bytes stay zero-copy, reader injects
+            part = _hive_partition_of(os.path.relpath(p, source_dir),
+                                      sample.schema,
+                                      schema.partition_keys)
+            pdir = "/".join(f"{k}={_dir_value(v)}"
+                            for k, v in part.items()) + "/"
+        rel = f"{pdir}bucket-0/data-{new_uuid()}-{i}.parquet"
         t.io.link_or_copy(p, os.path.join(t.path, rel))
-        adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
+        adds.append(ManifestEntry(ENTRY_ADD, part, 0, DataFileMeta(
             file_name=rel, file_size=sizes[p],
             row_count=st["_row_count"], stats=st["cols"],
-            schema_id=schema.id)))
+            schema_id=schema.id,
+            partition_in_data=not schema.partition_keys)))
     return t.commit.commit(CommitMessage(add=adds), schema_id=schema.id)
 
 

@@ -516,3 +516,37 @@ def test_migrate_autodetects_hive_partitions(spark, catalog, orders,
                .select("o_orderkey", "o_orderstatus").collect())
     assert a == b
     assert catalog.get_table("adb.flat").schema.partition_keys == []
+
+
+def test_migrate_file_into_partitioned_table(spark, catalog, orders,
+                                             tmp_path):
+    """migrate_file into a PARTITIONED append table (r12): the hive
+    source's k=v paths bind the target's partition keys; a flat source
+    is rejected loudly."""
+    from incubator_paimon_spark import P
+    from incubator_paimon_spark.procedures import call_sql
+
+    src = orders.select("o_orderkey", "o_orderstatus")
+    t = catalog.create_table("db.mfp", src.schema,
+                             partition_keys=["o_orderstatus"])
+    t.write(spark, src.limit(100))
+    extra = src.filter("o_orderkey % 7 = 3").limit(200)
+    extra.write.partitionBy("o_orderstatus").parquet(str(tmp_path / "hsrc"))
+    call_sql(spark, catalog,
+             f"CALL sys.migrate_file(source_dir => '{tmp_path / 'hsrc'}', "
+             f"target_table => 'db.mfp')")
+    t2 = catalog.get_table("db.mfp")
+    assert t2.read(spark).count() == 100 + extra.count()
+    # pruning sees the migrated files' partitions
+    n_f = t2.read(spark, predicate=P.eq("o_orderstatus", "F")).count()
+    want = (src.limit(100).filter("o_orderstatus = 'F'").count()
+            + extra.filter("o_orderstatus = 'F'").count())
+    assert n_f == want
+
+    # flat source into a partitioned target fails loudly
+    src.limit(5).coalesce(1).write.parquet(str(tmp_path / "flat2"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not found in hive path"):
+        call_sql(spark, catalog,
+                 f"CALL sys.migrate_file(source_dir => '{tmp_path / 'flat2'}',"
+                 f" target_table => 'db.mfp')")
