@@ -43,8 +43,12 @@ def _truncate(v, mode: str, is_max: bool):
 def collect_file_stats(path: str, stats_mode: str = "truncate(16)") -> dict:
     """Returns {"_row_count": n, "cols": {col: {min,max,null_count}}}.
     Footer reads route through FileIO so staging on s3://hdfs:// works; a
-    plain local path keeps the direct open (no behavior change)."""
+    plain local path keeps the direct open (no behavior change). ORC
+    files (migrate sources) compute stats from one read — pyarrow does
+    not expose ORC column statistics, and migration is a one-time pass."""
     from ..fileio import for_path
+    if path.endswith(".orc"):
+        return _collect_orc_stats(path, stats_mode)
     with for_path(path).open_input(path) as f:
         md = pq.ParquetFile(f).metadata
     out: dict = {}
@@ -87,3 +91,37 @@ def collect_file_stats(path: str, stats_mode: str = "truncate(16)") -> dict:
                 entry["max"] = _jsonable(tmx)
         out[name] = entry
     return {"_row_count": row_count, "cols": out}
+
+
+def _collect_orc_stats(path: str, stats_mode: str) -> dict:
+    """ORC variant for migrate sources: one read, min/max/null per
+    top-level orderable column (same output shape and truncate rules as
+    the parquet footer path, so pruning code sees no difference)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.orc as orc
+
+    from ..fileio import for_path
+    with for_path(path).open_input(path) as f:
+        tbl = orc.ORCFile(f).read()
+    out: dict = {}
+    if stats_mode == "none":
+        return {"_row_count": tbl.num_rows, "cols": {}}
+    for name in tbl.column_names:
+        col = tbl[name]
+        entry = {"null_count": col.null_count}
+        t = col.type
+        orderable = not (pa.types.is_nested(t) or pa.types.is_binary(t)
+                         or pa.types.is_large_binary(t) or pa.types.is_null(t))
+        if (orderable and stats_mode != "counts"
+                and col.null_count < len(col)):
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            tmn = _truncate(mn, stats_mode, is_max=False)
+            tmx = _truncate(mx, stats_mode, is_max=True)
+            if tmn is not None:
+                entry["min"] = _jsonable(tmn)
+            if tmx is not None:
+                entry["max"] = _jsonable(tmx)
+        out[name] = entry
+    return {"_row_count": tbl.num_rows, "cols": out}

@@ -211,11 +211,10 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
 
     if isinstance(partition_keys, str):  # CALL surface: 'a,b'
         partition_keys = [c.strip() for c in partition_keys.split(",")]
-    sample = spark.read.parquet(source_dir)
     from .fileio import for_path
     src_io = for_path(source_dir)
-    sizes = {p: sz for p, sz in src_io.walk_files(source_dir)
-             if p.endswith(".parquet")}
+    sizes, fmt = _walk_data_files(src_io, source_dir)
+    sample = spark.read.format(fmt).load(source_dir)
     files = sorted(sizes)
     if partition_keys is None and files:
         # auto-detect a hive layout (the reference's migrate reads the
@@ -239,7 +238,7 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
                                       sample.schema, partition_keys)
             pdir = "/".join(f"{k}={_dir_value(v)}"
                             for k, v in part.items()) + "/"
-        rel = f"{pdir}bucket-0/data-{new_uuid()}-{i}.parquet"
+        rel = f"{pdir}bucket-0/data-{new_uuid()}-{i}.{fmt}"
         dst = os.path.join(t.path, rel)
         t.io.link_or_copy(p, dst)
         adds.append(ManifestEntry(ENTRY_ADD, part, 0, DataFileMeta(
@@ -248,6 +247,19 @@ def _migrate_table(spark, catalog, table, source_dir, partition_keys=None,
             partition_in_data=not partition_keys)))
     t.commit.commit(CommitMessage(add=adds), schema_id=0)
     return t
+
+
+def _walk_data_files(src_io, source_dir) -> tuple[dict, str]:
+    """({path: size}, format) for a migrate source dir — parquet or ORC
+    (the reference's migrate accepts both hive formats); mixed-format
+    dirs are rejected rather than half-imported."""
+    sizes = {p: sz for p, sz in src_io.walk_files(source_dir)
+             if p.endswith((".parquet", ".orc"))}
+    fmts = {"orc" if p.endswith(".orc") else "parquet" for p in sizes}
+    if len(fmts) > 1:
+        raise ValueError(f"mixed parquet/orc files under {source_dir}; "
+                         f"migrate one format per table")
+    return sizes, (fmts.pop() if fmts else "parquet")
 
 
 def _migrate_file(spark, catalog, source_dir, target_table, **_):
@@ -270,13 +282,12 @@ def _migrate_file(spark, catalog, source_dir, target_table, **_):
     if schema.primary_keys:
         raise ValueError("migrate_file targets append tables only "
                          "(PK tables need the bucket shuffle: use INSERT)")
-    sample = spark.read.parquet(source_dir)
+    src_io = for_path(source_dir)
+    sizes, fmt = _walk_data_files(src_io, source_dir)
+    sample = spark.read.format(fmt).load(source_dir)
     if set(sample.columns) != set(schema.field_names()):
         raise ValueError(f"schema mismatch: source {sorted(sample.columns)} "
                          f"vs table {sorted(schema.field_names())}")
-    src_io = for_path(source_dir)
-    sizes = {p: sz for p, sz in src_io.walk_files(source_dir)
-             if p.endswith(".parquet")}
     adds = []
     for i, p in enumerate(sorted(sizes)):
         st = collect_file_stats(p)
@@ -292,7 +303,7 @@ def _migrate_file(spark, catalog, source_dir, target_table, **_):
                                       schema.partition_keys)
             pdir = "/".join(f"{k}={_dir_value(v)}"
                             for k, v in part.items()) + "/"
-        rel = f"{pdir}bucket-0/data-{new_uuid()}-{i}.parquet"
+        rel = f"{pdir}bucket-0/data-{new_uuid()}-{i}.{fmt}"
         t.io.link_or_copy(p, os.path.join(t.path, rel))
         adds.append(ManifestEntry(ENTRY_ADD, part, 0, DataFileMeta(
             file_name=rel, file_size=sizes[p],
@@ -380,7 +391,8 @@ def _migrate_database(spark, catalog, database, source_dir, options=None, **_):
         p = os.path.join(source_dir, name)
         if not io.is_dir(p):
             continue
-        if not any(f.endswith(".parquet") for f, _ in io.walk_files(p)):
+        if not any(f.endswith((".parquet", ".orc"))
+                   for f, _ in io.walk_files(p)):
             continue
         _migrate_table(spark, catalog, f"{database}.{name}", p,
                        options=options)

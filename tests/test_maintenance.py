@@ -550,3 +550,45 @@ def test_migrate_file_into_partitioned_table(spark, catalog, orders,
         call_sql(spark, catalog,
                  f"CALL sys.migrate_file(source_dir => '{tmp_path / 'flat2'}',"
                  f" target_table => 'db.mfp')")
+
+
+def test_migrate_orc_sources(spark, catalog, orders, tmp_path):
+    """migrate_table / migrate_file accept ORC sources (the reference's
+    migrate handles both hive formats): zero-copy link, stats computed
+    from one read (pyarrow exposes no ORC column stats), pruning works,
+    mixed-format dirs are rejected."""
+    from incubator_paimon_spark import P
+    from incubator_paimon_spark.procedures import call_sql
+
+    src = orders.select("o_orderkey", "o_totalprice", "o_orderstatus") \
+                .limit(400)
+    src.write.partitionBy("o_orderstatus").orc(str(tmp_path / "ho"))
+    t = call_sql(spark, catalog,
+                 f"CALL sys.migrate_table(table => 'db.mig_orc', "
+                 f"source_dir => '{tmp_path / 'ho'}')")
+    assert t.schema.partition_keys == ["o_orderstatus"]
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in t.read(spark).select(*src.columns).collect())
+    assert a == b
+    # stats-based skipping has real min/max from the ORC read
+    es = t.new_scan().plan().entries
+    assert all("min" in e.file.stats.get("o_orderkey", {}) for e in es)
+    n_f = src.filter("o_orderstatus = 'F'").count()
+    assert t.read(spark, predicate=P.eq("o_orderstatus", "F")).count() == n_f
+
+    # migrate_file with an ORC source into an existing append table
+    t2 = catalog.create_table("db.mfo", src.select("o_orderkey").schema)
+    src.select("o_orderkey").limit(60).write.orc(str(tmp_path / "fo"))
+    call_sql(spark, catalog,
+             f"CALL sys.migrate_file(source_dir => '{tmp_path / 'fo'}', "
+             f"target_table => 'db.mfo')")
+    assert catalog.get_table("db.mfo").read(spark).count() == 60
+
+    # mixed formats rejected
+    src.limit(5).coalesce(1).write.parquet(str(tmp_path / "mx" / "p"))
+    src.limit(5).coalesce(1).write.orc(str(tmp_path / "mx" / "o"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mixed parquet/orc"):
+        call_sql(spark, catalog,
+                 f"CALL sys.migrate_table(table => 'db.mig_mx', "
+                 f"source_dir => '{tmp_path / 'mx'}')")
