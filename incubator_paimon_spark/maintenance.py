@@ -82,36 +82,68 @@ def expire_snapshots(table, retain_max=None, retain_min=None, older_than_ms=None
     return len(expire)
 
 
-def expire_partitions(table, expiration_time_ms=None, timestamp_formatter=None):
-    """Drop partitions whose (date-parsed) value is older than the TTL
-    (PartitionExpire.java:45, option CoreOptions.java:684). Commits an
-    OVERWRITE snapshot deleting their files."""
+def partition_time(partition: dict, pattern: str | None = None,
+                   formatter: str | None = None) -> datetime | None:
+    """Extract the time a partition encodes (PartitionTimeExtractor
+    parity): with a pattern like ``$year-$month-$day`` each ``$key``
+    substitutes that partition column's value; without one, the FIRST
+    partition value is the timestamp text (the reference's default —
+    values that are already date/datetime objects short-circuit). A
+    `formatter` is a strptime pattern; the default accepts
+    ``y-M-d[ H:m:s]`` like the reference's lenient formatter. None =
+    unparseable (caller skips the partition, as the reference logs)."""
+    try:
+        if pattern is None:
+            v = next(iter(partition.values()))
+            if isinstance(v, datetime):
+                return v
+            if hasattr(v, "isoformat"):  # date
+                return datetime(v.year, v.month, v.day)
+            text = str(v)
+        else:
+            text = pattern
+            for k, v in partition.items():
+                sv = v.isoformat(sep=" ") if isinstance(v, datetime) else \
+                    str(v)
+                text = text.replace(f"${k}", sv)
+        if formatter is not None:
+            return datetime.strptime(text, formatter)
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return datetime.strptime(text, fmt)
+            except ValueError:
+                continue
+        return datetime.fromisoformat(text)
+    except (ValueError, StopIteration):
+        return None
+
+
+def expire_partitions(table, expiration_time_ms=None, timestamp_formatter=None,
+                      timestamp_pattern=None):
+    """Drop partitions whose extracted time is older than the TTL
+    (PartitionExpire.java:45, option CoreOptions.java:684; time comes
+    from PartitionTimeExtractor — first value, or a $key pattern over
+    several columns). Commits an OVERWRITE snapshot deleting their
+    files."""
     opts = table.options
     ttl = expiration_time_ms or opts.partition_expiration_time_ms
     if not ttl:
         return None
     fmt = timestamp_formatter or opts.partition_timestamp_formatter
-    pt_keys = table.schema.partition_keys
-    if not pt_keys:
+    pattern = timestamp_pattern or opts.partition_timestamp_pattern
+    if not table.schema.partition_keys:
         return None
-    time_col = pt_keys[-1]  # convention: last partition key is the time key
     cutoff = datetime.now().timestamp() * 1000 - ttl
 
     victims = []
+    times: dict = {}  # memo per distinct partition
     for e in table.entries_at():
-        v = e.partition.get(time_col)
-        if v is None:
-            continue
-        if isinstance(v, datetime):
-            ts = v.timestamp() * 1000
-        elif hasattr(v, "isoformat"):  # date
-            ts = datetime(v.year, v.month, v.day).timestamp() * 1000
-        else:
-            try:
-                ts = datetime.strptime(str(v), fmt).timestamp() * 1000
-            except ValueError:
-                continue
-        if ts < cutoff:
+        key = tuple(sorted((k, str(v)) for k, v in e.partition.items()))
+        if key not in times:
+            dt = partition_time(e.partition, pattern, fmt)
+            times[key] = dt.timestamp() * 1000 if dt is not None else None
+        ts = times[key]
+        if ts is not None and ts < cutoff:
             victims.append(e)
     if not victims:
         return None

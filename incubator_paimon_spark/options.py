@@ -202,8 +202,15 @@ class CoreOptions:
         return parse_duration_ms(v) if v else None
 
     @property
-    def partition_timestamp_formatter(self) -> str:
-        return self.raw.get("partition.timestamp-formatter", "%Y-%m-%d")
+    def partition_timestamp_formatter(self) -> str | None:
+        # None = the reference's lenient default (date or timestamp text)
+        return self.raw.get("partition.timestamp-formatter")
+
+    @property
+    def partition_timestamp_pattern(self) -> str | None:
+        # e.g. "$year-$month-$day" composing several partition columns
+        # (PartitionTimeExtractor pattern)
+        return self.raw.get("partition.timestamp-pattern")
 
     @property
     def record_level_expire_time_ms(self) -> int | None:

@@ -65,12 +65,13 @@ def _expire_snapshots(spark, catalog, table, retain_max=None, retain_min=None,
 
 
 def _expire_partitions(spark, catalog, table, expiration_time=None,
-                       timestamp_formatter=None, **_):
+                       timestamp_formatter=None, timestamp_pattern=None, **_):
     from .maintenance import expire_partitions
     from .options import parse_duration_ms
     ms = parse_duration_ms(expiration_time) if expiration_time else None
     return expire_partitions(_t(catalog, table), expiration_time_ms=ms,
-                             timestamp_formatter=timestamp_formatter)
+                             timestamp_formatter=timestamp_formatter,
+                             timestamp_pattern=timestamp_pattern)
 
 
 def _create_tag(spark, catalog, table, tag, snapshot=None,

@@ -592,3 +592,59 @@ def test_migrate_orc_sources(spark, catalog, orders, tmp_path):
         call_sql(spark, catalog,
                  f"CALL sys.migrate_table(table => 'db.mig_mx', "
                  f"source_dir => '{tmp_path / 'mx'}')")
+
+
+def test_expire_partitions_time_extraction(spark, catalog, orders):
+    """Partition expiration (PartitionExpire.java:45) with the
+    PartitionTimeExtractor forms: default = FIRST partition value parsed
+    as date/timestamp text; $key pattern composes several columns;
+    unparseable partitions are skipped, never dropped."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_spark.procedures import call_sql
+
+    # default extraction over a date-typed single key
+    o = orders.select("o_orderkey", "o_orderdate").limit(2000) \
+              .withColumn("dt", F.col("o_orderdate"))
+    t = catalog.create_table("db.pe1", o.schema, partition_keys=["dt"])
+    t.write(spark, o)
+    n_parts = t.read(spark).select("dt").distinct().count()
+    # fixture dates are 1992-1998: everything older than ~9000 days ago
+    # expires; nothing younger does
+    snap = call_sql(spark, catalog,
+                    "CALL sys.expire_partitions(table => 'db.pe1', "
+                    "expiration_time => '100000 d')")
+    assert snap is None  # nothing that old
+    call_sql(spark, catalog,
+             "CALL sys.expire_partitions(table => 'db.pe1', "
+             "expiration_time => '1 d')")
+    assert catalog.get_table("db.pe1").read(spark).count() == 0
+
+    # $pattern over (year, month) string columns
+    o2 = (orders.select("o_orderkey", "o_orderdate").limit(2000)
+          .withColumn("y", F.date_format("o_orderdate", "yyyy"))
+          .withColumn("m", F.date_format("o_orderdate", "MM")))
+    t2 = catalog.create_table("db.pe2", o2.schema, partition_keys=["y", "m"])
+    t2.write(spark, o2)
+    years = {r.y for r in t2.read(spark).select("y").distinct().collect()}
+    cut_year = sorted(years)[1]
+    days = (datetime.now() - datetime(int(cut_year), 1, 1)).days
+    call_sql(spark, catalog,
+             f"CALL sys.expire_partitions(table => 'db.pe2', "
+             f"expiration_time => '{days} d', "
+             f"timestamp_pattern => '$y-$m-01')")
+    left = catalog.get_table("db.pe2").read(spark)
+    assert left.filter(F.col("y") < cut_year).count() == 0
+    assert left.filter(F.col("y") >= cut_year).count() > 0
+
+    # a non-time partition value never expires (skipped, logged-not-dropped)
+    o3 = orders.select("o_orderkey", "o_orderstatus").limit(100)
+    t3 = catalog.create_table("db.pe3", o3.schema,
+                              partition_keys=["o_orderstatus"])
+    t3.write(spark, o3)
+    assert call_sql(spark, catalog,
+                    "CALL sys.expire_partitions(table => 'db.pe3', "
+                    "expiration_time => '1 d')") is None
+    assert catalog.get_table("db.pe3").read(spark).count() == 100
