@@ -37,38 +37,49 @@ def _referenced_by(table, snapshots) -> tuple[set, set]:
     return manifests, files
 
 
-def expire_snapshots(table, retain_max=None, retain_min=None, older_than_ms=None):
+def expire_snapshots(table, retain_max=None, retain_min=None,
+                     older_than_ms=None, limit=None):
     """Delete expired snapshots + files referenced only by them. Respects
     consumer progress (ConsumerManager) and never touches tagged snapshots'
-    files (tags hold full snapshot copies)."""
+    files (tags hold full snapshot copies). `limit` caps deletions per
+    run (snapshot.expire.limit — the commit-time sweep's latency bound;
+    the next commit continues where this one stopped)."""
     opts = table.options
     retain_max = retain_max if retain_max is not None else opts.snapshot_num_retained_max
     retain_min = retain_min if retain_min is not None else opts.snapshot_num_retained_min
     cutoff = (older_than_ms if older_than_ms is not None
               else int(time.time() * 1000) - opts.snapshot_time_retained_ms)
 
-    snaps = table.snapshots.list_all()
-    if len(snaps) <= retain_min:
+    # cheap gate first: this runs on EVERY commit (TableCommitImpl
+    # parity), so the common nothing-to-do case must cost one dir
+    # listing plus ONE snapshot read, not a full history parse
+    ids = table.snapshots._ids()
+    n = len(ids)
+    if n <= retain_min:
         return 0
     min_consumer = min(table.list_consumers().values(), default=None)
 
-    keep_from = len(snaps) - retain_min  # index of first definitely-kept
+    keep_from = n - retain_min  # index of first definitely-kept
     expire = []
-    for i, s in enumerate(snaps):
+    for i, sid in enumerate(ids):
         if i >= keep_from:
             break
-        if len(snaps) - len(expire) <= retain_min:
+        if n - len(expire) <= retain_min:
             break
+        s = table.snapshots.read(sid)
         # too young AND within retain_max → keep
-        if s.time_millis >= cutoff and len(snaps) - i <= retain_max:
+        if s.time_millis >= cutoff and n - i <= retain_max:
             break
         if min_consumer is not None and s.id >= min_consumer:
             break
         expire.append(s)
+        if limit is not None and len(expire) >= limit:
+            break
     if not expire:
         return 0
 
-    keep = [s for s in snaps if s.id > expire[-1].id]
+    keep = [table.snapshots.read(sid) for sid in ids
+            if sid > expire[-1].id]
     tag_snaps = [table.tag_snapshot(t) for t in table.list_tags()]
     keep_manifests, keep_files = _referenced_by(table, keep + tag_snaps)
     exp_manifests, exp_files = _referenced_by(table, expire)

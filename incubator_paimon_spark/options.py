@@ -180,6 +180,12 @@ class CoreOptions:
     def snapshot_time_retained_ms(self) -> int:
         return parse_duration_ms(self.raw.get("snapshot.time-retained", "1 h"))
 
+    @property
+    def snapshot_expire_limit(self) -> int:
+        # max snapshots expired per commit-time sweep (CoreOptions
+        # SNAPSHOT_EXPIRE_LIMIT default 10 — bounds commit latency)
+        return int(self.raw.get("snapshot.expire.limit", "10"))
+
     # --- scan (CoreOptions.java:552,592,599,559,916,924,931) ---
     @property
     def scan_mode(self) -> str:

@@ -415,6 +415,14 @@ class Table:
         # tag.automatic-creation (TagAutoCreation.java:48)
         from .maintenance import auto_create_tags
         auto_create_tags(self, snapshot)
+        # snapshot expiration runs on EVERY commit like the reference
+        # (TableCommitImpl.java:77 expireSnapshots; SYNC default mode),
+        # bounded by snapshot.expire.limit so commit latency stays flat —
+        # without this a long-lived writer grows history without user
+        # action. Defaults (min 10 kept, 1 h time-retained, max INT_MAX)
+        # expire nothing on short-lived tables.
+        from .maintenance import expire_snapshots
+        expire_snapshots(self, limit=opts.snapshot_expire_limit)
 
     # ------------------------------------------------------------------
     # convenience dispatchers into sibling modules

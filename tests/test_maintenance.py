@@ -648,3 +648,38 @@ def test_expire_partitions_time_extraction(spark, catalog, orders):
                     "CALL sys.expire_partitions(table => 'db.pe3', "
                     "expiration_time => '1 d')") is None
     assert catalog.get_table("db.pe3").read(spark).count() == 100
+
+
+def test_auto_expire_on_commit(spark, catalog, customer):
+    """Snapshot expiration runs on every commit like the reference
+    (TableCommitImpl's expireSnapshots runnable), bounded by
+    snapshot.expire.limit; default retention expires nothing on young
+    tables."""
+    c = customer.select("c_custkey", "c_name").limit(10)
+    t = catalog.create_table("db.aexp", c.schema,
+                             options={"snapshot.num-retained.max": "3",
+                                      "snapshot.num-retained.min": "2"})
+    for i in range(6):
+        t.write(spark, c)
+    ids = [s.id for s in t.snapshots.list_all()]
+    # 6 writes (+ a possible hook compaction); only the newest <=3 remain
+    assert len(ids) <= 3 and max(ids) >= 6
+    assert t.read(spark).count() == 60  # expiry never touches live data
+
+    # defaults: nothing expires within snapshot.time-retained
+    t2 = catalog.create_table("db.aexp2", c.schema)
+    for i in range(12):
+        t2.write(spark, c)
+    # every commit (writes + hook compactions) survives: all young
+    assert len(t2.snapshots.list_all()) == t2.snapshots.latest().id
+
+    # snapshot.expire.limit bounds one sweep
+    t3 = catalog.create_table("db.aexp3", c.schema,
+                              options={"snapshot.num-retained.max": "1",
+                                       "snapshot.num-retained.min": "1",
+                                       "snapshot.expire.limit": "1"})
+    for i in range(5):
+        t3.write(spark, c)
+    # each commit expired at most ONE old snapshot: 5 commits - 3 sweeps
+    # that had work = monotone shrink toward 1, never a mass delete
+    assert 1 <= len(t3.snapshots.list_all()) <= 2
