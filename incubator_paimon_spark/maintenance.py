@@ -57,6 +57,7 @@ def expire_snapshots(table, retain_max=None, retain_min=None,
     n = len(ids)
     if n <= retain_min:
         return 0
+    expire_stale_consumers(table)
     min_consumer = min(table.list_consumers().values(), default=None)
 
     keep_from = n - retain_min  # index of first definitely-kept
@@ -91,6 +92,31 @@ def expire_snapshots(table, retain_max=None, retain_min=None,
     for s in expire:
         table.snapshots.delete(s.id)
     return len(expire)
+
+
+def expire_stale_consumers(table) -> int:
+    """Delete consumer progress files whose last write is older than
+    `consumer.expiration-time` (ConsumerManager.expire :83 — judged by
+    file modification time): a crashed reader must not pin snapshot
+    history forever. No option set = consumers never expire (reference
+    default). Returns how many were dropped."""
+    ttl = table.options.consumer_expiration_time_ms
+    if not ttl:
+        return 0
+    d = os.path.join(table.path, "consumer")
+    cutoff = time.time() - ttl / 1000.0
+    dropped = 0
+    for n in table.io.list_names(d):
+        if not n.startswith("consumer-"):
+            continue
+        p = os.path.join(d, n)
+        try:
+            if table.io.mtime(p) < cutoff:
+                table.io.delete(p)
+                dropped += 1
+        except OSError:  # concurrently refreshed/removed
+            continue
+    return dropped
 
 
 def partition_time(partition: dict, pattern: str | None = None,

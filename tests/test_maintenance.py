@@ -683,3 +683,44 @@ def test_auto_expire_on_commit(spark, catalog, customer):
     # each commit expired at most ONE old snapshot: 5 commits - 3 sweeps
     # that had work = monotone shrink toward 1, never a mass delete
     assert 1 <= len(t3.snapshots.list_all()) <= 2
+
+
+def test_stale_consumer_expires_and_unpins_history(spark, catalog,
+                                                   customer):
+    """consumer.expiration-time (ConsumerManager.expire): a crashed
+    reader's progress file goes stale by mtime and is dropped during
+    the expiry sweep, unpinning snapshot history; a fresh consumer
+    still pins."""
+    import os
+
+    from incubator_paimon_spark.maintenance import expire_stale_consumers
+
+    c = customer.select("c_custkey", "c_name").limit(10)
+    t = catalog.create_table("db.cexp", c.schema,
+                             options={"snapshot.num-retained.max": "2",
+                                      "snapshot.num-retained.min": "1",
+                                      "consumer.expiration-time": "1 h"})
+    t.write(spark, c)
+    t.write_consumer("crashed", 1)
+    t.write_consumer("alive", 1)
+    # age ONLY the crashed consumer's file
+    p = t.consumer_path("crashed")
+    os.utime(p, (0, 0))
+    for _ in range(4):
+        t.write(spark, c)
+    # the live consumer still pins history: nothing expired
+    assert "crashed" not in t.list_consumers()
+    assert "alive" in t.list_consumers()
+    assert len(t.snapshots.list_all()) == 5
+    # the live one advances -> history shrinks on the next commit
+    t.write_consumer("alive", 100)
+    t.write(spark, c)
+    assert len(t.snapshots.list_all()) <= 2
+
+    # without the option, nothing ever expires
+    t2 = catalog.create_table("db.cexp2", c.schema)
+    t2.write(spark, c)
+    t2.write_consumer("old", 1)
+    os.utime(t2.consumer_path("old"), (0, 0))
+    assert expire_stale_consumers(t2) == 0
+    assert "old" in t2.list_consumers()
