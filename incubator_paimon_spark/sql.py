@@ -1303,7 +1303,15 @@ def _exec_insert(spark, catalog, statement):
         f = schema.field_by_name(k)
         df = df.withColumn(k, F.lit(v).cast(f.type))
     if mode.upper() == "OVERWRITE":
-        return table.write(spark, df, overwrite=static or True)
+        if static:
+            return table.write(spark, df, overwrite=static)
+        if schema.partition_keys and table.options.dynamic_partition_overwrite:
+            # reference default (CoreOptions DYNAMIC_PARTITION_OVERWRITE
+            # = true): INSERT OVERWRITE without a static spec replaces
+            # only the partitions the new rows TOUCH; set the option
+            # false for whole-table truncation semantics
+            return table.write(spark, df, dynamic_overwrite=True)
+        return table.write(spark, df, overwrite=True)
     return table.write(spark, df)
 
 

@@ -94,6 +94,16 @@ class Table:
 
     def new_scan(self, snapshot_id=None, tag=None, timestamp_ms=None,
                  read_optimized=False, scan_mode=None, watermark=None) -> TableScan:
+        if (snapshot_id is None and tag is None and timestamp_ms is None
+                and scan_mode is None and watermark is None):
+            # table-level time travel: scan.snapshot-id /
+            # scan.timestamp-millis as OPTIONS (the reference reads them
+            # from CoreOptions when no explicit scanner args are given —
+            # the `/*+ OPTIONS(...) */` and attach-time form)
+            opts = self.options
+            snapshot_id = opts.scan_snapshot_id
+            if snapshot_id is None:
+                timestamp_ms = opts.scan_timestamp_millis
         return TableScan(self, snapshot_id=snapshot_id, tag=tag,
                          timestamp_ms=timestamp_ms, read_optimized=read_optimized,
                          scan_mode=scan_mode, watermark=watermark)

@@ -435,7 +435,12 @@ class BatchTableWrite:
                     df = df.repartition(target)
 
         staging = os.path.join(table.path, ".staging", new_uuid())
-        writer = df.write.mode("overwrite").partitionBy(*layout_cols)
+        # file.compression reaches the format writer (CoreOptions
+        # FILE_COMPRESSION; snappy default like the reference's
+        # parquet/orc defaults) instead of silently using the session
+        # codec the user never set per table
+        writer = (df.write.mode("overwrite").partitionBy(*layout_cols)
+                    .option("compression", opts.file_compression))
         max_rec = opts.write_max_records_per_file
         if max_rec is None and latest is not None:
             # roll data files near target-file-size (RollingFileWriter):

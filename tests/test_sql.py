@@ -855,3 +855,36 @@ def test_branch_write_via_dollar_suffix(spark, catalog):
     t.fast_forward("dev")
     assert catalog.sql(spark, "SELECT count(*) AS n FROM bw.t") \
         .collect()[0]["n"] == 2
+
+
+def test_insert_overwrite_dynamic_default_and_opt_out(spark, catalog):
+    """INSERT OVERWRITE without a static spec on a partitioned table
+    replaces only the TOUCHED partitions by default
+    (dynamic-partition-overwrite=true, CoreOptions parity); setting the
+    option false restores whole-table overwrite. Table-option time
+    travel (scan.snapshot-id) reads an older state without reader args."""
+    catalog.sql(spark, """
+        CREATE TABLE db.dynow (k BIGINT, p STRING)
+        PARTITIONED BY (p)""")
+    catalog.sql(spark, "INSERT INTO db.dynow VALUES (1,'a'),(2,'b'),(3,'c')")
+    # dynamic default: only partition 'a' is replaced
+    catalog.sql(spark, "INSERT OVERWRITE db.dynow VALUES (10,'a')")
+    t = catalog.get_table("db.dynow")
+    got = sorted((r.k, r.p) for r in t.read(spark).collect())
+    assert got == [(2, "b"), (3, "c"), (10, "a")]
+
+    # scan.snapshot-id as a TABLE OPTION time-travels without args
+    catalog.sql(spark, "ALTER TABLE db.dynow SET TBLPROPERTIES "
+                       "('scan.snapshot-id'='1')")
+    t_old = catalog.get_table("db.dynow")
+    assert sorted((r.k, r.p) for r in t_old.read(spark).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+    catalog.sql(spark, "ALTER TABLE db.dynow UNSET TBLPROPERTIES "
+                       "('scan.snapshot-id')")
+
+    # opt out: whole-table overwrite
+    catalog.sql(spark, "ALTER TABLE db.dynow SET TBLPROPERTIES "
+                       "('dynamic-partition-overwrite'='false')")
+    catalog.sql(spark, "INSERT OVERWRITE db.dynow VALUES (7,'z')")
+    t2 = catalog.get_table("db.dynow")
+    assert sorted((r.k, r.p) for r in t2.read(spark).collect()) == [(7, "z")]
