@@ -183,6 +183,10 @@ def _compact_pk(spark, table, full, predicate, buckets=None, entries=None):
                                    opts.compaction_max_size_amplification_percent,
                                    opts.compaction_size_ratio,
                                    opts.num_sorted_run_compaction_trigger)
+            if unit is None and len(runs) >= opts.num_sorted_run_stop_trigger:
+                # past the write-stall bar: merge everything (the
+                # reference would have stalled the writer here)
+                unit = (max_level, runs)
         if unit is None:
             continue
         out_level, chosen = unit

@@ -395,13 +395,23 @@ class Table:
                 # scope the rewrite to exactly those buckets, reusing
                 # the (touched-scoped) entries already read here.
                 if self.is_primary_key_table():
-                    eligible = {
-                        k for k in touched
-                        if pick_compaction(
-                            bucket_sorted_runs(by_bucket.get(k, [])),
-                            opts.num_levels - 1,
-                            opts.compaction_max_size_amplification_percent,
-                            opts.compaction_size_ratio, trigger) is not None}
+                    # num-sorted-run.stop-trigger (CoreOptions:133): the
+                    # reference STALLS writers at this run count until
+                    # compaction catches up; the sync-hook equivalent is
+                    # an unconditional pick once a bucket crosses the bar
+                    # (covers run buildup from lost advisory races and
+                    # write-only histories the universal heuristics may
+                    # keep declining)
+                    stop = opts.num_sorted_run_stop_trigger
+                    eligible = set()
+                    for k in touched:
+                        runs = bucket_sorted_runs(by_bucket.get(k, []))
+                        if len(runs) >= stop or pick_compaction(
+                                runs, opts.num_levels - 1,
+                                opts.compaction_max_size_amplification_percent,
+                                opts.compaction_size_ratio,
+                                trigger) is not None:
+                            eligible.add(k)
                 else:
                     # append tables: small-file accumulation in a touched
                     # partition (AppendOnlyWriter.java:70 owns a

@@ -540,3 +540,29 @@ def test_listagg_custom_delimiter(spark, catalog):
     t.write(spark, spark.createDataFrame([(2, None)], "k long, la string"))
     got = {r["k"]: r["la"] for r in t.read(spark).collect()}
     assert got == {1: "a|b", 2: None}
+
+
+def test_stop_trigger_forces_compaction(spark, catalog, customer):
+    """num-sorted-run.stop-trigger: a bucket past the write-stall bar is
+    compacted unconditionally even when the universal heuristics would
+    decline (the reference stalls the writer; the sync hook merges)."""
+    c = customer.select("c_custkey", "c_name").limit(40)
+    # write-only writers accumulate runs with no compaction at all
+    t = catalog.create_table("db.stoptr", c.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "1", "write-only": "true",
+                                      "num-sorted-run.compaction-trigger": "100",
+                                      "num-sorted-run.stop-trigger": "4"})
+    for _ in range(5):
+        t.write(spark, c)
+    from incubator_paimon_spark.compact import bucket_sorted_runs
+    runs0 = len(bucket_sorted_runs(catalog.get_table("db.stoptr").entries_at()))
+    assert runs0 == 5
+    # a normal writer takes over: trigger=100 declines, stop=4 forces
+    catalog.sql(spark, "ALTER TABLE db.stoptr SET TBLPROPERTIES "
+                       "('write-only'='false')")
+    t2 = catalog.get_table("db.stoptr")
+    t2.write(spark, c)
+    t3 = catalog.get_table("db.stoptr")
+    assert len(bucket_sorted_runs(t3.entries_at())) == 1
+    assert t3.read(spark).count() == 40
