@@ -261,7 +261,9 @@ def _full_compaction_changelog(spark, table, schema):
                          table.new_scan(snapshot_id=base).plan())
     else:
         old = spark.createDataFrame([], schema.spark_schema())
-    new = table.read(spark)
+    # pinned latest: a table-level scan.snapshot-id option must not
+    # time-travel the state the changelog diffs against
+    new = table.read(spark, scan_mode="latest-full")
     kinds = state_diff_kinds(old, new, schema)
     entries = write_changelog_files(spark, table, schema, kinds)
     return entries or None

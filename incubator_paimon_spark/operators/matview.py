@@ -352,7 +352,7 @@ def _resolve_sketches(spark, source_table, mv_table, net, adds, removes,
     chunk = _extreme_frame(adds, group_by, sketches, kmv_k)
     dirty = removes.select(*group_by).distinct() \
                    .withColumn("mv__dirty", F.lit(True))
-    stored = mv_table.read(spark).select(
+    stored = mv_table.read(spark, scan_mode="latest-full").select(
         *group_by, *[F.col(o).alias(f"mv__stored_{o}") for o in sketches])
     # read AS OF the chunk's end snapshot, not latest: with more chunks
     # pending, the latest state would leak future rows into this
@@ -452,7 +452,7 @@ def _resolve_minmax(spark, source_table, mv_table, net, adds, removes,
         caps.append((o, fn, col, asc))
         stored_cols += [F.col(f"{o}__buf").alias(f"mv__buf_{o}"),
                         F.col(f"{o}__cut").alias(f"mv__cut_{o}")]
-    stored = mv_table.read(spark).select(
+    stored = mv_table.read(spark, scan_mode="latest-full").select(
         *group_by, F.col(_ALIVE).alias("mv__alive_st"), *stored_cols)
     step = net.join(stored, group_by, "left")
     by_col: dict = {}

@@ -45,7 +45,11 @@ def delete_where(spark: SparkSession, table, predicate: Predicate,
     cond = predicate.to_column()
     if table.is_primary_key_table():
         # PK path: write -D rows for matching keys (merge-on-read cancels them)
-        victims = table.read(spark, predicate=predicate)
+        # scan_mode pins latest explicitly: a table-level scan.snapshot-id
+        # option time-travels READS, but a mutation must never rewrite
+        # from a stale state
+        victims = table.read(spark, predicate=predicate,
+                             scan_mode="latest-full")
         victims = victims.withColumn(ROW_KIND, F.lit(DELETE))
         return table.new_write().write(spark, victims,
                                        commit_identifier=commit_identifier)
@@ -108,7 +112,8 @@ def update_where(spark: SparkSession, table, predicate: Predicate | None,
         for pk in table.schema.primary_keys:
             if pk in set_exprs:
                 raise ValueError(f"cannot update primary key column {pk!r}")
-        rows = table.read(spark, predicate=predicate)
+        rows = table.read(spark, predicate=predicate,
+                          scan_mode="latest-full")  # never time-travel a mutation
         for k, v in set_exprs.items():
             rows = rows.withColumn(k, v.cast(table.schema.field_by_name(k).type))
         rows = rows.withColumn(ROW_KIND, F.lit(UPDATE_AFTER))
@@ -217,7 +222,7 @@ def merge_into(
                 f"WHEN NOT MATCHED BY SOURCE supports update/delete, not {action!r}")
 
     schema = table.schema
-    target = table.read(spark)
+    target = table.read(spark, scan_mode="latest-full")  # never time-travel a mutation
 
     t = target.withColumn("__t_exists", F.lit(True)).alias("t")
     s = source.withColumn("__s_exists", F.lit(True)).alias("s")

@@ -888,3 +888,26 @@ def test_insert_overwrite_dynamic_default_and_opt_out(spark, catalog):
     catalog.sql(spark, "INSERT OVERWRITE db.dynow VALUES (7,'z')")
     t2 = catalog.get_table("db.dynow")
     assert sorted((r.k, r.p) for r in t2.read(spark).collect()) == [(7, "z")]
+
+
+def test_scan_snapshot_option_never_time_travels_mutations(spark, catalog):
+    """A persistent scan.snapshot-id TABLE option time-travels reads —
+    but DELETE/UPDATE/MERGE must read-modify-write the LATEST state, or
+    a rewrite would resurrect rows from the pinned snapshot."""
+    catalog.sql(spark, "CREATE TABLE db.pin (k BIGINT, v BIGINT) "
+                       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    catalog.sql(spark, "INSERT INTO db.pin VALUES (1, 10), (2, 20)")
+    catalog.sql(spark, "INSERT INTO db.pin VALUES (3, 30)")
+    catalog.sql(spark, "ALTER TABLE db.pin SET TBLPROPERTIES "
+                       "('scan.snapshot-id'='1')")
+    t = catalog.get_table("db.pin")
+    # reads honor the pin
+    assert t.read(spark).count() == 2
+    # mutations act on LATEST (k=3 exists there)
+    catalog.sql(spark, "UPDATE db.pin SET v = 99 WHERE k = 3")
+    catalog.sql(spark, "DELETE FROM db.pin WHERE k = 1")
+    catalog.sql(spark, "ALTER TABLE db.pin UNSET TBLPROPERTIES "
+                       "('scan.snapshot-id')")
+    t2 = catalog.get_table("db.pin")
+    got = sorted((r.k, r.v) for r in t2.read(spark).collect())
+    assert got == [(2, 20), (3, 99)]
