@@ -11,5 +11,6 @@ from .predicate import P, Predicate  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .metadata.schema import TableSchema  # noqa: F401
 from .sql import execute_sql  # noqa: F401
+from .jvm_catalog import install_sql_catalog  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,346 @@
+/*
+ * A DSv2 TableCatalog for incubator_paimon_spark tables, so plain
+ * `spark.sql("SELECT ... FROM <cat>.<db>.<table>")` works with no
+ * attach()/register-view step (the reference's SparkCatalog surface:
+ * paimon-spark/paimon-spark-common/.../SparkCatalog.java:61).
+ *
+ * Design: the ENGINE stays in Python. loadTable resolves the identifier
+ * to the table directory, asks the session to build the Python
+ * DataSource relation for it (spark.read.format("paimon")), and unwraps
+ * Spark's own connector Table from the analyzed plan -- so scans,
+ * filter pushdown, merge-on-read and streaming all run through exactly
+ * the code the format("paimon") path uses. This class is therefore a
+ * NAME RESOLVER, not a second engine; DDL stays on the Python API
+ * (create/drop/alter raise with a pointer there).
+ *
+ * The Python side compiles this lazily with the JDK's javac when a
+ * caller asks for SQL catalog installation (jvm_catalog.py); no build
+ * system or bundled jar is involved.
+ */
+package org.apache.paimon.pyspark;
+
+import java.io.File;
+import java.util.ArrayList;
+import java.util.Collections;
+import java.util.List;
+import java.util.Map;
+
+import org.apache.spark.sql.Dataset;
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
+import org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.connector.catalog.Identifier;
+import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCatalog;
+import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
+
+    private String name;
+    private String warehouse;
+
+    @Override
+    public void initialize(String name, CaseInsensitiveStringMap options) {
+        this.name = name;
+        this.warehouse = options.get("warehouse");
+        if (this.warehouse == null) {
+            throw new IllegalArgumentException(
+                    "spark.sql.catalog." + name + ".warehouse is required");
+        }
+    }
+
+    @Override
+    public String name() {
+        return name;
+    }
+
+    private File dbDir(String db) {
+        return new File(warehouse, db + ".db");
+    }
+
+    private File tableDir(Identifier ident) {
+        return new File(dbDir(ident.namespace()[0]), ident.name());
+    }
+
+    private static boolean isTableDir(File dir) {
+        return new File(dir, "schema").isDirectory();
+    }
+
+    // ------------------------------------------------------------------
+    // tables
+    @Override
+    public Identifier[] listTables(String[] namespace)
+            throws NoSuchNamespaceException {
+        if (namespace.length != 1 || !dbDir(namespace[0]).isDirectory()) {
+            throw new NoSuchNamespaceException(namespace);
+        }
+        List<Identifier> out = new ArrayList<>();
+        File[] children = dbDir(namespace[0]).listFiles();
+        if (children != null) {
+            for (File c : children) {
+                if (c.isDirectory() && isTableDir(c)) {
+                    out.add(Identifier.of(namespace, c.getName()));
+                }
+            }
+        }
+        Collections.sort(out, (a, b) -> a.name().compareTo(b.name()));
+        return out.toArray(new Identifier[0]);
+    }
+
+    @Override
+    public Table loadTable(Identifier ident) throws NoSuchTableException {
+        return loadWith(ident, null, null);
+    }
+
+    @Override
+    public Table loadTable(Identifier ident, String version)
+            throws NoSuchTableException {
+        // VERSION AS OF: a number is a snapshot id, anything else a tag
+        // (the same resolution the reference's SparkCatalog applies)
+        if (version.chars().allMatch(Character::isDigit)) {
+            return loadWith(ident, "snapshot-id", version);
+        }
+        return loadWith(ident, "scan.tag-name", version);
+    }
+
+    @Override
+    public Table loadTable(Identifier ident, long timestampMicros)
+            throws NoSuchTableException {
+        // Spark hands TIMESTAMP AS OF in MICROseconds
+        return loadWith(
+                ident,
+                "scan.timestamp-millis",
+                String.valueOf(timestampMicros / 1000L));
+    }
+
+    private Table loadWith(Identifier ident, String key, String value)
+            throws NoSuchTableException {
+        if (ident.namespace().length != 1 || !isTableDir(tableDir(ident))) {
+            throw new NoSuchTableException(ident);
+        }
+        java.util.HashMap<String, String> extra = new java.util.HashMap<>();
+        extra.put("path", tableDir(ident).getAbsolutePath());
+        if (key != null) {
+            extra.put(key, value);
+        }
+        SparkSession spark = SparkSession.active();
+        org.apache.spark.sql.DataFrameReader reader =
+                spark.read().format("paimon").options(extra);
+        Dataset<Row> df = reader.load();
+        // the analyzed plan's single leaf is the DataSourceV2Relation
+        // Spark built for the registered Python data source; its Table
+        // carries schema + scan builder + pushdown -- reuse it verbatim,
+        // wrapped so WRITE builders also receive the path (Spark
+        // constructs a fresh python source for writes from the write
+        // info's options, which would otherwise be empty)
+        scala.collection.Iterator<LogicalPlan> leaves =
+                df.queryExecution().analyzed().collectLeaves().iterator();
+        while (leaves.hasNext()) {
+            LogicalPlan leaf = leaves.next();
+            if (leaf instanceof DataSourceV2Relation) {
+                return new OptionsTable(
+                        ((DataSourceV2Relation) leaf).table(), extra);
+            }
+        }
+        throw new IllegalStateException(
+                "format(\"paimon\") did not resolve to a DSv2 relation -- "
+                        + "call incubator_paimon_spark.datasource.register("
+                        + "spark) before using the SQL catalog");
+    }
+
+    /**
+     * Delegates to the python source's Table while pinning the catalog's
+     * options (path + time travel) into every scan/write builder.
+     */
+    private static final class OptionsTable
+            implements Table,
+                    org.apache.spark.sql.connector.catalog.SupportsRead,
+                    org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+        private final Table inner;
+        private final Map<String, String> extra;
+
+        OptionsTable(Table inner, Map<String, String> extra) {
+            this.inner = inner;
+            this.extra = extra;
+        }
+
+        private CaseInsensitiveStringMap merged(CaseInsensitiveStringMap o) {
+            java.util.HashMap<String, String> m =
+                    new java.util.HashMap<>(o.asCaseSensitiveMap());
+            m.putAll(extra);
+            return new CaseInsensitiveStringMap(m);
+        }
+
+        @Override
+        public String name() {
+            return inner.name();
+        }
+
+        @Override
+        @SuppressWarnings("deprecation")
+        public StructType schema() {
+            return inner.schema();
+        }
+
+        @Override
+        public java.util.Set<org.apache.spark.sql.connector.catalog.TableCapability>
+                capabilities() {
+            return inner.capabilities();
+        }
+
+        @Override
+        public Transform[] partitioning() {
+            return inner.partitioning();
+        }
+
+        @Override
+        public Map<String, String> properties() {
+            return inner.properties();
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.read.ScanBuilder newScanBuilder(
+                CaseInsensitiveStringMap options) {
+            return ((org.apache.spark.sql.connector.catalog.SupportsRead) inner)
+                    .newScanBuilder(merged(options));
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.WriteBuilder newWriteBuilder(
+                org.apache.spark.sql.connector.write.LogicalWriteInfo info) {
+            final CaseInsensitiveStringMap opts = merged(info.options());
+            org.apache.spark.sql.connector.write.LogicalWriteInfo pinned =
+                    new org.apache.spark.sql.connector.write.LogicalWriteInfo() {
+                        @Override
+                        public CaseInsensitiveStringMap options() {
+                            return opts;
+                        }
+
+                        @Override
+                        public String queryId() {
+                            return info.queryId();
+                        }
+
+                        @Override
+                        public StructType schema() {
+                            return info.schema();
+                        }
+                    };
+            return ((org.apache.spark.sql.connector.catalog.SupportsWrite) inner)
+                    .newWriteBuilder(pinned);
+        }
+    }
+
+    @Override
+    public boolean tableExists(Identifier ident) {
+        return ident.namespace().length == 1 && isTableDir(tableDir(ident));
+    }
+
+    private static UnsupportedOperationException pythonDdl(String op) {
+        return new UnsupportedOperationException(
+                op + " is served by the Python API (incubator_paimon_spark"
+                        + ".Catalog / catalog.sql) -- this SQL catalog is the "
+                        + "read-path name resolver");
+    }
+
+    @Override
+    public Table createTable(
+            Identifier ident,
+            StructType schema,
+            Transform[] partitions,
+            Map<String, String> properties)
+            throws TableAlreadyExistsException, NoSuchNamespaceException {
+        throw pythonDdl("CREATE TABLE");
+    }
+
+    @Override
+    public Table alterTable(Identifier ident, TableChange... changes)
+            throws NoSuchTableException {
+        throw pythonDdl("ALTER TABLE");
+    }
+
+    @Override
+    public boolean dropTable(Identifier ident) {
+        throw pythonDdl("DROP TABLE");
+    }
+
+    @Override
+    public void renameTable(Identifier oldIdent, Identifier newIdent)
+            throws NoSuchTableException, TableAlreadyExistsException {
+        throw pythonDdl("RENAME TABLE");
+    }
+
+    // ------------------------------------------------------------------
+    // namespaces
+    @Override
+    public String[][] listNamespaces() {
+        List<String[]> out = new ArrayList<>();
+        File[] children = new File(warehouse).listFiles();
+        if (children != null) {
+            for (File c : children) {
+                if (c.isDirectory() && c.getName().endsWith(".db")) {
+                    String db = c.getName();
+                    out.add(new String[] {db.substring(0, db.length() - 3)});
+                }
+            }
+        }
+        Collections.sort(out, (a, b) -> a[0].compareTo(b[0]));
+        return out.toArray(new String[0][]);
+    }
+
+    @Override
+    public String[][] listNamespaces(String[] namespace)
+            throws NoSuchNamespaceException {
+        if (namespace.length == 0) {
+            return listNamespaces();
+        }
+        if (namespaceExists(namespace)) {
+            return new String[0][];
+        }
+        throw new NoSuchNamespaceException(namespace);
+    }
+
+    @Override
+    public boolean namespaceExists(String[] namespace) {
+        return namespace.length == 1 && dbDir(namespace[0]).isDirectory();
+    }
+
+    @Override
+    public Map<String, String> loadNamespaceMetadata(String[] namespace)
+            throws NoSuchNamespaceException {
+        if (!namespaceExists(namespace)) {
+            throw new NoSuchNamespaceException(namespace);
+        }
+        return Collections.emptyMap();
+    }
+
+    @Override
+    public void createNamespace(String[] namespace, Map<String, String> metadata)
+            throws NamespaceAlreadyExistsException {
+        throw pythonDdl("CREATE NAMESPACE");
+    }
+
+    @Override
+    public void alterNamespace(String[] namespace, NamespaceChange... changes)
+            throws NoSuchNamespaceException {
+        throw pythonDdl("ALTER NAMESPACE");
+    }
+
+    @Override
+    public boolean dropNamespace(String[] namespace, boolean cascade)
+            throws NoSuchNamespaceException, NonEmptyNamespaceException {
+        throw pythonDdl("DROP NAMESPACE");
+    }
+}
