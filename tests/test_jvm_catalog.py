@@ -88,3 +88,34 @@ def test_sql_catalog_insert_and_ddl_guard(spark, sqlcat, customer):
     # missing table/namespace resolve to the right errors
     with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
         spark.sql("SELECT * FROM pa.db.nope").collect()
+
+
+def test_sql_catalog_streaming_follows_commits(spark, sqlcat, customer):
+    """readStream.table('pa.db.t') streams commits made AFTER the
+    stream initializes (initial offset = latest; scan.mode control
+    stays on format('paimon'), whose options construct the source)."""
+    import tempfile
+    import time
+
+    t = sqlcat.create_table("db.st", customer.select("c_custkey").schema)
+    t.write(spark, customer.select("c_custkey").limit(10))
+    chk = tempfile.mkdtemp(prefix="pmn_jvmcat_chk_")
+    q = (spark.readStream.table("pa.db.st")
+         .writeStream.format("memory").queryName("jc_stream")
+         .option("checkpointLocation", chk)
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        time.sleep(6)  # let the stream pin its initial (latest) offset
+        t.write(spark, customer.select("c_custkey").limit(4))
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) n FROM jc_stream").collect()[0].n
+            if n >= 4:
+                break
+            time.sleep(1)
+        assert q.exception() is None
+        assert n == 4
+    finally:
+        q.stop()
+        shutil.rmtree(chk, ignore_errors=True)
