@@ -1010,6 +1010,26 @@ def q_lineage_rows(spark, sf_dir):
                        "snapshot_id", "job_name"))
 
 
+_SQL_CAT: dict = {}
+
+
+def q_sql_catalog_read(spark, sf_dir):
+    """The native Spark SQL catalog (r12, jvm_catalog.py): plain
+    `spark.sql("... FROM <cat>.fx.customer_pk")` — no attach()/view
+    step — resolved by the compile-on-demand JVM TableCatalog through
+    the Python DataSource engine, hash-checked against the same merged
+    PK state pk_upsert gates."""
+    fx = _fixtures(spark, sf_dir)
+    wh = fx["cat"].warehouse
+    if wh not in _SQL_CAT:
+        from incubator_paimon_spark.jvm_catalog import install_sql_catalog
+        _SQL_CAT[wh] = install_sql_catalog(spark, "pmn_entry_cat", wh)
+    return spark.sql(
+        "SELECT c_custkey, c_name, c_nationkey, "
+        "round(c_acctbal, 2) AS c_acctbal, c_mktsegment "
+        "FROM pmn_entry_cat.fx.customer_pk")
+
+
 _MIGRATED: dict = {}
 
 
@@ -2276,6 +2296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: hive-partitioned zero-copy migrate (reader-injected
         # partition columns) under the hash gate
         "migrate_partitioned": q_migrate_partitioned,
+        # r12: the native Spark SQL catalog (JVM TableCatalog resolving
+        # through the Python DataSource engine)
+        "sql_catalog_read": q_sql_catalog_read,
         "lineage_rows": q_lineage_rows,
         # r12: quality-aware best-of-cluster retention over the gated
         # dedup_clusters components

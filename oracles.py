@@ -497,6 +497,9 @@ FROM orders GROUP BY o_orderstatus
 # parquet (threshold forced) — must hash-match the driver-path sibling
 ORACLES["partitions_distributed"] = ORACLES["partition_done_marker"]
 
+# the native SQL catalog serves the same merged PK state pk_upsert gates
+ORACLES["sql_catalog_read"] = ORACLES["pk_upsert"]
+
 # hive-partitioned zero-copy migrate: the pruned read of the migrated
 # table (partition column reconstructed from the path by the reader)
 # must equal the plain filtered source
