@@ -79,7 +79,7 @@ def install_sql_catalog(spark, name: str, warehouse: str) -> str:
     from .datasource import register
     register(spark)
     jar = ensure_jar()
-    spark.sql(f"ADD JAR {jar}")
+    spark.sql(f"ADD JAR '{jar}'")
     spark.conf.set(f"spark.sql.catalog.{name}", CATALOG_CLASS)
     spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
     return name
