@@ -70,7 +70,18 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
     }
 
     private File tableDir(Identifier ident) {
-        return new File(dbDir(ident.namespace()[0]), ident.name());
+        // `t$branch_<name>` resolves to the branch's own table dir
+        // (branches are copy-on-write metadata forks living under
+        // <table>/branch/<name> -- the reference's $branch_ SQL suffix)
+        String name = ident.name();
+        int i = name.indexOf("$branch_");
+        if (i > 0) {
+            return new File(
+                    new File(dbDir(ident.namespace()[0]),
+                            name.substring(0, i)),
+                    "branch/" + name.substring(i + "$branch_".length()));
+        }
+        return new File(dbDir(ident.namespace()[0]), name);
     }
 
     private static boolean isTableDir(File dir) {

@@ -119,3 +119,17 @@ def test_sql_catalog_streaming_follows_commits(spark, sqlcat, customer):
     finally:
         q.stop()
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_sql_catalog_branch_suffix(spark, sqlcat, customer):
+    """`pa.db.`t$branch_x`` reads a branch's own state through the SQL
+    catalog (branches are copy-on-write table dirs under
+    <table>/branch/<name> — the reference's $branch_ suffix)."""
+    t = sqlcat.create_table("db.br", customer.select("c_custkey").schema)
+    t.write(spark, customer.select("c_custkey").limit(10))
+    t.create_branch("dev")
+    b = t.branch_table("dev")
+    b.write(spark, customer.select("c_custkey").limit(30))
+    assert spark.sql("SELECT count(*) n FROM pa.db.br").collect()[0].n == 10
+    assert spark.sql("SELECT count(*) n FROM pa.db.`br$branch_dev`"
+                     ).collect()[0].n == 40
