@@ -981,19 +981,11 @@ def q_partitions_distributed(spark, sf_dir):
     partition_done_marker oracle, so the aggregate-over-manifest-parquet
     rollup is hash-pinned equal to the driver parse the sibling query
     exercises."""
-    import incubator_paimon_spark.plan_distributed as PD
     from incubator_paimon_spark.maintenance import mark_partition_done
     fx = _fixtures(spark, sf_dir)
     t = fx["orders_part"]
     mark_partition_done(t, {"o_orderstatus": "O"}, {"o_orderstatus": "P"})
-    old = PD.PLAN_DF_MIN_MANIFESTS
-    PD.PLAN_DF_MIN_MANIFESTS = 1
-    try:
-        # the aggregation collects eagerly inside system(), so the
-        # threshold can be restored before returning
-        df = t.system(spark, "partitions")
-    finally:
-        PD.PLAN_DF_MIN_MANIFESTS = old
+    df = t.system(spark, "partitions", planner="dataframe")
     return df.select("partition", "record_count", "done")
 
 

@@ -650,8 +650,14 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
                 else:
                     tbl = pq.read_table(fpath)
                 have_kind = VALUE_KIND in tbl.column_names
+                # hive-migrated files lack the partition columns in their
+                # bytes (partition_in_data=False): inject from the manifest
+                # entry, same as PaimonStreamReaderDist.read
+                inject = ({} if e.file.partition_in_data
+                          else dict(e.partition))
                 for row in tbl.to_pylist():
-                    vals = [row.get(c) for c in cols]
+                    vals = [inject[c] if c in inject else row.get(c)
+                            for c in cols]
                     if self.changelog:
                         vals.append(row.get(VALUE_KIND, "+I") if have_kind
                                     else "+I")

@@ -39,15 +39,27 @@ def _spark_jars_dir() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "jars")
 
 
+def _cache_dir() -> str:
+    """Per-user cache dir, created 0700. NOT the shared tempdir: a
+    predictable name in a world-writable directory would let another
+    local user pre-plant a jar that ADD JAR then loads into the JVM."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    d = os.path.join(base, "paimon-pyspark")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    if os.stat(d).st_uid != os.getuid():
+        raise RuntimeError(f"jar cache dir {d} is not owned by this user")
+    return d
+
+
 def ensure_jar() -> str:
     """Compile the catalog class into a content-addressed cached jar
-    (one javac run per source version per machine). Raises RuntimeError
+    (one javac run per source version per user). Raises RuntimeError
     when no JDK compiler is available."""
     with open(_SRC, "rb") as f:
         src = f.read()
     tag = hashlib.md5(src).hexdigest()[:12]
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"paimon-pyspark-catalog-{tag}.jar")
+    cache = os.path.join(_cache_dir(), f"paimon-pyspark-catalog-{tag}.jar")
     if os.path.exists(cache):
         return cache
     javac = shutil.which("javac")
@@ -65,9 +77,13 @@ def ensure_jar() -> str:
         tmp_jar = os.path.join(work, "catalog.jar")
         subprocess.run([shutil.which("jar") or "jar", "cf", tmp_jar, "org"],
                        cwd=work, check=True, capture_output=True)
-        # atomic publish (same tmpfs): concurrent sessions racing to the
-        # same content-hashed name overwrite with identical bytes
-        os.replace(tmp_jar, cache)
+        # atomic publish via a same-directory rename (os.replace across
+        # filesystems would fail EXDEV now that the cache is under ~):
+        # concurrent sessions racing to the same content-hashed name
+        # overwrite with identical bytes
+        stage = cache + f".tmp{os.getpid()}"
+        shutil.copyfile(tmp_jar, stage)
+        os.replace(stage, cache)
     return cache
 
 

@@ -332,40 +332,56 @@ def expire_lineage(warehouse: str, older_than_ms: int) -> dict:
             if ev.get("created_at_ms", 0) < older_than_ms:
                 io.delete(p)
                 n_events += 1
-    for n in segs:
-        p = os.path.join(d, n)
-        # newest row from footer stats — no row reads
-        with io.open_input(p) as f:
-            md = pq.ParquetFile(f).metadata
-        idx = [md.schema.column(i).name
-               for i in range(md.num_columns)].index("create_time_ms")
-        mx = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or st.max is None:
-                mx = None
-                break
-            mx = st.max if mx is None else max(mx, st.max)
-        if mx is not None and mx < older_than_ms:
-            io.delete(p)
-            n_segs += 1
+        # segment deletes stay INSIDE the lease too: a compactor never
+        # touches existing segments, but readers re-list under no lock —
+        # serializing expiry keeps at most one deleter per window so two
+        # concurrent expiries can't double-count or half-delete
+        for n in segs:
+            p = os.path.join(d, n)
+            # newest row from footer stats — no row reads
+            with io.open_input(p) as f:
+                md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("create_time_ms")
+            mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.max is None:
+                    mx = None
+                    break
+                mx = st.max if mx is None else max(mx, st.max)
+            if mx is not None and mx < older_than_ms:
+                io.delete(p)
+                n_segs += 1
     return {"expired_events": n_events, "expired_segments": n_segs}
 
 
 # ----------------------------------------------------------------------
 # readers
-def read_rows(warehouse: str) -> list[tuple]:
+def read_rows(warehouse: str, limit: int | None = None,
+              since_ms: int | None = None) -> list[tuple]:
     """All flattened endpoint rows (_SEG_FIELDS order), deduped: loose
     tail first, then segments RE-LISTED — a compactor racing this read
     can delete a loose file we already listed, but its segment is durable
     before any delete, so the second listing is guaranteed to contain it.
-    A registered JDBC store serves its relation directly (PK-deduped)."""
+    A registered JDBC store serves its relation directly (PK-deduped).
+
+    This is the DRIVER-side convenience reader: without `limit` it
+    materializes O(history) rows on the driver, so long-history callers
+    should pass `limit` (segments stop being read once satisfied; rows
+    within a segment are predicate-filtered by `since_ms` at the parquet
+    read, so an old straddling segment costs its footer + matching rows
+    only) or use `lineage_df` for a distributed read."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from .fileio import for_path
     store = _STORES.get(warehouse)
     if store is not None:
-        return store.all_rows()
+        rows0 = store.all_rows()
+        if since_ms is not None:
+            rows0 = [r for r in rows0 if r[8] >= since_ms]
+        return rows0 if limit is None else rows0[:limit]
     d = _dir(warehouse)
     io = for_path(warehouse)
     loose, _ = _split_names(io, d)
@@ -375,19 +391,35 @@ def read_rows(warehouse: str) -> list[tuple]:
             ev = read_json(os.path.join(d, n))
         except Exception:  # noqa: BLE001 — half-written or just-rolled
             continue
+        if since_ms is not None and ev.get("created_at_ms", 0) < since_ms:
+            continue
         rows.extend(_flatten(n[3:-5], ev))
     _, segs = _split_names(io, d)
-    for n in segs:
-        with io.open_input(os.path.join(d, n)) as f:
-            t = pq.read_table(f)
-        rows.extend(zip(*(t.column(f0).to_pylist() for f0, _ in _SEG_FIELDS)))
+    flt = (pc.field("create_time_ms") >= since_ms) if since_ms is not None \
+        else None
     seen: set = set()
-    out = []
-    for r in rows:
-        k = (r[0], r[2], r[1])  # (event_id, direction, ord)
-        if k not in seen:
-            seen.add(k)
-            out.append(r)
+    out: list[tuple] = []
+
+    def take(batch) -> bool:
+        for r in batch:
+            k = (r[0], r[2], r[1])  # (event_id, direction, ord)
+            if k not in seen:
+                seen.add(k)
+                out.append(r)
+            if limit is not None and len(out) >= limit:
+                return True
+        return False
+
+    if take(rows):
+        return out
+    for n in segs:
+        try:
+            with io.open_input(os.path.join(d, n)) as f:
+                t = pq.read_table(f, filters=flt)
+        except (FileNotFoundError, OSError):
+            continue  # a racing expire_lineage deleted a whole segment
+        if take(zip(*(t.column(f0).to_pylist() for f0, _ in _SEG_FIELDS))):
+            break
     return out
 
 
@@ -421,8 +453,12 @@ def lineage_df(spark, warehouse: str):
     _, segs = _split_names(io, d)
     df = spark.createDataFrame(tail_rows, schema)
     if segs:
-        seg_df = spark.read.schema(schema).parquet(
-            *[os.path.join(d, n) for n in segs])
+        # ignoreMissingFiles: a racing expire_lineage may delete a wholly-
+        # expired segment between this listing and the task read — skip it
+        # (the same guard read_rows applies driver-side)
+        seg_df = (spark.read.schema(schema)
+                  .option("ignoreMissingFiles", "true")
+                  .parquet(*[os.path.join(d, n) for n in segs]))
         df = df.unionByName(seg_df)
     # no global orderBy: a system-table read must not pay a sort shuffle
     # at segment scale (consumers order explicitly when they need it)

@@ -162,7 +162,12 @@ def files_df_distributed(spark, table, manifests: list[str] | None = None):
     return live.select(
         F.col("partition"), F.col("bucket").cast("int"),
         F.col("fileName").alias("file_path"),
-        F.lit("parquet").alias("file_format"),
+        # format from the extension, not a constant: migrate commits .orc
+        # files and avro tables carry .avro — readers dispatch on the
+        # extension, so $files must label them the same way
+        F.when(F.col("fileName").endswith(".orc"), F.lit("orc"))
+         .when(F.col("fileName").endswith(".avro"), F.lit("avro"))
+         .otherwise(F.lit("parquet")).alias("file_format"),
         F.col("schemaId").alias("schema_id"),
         F.col("level").cast("int"),
         F.col("rowCount").alias("record_count"),

@@ -16,11 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 from .read import plan_to_df
 
 
-def system_table(spark: SparkSession, table, name: str) -> DataFrame:
+def system_table(spark: SparkSession, table, name: str,
+                 planner: str | None = None) -> DataFrame:
+    """`planner` (tables with a dual serving path: $files/$partitions/
+    $buckets): None = pick by the manifest-cache bound, "dataframe" =
+    force the distributed manifest-parquet path, "driver" = force the
+    driver parse. An explicit parameter instead of mutating the module
+    threshold (VERDICT r12 #3)."""
     name = name.lstrip("$")
     fn = _TABLES.get(name)
     if fn is None:
         raise ValueError(f"unknown system table ${name}; have {sorted(_TABLES)}")
+    if name in ("files", "partitions", "buckets"):
+        return fn(spark, table, planner=planner)
     return fn(spark, table)
 
 
@@ -56,16 +64,16 @@ def _options(spark, table):
                                  "key string, value string").filter("key <> ''")
 
 
-def _files(spark, table):
+def _files(spark, table, planner: str | None = None):
     # large tables (manifest set past the cache bound): serve the rows
     # straight from the manifest parquet as a distributed DataFrame
     # instead of materializing 10^6 entries on the driver
     snap = table.snapshots.latest()
-    if snap is not None:
+    if snap is not None and planner != "driver":
         from .plan_distributed import PLAN_DF_MIN_MANIFESTS, files_df_distributed
         names = (table.manifests.read_manifest_list(snap.base_manifest_list)
                  + table.manifests.read_manifest_list(snap.delta_manifest_list))
-        if len(names) >= PLAN_DF_MIN_MANIFESTS:
+        if planner == "dataframe" or len(names) >= PLAN_DF_MIN_MANIFESTS:
             df = files_df_distributed(spark, table, manifests=names)
             if df is not None:
                 return df
@@ -77,8 +85,13 @@ def _files(spark, table):
     rows = []
     for e in table.entries_at():
         f = e.file
+        # format from the extension (migrate commits .orc, avro tables
+        # .avro) — MUST match files_df_distributed's derivation so the
+        # two serving paths stay row-identical across the size threshold
+        fmt = ("orc" if f.file_name.endswith(".orc")
+               else "avro" if f.file_name.endswith(".avro") else "parquet")
         rows.append((_mdumps(e.partition), e.bucket, f.file_name,
-                     "parquet", f.schema_id, f.level, f.row_count, f.file_size,
+                     fmt, f.schema_id, f.level, f.row_count, f.file_size,
                      f.min_seq, f.max_seq, f.creation_time_millis,
                      _mdumps(f.stats)))
     return spark.createDataFrame(rows, """partition string, bucket int,
@@ -107,7 +120,8 @@ def _manifests(spark, table):
         num_added_files long, num_deleted_files long, schema_id long""")
 
 
-def _grouped_file_stats(spark, table, with_bucket: bool):
+def _grouped_file_stats(spark, table, with_bucket: bool,
+                        planner: str | None = None):
     """(partition_dict, bucket|None) → [rows, bytes, files, max_ctime],
     keyed canonically (sorted partition items). Above the manifest-cache
     bound the sums run as ONE Spark job over the manifest parquet
@@ -131,12 +145,12 @@ def _grouped_file_stats(spark, table, with_bucket: bool):
         a[3] = max(a[3], ctime)
 
     snap = table.snapshots.latest()
-    if snap is not None:
+    if snap is not None and planner != "driver":
         from .plan_distributed import (PLAN_DF_MIN_MANIFESTS,
                                        files_df_distributed)
         names = (table.manifests.read_manifest_list(snap.base_manifest_list)
                  + table.manifests.read_manifest_list(snap.delta_manifest_list))
-        if len(names) >= PLAN_DF_MIN_MANIFESTS:
+        if planner == "dataframe" or len(names) >= PLAN_DF_MIN_MANIFESTS:
             df = files_df_distributed(spark, table, manifests=names)
             if df is not None:
                 from pyspark.sql import functions as F
@@ -160,10 +174,11 @@ def _grouped_file_stats(spark, table, with_bucket: bool):
     return agg
 
 
-def _partitions(spark, table):
+def _partitions(spark, table, planner: str | None = None):
     from .maintenance import partition_done
     rows = []
-    agg = _grouped_file_stats(spark, table, with_bucket=False)
+    agg = _grouped_file_stats(spark, table, with_bucket=False,
+                              planner=planner)
     for v in agg.values():
         try:  # `done` = success-file marker present (mark_partition_done)
             done = partition_done(table, v[4]) if v[4] else False
@@ -177,8 +192,9 @@ def _partitions(spark, table):
         done boolean""")
 
 
-def _buckets(spark, table):
-    agg = _grouped_file_stats(spark, table, with_bucket=True)
+def _buckets(spark, table, planner: str | None = None):
+    agg = _grouped_file_stats(spark, table, with_bucket=True,
+                              planner=planner)
     rows = sorted(
         (json.dumps(v[4], sort_keys=True, default=str), b, v[0], v[1], v[2])
         for (_k, b), v in agg.items())

@@ -460,9 +460,10 @@ class Table:
         from .maintenance import remove_orphan_files
         return remove_orphan_files(self, older_than_ms=older_than_ms, dry_run=dry_run)
 
-    def system(self, spark: SparkSession, name: str) -> DataFrame:
+    def system(self, spark: SparkSession, name: str,
+               planner: str | None = None) -> DataFrame:
         from .system_tables import system_table
-        return system_table(spark, self, name)
+        return system_table(spark, self, name, planner=planner)
 
     def delete_where(self, spark, predicate, **kw):
         from .row_ops import delete_where
