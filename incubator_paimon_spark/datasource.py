@@ -670,99 +670,216 @@ class _WroteFiles(WriterCommitMessage):
     paths: list
     # parallel list of {col: value} partition specs (batch writer only)
     partitions: list = None
+    # parallel list of bucket ids (batch writer only; None = bucket-0)
+    buckets: list = None
 
 
 class PaimonBatchWriter(DataSourceArrowWriter):
-    """df.write.format("paimon").mode("append"|"overwrite").save(path) for
-    append tables (partitioned or not). Each task groups its Arrow batches
-    by the table's partition columns and writes one parquet file per spec —
-    no extra shuffle imposed (callers wanting one file per partition
-    repartition first). mode("overwrite") replaces the whole table in one
-    OVERWRITE snapshot. PK tables need the bucket shuffle + sequence
-    numbering the writer API cannot express — use Table.write."""
+    """df.write.format("paimon") / SQL ``INSERT INTO`` for append tables
+    AND fixed-bucket tables (PK or bucket-keyed append).
+
+    Append (bucket-unaware): each task groups its Arrow batches by the
+    partition columns and writes one parquet file per spec — no extra
+    shuffle imposed.
+
+    Fixed-bucket (``bucket`` > 0): the task computes the engine's bucket
+    per row (``pmod(murmur3(bucket_keys), n)`` — the vectorized replica of
+    ``write.bucket_expr``) and writes one SORTED file per (partition,
+    bucket); PK rows additionally get ``_VALUE_KIND``/``_SEQUENCE_NUMBER``
+    system columns (per-commit LSN base + ``task_id << 33 | row``, the
+    monotonically_increasing_id layout Table.write uses). When the write
+    arrives through the native SQL catalog, its BucketedWrite requests
+    clustering by the bucket keys with exactly ``n`` partitions, so each
+    task holds ONE complete bucket and emits one level-0 file — but the
+    per-row computation here is the correctness authority, so an
+    unshuffled df.write still buckets correctly (just into more files).
+
+    Dynamic-bucket PK tables (``bucket`` = -1) need the global index
+    assignment only Table.write runs — they raise toward it.
+    mode("overwrite") replaces the whole table in one OVERWRITE snapshot.
+    Reference surface: PaimonSparkWriter.scala:61-204 (bucket shuffle at
+    :322-325)."""
 
     def __init__(self, options, overwrite: bool):
         self.options = options
         self.overwrite = overwrite
         t = _load_table(options)
-        if t.schema.primary_keys:
+        schema = t.schema
+        opts = schema.core_options
+        self.is_pk = bool(schema.primary_keys)
+        self.num_buckets = opts.bucket
+        self.bucket_keys = schema.bucket_keys()
+        if self.is_pk and self.num_buckets == -1:
             raise ValueError(
-                "write.format('paimon') supports append tables; PK tables "
-                "need the bucket shuffle - use Table.write")
+                "write.format('paimon') / SQL INSERT supports fixed-bucket "
+                "PK tables; dynamic-bucket (bucket=-1) needs the global "
+                "index assignment - use Table.write")
+        self.key_types = [schema.field_by_name(k).type.simpleString()
+                          for k in self.bucket_keys]
+        self.sort_keys = schema.trimmed_primary_keys() if self.is_pk else []
+        latest = t.snapshots.latest()
+        self.seq_base = latest.next_sequence_number if latest else 0
+        self.rowkind_field = opts.rowkind_field if self.is_pk else None
         self.part_keys = list(t.schema.partition_keys)
         self.table_path = t.path
         self.staging = os.path.join(t.path, ".staging-batch")
 
+    def _row_buckets(self, tbl):
+        """Engine bucket id per row as a numpy int32 array."""
+        import numpy as np
+
+        from .murmur import spark_buckets, spark_hash
+        cols = [tbl[k] for k in self.bucket_keys]
+        bks = spark_buckets(cols, self.key_types, self.num_buckets)
+        if bks is not None:
+            return bks
+        # scalar fallback (decimal/binary keys): per-row driver replica
+        n = tbl.num_rows
+        out = np.empty(n, dtype=np.int32)
+        for i, vals in enumerate(zip(*(c.to_pylist() for c in cols))):
+            h = spark_hash(list(vals), self.key_types)
+            if h is None:
+                raise ValueError(
+                    f"bucket key types {self.key_types} not hashable by the "
+                    "python writer - use Table.write")
+            out[i] = h % self.num_buckets
+        return out
+
     def write(self, iterator):
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         from .fileio import for_path
         from .metadata.util import new_uuid
         io = for_path(self.staging)
         batches = list(iterator)
         if not batches:
-            return _WroteFiles(paths=[], partitions=[])
+            return _WroteFiles(paths=[], partitions=[], buckets=[])
         tbl = pa.Table.from_batches(batches)
-        paths, parts = [], []
+        n = tbl.num_rows
+        bucketed = self.num_buckets > 0 and bool(self.bucket_keys)
+        if self.is_pk:
+            from pyspark import TaskContext
+            from .types import ALL_KINDS
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            if self.rowkind_field is not None:
+                kind = tbl[self.rowkind_field].combine_chunks().cast(
+                    pa.string())
+                ok = pc.fill_null(
+                    pc.is_in(kind, value_set=pa.array(list(ALL_KINDS))),
+                    False)
+                if not pc.all(ok).as_py():
+                    raise ValueError(
+                        f"invalid row kind in rowkind.field "
+                        f"{self.rowkind_field!r}")
+            else:
+                kind = pa.array(["+I"] * n, pa.string())
+            seq = pa.array(self.seq_base + (pid << 33) + np.arange(n),
+                           pa.int64())
+            tbl = tbl.append_column(SEQUENCE_NUMBER, seq) \
+                     .append_column(VALUE_KIND, kind)
+        group_keys = list(self.part_keys)
+        if bucketed:
+            tbl = tbl.append_column(
+                "__bucket", pa.array(self._row_buckets(tbl), pa.int32()))
+            group_keys.append("__bucket")
+        paths, parts, bks = [], [], []
 
-        def emit(sub, spec):
+        def emit(sub, spec, bucket):
+            if self.sort_keys:
+                sub = sub.sort_by([(k, "ascending")
+                                   for k in self.sort_keys
+                                   + [SEQUENCE_NUMBER]])
+            if bucketed:
+                sub = sub.drop_columns(["__bucket"])
             p = os.path.join(self.staging, f"data-{new_uuid()}.parquet")
             io.write_parquet(sub, p)
             paths.append(p)
             parts.append(spec)
+            bks.append(bucket)
 
-        if not self.part_keys:
-            emit(tbl, {})
+        if not group_keys:
+            emit(tbl, {}, 0)
         else:
-            specs = tbl.select(self.part_keys).group_by(self.part_keys) \
+            specs = tbl.select(group_keys).group_by(group_keys) \
                        .aggregate([]).to_pylist()
             for spec in specs:
                 mask = None
-                for c in self.part_keys:
+                for c in group_keys:
                     m = (pc.is_null(tbl[c]) if spec[c] is None
                          else pc.equal(tbl[c], pa.scalar(spec[c])))
                     mask = m if mask is None else pc.and_(mask, m)
-                emit(tbl.filter(mask), spec)
-        return _WroteFiles(paths=paths, partitions=parts)
+                emit(tbl.filter(mask),
+                     {c: spec[c] for c in self.part_keys},
+                     spec.get("__bucket", 0))
+        return _WroteFiles(paths=paths, partitions=parts, buckets=bks)
 
     def commit(self, messages):
         import time as _t
 
-        from .metadata.commit import CommitMessage
-        from .metadata.manifest import DataFileMeta, ManifestEntry
+        from pyspark.sql import SparkSession
+
+        from .metadata.manifest import DataFileMeta
         from .metadata.stats import collect_file_stats
-        from .types import (COMMIT_APPEND, COMMIT_OVERWRITE, ENTRY_ADD,
-                            ENTRY_DELETE)
-        from .write import _dir_value
+        from .write import (BatchTableWrite, _AddEntry, _attach_bloom_index,
+                            _dir_value)
 
         t = _load_table(self.options)
         schema = t.schema
+        opts = schema.core_options
+        latest = t.snapshots.latest()
+        bucketed = self.num_buckets > 0 and bool(self.bucket_keys)
         adds = []
         now = int(_t.time() * 1000)
-        for m in (m2 for m2 in messages if m2 is not None):
-            for path, spec in zip(m.paths, m.partitions or [{}] * len(m.paths)):
-                st = collect_file_stats(path, schema.core_options.metadata_stats_mode)
+        for i, m in enumerate(m2 for m2 in messages if m2 is not None):
+            n_paths = len(m.paths)
+            for path, spec, bucket in zip(
+                    m.paths, m.partitions or [{}] * n_paths,
+                    m.buckets or [0] * n_paths):
+                st = collect_file_stats(path, opts.metadata_stats_mode)
+                seq_stats = st["cols"].get(SEQUENCE_NUMBER, {})
+                if not self.is_pk:
+                    delete_rows = 0
+                else:  # same rule as BatchTableWrite._collect_entries
+                    kmax = (st["cols"].get(VALUE_KIND) or {}).get("max")
+                    delete_rows = (0 if isinstance(kmax, str)
+                                   and kmax.startswith("+") else None)
                 part_dir = "/".join(f"{c}={_dir_value(spec[c])}"
                                     for c in self.part_keys)
-                rel = "/".join(x for x in (part_dir, "bucket-0",
+                rel = "/".join(x for x in (part_dir, f"bucket-{bucket}",
                                            os.path.basename(path)) if x)
-                dst = os.path.join(t.path, rel)
-                t.io.rename(path, dst)
-                adds.append(ManifestEntry(ENTRY_ADD, spec, 0, DataFileMeta(
-                    file_name=rel, file_size=t.io.size(dst),
-                    row_count=st["_row_count"], schema_id=schema.id,
+                adds.append(_AddEntry(path, spec, bucket, DataFileMeta(
+                    file_name=rel, file_size=t.io.size(path),
+                    row_count=st["_row_count"],
+                    min_seq=seq_stats.get("min", 0) or 0,
+                    max_seq=seq_stats.get("max", 0) or 0,
+                    schema_id=schema.id, level=0,
                     stats=st["cols"], creation_time_millis=now,
-                    delete_row_count=0)))
-        deletes, kind = [], COMMIT_APPEND
-        if self.overwrite:
-            plan = t.new_scan().plan()
-            deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
-                       for e in plan.entries]
-            kind = COMMIT_OVERWRITE
-        t.commit.commit(CommitMessage(add=adds, delete=deletes),
-                        schema_id=schema.id, kind=kind)
+                    delete_row_count=delete_rows,
+                    total_buckets=self.num_buckets if bucketed else None)))
+        w = BatchTableWrite(t)
+        if bucketed and adds and not self.overwrite:
+            try:
+                w._check_bucket_layout(adds, self.num_buckets, latest)
+            except Exception:
+                self.abort(messages)
+                raise
+        # the DSv2 commit runs on a separate driver thread where the
+        # thread-local active session may be unset; getOrCreate returns
+        # the existing default session (the SparkContext is live)
+        spark = (SparkSession.getActiveSession()
+                 or SparkSession.builder.getOrCreate())
+        bloom_cols = [c for c in opts.bloom_filter_columns
+                      if c in schema.field_names()]
+        if bloom_cols and adds and spark is not None:
+            _attach_bloom_index(spark, self.staging, adds, bloom_cols)
+        for e in adds:
+            t.io.rename(e.staging_path,
+                        os.path.join(t.path, e.file.file_name))
+        w._finish_commit(spark, schema, adds, latest, self.seq_base,
+                         overwrite=True if self.overwrite else None)
 
     def abort(self, messages):
         from .fileio import for_path

@@ -25,6 +25,9 @@ import java.util.Collections;
 import java.util.List;
 import java.util.Map;
 
+import com.fasterxml.jackson.databind.JsonNode;
+import com.fasterxml.jackson.databind.ObjectMapper;
+
 import org.apache.spark.sql.Dataset;
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.SparkSession;
@@ -161,13 +164,97 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
             LogicalPlan leaf = leaves.next();
             if (leaf instanceof DataSourceV2Relation) {
                 return new OptionsTable(
-                        ((DataSourceV2Relation) leaf).table(), extra);
+                        ((DataSourceV2Relation) leaf).table(), extra,
+                        TableMeta.read(tableDir(ident)));
             }
         }
         throw new IllegalStateException(
                 "format(\"paimon\") did not resolve to a DSv2 relation -- "
                         + "call incubator_paimon_spark.datasource.register("
                         + "spark) before using the SQL catalog");
+    }
+
+    /**
+     * Bucket layout of a table, parsed from its latest schema-N JSON (the
+     * same contract the Python SchemaManager writes): the catalog needs it
+     * to request the write distribution. The reference's Spark writer does
+     * the equivalent repartition itself (PaimonSparkWriter.scala:322-325);
+     * in DSv2 the table REQUESTS clustering and Spark plans the shuffle.
+     */
+    static final class TableMeta {
+        final int numBuckets;
+        final String[] clusterKeys; // bucket-key cols (trimmed PK default)
+        final String[] orderKeys;   // partition cols + trimmed PK cols
+
+        private TableMeta(int numBuckets, String[] clusterKeys,
+                          String[] orderKeys) {
+            this.numBuckets = numBuckets;
+            this.clusterKeys = clusterKeys;
+            this.orderKeys = orderKeys;
+        }
+
+        static TableMeta read(File tableDir) {
+            try {
+                File sd = new File(tableDir, "schema");
+                File best = null;
+                long bestId = -1;
+                File[] children = sd.listFiles();
+                if (children != null) {
+                    for (File f : children) {
+                        String n = f.getName();
+                        if (n.startsWith("schema-")) {
+                            try {
+                                long id = Long.parseLong(n.substring(7));
+                                if (id > bestId) {
+                                    bestId = id;
+                                    best = f;
+                                }
+                            } catch (NumberFormatException ignored) {
+                            }
+                        }
+                    }
+                }
+                if (best == null) {
+                    return null;
+                }
+                JsonNode node = new ObjectMapper().readTree(best);
+                List<String> pks = strings(node.path("primaryKeys"));
+                List<String> parts = strings(node.path("partitionKeys"));
+                JsonNode opts = node.path("options");
+                int bucket = Integer.parseInt(
+                        opts.path("bucket").asText("-1"));
+                List<String> cluster = new ArrayList<>();
+                String bk = opts.path("bucket-key").asText("");
+                if (!bk.isEmpty()) {
+                    for (String k : bk.split(",")) {
+                        cluster.add(k.trim());
+                    }
+                }
+                List<String> trimmed = new ArrayList<>(pks);
+                trimmed.removeAll(parts);
+                if (trimmed.isEmpty()) {
+                    trimmed = pks; // TableSchema.trimmedPrimaryKeys fallback
+                }
+                if (cluster.isEmpty()) {
+                    cluster = trimmed;
+                }
+                List<String> order = new ArrayList<>(parts);
+                order.addAll(trimmed);
+                return new TableMeta(bucket,
+                        cluster.toArray(new String[0]),
+                        order.toArray(new String[0]));
+            } catch (Exception e) {
+                return null; // unreadable schema: no distribution request
+            }
+        }
+
+        private static List<String> strings(JsonNode arr) {
+            List<String> out = new ArrayList<>();
+            for (JsonNode n : arr) {
+                out.add(n.asText());
+            }
+            return out;
+        }
     }
 
     /**
@@ -181,10 +268,12 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
 
         private final Table inner;
         private final Map<String, String> extra;
+        private final TableMeta meta;
 
-        OptionsTable(Table inner, Map<String, String> extra) {
+        OptionsTable(Table inner, Map<String, String> extra, TableMeta meta) {
             this.inner = inner;
             this.extra = extra;
+            this.meta = meta;
         }
 
         private CaseInsensitiveStringMap merged(CaseInsensitiveStringMap o) {
@@ -249,8 +338,122 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                             return info.schema();
                         }
                     };
-            return ((org.apache.spark.sql.connector.catalog.SupportsWrite) inner)
-                    .newWriteBuilder(pinned);
+            org.apache.spark.sql.connector.write.WriteBuilder wb =
+                    ((org.apache.spark.sql.connector.catalog.SupportsWrite) inner)
+                            .newWriteBuilder(pinned);
+            if (meta != null && meta.numBuckets > 0
+                    && meta.clusterKeys.length > 0) {
+                // fixed-bucket table: request clustering by the bucket-key
+                // columns with EXACTLY numBuckets partitions. Spark plans
+                // the shuffle as pmod(murmur3(keys), numBuckets) -- the
+                // engine's own bucket function (write.bucket_expr) -- so
+                // each writer task receives one complete bucket and the
+                // Python writer emits one level-0 file per bucket. Same
+                // net layout as the reference's explicit
+                // repartition(partitionCols, bucket)
+                // (PaimonSparkWriter.scala:322-325).
+                return new BucketedWriteBuilder(wb, meta);
+            }
+            return wb;
+        }
+    }
+
+    private static final class BucketedWriteBuilder
+            implements org.apache.spark.sql.connector.write.WriteBuilder,
+                    org.apache.spark.sql.connector.write.SupportsTruncate {
+
+        private org.apache.spark.sql.connector.write.WriteBuilder inner;
+        private final TableMeta meta;
+
+        BucketedWriteBuilder(
+                org.apache.spark.sql.connector.write.WriteBuilder inner,
+                TableMeta meta) {
+            this.inner = inner;
+            this.meta = meta;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.WriteBuilder truncate() {
+            // mirror PythonWriteBuilder's own surface (WriteBuilder +
+            // SupportsTruncate): INSERT OVERWRITE flows through here
+            inner = ((org.apache.spark.sql.connector.write.SupportsTruncate)
+                    inner).truncate();
+            return this;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.Write build() {
+            return new BucketedWrite(inner.build(), meta);
+        }
+    }
+
+    private static final class BucketedWrite
+            implements org.apache.spark.sql.connector.write.Write,
+                    org.apache.spark.sql.connector.write
+                            .RequiresDistributionAndOrdering {
+
+        private final org.apache.spark.sql.connector.write.Write inner;
+        private final TableMeta meta;
+
+        BucketedWrite(org.apache.spark.sql.connector.write.Write inner,
+                      TableMeta meta) {
+            this.inner = inner;
+            this.meta = meta;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.distributions.Distribution
+                requiredDistribution() {
+            org.apache.spark.sql.connector.expressions.Expression[] cluster =
+                    new org.apache.spark.sql.connector.expressions
+                            .Expression[meta.clusterKeys.length];
+            for (int i = 0; i < meta.clusterKeys.length; i++) {
+                cluster[i] = org.apache.spark.sql.connector.expressions
+                        .Expressions.column(meta.clusterKeys[i]);
+            }
+            return org.apache.spark.sql.connector.distributions.Distributions
+                    .clustered(cluster);
+        }
+
+        @Override
+        public int requiredNumPartitions() {
+            return meta.numBuckets;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.expressions.SortOrder[]
+                requiredOrdering() {
+            // task-local sort by (partition cols, key cols): groups arrive
+            // contiguous and near-sorted, so the writer's per-file
+            // key+sequence sort is a cheap pass over mostly-ordered data
+            org.apache.spark.sql.connector.expressions.SortOrder[] order =
+                    new org.apache.spark.sql.connector.expressions
+                            .SortOrder[meta.orderKeys.length];
+            for (int i = 0; i < meta.orderKeys.length; i++) {
+                order[i] = org.apache.spark.sql.connector.expressions
+                        .Expressions.sort(
+                                org.apache.spark.sql.connector.expressions
+                                        .Expressions.column(meta.orderKeys[i]),
+                                org.apache.spark.sql.connector.expressions
+                                        .SortDirection.ASCENDING);
+            }
+            return order;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.BatchWrite toBatch() {
+            return inner.toBatch();
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.streaming.StreamingWrite
+                toStreaming() {
+            return inner.toStreaming();
+        }
+
+        @Override
+        public String description() {
+            return inner.description();
         }
     }
 

@@ -109,3 +109,114 @@ def spark_hash(values: list, type_names: list[str]) -> int | None:
         else:
             return None  # float/decimal/timestamp: not worth the risk
     return h
+
+
+# ----------------------------------------------------------------------
+# vectorized (numpy) form — executor-side bucket assignment over whole
+# Arrow batches (datasource.PaimonBatchWriter). Same algorithm as above,
+# elementwise on uint32 arrays with per-row running seeds so multi-column
+# chaining and null-skipping (null leaves the seed unchanged, like
+# Spark's Murmur3Hash) vectorize too.
+
+def _mixk1_np(np, k1):
+    k1 = k1 * np.uint32(_C1)
+    k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+    return k1 * np.uint32(_C2)
+
+
+def _mixh1_np(np, h1, k1):
+    h1 = h1 ^ k1
+    h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+    return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _fmix_np(np, h1, length):
+    h1 = h1 ^ np.uint32(length)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    return h1 ^ (h1 >> np.uint32(16))
+
+
+def _hash_int_np(np, v32, seeds):
+    return _fmix_np(np, _mixh1_np(np, seeds, _mixk1_np(np, v32)), 4)
+
+
+def _hash_long_np(np, v64, seeds):
+    lo = (v64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (v64 >> np.uint64(32)).astype(np.uint32)
+    h1 = _mixh1_np(np, seeds, _mixk1_np(np, lo))
+    h1 = _mixh1_np(np, h1, _mixk1_np(np, hi))
+    return _fmix_np(np, h1, 8)
+
+
+_VEC_INT = {"tinyint", "smallint", "int", "integer", "date", "boolean"}
+_VEC_LONG = {"bigint", "long", "timestamp", "timestamp_ntz"}
+
+
+def spark_hash_columns(columns, type_names: list[str]):
+    """F.hash(*cols) over pyarrow arrays → numpy int32 array, or None when
+    a column's type has no vectorized path (caller falls back to per-row
+    spark_hash / hash_bytes). int/long/date/boolean/timestamp cover the
+    typical bucket-key shapes; dates hash as epoch days, timestamps as
+    epoch MICROseconds, booleans as 0/1 ints — Spark's Murmur3Hash input
+    conventions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(columns[0]) if columns else 0
+    seeds = np.full(n, SPARK_SEED, dtype=np.uint32)
+    for arr, t in zip(columns, type_names):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+        if t in _VEC_INT:
+            if t == "date":
+                arr = arr.cast(pa.int32())
+            elif t == "boolean":
+                arr = pc.cast(arr, pa.int32())
+            v = arr.fill_null(0).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64).astype(np.uint32)
+            mixed = _hash_int_np(np, v, seeds)
+        elif t in _VEC_LONG:
+            if t.startswith("timestamp"):
+                arr = arr.cast(pa.int64())  # micros, Spark's hash input
+            v = arr.fill_null(0).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64).view(np.uint64)
+            mixed = _hash_long_np(np, v, seeds)
+        elif t == "float":
+            f = arr.fill_null(0).to_numpy(zero_copy_only=False) \
+                   .astype(np.float32)
+            f = np.where(f == 0.0, np.float32(0.0), f)  # -0f → 0f
+            mixed = _hash_int_np(np, f.view(np.uint32), seeds)
+        elif t == "double":
+            f = arr.fill_null(0).to_numpy(zero_copy_only=False) \
+                   .astype(np.float64)
+            f = np.where(f == 0.0, np.float64(0.0), f)
+            mixed = _hash_long_np(np, f.view(np.uint64), seeds)
+        elif (t in ("string", "varchar", "char")
+                or t.startswith(("varchar(", "char("))):
+            # no fixed-width vector form; per-row, which is the slow path —
+            # fine for the write sizes one task sees
+            vals = arr.to_pylist()
+            mixed = np.fromiter(
+                (hash_bytes(v.encode("utf-8"), int(s)) & _M32 if v is not None
+                 else int(s) for v, s in zip(vals, seeds)),
+                dtype=np.uint32, count=n)
+            null_mask = np.zeros(n, dtype=bool)  # already folded in
+        else:
+            return None
+        seeds = np.where(null_mask, seeds, mixed)
+    return seeds.view(np.int32)
+
+
+def spark_buckets(columns, type_names: list[str], num_buckets: int):
+    """pmod(F.hash(*cols), num_buckets) per row → numpy int32 array or
+    None (unsupported type). THE bucket function (write.bucket_expr)."""
+    h = spark_hash_columns(columns, type_names)
+    if h is None:
+        return None
+    import numpy as np
+    return np.mod(h.astype(np.int64), num_buckets).astype(np.int32)

@@ -506,6 +506,32 @@ class BatchTableWrite:
                 files = [table.index.write_index_dir(live)]
             index_manifest = table.index.write_manifest(files)
 
+        return self._finish_commit(
+            spark, schema, adds, latest, seq_base,
+            overwrite=overwrite, dynamic_overwrite=dynamic_overwrite,
+            commit_identifier=commit_identifier, watermark=watermark,
+            extra_delete_entries=extra_delete_entries,
+            extra_changelog_entries=extra_changelog_entries,
+            commit_kind=commit_kind,
+            changelog_from_input=changelog_from_input,
+            preserve_system_cols=preserve_system_cols,
+            has_row_kind=has_row_kind,
+            index_manifest=index_manifest, dv_manifest=dv_manifest)
+
+    def _finish_commit(self, spark, schema, adds, latest, seq_base,
+                       overwrite=None, dynamic_overwrite=False,
+                       commit_identifier=-1, watermark=None,
+                       extra_delete_entries=None,
+                       extra_changelog_entries=None, commit_kind=None,
+                       changelog_from_input=None,
+                       preserve_system_cols=False, has_row_kind=False,
+                       index_manifest=None, dv_manifest=...):
+        """The commit tail shared by Table.write and the DataSource batch
+        writer: overwrite retractions, changelog production, the snapshot
+        commit itself, post-commit hooks."""
+        table = self.table
+        opts = schema.core_options
+        is_pk = bool(schema.primary_keys)
         deletes = list(extra_delete_entries or [])
         kind = commit_kind or COMMIT_APPEND
         if overwrite is not None or dynamic_overwrite:

@@ -1691,3 +1691,7 @@ SELECT o_orderkey, o_orderstatus, o_custkey,
              ELSE o_totalprice END, 2) AS o_totalprice
 FROM orders
 """
+
+# SQL INSERT INTO the native catalog's PK table (r13): the two INSERTs
+# replicate customer_pk's construction, so the merged state is the same
+ORACLES["sql_insert_pk"] = ORACLES["pk_upsert"]

@@ -481,3 +481,58 @@ def test_stream_availablenow_with_limits(spark, catalog, customer):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_batch_writer_pk_buckets_without_shuffle(spark, warehouse, customer):
+    """df.write.format('paimon') on a fixed-bucket PK table with NO
+    clustered distribution (no catalog): the writer's per-row murmur
+    bucket computation is the correctness authority, so rows still land
+    in their engine bucket (more files, same answer) and PK equality
+    still bucket-prunes."""
+    import pandas as pd
+    from incubator_paimon_spark import Catalog, P
+    from incubator_paimon_spark.datasource import register
+
+    register(spark)
+    cat = Catalog(warehouse)
+    t = cat.create_table("db.dw_pk", customer.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "2"})
+    (customer.repartition(8).write.format("paimon")
+     .mode("append").option("path", t.path).save())
+
+    a = (t.read(spark).toPandas()
+         .sort_values("c_custkey").reset_index(drop=True))
+    e = (customer.toPandas()
+         .sort_values("c_custkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], e[sorted(e.columns)])
+
+    full = t.new_scan().plan()
+    pruned = t.new_scan().plan(P.eq("c_custkey", 5))
+    assert {e2.bucket for e2 in pruned.entries} == {
+        e2.bucket for e2 in full.entries
+        if e2.bucket == pruned.entries[0].bucket}
+    assert len({e2.bucket for e2 in pruned.entries}) == 1
+
+
+def test_batch_writer_bucketed_append_routing(spark, warehouse, customer):
+    """Bucketed APPEND tables (bucket > 0 + bucket-key, no PK) through the
+    DataSource writer route rows into their murmur bucket — equality
+    filters on the bucket key prune to one bucket and still see every
+    row."""
+    from incubator_paimon_spark import Catalog, P
+    from incubator_paimon_spark.datasource import register
+
+    register(spark)
+    cat = Catalog(warehouse)
+    t = cat.create_table("db.dw_ba", customer.schema,
+                         options={"bucket": "4",
+                                  "bucket-key": "c_custkey"})
+    (customer.write.format("paimon")
+     .mode("append").option("path", t.path).save())
+
+    assert t.read(spark).count() == customer.count()
+    pruned = t.new_scan().plan(P.eq("c_custkey", 17))
+    assert len({e.bucket for e in pruned.entries}) == 1
+    got = t.read(spark).where("c_custkey = 17").count()
+    assert got == customer.where("c_custkey = 17").count()

@@ -133,3 +133,88 @@ def test_sql_catalog_branch_suffix(spark, sqlcat, customer):
     assert spark.sql("SELECT count(*) n FROM pa.db.br").collect()[0].n == 10
     assert spark.sql("SELECT count(*) n FROM pa.db.`br$branch_dev`"
                      ).collect()[0].n == 40
+
+
+def test_sql_insert_into_pk_table(spark, sqlcat, customer):
+    """SQL INSERT INTO a fixed-bucket PK table through the catalog: the
+    BucketedWrite requests clustering by the bucket keys with exactly
+    `bucket` partitions (PaimonSparkWriter.scala:322-325 parity), so each
+    task emits ONE level-0 file per bucket and merge-on-read returns the
+    upserted state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    t = sqlcat.create_table("db.ins_pk", customer.schema,
+                            primary_keys=["c_custkey"],
+                            options={"bucket": "4"})
+    customer.createOrReplaceTempView("ins_src")
+    cols = ", ".join(customer.columns)
+    upd_cols = ", ".join("c_acctbal + 100 AS c_acctbal" if c == "c_acctbal"
+                         else c for c in customer.columns)
+    spark.sql(f"INSERT INTO pa.db.ins_pk SELECT {cols} FROM ins_src")
+    spark.sql(f"INSERT INTO pa.db.ins_pk SELECT {upd_cols} FROM ins_src "
+              "WHERE c_custkey % 10 = 0")
+
+    # one file per bucket per commit: 4 buckets x 2 commits
+    files = [r.file_path for r in t.system(spark, "files").collect()]
+    assert len(files) == 8
+    assert {f.split("/")[0] for f in files} == {
+        f"bucket-{b}" for b in range(4)}
+
+    # merged state == the Table.write reference result
+    from incubator_paimon_spark import Catalog
+    import tempfile
+    wh2 = tempfile.mkdtemp(prefix="pmn_insref_")
+    try:
+        t2 = Catalog(wh2).create_table(
+            "db.ref", customer.schema, primary_keys=["c_custkey"],
+            options={"bucket": "4"})
+        t2.write(spark, customer)
+        t2.write(spark, customer.filter("c_custkey % 10 = 0")
+                 .withColumn("c_acctbal", F.col("c_acctbal") + 100))
+        a = (spark.sql("SELECT * FROM pa.db.ins_pk").toPandas()
+             .sort_values("c_custkey").reset_index(drop=True))
+        b = (t2.read(spark).toPandas()
+             .sort_values("c_custkey").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)])
+    finally:
+        shutil.rmtree(wh2, ignore_errors=True)
+
+
+def test_sql_insert_overwrite_pk(spark, sqlcat, customer):
+    t = sqlcat.create_table("db.ow_pk", customer.schema,
+                            primary_keys=["c_custkey"],
+                            options={"bucket": "2"})
+    customer.createOrReplaceTempView("ow_src")
+    spark.sql("INSERT INTO pa.db.ow_pk SELECT * FROM ow_src")
+    spark.sql("INSERT OVERWRITE pa.db.ow_pk SELECT * FROM ow_src "
+              "WHERE c_custkey <= 50")
+    n = spark.sql("SELECT count(*) n FROM pa.db.ow_pk").collect()[0].n
+    assert n == customer.filter("c_custkey <= 50").count()
+
+
+def test_sql_insert_partitioned_pk(spark, sqlcat, orders):
+    """Partitioned PK table: files land under <part>/bucket-<n>/ and the
+    upsert merges within each (partition, bucket)."""
+    t = sqlcat.create_table(
+        "db.ins_part", orders.schema,
+        partition_keys=["o_orderstatus"],
+        primary_keys=["o_orderstatus", "o_orderkey"],
+        options={"bucket": "2"})
+    orders.createOrReplaceTempView("ins_osrc")
+    cols = ", ".join(orders.columns)
+    spark.sql(f"INSERT INTO pa.db.ins_part SELECT {cols} FROM ins_osrc")
+    n = spark.sql("SELECT count(*) n FROM pa.db.ins_part").collect()[0].n
+    assert n == orders.count()
+    files = [r.file_path for r in t.system(spark, "files").collect()]
+    assert all("/bucket-" in f and f.split("=", 1)[0] == "o_orderstatus"
+               for f in files)
+
+
+def test_sql_insert_dynamic_bucket_raises(spark, sqlcat, customer):
+    sqlcat.create_table("db.ins_dyn", customer.schema,
+                        primary_keys=["c_custkey"])
+    customer.createOrReplaceTempView("dyn_src")
+    with pytest.raises(Exception, match="Table.write"):
+        spark.sql("INSERT INTO pa.db.ins_dyn SELECT * FROM dyn_src")
