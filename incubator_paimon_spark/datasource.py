@@ -85,6 +85,10 @@ class _Split(InputPartition):
     # hive-migrated files: (col, value) pairs ABSENT from the file bytes
     # that the worker injects as constant columns (partitionInData=false)
     inject: tuple = ()
+    # serialized target arrow schema (schema evolution: files written
+    # under an older schema may lack ADDed columns or carry narrower
+    # types — the worker null-fills / casts against this)
+    schema_bytes: bytes = None
 
 
 class PaimonDataSource(DataSource):
@@ -146,9 +150,14 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
         pandas merge (control-plane sized)."""
         from .read import _split_raw_buckets
 
+        import pyarrow as pa  # noqa: F401 (schema serialize below)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         t = self.table
         schema = t.schema
         opts = schema.core_options
+        sbytes = to_arrow_schema(schema.spark_schema()) \
+            .serialize().to_pybytes()
         snapshot_id = self.options.get("snapshot-id")
         ts = self.options.get("scan.timestamp-millis")
         plan = t.new_scan(
@@ -181,7 +190,7 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
                           merge_engine=opts.merge_engine,
                           ignore_delete=opts.ignore_delete,
                           dv_dirs=dv_dirs if cov else (), dv_files=cov,
-                          inject=inj)
+                          inject=inj, schema_bytes=sbytes)
 
         if schema.primary_keys and not self.changelog:
             raw, merging = _split_raw_buckets(
@@ -255,11 +264,32 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
                     tb = tb.append_column(k, arr)
             return tb
 
+        target = (None if split.schema_bytes is None else
+                  pa.ipc.read_schema(pa.py_buffer(split.schema_bytes)))
+
+        def conform(tb):
+            """Schema evolution: null-fill columns the file predates, cast
+            columns written under a narrower (since-widened) type."""
+            arrays = []
+            for name in cols:
+                f = target.field(name) if target is not None else None
+                if name in tb.column_names:
+                    col = tb[name].combine_chunks()
+                    if f is not None and col.type != f.type:
+                        col = col.cast(f.type)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(
+                        tb.num_rows,
+                        f.type if f is not None else pa.null()))
+            return pa.table(dict(zip(cols, arrays)))
+
         def project(tb):
             if split.changelog and VALUE_KIND in tb.column_names:
-                arrays = [tb[c] for c in cols] + [tb[VALUE_KIND]]
-                return pa.table(dict(zip(cols + [ROW_KIND_COL], arrays)))
-            return tb.select(cols)
+                return conform(tb).append_column(
+                    ROW_KIND_COL, tb[VALUE_KIND].combine_chunks()
+                    .cast(pa.string()))
+            return conform(tb)
 
         def stream_file(f):
             """Record-batch iterator for either data format (ORC streams by
@@ -299,6 +329,12 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
         for f, rel in zip(split.files, split.rel_names):
             tables.append(masked(read_whole(f), rel, 0))
         tbl = pa.concat_tables(tables, promote_options="default")
+        if target is not None:  # evolution null-fill before the merge
+            for name in cols:
+                if name not in tbl.column_names:
+                    tbl = tbl.append_column(
+                        name, pa.nulls(tbl.num_rows,
+                                       target.field(name).type))
         if SEQUENCE_NUMBER in tbl.column_names:
             # bucket-local merge-on-read (deduplicate: max (seq, _SEQ) wins;
             # first-row: min wins). Null user-seq sorts smallest, matching
@@ -312,7 +348,7 @@ class PaimonBatchReaderNoPushdown(DataSourceReader):
             df = g.head(1) if split.merge_engine == "first-row" else g.tail(1)
             df = df[df[VALUE_KIND].isin(list(ADD_KINDS))]
             tbl = pa.Table.from_pandas(df[cols], preserve_index=False)
-            yield from tbl.to_batches()
+            yield from conform(tbl).to_batches()
         else:
             yield from project(tbl).to_batches()
 

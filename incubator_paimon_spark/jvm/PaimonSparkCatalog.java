@@ -9,9 +9,12 @@
  * DataSource relation for it (spark.read.format("paimon")), and unwraps
  * Spark's own connector Table from the analyzed plan -- so scans,
  * filter pushdown, merge-on-read and streaming all run through exactly
- * the code the format("paimon") path uses. This class is therefore a
- * NAME RESOLVER, not a second engine; DDL stays on the Python API
- * (create/drop/alter raise with a pointer there).
+ * the code the format("paimon") path uses. DDL (r13) writes the SAME
+ * schema-N JSON files the Python SchemaManager writes -- the file format
+ * is the contract -- so a table created by SQL `CREATE TABLE` is
+ * indistinguishable from one created by Catalog.create_table; evolution
+ * rules that carry real logic (type widening) still point at the Python
+ * API rather than being replicated here.
  *
  * The Python side compiles this lazily with the JDK's javac when a
  * caller asks for SQL catalog installation (jvm_catalog.py); no build
@@ -465,8 +468,112 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
     private static UnsupportedOperationException pythonDdl(String op) {
         return new UnsupportedOperationException(
                 op + " is served by the Python API (incubator_paimon_spark"
-                        + ".Catalog / catalog.sql) -- this SQL catalog is the "
-                        + "read-path name resolver");
+                        + ".Catalog / SchemaManager) -- it owns the "
+                        + "evolution rules this SQL catalog does not "
+                        + "replicate");
+    }
+
+    // ------------------------------------------------------------------
+    // DDL. The contract is the schema-N JSON file the Python
+    // SchemaManager writes (metadata/schema.py:110-121 to_json; the
+    // reference's SchemaManager.java:76 schema files): fields are Spark
+    // StructField jsonValue payloads + a stable field id, committed via
+    // exclusive create (tmp file + no-replace ATOMIC_MOVE = the local
+    // FileIO try_create). Everything else about the table -- reads,
+    // writes, compaction -- keeps running through the Python engine,
+    // which re-reads the latest schema file on every Table load.
+
+    private static final java.util.Set<String> RESERVED_PROPS =
+            new java.util.HashSet<>(java.util.Arrays.asList(
+                    "provider", "location", "comment", "owner", "external",
+                    "path", "primary-key", "option.primary-key"));
+
+    // CoreOptions.getImmutableOptionKeys() mirror (schema.py:302): layout
+    // and merge semantics of already-written files
+    private static final java.util.Set<String> IMMUTABLE_OPTIONS =
+            new java.util.HashSet<>(java.util.Arrays.asList(
+                    "bucket-key", "merge-engine", "ignore-delete",
+                    "sequence.field", "rowkind.field", "primary-key",
+                    "partition"));
+
+    private static com.fasterxml.jackson.databind.node.ObjectNode
+            schemaJson(ObjectMapper om, long id,
+                       com.fasterxml.jackson.databind.node.ArrayNode fields,
+                       long highestFieldId, List<String> partitionKeys,
+                       List<String> primaryKeys, Map<String, String> options,
+                       String comment) {
+        com.fasterxml.jackson.databind.node.ObjectNode root =
+                om.createObjectNode();
+        root.put("version", 1);
+        root.put("id", id);
+        root.set("fields", fields);
+        root.put("highestFieldId", highestFieldId);
+        com.fasterxml.jackson.databind.node.ArrayNode pk = om.createArrayNode();
+        for (String k : primaryKeys) {
+            pk.add(k);
+        }
+        com.fasterxml.jackson.databind.node.ArrayNode pt = om.createArrayNode();
+        for (String k : partitionKeys) {
+            pt.add(k);
+        }
+        root.set("partitionKeys", pt);
+        root.set("primaryKeys", pk);
+        com.fasterxml.jackson.databind.node.ObjectNode opts =
+                om.createObjectNode();
+        for (Map.Entry<String, String> e : options.entrySet()) {
+            opts.put(e.getKey(), e.getValue());
+        }
+        root.set("options", opts);
+        if (comment == null) {
+            root.putNull("comment");
+        } else {
+            root.put("comment", comment);
+        }
+        root.put("timeMillis", System.currentTimeMillis());
+        return root;
+    }
+
+    /** Exclusive create of schema/schema-&lt;id&gt;; false = lost the race. */
+    private static boolean commitSchema(File tableDir, long id, JsonNode json)
+            throws java.io.IOException {
+        File sd = new File(tableDir, "schema");
+        sd.mkdirs();
+        File target = new File(sd, "schema-" + id);
+        File tmp = new File(sd, "schema-" + id + ".tmp-"
+                + java.util.UUID.randomUUID().toString().replace("-", ""));
+        new ObjectMapper().writerWithDefaultPrettyPrinter()
+                .writeValue(tmp, json);
+        try {
+            java.nio.file.Files.move(tmp.toPath(), target.toPath());
+            return true;
+        } catch (java.nio.file.FileAlreadyExistsException e) {
+            tmp.delete();
+            return false;
+        }
+    }
+
+    private static JsonNode latestSchemaNode(File tableDir)
+            throws java.io.IOException {
+        File sd = new File(tableDir, "schema");
+        File best = null;
+        long bestId = -1;
+        File[] children = sd.listFiles();
+        if (children != null) {
+            for (File f : children) {
+                String n = f.getName();
+                if (n.startsWith("schema-") && !n.contains(".tmp-")) {
+                    try {
+                        long id = Long.parseLong(n.substring(7));
+                        if (id > bestId) {
+                            bestId = id;
+                            best = f;
+                        }
+                    } catch (NumberFormatException ignored) {
+                    }
+                }
+            }
+        }
+        return best == null ? null : new ObjectMapper().readTree(best);
     }
 
     @Override
@@ -476,24 +583,348 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
             Transform[] partitions,
             Map<String, String> properties)
             throws TableAlreadyExistsException, NoSuchNamespaceException {
-        throw pythonDdl("CREATE TABLE");
+        if (ident.namespace().length != 1
+                || !dbDir(ident.namespace()[0]).isDirectory()) {
+            throw new NoSuchNamespaceException(ident.namespace());
+        }
+        if (tableExists(ident)) {
+            throw new TableAlreadyExistsException(ident);
+        }
+        List<String> partitionKeys = new ArrayList<>();
+        for (Transform t : partitions) {
+            if (!"identity".equals(t.name()) || t.references().length != 1) {
+                throw new UnsupportedOperationException(
+                        "only identity partitioning is supported, got " + t);
+            }
+            partitionKeys.add(String.join(".",
+                    t.references()[0].fieldNames()));
+        }
+        List<String> primaryKeys = new ArrayList<>();
+        String pkProp = properties.get("primary-key");
+        if (pkProp != null && !pkProp.isEmpty()) {
+            for (String k : pkProp.split(",")) {
+                primaryKeys.add(k.trim());
+            }
+        }
+        java.util.LinkedHashMap<String, String> options =
+                new java.util.LinkedHashMap<>();
+        for (Map.Entry<String, String> e : properties.entrySet()) {
+            if (!RESERVED_PROPS.contains(e.getKey())) {
+                options.put(e.getKey(), e.getValue());
+            }
+        }
+        // the Python _validate's load-bearing rules (table.py:735)
+        List<String> names = new ArrayList<>(
+                java.util.Arrays.asList(schema.fieldNames()));
+        for (String k : partitionKeys) {
+            if (!names.contains(k)) {
+                throw new IllegalArgumentException(
+                        "partition column " + k + " not in schema " + names);
+            }
+        }
+        for (String k : primaryKeys) {
+            if (!names.contains(k)) {
+                throw new IllegalArgumentException(
+                        "primary key column " + k + " not in schema " + names);
+            }
+        }
+        String engine = options.getOrDefault("merge-engine", "deduplicate");
+        if (!"deduplicate".equals(engine) && primaryKeys.isEmpty()) {
+            throw new IllegalArgumentException(
+                    "merge-engine requires primary keys");
+        }
+        if (primaryKeys.size() == 1
+                && partitionKeys.contains(primaryKeys.get(0))) {
+            throw new IllegalArgumentException(
+                    "primary key must not equal partition key only");
+        }
+        try {
+            ObjectMapper om = new ObjectMapper();
+            // fields = Spark's own StructType json payload + stable ids;
+            // PK fields are non-nullable (TableSchema.create parity)
+            JsonNode st = om.readTree(schema.json());
+            com.fasterxml.jackson.databind.node.ArrayNode fields =
+                    om.createArrayNode();
+            int i = 0;
+            for (JsonNode f : st.path("fields")) {
+                com.fasterxml.jackson.databind.node.ObjectNode fo =
+                        f.deepCopy();
+                if (primaryKeys.contains(fo.path("name").asText())) {
+                    fo.put("nullable", false);
+                }
+                fo.put("id", i++);
+                fields.add(fo);
+            }
+            File dir = tableDir(ident);
+            dir.mkdirs();
+            if (!commitSchema(dir, 0, schemaJson(
+                    om, 0, fields, i - 1, partitionKeys, primaryKeys,
+                    options, properties.get("comment")))) {
+                throw new TableAlreadyExistsException(ident);
+            }
+            return loadWith(ident, null, null);
+        } catch (TableAlreadyExistsException e) {
+            throw e;
+        } catch (Exception e) {
+            throw new RuntimeException("CREATE TABLE failed: " + e, e);
+        }
     }
 
     @Override
     public Table alterTable(Identifier ident, TableChange... changes)
             throws NoSuchTableException {
-        throw pythonDdl("ALTER TABLE");
+        if (!tableExists(ident)) {
+            throw new NoSuchTableException(ident);
+        }
+        try {
+            File dir = tableDir(ident);
+            JsonNode base = latestSchemaNode(dir);
+            com.fasterxml.jackson.databind.node.ObjectNode next =
+                    base.deepCopy();
+            ObjectMapper om = new ObjectMapper();
+            long nextId = base.path("id").asLong() + 1;
+            next.put("id", nextId);
+            next.put("timeMillis", System.currentTimeMillis());
+            com.fasterxml.jackson.databind.node.ObjectNode opts =
+                    (com.fasterxml.jackson.databind.node.ObjectNode)
+                            next.path("options");
+            com.fasterxml.jackson.databind.node.ArrayNode fields =
+                    (com.fasterxml.jackson.databind.node.ArrayNode)
+                            next.path("fields");
+            for (TableChange c : changes) {
+                applyChange(om, next, opts, fields, base, c);
+            }
+            if (!commitSchema(dir, nextId, next)) {
+                throw new IllegalStateException(
+                        "schema-" + nextId + " already exists "
+                                + "(concurrent DDL) - retry");
+            }
+            return loadWith(ident, null, null);
+        } catch (NoSuchTableException | UnsupportedOperationException
+                | IllegalArgumentException | IllegalStateException e) {
+            throw e;
+        } catch (Exception e) {
+            throw new RuntimeException("ALTER TABLE failed: " + e, e);
+        }
+    }
+
+    private static String singleName(String[] fieldNames) {
+        if (fieldNames.length != 1) {
+            throw new UnsupportedOperationException(
+                    "nested column DDL is served by the Python API");
+        }
+        return fieldNames[0];
+    }
+
+    private static int fieldIndex(
+            com.fasterxml.jackson.databind.node.ArrayNode fields,
+            String name) {
+        for (int i = 0; i < fields.size(); i++) {
+            if (fields.get(i).path("name").asText().equals(name)) {
+                return i;
+            }
+        }
+        throw new IllegalArgumentException("no such column: " + name);
+    }
+
+    private void applyChange(
+            ObjectMapper om,
+            com.fasterxml.jackson.databind.node.ObjectNode next,
+            com.fasterxml.jackson.databind.node.ObjectNode opts,
+            com.fasterxml.jackson.databind.node.ArrayNode fields,
+            JsonNode base,
+            TableChange c) throws Exception {
+        if (c instanceof TableChange.SetProperty) {
+            TableChange.SetProperty sp = (TableChange.SetProperty) c;
+            checkMutable(sp.property(), sp.value(), base);
+            checkBucketChange(sp.property(), sp.value(), base);
+            opts.put(sp.property(), sp.value());
+        } else if (c instanceof TableChange.RemoveProperty) {
+            String k = ((TableChange.RemoveProperty) c).property();
+            checkMutable(k, null, base);
+            opts.remove(k);
+        } else if (c instanceof TableChange.AddColumn) {
+            TableChange.AddColumn ac = (TableChange.AddColumn) c;
+            String name = singleName(ac.fieldNames());
+            if (ac.position() != null) {
+                throw new UnsupportedOperationException(
+                        "column positions (FIRST/AFTER) are served by the "
+                                + "Python API (SchemaManager.move_column)");
+            }
+            for (JsonNode f : fields) {
+                if (f.path("name").asText().equals(name)) {
+                    throw new IllegalArgumentException(
+                            "column " + name + " already exists");
+                }
+            }
+            long hid = next.path("highestFieldId").asLong() + 1;
+            next.put("highestFieldId", hid);
+            com.fasterxml.jackson.databind.node.ObjectNode fo =
+                    om.createObjectNode();
+            fo.put("name", name);
+            fo.set("type", om.readTree(ac.dataType().json()));
+            fo.put("nullable", ac.isNullable());
+            fo.set("metadata", om.createObjectNode());
+            fo.put("id", hid);
+            if (ac.comment() != null) {
+                fo.put("description", ac.comment());
+            }
+            fields.add(fo);
+        } else if (c instanceof TableChange.RenameColumn) {
+            TableChange.RenameColumn rc = (TableChange.RenameColumn) c;
+            String name = singleName(rc.fieldNames());
+            String newName = rc.newName();
+            for (JsonNode f : fields) {
+                if (f.path("name").asText().equals(newName)) {
+                    throw new IllegalArgumentException(
+                            "column " + newName + " already exists");
+                }
+            }
+            int i = fieldIndex(fields, name);
+            ((com.fasterxml.jackson.databind.node.ObjectNode) fields.get(i))
+                    .put("name", newName);
+            renameInArray(next, "primaryKeys", name, newName);
+            renameInArray(next, "partitionKeys", name, newName);
+        } else if (c instanceof TableChange.DeleteColumn) {
+            String name = singleName(
+                    ((TableChange.DeleteColumn) c).fieldNames());
+            for (JsonNode k : base.path("primaryKeys")) {
+                if (k.asText().equals(name)) {
+                    throw new IllegalArgumentException(
+                            "cannot drop key column " + name);
+                }
+            }
+            for (JsonNode k : base.path("partitionKeys")) {
+                if (k.asText().equals(name)) {
+                    throw new IllegalArgumentException(
+                            "cannot drop key column " + name);
+                }
+            }
+            fields.remove(fieldIndex(fields, name));
+        } else if (c instanceof TableChange.UpdateColumnComment) {
+            TableChange.UpdateColumnComment uc =
+                    (TableChange.UpdateColumnComment) c;
+            int i = fieldIndex(fields, singleName(uc.fieldNames()));
+            ((com.fasterxml.jackson.databind.node.ObjectNode) fields.get(i))
+                    .put("description", uc.newComment());
+        } else if (c instanceof TableChange.UpdateColumnType) {
+            // the widening matrix (byte->..->decimal chains) lives in
+            // SchemaManager.update_column_type; do not replicate it here
+            throw pythonDdl("ALTER COLUMN TYPE");
+        } else {
+            throw pythonDdl(c.getClass().getSimpleName());
+        }
+    }
+
+    private static void renameInArray(
+            com.fasterxml.jackson.databind.node.ObjectNode root, String key,
+            String name, String newName) {
+        com.fasterxml.jackson.databind.node.ArrayNode arr =
+                (com.fasterxml.jackson.databind.node.ArrayNode)
+                        root.path(key);
+        for (int i = 0; i < arr.size(); i++) {
+            if (arr.get(i).asText().equals(name)) {
+                arr.set(i, newName);
+            }
+        }
+    }
+
+    private static void checkMutable(String key, String value, JsonNode base)
+            throws IllegalArgumentException {
+        if (IMMUTABLE_OPTIONS.contains(key)) {
+            String cur = base.path("options").path(key).isMissingNode()
+                    ? null : base.path("options").path(key).asText();
+            if (value == null || !value.equals(cur)) {
+                // SchemaManager.checkAlterTableOption parity: re-setting
+                // the current value is an allowed no-op
+                throw new IllegalArgumentException(
+                        "Change '" + key + "' is not supported.");
+            }
+        }
+    }
+
+    private static void checkBucketChange(String key, String value,
+                                          JsonNode base) {
+        if (!"bucket".equals(key)) {
+            return;
+        }
+        int oldB = Integer.parseInt(
+                base.path("options").path("bucket").asText("-1"));
+        int newB = Integer.parseInt(value);
+        if (newB == oldB) {
+            return;
+        }
+        if (newB == 0 || newB < -1) {
+            throw new IllegalArgumentException(
+                    "The number of buckets needs to be greater than 0.");
+        }
+        if (oldB == -1 || newB == -1) {
+            throw new IllegalArgumentException(
+                    "Cannot change 'bucket' from " + oldB + " to " + newB
+                            + ": transitions between -1 and a fixed count "
+                            + "are not supported (rescale-bucket.md).");
+        }
+        boolean hasKey = base.path("primaryKeys").size() > 0
+                || !base.path("options").path("bucket-key").asText("")
+                        .isEmpty();
+        if (!hasKey) {
+            throw new IllegalArgumentException(
+                    "Cannot rescale 'bucket' on a table without a bucket "
+                            + "key (bucket-key or primary key).");
+        }
     }
 
     @Override
     public boolean dropTable(Identifier ident) {
-        throw pythonDdl("DROP TABLE");
+        File dir = tableDir(ident);
+        if (ident.namespace().length != 1 || !isTableDir(dir)) {
+            return false;
+        }
+        deleteRecursively(dir);
+        return true;
+    }
+
+    private static void deleteRecursively(File f) {
+        File[] children = f.listFiles();
+        if (children != null) {
+            for (File c : children) {
+                deleteRecursively(c);
+            }
+        }
+        f.delete();
     }
 
     @Override
     public void renameTable(Identifier oldIdent, Identifier newIdent)
             throws NoSuchTableException, TableAlreadyExistsException {
-        throw pythonDdl("RENAME TABLE");
+        // `RENAME TO <cat>.<db>.<t>` reaches the catalog with the catalog
+        // name still in the target namespace -- strip it
+        if (newIdent.namespace().length == 2
+                && newIdent.namespace()[0].equals(name)) {
+            newIdent = Identifier.of(
+                    new String[] {newIdent.namespace()[1]}, newIdent.name());
+        }
+        if (!tableExists(oldIdent)) {
+            throw new NoSuchTableException(oldIdent);
+        }
+        if (tableExists(newIdent)) {
+            throw new TableAlreadyExistsException(newIdent);
+        }
+        File dst = tableDir(newIdent);
+        if (!dstNamespaceExists(newIdent)) {
+            throw new IllegalArgumentException(
+                    "target namespace does not exist: "
+                            + String.join(".", newIdent.namespace()));
+        }
+        if (!tableDir(oldIdent).renameTo(dst)) {
+            throw new IllegalStateException(
+                    "rename failed: " + oldIdent + " -> " + newIdent);
+        }
+    }
+
+    private boolean dstNamespaceExists(Identifier ident) {
+        return ident.namespace().length == 1
+                && dbDir(ident.namespace()[0]).isDirectory();
     }
 
     // ------------------------------------------------------------------
@@ -543,7 +974,14 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
     @Override
     public void createNamespace(String[] namespace, Map<String, String> metadata)
             throws NamespaceAlreadyExistsException {
-        throw pythonDdl("CREATE NAMESPACE");
+        if (namespace.length != 1) {
+            throw new UnsupportedOperationException(
+                    "only single-level namespaces are supported");
+        }
+        if (namespaceExists(namespace)) {
+            throw new NamespaceAlreadyExistsException(namespace);
+        }
+        dbDir(namespace[0]).mkdirs();
     }
 
     @Override
@@ -555,6 +993,17 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
     @Override
     public boolean dropNamespace(String[] namespace, boolean cascade)
             throws NoSuchNamespaceException, NonEmptyNamespaceException {
-        throw pythonDdl("DROP NAMESPACE");
+        if (!namespaceExists(namespace)) {
+            throw new NoSuchNamespaceException(namespace);
+        }
+        try {
+            if (listTables(namespace).length > 0 && !cascade) {
+                throw new NonEmptyNamespaceException(namespace);
+            }
+        } catch (NoSuchNamespaceException e) {
+            return false;
+        }
+        deleteRecursively(dbDir(namespace[0]));
+        return true;
     }
 }

@@ -15,9 +15,14 @@ No build system: the single Java file compiles lazily with the JDK's
 ``javac`` (present wherever Spark runs on a JDK) into a content-hashed
 jar under the user cache, added to the LIVE session via ``ADD JAR`` —
 ``install_sql_catalog(spark, "pa", warehouse)`` is the whole setup.
-DDL intentionally raises with a pointer to the Python API: one writer
-arbitrates schema changes (the metastore/filesystem catalog), and the
-SQL catalog is the read/write DATA path.
+
+r13 surface: writes (``INSERT INTO``/``OVERWRITE``, incl. fixed-bucket
+PK tables via a clustered write distribution) and DDL (``CREATE/DROP/
+RENAME TABLE``, ``CREATE/DROP NAMESPACE``, column add/rename/drop,
+``SET TBLPROPERTIES``) are native — the catalog writes the same
+schema-N JSON the Python ``SchemaManager`` writes, so both sides serve
+one table state. Type widening (``ALTER COLUMN TYPE``) still points at
+the Python API, which owns the widening matrix.
 """
 
 from __future__ import annotations

@@ -82,9 +82,10 @@ def test_sql_catalog_insert_and_ddl_guard(spark, sqlcat, customer):
     assert sqlcat.get_table("db.w").read(spark) \
                  .filter("c_name = 'via-sql'").count() == 1
 
-    # DDL stays on the Python API, loudly
-    with pytest.raises(Exception, match="Python API|UNSUPPORTED"):
-        spark.sql("DROP TABLE pa.db.w")
+    # r13: DROP TABLE is native DDL now — the dir is gone afterwards
+    spark.sql("DROP TABLE pa.db.w")
+    with pytest.raises(Exception):
+        sqlcat.get_table("db.w")
     # missing table/namespace resolve to the right errors
     with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
         spark.sql("SELECT * FROM pa.db.nope").collect()
@@ -218,3 +219,76 @@ def test_sql_insert_dynamic_bucket_raises(spark, sqlcat, customer):
     customer.createOrReplaceTempView("dyn_src")
     with pytest.raises(Exception, match="Table.write"):
         spark.sql("INSERT INTO pa.db.ins_dyn SELECT * FROM dyn_src")
+
+
+def test_sql_ddl_roundtrip(spark, sqlcat):
+    """CREATE NAMESPACE / CREATE TABLE (PK + partitioned) / INSERT /
+    ALTER ADD-RENAME-DROP COLUMN + SET TBLPROPERTIES / CTAS / RENAME /
+    DROP — all in pure spark.sql. The catalog writes the same schema-N
+    JSON the Python SchemaManager writes (the file format is the
+    contract), so the Python engine serves every read/write."""
+    spark.sql("CREATE NAMESPACE pa.ddl")
+    spark.sql("CREATE TABLE pa.ddl.t (id BIGINT, name STRING, region INT) "
+              "PARTITIONED BY (region) "
+              "TBLPROPERTIES ('primary-key'='region,id', 'bucket'='2')")
+    spark.sql("INSERT INTO pa.ddl.t VALUES (1,'a',10), (2,'b',20), "
+              "(1,'a2',10)")
+    assert spark.sql("SELECT count(*) n FROM pa.ddl.t").collect()[0].n == 2
+
+    # the python engine sees the identical schema contract
+    t = sqlcat.get_table("ddl.t")
+    assert t.schema.primary_keys == ["region", "id"]
+    assert t.schema.partition_keys == ["region"]
+    assert not t.schema.field_by_name("id").nullable
+    assert t.schema.core_options.bucket == 2
+
+    # evolution: add column -> old files null-fill, new files carry it
+    spark.sql("ALTER TABLE pa.ddl.t ADD COLUMN note STRING")
+    spark.sql("INSERT INTO pa.ddl.t VALUES (3,'c',10,'hi')")
+    got = {r.id: r.note
+           for r in spark.sql("SELECT id, note FROM pa.ddl.t").collect()}
+    assert got == {1: None, 2: None, 3: "hi"}
+    spark.sql("ALTER TABLE pa.ddl.t RENAME COLUMN note TO remark")
+    assert "remark" in sqlcat.get_table("ddl.t").schema.field_names()
+    spark.sql("ALTER TABLE pa.ddl.t DROP COLUMN remark")
+    assert "remark" not in sqlcat.get_table("ddl.t").schema.field_names()
+    spark.sql("ALTER TABLE pa.ddl.t SET TBLPROPERTIES "
+              "('snapshot.expire.limit'='7')")
+    assert sqlcat.get_table("ddl.t").schema.options[
+        "snapshot.expire.limit"] == "7"
+
+    # immutable options refuse (SchemaManager.checkAlterTableOption)
+    with pytest.raises(Exception, match="not supported"):
+        spark.sql("ALTER TABLE pa.ddl.t SET TBLPROPERTIES "
+                  "('merge-engine'='aggregation')")
+    # widening stays on the Python API
+    with pytest.raises(Exception, match="Python API"):
+        spark.sql("ALTER TABLE pa.ddl.t ALTER COLUMN region TYPE BIGINT")
+
+    spark.sql("CREATE TABLE pa.ddl.c AS SELECT id, name FROM pa.ddl.t")
+    assert spark.sql("SELECT count(*) n FROM pa.ddl.c").collect()[0].n == 3
+    spark.sql("ALTER TABLE pa.ddl.c RENAME TO pa.ddl.c2")
+    assert sorted(r.tableName for r in
+                  spark.sql("SHOW TABLES IN pa.ddl").collect()) == ["c2", "t"]
+    spark.sql("DROP TABLE pa.ddl.c2")
+    spark.sql("DROP NAMESPACE pa.ddl CASCADE")
+    assert "ddl" not in [r.namespace for r in
+                         spark.sql("SHOW NAMESPACES IN pa").collect()]
+
+
+def test_sql_create_table_validations(spark, sqlcat):
+    spark.sql("CREATE NAMESPACE pa.ddlv")
+    # pk == only partition key refused (table.py _validate parity)
+    with pytest.raises(Exception, match="partition key"):
+        spark.sql("CREATE TABLE pa.ddlv.bad (id BIGINT, v STRING) "
+                  "PARTITIONED BY (id) TBLPROPERTIES ('primary-key'='id')")
+    # merge-engine without pk refused
+    with pytest.raises(Exception, match="primary keys"):
+        spark.sql("CREATE TABLE pa.ddlv.bad2 (id BIGINT) "
+                  "TBLPROPERTIES ('merge-engine'='aggregation')")
+    # duplicate create refused, IF NOT EXISTS tolerated
+    spark.sql("CREATE TABLE pa.ddlv.ok (id BIGINT)")
+    with pytest.raises(Exception, match="already exists|TABLE_OR_VIEW"):
+        spark.sql("CREATE TABLE pa.ddlv.ok (id BIGINT)")
+    spark.sql("CREATE TABLE IF NOT EXISTS pa.ddlv.ok (id BIGINT)")
+    spark.sql("DROP NAMESPACE pa.ddlv CASCADE")
