@@ -58,8 +58,12 @@ def register(spark):
                    == "true")
     except Exception:
         enabled = False
-    spark.dataSource.register(PaimonDataSource if enabled
-                              else PaimonDataSourceNoPushdown)
+    try:
+        spark.dataSource.register(PaimonDataSource if enabled
+                                  else PaimonDataSourceNoPushdown)
+    except Exception as e:  # idempotent: newSession() shares the registry
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
 
 
 def _load_table(options):

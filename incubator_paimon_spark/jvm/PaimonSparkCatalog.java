@@ -71,11 +71,11 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         return name;
     }
 
-    private File dbDir(String db) {
+    File dbDir(String db) {
         return new File(warehouse, db + ".db");
     }
 
-    private File tableDir(Identifier ident) {
+    File tableDir(Identifier ident) {
         // `t$branch_<name>` resolves to the branch's own table dir
         // (branches are copy-on-write metadata forks living under
         // <table>/branch/<name> -- the reference's $branch_ SQL suffix)
@@ -90,7 +90,7 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         return new File(dbDir(ident.namespace()[0]), name);
     }
 
-    private static boolean isTableDir(File dir) {
+    static boolean isTableDir(File dir) {
         return new File(dir, "schema").isDirectory();
     }
 
@@ -141,7 +141,7 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                 String.valueOf(timestampMicros / 1000L));
     }
 
-    private Table loadWith(Identifier ident, String key, String value)
+    Table loadWith(Identifier ident, String key, String value)
             throws NoSuchTableException {
         if (ident.namespace().length != 1 || !isTableDir(tableDir(ident))) {
             throw new NoSuchTableException(ident);

@@ -34,9 +34,11 @@ import subprocess
 import tempfile
 
 CATALOG_CLASS = "org.apache.paimon.pyspark.PaimonSparkCatalog"
+GENERIC_CATALOG_CLASS = "org.apache.paimon.pyspark.PaimonSparkGenericCatalog"
 
-_SRC = os.path.join(os.path.dirname(__file__), "jvm",
-                    "PaimonSparkCatalog.java")
+_SRCS = [os.path.join(os.path.dirname(__file__), "jvm", n)
+         for n in ("PaimonSparkCatalog.java",
+                   "PaimonSparkGenericCatalog.java")]
 
 
 def _spark_jars_dir() -> str:
@@ -58,12 +60,14 @@ def _cache_dir() -> str:
 
 
 def ensure_jar() -> str:
-    """Compile the catalog class into a content-addressed cached jar
+    """Compile the catalog classes into a content-addressed cached jar
     (one javac run per source version per user). Raises RuntimeError
     when no JDK compiler is available."""
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.md5(src).hexdigest()[:12]
+    h = hashlib.md5()
+    for s in _SRCS:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:12]
     cache = os.path.join(_cache_dir(), f"paimon-pyspark-catalog-{tag}.jar")
     if os.path.exists(cache):
         return cache
@@ -71,13 +75,13 @@ def ensure_jar() -> str:
     if javac is None:
         raise RuntimeError(
             "the SQL catalog needs the JDK compiler (javac) to build its "
-            "one-class jar; none found on PATH. Use catalog.attach(spark) "
+            "two-class jar; none found on PATH. Use catalog.attach(spark) "
             "for the view-based SQL surface instead.")
     with tempfile.TemporaryDirectory(prefix="pmn_jvmcat_") as work:
         subprocess.run(
             [javac, "-encoding", "UTF-8",
              "-cp", os.path.join(_spark_jars_dir(), "*"),
-             "-d", work, _SRC],
+             "-d", work, *_SRCS],
             check=True, capture_output=True)
         tmp_jar = os.path.join(work, "catalog.jar")
         subprocess.run([shutil.which("jar") or "jar", "cf", tmp_jar, "org"],
@@ -104,3 +108,31 @@ def install_sql_catalog(spark, name: str, warehouse: str) -> str:
     spark.conf.set(f"spark.sql.catalog.{name}", CATALOG_CLASS)
     spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
     return name
+
+
+def install_generic_catalog(spark, warehouse: str):
+    """Make ``spark_catalog`` ITSELF Paimon-aware (the reference's
+    SparkGenericCatalog, ``SparkGenericCatalog.java:79``): identifiers
+    under `warehouse` serve through the Paimon engine, everything else
+    falls through to the built-in session catalog — one ``spark.sql``
+    can mix Paimon and plain tables with NO catalog prefix.
+
+    The session-catalog plugin is resolved when a session's
+    CatalogManager first touches ``spark_catalog``, so this RETURNS A
+    NEW SESSION (cloneSession of `spark`) with the confs set — the
+    caller's session keeps its stock session catalog. cloneSession, not
+    newSession: Spark's Python data source duplicate-check is global
+    while its lookup is session-local, so a fresh session could never
+    re-register format("paimon"); the clone inherits the registration
+    (DataSourceManager.clone) and a fresh CatalogManager that resolves
+    spark_catalog from the cloned conf."""
+    from pyspark.sql import SparkSession
+
+    from .datasource import register
+    register(spark)
+    jar = ensure_jar()
+    spark.sql(f"ADD JAR '{jar}'")
+    s = SparkSession(spark.sparkContext, spark._jsparkSession.cloneSession())
+    s.conf.set("spark.sql.catalog.spark_catalog", GENERIC_CATALOG_CLASS)
+    s.conf.set("spark.sql.catalog.spark_catalog.warehouse", warehouse)
+    return s

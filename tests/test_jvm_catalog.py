@@ -292,3 +292,64 @@ def test_sql_create_table_validations(spark, sqlcat):
         spark.sql("CREATE TABLE pa.ddlv.ok (id BIGINT)")
     spark.sql("CREATE TABLE IF NOT EXISTS pa.ddlv.ok (id BIGINT)")
     spark.sql("DROP NAMESPACE pa.ddlv CASCADE")
+
+
+def test_generic_session_catalog_mixes_paimon_and_plain(spark, customer):
+    """SparkGenericCatalog parity (SparkGenericCatalog.java:79): with
+    spark_catalog set to PaimonSparkGenericCatalog, one spark.sql joins
+    a Paimon PK table with a plain parquet table with NO catalog prefix;
+    CREATE TABLE ... USING paimon routes to the engine, everything else
+    to the built-in session catalog."""
+    import tempfile
+
+    from incubator_paimon_spark import Catalog
+    from incubator_paimon_spark.datasource import register
+    from incubator_paimon_spark.jvm_catalog import install_generic_catalog
+
+    wh = tempfile.mkdtemp(prefix="pmn_gen_wh_")
+    cat = Catalog(wh)
+    # install_generic_catalog returns a cloned session with
+    # spark_catalog swapped; the shared fixture session stays untouched
+    s = install_generic_catalog(spark, wh)
+    try:
+        s.sql("CREATE DATABASE IF NOT EXISTS mixdb")
+        # clear leftovers from a prior aborted run (managed-table
+        # locations survive a crashed session)
+        for t in ("np", "cust_pk", "plain_t"):
+            s.sql(f"DROP TABLE IF EXISTS mixdb.{t}")
+        import os
+        shutil.rmtree(os.path.join("spark-warehouse", "mixdb.db"),
+                      ignore_errors=True)
+        s.sql("CREATE TABLE mixdb.plain_t USING parquet AS "
+              "SELECT id AS c_custkey, id % 5 AS seg FROM range(0, 50)")
+
+        t = cat.create_table("mixdb.cust_pk", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+        t.write(spark, customer)
+
+        n = s.sql("SELECT count(*) n FROM mixdb.cust_pk c "
+                  "JOIN mixdb.plain_t p ON c.c_custkey = p.c_custkey"
+                  ).collect()[0].n
+        assert n == customer.filter("c_custkey < 50").count()
+
+        # paimon DDL + upsert through the unprefixed session catalog
+        s.sql("CREATE TABLE mixdb.np (id BIGINT, v STRING) USING paimon "
+              "TBLPROPERTIES ('primary-key'='id','bucket'='2')")
+        s.sql("INSERT INTO mixdb.np VALUES (1,'a'),(1,'b'),(2,'c')")
+        assert s.sql("SELECT count(*) n FROM mixdb.np").collect()[0].n == 2
+        assert "np" in cat.list_tables("mixdb")
+
+        # plain-table ops keep working through the delegate
+        s.sql("INSERT INTO mixdb.plain_t VALUES (999, 9)")
+        assert s.sql("SELECT count(*) n FROM mixdb.plain_t"
+                     ).collect()[0].n == 51
+        tabs = {r.tableName for r in
+                s.sql("SHOW TABLES IN mixdb").collect()}
+        assert {"plain_t", "cust_pk", "np"} <= tabs
+    finally:
+        s.sql("DROP TABLE IF EXISTS mixdb.np")
+        s.sql("DROP TABLE IF EXISTS mixdb.cust_pk")
+        s.sql("DROP TABLE IF EXISTS mixdb.plain_t")
+        s.sql("DROP DATABASE IF EXISTS mixdb CASCADE")
+        shutil.rmtree(wh, ignore_errors=True)
