@@ -266,6 +266,188 @@ def _dbapi_over_sqlite(warehouse, tag, flavor):
     return Certified(connect, uri=f"{flavor}+sqlite://{path}")
 
 
+# ----------------------------------------------------------------------
+# HMS certification rig (r13): a fake metastore SERVER implementing the
+# exact ThriftHiveMetastore.Client method surface HmsDialect calls
+# (create_database/get_database/.../alter_table/lock/unlock), atomically
+# per call like a real HMS (each verb is one metastore-DB transaction).
+# HmsDialect's thrift CALLS are thereby contract-certified in-sandbox; a
+# live HMS swaps only the client factory (same pattern as the MySQL/
+# Postgres dialects over a sqlite DB-API connection above).
+class _FakeHmsTypes:
+    """hive_metastore.ttypes stand-in with the exact struct shapes."""
+
+    class Database:
+        def __init__(self, name=None, parameters=None, **kw):
+            self.name, self.parameters = name, parameters or {}
+
+    class StorageDescriptor:
+        def __init__(self, **kw):
+            pass
+
+    class Table:
+        def __init__(self, tableName=None, dbName=None, parameters=None,
+                     sd=None, **kw):
+            self.tableName, self.dbName = tableName, dbName
+            self.parameters = parameters or {}
+            self.sd = sd
+
+    class LockComponent:
+        def __init__(self, type=None, level=None, dbname=None, **kw):
+            self.type, self.level, self.dbname = type, level, dbname
+
+    class LockRequest:
+        def __init__(self, component=None, user=None, hostname=None,
+                     agentInfo=None, **kw):
+            self.component = component or []
+            self.user, self.hostname = user, hostname
+            self.agentInfo = agentInfo
+
+    class UnlockRequest:
+        def __init__(self, lockid=None, **kw):
+            self.lockid = lockid
+
+    class LockResponse:
+        def __init__(self, lockid, state):
+            self.lockid, self.state = lockid, state
+
+    class LockState:
+        ACQUIRED, WAITING = 1, 2
+
+    class LockType:
+        EXCLUSIVE = 1
+
+    class LockLevel:
+        DB = 1
+
+
+class AlreadyExistsException(Exception):
+    pass
+
+
+class NoSuchObjectException(Exception):
+    pass
+
+
+class NoSuchLockException(Exception):
+    pass
+
+
+_HMS_STORES = {}
+
+
+class _FakeHmsClient:
+    def __init__(self, uri):
+        import threading as _t
+        self._s = _HMS_STORES.setdefault(uri, {
+            "guard": _t.RLock(),
+            "dbs": {},      # name -> parameters
+            "tables": {},   # (db, name) -> parameters
+            "locks": {},    # dbname -> (lockid, deadline)
+            "next_id": [1],
+        })
+
+    # --- databases ---
+    def create_database(self, db):
+        with self._s["guard"]:
+            if db.name in self._s["dbs"]:
+                raise AlreadyExistsException(db.name)
+            self._s["dbs"][db.name] = dict(db.parameters)
+
+    def get_all_databases(self):
+        with self._s["guard"]:
+            return list(self._s["dbs"])
+
+    def get_database(self, name):
+        with self._s["guard"]:
+            if name not in self._s["dbs"]:
+                raise NoSuchObjectException(name)
+            return _FakeHmsTypes.Database(
+                name=name, parameters=self._s["dbs"][name])
+
+    def drop_database(self, name, deleteData, cascade):
+        with self._s["guard"]:
+            if name not in self._s["dbs"]:
+                raise NoSuchObjectException(name)
+            del self._s["dbs"][name]
+            for k in [k for k in self._s["tables"] if k[0] == name]:
+                del self._s["tables"][k]
+
+    # --- tables ---
+    def create_table(self, tbl):
+        with self._s["guard"]:
+            if tbl.dbName not in self._s["dbs"]:
+                raise NoSuchObjectException(tbl.dbName)
+            key = (tbl.dbName, tbl.tableName)
+            if key in self._s["tables"]:
+                raise AlreadyExistsException(tbl.tableName)
+            self._s["tables"][key] = dict(tbl.parameters)
+
+    def drop_table(self, dbname, name, deleteData):
+        with self._s["guard"]:
+            if (dbname, name) not in self._s["tables"]:
+                raise NoSuchObjectException(name)
+            del self._s["tables"][(dbname, name)]
+
+    def get_tables(self, dbname, pattern):
+        with self._s["guard"]:
+            if dbname not in self._s["dbs"]:
+                raise NoSuchObjectException(dbname)
+            return [n for d, n in self._s["tables"] if d == dbname]
+
+    def get_table(self, dbname, name):
+        with self._s["guard"]:
+            if (dbname, name) not in self._s["tables"]:
+                raise NoSuchObjectException(name)
+            return _FakeHmsTypes.Table(tableName=name, dbName=dbname)
+
+    def alter_table(self, dbname, name, new):
+        with self._s["guard"]:
+            if (dbname, name) not in self._s["tables"]:
+                raise NoSuchObjectException(name)
+            dst = (new.dbName, new.tableName)
+            if dst in self._s["tables"]:
+                raise AlreadyExistsException(new.tableName)
+            self._s["tables"][dst] = self._s["tables"].pop((dbname, name))
+
+    # --- locks (server-side expiry, like hive.txn.timeout reaping) ---
+    def lock(self, rqst):
+        import time as _time
+        lease = 3600.0
+        if rqst.agentInfo and "paimon-lease-s=" in rqst.agentInfo:
+            lease = float(rqst.agentInfo.split("paimon-lease-s=")[1])
+        dbname = rqst.component[0].dbname
+        with self._s["guard"]:
+            now = _time.monotonic()
+            held = self._s["locks"].get(dbname)
+            if held is not None and held[1] < now:
+                held = None  # server reaped the expired holder
+                del self._s["locks"][dbname]
+            lid = self._s["next_id"][0]
+            self._s["next_id"][0] += 1
+            if held is not None:
+                return _FakeHmsTypes.LockResponse(
+                    lid, _FakeHmsTypes.LockState.WAITING)
+            self._s["locks"][dbname] = (lid, now + lease)
+            return _FakeHmsTypes.LockResponse(
+                lid, _FakeHmsTypes.LockState.ACQUIRED)
+
+    def unlock(self, rqst):
+        with self._s["guard"]:
+            for dbname, (lid, _dl) in list(self._s["locks"].items()):
+                if lid == rqst.lockid:
+                    del self._s["locks"][dbname]
+                    return
+        # waiting ids / already-reaped ids: no-op, like the real server
+        # raising NoSuchLockException which the dialect tolerates
+
+
+def _hms_dialect(warehouse, tag):
+    from incubator_paimon_spark.jdbc_catalog import HmsDialect
+    uri = f"hms://{warehouse}/{tag}"
+    return HmsDialect(lambda: _FakeHmsClient(uri), _FakeHmsTypes, uri=uri)
+
+
 def _dialects(warehouse, tag):
     from incubator_paimon_spark.jdbc_catalog import (InMemoryDialect,
                                                      SqliteDialect)
@@ -275,11 +457,12 @@ def _dialects(warehouse, tag):
         ("memory", lambda: InMemoryDialect(f"memory://{warehouse}/{tag}")),
         ("mysql", lambda: _dbapi_over_sqlite(warehouse, tag, "mysql")),
         ("pg", lambda: _dbapi_over_sqlite(warehouse, tag, "pg")),
+        ("hms", lambda: _hms_dialect(warehouse, tag)),
     ]
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3],
-                         ids=["sqlite", "memory", "mysql", "pg"])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4],
+                         ids=["sqlite", "memory", "mysql", "pg", "hms"])
 def test_dialect_thread_racing_create(warehouse, idx):
     """32 threads x 2 catalog connections race CREATE TABLE on one
     identifier: exactly one winner, everyone else gets the exists
@@ -306,8 +489,8 @@ def test_dialect_thread_racing_create(warehouse, idx):
     assert cats[0].list_tables("db") == [f"raced_{name}"]
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3],
-                         ids=["sqlite", "memory", "mysql", "pg"])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4],
+                         ids=["sqlite", "memory", "mysql", "pg", "hms"])
 def test_dialect_lock_contract(warehouse, idx):
     """Mutual exclusion + lease reap + fenced release hold for both
     dialect implementations of the AbstractDistributedLockDialect
@@ -329,8 +512,8 @@ def test_dialect_lock_contract(warehouse, idx):
     assert third._try_acquire()
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3],
-                         ids=["sqlite", "memory", "mysql", "pg"])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4],
+                         ids=["sqlite", "memory", "mysql", "pg", "hms"])
 def test_dialect_thread_racing_rename(warehouse, idx):
     """Two threads race the same rename: one wins, the loser sees the
     missing-source or existing-target error, and the final state is
