@@ -714,35 +714,15 @@ class _WroteFiles(WriterCommitMessage):
     buckets: list = None
 
 
-class PaimonBatchWriter(DataSourceArrowWriter):
-    """df.write.format("paimon") / SQL ``INSERT INTO`` for append tables
-    AND fixed-bucket tables (PK or bucket-keyed append).
+class _BucketedTaskWriter:
+    """Shared task-side machinery of the batch and streaming DataSource
+    writers: engine bucket per row (vectorized murmur replica of
+    write.bucket_expr), LSN/_VALUE_KIND system columns for PK tables,
+    one SORTED level-0 file per (partition, bucket), and the driver-side
+    ADD-entry construction + commit tail shared with Table.write."""
 
-    Append (bucket-unaware): each task groups its Arrow batches by the
-    partition columns and writes one parquet file per spec — no extra
-    shuffle imposed.
-
-    Fixed-bucket (``bucket`` > 0): the task computes the engine's bucket
-    per row (``pmod(murmur3(bucket_keys), n)`` — the vectorized replica of
-    ``write.bucket_expr``) and writes one SORTED file per (partition,
-    bucket); PK rows additionally get ``_VALUE_KIND``/``_SEQUENCE_NUMBER``
-    system columns (per-commit LSN base + ``task_id << 33 | row``, the
-    monotonically_increasing_id layout Table.write uses). When the write
-    arrives through the native SQL catalog, its BucketedWrite requests
-    clustering by the bucket keys with exactly ``n`` partitions, so each
-    task holds ONE complete bucket and emits one level-0 file — but the
-    per-row computation here is the correctness authority, so an
-    unshuffled df.write still buckets correctly (just into more files).
-
-    Dynamic-bucket PK tables (``bucket`` = -1) need the global index
-    assignment only Table.write runs — they raise toward it.
-    mode("overwrite") replaces the whole table in one OVERWRITE snapshot.
-    Reference surface: PaimonSparkWriter.scala:61-204 (bucket shuffle at
-    :322-325)."""
-
-    def __init__(self, options, overwrite: bool):
+    def _configure(self, options, verb: str):
         self.options = options
-        self.overwrite = overwrite
         t = _load_table(options)
         schema = t.schema
         opts = schema.core_options
@@ -751,18 +731,15 @@ class PaimonBatchWriter(DataSourceArrowWriter):
         self.bucket_keys = schema.bucket_keys()
         if self.is_pk and self.num_buckets == -1:
             raise ValueError(
-                "write.format('paimon') / SQL INSERT supports fixed-bucket "
-                "PK tables; dynamic-bucket (bucket=-1) needs the global "
-                "index assignment - use Table.write")
+                f"{verb} supports fixed-bucket PK tables; dynamic-bucket "
+                "(bucket=-1) needs the global index assignment - use "
+                "Table.write")
         self.key_types = [schema.field_by_name(k).type.simpleString()
                           for k in self.bucket_keys]
         self.sort_keys = schema.trimmed_primary_keys() if self.is_pk else []
-        latest = t.snapshots.latest()
-        self.seq_base = latest.next_sequence_number if latest else 0
         self.rowkind_field = opts.rowkind_field if self.is_pk else None
-        self.part_keys = list(t.schema.partition_keys)
+        self.part_keys = list(schema.partition_keys)
         self.table_path = t.path
-        self.staging = os.path.join(t.path, ".staging-batch")
 
     def _row_buckets(self, tbl):
         """Engine bucket id per row as a numpy int32 array."""
@@ -785,7 +762,9 @@ class PaimonBatchWriter(DataSourceArrowWriter):
             out[i] = h % self.num_buckets
         return out
 
-    def write(self, iterator):
+    def _stage_task(self, iterator, seq_base: int):
+        """Executor side: group the task's Arrow batches into one sorted
+        staged file per (partition spec, bucket)."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -801,6 +780,7 @@ class PaimonBatchWriter(DataSourceArrowWriter):
         bucketed = self.num_buckets > 0 and bool(self.bucket_keys)
         if self.is_pk:
             from pyspark import TaskContext
+
             from .types import ALL_KINDS
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
@@ -816,7 +796,9 @@ class PaimonBatchWriter(DataSourceArrowWriter):
                         f"{self.rowkind_field!r}")
             else:
                 kind = pa.array(["+I"] * n, pa.string())
-            seq = pa.array(self.seq_base + (pid << 33) + np.arange(n),
+            # commit LSN: per-commit base + (task << 33 | row) - the
+            # monotonically_increasing_id layout Table.write uses
+            seq = pa.array(seq_base + (pid << 33) + np.arange(n),
                            pa.int64())
             tbl = tbl.append_column(SEQUENCE_NUMBER, seq) \
                      .append_column(VALUE_KIND, kind)
@@ -856,7 +838,12 @@ class PaimonBatchWriter(DataSourceArrowWriter):
                      spec.get("__bucket", 0))
         return _WroteFiles(paths=paths, partitions=parts, buckets=bks)
 
-    def commit(self, messages):
+    def _commit_staged(self, messages, overwrite: bool,
+                       commit_identifier: int = -1):
+        """Driver side: footer stats -> ADD entries, bucket-layout guard,
+        bloom index, move into layout, then the commit tail shared with
+        Table.write (_finish_commit: overwrite retractions, changelog
+        producers, snapshot commit, post-commit hooks)."""
         import time as _t
 
         from pyspark.sql import SparkSession
@@ -870,10 +857,11 @@ class PaimonBatchWriter(DataSourceArrowWriter):
         schema = t.schema
         opts = schema.core_options
         latest = t.snapshots.latest()
+        seq_base = latest.next_sequence_number if latest else 0
         bucketed = self.num_buckets > 0 and bool(self.bucket_keys)
         adds = []
         now = int(_t.time() * 1000)
-        for i, m in enumerate(m2 for m2 in messages if m2 is not None):
+        for m in (m2 for m2 in messages if m2 is not None):
             n_paths = len(m.paths)
             for path, spec, bucket in zip(
                     m.paths, m.partitions or [{}] * n_paths,
@@ -900,11 +888,11 @@ class PaimonBatchWriter(DataSourceArrowWriter):
                     delete_row_count=delete_rows,
                     total_buckets=self.num_buckets if bucketed else None)))
         w = BatchTableWrite(t)
-        if bucketed and adds and not self.overwrite:
+        if bucketed and adds and not overwrite:
             try:
                 w._check_bucket_layout(adds, self.num_buckets, latest)
             except Exception:
-                self.abort(messages)
+                self.abort_paths(messages)
                 raise
         # the DSv2 commit runs on a separate driver thread where the
         # thread-local active session may be unset; getOrCreate returns
@@ -918,10 +906,12 @@ class PaimonBatchWriter(DataSourceArrowWriter):
         for e in adds:
             t.io.rename(e.staging_path,
                         os.path.join(t.path, e.file.file_name))
-        w._finish_commit(spark, schema, adds, latest, self.seq_base,
-                         overwrite=True if self.overwrite else None)
+        return w._finish_commit(
+            spark, schema, adds, latest, seq_base,
+            overwrite=True if overwrite else None,
+            commit_identifier=commit_identifier)
 
-    def abort(self, messages):
+    def abort_paths(self, messages):
         from .fileio import for_path
         for m in (m2 for m2 in messages if m2 is not None):
             for path in getattr(m, "paths", []):
@@ -931,71 +921,77 @@ class PaimonBatchWriter(DataSourceArrowWriter):
                     pass
 
 
-class PaimonStreamWriter(DataSourceStreamArrowWriter):
-    """writeStream.format("paimon") sink for append (bucket-unaware) tables.
+class PaimonBatchWriter(_BucketedTaskWriter, DataSourceArrowWriter):
+    """df.write.format("paimon") / SQL ``INSERT INTO`` for append tables
+    AND fixed-bucket tables (PK or bucket-keyed append).
 
-    Executors write parquet micro-batch files into a staging dir; commit()
-    moves them into the table layout and snapshots with commit_identifier =
-    batchId — replaying a batch after failure is a metadata no-op, the same
-    exactly-once contract as ExactlyOnceBatchSink / TableCommitImpl
-    filterAndCommit. PK tables need the bucket shuffle the writer API cannot
-    express — use streaming.write_stream (foreachBatch) for those.
-    """
+    Append (bucket-unaware): each task groups its Arrow batches by the
+    partition columns and writes one parquet file per spec - no extra
+    shuffle imposed.
+
+    Fixed-bucket (``bucket`` > 0): the task computes the engine's bucket
+    per row and writes one SORTED file per (partition, bucket); PK rows
+    additionally get ``_VALUE_KIND``/``_SEQUENCE_NUMBER`` system columns.
+    When the write arrives through the native SQL catalog, its
+    BucketedWrite requests clustering by the bucket keys with exactly
+    ``n`` partitions, so each task holds ONE complete bucket and emits
+    one level-0 file - but the per-row computation here is the
+    correctness authority, so an unshuffled df.write still buckets
+    correctly (just into more files).
+
+    Dynamic-bucket PK tables (``bucket`` = -1) need the global index
+    assignment only Table.write runs - they raise toward it.
+    mode("overwrite") replaces the whole table in one OVERWRITE snapshot.
+    Reference surface: PaimonSparkWriter.scala:61-204 (bucket shuffle at
+    :322-325)."""
+
+    def __init__(self, options, overwrite: bool):
+        self._configure(options, "write.format('paimon') / SQL INSERT")
+        self.overwrite = overwrite
+        latest = _load_table(options).snapshots.latest()
+        self.seq_base = latest.next_sequence_number if latest else 0
+        self.staging = os.path.join(self.table_path, ".staging-batch")
+
+    def write(self, iterator):
+        return self._stage_task(iterator, self.seq_base)
+
+    def commit(self, messages):
+        self._commit_staged(messages, overwrite=self.overwrite)
+
+    def abort(self, messages):
+        self.abort_paths(messages)
+
+
+class PaimonStreamWriter(_BucketedTaskWriter, DataSourceStreamArrowWriter):
+    """writeStream.format("paimon") sink - append tables (partitioned or
+    not, bucket-keyed or not) AND fixed-bucket PK tables (r13; dynamic
+    bucket still points at streaming.write_stream's foreachBatch, which
+    runs the global index assignment).
+
+    Executors stage one sorted parquet file per (partition, bucket) per
+    micro-batch task; commit() moves them into the table layout and
+    snapshots with commit_identifier = batchId - replaying a batch after
+    failure is a metadata no-op, the same exactly-once contract as
+    ExactlyOnceBatchSink / TableCommitImpl filterAndCommit. PK batches
+    read the LSN base from the latest snapshot inside the task (the
+    previous batch's commit is durable before the next batch plans), and
+    changelog producers run in the shared commit tail."""
 
     def __init__(self, options):
-        self.options = options
-        self.table_path = options.get("path")
-        t = _load_table(options)
-        if t.schema.primary_keys:
-            raise ValueError(
-                "writeStream.format('paimon') supports append tables; "
-                "PK tables need the bucket shuffle - use "
-                "incubator_paimon_spark.streaming.write_stream (foreachBatch)")
+        self._configure(options, "writeStream.format('paimon')")
         self.staging = os.path.join(self.table_path, ".staging-stream")
 
     def write(self, iterator):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from .fileio import for_path
-        from .metadata.util import new_uuid
-        io = for_path(self.staging)
-        batches = list(iterator)
-        if not batches:
-            return _WroteFiles(paths=[])
-        tbl = pa.Table.from_batches(batches)
-        path = os.path.join(self.staging, f"data-{new_uuid()}.parquet")
-        io.write_parquet(tbl, path)
-        return _WroteFiles(paths=[path])
+        seq_base = 0
+        if self.is_pk:
+            t = _load_table(self.options)
+            latest = t.snapshots.latest()
+            seq_base = latest.next_sequence_number if latest else 0
+        return self._stage_task(iterator, seq_base)
 
     def commit(self, messages, batch_id):
-        import time as _t
-        from .metadata.commit import CommitMessage
-        from .metadata.manifest import DataFileMeta, ManifestEntry
-        from .metadata.stats import collect_file_stats
-        from .types import ENTRY_ADD
-
-        t = _load_table(self.options)
-        schema = t.schema
-        adds = []
-        now = int(_t.time() * 1000)
-        for i, m in enumerate(m2 for m2 in messages if m2 is not None):
-            for path in m.paths:
-                st = collect_file_stats(path, schema.core_options.metadata_stats_mode)
-                rel = f"bucket-0/{os.path.basename(path)}"
-                dst = os.path.join(t.path, rel)
-                t.io.rename(path, dst)
-                adds.append(ManifestEntry(ENTRY_ADD, {}, 0, DataFileMeta(
-                    file_name=rel, file_size=t.io.size(dst),
-                    row_count=st["_row_count"], schema_id=schema.id,
-                    stats=st["cols"], creation_time_millis=now)))
-        t.commit.commit(CommitMessage(add=adds), schema_id=schema.id,
-                        commit_identifier=batch_id)
+        self._commit_staged(messages, overwrite=False,
+                            commit_identifier=batch_id)
 
     def abort(self, messages, batch_id):
-        from .fileio import for_path
-        for m in (m2 for m2 in messages if m2 is not None):
-            for path in getattr(m, "paths", []):
-                try:
-                    for_path(path).delete(path)
-                except OSError:
-                    pass
+        self.abort_paths(messages)

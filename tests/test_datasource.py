@@ -536,3 +536,78 @@ def test_batch_writer_bucketed_append_routing(spark, warehouse, customer):
     assert len({e.bucket for e in pruned.entries}) == 1
     got = t.read(spark).where("c_custkey = 17").count()
     assert got == customer.where("c_custkey = 17").count()
+
+
+def test_stream_writer_pk_upserts(spark, warehouse, customer):
+    """r13: writeStream.format('paimon') into a fixed-bucket PK table —
+    each micro-batch stages sorted per-bucket level-0 files, reads its
+    LSN base from the latest snapshot, and commits exactly-once with
+    commit_identifier = batchId; merge-on-read returns the upserted
+    state."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_spark import Catalog
+    from incubator_paimon_spark.datasource import register
+
+    register(spark)
+    cat = Catalog(warehouse)
+    src = customer.select("c_custkey", "c_name").limit(40)
+    t = cat.create_table("db.st_pk", src.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "2"})
+    t.write(spark, src)  # batch base: 40 keys
+
+    sdir = tempfile.mkdtemp(prefix="pmn_stw_src_")
+    chk = tempfile.mkdtemp(prefix="pmn_stw_chk_")
+    # stream an UPDATE for half the keys through the native sink
+    upd = src.filter("c_custkey % 2 = 0").withColumn("c_name",
+                                                     F.lit("STREAMED"))
+    upd.write.mode("overwrite").parquet(sdir)
+    q = (spark.readStream.schema(src.schema).parquet(sdir)
+         .writeStream.format("paimon").option("path", t.path)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = t.read(spark)
+    assert got.count() == 40  # upsert, not append
+    n_upd = got.filter("c_name = 'STREAMED'").count()
+    assert n_upd == src.filter("c_custkey % 2 = 0").count()
+    # per-bucket layout held
+    buckets = {e.bucket for e in t.new_scan().plan().entries}
+    assert buckets <= {0, 1}
+
+
+def test_stream_writer_partitioned_append_layout(spark, warehouse, orders):
+    """r13 fix: the native streaming sink previously committed every
+    file under bucket-0 with an EMPTY partition spec even on partitioned
+    tables; it now stages per (partition, bucket) so partition pruning
+    stays exact."""
+    import tempfile
+
+    from incubator_paimon_spark import Catalog, P
+    from incubator_paimon_spark.datasource import register
+
+    register(spark)
+    cat = Catalog(warehouse)
+    src = orders.select("o_orderkey", "o_orderstatus").limit(300)
+    t = cat.create_table("db.st_part", src.schema,
+                         partition_keys=["o_orderstatus"])
+    sdir = tempfile.mkdtemp(prefix="pmn_stp_src_")
+    chk = tempfile.mkdtemp(prefix="pmn_stp_chk_")
+    src.write.mode("overwrite").parquet(sdir)
+    q = (spark.readStream.schema(src.schema).parquet(sdir)
+         .writeStream.format("paimon").option("path", t.path)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert t.read(spark).count() == 300
+    pruned = t.new_scan().plan(P.eq("o_orderstatus", "F"))
+    assert pruned.entries and all(
+        e.partition == {"o_orderstatus": "F"} for e in pruned.entries)
+    exp = src.filter("o_orderstatus = 'F'").count()
+    assert t.read(spark).filter("o_orderstatus = 'F'").count() == exp
