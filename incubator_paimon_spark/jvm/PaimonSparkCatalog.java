@@ -141,10 +141,62 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                 String.valueOf(timestampMicros / 1000L));
     }
 
+    // loadTable cache keyed by (path, options, latest schema file id +
+    // mtime). Building the format("paimon") relation costs a Python
+    // planning process (~2 s), and one INSERT resolves its target
+    // several times during analysis -- without this, first-touch DML
+    // pays that cost per resolution. Snapshot progression needs no
+    // invalidation (the Python reader re-plans from the CURRENT
+    // snapshot inside each query's own worker); only SCHEMA changes
+    // matter, and they rotate the key (new schema-N id/mtime; DDL here
+    // also invalidates explicitly).
+    private static final java.util.concurrent.ConcurrentHashMap<String, Table>
+            TABLE_CACHE = new java.util.concurrent.ConcurrentHashMap<>();
+
+    private static String schemaStamp(File tableDir) {
+        File sd = new File(tableDir, "schema");
+        long bestId = -1;
+        File best = null;
+        File[] children = sd.listFiles();
+        if (children != null) {
+            for (File f : children) {
+                String n = f.getName();
+                if (n.startsWith("schema-") && !n.contains(".tmp-")) {
+                    try {
+                        long id = Long.parseLong(n.substring(7));
+                        if (id > bestId) {
+                            bestId = id;
+                            best = f;
+                        }
+                    } catch (NumberFormatException ignored) {
+                    }
+                }
+            }
+        }
+        return best == null ? "none"
+                : bestId + ":" + best.lastModified() + ":" + best.length();
+    }
+
+    private void uncache(Identifier ident) {
+        String prefix = tableDir(ident).getAbsolutePath() + "|";
+        TABLE_CACHE.keySet().removeIf(k -> k.startsWith(prefix));
+    }
+
+    @Override
+    public void invalidateTable(Identifier ident) {
+        uncache(ident);
+    }
+
     Table loadWith(Identifier ident, String key, String value)
             throws NoSuchTableException {
         if (ident.namespace().length != 1 || !isTableDir(tableDir(ident))) {
             throw new NoSuchTableException(ident);
+        }
+        String cacheKey = tableDir(ident).getAbsolutePath() + "|" + key
+                + "=" + value + "|" + schemaStamp(tableDir(ident));
+        Table cached = TABLE_CACHE.get(cacheKey);
+        if (cached != null) {
+            return cached;
         }
         java.util.HashMap<String, String> extra = new java.util.HashMap<>();
         extra.put("path", tableDir(ident).getAbsolutePath());
@@ -166,9 +218,11 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         while (leaves.hasNext()) {
             LogicalPlan leaf = leaves.next();
             if (leaf instanceof DataSourceV2Relation) {
-                return new OptionsTable(
+                Table t = new OptionsTable(
                         ((DataSourceV2Relation) leaf).table(), extra,
                         TableMeta.read(tableDir(ident)));
+                TABLE_CACHE.put(cacheKey, t);
+                return t;
             }
         }
         throw new IllegalStateException(
@@ -657,6 +711,7 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
             }
             File dir = tableDir(ident);
             dir.mkdirs();
+            uncache(ident); // a re-created identifier must not serve stale
             if (!commitSchema(dir, 0, schemaJson(
                     om, 0, fields, i - 1, partitionKeys, primaryKeys,
                     options, properties.get("comment")))) {
@@ -699,6 +754,7 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                         "schema-" + nextId + " already exists "
                                 + "(concurrent DDL) - retry");
             }
+            uncache(ident);
             return loadWith(ident, null, null);
         } catch (NoSuchTableException | UnsupportedOperationException
                 | IllegalArgumentException | IllegalStateException e) {
@@ -880,6 +936,7 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         if (ident.namespace().length != 1 || !isTableDir(dir)) {
             return false;
         }
+        uncache(ident);
         deleteRecursively(dir);
         return true;
     }
@@ -916,6 +973,8 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                     "target namespace does not exist: "
                             + String.join(".", newIdent.namespace()));
         }
+        uncache(oldIdent);
+        uncache(newIdent);
         if (!tableDir(oldIdent).renameTo(dst)) {
             throw new IllegalStateException(
                     "rename failed: " + oldIdent + " -> " + newIdent);

@@ -353,3 +353,25 @@ def test_generic_session_catalog_mixes_paimon_and_plain(spark, customer):
         s.sql("DROP TABLE IF EXISTS mixdb.plain_t")
         s.sql("DROP DATABASE IF EXISTS mixdb CASCADE")
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_sql_insert_pk_plan_shape(spark, sqlcat, customer):
+    """Plan pin for the catalog's BucketedWrite: INSERT INTO a
+    fixed-bucket PK table plans exactly ONE Exchange —
+    hashpartitioning(bucket_key, bucket) with REPARTITION_BY_NUM (Spark's
+    HashPartitioning IS the engine's pmod(murmur3, n) bucket function) —
+    plus a task-local Sort, and nothing else between scan and
+    AppendData."""
+    sqlcat.create_table("db.pin_pk", customer.schema,
+                        primary_keys=["c_custkey"],
+                        options={"bucket": "4"})
+    customer.createOrReplaceTempView("pin_src")
+    plan = spark.sql("EXPLAIN FORMATTED INSERT INTO pa.db.pin_pk "
+                     "SELECT * FROM pin_src").collect()[0][0]
+    assert "hashpartitioning(c_custkey" in plan and ", 4)" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("Exchange") >= 1
+    # one exchange only: the write requests clustering, nothing reshuffles
+    assert plan.split("(3) Exchange")[0].count("Exchange") <= 1
+    assert "Sort" in plan
+    assert "BucketedWrite" in plan
