@@ -849,6 +849,32 @@ class _BucketedTaskWriter:
                      spec.get("__bucket", 0))
         return _WroteFiles(paths=paths, partitions=parts, buckets=bks)
 
+    def _overwrite_mode(self, schema):
+        """(static_spec | True | None, dynamic: bool) from the write
+        options the catalog's PaimonWriteBuilder encoded:
+        `paimon.overwrite-spec` = hive-style URL-encoded `k=v/k=v` for
+        INSERT OVERWRITE ... PARTITION (k=v); `paimon.dynamic-overwrite`
+        for touched-partitions-only mode. A spec-less OVERWRITE of a
+        partitioned table follows the table's
+        `dynamic-partition-overwrite` option (default true — CoreOptions
+        parity, same rule catalog.sql applies)."""
+        from .write import partition_value_from_dir
+        if str(self.options.get("paimon.dynamic-overwrite", "")
+               ).lower() == "true":
+            return None, True
+        enc = self.options.get("paimon.overwrite-spec")
+        if enc:
+            spec = {}
+            for comp in enc.split("/"):
+                col = comp.split("=", 1)[0]
+                spec[col] = partition_value_from_dir(
+                    comp, schema.field_by_name(col).type)
+            return spec, False
+        if (self.part_keys
+                and schema.core_options.dynamic_partition_overwrite):
+            return None, True
+        return True, False
+
     def _commit_staged(self, messages, overwrite: bool,
                        commit_identifier: int = -1):
         """Driver side: footer stats -> ADD entries, bucket-layout guard,
@@ -923,9 +949,11 @@ class _BucketedTaskWriter:
         for e in adds:
             t.io.rename(e.staging_path,
                         os.path.join(t.path, e.file.file_name))
+        ow, dyn = self._overwrite_mode(schema) if overwrite else (None,
+                                                                  False)
         return w._finish_commit(
             spark, schema, adds, latest, seq_base,
-            overwrite=True if overwrite else None,
+            overwrite=ow, dynamic_overwrite=dyn,
             commit_identifier=commit_identifier)
 
     def abort_paths(self, messages):

@@ -141,15 +141,16 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                 String.valueOf(timestampMicros / 1000L));
     }
 
-    // loadTable cache keyed by (path, options, latest schema file id +
-    // mtime). Building the format("paimon") relation costs a Python
+    // loadTable cache keyed by (path, options, schema stamp, SNAPSHOT
+    // stamp). Building the format("paimon") relation costs a Python
     // planning process (~2 s), and one INSERT resolves its target
     // several times during analysis -- without this, first-touch DML
-    // pays that cost per resolution. Snapshot progression needs no
-    // invalidation (the Python reader re-plans from the CURRENT
-    // snapshot inside each query's own worker); only SCHEMA changes
-    // matter, and they rotate the key (new schema-N id/mtime; DDL here
-    // also invalidates explicitly).
+    // pays that cost per resolution. The snapshot stamp is load-bearing:
+    // Spark's python-source object memoizes its planned read, so a
+    // cached Table would keep serving the file list of the first query
+    // after a commit -- every commit (snapshot dir/LATEST hint mtime)
+    // rotates the key instead. Schema changes rotate it too (new
+    // schema-N id/mtime; DDL here also invalidates explicitly).
     private static final java.util.concurrent.ConcurrentHashMap<String, Table>
             TABLE_CACHE = new java.util.concurrent.ConcurrentHashMap<>();
 
@@ -177,6 +178,13 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                 : bestId + ":" + best.lastModified() + ":" + best.length();
     }
 
+    private static String snapshotStamp(File tableDir) {
+        File sd = new File(tableDir, "snapshot");
+        File hint = new File(sd, "LATEST");
+        return sd.lastModified() + ":" + hint.lastModified() + ":"
+                + hint.length();
+    }
+
     private void uncache(Identifier ident) {
         String prefix = tableDir(ident).getAbsolutePath() + "|";
         TABLE_CACHE.keySet().removeIf(k -> k.startsWith(prefix));
@@ -192,8 +200,12 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         if (ident.namespace().length != 1 || !isTableDir(tableDir(ident))) {
             throw new NoSuchTableException(ident);
         }
+        // key includes the SNAPSHOT stamp: the python source object
+        // caches its planned read, so a commit must rotate the key or
+        // repeated identical queries would serve the old file list
         String cacheKey = tableDir(ident).getAbsolutePath() + "|" + key
-                + "=" + value + "|" + schemaStamp(tableDir(ident));
+                + "=" + value + "|" + schemaStamp(tableDir(ident))
+                + "|" + snapshotStamp(tableDir(ident));
         Table cached = TABLE_CACHE.get(cacheKey);
         if (cached != null) {
             return cached;
@@ -242,12 +254,14 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         final int numBuckets;
         final String[] clusterKeys; // bucket-key cols (trimmed PK default)
         final String[] orderKeys;   // partition cols + trimmed PK cols
+        final String[] partitionKeys;
 
         private TableMeta(int numBuckets, String[] clusterKeys,
-                          String[] orderKeys) {
+                          String[] orderKeys, String[] partitionKeys) {
             this.numBuckets = numBuckets;
             this.clusterKeys = clusterKeys;
             this.orderKeys = orderKeys;
+            this.partitionKeys = partitionKeys;
         }
 
         static TableMeta read(File tableDir) {
@@ -299,7 +313,8 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                 order.addAll(trimmed);
                 return new TableMeta(bucket,
                         cluster.toArray(new String[0]),
-                        order.toArray(new String[0]));
+                        order.toArray(new String[0]),
+                        parts.toArray(new String[0]));
             } catch (Exception e) {
                 return null; // unreadable schema: no distribution request
             }
@@ -354,12 +369,33 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         @Override
         public java.util.Set<org.apache.spark.sql.connector.catalog.TableCapability>
                 capabilities() {
-            return inner.capabilities();
+            // the python source reports BATCH_READ/WRITE + TRUNCATE;
+            // this wrapper adds the overwrite modes its write builder
+            // implements (static PARTITION spec + dynamic)
+            java.util.HashSet<org.apache.spark.sql.connector.catalog.TableCapability>
+                    caps = new java.util.HashSet<>(inner.capabilities());
+            caps.add(org.apache.spark.sql.connector.catalog
+                    .TableCapability.OVERWRITE_BY_FILTER);
+            caps.add(org.apache.spark.sql.connector.catalog
+                    .TableCapability.OVERWRITE_DYNAMIC);
+            return caps;
         }
 
         @Override
         public Transform[] partitioning() {
-            return inner.partitioning();
+            // the Python DataSource API has no transform surface, so the
+            // inner table reports none; surface the schema's partition
+            // keys as identity transforms (PARTITION-clause validation,
+            // DESCRIBE, and Spark's overwrite modes all consult this)
+            if (meta == null || meta.partitionKeys.length == 0) {
+                return inner.partitioning();
+            }
+            Transform[] out = new Transform[meta.partitionKeys.length];
+            for (int i = 0; i < meta.partitionKeys.length; i++) {
+                out[i] = org.apache.spark.sql.connector.expressions
+                        .Expressions.identity(meta.partitionKeys[i]);
+            }
+            return out;
         }
 
         @Override
@@ -377,7 +413,140 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         @Override
         public org.apache.spark.sql.connector.write.WriteBuilder newWriteBuilder(
                 org.apache.spark.sql.connector.write.LogicalWriteInfo info) {
-            final CaseInsensitiveStringMap opts = merged(info.options());
+            return new PaimonWriteBuilder(
+                    (org.apache.spark.sql.connector.catalog.SupportsWrite)
+                            inner,
+                    info, extra, meta);
+        }
+    }
+
+    /**
+     * One write builder for every table shape. Builds the Python
+     * source's write lazily at build() time so overwrite modes can add
+     * options the Python writer reads:
+     * - SupportsTruncate: whole-table INSERT OVERWRITE
+     * - SupportsOverwrite: `INSERT OVERWRITE ... PARTITION (k=v)` --
+     *   the static spec (EqualTo filters on partition columns) rides in
+     *   option `paimon.overwrite-spec` as a hive-style URL-encoded
+     *   `k=v/k=v` string the Python commit decodes with the table's
+     *   column types
+     * - SupportsDynamicOverwrite: touched-partitions-only overwrite via
+     *   option `paimon.dynamic-overwrite`
+     * Fixed-bucket tables additionally get the BucketedWrite
+     * distribution: clustering by the bucket-key columns with EXACTLY
+     * numBuckets partitions -- Spark plans the shuffle as
+     * pmod(murmur3(keys), numBuckets), the engine's own bucket function
+     * (write.bucket_expr), so each writer task receives one complete
+     * bucket; same net layout as the reference's explicit
+     * repartition(partitionCols, bucket)
+     * (PaimonSparkWriter.scala:322-325).
+     */
+    private static final class PaimonWriteBuilder
+            implements org.apache.spark.sql.connector.write.WriteBuilder,
+                    org.apache.spark.sql.connector.write.SupportsTruncate,
+                    org.apache.spark.sql.connector.write.SupportsOverwrite,
+                    org.apache.spark.sql.connector.write
+                            .SupportsDynamicOverwrite {
+
+        private final org.apache.spark.sql.connector.catalog.SupportsWrite
+                table;
+        private final org.apache.spark.sql.connector.write.LogicalWriteInfo
+                info;
+        private final Map<String, String> extra;
+        private final TableMeta meta;
+        private final java.util.HashMap<String, String> writeOpts =
+                new java.util.HashMap<>();
+        private boolean truncate;
+
+        PaimonWriteBuilder(
+                org.apache.spark.sql.connector.catalog.SupportsWrite table,
+                org.apache.spark.sql.connector.write.LogicalWriteInfo info,
+                Map<String, String> extra, TableMeta meta) {
+            this.table = table;
+            this.info = info;
+            this.extra = extra;
+            this.meta = meta;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.WriteBuilder truncate() {
+            truncate = true;
+            return this;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.WriteBuilder overwrite(
+                org.apache.spark.sql.sources.Filter[] filters) {
+            StringBuilder spec = new StringBuilder();
+            java.util.Set<String> parts = new java.util.HashSet<>(
+                    java.util.Arrays.asList(
+                            meta == null ? new String[0]
+                                    : meta.partitionKeys));
+            for (org.apache.spark.sql.sources.Filter f : filters) {
+                if (f instanceof org.apache.spark.sql.sources.AlwaysTrue) {
+                    continue;
+                }
+                String col;
+                Object value;
+                if (f instanceof org.apache.spark.sql.sources.EqualTo) {
+                    org.apache.spark.sql.sources.EqualTo eq =
+                            (org.apache.spark.sql.sources.EqualTo) f;
+                    col = eq.attribute();
+                    value = eq.value();
+                } else if (f instanceof
+                        org.apache.spark.sql.sources.EqualNullSafe) {
+                    org.apache.spark.sql.sources.EqualNullSafe eq =
+                            (org.apache.spark.sql.sources.EqualNullSafe) f;
+                    col = eq.attribute();
+                    value = eq.value();
+                } else {
+                    throw new UnsupportedOperationException(
+                            "INSERT OVERWRITE supports a static partition "
+                                    + "spec (col = value) or the full "
+                                    + "table, got filter " + f);
+                }
+                if (!parts.contains(col)) {
+                    throw new UnsupportedOperationException(
+                            "overwrite filter on non-partition column "
+                                    + col);
+                }
+                if (spec.length() > 0) {
+                    spec.append('/');
+                }
+                String enc;
+                try {
+                    enc = value == null ? "__HIVE_DEFAULT_PARTITION__"
+                            : java.net.URLEncoder.encode(
+                                    String.valueOf(value), "UTF-8")
+                                    .replace("+", "%20");
+                } catch (java.io.UnsupportedEncodingException e) {
+                    throw new RuntimeException(e);
+                }
+                spec.append(col).append('=').append(enc);
+            }
+            if (spec.length() > 0) {
+                writeOpts.put("paimon.overwrite-spec", spec.toString());
+            }
+            truncate = true;
+            return this;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.WriteBuilder
+                overwriteDynamicPartitions() {
+            writeOpts.put("paimon.dynamic-overwrite", "true");
+            truncate = true;
+            return this;
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.Write build() {
+            java.util.HashMap<String, String> m = new java.util.HashMap<>(
+                    info.options().asCaseSensitiveMap());
+            m.putAll(extra);
+            m.putAll(writeOpts);
+            final CaseInsensitiveStringMap opts =
+                    new CaseInsensitiveStringMap(m);
             org.apache.spark.sql.connector.write.LogicalWriteInfo pinned =
                     new org.apache.spark.sql.connector.write.LogicalWriteInfo() {
                         @Override
@@ -396,51 +565,17 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                         }
                     };
             org.apache.spark.sql.connector.write.WriteBuilder wb =
-                    ((org.apache.spark.sql.connector.catalog.SupportsWrite) inner)
-                            .newWriteBuilder(pinned);
+                    table.newWriteBuilder(pinned);
+            if (truncate) {
+                wb = ((org.apache.spark.sql.connector.write.SupportsTruncate)
+                        wb).truncate();
+            }
+            org.apache.spark.sql.connector.write.Write w = wb.build();
             if (meta != null && meta.numBuckets > 0
                     && meta.clusterKeys.length > 0) {
-                // fixed-bucket table: request clustering by the bucket-key
-                // columns with EXACTLY numBuckets partitions. Spark plans
-                // the shuffle as pmod(murmur3(keys), numBuckets) -- the
-                // engine's own bucket function (write.bucket_expr) -- so
-                // each writer task receives one complete bucket and the
-                // Python writer emits one level-0 file per bucket. Same
-                // net layout as the reference's explicit
-                // repartition(partitionCols, bucket)
-                // (PaimonSparkWriter.scala:322-325).
-                return new BucketedWriteBuilder(wb, meta);
+                return new BucketedWrite(w, meta);
             }
-            return wb;
-        }
-    }
-
-    private static final class BucketedWriteBuilder
-            implements org.apache.spark.sql.connector.write.WriteBuilder,
-                    org.apache.spark.sql.connector.write.SupportsTruncate {
-
-        private org.apache.spark.sql.connector.write.WriteBuilder inner;
-        private final TableMeta meta;
-
-        BucketedWriteBuilder(
-                org.apache.spark.sql.connector.write.WriteBuilder inner,
-                TableMeta meta) {
-            this.inner = inner;
-            this.meta = meta;
-        }
-
-        @Override
-        public org.apache.spark.sql.connector.write.WriteBuilder truncate() {
-            // mirror PythonWriteBuilder's own surface (WriteBuilder +
-            // SupportsTruncate): INSERT OVERWRITE flows through here
-            inner = ((org.apache.spark.sql.connector.write.SupportsTruncate)
-                    inner).truncate();
-            return this;
-        }
-
-        @Override
-        public org.apache.spark.sql.connector.write.Write build() {
-            return new BucketedWrite(inner.build(), meta);
+            return w;
         }
     }
 

@@ -256,14 +256,25 @@ def test_batch_write_format_paimon(spark, catalog, orders):
     pruned = t2.new_scan().plan(P.eq("dt", d))
     assert 0 < len(pruned.entries) < len(t2.new_scan().plan().entries)
 
-    # overwrite replaces everything in one OVERWRITE snapshot
-    small = o.filter("o_orderkey % 10 = 0")
+    # r13 (CoreOptions parity, same rule catalog.sql applies): a
+    # spec-less OVERWRITE of a PARTITIONED table is DYNAMIC by default —
+    # only the partitions present in the new data are replaced
+    one_dt = o.select("dt").distinct().orderBy("dt").limit(1) \
+              .collect()[0][0]
+    small = o.filter(F.col("dt") == one_dt).filter("o_orderkey % 10 = 0")
     small.write.format("paimon").mode("overwrite").save(t.path)
     t3 = catalog.get_table("db.dswr")
-    assert t3.read(spark).count() == small.count()
+    exp = small.count() + o.filter(F.col("dt") != one_dt).count()
+    assert t3.read(spark).count() == exp
     assert t3.snapshots.latest().commit_kind == "OVERWRITE"
 
-    # PK table rejected toward Table.write
+    # dynamic-partition-overwrite=false restores whole-table replacement
+    t3.schemas.update_options({"dynamic-partition-overwrite": "false"})
+    small.write.format("paimon").mode("overwrite").save(t.path)
+    t4 = catalog.get_table("db.dswr")
+    assert t4.read(spark).count() == small.count()
+
+    # dynamic-bucket PK table rejected toward Table.write
     pk = catalog.create_table("db.dswrpk", orders.schema,
                               primary_keys=["o_orderkey"])
     with pytest.raises(Exception, match="Table.write"):

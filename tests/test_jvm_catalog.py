@@ -375,3 +375,47 @@ def test_sql_insert_pk_plan_shape(spark, sqlcat, customer):
     assert plan.split("(3) Exchange")[0].count("Exchange") <= 1
     assert "Sort" in plan
     assert "BucketedWrite" in plan
+
+
+def test_sql_insert_overwrite_partition_modes(spark, sqlcat, orders):
+    """r13: the catalog's write builder implements SupportsOverwrite /
+    SupportsDynamicOverwrite — `INSERT OVERWRITE ... PARTITION (k=v)`
+    replaces exactly that partition (spec rides in the write options,
+    decoded with the table's column types), and a spec-less OVERWRITE of
+    a partitioned table is DYNAMIC by default (CoreOptions parity)."""
+    t = sqlcat.create_table("db.owp", orders.schema,
+                            partition_keys=["o_orderstatus"])
+    orders.createOrReplaceTempView("ow_src")
+    cols = ", ".join(orders.columns)
+    data_cols = ", ".join(c for c in orders.columns
+                          if c != "o_orderstatus")
+    spark.sql(f"INSERT INTO pa.db.owp SELECT {cols} FROM ow_src")
+    by = lambda: {r.s: r.n for r in spark.sql(
+        "SELECT o_orderstatus s, count(*) n FROM pa.db.owp GROUP BY 1"
+    ).collect()}
+    t0 = by()
+
+    spark.sql(f"INSERT OVERWRITE pa.db.owp PARTITION (o_orderstatus='F') "
+              f"SELECT {data_cols} FROM ow_src "
+              "WHERE o_orderstatus = 'F' LIMIT 5")
+    t1 = by()
+    assert t1["F"] == 5 and t1["O"] == t0["O"] and t1["P"] == t0["P"]
+
+    spark.sql(f"INSERT OVERWRITE pa.db.owp SELECT {cols} FROM ow_src "
+              "WHERE o_orderstatus = 'O' LIMIT 7")
+    t2 = by()
+    assert t2 == {"F": 5, "O": 7, "P": t0["P"]}, t2
+
+
+def test_sql_catalog_reads_track_commits(spark, sqlcat, customer):
+    """Freshness pin for the loadTable cache: repeated IDENTICAL SQL
+    must reflect every commit (the cache key carries the snapshot stamp
+    because Spark's python-source object memoizes its planned read)."""
+    t = sqlcat.create_table("db.fresh", customer.select("c_custkey").schema)
+    q = "SELECT count(*) n FROM pa.db.fresh"
+    t.write(spark, customer.select("c_custkey").limit(10))
+    assert spark.sql(q).collect()[0].n == 10
+    t.write(spark, customer.select("c_custkey").limit(5))
+    assert spark.sql(q).collect()[0].n == 15
+    spark.sql("INSERT INTO pa.db.fresh VALUES (999999)")
+    assert spark.sql(q).collect()[0].n == 16
