@@ -255,13 +255,21 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
         final String[] clusterKeys; // bucket-key cols (trimmed PK default)
         final String[] orderKeys;   // partition cols + trimmed PK cols
         final String[] partitionKeys;
+        final java.util.LinkedHashMap<String, String> options;
+        final String comment;
+        final String primaryKeys; // comma-joined, "" when none
 
         private TableMeta(int numBuckets, String[] clusterKeys,
-                          String[] orderKeys, String[] partitionKeys) {
+                          String[] orderKeys, String[] partitionKeys,
+                          java.util.LinkedHashMap<String, String> options,
+                          String comment, String primaryKeys) {
             this.numBuckets = numBuckets;
             this.clusterKeys = clusterKeys;
             this.orderKeys = orderKeys;
             this.partitionKeys = partitionKeys;
+            this.options = options;
+            this.comment = comment;
+            this.primaryKeys = primaryKeys;
         }
 
         static TableMeta read(File tableDir) {
@@ -311,10 +319,20 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
                 }
                 List<String> order = new ArrayList<>(parts);
                 order.addAll(trimmed);
+                java.util.LinkedHashMap<String, String> optMap =
+                        new java.util.LinkedHashMap<>();
+                java.util.Iterator<String> it = opts.fieldNames();
+                while (it.hasNext()) {
+                    String k = it.next();
+                    optMap.put(k, opts.path(k).asText());
+                }
+                String comment = node.path("comment").isNull() ? null
+                        : node.path("comment").asText(null);
                 return new TableMeta(bucket,
                         cluster.toArray(new String[0]),
                         order.toArray(new String[0]),
-                        parts.toArray(new String[0]));
+                        parts.toArray(new String[0]),
+                        optMap, comment, String.join(",", pks));
             } catch (Exception e) {
                 return null; // unreadable schema: no distribution request
             }
@@ -400,7 +418,22 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
 
         @Override
         public Map<String, String> properties() {
-            return inner.properties();
+            // DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface: the
+            // table's own options + primary key + comment (the python
+            // source exposes none)
+            java.util.LinkedHashMap<String, String> props =
+                    new java.util.LinkedHashMap<>(inner.properties());
+            if (meta != null) {
+                props.putAll(meta.options);
+                if (!meta.primaryKeys.isEmpty()) {
+                    props.put("primary-key", meta.primaryKeys);
+                }
+                if (meta.comment != null) {
+                    props.put(TableCatalog.PROP_COMMENT, meta.comment);
+                }
+                props.put(TableCatalog.PROP_PROVIDER, "paimon");
+            }
+            return props;
         }
 
         @Override
