@@ -51,7 +51,9 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation;
 import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
-public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
+public class PaimonSparkCatalog
+        implements TableCatalog, SupportsNamespaces,
+                org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
     private String name;
     private String warehouse;
@@ -1152,6 +1154,126 @@ public class PaimonSparkCatalog implements TableCatalog, SupportsNamespaces {
     private boolean dstNamespaceExists(Identifier ident) {
         return ident.namespace().length == 1
                 && dbDir(ident.namespace()[0]).isDirectory();
+    }
+
+    // ------------------------------------------------------------------
+    // staged DDL (StagingTableCatalog): enables CREATE OR REPLACE TABLE
+    // ... AS SELECT, df.writeTo(t).createOrReplace(), and
+    // saveAsTable(mode="overwrite"). Non-atomic like Spark's own
+    // non-staging CTAS exec (and like the reference's SparkCatalog,
+    // which does not implement staging at all): create/replace happens
+    // at stage time, commit is a no-op, abort drops the staged table.
+    // A REPLACE whose write later fails therefore leaves the new empty
+    // table rather than restoring the old one -- the documented
+    // non-atomic tradeoff of a filesystem catalog.
+    @Override
+    public org.apache.spark.sql.connector.catalog.StagedTable stageCreate(
+            Identifier ident, StructType schema, Transform[] partitions,
+            Map<String, String> properties)
+            throws TableAlreadyExistsException, NoSuchNamespaceException {
+        return new NonAtomicStaged(
+                createTable(ident, schema, partitions, properties),
+                this, ident);
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.catalog.StagedTable stageReplace(
+            Identifier ident, StructType schema, Transform[] partitions,
+            Map<String, String> properties)
+            throws NoSuchNamespaceException, NoSuchTableException {
+        if (!tableExists(ident)) {
+            throw new NoSuchTableException(ident);
+        }
+        dropTable(ident);
+        try {
+            return stageCreate(ident, schema, partitions, properties);
+        } catch (TableAlreadyExistsException e) {
+            throw new IllegalStateException(e); // just dropped it
+        }
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.catalog.StagedTable
+            stageCreateOrReplace(
+                    Identifier ident, StructType schema,
+                    Transform[] partitions, Map<String, String> properties)
+            throws NoSuchNamespaceException {
+        if (tableExists(ident)) {
+            dropTable(ident);
+        }
+        try {
+            return stageCreate(ident, schema, partitions, properties);
+        } catch (TableAlreadyExistsException e) {
+            throw new IllegalStateException(e);
+        }
+    }
+
+    private static final class NonAtomicStaged
+            implements org.apache.spark.sql.connector.catalog.StagedTable,
+                    org.apache.spark.sql.connector.catalog.SupportsRead,
+                    org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+        private final Table inner; // the freshly created OptionsTable
+        private final PaimonSparkCatalog catalog;
+        private final Identifier ident;
+
+        NonAtomicStaged(Table inner, PaimonSparkCatalog catalog,
+                        Identifier ident) {
+            this.inner = inner;
+            this.catalog = catalog;
+            this.ident = ident;
+        }
+
+        @Override
+        public void commitStagedChanges() {
+            // the table exists and its data write already committed
+        }
+
+        @Override
+        public void abortStagedChanges() {
+            catalog.dropTable(ident);
+        }
+
+        @Override
+        public String name() {
+            return inner.name();
+        }
+
+        @Override
+        @SuppressWarnings("deprecation")
+        public StructType schema() {
+            return inner.schema();
+        }
+
+        @Override
+        public java.util.Set<org.apache.spark.sql.connector.catalog.TableCapability>
+                capabilities() {
+            return inner.capabilities();
+        }
+
+        @Override
+        public Transform[] partitioning() {
+            return inner.partitioning();
+        }
+
+        @Override
+        public Map<String, String> properties() {
+            return inner.properties();
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.read.ScanBuilder newScanBuilder(
+                CaseInsensitiveStringMap options) {
+            return ((org.apache.spark.sql.connector.catalog.SupportsRead)
+                    inner).newScanBuilder(options);
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.WriteBuilder newWriteBuilder(
+                org.apache.spark.sql.connector.write.LogicalWriteInfo info) {
+            return ((org.apache.spark.sql.connector.catalog.SupportsWrite)
+                    inner).newWriteBuilder(info);
+        }
     }
 
     // ------------------------------------------------------------------

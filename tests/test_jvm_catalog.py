@@ -419,3 +419,42 @@ def test_sql_catalog_reads_track_commits(spark, sqlcat, customer):
     assert spark.sql(q).collect()[0].n == 15
     spark.sql("INSERT INTO pa.db.fresh VALUES (999999)")
     assert spark.sql(q).collect()[0].n == 16
+
+
+def test_sql_create_or_replace_and_save_as_table(spark, sqlcat, customer):
+    """r13 StagingTableCatalog: CREATE OR REPLACE TABLE ... AS SELECT,
+    df.writeTo(...).createOrReplace(), and saveAsTable(mode='overwrite')
+    all work on the named catalog (non-atomic staging — create/replace
+    at stage time, abort drops; the reference's SparkCatalog implements
+    no staging at all)."""
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pa.stg")
+    customer.createOrReplaceTempView("stg_src")
+
+    spark.sql("CREATE OR REPLACE TABLE pa.stg.cr AS "
+              "SELECT c_custkey, c_name FROM stg_src")
+    assert spark.sql("SELECT count(*) n FROM pa.stg.cr"
+                     ).collect()[0].n == customer.count()
+    spark.sql("CREATE OR REPLACE TABLE pa.stg.cr AS "
+              "SELECT c_custkey FROM stg_src WHERE c_custkey < 10")
+    assert spark.sql("SELECT count(*) n FROM pa.stg.cr"
+                     ).collect()[0].n == customer.filter(
+                         "c_custkey < 10").count()
+    assert sqlcat.get_table("stg.cr").schema.field_names() == ["c_custkey"]
+
+    customer.select("c_custkey").writeTo("pa.stg.wt").createOrReplace()
+    customer.select("c_custkey").limit(3).writeTo("pa.stg.wt") \
+        .createOrReplace()
+    assert spark.sql("SELECT count(*) n FROM pa.stg.wt").collect()[0].n == 3
+
+    (customer.select("c_custkey", "c_name").write.format("paimon")
+     .mode("overwrite").saveAsTable("pa.stg.sat"))
+    (customer.select("c_custkey", "c_name").limit(7).write.format("paimon")
+     .mode("overwrite").saveAsTable("pa.stg.sat"))
+    assert spark.sql("SELECT count(*) n FROM pa.stg.sat").collect()[0].n == 7
+
+    # RTAS carries TBLPROPERTIES: a PK table via CREATE OR REPLACE
+    spark.sql("CREATE OR REPLACE TABLE pa.stg.pkr "
+              "TBLPROPERTIES ('primary-key'='c_custkey','bucket'='2') AS "
+              "SELECT c_custkey, c_name FROM stg_src")
+    assert sqlcat.get_table("stg.pkr").schema.primary_keys == ["c_custkey"]
+    spark.sql("DROP NAMESPACE pa.stg CASCADE")
