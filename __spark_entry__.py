@@ -1005,6 +1005,20 @@ def q_lineage_rows(spark, sf_dir):
 _SQL_CAT: dict = {}
 
 
+def _sql_cat(spark, wh: str) -> str:
+    """One SQL catalog per fixture WAREHOUSE, named by a stable digest:
+    Spark's CatalogManager caches plugin instances by name for the
+    session's lifetime, so a fixed name would pin whichever warehouse
+    was installed first if one session ever serves two sf_dirs."""
+    if wh not in _SQL_CAT:
+        import hashlib
+
+        from incubator_paimon_spark.jvm_catalog import install_sql_catalog
+        name = "pmn_cat_" + hashlib.md5(wh.encode()).hexdigest()[:8]
+        _SQL_CAT[wh] = install_sql_catalog(spark, name, wh)
+    return _SQL_CAT[wh]
+
+
 def q_sql_catalog_read(spark, sf_dir):
     """The native Spark SQL catalog (r12, jvm_catalog.py): plain
     `spark.sql("... FROM <cat>.fx.customer_pk")` — no attach()/view
@@ -1012,14 +1026,11 @@ def q_sql_catalog_read(spark, sf_dir):
     the Python DataSource engine, hash-checked against the same merged
     PK state pk_upsert gates."""
     fx = _fixtures(spark, sf_dir)
-    wh = fx["cat"].warehouse
-    if wh not in _SQL_CAT:
-        from incubator_paimon_spark.jvm_catalog import install_sql_catalog
-        _SQL_CAT[wh] = install_sql_catalog(spark, "pmn_entry_cat", wh)
+    cat = _sql_cat(spark, fx["cat"].warehouse)
     return spark.sql(
         "SELECT c_custkey, c_name, c_nationkey, "
         "round(c_acctbal, 2) AS c_acctbal, c_mktsegment "
-        "FROM pmn_entry_cat.fx.customer_pk")
+        f"FROM {cat}.fx.customer_pk")
 
 
 _SQL_INSERTED: set = set()
@@ -1038,9 +1049,7 @@ def q_sql_insert_pk(spark, sf_dir):
     read back through plain SQL must hash-match pk_upsert's oracle."""
     fx = _fixtures(spark, sf_dir)
     wh = fx["cat"].warehouse
-    if wh not in _SQL_CAT:
-        from incubator_paimon_spark.jvm_catalog import install_sql_catalog
-        _SQL_CAT[wh] = install_sql_catalog(spark, "pmn_entry_cat", wh)
+    cat = _sql_cat(spark, wh)
     if wh not in _SQL_INSERTED:
         customer = _t(spark, sf_dir, "customer")
         fx["cat"].create_table("fx.customer_sqlins", customer.schema,
@@ -1048,17 +1057,17 @@ def q_sql_insert_pk(spark, sf_dir):
                                options={"bucket": "4"})
         customer.withColumn("c_acctbal", F.lit(-1.0)) \
             .createOrReplaceTempView("sqlins_base")
-        spark.sql("INSERT INTO pmn_entry_cat.fx.customer_sqlins "
+        spark.sql(f"INSERT INTO {cat}.fx.customer_sqlins "
                   "SELECT * FROM sqlins_base")
         customer.filter(F.col("c_custkey") % 3 == 0) \
             .createOrReplaceTempView("sqlins_upd")
-        spark.sql("INSERT INTO pmn_entry_cat.fx.customer_sqlins "
+        spark.sql(f"INSERT INTO {cat}.fx.customer_sqlins "
                   "SELECT * FROM sqlins_upd")
         _SQL_INSERTED.add(wh)
     return spark.sql(
         "SELECT c_custkey, c_name, c_nationkey, "
         "round(c_acctbal, 2) AS c_acctbal, c_mktsegment "
-        "FROM pmn_entry_cat.fx.customer_sqlins")
+        f"FROM {cat}.fx.customer_sqlins")
 
 
 _MIGRATED: dict = {}
