@@ -729,11 +729,14 @@ class _BucketedTaskWriter:
         self.is_pk = bool(schema.primary_keys)
         self.num_buckets = opts.bucket
         self.bucket_keys = schema.bucket_keys()
-        if self.is_pk and self.num_buckets == -1:
-            raise ValueError(
-                f"{verb} supports fixed-bucket PK tables; dynamic-bucket "
-                "(bucket=-1) needs the global index assignment - use "
-                "Table.write")
+        # dynamic-bucket PK tables (bucket=-1, HASH_DYNAMIC or
+        # CROSS_PARTITION): bucket assignment needs the global index
+        # join only the DataFrame path runs, so tasks stage RAW rows and
+        # the driver commit re-reads them through Table.write itself —
+        # correctness reuses the proven assigner verbatim at the cost of
+        # one extra materialization of the batch (documented; the bulk
+        # path for huge dynamic-bucket loads remains Table.write)
+        self.dynamic_assign = self.is_pk and self.num_buckets == -1
         self.key_types = [schema.field_by_name(k).type.simpleString()
                           for k in self.bucket_keys]
         self.sort_keys = schema.trimmed_primary_keys() if self.is_pk else []
@@ -779,6 +782,13 @@ class _BucketedTaskWriter:
         if not batches:
             return _WroteFiles(paths=[], partitions=[], buckets=[])
         tbl = pa.Table.from_batches(batches)
+        if self.dynamic_assign:
+            # raw staging: one parquet per task; the commit runs the
+            # DataFrame assigner over these (partitions/buckets unset
+            # marks the message as raw)
+            p = os.path.join(self.staging, f"raw-{new_uuid()}.parquet")
+            io.write_parquet(tbl, p)
+            return _WroteFiles(paths=[p])
         n = tbl.num_rows
         bucketed = self.num_buckets > 0 and bool(self.bucket_keys)
         if self.is_pk:
@@ -875,12 +885,50 @@ class _BucketedTaskWriter:
             return None, True
         return True, False
 
+    def _commit_dynamic(self, messages, overwrite: bool,
+                        commit_identifier: int):
+        """Dynamic-bucket commit: feed the raw staged files back through
+        Table.write, whose DataFrame flow runs the real HASH_DYNAMIC /
+        CROSS_PARTITION assigner (index joins, retractions, index-dir
+        commit) — one write path, no reimplementation."""
+        from pyspark.sql import SparkSession
+
+        from .fileio import for_path
+        from .write import BatchTableWrite
+
+        spark = (SparkSession.getActiveSession()
+                 or SparkSession.builder.getOrCreate())
+        t = _load_table(self.options)
+        paths = [p for m in messages if m is not None for p in m.paths]
+        if paths:
+            df = spark.read.parquet(*paths)
+        elif overwrite:  # INSERT OVERWRITE with an empty SELECT truncates
+            df = spark.createDataFrame([], t.schema.spark_schema())
+        else:
+            return None
+        ow, dyn = self._overwrite_mode(t.schema) if overwrite else (None,
+                                                                    False)
+        try:
+            return BatchTableWrite(t).write(
+                spark, df, overwrite=ow, dynamic_overwrite=dyn,
+                commit_identifier=commit_identifier)
+        finally:
+            io = for_path(self.staging)
+            for p in paths:
+                try:
+                    io.delete(p)
+                except OSError:
+                    pass
+
     def _commit_staged(self, messages, overwrite: bool,
                        commit_identifier: int = -1):
         """Driver side: footer stats -> ADD entries, bucket-layout guard,
         bloom index, move into layout, then the commit tail shared with
         Table.write (_finish_commit: overwrite retractions, changelog
         producers, snapshot commit, post-commit hooks)."""
+        if self.dynamic_assign:
+            return self._commit_dynamic(messages, overwrite,
+                                        commit_identifier)
         import time as _t
 
         from pyspark.sql import SparkSession
@@ -984,9 +1032,13 @@ class PaimonBatchWriter(_BucketedTaskWriter, DataSourceArrowWriter):
     correctness authority, so an unshuffled df.write still buckets
     correctly (just into more files).
 
-    Dynamic-bucket PK tables (``bucket`` = -1) need the global index
-    assignment only Table.write runs - they raise toward it.
-    mode("overwrite") replaces the whole table in one OVERWRITE snapshot.
+    Dynamic-bucket PK tables (``bucket`` = -1) stage RAW task files and
+    the commit feeds them through Table.write itself, whose DataFrame
+    flow runs the real HASH_DYNAMIC / CROSS_PARTITION assigner - one
+    extra materialization of the batch buys zero reimplementation of
+    the index logic (Table.write stays the bulk path for huge loads).
+    mode("overwrite") on a partitioned table is DYNAMIC by default
+    (CoreOptions dynamic-partition-overwrite).
     Reference surface: PaimonSparkWriter.scala:61-204 (bucket shuffle at
     :322-325)."""
 
@@ -1009,9 +1061,9 @@ class PaimonBatchWriter(_BucketedTaskWriter, DataSourceArrowWriter):
 
 class PaimonStreamWriter(_BucketedTaskWriter, DataSourceStreamArrowWriter):
     """writeStream.format("paimon") sink - append tables (partitioned or
-    not, bucket-keyed or not) AND fixed-bucket PK tables (r13; dynamic
-    bucket still points at streaming.write_stream's foreachBatch, which
-    runs the global index assignment).
+    not, bucket-keyed or not) AND PK tables (r13) - fixed-bucket via the
+    shared per-row bucketing, dynamic-bucket via raw staging + the
+    Table.write assigner at commit.
 
     Executors stage one sorted parquet file per (partition, bucket) per
     micro-batch task; commit() moves them into the table layout and

@@ -274,11 +274,13 @@ def test_batch_write_format_paimon(spark, catalog, orders):
     t4 = catalog.get_table("db.dswr")
     assert t4.read(spark).count() == small.count()
 
-    # dynamic-bucket PK table rejected toward Table.write
+    # dynamic-bucket PK table: raw-staged, committed through
+    # Table.write's own assigner (r13)
     pk = catalog.create_table("db.dswrpk", orders.schema,
                               primary_keys=["o_orderkey"])
-    with pytest.raises(Exception, match="Table.write"):
-        orders.write.format("paimon").mode("append").save(pk.path)
+    orders.write.format("paimon").mode("append").save(pk.path)
+    got = catalog.get_table("db.dswrpk").read(spark).count()
+    assert got == orders.select("o_orderkey").distinct().count()
 
 
 def test_batch_read_time_travel_options(spark, catalog, customer):

@@ -213,12 +213,29 @@ def test_sql_insert_partitioned_pk(spark, sqlcat, orders):
                for f in files)
 
 
-def test_sql_insert_dynamic_bucket_raises(spark, sqlcat, customer):
-    sqlcat.create_table("db.ins_dyn", customer.schema,
-                        primary_keys=["c_custkey"])
+def test_sql_insert_dynamic_bucket(spark, sqlcat, customer):
+    """r13: SQL INSERT INTO a DYNAMIC-bucket PK table works — tasks
+    stage raw rows and the commit feeds them through Table.write's own
+    HASH_DYNAMIC assigner (index joins + index-dir commit), so mixed
+    SQL/Table.write writers route every key to one bucket."""
+    t = sqlcat.create_table("db.ins_dyn", customer.schema,
+                            primary_keys=["c_custkey"])
     customer.createOrReplaceTempView("dyn_src")
-    with pytest.raises(Exception, match="Table.write"):
-        spark.sql("INSERT INTO pa.db.ins_dyn SELECT * FROM dyn_src")
+    spark.sql("INSERT INTO pa.db.ins_dyn SELECT * FROM dyn_src")
+    cols = ", ".join("'D' AS c_name" if c == "c_name" else c
+                     for c in customer.columns)
+    spark.sql(f"INSERT INTO pa.db.ins_dyn SELECT {cols} FROM dyn_src "
+              "WHERE c_custkey % 6 = 0")
+    n = spark.sql("SELECT count(*) n FROM pa.db.ins_dyn").collect()[0].n
+    d = spark.sql("SELECT count(*) n FROM pa.db.ins_dyn "
+                  "WHERE c_name = 'D'").collect()[0].n
+    assert n == customer.count()
+    assert d == customer.filter("c_custkey % 6 = 0").count()
+    # a follow-up Table.write upsert stays key-consistent
+    from pyspark.sql import functions as F
+    t.write(spark, customer.filter("c_custkey % 6 = 0")
+            .withColumn("c_name", F.lit("E")))
+    assert t.read(spark).count() == customer.count()
 
 
 def test_sql_ddl_roundtrip(spark, sqlcat):
