@@ -558,3 +558,31 @@ def test_inmemory_lock_release_is_noop_safe(warehouse):
     assert not failed._try_acquire()
     failed.__exit__(None, None, None)      # release after failed acquire
     assert not JdbcCatalogLock(d, "paimon.x")._try_acquire()  # still held
+
+
+def test_hms_dialect_ddl_matrix(warehouse):
+    """The full DDL verb surface over HmsDialect's thrift-call mapping:
+    databases/tables arbitrate in the (fake) metastore server, purge
+    drops table rows in the same server call, rename refuses missing
+    targets — the same matrix the sqlite dialect passes."""
+    d = _hms_dialect(warehouse, "ddlmx")
+    cat = JdbcCatalog(warehouse, dialect=d)
+    assert cat.list_databases() == []
+    cat.create_table("hdb.a", _schema())
+    assert cat.list_databases() == ["hdb"]
+    assert cat.list_tables("hdb") == ["a"]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("hdb.a", _schema())
+    cat.rename_table("hdb.a", "hdb.b")
+    assert cat.list_tables("hdb") == ["b"]
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.rename_table("hdb.b", "nodb.b")
+    cat.create_table("hdb.c", _schema())
+    with pytest.raises(ValueError, match="exists"):
+        cat.rename_table("hdb.c", "hdb.b")
+    cat.drop_table("hdb.c")
+    assert cat.list_tables("hdb") == ["b"]
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_database("hdb")
+    cat.drop_database("hdb", cascade=True)
+    assert cat.list_databases() == []
