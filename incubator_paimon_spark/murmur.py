@@ -190,11 +190,16 @@ def spark_hash_columns(columns, type_names: list[str]):
             f = arr.fill_null(0).to_numpy(zero_copy_only=False) \
                    .astype(np.float32)
             f = np.where(f == 0.0, np.float32(0.0), f)  # -0f → 0f
+            # Spark hashes Float.floatToIntBits, which canonicalizes EVERY
+            # NaN (incl. negative/payload NaNs) to 0x7fc00000; a raw bit
+            # view would not
+            f = np.where(np.isnan(f), np.float32(np.nan), f)
             mixed = _hash_int_np(np, f.view(np.uint32), seeds)
         elif t == "double":
             f = arr.fill_null(0).to_numpy(zero_copy_only=False) \
                    .astype(np.float64)
             f = np.where(f == 0.0, np.float64(0.0), f)
+            f = np.where(np.isnan(f), np.float64(np.nan), f)
             mixed = _hash_long_np(np, f.view(np.uint64), seeds)
         elif (t in ("string", "varchar", "char")
                 or t.startswith(("varchar(", "char("))):

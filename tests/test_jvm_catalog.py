@@ -475,3 +475,61 @@ def test_sql_create_or_replace_and_save_as_table(spark, sqlcat, customer):
               "SELECT c_custkey, c_name FROM stg_src")
     assert sqlcat.get_table("stg.pkr").schema.primary_keys == ["c_custkey"]
     spark.sql("DROP NAMESPACE pa.stg CASCADE")
+
+
+def test_sql_insert_string_bucket_key_prunes_exactly(spark, sqlcat):
+    """e2e write/read contract for a STRING bucket key (the per-row
+    hash_bytes lane): rows SQL-INSERTed through the catalog's clustered
+    write must land in the bucket the read-side pruner computes — a
+    divergence makes PK-equality reads skip the row's bucket entirely."""
+    from incubator_paimon_spark import P
+
+    spark.sql("CREATE NAMESPACE pa.mmk")
+    spark.sql("CREATE TABLE pa.mmk.s (k string, v int) "
+              "TBLPROPERTIES ('primary-key'='k', 'bucket'='8')")
+    keys = ["", "a", "ab", "abc", "abcd", "日本語テキスト", "naïve café",
+            "x" * 37, "key-%d"] + [f"key-{i}" for i in range(40)]
+    keys = sorted(set(keys))
+    spark.sql("INSERT INTO pa.mmk.s " + " UNION ALL ".join(
+        f"SELECT '{k}' AS k, {i} AS v" for i, k in enumerate(keys)
+        if "'" not in k))
+    t = sqlcat.get_table("mmk.s")
+    all_entries = t.new_scan().plan().entries
+    assert len({e.bucket for e in all_entries}) > 1
+    for i, k in enumerate(keys):
+        if "'" in k:
+            continue
+        plan = t.new_scan().plan(P.eq("k", k))
+        assert len({e.bucket for e in plan.entries}) == 1, k
+        assert len(plan.entries) < len(all_entries)
+        got = spark.sql(
+            "SELECT v FROM pa.mmk.s WHERE k = '%s'" % k).collect()
+        assert [r.v for r in got] == [i], k
+
+
+def test_sql_insert_timestamp_bucket_key_reads_back(spark, sqlcat):
+    """e2e for a TIMESTAMP bucket key (the vectorized long lane over epoch
+    micros): every SQL-INSERTed row must be found again under PK equality
+    (the scalar pruner skips pruning for timestamps, so this pins routing
+    + merge correctness, not pruning)."""
+    spark.sql("CREATE TABLE pa.mmk.t (ts timestamp, v int) "
+              "TBLPROPERTIES ('primary-key'='ts', 'bucket'='4')")
+    spark.sql("INSERT INTO pa.mmk.t SELECT "
+              "timestampadd(SECOND, id * 40000, timestamp'2021-01-02 03:04:05.123456'), "
+              "cast(id as int) FROM range(0, 50)")
+    # upsert half the keys through SQL again: merge must pair them
+    spark.sql("INSERT INTO pa.mmk.t SELECT "
+              "timestampadd(SECOND, id * 40000, timestamp'2021-01-02 03:04:05.123456'), "
+              "cast(id + 1000 as int) FROM range(0, 50, 2)")
+    rows = spark.sql("SELECT v FROM pa.mmk.t ORDER BY ts").collect()
+    assert [r.v for r in rows] == [i + 1000 if i % 2 == 0 else i
+                                   for i in range(50)]
+    one = spark.sql(
+        "SELECT v FROM pa.mmk.t WHERE ts = "
+        "timestampadd(SECOND, 7 * 40000, timestamp'2021-01-02 03:04:05.123456')"
+    ).collect()
+    assert [r.v for r in one] == [7]
+    t = sqlcat.get_table("mmk.t")
+    files = [r.file_path for r in t.system(spark, "files").collect()]
+    assert {f.split("/")[0] for f in files} >= {"bucket-0", "bucket-1"}
+    spark.sql("DROP NAMESPACE pa.mmk CASCADE")
