@@ -846,15 +846,20 @@ class _BucketedTaskWriter:
         if not group_keys:
             emit(tbl, {}, 0)
         else:
-            specs = tbl.select(group_keys).group_by(group_keys) \
-                       .aggregate([]).to_pylist()
-            for spec in specs:
-                mask = None
-                for c in group_keys:
-                    m = (pc.is_null(tbl[c]) if spec[c] is None
-                         else pc.equal(tbl[c], pa.scalar(spec[c])))
-                    mask = m if mask is None else pc.and_(mask, m)
-                emit(tbl.filter(mask),
+            # ONE grouped pass (was: a fresh full-table equality mask per
+            # distinct spec — O(specs x rows), quadratic at wide-partition
+            # loads): group row indices by (partition spec, bucket), then
+            # gather each group's rows once. Encounter order is preserved
+            # (single-threaded hash aggregate), so append-table row order
+            # matches the old filter-based path.
+            grouped = (tbl.select(group_keys)
+                       .append_column("__rowidx",
+                                      pa.array(np.arange(n), pa.int64()))
+                       .group_by(group_keys, use_threads=False)
+                       .aggregate([("__rowidx", "list")]))
+            lists = grouped.column("__rowidx_list").combine_chunks()
+            for i, spec in enumerate(grouped.select(group_keys).to_pylist()):
+                emit(tbl.take(lists[i].values),
                      {c: spec[c] for c in self.part_keys},
                      spec.get("__bucket", 0))
         return _WroteFiles(paths=paths, partitions=parts, buckets=bks)
