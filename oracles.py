@@ -508,6 +508,26 @@ SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus
 FROM orders WHERE o_orderstatus = 'F'
 """
 
+# CREATE OR REPLACE TABLE ... AS SELECT through StagingTableCatalog
+# (gated r14): the table is REPLACED, so the second CTAS's projection
+# and filter are what the read must serve
+ORACLES["sql_ctas"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+       o_orderstatus
+FROM orders WHERE o_orderstatus <> 'P'
+"""
+
+# generic session catalog (spark_catalog itself Paimon-aware, gated
+# r14): warehouse PK table's MERGED state (pk_upsert's fold) joined to a
+# plain non-Paimon relation in one prefix-less statement
+ORACLES["generic_catalog_read"] = """
+SELECT c.c_custkey, c.c_name,
+  round(CASE WHEN c.c_custkey % 3 = 0 THEN c.c_acctbal ELSE -1.0 END, 2)
+    AS c_acctbal,
+  n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
 # the fixture's two MERGE INTO jobs (USING temp views -> sink-only
 # endpoints) at their commit snapshots: write = snap 1, merge = snap 2
 ORACLES["lineage_rows"] = """
