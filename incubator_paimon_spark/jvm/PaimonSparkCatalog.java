@@ -53,7 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
 public class PaimonSparkCatalog
         implements TableCatalog, SupportsNamespaces,
-                org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+                org.apache.spark.sql.connector.catalog.StagingTableCatalog,
+                org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
     private String name;
     private String warehouse;
@@ -71,6 +72,10 @@ public class PaimonSparkCatalog
     @Override
     public String name() {
         return name;
+    }
+
+    public String warehouse() {
+        return warehouse;
     }
 
     File dbDir(String db) {
@@ -356,7 +361,8 @@ public class PaimonSparkCatalog
     private static final class OptionsTable
             implements Table,
                     org.apache.spark.sql.connector.catalog.SupportsRead,
-                    org.apache.spark.sql.connector.catalog.SupportsWrite {
+                    org.apache.spark.sql.connector.catalog.SupportsWrite,
+                    org.apache.spark.sql.connector.catalog.SupportsDelete {
 
         private final Table inner;
         private final Map<String, String> extra;
@@ -452,6 +458,201 @@ public class PaimonSparkCatalog
                     (org.apache.spark.sql.connector.catalog.SupportsWrite)
                             inner,
                     info, extra, meta);
+        }
+
+        // ------------------------------------------------------------
+        // SupportsDelete: `DELETE FROM <cat>.<db>.<t> WHERE <pushable>`
+        // plans DeleteFromTableExec, which hands the condition here as
+        // v1 source filters; they serialize to a small JSON IR the
+        // Python engine rebuilds into its own Predicate and executes
+        // through row_ops.delete_where (PK -D append / DV / copy-on-
+        // write — DeleteFromPaimonTableCommand.scala parity). TRUNCATE
+        // TABLE rides the inherited truncateTable() default
+        // (deleteWhere(AlwaysTrue)).
+        @Override
+        public boolean canDeleteWhere(
+                org.apache.spark.sql.sources.Filter[] filters) {
+            return filtersJson(filters) != null;
+        }
+
+        @Override
+        public void deleteWhere(
+                org.apache.spark.sql.sources.Filter[] filters) {
+            String json = filtersJson(filters);
+            if (json == null) {
+                throw new UnsupportedOperationException(
+                        "DELETE condition not pushable: "
+                                + java.util.Arrays.toString(filters));
+            }
+            PaimonPyBridge.call("delete_where", extra.get("path"), json,
+                    SparkSession.active());
+        }
+
+        /** JSON form of the v1 filter conjunction, or null when any
+         * member has no Python-predicate equivalent. */
+        private String filtersJson(
+                org.apache.spark.sql.sources.Filter[] filters) {
+            ObjectMapper om = new ObjectMapper();
+            com.fasterxml.jackson.databind.node.ArrayNode arr =
+                    om.createArrayNode();
+            for (org.apache.spark.sql.sources.Filter f : filters) {
+                JsonNode n = filterJson(om, f);
+                if (n == null) {
+                    return null;
+                }
+                arr.add(n);
+            }
+            return arr.toString();
+        }
+
+        private JsonNode filterJson(
+                ObjectMapper om, org.apache.spark.sql.sources.Filter f) {
+            com.fasterxml.jackson.databind.node.ObjectNode o =
+                    om.createObjectNode();
+            if (f instanceof org.apache.spark.sql.sources.AlwaysTrue) {
+                o.put("op", "true");
+            } else if (f instanceof org.apache.spark.sql.sources.AlwaysFalse) {
+                o.put("op", "false");
+            } else if (f instanceof org.apache.spark.sql.sources.EqualTo) {
+                org.apache.spark.sql.sources.EqualTo x =
+                        (org.apache.spark.sql.sources.EqualTo) f;
+                cmp(o, "eq", x.attribute(), x.value());
+            } else if (f instanceof
+                    org.apache.spark.sql.sources.EqualNullSafe) {
+                org.apache.spark.sql.sources.EqualNullSafe x =
+                        (org.apache.spark.sql.sources.EqualNullSafe) f;
+                if (x.value() == null) {
+                    o.put("op", "is_null");
+                    o.put("col", x.attribute());
+                } else {
+                    cmp(o, "eq", x.attribute(), x.value());
+                }
+            } else if (f instanceof org.apache.spark.sql.sources.GreaterThan) {
+                org.apache.spark.sql.sources.GreaterThan x =
+                        (org.apache.spark.sql.sources.GreaterThan) f;
+                cmp(o, "gt", x.attribute(), x.value());
+            } else if (f instanceof
+                    org.apache.spark.sql.sources.GreaterThanOrEqual) {
+                org.apache.spark.sql.sources.GreaterThanOrEqual x =
+                        (org.apache.spark.sql.sources.GreaterThanOrEqual) f;
+                cmp(o, "ge", x.attribute(), x.value());
+            } else if (f instanceof org.apache.spark.sql.sources.LessThan) {
+                org.apache.spark.sql.sources.LessThan x =
+                        (org.apache.spark.sql.sources.LessThan) f;
+                cmp(o, "lt", x.attribute(), x.value());
+            } else if (f instanceof
+                    org.apache.spark.sql.sources.LessThanOrEqual) {
+                org.apache.spark.sql.sources.LessThanOrEqual x =
+                        (org.apache.spark.sql.sources.LessThanOrEqual) f;
+                cmp(o, "le", x.attribute(), x.value());
+            } else if (f instanceof org.apache.spark.sql.sources.In) {
+                org.apache.spark.sql.sources.In x =
+                        (org.apache.spark.sql.sources.In) f;
+                o.put("op", "in");
+                o.put("col", x.attribute());
+                com.fasterxml.jackson.databind.node.ArrayNode vs =
+                        om.createArrayNode();
+                for (Object v : x.values()) {
+                    if (v == null) {
+                        vs.addNull();
+                    } else {
+                        vs.add(valueNode(om, v));
+                    }
+                }
+                o.set("vs", vs);
+            } else if (f instanceof org.apache.spark.sql.sources.IsNull) {
+                o.put("op", "is_null");
+                o.put("col", ((org.apache.spark.sql.sources.IsNull) f)
+                        .attribute());
+            } else if (f instanceof org.apache.spark.sql.sources.IsNotNull) {
+                o.put("op", "is_not_null");
+                o.put("col", ((org.apache.spark.sql.sources.IsNotNull) f)
+                        .attribute());
+            } else if (f instanceof
+                    org.apache.spark.sql.sources.StringStartsWith) {
+                org.apache.spark.sql.sources.StringStartsWith x =
+                        (org.apache.spark.sql.sources.StringStartsWith) f;
+                o.put("op", "starts_with");
+                o.put("col", x.attribute());
+                o.put("v", x.value());
+            } else if (f instanceof org.apache.spark.sql.sources.And) {
+                org.apache.spark.sql.sources.And x =
+                        (org.apache.spark.sql.sources.And) f;
+                JsonNode l = filterJson(om, x.left());
+                JsonNode r = filterJson(om, x.right());
+                if (l == null || r == null) {
+                    return null;
+                }
+                o.put("op", "and");
+                o.set("l", l);
+                o.set("r", r);
+            } else if (f instanceof org.apache.spark.sql.sources.Or) {
+                org.apache.spark.sql.sources.Or x =
+                        (org.apache.spark.sql.sources.Or) f;
+                JsonNode l = filterJson(om, x.left());
+                JsonNode r = filterJson(om, x.right());
+                if (l == null || r == null) {
+                    return null;
+                }
+                o.put("op", "or");
+                o.set("l", l);
+                o.set("r", r);
+            } else if (f instanceof org.apache.spark.sql.sources.Not) {
+                // only negations the Python IR expresses directly
+                // (ne / not_in / is_not_null / flipped comparisons)
+                org.apache.spark.sql.sources.Filter c =
+                        ((org.apache.spark.sql.sources.Not) f).child();
+                JsonNode inner = filterJson(om, c);
+                if (inner == null || !inner.has("op")) {
+                    return null;
+                }
+                String op = inner.get("op").asText();
+                java.util.Set<String> negatable = new java.util.HashSet<>(
+                        java.util.Arrays.asList("eq", "in", "is_null",
+                                "is_not_null", "gt", "ge", "lt", "le"));
+                if (!negatable.contains(op)) {
+                    return null;
+                }
+                o.put("op", "not");
+                o.set("c", inner);
+            } else {
+                return null;
+            }
+            return o;
+        }
+
+        private void cmp(com.fasterxml.jackson.databind.node.ObjectNode o,
+                         String op, String col, Object v) {
+            o.put("op", op);
+            o.put("col", col);
+            if (v == null) {
+                o.putNull("v");
+            } else {
+                o.set("v", valueNode(new ObjectMapper(), v));
+            }
+        }
+
+        /** Literal -> JSON: numbers/booleans natively, everything else
+         * (dates, timestamps, decimals, strings) as its string form —
+         * the Python side re-types it from the table schema. */
+        private static JsonNode valueNode(ObjectMapper om, Object v) {
+            if (v instanceof Boolean) {
+                return om.getNodeFactory().booleanNode((Boolean) v);
+            }
+            if (v instanceof Byte || v instanceof Short
+                    || v instanceof Integer || v instanceof Long) {
+                return om.getNodeFactory().numberNode(
+                        ((Number) v).longValue());
+            }
+            if (v instanceof Float || v instanceof Double) {
+                return om.getNodeFactory().numberNode(
+                        ((Number) v).doubleValue());
+            }
+            if (v instanceof java.math.BigDecimal) {
+                return om.getNodeFactory().textNode(
+                        ((java.math.BigDecimal) v).toPlainString());
+            }
+            return om.getNodeFactory().textNode(String.valueOf(v));
         }
     }
 
@@ -901,6 +1102,30 @@ public class PaimonSparkCatalog
         if (!tableExists(ident)) {
             throw new NoSuchTableException(ident);
         }
+        // ALTER COLUMN TYPE delegates over the bridge to the Python
+        // SchemaManager.update_column_type, which OWNS the widening
+        // matrix (byte->..->decimal chains; SchemaChange.java:95-512
+        // parity) — the catalog never replicates those rules. Spark
+        // sends one TableChange per ALTER COLUMN statement, so a mixed
+        // batch with a type change stays unsupported.
+        boolean hasType = false;
+        for (TableChange c : changes) {
+            hasType |= c instanceof TableChange.UpdateColumnType;
+        }
+        if (hasType) {
+            if (changes.length != 1) {
+                throw pythonDdl("ALTER COLUMN TYPE combined with other "
+                        + "changes");
+            }
+            TableChange.UpdateColumnType uc =
+                    (TableChange.UpdateColumnType) changes[0];
+            PaimonPyBridge.call("update_column_type",
+                    tableDir(ident).getAbsolutePath(),
+                    singleName(uc.fieldNames()),
+                    uc.newDataType().json());
+            uncache(ident);
+            return loadWith(ident, null, null);
+        }
         try {
             File dir = tableDir(ident);
             JsonNode base = latestSchemaNode(dir);
@@ -1034,8 +1259,8 @@ public class PaimonSparkCatalog
             ((com.fasterxml.jackson.databind.node.ObjectNode) fields.get(i))
                     .put("description", uc.newComment());
         } else if (c instanceof TableChange.UpdateColumnType) {
-            // the widening matrix (byte->..->decimal chains) lives in
-            // SchemaManager.update_column_type; do not replicate it here
+            // handled above via the bridge (single-change statements);
+            // reaching here means it was mixed into a multi-change batch
             throw pythonDdl("ALTER COLUMN TYPE");
         } else {
             throw pythonDdl(c.getClass().getSimpleName());
@@ -1273,6 +1498,219 @@ public class PaimonSparkCatalog
                 org.apache.spark.sql.connector.write.LogicalWriteInfo info) {
             return ((org.apache.spark.sql.connector.catalog.SupportsWrite)
                     inner).newWriteBuilder(info);
+        }
+    }
+
+    // ------------------------------------------------------------------
+    // procedures: Spark 4's native `CALL <cat>.sys.<proc>(...)` surface
+    // (ProcedureCatalog). The reference parses CALL with its own ANTLR
+    // extension (PaimonSqlExtensions.g4 + SparkProcedures.java:59-72);
+    // Spark 4 ships the grammar, so this catalog only has to expose the
+    // procedures — each call crosses the bridge into the Python
+    // dispatcher (procedures.call), which owns the registry, argument
+    // semantics and the library APIs. bind() mirrors whatever argument
+    // shape Spark derived from the statement (named args carry BY_NAME
+    // metadata; positionals arrive as param0..N and are matched to the
+    // Python function's declared parameter order).
+
+    @Override
+    public org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+            loadProcedure(Identifier ident) {
+        // unknown names fail at call time with the Python registry's
+        // error (which lists the known procedures)
+        String ns = String.join(".", ident.namespace());
+        if (!ns.isEmpty() && !"sys".equalsIgnoreCase(ns)) {
+            throw new RuntimeException(
+                    "procedures live in the sys namespace: CALL "
+                            + name + ".sys." + ident.name() + "(...)");
+        }
+        return new PyProcedure(ident.name(), name, warehouse);
+    }
+
+    @Override
+    public Identifier[] listProcedures(String[] namespace) {
+        String ns = String.join(".", namespace);
+        if (!ns.isEmpty() && !"sys".equalsIgnoreCase(ns)) {
+            return new Identifier[0];
+        }
+        Object res = PaimonPyBridge.call("list_procedures");
+        List<Identifier> out = new ArrayList<>();
+        try {
+            JsonNode arr = new ObjectMapper().readTree(String.valueOf(res));
+            for (JsonNode n : arr) {
+                out.add(Identifier.of(new String[] {"sys"}, n.asText()));
+            }
+        } catch (java.io.IOException e) {
+            throw new RuntimeException(e);
+        }
+        return out.toArray(new Identifier[0]);
+    }
+
+    private static final class PyProcedure
+            implements org.apache.spark.sql.connector.catalog.procedures
+                    .UnboundProcedure {
+
+        private final String proc;
+        private final String catalogName;
+        private final String warehouse;
+
+        PyProcedure(String proc, String catalogName, String warehouse) {
+            this.proc = proc;
+            this.catalogName = catalogName;
+            this.warehouse = warehouse;
+        }
+
+        @Override
+        public String name() {
+            return proc;
+        }
+
+        @Override
+        public String description() {
+            return "paimon procedure sys." + proc
+                    + " (python engine: procedures.py)";
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.catalog.procedures.BoundProcedure
+                bind(StructType inputType) {
+            return new BoundPyProcedure(this, inputType);
+        }
+    }
+
+    private static final class BoundPyProcedure
+            implements org.apache.spark.sql.connector.catalog.procedures
+                    .BoundProcedure {
+
+        private final PyProcedure unbound;
+        private final StructType input;
+
+        BoundPyProcedure(PyProcedure unbound, StructType input) {
+            this.unbound = unbound;
+            this.input = input;
+        }
+
+        @Override
+        public String name() {
+            return unbound.name();
+        }
+
+        @Override
+        public String description() {
+            return unbound.description();
+        }
+
+        @Override
+        public boolean isDeterministic() {
+            return false; // maintenance procedures mutate table state
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.catalog.procedures
+                .ProcedureParameter[] parameters() {
+            org.apache.spark.sql.types.StructField[] fs = input.fields();
+            org.apache.spark.sql.connector.catalog.procedures
+                    .ProcedureParameter[] ps =
+                    new org.apache.spark.sql.connector.catalog.procedures
+                            .ProcedureParameter[fs.length];
+            for (int i = 0; i < fs.length; i++) {
+                ps[i] = org.apache.spark.sql.connector.catalog.procedures
+                        .ProcedureParameter.in(fs[i].name(),
+                                fs[i].dataType()).build();
+            }
+            return ps;
+        }
+
+        @Override
+        public java.util.Iterator<org.apache.spark.sql.connector.read.Scan>
+                call(org.apache.spark.sql.catalyst.InternalRow args) {
+            ObjectMapper om = new ObjectMapper();
+            com.fasterxml.jackson.databind.node.ObjectNode payload =
+                    om.createObjectNode();
+            payload.put("name", unbound.name());
+            com.fasterxml.jackson.databind.node.ArrayNode arr =
+                    om.createArrayNode();
+            org.apache.spark.sql.types.StructField[] fs = input.fields();
+            for (int i = 0; i < fs.length; i++) {
+                com.fasterxml.jackson.databind.node.ObjectNode a =
+                        om.createObjectNode();
+                a.put("name", fs[i].name());
+                a.put("by_name", fs[i].metadata().contains("BY_NAME"));
+                if (args.isNullAt(i)) {
+                    a.putNull("v");
+                } else {
+                    org.apache.spark.sql.types.DataType dt =
+                            fs[i].dataType();
+                    Object v = args.get(i, dt);
+                    if (dt instanceof org.apache.spark.sql.types.StringType) {
+                        a.put("v", v.toString());
+                    } else if (v instanceof Boolean) {
+                        a.put("v", (Boolean) v);
+                    } else if (v instanceof Byte || v instanceof Short
+                            || v instanceof Integer || v instanceof Long) {
+                        a.put("v", ((Number) v).longValue());
+                    } else if (v instanceof Float || v instanceof Double) {
+                        a.put("v", ((Number) v).doubleValue());
+                    } else if (v instanceof
+                            org.apache.spark.sql.types.Decimal) {
+                        a.put("v", ((org.apache.spark.sql.types.Decimal) v)
+                                .toJavaBigDecimal().toPlainString());
+                    } else {
+                        a.put("v", String.valueOf(v));
+                    }
+                }
+                arr.add(a);
+            }
+            payload.set("args", arr);
+            Object res = PaimonPyBridge.call("call_procedure",
+                    payload.toString(), unbound.catalogName,
+                    unbound.warehouse, SparkSession.active());
+            final org.apache.spark.sql.catalyst.InternalRow[] rows =
+                    parseRows(String.valueOf(res));
+            org.apache.spark.sql.connector.read.Scan scan =
+                    new org.apache.spark.sql.connector.read.LocalScan() {
+                        @Override
+                        public org.apache.spark.sql.catalyst.InternalRow[]
+                                rows() {
+                            return rows;
+                        }
+
+                        @Override
+                        public StructType readSchema() {
+                            return CALL_OUTPUT;
+                        }
+                    };
+            return Collections.singletonList(scan).iterator();
+        }
+
+        private static final StructType CALL_OUTPUT = new StructType(
+                new org.apache.spark.sql.types.StructField[] {
+                        org.apache.spark.sql.types.DataTypes
+                                .createStructField(
+                                        "result",
+                                        org.apache.spark.sql.types.DataTypes
+                                                .StringType,
+                                        false)});
+
+        private static org.apache.spark.sql.catalyst.InternalRow[] parseRows(
+                String json) {
+            try {
+                JsonNode arr = new ObjectMapper().readTree(json);
+                org.apache.spark.sql.catalyst.InternalRow[] rows =
+                        new org.apache.spark.sql.catalyst
+                                .InternalRow[arr.size()];
+                for (int i = 0; i < arr.size(); i++) {
+                    rows[i] = new org.apache.spark.sql.catalyst.expressions
+                            .GenericInternalRow(new Object[] {
+                                    org.apache.spark.unsafe.types.UTF8String
+                                            .fromString(
+                                                    arr.get(i).get(0)
+                                                            .asText())});
+                }
+                return rows;
+            } catch (java.io.IOException e) {
+                throw new RuntimeException(e);
+            }
         }
     }
 

@@ -35,10 +35,13 @@ import tempfile
 
 CATALOG_CLASS = "org.apache.paimon.pyspark.PaimonSparkCatalog"
 GENERIC_CATALOG_CLASS = "org.apache.paimon.pyspark.PaimonSparkGenericCatalog"
+EXTENSIONS_CLASS = "org.apache.paimon.pyspark.PaimonSqlExtensions"
 
 _SRCS = [os.path.join(os.path.dirname(__file__), "jvm", n)
          for n in ("PaimonSparkCatalog.java",
-                   "PaimonSparkGenericCatalog.java")]
+                   "PaimonSparkGenericCatalog.java",
+                   "PaimonPyBridge.java",
+                   "PaimonSqlExtensions.java")]
 
 
 def _spark_jars_dir() -> str:
@@ -99,15 +102,47 @@ def ensure_jar() -> str:
 def install_sql_catalog(spark, name: str, warehouse: str) -> str:
     """Wire ``spark.sql("... FROM <name>.<db>.<table>")`` into a LIVE
     session: register the Python data source, add the (lazily compiled)
-    catalog jar, and set the catalog confs. Catalogs instantiate on
-    first reference, so no session restart is needed. Returns `name`."""
+    catalog jar, set the catalog confs, and register the JVM->Python
+    engine bridge (r14 — serves SupportsDelete, CALL procedures and
+    ALTER COLUMN TYPE without any further setup). Catalogs instantiate
+    on first reference, so no session restart is needed. Returns
+    `name`."""
+    from .bridge import install_bridge
     from .datasource import register
     register(spark)
     jar = ensure_jar()
     spark.sql(f"ADD JAR '{jar}'")
+    install_bridge(spark)
     spark.conf.set(f"spark.sql.catalog.{name}", CATALOG_CLASS)
     spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
     return name
+
+
+def install_row_level_sql(spark):
+    """Row-level SQL (``UPDATE`` / ``MERGE INTO`` / subquery ``DELETE``)
+    against native-catalog identifiers: inject the PaimonSqlExtensions
+    analyzer rule and RETURN A NEW SESSION (cloneSession) whose rebuilt
+    analyzer carries it — extensions are read when a SessionState is
+    built, so the calling session keeps its stock analyzer (the same
+    contract as install_generic_catalog; the reference likewise requires
+    ``spark.sql.extensions=...PaimonSparkSessionExtensions`` at session
+    build). Plain ``DELETE FROM`` with a pushable condition needs no
+    extension at all — OptionsTable implements SupportsDelete.
+
+    Call AFTER install_sql_catalog (the clone inherits the catalog confs
+    and the data-source registration)."""
+    from pyspark.sql import SparkSession
+
+    from .bridge import install_bridge
+    from .datasource import register
+    register(spark)
+    spark.sql(f"ADD JAR '{ensure_jar()}'")
+    install_bridge(spark)
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.paimon.pyspark.PaimonSqlExtensions.install(
+        spark._jsparkSession)
+    return SparkSession(spark.sparkContext,
+                        spark._jsparkSession.cloneSession())
 
 
 def install_generic_catalog(spark, warehouse: str):

@@ -517,6 +517,15 @@ SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
 FROM orders WHERE o_orderstatus <> 'P'
 """
 
+# row-level SQL through the native catalog (gated r14, VERDICT r13 #1):
+# sql_delete_native replays customer_mut's DELETE + UPDATE via plain
+# spark.sql against <cat>.fx names (SupportsDelete seam + the
+# PaimonSqlExtensions rule), so it shares delete_update_compact's
+# oracle; sql_merge_native replays customer_merge's MERGE INTO the same
+# way, sharing merge_into's oracle.
+ORACLES["sql_delete_native"] = ORACLES["delete_update_compact"]
+ORACLES["sql_merge_native"] = ORACLES["merge_into"]
+
 # generic session catalog (spark_catalog itself Paimon-aware, gated
 # r14): warehouse PK table's MERGED state (pk_upsert's fold) joined to a
 # plain non-Paimon relation in one prefix-less statement

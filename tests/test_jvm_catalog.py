@@ -278,9 +278,12 @@ def test_sql_ddl_roundtrip(spark, sqlcat):
     with pytest.raises(Exception, match="not supported"):
         spark.sql("ALTER TABLE pa.ddl.t SET TBLPROPERTIES "
                   "('merge-engine'='aggregation')")
-    # widening stays on the Python API
-    with pytest.raises(Exception, match="Python API"):
-        spark.sql("ALTER TABLE pa.ddl.t ALTER COLUMN region TYPE BIGINT")
+    # r14: widening delegates over the bridge to the Python
+    # SchemaManager (the widening matrix stays single-sourced) —
+    # dedicated coverage in tests/test_row_level_sql.py
+    spark.sql("ALTER TABLE pa.ddl.t ALTER COLUMN region TYPE BIGINT")
+    assert sqlcat.get_table("ddl.t").schema.field_by_name(
+        "region").type.simpleString() == "bigint"
 
     spark.sql("CREATE TABLE pa.ddl.c AS SELECT id, name FROM pa.ddl.t")
     assert spark.sql("SELECT count(*) n FROM pa.ddl.c").collect()[0].n == 3

@@ -1,0 +1,241 @@
+"""Row-level SQL against native-catalog identifiers (r14).
+
+DELETE FROM rides the DSv2-native seam (OptionsTable implements
+SupportsDelete -> v1 filters -> bridge -> row_ops.delete_where;
+DeleteFromPaimonTableCommand.scala parity). UPDATE / MERGE INTO /
+subquery DELETE ride the injected analyzer rule
+(PaimonSqlExtensions.java -> bridge -> sql.execute_sql — the
+reference's PaimonUpdateTable.scala / PaimonMergeIntoBase.scala seam).
+CALL rides Spark 4's ProcedureCatalog (SparkProcedures.java:59-72
+parity). ALTER COLUMN TYPE delegates to the Python SchemaManager's
+widening matrix over the bridge.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(shutil.which("javac") is None,
+                                reason="needs a JDK compiler")
+
+
+@pytest.fixture(scope="module")
+def rl(spark):
+    """(python_catalog, extension_session) over one warehouse, catalog
+    name `rl` (distinct from test_jvm_catalog's `pa`: CatalogManager
+    caches plugin instances by name per session)."""
+    from incubator_paimon_spark import Catalog
+    from incubator_paimon_spark.jvm_catalog import (install_row_level_sql,
+                                                    install_sql_catalog)
+    wh = tempfile.mkdtemp(prefix="pmn_rl_wh_")
+    cat = Catalog(wh)
+    install_sql_catalog(spark, "rl", wh)
+    s2 = install_row_level_sql(spark)
+    yield cat, s2
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_sql_delete_native_seam(spark, rl, customer):
+    """DELETE with pushable conditions needs NO extension — the plain
+    session plans DeleteFromTableExec over SupportsDelete."""
+    cat, _ = rl
+    n0 = customer.count()
+
+    # PK table: -D retraction path
+    t = cat.create_table("db.d_pk", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer)
+    spark.sql("DELETE FROM rl.db.d_pk WHERE c_custkey <= 10")
+    exp = n0 - customer.filter("c_custkey <= 10").count()
+    assert spark.sql("SELECT count(*) n FROM rl.db.d_pk"
+                     ).collect()[0].n == exp
+    # compound + IN conditions push too
+    spark.sql("DELETE FROM rl.db.d_pk WHERE c_mktsegment = 'BUILDING' "
+              "AND c_custkey > 100")
+    spark.sql("DELETE FROM rl.db.d_pk WHERE c_custkey IN (11, 12, 13)")
+    exp -= customer.filter("c_mktsegment = 'BUILDING' AND c_custkey > 100"
+                           ).count() + 3
+    assert spark.sql("SELECT count(*) n FROM rl.db.d_pk"
+                     ).collect()[0].n == exp
+
+    # append table: copy-on-write rewrite of touched files only
+    t2 = cat.create_table("db.d_cow", customer.schema)
+    t2.write(spark, customer)
+    spark.sql("DELETE FROM rl.db.d_cow WHERE c_mktsegment = 'BUILDING'")
+    assert spark.sql("SELECT count(*) n FROM rl.db.d_cow").collect()[0].n \
+        == n0 - customer.filter("c_mktsegment = 'BUILDING'").count()
+
+    # deletion-vectors table: files stay, positions masked
+    t3 = cat.create_table("db.d_dv", customer.schema,
+                          options={"deletion-vectors.enabled": "true"})
+    t3.write(spark, customer)
+    spark.sql("DELETE FROM rl.db.d_dv WHERE c_custkey < 5")
+    assert spark.sql("SELECT count(*) n FROM rl.db.d_dv").collect()[0].n \
+        == n0 - customer.filter("c_custkey < 5").count()
+
+    # whole-table DELETE == truncate; TRUNCATE TABLE rides the same seam
+    spark.sql("DELETE FROM rl.db.d_cow")
+    assert spark.sql("SELECT count(*) n FROM rl.db.d_cow"
+                     ).collect()[0].n == 0
+    spark.sql("TRUNCATE TABLE rl.db.d_dv")
+    assert spark.sql("SELECT count(*) n FROM rl.db.d_dv"
+                     ).collect()[0].n == 0
+
+
+def test_sql_delete_plan_is_dsv2_native(spark, rl, customer):
+    """Plan pin: the non-extension session plans DELETE as
+    DeleteFromTable over the catalog's table — no rewrite, no fallback."""
+    cat, _ = rl
+    t = cat.create_table("db.d_plan", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer.limit(20))
+    plan = spark.sql("EXPLAIN DELETE FROM rl.db.d_plan WHERE c_custkey = 3"
+                     ).collect()[0][0]
+    assert "DeleteFromTable" in plan
+
+
+def test_sql_update_through_rule(spark, rl, customer):
+    cat, s2 = rl
+    t = cat.create_table("db.u_pk", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer)
+    s2.sql("UPDATE rl.db.u_pk SET c_acctbal = c_acctbal + 100, "
+           "c_mktsegment = 'touched' WHERE c_custkey % 10 = 0")
+    got = s2.sql("SELECT count(*) n FROM rl.db.u_pk "
+                 "WHERE c_mktsegment = 'touched'").collect()[0].n
+    exp_rows = customer.filter("c_custkey % 10 = 0")
+    assert got == exp_rows.count()
+    # expression assignment really used the OLD value
+    one = s2.sql("SELECT c_acctbal FROM rl.db.u_pk WHERE c_custkey = 10"
+                 ).collect()[0][0]
+    base = customer.filter("c_custkey = 10").collect()[0]["c_acctbal"]
+    assert abs(one - (base + 100)) < 1e-6
+    # the copy-on-write branch: non-PK table
+    t2 = cat.create_table("db.u_cow", customer.schema)
+    t2.write(spark, customer)
+    s2.sql("UPDATE rl.db.u_cow SET c_name = upper(c_name) "
+           "WHERE c_custkey < 10")
+    up = s2.sql("SELECT count(*) n FROM rl.db.u_cow "
+                "WHERE c_name = upper(c_name) AND c_custkey < 10"
+                ).collect()[0].n
+    assert up == customer.filter("c_custkey < 10").count()
+
+
+def test_sql_merge_through_rule(spark, rl, customer):
+    """Multi-WHEN MERGE INTO through plain spark.sql on the extension
+    session: first-match-wins clause order, expressions referencing both
+    aliases, NOT MATCHED insert."""
+    cat, s2 = rl
+    import pandas as pd
+    t = cat.create_table("db.m_pk", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer.filter("c_custkey >= 20"))
+    (s2.read.parquet("/root/testdata/sf0.001/customer.parquet")
+       .filter("c_custkey < 40")
+       .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+       .createOrReplaceTempView("m_src"))
+    s2.sql("""
+        MERGE INTO rl.db.m_pk t USING m_src s ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND t.c_custkey < 25 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = (s2.sql("SELECT c_custkey, round(c_acctbal, 2) AS b "
+                  "FROM rl.db.m_pk").toPandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    # reference semantics computed directly
+    base = customer.filter("c_custkey >= 20").toPandas()
+    src = (customer.filter("c_custkey < 40").toPandas()
+           .assign(c_acctbal=lambda d: d.c_acctbal + 1000))
+    keep = base[~base.c_custkey.isin(src.c_custkey)]
+    upd = src[(src.c_custkey >= 25) & (src.c_custkey.isin(base.c_custkey))]
+    ins = src[~src.c_custkey.isin(base.c_custkey)]
+    exp = (pd.concat([keep, upd, ins])[["c_custkey", "c_acctbal"]]
+           .assign(b=lambda d: d.c_acctbal.round(2))
+           .drop(columns="c_acctbal")
+           .sort_values("c_custkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sql_delete_with_subquery_through_rule(spark, rl, customer):
+    cat, s2 = rl
+    t = cat.create_table("db.d_sub", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer)
+    s2.sql("DELETE FROM rl.db.d_sub WHERE c_custkey IN "
+           "(SELECT c_custkey FROM rl.db.d_sub WHERE c_acctbal < 0)")
+    neg = customer.filter("c_acctbal < 0").count()
+    assert s2.sql("SELECT count(*) n FROM rl.db.d_sub").collect()[0].n \
+        == customer.count() - neg
+
+
+def test_rule_leaves_other_tables_alone(spark, rl, customer):
+    """The rule only fires for PaimonSparkCatalog targets: UPDATE on a
+    plain session-catalog table must fail with SPARK's own error, not
+    route into the engine; reads/writes on the extension session stay
+    stock."""
+    _, s2 = rl
+    s2.sql("CREATE OR REPLACE TEMP VIEW plain_v AS SELECT 1 AS x")
+    assert s2.sql("SELECT * FROM plain_v").collect()[0].x == 1
+    (s2.read.parquet("/root/testdata/sf0.001/nation.parquet")
+       .createOrReplaceTempView("plain_nation_rl"))
+    with pytest.raises(Exception) as ei:
+        s2.sql("UPDATE plain_nation_rl SET n_name = 'X' WHERE n_nationkey = 1")
+    assert "python engine" not in str(ei.value)
+
+
+def test_sql_call_maintenance_round_trip(spark, rl, customer):
+    """Pure-SQL maintenance: compact + tag + rollback + expire via
+    Spark 4's native CALL (ProcedureCatalog), VERDICT r13 #3's Done
+    criterion."""
+    cat, _ = rl
+    t = cat.create_table("db.proc", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer)
+    t.write(spark, customer.limit(40))
+    r = spark.sql("CALL rl.sys.compact(table => 'db.proc', full => true)"
+                  ).collect()
+    assert len(r) == 1 and "snapshot" in r[0].result
+    spark.sql("CALL rl.sys.create_tag(table => 'db.proc', tag => 'v1', "
+              "snapshot => 2)")
+    assert [r.tag_name for r in t.system(spark, "tags").collect()] == ["v1"]
+    t.write(spark, customer.limit(10).withColumn("c_name", F.lit("XX")))
+    # positional args map onto the python procedure's parameter order
+    spark.sql("CALL rl.sys.rollback('db.proc', 2)")
+    assert spark.sql("SELECT count(*) n FROM rl.db.proc "
+                     "WHERE c_name = 'XX'").collect()[0].n == 0
+    r = spark.sql("CALL rl.sys.expire_snapshots(table => 'db.proc', "
+                  "retain_max => 1)").collect()
+    assert len(r) == 1  # executed through the dispatcher
+    assert t.snapshots.latest_id() == 2  # rollback state intact
+
+    names = {r.procedure_name for r in
+             spark.sql("SHOW PROCEDURES IN rl.sys").collect()}
+    assert {"compact", "rollback", "create_tag", "expire_snapshots",
+            "migrate_table", "remove_orphan_files"} <= names
+    with pytest.raises(Exception) as ei:
+        spark.sql("CALL rl.sys.not_a_proc()").collect()
+    assert "unknown procedure" in str(ei.value)
+
+
+def test_sql_alter_column_type_bridged(spark, rl):
+    """ALTER COLUMN TYPE routes to SchemaManager.update_column_type (the
+    Python side owns the widening matrix); old files read back cast."""
+    cat, _ = rl
+    spark.sql("CREATE TABLE rl.db.widen (k int, v string)")
+    spark.sql("INSERT INTO rl.db.widen VALUES (1, 'a'), (2147483647, 'b')")
+    spark.sql("ALTER TABLE rl.db.widen ALTER COLUMN k TYPE bigint")
+    df = spark.sql("SELECT * FROM rl.db.widen ORDER BY k")
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert [r.k for r in df.collect()] == [1, 2147483647]
+    spark.sql("INSERT INTO rl.db.widen VALUES (9999999999, 'c')")
+    assert spark.sql("SELECT max(k) m FROM rl.db.widen"
+                     ).collect()[0].m == 9999999999
+    # schema history: one schema-N per change, python side readable
+    t = cat.get_table("db.widen")
+    assert t.schema.field_by_name("k").type.simpleString() == "bigint"
+    # narrowing rejected (Spark's canUpCast check fires first)
+    with pytest.raises(Exception):
+        spark.sql("ALTER TABLE rl.db.widen ALTER COLUMN v TYPE int")
