@@ -136,21 +136,39 @@ public class PaimonSqlExtensions
                 scala.collection.immutable.Seq<String> parts =
                         ((UnresolvedRelation) target).multipartIdentifier();
                 String catName;
+                String db;
+                String tbl;
                 if (parts.size() == 3) {
                     catName = parts.apply(0);
-                } else if (parts.size() <= 2) {
+                    db = parts.apply(1);
+                    tbl = parts.apply(2);
+                } else if (parts.size() == 2) {
                     catName = session.sessionState().catalogManager()
                             .currentCatalog().name();
+                    db = parts.apply(0);
+                    tbl = parts.apply(1);
                 } else {
-                    return null;
+                    return null; // 1-part names: temp views / USE <db>
                 }
                 String impl = session.sessionState().conf().getConfString(
                         "spark.sql.catalog." + catName, "");
-                if (!PaimonSparkCatalog.class.getName().equals(impl)) {
+                if (!PaimonSparkCatalog.class.getName().equals(impl)
+                        && !PaimonSparkGenericCatalog.class.getName()
+                                .equals(impl)) {
                     return null;
                 }
                 String wh = session.sessionState().conf().getConfString(
                         "spark.sql.catalog." + catName + ".warehouse", "");
+                // only hijack identifiers that ARE warehouse tables: a
+                // generic spark_catalog serves plain session-catalog
+                // tables too, and those must keep Spark's own behavior
+                // (and its own errors for missing tables)
+                int i = tbl.indexOf("$branch_");
+                String base = i > 0 ? tbl.substring(0, i) : tbl;
+                if (!new java.io.File(new java.io.File(wh, db + ".db"),
+                        base + "/schema").isDirectory()) {
+                    return null;
+                }
                 return new String[] {catName, wh};
             }
             if (target instanceof DataSourceV2Relation) {

@@ -21,8 +21,15 @@ PK tables via a clustered write distribution) and DDL (``CREATE/DROP/
 RENAME TABLE``, ``CREATE/DROP NAMESPACE``, column add/rename/drop,
 ``SET TBLPROPERTIES``) are native — the catalog writes the same
 schema-N JSON the Python ``SchemaManager`` writes, so both sides serve
-one table state. Type widening (``ALTER COLUMN TYPE``) still points at
-the Python API, which owns the widening matrix.
+one table state.
+
+r14 surface: row-level SQL. ``DELETE FROM`` (DSv2 ``SupportsDelete``)
+plus ``CALL <cat>.sys.<proc>(...)`` (Spark 4 ``ProcedureCatalog``) and
+``ALTER COLUMN TYPE`` work on any session with the catalog installed —
+they reach the Python engine over the ``PaimonPyBridge`` py4j callback
+registered here. ``UPDATE`` / ``MERGE INTO`` / subquery ``DELETE`` need
+the injected analyzer rule: ``install_row_level_sql(spark)`` returns a
+cloned session carrying it.
 """
 
 from __future__ import annotations
@@ -163,10 +170,12 @@ def install_generic_catalog(spark, warehouse: str):
     spark_catalog from the cloned conf."""
     from pyspark.sql import SparkSession
 
+    from .bridge import install_bridge
     from .datasource import register
     register(spark)
     jar = ensure_jar()
     spark.sql(f"ADD JAR '{jar}'")
+    install_bridge(spark)  # DELETE/CALL/ALTER TYPE on warehouse tables
     s = SparkSession(spark.sparkContext, spark._jsparkSession.cloneSession())
     s.conf.set("spark.sql.catalog.spark_catalog", GENERIC_CATALOG_CLASS)
     s.conf.set("spark.sql.catalog.spark_catalog.warehouse", warehouse)

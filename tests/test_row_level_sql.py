@@ -239,3 +239,44 @@ def test_sql_alter_column_type_bridged(spark, rl):
     # narrowing rejected (Spark's canUpCast check fires first)
     with pytest.raises(Exception):
         spark.sql("ALTER TABLE rl.db.widen ALTER COLUMN v TYPE int")
+
+
+def test_row_level_sql_on_generic_session_catalog(spark, customer):
+    """The generic `spark_catalog` path (PaimonSparkGenericCatalog
+    extends PaimonSparkCatalog) gets the same row-level surface:
+    prefix-less DELETE rides the inherited SupportsDelete, UPDATE rides
+    the rule (which verifies the identifier IS a warehouse table before
+    hijacking — plain session-catalog tables keep Spark's behavior),
+    CALL rides the inherited ProcedureCatalog."""
+    from incubator_paimon_spark import Catalog
+    from incubator_paimon_spark.jvm_catalog import (install_generic_catalog,
+                                                    install_row_level_sql)
+    wh = tempfile.mkdtemp(prefix="pmn_rl_gen_")
+    try:
+        cat = Catalog(wh)
+        # inject the rule into the shared extensions FIRST, then the
+        # generic clone picks up both the rule and the spark_catalog conf
+        install_row_level_sql(spark)
+        s = install_generic_catalog(spark, wh)
+        t = cat.create_table("gdb.c", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2"})
+        t.write(spark, customer)
+        n0 = customer.count()
+
+        s.sql("DELETE FROM gdb.c WHERE c_custkey < 10")
+        exp = n0 - customer.filter("c_custkey < 10").count()
+        assert s.sql("SELECT count(*) n FROM gdb.c").collect()[0].n == exp
+        s.sql("UPDATE gdb.c SET c_name = 'gen' WHERE c_custkey = 20")
+        assert s.sql("SELECT c_name FROM gdb.c WHERE c_custkey = 20"
+                     ).collect()[0][0] == "gen"
+        r = s.sql("CALL spark_catalog.sys.compact(table => 'gdb.c', "
+                  "full => true)").collect()
+        assert len(r) == 1 and "snapshot" in r[0].result
+        # a plain (non-warehouse) table keeps Spark's own UPDATE error
+        s.range(3).createOrReplaceTempView("plain_gen")
+        with pytest.raises(Exception) as ei:
+            s.sql("UPDATE plain_gen SET id = 0")
+        assert "python engine" not in str(ei.value)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
