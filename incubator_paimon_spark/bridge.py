@@ -218,6 +218,25 @@ class PaimonBridgeHandler:
         from .procedures import _PROCEDURES
         return json.dumps(sorted(_PROCEDURES))
 
+    def _system_table_df(self, path, name, jsession):
+        """`SELECT * FROM <cat>.db.`t$<sys>``: build the system-table
+        DataFrame in the statement's session and return the LIVE JVM
+        Dataset by reference — the catalog wraps it as a DSv2 scan, so
+        types stay exact with zero serialization."""
+        from .datasource import _load_table
+        from .system_tables import system_table
+        spark = self._wrap(jsession)
+        df = system_table(spark, _load_table({"path": path}), name)
+        return df._jdf
+
+    def _global_system_table_df(self, warehouse, name, jsession):
+        from incubator_paimon_spark import Catalog
+
+        from .system_tables import catalog_system_table
+        spark = self._wrap(jsession)
+        df = catalog_system_table(spark, Catalog(warehouse), name)
+        return df._jdf
+
     # -- BiFunction ----------------------------------------------------
 
     def apply(self, verb, args):
@@ -234,6 +253,12 @@ class PaimonBridgeHandler:
                                         a[3] if len(a) > 3 else None)
         if verb == "list_procedures":
             return self._list_procedures()
+        if verb == "system_table_df":
+            return self._system_table_df(a[0], a[1],
+                                         a[2] if len(a) > 2 else None)
+        if verb == "global_system_table_df":
+            return self._global_system_table_df(a[0], a[1],
+                                                a[2] if len(a) > 2 else None)
         raise ValueError(f"unknown bridge verb {verb!r}")
 
     class Java:  # py4j proxy declaration

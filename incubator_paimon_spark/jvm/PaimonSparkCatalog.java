@@ -204,7 +204,28 @@ public class PaimonSparkCatalog
 
     Table loadWith(Identifier ident, String key, String value)
             throws NoSuchTableException {
+        if (ident.namespace().length == 1
+                && "sys".equalsIgnoreCase(ident.namespace()[0])
+                && !dbDir("sys").isDirectory()) {
+            // catalog-scope system tables: SELECT * FROM <cat>.sys.metrics
+            // (SystemTableLoader.loadGlobal parity); a real `sys` database
+            // in the warehouse shadows them, like the reference
+            return systemTable(ident, null, ident.name());
+        }
         if (ident.namespace().length != 1 || !isTableDir(tableDir(ident))) {
+            // `t$<system>` suffix (docs/maintenance/system-tables.md):
+            // resolve the BASE table, serve the named system relation
+            String nm = ident.name();
+            int d = nm.indexOf('$');
+            if (ident.namespace().length == 1 && d > 0
+                    && !nm.startsWith("$branch_", d)) {
+                Identifier base = Identifier.of(
+                        ident.namespace(), nm.substring(0, d));
+                if (isTableDir(tableDir(base))) {
+                    return systemTable(ident, tableDir(base),
+                            nm.substring(d + 1));
+                }
+            }
             throw new NoSuchTableException(ident);
         }
         // key includes the SNAPSHOT stamp: the python source object
@@ -248,6 +269,105 @@ public class PaimonSparkCatalog
                 "format(\"paimon\") did not resolve to a DSv2 relation -- "
                         + "call incubator_paimon_spark.datasource.register("
                         + "spark) before using the SQL catalog");
+    }
+
+    /**
+     * System tables (`t$files`, `t$snapshots`, ..., plus catalog-scope
+     * `sys.metrics` etc.): the Python engine builds the DataFrame
+     * (system_tables.py — including the distributed $files/$partitions
+     * serving path above the cache bound) and the bridge returns the
+     * live Dataset by reference; this catalog wraps it as a DSv2 table
+     * whose scan collects that Dataset. Metadata-scale by design — the
+     * Python `t.system(spark, name)` API is the same rows without the
+     * collect.
+     */
+    private Table systemTable(Identifier ident, File baseDir, String sys)
+            throws NoSuchTableException {
+        String cacheKey = baseDir == null
+                ? null
+                : baseDir.getAbsolutePath() + "|$" + sys + "|"
+                        + schemaStamp(baseDir) + "|" + snapshotStamp(baseDir);
+        if (cacheKey != null) {
+            Table cached = TABLE_CACHE.get(cacheKey);
+            if (cached != null) {
+                return cached;
+            }
+        }
+        Object ds;
+        try {
+            if (baseDir == null) {
+                ds = PaimonPyBridge.call("global_system_table_df",
+                        warehouse, sys, SparkSession.active());
+            } else {
+                ds = PaimonPyBridge.call("system_table_df",
+                        baseDir.getAbsolutePath(), sys,
+                        SparkSession.active());
+            }
+        } catch (RuntimeException e) {
+            String m = e.getMessage();
+            if (m != null && m.contains("unknown")) {
+                throw new NoSuchTableException(ident);
+            }
+            throw e;
+        }
+        Table t = new DatasetBackedTable(
+                ident.toString(),
+                (org.apache.spark.sql.classic.Dataset<?>) ds);
+        if (cacheKey != null) {
+            TABLE_CACHE.put(cacheKey, t);
+        }
+        return t;
+    }
+
+    private static final class DatasetBackedTable
+            implements Table,
+                    org.apache.spark.sql.connector.catalog.SupportsRead {
+
+        private final String name;
+        private final org.apache.spark.sql.classic.Dataset<?> ds;
+
+        DatasetBackedTable(String name,
+                           org.apache.spark.sql.classic.Dataset<?> ds) {
+            this.name = name;
+            this.ds = ds;
+        }
+
+        @Override
+        public String name() {
+            return name;
+        }
+
+        @Override
+        @SuppressWarnings("deprecation")
+        public StructType schema() {
+            return ds.schema();
+        }
+
+        @Override
+        public java.util.Set<org.apache.spark.sql.connector.catalog.TableCapability>
+                capabilities() {
+            return Collections.singleton(
+                    org.apache.spark.sql.connector.catalog.TableCapability
+                            .BATCH_READ);
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.read.ScanBuilder newScanBuilder(
+                CaseInsensitiveStringMap options) {
+            return () -> new org.apache.spark.sql.connector.read.LocalScan() {
+                @Override
+                public org.apache.spark.sql.catalyst.InternalRow[] rows() {
+                    return (org.apache.spark.sql.catalyst.InternalRow[])
+                            ds.queryExecution().executedPlan()
+                                    .executeCollect();
+                }
+
+                @Override
+                public StructType readSchema() {
+                    return ds.schema();
+                }
+            };
+        }
     }
 
     /**

@@ -536,3 +536,48 @@ def test_sql_insert_timestamp_bucket_key_reads_back(spark, sqlcat):
     files = [r.file_path for r in t.system(spark, "files").collect()]
     assert {f.split("/")[0] for f in files} >= {"bucket-0", "bucket-1"}
     spark.sql("DROP NAMESPACE pa.mmk CASCADE")
+
+
+def test_sql_system_tables_through_catalog(spark, sqlcat, customer):
+    """r14: `SELECT * FROM <cat>.db.`t$<sys>`` serves the Python
+    engine's system tables through the native catalog (the bridge
+    returns the live Dataset; the catalog wraps it as a DSv2 scan), and
+    commits rotate the cache so the rows stay fresh."""
+    t = sqlcat.create_table("db.sysx", customer.schema,
+                            primary_keys=["c_custkey"],
+                            options={"bucket": "2"})
+    t.write(spark, customer)
+    t.write(spark, customer.limit(20))
+
+    snaps = spark.sql("SELECT snapshot_id, commit_kind FROM "
+                      "pa.db.`sysx$snapshots` ORDER BY snapshot_id"
+                      ).collect()
+    assert [(r.snapshot_id, r.commit_kind) for r in snaps] == \
+        [(1, "APPEND"), (2, "APPEND")]
+    nfiles = spark.sql("SELECT count(*) n FROM pa.db.`sysx$files`"
+                       ).collect()[0].n
+    assert nfiles == len(t.entries_at())
+    opts = {r.key: r.value for r in
+            spark.sql("SELECT * FROM pa.db.`sysx$options`").collect()}
+    assert opts == {"bucket": "2"}
+    # joins with data tables in ONE statement
+    j = spark.sql(
+        "SELECT count(*) n FROM pa.db.sysx x "
+        "JOIN pa.db.`sysx$snapshots` s ON s.snapshot_id = 2"
+    ).collect()[0].n
+    assert j == customer.count()
+    # freshness: new commit -> new snapshot row (cache keyed by stamp)
+    t.write(spark, customer.limit(5))
+    assert spark.sql("SELECT count(*) n FROM pa.db.`sysx$snapshots`"
+                     ).collect()[0].n == 3
+    # audit_log carries row kinds
+    kinds = {r._row_kind for r in spark.sql(
+        "SELECT DISTINCT _row_kind FROM pa.db.`sysx$audit_log`").collect()}
+    assert "+I" in kinds
+    # catalog-scope system table under the sys namespace
+    rows = spark.sql("SELECT * FROM pa.sys.all_table_options "
+                     "WHERE table_name = 'sysx'").collect()
+    assert any(r.key == "bucket" and r.value == "2" for r in rows)
+    # unknown system suffix -> Spark's own TABLE_OR_VIEW_NOT_FOUND
+    with pytest.raises(Exception, match="cannot be found|NOT_FOUND"):
+        spark.sql("SELECT * FROM pa.db.`sysx$nope`").collect()
