@@ -581,3 +581,37 @@ def test_sql_system_tables_through_catalog(spark, sqlcat, customer):
     # unknown system suffix -> Spark's own TABLE_OR_VIEW_NOT_FOUND
     with pytest.raises(Exception, match="cannot be found|NOT_FOUND"):
         spark.sql("SELECT * FROM pa.db.`sysx$nope`").collect()
+
+
+def test_write_stream_to_table_via_catalog(spark, sqlcat):
+    """r14 pin: `writeStream.toTable("pa.db.t")` routes the streaming
+    write through the catalog's write builder into the engine's
+    exactly-once streaming sink (PK merge across micro-batch commits)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import types as T
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = sqlcat.create_table("db.wst", sch, primary_keys=["k"],
+                            options={"bucket": "2"})
+    chk = tempfile.mkdtemp(prefix="pmn_jvmcat_wst_")
+    src = (spark.readStream.format("rate").option("rowsPerSecond", 50)
+           .load().selectExpr("value % 20 AS k", "value AS v"))
+    q = (src.writeStream.option("checkpointLocation", chk)
+         .trigger(processingTime="500 milliseconds").outputMode("append")
+         .toTable("pa.db.wst"))
+    try:
+        deadline, n = time.time() + 60, 0
+        while time.time() < deadline:
+            time.sleep(2)
+            assert q.exception() is None
+            n = spark.sql("SELECT count(*) n FROM pa.db.wst"
+                          ).collect()[0].n
+            if n >= 20:
+                break
+        assert n == 20  # 20 distinct keys, PK-merged across commits
+        assert t.snapshots.latest_id() >= 1
+    finally:
+        q.stop()
+        shutil.rmtree(chk, ignore_errors=True)
