@@ -210,6 +210,7 @@ public class PaimonSparkCatalog
             // catalog-scope system tables: SELECT * FROM <cat>.sys.metrics
             // (SystemTableLoader.loadGlobal parity); a real `sys` database
             // in the warehouse shadows them, like the reference
+            checkNoTimeTravel(ident, key);
             return systemTable(ident, null, ident.name());
         }
         if (ident.namespace().length != 1 || !isTableDir(tableDir(ident))) {
@@ -222,6 +223,7 @@ public class PaimonSparkCatalog
                 Identifier base = Identifier.of(
                         ident.namespace(), nm.substring(0, d));
                 if (isTableDir(tableDir(base))) {
+                    checkNoTimeTravel(ident, key);
                     return systemTable(ident, tableDir(base),
                             nm.substring(d + 1));
                 }
@@ -269,6 +271,16 @@ public class PaimonSparkCatalog
                 "format(\"paimon\") did not resolve to a DSv2 relation -- "
                         + "call incubator_paimon_spark.datasource.register("
                         + "spark) before using the SQL catalog");
+    }
+
+    private static void checkNoTimeTravel(Identifier ident, String key) {
+        if (key != null) {
+            // reference parity (sql.py applies the same rule): system
+            // relations reflect CURRENT metadata, not a travelled state
+            throw new UnsupportedOperationException(
+                    "time travel is not supported on system table "
+                            + ident);
+        }
     }
 
     /**
