@@ -280,3 +280,59 @@ def test_row_level_sql_on_generic_session_catalog(spark, customer):
         assert "python engine" not in str(ei.value)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_filters_to_predicate_edges(spark, customer):
+    """Unit edges of the v1-filter JSON -> Predicate rebuild: De-Morgan
+    negations, EqualNullSafe null, In with null member, nested and/or,
+    and the constant-filter contract."""
+    import json
+
+    from incubator_paimon_spark.bridge import filters_to_predicate
+    from incubator_paimon_spark.datasource import _load_table
+    from incubator_paimon_spark import Catalog
+    import tempfile
+    wh = tempfile.mkdtemp(prefix="pmn_f2p_")
+    try:
+        cat = Catalog(wh)
+        t = cat.create_table("db.t", customer.schema)
+        schema = t.schema
+
+        def rows(pred):
+            return sorted(r.c_custkey for r in customer.filter(
+                pred.to_column()).collect())
+
+        def expect(sql):
+            return sorted(r.c_custkey for r in customer.filter(sql)
+                          .collect())
+
+        p = filters_to_predicate(
+            [{"op": "not", "c": {"op": "gt", "col": "c_custkey", "v": 10}}],
+            schema)
+        assert rows(p) == expect("c_custkey <= 10")
+        p = filters_to_predicate(
+            [{"op": "not", "c": {"op": "in", "col": "c_custkey",
+                                 "vs": [1, 2, 3]}}], schema)
+        assert rows(p) == expect("c_custkey NOT IN (1, 2, 3)")
+        p = filters_to_predicate(
+            [{"op": "or",
+              "l": {"op": "and",
+                    "l": {"op": "ge", "col": "c_custkey", "v": 5},
+                    "r": {"op": "lt", "col": "c_custkey", "v": 8}},
+              "r": {"op": "eq", "col": "c_mktsegment", "v": "BUILDING"}}],
+            schema)
+        assert rows(p) == expect(
+            "(c_custkey >= 5 AND c_custkey < 8) OR c_mktsegment = 'BUILDING'")
+        # value coercion from JSON strings by schema type
+        p = filters_to_predicate(
+            [{"op": "eq", "col": "c_acctbal", "v": "0"}], schema)
+        assert rows(p) == expect("c_acctbal = 0.0")
+        # AlwaysTrue conjuncts drop out; all-true -> None (truncate)
+        assert filters_to_predicate([{"op": "true"}], schema) is None
+        # non-negatable ops refuse loudly
+        with pytest.raises(ValueError):
+            filters_to_predicate(
+                [{"op": "not", "c": {"op": "starts_with", "col": "c_name",
+                                     "v": "x"}}], schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
