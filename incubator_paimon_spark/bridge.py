@@ -177,6 +177,11 @@ class PaimonBridgeHandler:
             column, _parse_datatype_json_string(type_json))
         return "ok"
 
+    def _move_column(self, path, column, after):
+        from .metadata.schema import SchemaManager
+        SchemaManager(path).move_column(column, after)
+        return "ok"
+
     def _call_procedure(self, payload_json, cat_name, warehouse, jsession):
         """CALL through Spark 4's ProcedureCatalog: named args arrive
         with by_name=True; positionals are matched against the Python
@@ -248,6 +253,9 @@ class PaimonBridgeHandler:
                                       a[2] if len(a) > 2 else None)
         if verb == "update_column_type":
             return self._update_column_type(a[0], a[1], a[2])
+        if verb == "move_column":
+            return self._move_column(a[0], a[1],
+                                     a[2] if len(a) > 2 else None)
         if verb == "call_procedure":
             return self._call_procedure(a[0], a[1], a[2],
                                         a[3] if len(a) > 3 else None)

@@ -1234,27 +1234,45 @@ public class PaimonSparkCatalog
         if (!tableExists(ident)) {
             throw new NoSuchTableException(ident);
         }
-        // ALTER COLUMN TYPE delegates over the bridge to the Python
-        // SchemaManager.update_column_type, which OWNS the widening
-        // matrix (byte->..->decimal chains; SchemaChange.java:95-512
-        // parity) — the catalog never replicates those rules. Spark
-        // sends one TableChange per ALTER COLUMN statement, so a mixed
-        // batch with a type change stays unsupported.
-        boolean hasType = false;
+        // ALTER COLUMN TYPE / FIRST / AFTER delegate over the bridge to
+        // the Python SchemaManager (update_column_type owns the widening
+        // matrix — byte->..->decimal chains, SchemaChange.java:95-512
+        // parity; move_column owns reordering, which is metadata-only
+        // because field ids anchor reads) — the catalog never replicates
+        // those rules. Spark sends one TableChange per ALTER COLUMN
+        // statement, so a mixed batch stays unsupported.
+        boolean bridged = false;
         for (TableChange c : changes) {
-            hasType |= c instanceof TableChange.UpdateColumnType;
+            bridged |= c instanceof TableChange.UpdateColumnType
+                    || c instanceof TableChange.UpdateColumnPosition;
         }
-        if (hasType) {
+        if (bridged) {
             if (changes.length != 1) {
-                throw pythonDdl("ALTER COLUMN TYPE combined with other "
-                        + "changes");
+                throw pythonDdl("ALTER COLUMN TYPE/position combined with "
+                        + "other changes");
             }
-            TableChange.UpdateColumnType uc =
-                    (TableChange.UpdateColumnType) changes[0];
-            PaimonPyBridge.call("update_column_type",
-                    tableDir(ident).getAbsolutePath(),
-                    singleName(uc.fieldNames()),
-                    uc.newDataType().json());
+            if (changes[0] instanceof TableChange.UpdateColumnType) {
+                TableChange.UpdateColumnType uc =
+                        (TableChange.UpdateColumnType) changes[0];
+                PaimonPyBridge.call("update_column_type",
+                        tableDir(ident).getAbsolutePath(),
+                        singleName(uc.fieldNames()),
+                        uc.newDataType().json());
+            } else {
+                TableChange.UpdateColumnPosition up =
+                        (TableChange.UpdateColumnPosition) changes[0];
+                String after;
+                if (up.position() instanceof TableChange.First) {
+                    after = null;
+                } else if (up.position() instanceof TableChange.After) {
+                    after = ((TableChange.After) up.position()).column();
+                } else {
+                    throw pythonDdl("column position " + up.position());
+                }
+                PaimonPyBridge.call("move_column",
+                        tableDir(ident).getAbsolutePath(),
+                        singleName(up.fieldNames()), after);
+            }
             uncache(ident);
             return loadWith(ident, null, null);
         }

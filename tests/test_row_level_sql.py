@@ -224,6 +224,7 @@ def test_sql_alter_column_type_bridged(spark, rl):
     """ALTER COLUMN TYPE routes to SchemaManager.update_column_type (the
     Python side owns the widening matrix); old files read back cast."""
     cat, _ = rl
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl.db")
     spark.sql("CREATE TABLE rl.db.widen (k int, v string)")
     spark.sql("INSERT INTO rl.db.widen VALUES (1, 'a'), (2147483647, 'b')")
     spark.sql("ALTER TABLE rl.db.widen ALTER COLUMN k TYPE bigint")
@@ -336,3 +337,20 @@ def test_filters_to_predicate_edges(spark, customer):
                                      "v": "x"}}], schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_sql_alter_column_position_bridged(spark, rl, customer):
+    """ALTER COLUMN ... FIRST / AFTER routes to SchemaManager.move_column
+    (metadata-only: field ids anchor reads, old files serve unchanged)."""
+    cat, _ = rl
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl.db")
+    spark.sql("CREATE TABLE rl.db.mv_pos (a int, b string, c double)")
+    spark.sql("INSERT INTO rl.db.mv_pos VALUES (1, 'x', 2.5)")
+    spark.sql("ALTER TABLE rl.db.mv_pos ALTER COLUMN c FIRST")
+    df = spark.sql("SELECT * FROM rl.db.mv_pos")
+    assert df.columns == ["c", "a", "b"]
+    assert df.collect() == [(2.5, 1, "x")]
+    spark.sql("ALTER TABLE rl.db.mv_pos ALTER COLUMN c AFTER a")
+    df = spark.sql("SELECT * FROM rl.db.mv_pos")
+    assert df.columns == ["a", "c", "b"]
+    assert cat.get_table("db.mv_pos").schema.field_names() == ["a", "c", "b"]
