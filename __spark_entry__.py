@@ -996,8 +996,14 @@ def q_lineage_rows(spark, sf_dir):
     the row set is deterministic and the oracle is a VALUES literal."""
     fx = _fixtures(spark, sf_dir)
     cat = fx["cat"]
+    # pinned to the two fixture merges by name: other oracle queries in
+    # the same warehouse (r14: sql_merge_native) record their own
+    # merge_into events, and this row set must not depend on whether
+    # they ran first
     return (cat.system(spark, "data_lineage")
                .where(F.col("job_name") == "merge_into")
+               .where(F.col("table_name").isin("customer_merge",
+                                               "customer_mwm"))
                .select("direction", "database_name", "table_name",
                        "snapshot_id", "job_name"))
 

@@ -182,6 +182,33 @@ class PaimonBridgeHandler:
         SchemaManager(path).move_column(column, after)
         return "ok"
 
+    def _list_partitions(self, path):
+        """Distinct live partition specs, values in partition-key order
+        (dates ISO-rendered; the JVM re-types from the partition
+        schema)."""
+        from .datasource import _load_table
+        table = _load_table({"path": path})
+        keys = table.schema.partition_keys
+        seen, out = set(), []
+        for e in table.entries_at():
+            vals = tuple(e.partition.get(k) for k in keys)
+            if vals in seen:
+                continue
+            seen.add(vals)
+            out.append([v.isoformat() if isinstance(v, datetime.date)
+                        else v for v in vals])
+        out.sort(key=lambda r: tuple(str(x) for x in r))
+        return json.dumps(out)
+
+    def _drop_partition(self, path, spec_str, jsession):
+        from .datasource import _load_table
+        spec = {}
+        for kv in spec_str.split(","):
+            k, v = kv.split("=", 1)
+            spec[k] = v
+        _load_table({"path": path}).drop_partition(spec)
+        return "ok"
+
     def _call_procedure(self, payload_json, cat_name, warehouse, jsession):
         """CALL through Spark 4's ProcedureCatalog: named args arrive
         with by_name=True; positionals are matched against the Python
@@ -261,6 +288,11 @@ class PaimonBridgeHandler:
                                         a[3] if len(a) > 3 else None)
         if verb == "list_procedures":
             return self._list_procedures()
+        if verb == "list_partitions":
+            return self._list_partitions(a[0])
+        if verb == "drop_partition":
+            return self._drop_partition(a[0], a[1],
+                                        a[2] if len(a) > 2 else None)
         if verb == "system_table_df":
             return self._system_table_df(a[0], a[1],
                                          a[2] if len(a) > 2 else None)

@@ -494,7 +494,9 @@ public class PaimonSparkCatalog
             implements Table,
                     org.apache.spark.sql.connector.catalog.SupportsRead,
                     org.apache.spark.sql.connector.catalog.SupportsWrite,
-                    org.apache.spark.sql.connector.catalog.SupportsDelete {
+                    org.apache.spark.sql.connector.catalog.SupportsDelete,
+                    org.apache.spark.sql.connector.catalog
+                            .SupportsPartitionManagement {
 
         private final Table inner;
         private final Map<String, String> extra;
@@ -579,8 +581,26 @@ public class PaimonSparkCatalog
         @Override
         public org.apache.spark.sql.connector.read.ScanBuilder newScanBuilder(
                 CaseInsensitiveStringMap options) {
-            return ((org.apache.spark.sql.connector.catalog.SupportsRead) inner)
-                    .newScanBuilder(merged(options));
+            // Every SCAN gets its own PythonDataSourceV2. pyspark's
+            // python-source read plan is a ONE-SHOT memo on the ds
+            // instance (PythonDataSourceV2.readInfo): pushFilters plans
+            // eagerly and setReadInfo overwrites, planInputPartitions
+            // blindly getOrCreate's — so scans sharing a ds serve each
+            // other's pruned file lists (a filtered query poisoning the
+            // next unfiltered one; two filters in one query serving one
+            // side's files to both). A fresh ds per scan isolates every
+            // scan's pushdown at the cost of one extra python
+            // create-roundtrip per query (r14 wrong-answer fix, pinned
+            // by test_sql_catalog_filtered_then_unfiltered).
+            org.apache.spark.sql.execution.datasources.v2.python
+                    .PythonDataSourceV2 nds =
+                    new org.apache.spark.sql.execution.datasources.v2
+                            .python.PythonDataSourceV2();
+            nds.setShortName("paimon");
+            Table fresh = new org.apache.spark.sql.execution.datasources
+                    .v2.python.PythonTable(nds, "paimon", inner.schema());
+            return ((org.apache.spark.sql.connector.catalog.SupportsRead)
+                    fresh).newScanBuilder(merged(options));
         }
 
         @Override
@@ -590,6 +610,170 @@ public class PaimonSparkCatalog
                     (org.apache.spark.sql.connector.catalog.SupportsWrite)
                             inner,
                     info, extra, meta);
+        }
+
+        // ------------------------------------------------------------
+        // SupportsPartitionManagement (PaimonPartitionManagement.scala
+        // parity): SHOW PARTITIONS lists the live manifest partitions
+        // via the bridge; ALTER TABLE ... DROP PARTITION commits the
+        // engine's partition drop. Partitions are DEFINED by data
+        // files, so ADD PARTITION is unsupported like the reference.
+        @Override
+        public StructType partitionSchema() {
+            StructType full = inner.schema();
+            org.apache.spark.sql.types.StructField[] out =
+                    new org.apache.spark.sql.types.StructField
+                            [meta == null ? 0 : meta.partitionKeys.length];
+            for (int i = 0; i < out.length; i++) {
+                out[i] = full.apply(meta.partitionKeys[i]);
+            }
+            return new StructType(out);
+        }
+
+        @Override
+        public void createPartition(
+                org.apache.spark.sql.catalyst.InternalRow ident,
+                Map<String, String> properties) {
+            throw new UnsupportedOperationException(
+                    "partitions are defined by data files; INSERT data "
+                            + "instead of ADD PARTITION");
+        }
+
+        @Override
+        public void replacePartitionMetadata(
+                org.apache.spark.sql.catalyst.InternalRow ident,
+                Map<String, String> properties) {
+            throw new UnsupportedOperationException(
+                    "partition metadata is not supported");
+        }
+
+        @Override
+        public Map<String, String> loadPartitionMetadata(
+                org.apache.spark.sql.catalyst.InternalRow ident) {
+            return Collections.emptyMap();
+        }
+
+        @Override
+        public boolean dropPartition(
+                org.apache.spark.sql.catalyst.InternalRow ident) {
+            StructType ps = partitionSchema();
+            StringBuilder spec = new StringBuilder();
+            for (int i = 0; i < ps.fields().length; i++) {
+                if (spec.length() > 0) {
+                    spec.append(',');
+                }
+                spec.append(ps.fields()[i].name()).append('=')
+                        .append(partitionValueString(
+                                ident, i, ps.fields()[i].dataType()));
+            }
+            PaimonPyBridge.call("drop_partition", extra.get("path"),
+                    spec.toString(), SparkSession.active());
+            return true;
+        }
+
+        @Override
+        public org.apache.spark.sql.catalyst.InternalRow[]
+                listPartitionIdentifiers(
+                        String[] names,
+                        org.apache.spark.sql.catalyst.InternalRow ident) {
+            StructType ps = partitionSchema();
+            Object res = PaimonPyBridge.call("list_partitions",
+                    extra.get("path"));
+            List<org.apache.spark.sql.catalyst.InternalRow> out =
+                    new ArrayList<>();
+            try {
+                JsonNode arr = new ObjectMapper()
+                        .readTree(String.valueOf(res));
+                for (JsonNode row : arr) {
+                    Object[] vals = new Object[ps.fields().length];
+                    for (int i = 0; i < vals.length; i++) {
+                        vals[i] = jsonToCatalyst(row.get(i),
+                                ps.fields()[i].dataType());
+                    }
+                    org.apache.spark.sql.catalyst.InternalRow r =
+                            new org.apache.spark.sql.catalyst.expressions
+                                    .GenericInternalRow(vals);
+                    if (matchesPrefix(r, names, ident, ps)) {
+                        out.add(r);
+                    }
+                }
+            } catch (java.io.IOException e) {
+                throw new RuntimeException(e);
+            }
+            return out.toArray(
+                    new org.apache.spark.sql.catalyst.InternalRow[0]);
+        }
+
+        private boolean matchesPrefix(
+                org.apache.spark.sql.catalyst.InternalRow row,
+                String[] names,
+                org.apache.spark.sql.catalyst.InternalRow ident,
+                StructType ps) {
+            for (int i = 0; i < names.length; i++) {
+                int col = ps.fieldIndex(names[i]);
+                org.apache.spark.sql.types.DataType dt =
+                        ps.fields()[col].dataType();
+                Object want = ident.get(i, dt);
+                Object got = row.get(col, dt);
+                if (want == null ? got != null : !want.equals(got)) {
+                    return false;
+                }
+            }
+            return true;
+        }
+
+        private static String partitionValueString(
+                org.apache.spark.sql.catalyst.InternalRow row, int i,
+                org.apache.spark.sql.types.DataType dt) {
+            if (row.isNullAt(i)) {
+                return "__HIVE_DEFAULT_PARTITION__";
+            }
+            if (dt instanceof org.apache.spark.sql.types.DateType) {
+                return java.time.LocalDate.ofEpochDay(row.getInt(i))
+                        .toString();
+            }
+            return String.valueOf(row.get(i, dt));
+        }
+
+        /** JSON partition value -> catalyst internal value. */
+        private static Object jsonToCatalyst(
+                JsonNode v, org.apache.spark.sql.types.DataType dt) {
+            if (v == null || v.isNull()) {
+                return null;
+            }
+            if (dt instanceof org.apache.spark.sql.types.StringType) {
+                return org.apache.spark.unsafe.types.UTF8String
+                        .fromString(v.asText());
+            }
+            if (dt instanceof org.apache.spark.sql.types.IntegerType) {
+                return v.asInt();
+            }
+            if (dt instanceof org.apache.spark.sql.types.LongType) {
+                return v.asLong();
+            }
+            if (dt instanceof org.apache.spark.sql.types.ShortType) {
+                return (short) v.asInt();
+            }
+            if (dt instanceof org.apache.spark.sql.types.ByteType) {
+                return (byte) v.asInt();
+            }
+            if (dt instanceof org.apache.spark.sql.types.BooleanType) {
+                return v.asBoolean();
+            }
+            if (dt instanceof org.apache.spark.sql.types.DoubleType) {
+                return v.asDouble();
+            }
+            if (dt instanceof org.apache.spark.sql.types.FloatType) {
+                return (float) v.asDouble();
+            }
+            if (dt instanceof org.apache.spark.sql.types.DateType) {
+                return (int) java.time.LocalDate.parse(v.asText())
+                        .toEpochDay();
+            }
+            throw new UnsupportedOperationException(
+                    "partition column type " + dt.simpleString()
+                            + " not supported by SHOW PARTITIONS; use "
+                            + "t.system(spark, 'partitions')");
         }
 
         // ------------------------------------------------------------

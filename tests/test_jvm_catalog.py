@@ -615,3 +615,61 @@ def test_write_stream_to_table_via_catalog(spark, sqlcat):
     finally:
         q.stop()
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_sql_show_and_drop_partition(spark, sqlcat, orders):
+    """r14 (PaimonPartitionManagement.scala parity): SHOW PARTITIONS
+    lists live manifest partitions, ALTER TABLE DROP PARTITION commits
+    the engine's partition drop, ADD PARTITION refuses (partitions are
+    defined by data files)."""
+    t = sqlcat.create_table("db.pm", orders.schema,
+                            partition_keys=["o_orderstatus"])
+    t.write(spark, orders)
+    stats = sorted(r.o_orderstatus for r in
+                   orders.select("o_orderstatus").distinct().collect())
+    rows = sorted(r.partition for r in
+                  spark.sql("SHOW PARTITIONS pa.db.pm").collect())
+    assert rows == [f"o_orderstatus={s}" for s in stats]
+    # prefix-filtered listing
+    one = spark.sql("SHOW PARTITIONS pa.db.pm "
+                    "PARTITION (o_orderstatus = 'F')").collect()
+    assert [r.partition for r in one] == ["o_orderstatus=F"]
+
+    spark.sql("ALTER TABLE pa.db.pm DROP PARTITION (o_orderstatus = 'F')")
+    assert spark.sql("SELECT count(*) n FROM pa.db.pm "
+                     "WHERE o_orderstatus = 'F'").collect()[0].n == 0
+    n_left = spark.sql("SELECT count(*) n FROM pa.db.pm").collect()[0].n
+    assert n_left == orders.filter("o_orderstatus <> 'F'").count()
+    rows2 = sorted(r.partition for r in
+                   spark.sql("SHOW PARTITIONS pa.db.pm").collect())
+    assert rows2 == [f"o_orderstatus={s}" for s in stats if s != "F"]
+
+    with pytest.raises(Exception, match="defined by data files"):
+        spark.sql("ALTER TABLE pa.db.pm ADD PARTITION "
+                  "(o_orderstatus = 'Z')")
+
+
+def test_sql_catalog_filtered_then_unfiltered(spark, sqlcat):
+    """r14 wrong-answer fix: pyspark's python-source read plan is a
+    one-shot memo on the PythonDataSourceV2 instance (readInfo), so a
+    cached catalog Table would serve one scan's PRUNED file list to
+    every later scan — a filtered query poisoning the next unfiltered
+    one, and a union of two filters in ONE query serving one side's
+    files to both. Every scan now gets its own fresh ds instance."""
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pa.mm")
+    spark.sql("CREATE TABLE pa.mm.t (k int, p string) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO pa.mm.t VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+    # filtered FIRST (this is the poisoning order)
+    assert spark.sql("SELECT count(*) n FROM pa.mm.t WHERE p = 'a'"
+                     ).collect()[0].n == 1
+    assert spark.sql("SELECT count(*) n FROM pa.mm.t").collect()[0].n == 3
+    # two different filters inside ONE query
+    u = spark.sql(
+        "SELECT count(*) n FROM (SELECT * FROM pa.mm.t WHERE p = 'a' "
+        "UNION ALL SELECT * FROM pa.mm.t WHERE p = 'b')").collect()[0].n
+    assert u == 3
+    # self-join with a one-sided filter
+    j = spark.sql("SELECT count(*) n FROM pa.mm.t a JOIN pa.mm.t b "
+                  "ON a.k = b.k WHERE a.p = 'b'").collect()[0].n
+    assert j == 2
+    spark.sql("DROP TABLE pa.mm.t")
