@@ -19,6 +19,15 @@ plans snapshot ranges + per-file splits (control-plane-sized), workers read
 each changelog/delta file as Arrow RecordBatches — a backfill over many
 snapshots fans out instead of funneling Python rows through the driver.
 
+Known upstream caveat (pyspark 4.1): the JVM memoizes ONE planned read
+per python-source instance (PythonDataSourceV2.readInfo), so a single
+``spark.read.format("paimon").load()`` HANDLE branched into scans with
+DIFFERENT pushable filters can serve one branch's pruned file list to
+the other. Load fresh per query (cheap — planning is the real cost and
+runs per scan anyway), use ``Table.read`` (python-side planning, direct
+parquet reads), or use the SQL catalog, whose ``OptionsTable`` isolates
+every scan with a fresh source instance (r14 fix).
+
 Register once per session:
     from incubator_paimon_spark.datasource import register
     register(spark)
