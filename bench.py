@@ -174,6 +174,9 @@ def _prior_gated(sf: float) -> dict[str, float]:
 DRIFT_BAR = 1.25       # re-measure when slower than prior by this ratio
 DRIFT_FLOOR_SEC = 0.15  # sub-150ms timings are scheduler noise, skip
 DRIFT_EXTRA_REPS = 3
+# queries whose FIRST measurement is the semantics (cold caches): extra
+# reps would record a warm number under a cold name
+DRIFT_EXEMPT = {"point_lookup_cold"}
 
 
 def main():
@@ -242,7 +245,8 @@ def main():
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             return None
         p = prior.get(name)
-        if (p and p >= DRIFT_FLOOR_SEC and best > p * DRIFT_BAR):
+        if (p and p >= DRIFT_FLOOR_SEC and best > p * DRIFT_BAR
+                and name not in DRIFT_EXEMPT):
             # drifted vs the last gated artifact: re-measure NOW with
             # more reps (host contention shows up as healed extra reps;
             # a real regression stays put), recording the load sentinel
