@@ -165,9 +165,17 @@ def _prior_gated(sf: float) -> dict[str, float]:
         got_sf = inner.get("sf", data.get("sf"))
         if got_sf != sf or int(m.group(1)) <= best_n:
             continue
-        qs = inner.get("queries") or {}
+        qs = dict(inner.get("queries") or {})
+        if not qs and isinstance(data.get("tail"), str):
+            # since r11 the artifact keeps only a FRONT-TRUNCATED tail of
+            # the bench line (parsed: null) — recover per-query numbers
+            # from the rep_spread fragments that survive at the end
+            # (min == the best-of-reps value timed() records)
+            qs = {mm.group(1): float(mm.group(2)) for mm in re.finditer(
+                r'"(\w+)":\s*\{"reps":\s*\d+,\s*"min":\s*([\d.]+)',
+                data["tail"])}
         if qs:
-            best_n, prior = int(m.group(1)), dict(qs)
+            best_n, prior = int(m.group(1)), qs
     return prior
 
 
