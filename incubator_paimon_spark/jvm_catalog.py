@@ -152,6 +152,20 @@ def install_row_level_sql(spark):
                         spark._jsparkSession.cloneSession())
 
 
+def ensure_thread_classloader(spark) -> None:
+    """Call once at the top of any NEW python thread that will run SQL
+    against the catalog. pyspark's pinned-thread mode gives each python
+    thread its own JVM peer thread, created with the LAUNCHER context
+    classloader — which cannot see ADD JAR classes, so catalog
+    resolution fails with `Cannot find catalog plugin class`. The main
+    thread works because executing ADD JAR set ITS context loader. This
+    pins the session's jar classloader onto the calling thread's JVM
+    peer (idempotent, cheap)."""
+    jvm = spark.sparkContext._jvm
+    cl = spark._jsparkSession.sharedState().jarClassLoader()
+    jvm.java.lang.Thread.currentThread().setContextClassLoader(cl)
+
+
 def install_generic_catalog(spark, warehouse: str):
     """Make ``spark_catalog`` ITSELF Paimon-aware (the reference's
     SparkGenericCatalog, ``SparkGenericCatalog.java:79``): identifiers

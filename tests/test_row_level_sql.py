@@ -354,3 +354,42 @@ def test_sql_alter_column_position_bridged(spark, rl, customer):
     df = spark.sql("SELECT * FROM rl.db.mv_pos")
     assert df.columns == ["a", "c", "b"]
     assert cat.get_table("db.mv_pos").schema.field_names() == ["a", "c", "b"]
+
+
+def test_concurrent_bridged_updates(spark, rl, customer):
+    """Three python threads running SQL UPDATE on ONE PK table through
+    the bridge: all three must commit (the engine's CAS-retried commit
+    arbitrates), and new threads need ensure_thread_classloader —
+    pyspark's pinned-thread mode gives each python thread a JVM peer
+    whose context classloader cannot see ADD JAR classes."""
+    import threading
+
+    from incubator_paimon_spark.jvm_catalog import ensure_thread_classloader
+    cat, s2 = rl
+    t = cat.create_table("db.conc", customer.schema,
+                         primary_keys=["c_custkey"], options={"bucket": "2"})
+    t.write(spark, customer)
+    errs = []
+
+    def upd(lo, hi, val):
+        try:
+            ensure_thread_classloader(spark)
+            s2.sql(f"UPDATE rl.db.conc SET c_acctbal = {val} "
+                   f"WHERE c_custkey >= {lo} AND c_custkey < {hi}")
+        except Exception as e:  # noqa: BLE001 — assert after join
+            errs.append(str(e)[:200])
+
+    threads = [threading.Thread(target=upd, args=a)
+               for a in ((0, 50, 111.0), (50, 100, 222.0),
+                         (100, 150, 333.0))]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join()
+    assert errs == []
+    for v, lo, hi in ((111.0, 0, 50), (222.0, 50, 100), (333.0, 100, 150)):
+        got = s2.sql(f"SELECT count(*) n FROM rl.db.conc "
+                     f"WHERE c_acctbal = {v}").collect()[0].n
+        assert got == customer.filter(
+            f"c_custkey >= {lo} AND c_custkey < {hi}").count()
+    assert t.snapshots.latest_id() == 4  # base + three UPDATE commits
