@@ -182,6 +182,11 @@ class PaimonBridgeHandler:
         SchemaManager(path).move_column(column, after)
         return "ok"
 
+    def _update_column_nullability(self, path, column, nullable):
+        from .metadata.schema import SchemaManager
+        SchemaManager(path).update_column_nullability(column, bool(nullable))
+        return "ok"
+
     def _list_partitions(self, path):
         """Distinct live partition specs, values in partition-key order
         (dates ISO-rendered; the JVM re-types from the partition
@@ -283,6 +288,8 @@ class PaimonBridgeHandler:
         if verb == "move_column":
             return self._move_column(a[0], a[1],
                                      a[2] if len(a) > 2 else None)
+        if verb == "update_column_nullability":
+            return self._update_column_nullability(a[0], a[1], a[2])
         if verb == "call_procedure":
             return self._call_procedure(a[0], a[1], a[2],
                                         a[3] if len(a) > 3 else None)

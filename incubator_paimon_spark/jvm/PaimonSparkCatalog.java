@@ -1428,12 +1428,13 @@ public class PaimonSparkCatalog
         boolean bridged = false;
         for (TableChange c : changes) {
             bridged |= c instanceof TableChange.UpdateColumnType
-                    || c instanceof TableChange.UpdateColumnPosition;
+                    || c instanceof TableChange.UpdateColumnPosition
+                    || c instanceof TableChange.UpdateColumnNullability;
         }
         if (bridged) {
             if (changes.length != 1) {
-                throw pythonDdl("ALTER COLUMN TYPE/position combined with "
-                        + "other changes");
+                throw pythonDdl("ALTER COLUMN TYPE/position/nullability "
+                        + "combined with other changes");
             }
             if (changes[0] instanceof TableChange.UpdateColumnType) {
                 TableChange.UpdateColumnType uc =
@@ -1442,6 +1443,13 @@ public class PaimonSparkCatalog
                         tableDir(ident).getAbsolutePath(),
                         singleName(uc.fieldNames()),
                         uc.newDataType().json());
+            } else if (changes[0]
+                    instanceof TableChange.UpdateColumnNullability) {
+                TableChange.UpdateColumnNullability un =
+                        (TableChange.UpdateColumnNullability) changes[0];
+                PaimonPyBridge.call("update_column_nullability",
+                        tableDir(ident).getAbsolutePath(),
+                        singleName(un.fieldNames()), un.nullable());
             } else {
                 TableChange.UpdateColumnPosition up =
                         (TableChange.UpdateColumnPosition) changes[0];

@@ -232,6 +232,23 @@ class SchemaManager:
         s.partition_keys = [new_name if k == name else k for k in s.partition_keys]
         return self.commit_new(s)
 
+    def update_column_nullability(self, name: str, nullable: bool) -> TableSchema:
+        """SchemaChange.updateColumnNullability parity (reference
+        SchemaManager.java:309-326): both directions are metadata-only;
+        the one refusal is making a PRIMARY KEY column nullable."""
+        base = self.latest()
+        _ = base.field_by_name(name)
+        if nullable and name in base.primary_keys:
+            raise ValueError("Cannot change nullability of primary key")
+        s = self._next(base)
+        s.fields = [
+            DataField(f.id, f.name, f.type,
+                      nullable if f.name == name else f.nullable,
+                      f.description)
+            for f in s.fields
+        ]
+        return self.commit_new(s)
+
     def update_column_type(self, name: str, new_type: T.DataType) -> TableSchema:
         base = self.latest()
         old = base.field_by_name(name)

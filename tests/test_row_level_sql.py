@@ -393,3 +393,30 @@ def test_concurrent_bridged_updates(spark, rl, customer):
         assert got == customer.filter(
             f"c_custkey >= {lo} AND c_custkey < {hi}").count()
     assert t.snapshots.latest_id() == 4  # base + three UPDATE commits
+
+
+def test_sql_alter_column_nullability_bridged(spark, rl, customer):
+    """ALTER COLUMN ... SET/DROP NOT NULL delegates to
+    SchemaManager.update_column_nullability (SchemaManager.java:309-326
+    parity): both directions metadata-only; making a PK column nullable
+    refuses."""
+    cat, _ = rl
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl.db")
+    spark.sql("CREATE TABLE rl.db.nn (k int, v string) "
+              "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    spark.sql("INSERT INTO rl.db.nn VALUES (1, 'a')")
+    # nullable -> NOT NULL is refused by SPARK's own CheckAnalysis for
+    # v2 tables (same SQL constraint the reference integration has);
+    # the python SchemaManager applies it directly
+    with pytest.raises(Exception, match="non-nullable"):
+        spark.sql("ALTER TABLE rl.db.nn ALTER COLUMN v SET NOT NULL")
+    t = cat.get_table("db.nn")
+    t.schemas.update_column_nullability("v", False)
+    assert cat.get_table("db.nn").schema.field_by_name("v").nullable is False
+    # NOT NULL -> nullable goes through plain SQL (the bridge verb)
+    spark.sql("ALTER TABLE rl.db.nn ALTER COLUMN v DROP NOT NULL")
+    assert cat.get_table("db.nn").schema.field_by_name("v").nullable is True
+    with pytest.raises(Exception, match="primary key"):
+        spark.sql("ALTER TABLE rl.db.nn ALTER COLUMN k DROP NOT NULL")
+    # data still serves across the nullability history
+    assert spark.sql("SELECT * FROM rl.db.nn").collect() == [(1, "a")]
