@@ -187,6 +187,17 @@ class PaimonBridgeHandler:
         SchemaManager(path).update_column_nullability(column, bool(nullable))
         return "ok"
 
+    def _add_column(self, path, column, type_json, nullable, comment,
+                    first, after):
+        from pyspark.sql.types import _parse_datatype_json_string
+
+        from .metadata.schema import SchemaManager
+        SchemaManager(path).add_column(
+            column, _parse_datatype_json_string(type_json),
+            nullable=bool(nullable), description=comment,
+            after=after, first=bool(first))
+        return "ok"
+
     def _list_partitions(self, path):
         """Distinct live partition specs, values in partition-key order
         (dates ISO-rendered; the JVM re-types from the partition
@@ -290,6 +301,9 @@ class PaimonBridgeHandler:
                                      a[2] if len(a) > 2 else None)
         if verb == "update_column_nullability":
             return self._update_column_nullability(a[0], a[1], a[2])
+        if verb == "add_column":
+            return self._add_column(a[0], a[1], a[2], a[3], a[4], a[5],
+                                    a[6] if len(a) > 6 else None)
         if verb == "call_procedure":
             return self._call_procedure(a[0], a[1], a[2],
                                         a[3] if len(a) > 3 else None)

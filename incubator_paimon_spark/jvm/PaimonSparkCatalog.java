@@ -1429,14 +1429,34 @@ public class PaimonSparkCatalog
         for (TableChange c : changes) {
             bridged |= c instanceof TableChange.UpdateColumnType
                     || c instanceof TableChange.UpdateColumnPosition
-                    || c instanceof TableChange.UpdateColumnNullability;
+                    || c instanceof TableChange.UpdateColumnNullability
+                    || (c instanceof TableChange.AddColumn
+                            && ((TableChange.AddColumn) c).position() != null);
         }
         if (bridged) {
             if (changes.length != 1) {
                 throw pythonDdl("ALTER COLUMN TYPE/position/nullability "
                         + "combined with other changes");
             }
-            if (changes[0] instanceof TableChange.UpdateColumnType) {
+            if (changes[0] instanceof TableChange.AddColumn) {
+                // ADD COLUMN ... FIRST/AFTER: placed in ONE schema
+                // commit by SchemaManager.add_column
+                TableChange.AddColumn ac =
+                        (TableChange.AddColumn) changes[0];
+                String after = null;
+                boolean firstPos =
+                        ac.position() instanceof TableChange.First;
+                if (ac.position() instanceof TableChange.After) {
+                    after = ((TableChange.After) ac.position()).column();
+                } else if (!firstPos) {
+                    throw pythonDdl("column position " + ac.position());
+                }
+                PaimonPyBridge.call("add_column",
+                        tableDir(ident).getAbsolutePath(),
+                        singleName(ac.fieldNames()),
+                        ac.dataType().json(), ac.isNullable(),
+                        ac.comment(), firstPos, after);
+            } else if (changes[0] instanceof TableChange.UpdateColumnType) {
                 TableChange.UpdateColumnType uc =
                         (TableChange.UpdateColumnType) changes[0];
                 PaimonPyBridge.call("update_column_type",
@@ -1540,9 +1560,10 @@ public class PaimonSparkCatalog
             TableChange.AddColumn ac = (TableChange.AddColumn) c;
             String name = singleName(ac.fieldNames());
             if (ac.position() != null) {
-                throw new UnsupportedOperationException(
-                        "column positions (FIRST/AFTER) are served by the "
-                                + "Python API (SchemaManager.move_column)");
+                // single-change ADD COLUMN FIRST/AFTER bridges above;
+                // reaching here means a multi-change batch
+                throw pythonDdl("ADD COLUMN with a position combined "
+                        + "with other changes");
             }
             for (JsonNode f : fields) {
                 if (f.path("name").asText().equals(name)) {

@@ -200,13 +200,26 @@ class SchemaManager:
             comment=base.comment,
         )
 
-    def add_column(self, name: str, dtype: T.DataType, nullable=True, description=None) -> TableSchema:
+    def add_column(self, name: str, dtype: T.DataType, nullable=True,
+                   description=None, after: str | None = None,
+                   first: bool = False) -> TableSchema:
+        """`after`/`first` place the new column in ONE schema commit
+        (SchemaChange.Move.after/first on an AddColumn — the reference
+        applies position inside the same change)."""
         base = self.latest()
         if name in base.field_names():
             raise ValueError(f"column {name!r} already exists")
         s = self._next(base)
         s.highest_field_id += 1
-        s.fields.append(DataField(s.highest_field_id, name, dtype, nullable, description))
+        f = DataField(s.highest_field_id, name, dtype, nullable, description)
+        if first:
+            s.fields.insert(0, f)
+        elif after is not None:
+            _ = base.field_by_name(after)
+            i = next(j for j, g in enumerate(s.fields) if g.name == after)
+            s.fields.insert(i + 1, f)
+        else:
+            s.fields.append(f)
         return self.commit_new(s)
 
     def drop_column(self, name: str) -> TableSchema:

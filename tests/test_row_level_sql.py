@@ -354,6 +354,15 @@ def test_sql_alter_column_position_bridged(spark, rl, customer):
     df = spark.sql("SELECT * FROM rl.db.mv_pos")
     assert df.columns == ["a", "c", "b"]
     assert cat.get_table("db.mv_pos").schema.field_names() == ["a", "c", "b"]
+    # ADD COLUMN FIRST/AFTER lands placed in ONE schema commit
+    sid0 = cat.get_table("db.mv_pos").schema.id
+    spark.sql("ALTER TABLE rl.db.mv_pos ADD COLUMN d int AFTER a")
+    spark.sql("ALTER TABLE rl.db.mv_pos ADD COLUMN e int FIRST")
+    t = cat.get_table("db.mv_pos")
+    assert t.schema.field_names() == ["e", "a", "d", "c", "b"]
+    assert t.schema.id == sid0 + 2  # one commit per ADD
+    assert spark.sql("SELECT * FROM rl.db.mv_pos").collect() == \
+        [(None, 1, None, 2.5, "x")]
 
 
 def test_concurrent_bridged_updates(spark, rl, customer):
