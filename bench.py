@@ -201,9 +201,34 @@ def _prior_gated(sf: float) -> dict[str, float]:
 DRIFT_BAR = 1.25       # re-measure when slower than prior by this ratio
 DRIFT_FLOOR_SEC = 0.15  # sub-150ms timings are scheduler noise, skip
 DRIFT_EXTRA_REPS = 3
-# queries whose FIRST measurement is the semantics (cold caches): extra
-# reps would record a warm number under a cold name
-DRIFT_EXEMPT = {"point_lookup_cold"}
+# Queries that must NOT be re-run for drift diagnostics:
+# - cold-cache anchors: extra reps would measure a warm path under a
+#   cold name (point_lookup_cold);
+# - non-idempotent mutation anchors: the first run changes the state the
+#   measurement depends on, so a re-run times different work entirely —
+#   re-running compact_full after it already compacted finds nothing and
+#   records ~0.0 s, silently dropping the derived compact_rows_per_sec
+#   (r14 verdict #1, repro /tmp/BENCH_JUDGE_r14.json). Everything that
+#   commits, deletes, or compacts through timed() is listed; write
+#   anchors that go through timed_write() are excluded because its
+#   drift path builds FRESH tables per extra rep.
+DRIFT_EXEMPT = {
+    "point_lookup_cold",
+    "pk_write_second_commit", "compact_full", "dv_delete",
+    "dynamic_bucket_write", "zorder_compact",
+    "lookup_cl_first_commit", "lookup_cl_update_commit",
+    "stream_drain",
+}
+
+
+def drift_should_recheck(name: str, measured: float,
+                         prior: float | None) -> bool:
+    """True when `measured` drifted past the prior gated artifact enough
+    to warrant an in-run re-measure — never for exempt (cold-semantics or
+    state-mutating) anchors. Module-level so tests can pin the policy."""
+    return bool(prior and prior >= DRIFT_FLOOR_SEC
+                and measured > prior * DRIFT_BAR
+                and name not in DRIFT_EXEMPT)
 
 
 def main():
@@ -271,22 +296,27 @@ def main():
             errors[name] = traceback.format_exc(limit=3)
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             return None
-        p = prior.get(name)
-        if (p and p >= DRIFT_FLOOR_SEC and best > p * DRIFT_BAR
-                and name not in DRIFT_EXEMPT):
-            # drifted vs the last gated artifact: re-measure NOW with
-            # more reps (host contention shows up as healed extra reps;
-            # a real regression stays put), recording the load sentinel
-            first = best
+        if drift_should_recheck(name, best, prior.get(name)):
+            # Drifted vs the last gated artifact: re-measure NOW for the
+            # DIAGNOSTIC record (host contention shows up as a healed
+            # re-measure; a real regression stays put). The HEADLINE
+            # number stays the protocol measurement — every query gets
+            # the same rep count, so gated artifacts remain
+            # protocol-comparable round over round (r14 advice: best-of-
+            # extra-reps only for slow queries biased numbers downward).
+            healed = best
             with_load = os.getloadavg()
-            for _ in range(DRIFT_EXTRA_REPS):
-                t0 = time.time()
-                out = fn()
-                dt = time.time() - t0
-                ds.append(dt)
-                best = dt if dt < best else best
-            drift[name] = {"prior": p, "first_best": round(first, 3),
-                           "final_best": round(best, 3),
+            try:
+                for _ in range(DRIFT_EXTRA_REPS):
+                    t0 = time.time()
+                    fn()  # diagnostic only — `out` stays the protocol run's
+                    dt = time.time() - t0
+                    healed = dt if dt < healed else healed
+            except Exception:  # noqa: BLE001 — diagnostics must not fail the run
+                pass
+            drift[name] = {"prior": prior.get(name),
+                           "protocol_best": round(best, 3),
+                           "healed_best": round(healed, 3),
                            "extra_reps": DRIFT_EXTRA_REPS,
                            "loadavg": [round(x, 2) for x in with_load]}
         times[name] = round(best, 3)
@@ -335,29 +365,30 @@ def main():
             errors[name] = traceback.format_exc(limit=3)
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             return last
-        ds.sort()
-        med = ds[len(ds) // 2]
-        p = prior.get(name)
-        if (p and p >= DRIFT_FLOOR_SEC and med > p * DRIFT_BAR):
-            # same heal-before-record as timed(): extra FRESH-table runs
-            first = med
+        med = sorted(ds)[len(ds) // 2]
+        if drift_should_recheck(name, med, prior.get(name)):
+            # Diagnostic re-measure with extra FRESH-table runs (mk() per
+            # rep keeps this idempotent); the HEADLINE stays the protocol
+            # median so artifacts remain protocol-comparable — see timed().
             with_load = os.getloadavg()
+            extra_ds = []
             try:
                 for j in range(DRIFT_EXTRA_REPS - 1):
                     tb = mk(reps + j)
                     t0 = time.time()
                     write(tb)
-                    ds.append(time.time() - t0)
+                    extra_ds.append(time.time() - t0)
                     last = tb
             except Exception:  # noqa: BLE001 — keep the original median
                 pass
-            ds.sort()
-            med = ds[len(ds) // 2]
-            drift[name] = {"prior": p, "first_median": round(first, 3),
-                           "final_median": round(med, 3),
-                           "extra_reps": len(ds) - reps,
+            healed = sorted(ds + extra_ds)[(len(ds) + len(extra_ds)) // 2]
+            drift[name] = {"prior": prior.get(name),
+                           "protocol_median": round(med, 3),
+                           "healed_median": round(healed, 3),
+                           "extra_reps": len(extra_ds),
                            "loadavg": [round(x, 2) for x in with_load]}
         times[name] = round(med, 3)
+        ds.sort()
         rep_spread[name] = {"reps": len(ds), "min": round(ds[0], 3),
                             "max": round(ds[-1], 3)}
         return last
