@@ -128,6 +128,20 @@ def filters_to_predicate(nodes: list[dict], schema) -> Predicate | None:
     return pred
 
 
+def _mark_no_such_system_table(exc: ValueError) -> str:
+    """Prefix the structured sentinel the JVM catalog matches on
+    (PaimonSparkCatalog.systemTable) when — and only when — the error is
+    the system-table registry's unknown-name rejection. Other failures
+    keep their message and surface as real errors instead of being
+    masked as NoSuchTableException (r14 advice: the old substring match
+    on 'unknown' swallowed unrelated Python failures)."""
+    msg = str(exc)
+    if msg.startswith("unknown system table") \
+            or msg.startswith("unknown global system table"):
+        return "NO_SUCH_SYSTEM_TABLE: " + msg
+    return msg
+
+
 class PaimonBridgeHandler:
     """The py4j callback object. One per installing Python session; the
     statement's own session rides in the args so execution sees its temp
@@ -198,6 +212,19 @@ class PaimonBridgeHandler:
             after=after, first=bool(first))
         return "ok"
 
+    def _is_warehouse_table(self, warehouse, db, tbl):
+        """Existence probe for the analyzer rule's generic-catalog
+        branch when the warehouse is a REMOTE URI the JVM cannot
+        java.io.File-probe: the engine's FileIO (pyarrow.fs for
+        s3/gs/hdfs/abfs) answers whether `<wh>/<db>.db/<tbl>/schema`
+        exists — the same layout contract the local probe checks."""
+        from .fileio import for_path
+        p = warehouse.rstrip("/") + f"/{db}.db/{tbl}/schema"
+        try:
+            return "true" if for_path(p).exists(p) else "false"
+        except Exception:  # noqa: BLE001 — unreachable FS == not a table
+            return "false"
+
     def _list_partitions(self, path):
         """Distinct live partition specs, values in partition-key order
         (dates ISO-rendered; the JVM re-types from the partition
@@ -221,7 +248,12 @@ class PaimonBridgeHandler:
         spec = {}
         for kv in spec_str.split(","):
             k, v = kv.split("=", 1)
-            spec[k] = v
+            # the JVM renders a null partition value with Hive's default
+            # marker; map it back so drop_partition's string-compare
+            # matches the engine's None partition values (r14 advice:
+            # the marker itself matched nothing and silently dropped
+            # nothing while reporting success)
+            spec[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
         _load_table({"path": path}).drop_partition(spec)
         return "ok"
 
@@ -274,7 +306,10 @@ class PaimonBridgeHandler:
         from .datasource import _load_table
         from .system_tables import system_table
         spark = self._wrap(jsession)
-        df = system_table(spark, _load_table({"path": path}), name)
+        try:
+            df = system_table(spark, _load_table({"path": path}), name)
+        except ValueError as exc:
+            raise ValueError(_mark_no_such_system_table(exc)) from exc
         return df._jdf
 
     def _global_system_table_df(self, warehouse, name, jsession):
@@ -282,7 +317,10 @@ class PaimonBridgeHandler:
 
         from .system_tables import catalog_system_table
         spark = self._wrap(jsession)
-        df = catalog_system_table(spark, Catalog(warehouse), name)
+        try:
+            df = catalog_system_table(spark, Catalog(warehouse), name)
+        except ValueError as exc:
+            raise ValueError(_mark_no_such_system_table(exc)) from exc
         return df._jdf
 
     # -- BiFunction ----------------------------------------------------
@@ -309,6 +347,8 @@ class PaimonBridgeHandler:
                                         a[3] if len(a) > 3 else None)
         if verb == "list_procedures":
             return self._list_procedures()
+        if verb == "is_warehouse_table":
+            return self._is_warehouse_table(a[0], a[1], a[2])
         if verb == "list_partitions":
             return self._list_partitions(a[0])
         if verb == "drop_partition":

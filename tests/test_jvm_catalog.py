@@ -673,3 +673,60 @@ def test_sql_catalog_filtered_then_unfiltered(spark, sqlcat):
                   "ON a.k = b.k WHERE a.p = 'b'").collect()[0].n
     assert j == 2
     spark.sql("DROP TABLE pa.mm.t")
+
+
+def test_sql_system_table_scan_is_lazy_not_collected(spark, sqlcat,
+                                                     customer):
+    """r15 (r14 verdict #2): system tables served through the SQL
+    catalog must plan as a REAL distributed scan (DSv2 V1Scan fallback
+    over the live Dataset's RDD), not a driver-collected LocalScan —
+    `SELECT ... FROM `t$files` WHERE ...` on a 10^6-file table must
+    filter on executors, reference FilesTable.java:82."""
+    t = sqlcat.create_table("db.lazysys", customer.schema,
+                            primary_keys=["c_custkey"],
+                            options={"bucket": "2"})
+    t.write(spark, customer)
+
+    df = spark.sql("SELECT file_path, record_count FROM "
+                   "pa.db.`lazysys$files` WHERE record_count > 0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan
+    assert "DatasetRelation" in plan, plan
+    assert df.count() == len(t.entries_at())
+
+    # aggregates over the scan stay distributed too
+    agg = spark.sql("SELECT sum(record_count) s FROM pa.db.`lazysys$files`")
+    aplan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in aplan, aplan
+    assert agg.collect()[0].s == customer.count()
+
+    # catalog-scope sys tables ride the same scan
+    m = spark.sql("SELECT * FROM pa.sys.all_table_options "
+                  "WHERE table_name = 'lazysys'")
+    mplan = m._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in mplan, mplan
+    assert any(r.key == "bucket" for r in m.collect())
+
+
+def test_sql_drop_null_partition(spark, sqlcat):
+    """r15 (r14 advice): `ALTER TABLE ... DROP PARTITION (p = null)` —
+    the JVM renders null as __HIVE_DEFAULT_PARTITION__ and the bridge
+    maps it back to None so the engine's partition match fires instead
+    of silently dropping nothing."""
+    from pyspark.sql import types as T
+    sch = T.StructType([T.StructField("k", T.IntegerType()),
+                        T.StructField("p", T.StringType())])
+    t = sqlcat.create_table("db.nullpart", sch, partition_keys=["p"])
+    t.write(spark, spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], sch))
+    assert spark.sql("SELECT count(*) n FROM pa.db.nullpart"
+                     ).collect()[0].n == 4
+
+    spark.sql("ALTER TABLE pa.db.nullpart DROP PARTITION (p = null)")
+    got = sorted(r.k for r in
+                 spark.sql("SELECT k FROM pa.db.nullpart").collect())
+    assert got == [1, 3], got
+    # named partitions still drop fine after the null drop
+    spark.sql("ALTER TABLE pa.db.nullpart DROP PARTITION (p = 'a')")
+    assert [r.k for r in
+            spark.sql("SELECT k FROM pa.db.nullpart").collect()] == [3]
