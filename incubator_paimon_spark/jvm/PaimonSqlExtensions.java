@@ -17,9 +17,11 @@
  * The rule fires only when the target table's catalog is a
  * PaimonSparkCatalog (checked pre-resolution via the multipart name's
  * catalog conf, or post-resolution via DataSourceV2Relation.catalog),
- * so every other table keeps Spark's stock behavior. Documented edge:
- * EXPLAIN of one of these statements executes it (analysis-time
- * execution, the same tradeoff as the Python catalog.sql rewriter).
+ * so every other table keeps Spark's stock behavior. EXPLAIN of one of
+ * these statements NEVER executes it: the rule sees the wrapper's full
+ * original text ("EXPLAIN UPDATE ..."), detects the EXPLAIN head, and
+ * raises a pointed planning-time error instead of forwarding — pinned
+ * by test_explain_row_level_sql_does_not_execute.
  *
  * Install: PaimonSqlExtensions.install(session) injects the rule into
  * the session's SparkSessionExtensions; a cloneSession picks it up
@@ -120,6 +122,20 @@ public class PaimonSqlExtensions
                                 + "?) — use the Python API (Table.delete_"
                                 + "where/update_where/merge_into) instead");
             }
+            if (isExplainWrapped(text.get())) {
+                // EXPLAIN re-analyzes its child with the DML at the
+                // root but Origin.sqlText still carries the WHOLE
+                // "EXPLAIN UPDATE ..." statement — never execute during
+                // someone's plan inspection; fail with a pointed
+                // message instead of a parser traceback
+                throw new UnsupportedOperationException(
+                        "EXPLAIN of a Paimon row-level command does not "
+                                + "execute it and its plan is not "
+                                + "renderable here — run the statement "
+                                + "directly (it executes as one "
+                                + "predicate-pruned read plus a bucketed "
+                                + "write+commit)");
+            }
             PaimonPyBridge.call("sql", text.get(), catWh[0], catWh[1],
                     session);
             return emptyRelation();
@@ -152,24 +168,50 @@ public class PaimonSqlExtensions
                 }
                 String impl = session.sessionState().conf().getConfString(
                         "spark.sql.catalog." + catName, "");
+                boolean generic = PaimonSparkGenericCatalog.class.getName()
+                        .equals(impl);
                 if (!PaimonSparkCatalog.class.getName().equals(impl)
-                        && !PaimonSparkGenericCatalog.class.getName()
-                                .equals(impl)) {
+                        && !generic) {
                     return null;
                 }
                 String wh = session.sessionState().conf().getConfString(
                         "spark.sql.catalog." + catName + ".warehouse", "");
-                // only hijack identifiers that ARE warehouse tables: a
+                if (!generic) {
+                    // a dedicated Paimon catalog serves ONLY warehouse
+                    // tables, so the conf match is sufficient — no
+                    // filesystem probe, which would never match a remote
+                    // warehouse URI (s3://, hdfs://) and silently dropped
+                    // UPDATE/MERGE to Spark's stock unsupported path
+                    return new String[] {catName, wh};
+                }
                 // generic spark_catalog serves plain session-catalog
                 // tables too, and those must keep Spark's own behavior
-                // (and its own errors for missing tables)
+                // (and its own errors for missing tables): hijack only
+                // identifiers that ARE warehouse tables
                 int i = tbl.indexOf("$branch_");
                 String base = i > 0 ? tbl.substring(0, i) : tbl;
-                if (!new java.io.File(new java.io.File(wh, db + ".db"),
-                        base + "/schema").isDirectory()) {
-                    return null;
+                if (isLocalPath(wh)) {
+                    if (!new java.io.File(new java.io.File(
+                                    localFile(wh), db + ".db"),
+                            base + "/schema").isDirectory()) {
+                        return null;
+                    }
+                    return new String[] {catName, wh};
                 }
-                return new String[] {catName, wh};
+                // remote warehouse: delegate existence to the engine's
+                // FileIO over the bridge (pyarrow.fs serves s3/gs/hdfs);
+                // a bridge failure falls through to Spark's stock path,
+                // whose unsupported-operation error is still loud
+                try {
+                    Object r = PaimonPyBridge.call(
+                            "is_warehouse_table", wh, db, base);
+                    if ("true".equals(r)) {
+                        return new String[] {catName, wh};
+                    }
+                } catch (RuntimeException ignored) {
+                    // fall through
+                }
+                return null;
             }
             if (target instanceof DataSourceV2Relation) {
                 DataSourceV2Relation rel = (DataSourceV2Relation) target;
@@ -181,6 +223,41 @@ public class PaimonSqlExtensions
                 }
             }
             return null;
+        }
+
+        /** Leading-whitespace/comment-tolerant check that the original
+         * statement is an EXPLAIN wrapper around the DML node the
+         * analyzer handed us. */
+        static boolean isExplainWrapped(String sql) {
+            int i = 0;
+            int n = sql.length();
+            while (i < n) {
+                char c = sql.charAt(i);
+                if (Character.isWhitespace(c)) {
+                    i++;
+                } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+                    int nl = sql.indexOf('\n', i);
+                    i = nl < 0 ? n : nl + 1;
+                } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+                    int end = sql.indexOf("*/", i + 2);
+                    i = end < 0 ? n : end + 2;
+                } else {
+                    break;
+                }
+            }
+            return sql.regionMatches(true, i, "explain", 0, 7)
+                    && (i + 7 == n
+                            || !Character.isLetterOrDigit(sql.charAt(i + 7)));
+        }
+
+        private static boolean isLocalPath(String wh) {
+            return !wh.contains("://") || wh.startsWith("file:");
+        }
+
+        private static java.io.File localFile(String wh) {
+            return new java.io.File(wh.startsWith("file:")
+                    ? java.net.URI.create(wh.replace(" ", "%20")).getPath()
+                    : wh);
         }
 
         @SuppressWarnings("unchecked")

@@ -788,6 +788,144 @@ def _eval_subqueries(spark, catalog, where: str) -> str:
     return "".join(out)
 
 
+def _split_top_level_and(s: str) -> list[str]:
+    """Split on AND outside parens/strings (case-insensitive)."""
+    parts, depth, in_str, start = [], 0, False, 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and ch in "aA" and s[i:i + 3].upper() == "AND"
+                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_."))
+                and (i + 3 >= n
+                     or not (s[i + 3].isalnum() or s[i + 3] in "_."))):
+            parts.append(s[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rewrite_exists(spark, catalog, table, table_name: str,
+                    where: str) -> str:
+    """Rewrite `[NOT] EXISTS (SELECT ...)` atoms in a DELETE/UPDATE
+    WHERE so the predicate-driven row ops can run them (the reference
+    handles the same shapes through Spark's own subquery planning since
+    its DeleteFromPaimonTableCommand executes a real Spark plan):
+
+    - single-equality-correlated EXISTS (`EXISTS (SELECT ... FROM s
+      WHERE s.k = t.k AND <uncorrelated>)`) becomes `t.k IN (SELECT k
+      FROM s WHERE <uncorrelated>)`, which the existing
+      _eval_subqueries machinery materializes under its row cap;
+      NOT EXISTS becomes `(t.k IS NULL OR t.k NOT IN (... AND k IS NOT
+      NULL))` — the NULL guards keep NOT EXISTS semantics (an outer
+      NULL key matches nothing, so NOT EXISTS passes it, while a bare
+      NOT IN would drop it);
+    - uncorrelated [NOT] EXISTS evaluates eagerly to a constant
+      predicate (same eager contract as _eval_subqueries).
+    """
+    outer_q = table_name.split(".")[-1].lower()
+    out, i = [], 0
+    while True:
+        masked = _mask_literals(where)
+        m = re.search(r"\b(NOT\s+)?EXISTS\s*\(", masked[i:], re.IGNORECASE)
+        if not m:
+            out.append(where[i:])
+            return "".join(out)
+        start = i + m.start()
+        out.append(where[i:start])
+        negated = bool(m.group(1))
+        open_paren = i + m.end() - 1
+        inner, after = _balanced(where, open_paren)
+        sm = re.match(
+            r"\s*SELECT\s+.*?\s+FROM\s+([\w.]+)"
+            r"(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
+            r"(?:\s+WHERE\s+(.*))?\s*$",
+            _mask_literals(inner), re.IGNORECASE | re.DOTALL)
+        if not sm:
+            raise ValueError(f"bad EXISTS subquery: ({inner.strip()!r})")
+        src = sm.group(1)
+        src_alias = sm.group(2)
+        inner_where = inner[sm.start(3):sm.end(3)] if sm.group(3) else None
+        inner_qs = {q for q in (src_alias, src.split(".")[-1]) if q}
+        inner_qs = {q.lower() for q in inner_qs}
+
+        corr = None
+        rest: list[str] = []
+        for conj in (_split_top_level_and(inner_where)
+                     if inner_where else []):
+            cm = re.match(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", conj)
+            sides = (cm.group(1), cm.group(2)) if cm else ()
+            quals = [s.rsplit(".", 1)[0].lower() if "." in s else None
+                     for s in sides]
+            if cm and outer_q in quals:
+                if corr is not None:
+                    raise ValueError(
+                        "EXISTS supports exactly one correlated equality; "
+                        f"got a second in: {conj!r}")
+                oi = quals.index(outer_q)
+                outer_col = sides[oi].split(".", 1)[1]
+                inner_side = sides[1 - oi]
+                iq = quals[1 - oi]
+                if iq is not None and iq not in inner_qs:
+                    raise ValueError(
+                        f"EXISTS correlation must join the subquery "
+                        f"source, got {conj!r}")
+                corr = (outer_col, inner_side)
+            else:
+                if re.search(rf"\b{re.escape(outer_q)}\s*\.", conj,
+                             re.IGNORECASE):
+                    raise ValueError(
+                        "only equality correlation is supported in "
+                        f"EXISTS, got {conj!r}")
+                rest.append(conj)
+
+        if corr is None:
+            # uncorrelated: evaluate emptiness eagerly
+            nonempty = bool(
+                _exec_select(spark, catalog, inner).limit(1).collect())
+            c = table.schema.fields[0].name
+            truth = nonempty != negated
+            word = "OR" if truth else "AND"
+            out.append(f"({c} IS NULL {word} {c} IS NOT NULL)")
+        else:
+            outer_col, inner_col = corr
+            sub_from = src + (f" {src_alias}" if src_alias else "")
+            conds = list(rest)
+            if negated:
+                conds.append(f"{inner_col} IS NOT NULL")
+            sub_where = f" WHERE {' AND '.join(conds)}" if conds else ""
+            sub = f"(SELECT {inner_col} FROM {sub_from}{sub_where})"
+            if negated:
+                out.append(f"({outer_q}.{outer_col} IS NULL OR "
+                           f"{outer_q}.{outer_col} NOT IN {sub})")
+            else:
+                out.append(f"{outer_q}.{outer_col} IN {sub}")
+        i = after
+
+
+def _strip_outer_qualifier(where: str, table_name: str) -> str:
+    """Drop `t.`/`db.t.` qualifiers on the target's own columns so the
+    predicate parser (column-name based) accepts them."""
+    last = table_name.split(".")[-1]
+    pat = re.compile(
+        rf"('(?:[^']|'')*')|\b{re.escape(table_name)}\s*\.\s*"
+        rf"|\b{re.escape(last)}\s*\.\s*",
+        re.IGNORECASE)
+    return pat.sub(lambda m: m.group(1) if m.group(1) is not None else "",
+                   where)
+
+
 def _exec_delete(spark, catalog, statement):
     m = re.match(r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
                  _mask_literals(statement), re.IGNORECASE | re.DOTALL)
@@ -796,7 +934,10 @@ def _exec_delete(spark, catalog, statement):
     table = catalog.get_table(m.group(1))
     if m.group(2) is None:
         return table.truncate()
-    where = _eval_subqueries(spark, catalog, _g(m, statement, 2))
+    where = _rewrite_exists(spark, catalog, table, m.group(1),
+                            _g(m, statement, 2))
+    where = _eval_subqueries(spark, catalog, where)
+    where = _strip_outer_qualifier(where, m.group(1))
     return table.delete_where(spark, where_to_predicate(where))
 
 
@@ -838,22 +979,58 @@ def _exec_update(spark, catalog, statement):
     if not m:
         raise ValueError(f"bad UPDATE: {statement!r}")
     table = catalog.get_table(m.group(1))
-    assigns = {k: F.expr(v)
+    # scalar subqueries in SET evaluate eagerly to literals (same
+    # contract as WHERE subqueries — EvalSubqueriesForDeleteTable parity)
+    assigns = {k: F.expr(_eval_subqueries(spark, catalog, v)
+                         if re.search(r"\(\s*SELECT\b", v, re.IGNORECASE)
+                         else v)
                for k, v in _parse_assignments(_g(m, statement, 2)).items()}
     where = _g(m, statement, 3)
     if where is not None:
+        where = _rewrite_exists(spark, catalog, table, m.group(1), where)
         where = _eval_subqueries(spark, catalog, where)
+        where = _strip_outer_qualifier(where, m.group(1))
     return table.update_where(spark, where_to_predicate(where), assigns)
 
 
-_MERGE_HEAD = re.compile(
-    r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?(?:\s+(?!USING)(\w+))?"
-    r"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.]+)(?:\s+AS)?(?:\s+(?!ON)(\w+))?"
-    r"\s+ON\s+(.*?)(?=\s+WHEN\s)",
-    re.IGNORECASE | re.DOTALL)
+def _parse_merge_head(masked: str, statement: str):
+    """MERGE INTO <tbl> [AS] [alias] USING <src> [AS] [alias] ON <cond>
+    up to the first WHEN clause. Procedural (not one regex) so a USING
+    subquery may nest parentheses arbitrarily deep — the r14 regex
+    alternation capped nesting at two levels. Returns
+    (tbl, t_alias, src_text, s_alias, on_text, when_start)."""
+    m = re.match(r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?"
+                 r"(?:\s+(?!USING\b)(\w+))?\s+USING\s*",
+                 masked, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad MERGE INTO: {statement!r}")
+    tbl, t_alias = m.group(1), m.group(2)
+    i = m.end()
+    if i < len(statement) and statement[i] == "(":
+        inner, j = _balanced(statement, i)
+        src = "(" + inner + ")"
+    else:
+        sm = re.match(r"[\w.]+", masked[i:])
+        if not sm:
+            raise ValueError(f"bad MERGE INTO: {statement!r}")
+        src = statement[i:i + sm.end()]
+        j = i + sm.end()
+    am = re.match(r"(?:\s+AS)?(?:\s+(?!ON\b)(\w+))?\s+ON\s+",
+                  masked[j:], re.IGNORECASE)
+    if not am:
+        raise ValueError(f"bad MERGE INTO: {statement!r}")
+    s_alias = am.group(1)
+    k = j + am.end()
+    wm = re.search(r"\s+WHEN\s+(?:NOT\s+)?MATCHED\b", masked[k:],
+                   re.IGNORECASE)
+    if not wm:
+        raise ValueError("MERGE INTO needs at least one WHEN clause")
+    return (tbl, t_alias, src, s_alias,
+            statement[k:k + wm.start()], k + wm.start())
+
 
 _MERGE_WHEN = re.compile(
-    r"WHEN\s+(?:(NOT)\s+)?MATCHED(\s+BY\s+SOURCE)?"
+    r"WHEN\s+(?:(NOT)\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?"
     r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
     r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*;?\s*$)",
@@ -886,11 +1063,8 @@ def _rewrite_aliases(expr: str, t_alias: str | None, s_alias: str | None) -> str
 
 def _exec_merge(spark, catalog, statement):
     masked = _mask_literals(statement)
-    m = _MERGE_HEAD.match(masked)
-    if not m:
-        raise ValueError(f"bad MERGE INTO: {statement!r}")
-    tbl_name, t_alias, s_alias = m.group(1), m.group(2), m.group(4)
-    src, on_src = _g(m, statement, 3), _g(m, statement, 5)
+    tbl_name, t_alias, src, s_alias, on_src, when_start = \
+        _parse_merge_head(masked, statement)
     table = catalog.get_table(tbl_name)
 
     lineage_source = None
@@ -922,9 +1096,16 @@ def _exec_merge(spark, catalog, statement):
         return {k.split(".")[-1]: F.expr(rw(v))
                 for k, v in _parse_assignments(rw(body)).items()}
 
-    for wm in _MERGE_WHEN.finditer(masked, m.end()):
+    for wm in _MERGE_WHEN.finditer(masked, when_start):
         any_clause = True
-        neg, is_by_source = wm.group(1), wm.group(2)
+        neg = wm.group(1)
+        by = (wm.group(2) or "").upper()
+        # `NOT MATCHED BY TARGET` is Spark's explicit spelling of plain
+        # NOT MATCHED (MergeIntoTableTestBase covers both spellings)
+        if by == "TARGET" and not neg:
+            raise ValueError("MATCHED BY TARGET is not valid; "
+                             "did you mean WHEN NOT MATCHED [BY TARGET]?")
+        is_by_source = by == "SOURCE"
         cond_src = _g(wm, statement, 3)
         action = _g(wm, statement, 4)
         cond = F.expr(rw(cond_src)) if cond_src else None

@@ -429,3 +429,73 @@ def test_sql_alter_column_nullability_bridged(spark, rl, customer):
         spark.sql("ALTER TABLE rl.db.nn ALTER COLUMN k DROP NOT NULL")
     # data still serves across the nullability history
     assert spark.sql("SELECT * FROM rl.db.nn").collect() == [(1, "a")]
+
+
+def test_explain_row_level_sql_does_not_execute(spark, rl, customer):
+    """r15 (r14 verdict #5 + advice): EXPLAIN of a rule-routed DML
+    statement must NEVER mutate the table. The rule sees the wrapper's
+    full original text ("EXPLAIN UPDATE ..."), detects the EXPLAIN
+    head, and raises a pointed planning error instead of forwarding to
+    the engine — for all three verbs."""
+    cat, s2 = rl
+    t = cat.create_table("db.expl", customer.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "2"})
+    t.write(spark, customer)
+    n0 = customer.count()
+
+    def snapshot_id():
+        return t.snapshots.latest_id()
+
+    sid = snapshot_id()
+    stmts = [
+        "UPDATE rl.db.expl SET c_acctbal = -1 WHERE c_custkey <= 10",
+        "DELETE FROM rl.db.expl WHERE c_custkey IN "
+        "(SELECT c_custkey FROM rl.db.expl WHERE c_custkey <= 10)",
+        "MERGE INTO rl.db.expl t USING (SELECT 1 c_custkey) s "
+        "ON t.c_custkey = s.c_custkey WHEN MATCHED THEN DELETE",
+    ]
+    for stmt in stmts:
+        for prefix in ("EXPLAIN ", "EXPLAIN EXTENDED ",
+                       "  /* why */ explain "):
+            out = "\n".join(r[0] for r in s2.sql(prefix + stmt).collect())
+            assert "does not execute" in out, (prefix + stmt, out[:300])
+        # no commit happened, no rows changed
+        assert snapshot_id() == sid, stmt
+        assert s2.sql("SELECT count(*) n FROM rl.db.expl"
+                      ).collect()[0].n == n0, stmt
+    assert s2.sql("SELECT count(*) n FROM rl.db.expl "
+                  "WHERE c_acctbal = -1").collect()[0].n == 0
+
+    # the statements themselves still execute when run directly
+    s2.sql(stmts[0])
+    assert s2.sql("SELECT count(*) n FROM rl.db.expl "
+                  "WHERE c_acctbal = -1").collect()[0].n == \
+        customer.filter("c_custkey <= 10").count()
+
+
+def test_native_update_exists_and_merge_by_target(spark, rl, customer):
+    """r15: the widened statement grammar (correlated EXISTS, WHEN NOT
+    MATCHED BY TARGET, deep USING nesting) reaches the engine through
+    the rule-routed native path too."""
+    cat, s2 = rl
+    t = cat.create_table("db.wide", customer.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "2"})
+    t.write(spark, customer)
+
+    s2.sql("UPDATE rl.db.wide SET c_acctbal = -5 WHERE EXISTS "
+           "(SELECT 1 FROM rl.db.wide w "
+           "WHERE w.c_custkey = wide.c_custkey AND w.c_custkey < 3)")
+    assert s2.sql("SELECT count(*) n FROM rl.db.wide WHERE c_acctbal = -5"
+                  ).collect()[0].n == customer.filter("c_custkey < 3").count()
+
+    s2.sql("""
+        MERGE INTO rl.db.wide t
+        USING (SELECT c_custkey FROM (SELECT max(c_custkey) + 1 c_custkey
+               FROM (SELECT c_custkey FROM rl.db.wide))) s
+        ON t.c_custkey = s.c_custkey
+        WHEN NOT MATCHED BY TARGET THEN INSERT (c_custkey) VALUES (s.c_custkey)
+    """)
+    assert s2.sql("SELECT count(*) n FROM rl.db.wide"
+                  ).collect()[0].n == customer.count() + 1

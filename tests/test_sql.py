@@ -911,3 +911,104 @@ def test_scan_snapshot_option_never_time_travels_mutations(spark, catalog):
     t2 = catalog.get_table("db.pin")
     got = sorted((r.k, r.v) for r in t2.read(spark).collect())
     assert got == [(2, 20), (3, 99)]
+
+
+# ------------------------------------------------- r15 widened DML grammar
+def test_sql_delete_correlated_exists(spark, catalog, pk_table):
+    """DELETE ... WHERE EXISTS with one equality correlation rewrites to
+    the IN machinery (EvalSubqueriesForDeleteTable parity for the shape
+    the reference plans through Spark)."""
+    src = catalog.create_table("db.exsrc", _schema("k bigint, tag string"))
+    src.write(spark, spark.createDataFrame(
+        [(1, "kill"), (3, "keep")], "k long, tag string"))
+    catalog.sql(spark, "DELETE FROM db.sqlpk WHERE EXISTS "
+                       "(SELECT 1 FROM db.exsrc s "
+                       "WHERE s.k = sqlpk.k AND s.tag = 'kill')")
+    assert {r["k"] for r in pk_table.read(spark).collect()} == {2, 3}
+
+
+def test_sql_delete_not_exists_null_semantics(spark, catalog):
+    """NOT EXISTS passes rows whose correlation key is NULL (a bare
+    NOT IN rewrite would drop them) and rows without a match."""
+    t = catalog.create_table("db.nx", _schema("k bigint, v string"))
+    t.write(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k long, v string"))
+    src = catalog.create_table("db.nxsrc", _schema("k bigint"))
+    src.write(spark, spark.createDataFrame([(1,)], "k long"))
+    catalog.sql(spark, "DELETE FROM db.nx WHERE NOT EXISTS "
+                       "(SELECT 1 FROM db.nxsrc s WHERE s.k = nx.k)")
+    # rows 2 (no match) and NULL are deleted; row 1 (matched) survives
+    assert [r["v"] for r in t.read(spark).collect()] == ["a"]
+
+
+def test_sql_update_correlated_exists_and_scalar_set(spark, catalog,
+                                                     pk_table):
+    src = catalog.create_table("db.upsrc", _schema("k bigint, bump int"))
+    src.write(spark, spark.createDataFrame(
+        [(1, 100), (2, 200)], "k long, bump int"))
+    catalog.sql(spark,
+                "UPDATE db.sqlpk SET n = (SELECT max(bump) FROM db.upsrc) "
+                "WHERE EXISTS (SELECT 1 FROM db.upsrc u "
+                "WHERE u.k = sqlpk.k)")
+    got = {r["k"]: r["n"] for r in pk_table.read(spark).collect()}
+    assert got == {1: 200, 2: 200, 3: 30}
+
+
+def test_sql_uncorrelated_exists_constant(spark, catalog, pk_table):
+    # non-empty source: EXISTS is TRUE for every row
+    src = catalog.create_table("db.uex", _schema("x int"))
+    src.write(spark, spark.createDataFrame([(1,)], "x int"))
+    catalog.sql(spark, "UPDATE db.sqlpk SET n = 0 WHERE EXISTS "
+                       "(SELECT 1 FROM db.uex)")
+    assert all(r["n"] == 0 for r in pk_table.read(spark).collect())
+    # empty source: NOT EXISTS TRUE -> delete everything
+    catalog.sql(spark, "DELETE FROM db.sqlpk WHERE NOT EXISTS "
+                       "(SELECT 1 FROM db.uex WHERE x > 5)")
+    assert pk_table.read(spark).count() == 0
+
+
+def test_sql_merge_deeply_nested_using_source(spark, catalog, pk_table):
+    """USING (subquery) may nest parens arbitrarily deep — the old head
+    regex capped at two levels."""
+    catalog.sql(spark, """
+        MERGE INTO db.sqlpk t
+        USING (SELECT k, v FROM (SELECT k, upper(v) v FROM
+                  (SELECT 1 k, 'zz' v) base
+               WHERE k IN (SELECT max(1)))) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, 0)
+    """)
+    got = {r["k"]: r["v"] for r in pk_table.read(spark).collect()}
+    assert got[1] == "ZZ"
+
+
+def test_sql_merge_not_matched_by_target(spark, catalog, pk_table):
+    """Spark's explicit `WHEN NOT MATCHED BY TARGET` spelling of plain
+    NOT MATCHED."""
+    catalog.sql(spark, """
+        MERGE INTO db.sqlpk t USING (SELECT 9 k, 'new' v, 90 n) s
+        ON t.k = s.k
+        WHEN NOT MATCHED BY TARGET THEN INSERT (k, v, n)
+            VALUES (s.k, s.v, s.n)
+    """)
+    got = {r["k"]: r["v"] for r in pk_table.read(spark).collect()}
+    assert got[9] == "new"
+    with pytest.raises(ValueError, match="MATCHED BY TARGET"):
+        catalog.sql(spark, """
+            MERGE INTO db.sqlpk t USING (SELECT 1 k) s ON t.k = s.k
+            WHEN MATCHED BY TARGET THEN DELETE
+        """)
+
+
+def test_sql_exists_unsupported_shapes_fail_loud(spark, catalog, pk_table):
+    catalog.create_table("db.exf", _schema("k bigint, w bigint"))
+    # two correlations: loud error, not a wrong answer
+    with pytest.raises(ValueError, match="exactly one correlated"):
+        catalog.sql(spark, "DELETE FROM db.sqlpk WHERE EXISTS "
+                           "(SELECT 1 FROM db.exf s WHERE s.k = sqlpk.k "
+                           "AND s.w = sqlpk.n)")
+    # non-equality correlation: loud error
+    with pytest.raises(ValueError, match="equality correlation"):
+        catalog.sql(spark, "DELETE FROM db.sqlpk WHERE EXISTS "
+                           "(SELECT 1 FROM db.exf s WHERE s.k > sqlpk.k)")
