@@ -1160,6 +1160,43 @@ def q_sql_merge_native(spark, sf_dir):
         f"FROM {cat}.fx.customer_sqlmrg")
 
 
+def q_sql_call_compact(spark, sf_dir):
+    """Native ``CALL <cat>.sys.compact(...)`` through Spark 4's
+    ProcedureCatalog (r15, VERDICT r14 #4): replays customer_mut's
+    native-SQL DML, then compacts through plain ``spark.sql`` CALL —
+    bind() mirrors the named args onto the Python procedure registry,
+    the engine's universal compaction rewrites the LSM, and the
+    post-compaction merge-on-read state must hash-match
+    delete_update_compact's oracle. The COMPACT commit is asserted
+    in-query so a silently skipped compaction can't pass."""
+    fx = _fixtures(spark, sf_dir)
+    wh = fx["cat"].warehouse
+    cat = _sql_cat(spark, wh)
+    key = (wh, "callc")
+    if key not in _RL_DONE:
+        customer = _t(spark, sf_dir, "customer")
+        fx["cat"].create_table("fx.customer_callc", customer.schema,
+                               primary_keys=["c_custkey"],
+                               options={"bucket": "4"})
+        customer.createOrReplaceTempView("callc_base")
+        spark.sql(f"INSERT INTO {cat}.fx.customer_callc "
+                  "SELECT * FROM callc_base")
+        spark.sql(f"DELETE FROM {cat}.fx.customer_callc "
+                  "WHERE c_nationkey = 7")
+        s2 = _rl_session(spark, wh)
+        s2.sql(f"UPDATE {cat}.fx.customer_callc "
+               "SET c_acctbal = c_acctbal + 1000.0 "
+               "WHERE c_mktsegment = 'BUILDING'")
+        spark.sql(f"CALL {cat}.sys.compact("
+                  "`table` => 'fx.customer_callc', full => true)")
+        snap = fx["cat"].get_table("fx.customer_callc").snapshots.latest()
+        assert snap.commit_kind == "COMPACT", snap.commit_kind
+        _RL_DONE.add(key)
+    return spark.sql(
+        "SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal, "
+        f"c_mktsegment FROM {cat}.fx.customer_callc")
+
+
 _CTAS_DONE: set = set()
 
 
@@ -2403,12 +2440,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranges — the gated changelog_diff rides the same
         # streaming/source incremental machinery).
         "sql_insert_pk": q_sql_insert_pk,
-        "sql_catalog_read": q_sql_catalog_read,
+        # r15 rotation (VERDICT r14 #4): the native CALL / ProcedureCatalog
+        # path joins the gate — sql_call_compact replays customer_mut's
+        # DML through native SQL and compacts via plain
+        # `CALL <cat>.sys.compact(...)`, sharing delete_update_compact's
+        # oracle with an in-query COMPACT-commit assertion. Rotated out
+        # to make room (still oracle-checked in rotation):
+        # sql_catalog_read — its JVM-catalog -> DataSource ->
+        # merge-on-read read pipeline is the exact final-read path of the
+        # gated sql_delete_native / sql_merge_native / sql_ctas /
+        # sql_insert_pk / sql_call_compact.
+        "sql_call_compact": q_sql_call_compact,
         "migrate_partitioned": q_migrate_partitioned,
-        # first past the gate: the four entries the r14 rotation
-        # displaced (matview_filtered still carries the boundary-
-        # crossing WHERE machinery of the gated matview_incremental
-        # family; bm25_indexed's leg is inside gated hybrid_indexed)
+        # first past the gate: sql_catalog_read (displaced r15, above)
+        # plus the four entries the r14 rotation displaced
+        # (matview_filtered still carries the boundary-crossing WHERE
+        # machinery of the gated matview_incremental family;
+        # bm25_indexed's leg is inside gated hybrid_indexed)
+        "sql_catalog_read": q_sql_catalog_read,
         "matview_nulls": q_matview_nulls,
         "media_wav_decode": q_media_wav_decode,
         "bm25_indexed": q_bm25_indexed,

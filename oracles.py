@@ -525,6 +525,11 @@ FROM orders WHERE o_orderstatus <> 'P'
 # way, sharing merge_into's oracle.
 ORACLES["sql_delete_native"] = ORACLES["delete_update_compact"]
 ORACLES["sql_merge_native"] = ORACLES["merge_into"]
+# native CALL <cat>.sys.compact through Spark 4's ProcedureCatalog
+# (gated r15, VERDICT r14 #4): replays customer_mut's DML natively and
+# compacts via plain-SQL CALL, so the post-compaction merged state
+# shares delete_update_compact's oracle.
+ORACLES["sql_call_compact"] = ORACLES["delete_update_compact"]
 
 # generic session catalog (spark_catalog itself Paimon-aware, gated
 # r14): warehouse PK table's MERGED state (pk_upsert's fold) joined to a

