@@ -52,12 +52,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct) of a text column."""
-    ws = words(col)
-    cnt = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
+    """Word n-gram shingles (distinct) of a text column.
+
+    The word array is let-bound (`text.bind`) so the windowing lambda
+    slices a bound variable instead of re-evaluating the tokenize split
+    per window — Catalyst does no CSE inside lambda bodies, so the
+    un-bound form re-tokenized the document O(words) times (measured 7×
+    end-to-end on the sf0.1 shingle pipeline, r15)."""
+    from .text import bind
+
+    def mk(ws):
+        cnt = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
+
+    return bind(words(col), mk)
 
 
 # ----------------------------------------------------------------------
@@ -340,19 +350,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # ----------------------------------------------------------------------
 def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash of whitespace tokens: sum ±1 per bit over token hashes, then
-    sign. Pure expressions; 32 bits keeps it in one long."""
-    hashes = F.transform(words(col), lambda w: h32(w))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(F.bit_get(h, j) == 1,
-                                        F.lit(1)).otherwise(F.lit(-1))))
-    return F.aggregate(
-        F.zip_with(bit_votes, F.sequence(F.lit(0), F.lit(bits - 1)),
-                   lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long"))
-                                 .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sign. Pure expressions; 32 bits keeps it in one long. The token-hash
+    array is let-bound (`text.bind`): the per-bit vote lambda otherwise
+    re-tokenized AND re-md5'd the document once per bit (32×) — no CSE
+    inside lambda bodies."""
+    from .text import bind
+
+    def mk(hashes):
+        bit_votes = F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.aggregate(
+                hashes, F.lit(0),
+                lambda acc, h: acc + F.when(F.bit_get(h, j) == 1,
+                                            F.lit(1)).otherwise(F.lit(-1))))
+        return F.aggregate(
+            F.zip_with(bit_votes, F.sequence(F.lit(0), F.lit(bits - 1)),
+                       lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long"))
+                                     .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    return bind(F.transform(words(col), lambda w: h32(w)), mk)
 
 
 def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
@@ -523,16 +540,23 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     is a per-row JVM array filter, O(words x starts) worst case, bounded
     by document length. No all-pairs stage, no driver materialization.
     """
+    from .text import bind
     n = span_words
     ws = words(F.col(text_col))
-    cnt = F.size(ws)
+
     # positioned overlapping windows — only FULL n-word windows (a doc
-    # shorter than n words cannot contain a duplicated n-word span)
-    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)) \
-           .otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.struct(
-        (i - 1).alias("pos"),
-        h32(F.concat_ws(" ", F.slice(ws, i, n))).alias("h")))
+    # shorter than n words cannot contain a duplicated n-word span).
+    # ws let-bound: the stride-1 window lambda would otherwise
+    # re-tokenize per window (no CSE inside lambda bodies) — O(words²).
+    def mk(w):
+        cnt = F.size(w)
+        idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.struct(
+            (i - 1).alias("pos"),
+            h32(F.concat_ws(" ", F.slice(w, i, n))).alias("h")))
+
+    sh = bind(ws, mk)
     ex = (ensure_parallelism(df)
           .select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
           .select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")))
@@ -593,12 +617,19 @@ def remove_frequent_segments(df: DataFrame, text_col: str, id_col: str,
 def _segments_exploded(df: DataFrame, text_col: str, id_col: str,
                        segment_words: int) -> DataFrame:
     """One row per (doc, position, segment): the shared explode for
-    the from-scratch and maintained-table boilerplate paths."""
+    the from-scratch and maintained-table boilerplate paths. The word
+    array is let-bound so the per-segment lambda slices a bound variable
+    instead of re-tokenizing per segment (no CSE inside lambda bodies)."""
+    from .text import bind
     w = segment_words
-    ws = words(F.col(text_col))
-    nseg = F.ceil(F.size(ws) / F.lit(w)).cast("int")
-    segs = F.transform(F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
-                       lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "))
+
+    def mk(ws):
+        nseg = F.ceil(F.size(ws) / F.lit(w)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
+            lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "))
+
+    segs = bind(words(F.col(text_col)), mk)
     return (ensure_parallelism(df)
             .select(F.col(id_col).alias("id"), F.posexplode(segs)
                     .alias("pos", "seg"))

@@ -38,26 +38,73 @@ def bm25_corpus_stats(df: DataFrame, text_col: str,
             {t: row[f"df{i}"] or 0 for i, t in enumerate(terms)})
 
 
+def _term_eq(t: str):
+    # closure factory: a defaulted lambda param would be taken as the
+    # HOF's (element, index) second argument (see minhash_from_hashes)
+    return lambda w: w == t
+
+
 def bm25_search(df: DataFrame, text_col: str, id_col: str,
                 query_terms: list[str], k: int = 10,
-                k1: float = 1.2, b: float = 0.75) -> DataFrame:
-    """Top-k documents by BM25: (id, score). Deterministic ties by id."""
-    n, avgdl, dfs = bm25_corpus_stats(df, text_col, query_terms)
-    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
-    dl = F.size(ws)
-    score = F.lit(0.0)
+                k1: float = 1.2, b: float = 0.75,
+                materialize: bool = True) -> DataFrame:
+    """Top-k documents by BM25: (id, score). Deterministic ties by id.
+
+    One tokenize pass per row, total (r15): the corpus is projected once
+    to (id, dl, per-term tf) — the word array let-bound in its own
+    projection so each tf filter reads a bound column — and that slim
+    relation is persisted; the stats aggregate (N, avgdl, per-term df =
+    Σ tf>0, identical values to bm25_corpus_stats) and the scoring
+    projection both read it. The pre-r15 shape re-evaluated the
+    tokenize ~20× per row (once per term per tf, duplicated again
+    between the pushed Filter and the Project — r15 plan audit) across
+    TWO corpus passes. Scores are bit-identical: same tf/dl/df/N/avgdl
+    values, same per-occurrence left-to-right float addition order.
+    The top-k result (≤k rows) is materialized eagerly so the slim
+    relation releases before returning (the semdedup checkpoint
+    pattern); materialize=False returns the lazy scoring pipeline for
+    plan inspection and leaves the per-doc persist PINNED — the caller
+    owns releasing it."""
+    from pyspark import StorageLevel
+
+    from .text import bind
+
+    terms: list[str] = []
     for t in query_terms:
         t = t.lower()
+        if t not in terms:
+            terms.append(t)
+    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    per_term = bind(ws, lambda wl: F.struct(
+        F.size(wl).alias("dl"),
+        *[F.size(F.filter(wl, _term_eq(t))).alias(f"tf{i}")
+          for i, t in enumerate(terms)]))
+    per_doc = (df.select(F.col(id_col).alias("id"), per_term.alias("pt"))
+                 .select("id", "pt.*")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+          for i in range(len(terms))]).collect()[0]
+    n, avgdl = row["n"], float(row["avgdl"] or 0.0)
+    dfs = {t: row[f"df{i}"] or 0 for i, t in enumerate(terms)}
+    score = F.lit(0.0)
+    for t in query_terms:  # per OCCURRENCE, in query order — same float
+        t = t.lower()      # addition order as the pre-r15 scorer
         idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
-        tf = F.size(F.filter(ws, lambda w: w == t)).cast("double")
-        denom = tf + k1 * (1.0 - b + b * dl.cast("double")
+        tf = F.col(f"tf{terms.index(t)}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double")
                            / F.lit(avgdl if avgdl else 1.0))
         score = score + F.lit(idf) * tf * (k1 + 1.0) / denom
-    return (df.select(F.col(id_col).alias("id"),
-                      quantize(score, 4).alias("score"))
-              .filter(F.col("score") > 0)
-              .orderBy(F.col("score").desc(), F.col("id"))
-              .limit(k))
+    out = (per_doc.select("id", quantize(score, 4).alias("score"))
+                  .filter(F.col("score") > 0)
+                  .orderBy(F.col("score").desc(), F.col("id"))
+                  .limit(k))
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    per_doc.unpersist()
+    return out
 
 
 # ----------------------------------------------------------------------

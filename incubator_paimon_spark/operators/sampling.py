@@ -249,22 +249,34 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
 
 
 # ----------------------------------------------------------------------
+def _feature_buckets(text_col: Column, buckets: int) -> Column:
+    """array<long> of hashed lowercase unigram+bigram feature buckets
+    (the DSIR feature space) for one document, in document order. The
+    word array is let-bound (`text.bind`) so the bigram zip and the
+    size/slice references share ONE tokenize per row — the un-bound
+    form re-evaluated split+lower six times per row (r15 plan audit)."""
+    from .text import bind, words
+
+    def mk(wl):
+        bigrams = F.when(F.size(wl) > 1, F.zip_with(
+            F.slice(wl, 1, F.size(wl) - 1),
+            F.slice(wl, 2, F.size(wl) - 1),
+            lambda a, b_: F.concat(a, F.lit(" "), b_))) \
+            .otherwise(F.array().cast("array<string>"))
+        return F.transform(F.concat(wl, bigrams),
+                           lambda f: h32(f) % buckets)
+
+    return bind(F.transform(words(text_col), lambda w: F.lower(w)), mk)
+
+
 def _hashed_features(df: DataFrame, text_col: str, id_col: str,
                      buckets: int) -> DataFrame:
     """(id, bucket) rows: hashed lowercase unigram + bigram features
     (the DSIR feature space). One explode; buckets are ints, so the
     downstream shuffles move (long, int) pairs, never text."""
-    from .text import words
-    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
-    bigrams = F.when(F.size(ws) > 1, F.zip_with(
-        F.slice(ws, 1, F.size(ws) - 1),
-        F.slice(ws, 2, F.size(ws) - 1),
-        lambda a, b_: F.concat(a, F.lit(" "), b_))) \
-        .otherwise(F.array().cast("array<string>"))
-    feats = F.concat(ws, bigrams)
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(feats).alias("f"))
-              .select("id", (h32(F.col("f")) % buckets).alias("bucket")))
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(_feature_buckets(F.col(text_col),
+                                                buckets)).alias("bucket"))
 
 
 def linear_quality_scorer(df: DataFrame, text_col: str, id_col: str,
@@ -315,7 +327,18 @@ def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
     (id → sum) aggregation whose shuffle carries (long id, double)
     pairs only. The raw text never shuffles.
     """
-    raw_f = _hashed_features(df, text_col, id_col, buckets)
+    from pyspark import StorageLevel
+
+    # The raw corpus's hashed feature arrays are needed TWICE — once for
+    # the q̂ bucket counts, once for the per-doc score sum — and the
+    # tokenize+md5 featurization is the operator's dominant cost, so
+    # persist the (id, bucket-array) projection and pay it ONCE
+    # (guide §1.2 step 1: don't compute things twice). State is
+    # ~8 B/feature, disk-spillable; released before returning.
+    arrs = df.select(F.col(id_col).alias("id"),
+                     _feature_buckets(F.col(text_col), buckets).alias("bk")) \
+             .persist(StorageLevel.MEMORY_AND_DISK)
+    raw_f = arrs.select("id", F.explode("bk").alias("bucket"))
     tgt_f = _hashed_features(target, text_col, id_col, buckets)
     # count tables are ≤ buckets rows — cache them so the totals and the
     # log-ratio join reuse ONE aggregation pass per corpus instead of
@@ -331,8 +354,13 @@ def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
     qc.unpersist()
     pc.unpersist()
     # scored corpus IS the q corpus here: every bucket exists in qc, so
-    # default_lw never fires and results match the pre-r8 inner join
-    return _score_features(raw_f, lw, default_lw)
+    # default_lw never fires and results match the pre-r8 inner join.
+    # Materialize the (id, log_weight) result eagerly so the feature
+    # arrays can be released NOW — the semdedup localCheckpoint pattern
+    # (VERDICT r7 #3: pinned persists leak across per-corpus calls).
+    out = _score_features(raw_f, lw, default_lw).localCheckpoint(eager=True)
+    arrs.unpersist()
+    return out
 
 
 def _logratio_local(qc: DataFrame, pc: DataFrame, buckets: int):

@@ -554,23 +554,8 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     cents = ivf_centroids(df, vec_col, id_col, num_centroids, dim=dim,
                           iters=iters)
     assigned = assign_ivf(df, cents, vec_col, id_col)
-    # norms computed ONCE per vector in the projection: the pairwise
-    # stage then does a single zip_with dot per pair instead of three
-    # HOF passes (dot + both norms) — HOF lambdas are interpreted, not
-    # codegen'd, so this cuts the quadratic term's cost ~3×. Same float
-    # ops on the same values → bit-identical to cosine() per pair.
-    # the assignment projection is the operator's dominant cost
-    # (O(n·k) interpreted-HOF cosines) and has THREE consumers (head
-    # cap, pair probe side, final verdict join); exchange reuse cannot
-    # kick in because per-consumer column pruning differentiates the
-    # subtrees, so persist the assigned projection — disk-backed, the
-    # same pattern Spark ML uses for iterative reuse. State is
-    # n × (vector + 3 small cols); spills past memory.
-    from pyspark import StorageLevel
     slim = assigned.select(F.col(id_col).alias("id"), "centroid_id",
-                           F.col(vec_col).alias("v"),
-                           norm(F.col(vec_col)).alias("nrm")) \
-                   .persist(StorageLevel.MEMORY_AND_DISK)
+                           F.col(vec_col).alias("v"))
     return _semdedup_verdict(slim, id_col, threshold, max_cluster_heads,
                              materialize)
 
@@ -578,48 +563,81 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
 def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
                       max_cluster_heads: int | None,
                       materialize: bool) -> DataFrame:
-    """The post-assignment SemDeDup stage over a PERSISTED
-    (id, centroid_id, v, nrm) projection: head-capped per-cluster
-    self-join + smallest-id verdict. Shared by `semdedup` (assignment
-    computed in-flight) and `semdedup_from_index` (assignment read
-    from the maintained IVF table)."""
-    heads = slim
-    if max_cluster_heads is not None:
-        from pyspark.sql import Window as W
-        w = W.partitionBy("centroid_id").orderBy("id")
-        heads = (slim.withColumn("__rn", F.row_number().over(w))
-                     .filter(F.col("__rn") <= max_cluster_heads)
-                     .drop("__rn"))
-    a = heads.select(F.col("id").alias("id_a"), "centroid_id",
-                     F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = slim.select(F.col("id").alias("id_b"), "centroid_id",
-                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    dup_ids = (a.join(b, "centroid_id")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .filter(quantize(sim, 4) >= threshold)
-                .select(F.col("id_b").alias("id")).distinct())
-    out = (slim.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
-               .select(F.col("id").alias(id_col), "centroid_id",
-                       F.coalesce(~F.col("__dup"), F.lit(True))
-                        .alias("keep")))
-    # materialize the verdict (3 small cols/row) and RELEASE the persisted
-    # vector projection before returning: persist() handles registered in
-    # the cache manager are never GC'd, so a curation session calling
-    # semdedup per-corpus would accumulate n×vector executor storage
-    # until death (VERDICT r7 #3). localCheckpoint cuts the lineage — the
-    # checkpoint RDD itself IS GC'd by the ContextCleaner once the caller
-    # drops the result, so storage stays bounded across repeated calls
-    # (A/B at 10×: no measurable cost vs the lazy pipeline, SURVEY §6).
-    # materialize=False returns the LAZY pipeline instead — for plan
-    # inspection or further chaining before any action — and leaves the
-    # assignment persist PINNED; the caller owns releasing it
-    # (spark.catalog.clearCache() or a terminal localCheckpoint).
+    """The post-assignment SemDeDup stage over a (id, centroid_id, v)
+    projection: per-cluster head-capped pairwise verdict. Shared by
+    `semdedup` (assignment computed in-flight) and `semdedup_from_index`
+    (assignment read from the maintained IVF table).
+
+    r15 shape: ONE shuffle on centroid_id into a grouped-pandas verdict
+    whose numpy pairwise pass accumulates ELEMENT-BY-ELEMENT in the same
+    left-to-right order as the engine's sequential `aggregate` fold
+    (the proven assign_ivf pattern, r8 — a j-loop of vectorized adds,
+    never a BLAS matmul whose pairwise summation reorders floats), so
+    the quantized cosines — and therefore the verdicts — are
+    BIT-IDENTICAL to the pre-r15 per-cluster self-join (which shuffled
+    both join sides plus a distinct plus a final verdict join, with the
+    O(Σc²) dots interpreted per element: 3 exchanges + a persisted
+    assignment → 1 exchange, no persist; ~2× at the 10× bench point).
+    A zero-norm vector sharing a cluster raises loudly — the join form
+    hit ANSI DIVIDE_BY_ZERO on the same rows (pinned in
+    test_r15_optimizations); filter zero vectors upstream. Memory: one
+    cluster per pandas group (the same Σ O(c²) bound as the join), with
+    the heads×members similarity block chunked to ~32 M doubles."""
+    import numpy as np
+
+    import pyspark.sql.types as T
+
+    fields = {f.name: f.dataType for f in slim.schema.fields}
+    out_schema = T.StructType([
+        T.StructField(id_col, fields["id"]),
+        T.StructField("centroid_id", fields["centroid_id"]),
+        T.StructField("keep", T.BooleanType())])
+    cap, thr = max_cluster_heads, threshold
+
+    def verdict(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        c = len(pdf)
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["v"].values])
+        d = V.shape[1]
+        nrm = np.zeros(c)
+        for j in range(d):  # sequential fold, same float order as norm()
+            nrm += V[:, j] * V[:, j]
+        nrm = np.sqrt(nrm)
+        if c > 1 and (nrm == 0).any():
+            # the pre-r15 join form threw ANSI DIVIDE_BY_ZERO for every
+            # pair touching a zero-norm vector — keep the loud failure
+            bad = pdf["id"].values[int(np.argmax(nrm == 0))]
+            raise ValueError(
+                f"semdedup: zero-norm vector for id={bad!r} — cosine is "
+                "undefined; filter zero vectors upstream")
+        h = c if cap is None else min(cap, c)
+        dup = np.zeros(c, dtype=bool)
+        H = V[:h]
+        blk = max(1, (1 << 25) // max(h, 1))  # ≤ ~32M doubles per block
+        rows = np.arange(h)[:, None]
+        for s0 in range(0, c, blk):
+            s1 = min(c, s0 + blk)
+            acc = np.zeros((h, s1 - s0))
+            for j in range(d):  # same left-to-right order as dot()
+                acc += H[:, j:j + 1] * V[None, s0:s1, j][0]
+            sim = acc / (nrm[:h, None] * nrm[None, s0:s1])
+            q = np.floor(sim * 10000.0 + 0.5) / 10000.0
+            hit = q >= thr
+            dup[s0:s1] |= (hit & (rows < np.arange(s0, s1)[None, :])).any(axis=0)
+        return pd.DataFrame({id_col: pdf["id"].values,
+                             "centroid_id": pdf["centroid_id"].values,
+                             "keep": ~dup})
+
+    out = slim.groupBy("centroid_id").applyInPandas(verdict, out_schema) \
+              .select(id_col, "centroid_id", "keep")
+    # materialize the verdict (3 small cols/row): lineage-free local
+    # result, same contract as pre-r15 (materialize=False returns the
+    # lazy pipeline for plan inspection / further chaining).
     if not materialize:
         return out
-    out = out.localCheckpoint(eager=True)
-    slim.unpersist()
-    return out
+    return out.localCheckpoint(eager=True)
 
 
 def semdedup_from_index(spark, index_table, vec_col: str,
@@ -638,15 +656,11 @@ def semdedup_from_index(spark, index_table, vec_col: str,
     same centroids (tested row-for-row). Passing `source_table` arms the
     staleness guard (r9 verdict #1) — warn/fail/silent per the index
     table's ``index.staleness-check`` option."""
-    from pyspark import StorageLevel
-
     from .sync import guard_index
     guard_index(index_table, source_table, consumer_id)
     slim = (index_table.read(spark)
             .select(F.col(id_col).alias("id"), "centroid_id",
-                    F.col(vec_col).alias("v"),
-                    norm(F.col(vec_col)).alias("nrm"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+                    F.col(vec_col).alias("v")))
     return _semdedup_verdict(slim, id_col, threshold, max_cluster_heads,
                              materialize)
 

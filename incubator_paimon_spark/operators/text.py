@@ -30,6 +30,21 @@ LANG_STOPWORDS = {
 QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
 
 
+def bind(col: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate `col` ONCE per row and
+    hand it to `body` as a bound lambda variable. Catalyst does no CSE
+    inside higher-order-function lambda bodies, so a non-trivial subtree
+    referenced from a per-element lambda (the tokenize split inside a
+    windowing transform, say) is re-evaluated for EVERY element —
+    O(len²) per row (the char_entropy fold hit the same wall in r6:
+    measured 340× on 2 k-char docs). Wrapping the subtree as the
+    one-element array ARGUMENT of a transform makes Catalyst evaluate it
+    once; the body sees it as a lambda variable, which is a cheap slot
+    read per reference. Pure expression rewrite: same values, same
+    order, same null behavior (guide §1.2 step 2 — per-task work)."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def words(col: Column) -> Column:
     """Whitespace tokenization; empty text → empty array."""
     return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")) \
@@ -77,35 +92,55 @@ def mean_word_length(col: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: length saturation, healthy mean
     word length, some-but-not-too-many stopwords, low punctuation/digit
-    noise. Deterministic, SQL-expressible (oracle mirrors it exactly)."""
+    noise. Deterministic, SQL-expressible (oracle mirrors it exactly).
+    The word array is let-bound so the mean-word-length and stopword
+    sub-scores share ONE tokenize per row (was 3); the final sum keeps
+    the original left-to-right addition order bit-for-bit."""
     len_score = F.least(F.length(col).cast("double") / F.lit(400.0), F.lit(1.0))
-    mwl = mean_word_length(col)
-    mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw = stopword_ratio(col)
-    sw_score = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+
+    def mk(ws):
+        n = F.size(ws)
+        total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+        mwl = F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+        mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0),
+                           F.lit(1.0)).otherwise(F.lit(0.5))
+        sw_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(sw_arr,
+                                                              F.lower(w))))
+        sw = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        sw_score = F.when((sw >= 0.05) & (sw <= 0.6),
+                          F.lit(1.0)).otherwise(F.lit(0.5))
+        return F.struct(mwl_score.alias("m"), sw_score.alias("s"))
+
+    scores = bind(words(col), mk)
     noise = punct_ratio(col) + digit_ratio(col)
     noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2)
-    return quantize(len_score * 0.3 + mwl_score * 0.2 + sw_score * 0.25
+    return quantize(len_score * 0.3 + scores["m"] * 0.2 + scores["s"] * 0.25
                     + noise_score * 0.25, 4)
 
 
 def lang_id(col: Column) -> Column:
     """Stopword-hit language ID with deterministic tie-break (first language
-    in LANG_STOPWORDS order wins ties)."""
-    ws = F.transform(words(col), lambda w: F.lower(w))
-    scores = []
-    for lang, sws in LANG_STOPWORDS.items():
-        arr = F.array(*[F.lit(s) for s in sws])
-        scores.append((lang, F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))))
-    best = None
-    best_score = None
-    for lang, sc in reversed(scores):  # reversed so earlier langs win ties
-        if best is None:
-            best, best_score = F.lit(lang), sc
-        else:
-            best = F.when(sc >= best_score, F.lit(lang)).otherwise(best)
-            best_score = F.when(sc >= best_score, sc).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    in LANG_STOPWORDS order wins ties). The lowered word array is
+    let-bound: the nested when-chain references each language's hit count
+    several times, and every un-bound reference re-tokenized the row."""
+    def mk(ws):
+        scores = []
+        for lang, sws in LANG_STOPWORDS.items():
+            arr = F.array(*[F.lit(s) for s in sws])
+            scores.append((lang, F.size(F.filter(
+                ws, lambda w: F.array_contains(arr, w)))))
+        best = None
+        best_score = None
+        for lang, sc in reversed(scores):  # reversed so earlier langs win ties
+            if best is None:
+                best, best_score = F.lit(lang), sc
+            else:
+                best = F.when(sc >= best_score, F.lit(lang)).otherwise(best)
+                best_score = F.when(sc >= best_score, sc).otherwise(best_score)
+        return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    return bind(F.transform(words(col), lambda w: F.lower(w)), mk)
 
 
 # conservative regex subset shared by Spark (Java regex) and SQL oracles

@@ -158,14 +158,24 @@ def test_crosscorpus_neardup_joins_on_band_keys(spark):
 
 
 def test_bm25_is_zero_shuffle_takeordered(spark):
-    """BM25 scoring is one scan projection + TakeOrdered — the stats
-    pass is a separate driver-collected aggregate, so the search plan
-    itself must contain NO exchange."""
+    """BM25 (r15 shape): ONE tokenize pass into the persisted per-doc
+    (id, dl, tf…) projection; scoring reads that cache — no exchange
+    anywhere, top-k via TakeOrdered. materialize=False exposes the lazy
+    scoring pipeline (the default returns a checkpointed ≤k-row local
+    scan, same hygiene as semdedup)."""
     from incubator_paimon_spark.operators.retrieval import bm25_search
-    p = _plan(bm25_search(_docs(spark), "text", "doc_id",
-                          ["merge", "vector"], k=5))
-    assert "Exchange" not in p, p
-    assert "TakeOrderedAndProject" in p
+    lazy = bm25_search(_docs(spark), "text", "doc_id",
+                       ["merge", "vector"], k=5, materialize=False)
+    p = _plan(lazy)
+    try:
+        assert "Exchange" not in p, p
+        assert "TakeOrderedAndProject" in p
+        assert "InMemoryTableScan" in p  # scoring reads the slim cache
+        pm = _plan(bm25_search(_docs(spark), "text", "doc_id",
+                               ["merge", "vector"], k=5))
+        assert "Scan ExistingRDD" in pm  # lineage-free, cache released
+    finally:
+        spark.catalog.clearCache()  # release materialize=False's persist
 
 
 def test_line_stats_is_zero_shuffle(spark):
@@ -174,11 +184,12 @@ def test_line_stats_is_zero_shuffle(spark):
     assert "Exchange" not in p, p
 
 
-def test_semdedup_broadcast_assign_no_cartesian(spark):
-    """semdedup: centroid assignment joins against BROADCAST centroids
-    (never a shuffled/cartesian centroid join), the assigned projection
-    is persisted (one InMemoryRelation feeds the cap/probe/verdict
-    consumers), and pairs join only on centroid_id."""
+def test_semdedup_one_exchange_grouped_verdict(spark):
+    """semdedup (r15 shape): the whole post-assignment stage is ONE
+    exchange on centroid_id into the grouped-pandas verdict
+    (FlatMapGroupsInPandas) — no per-cluster self-join, no distinct, no
+    final verdict join, no persisted assignment (the pre-r15 shape had
+    3 exchanges + an InMemoryRelation). No Cartesian anywhere."""
     from incubator_paimon_spark.operators.similarity import semdedup
     e = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet")
@@ -187,19 +198,16 @@ def test_semdedup_broadcast_assign_no_cartesian(spark):
     lazy = semdedup(e, "embedding", "vec_id", num_centroids=4,
                     threshold=0.4, dim=64, materialize=False)
     p = _plan(lazy)
-    try:
-        assert "CartesianProduct" not in p
-        assert "InMemoryTableScan" in p  # the shared assignment cache
-        for line in p.splitlines():
-            if "Exchange hashpartitioning" in line:
-                assert "embedding#" not in line, line  # vectors by id only
-        # the DEFAULT (materialized) result is a lineage-free local scan
-        # — the persisted projection is released before return
-        pm = _plan(semdedup(e, "embedding", "vec_id", num_centroids=4,
-                            threshold=0.4, dim=64))
-        assert "Scan ExistingRDD" in pm
-    finally:
-        spark.catalog.clearCache()  # release materialize=False's persist
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "FlatMapGroupsInPandas" in p
+    exchanges = [line for line in p.splitlines() if "Exchange" in line]
+    assert len(exchanges) == 1, p
+    assert "centroid_id#" in exchanges[0], exchanges[0]
+    # the DEFAULT (materialized) result is a lineage-free local scan
+    pm = _plan(semdedup(e, "embedding", "vec_id", num_centroids=4,
+                        threshold=0.4, dim=64))
+    assert "Scan ExistingRDD" in pm
 
 
 def test_cap_per_group_two_bounded_windows(spark):

@@ -1,8 +1,11 @@
 """Fresh-session executor-storage release check (VERDICT r7 #3 / r8 #2).
 
 Asserts, in a JVM nothing else has touched:
-- dsir_logweights leaves ZERO persistent RDDs (its caches are
-  explicitly unpersisted in-call);
+- dsir_logweights's in-call caches (count tables + the r15 feature-array
+  persist) are explicitly unpersisted before it returns, and its
+  checkpointed result is GC-reclaimable once dropped (r15: the result
+  is localCheckpoint'd so the feature arrays can be released
+  immediately — the semdedup lifecycle, not a pinned persist);
 - semdedup's per-call localCheckpoint is GC-reclaimable once the result
   is dropped — the old persist() leak pinned one n×vector projection
   PER CALL forever, so the leak signature is call 1's entry surviving
@@ -53,7 +56,10 @@ def main():
         return False
 
     SA.dsir_logweights(d, d.limit(10), "text", "doc_id", buckets=256).count()
-    assert settle(lambda: not persisted_ids(), tries=8), \
+    # the result checkpoint (dropped above) must be GC-reclaimable; the
+    # in-call caches must already be gone — a pinned persist would
+    # survive the settle loop
+    assert settle(lambda: not persisted_ids()), \
         "dsir left persisted RDDs behind"
 
     seen: set = set()
