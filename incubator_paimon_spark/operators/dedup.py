@@ -756,14 +756,27 @@ def sync_segment_df_counts(spark, source_table, counts_table,
 
 # ----------------------------------------------------------------------
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 50,
+                         driver_edge_cap: int | None = 1_000_000) -> DataFrame:
     """Connected components over an undirected edge list via the alternating
     large-star / small-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC'14 — public literature, not the
     reference). Returns (id, component) for every node that appears in an
     edge, component = min node id of its component.
 
-    Scale shape: each round is two groupBy-min shuffles + a join, no
+    Scale-adaptive (r15, guide §2): near-dup edge lists are usually tiny
+    relative to the corpus (only docs in some candidate pair), yet the
+    distributed loop pays ~5 rounds × (2 shuffles + a checksum job) of
+    fixed cost regardless — ~2.5 s of pure round-trip latency for a few
+    hundred edges at bench scale. When the DISTINCT edge set fits under
+    `driver_edge_cap` (discovered with one limit(cap+1) pass — LocalLimit
+    short-circuits), solve it with driver union-find instead: the result
+    is the identical (id, min-id component) labeling, and 1 M edges is
+    ~16 MB — control-plane sized. Larger graphs take the distributed
+    loop exactly as before (the one partial pass is the probe's cost);
+    pass driver_edge_cap=None/0 to force it.
+
+    Distributed shape: each round is two groupBy-min shuffles + a join, no
     collect_list of neighborhoods (hub nodes never materialize their
     adjacency in one task) and no driver-side graph state; rounds converge
     in O(log n). Lineage is cut with localCheckpoint each round so the plan
@@ -772,6 +785,36 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
               .filter(F.col("u") != F.col("v")).distinct())
+
+    if driver_edge_cap:
+        rows = e.limit(driver_edge_cap + 1).collect()
+        if len(rows) <= driver_edge_cap:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            comp_min: dict[int, int] = {}
+            for node in parent:
+                root = find(node)
+                cur = comp_min.get(root)
+                if cur is None or node < cur:
+                    comp_min[root] = node
+            out = [(node, comp_min[find(node)]) for node in parent]
+            return edges.sparkSession.createDataFrame(
+                out, "id long, component long")
 
     def checksum(df):
         # Fixpoint signature over the edge multiset. (count, sum, xor,

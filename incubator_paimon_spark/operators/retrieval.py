@@ -297,11 +297,18 @@ def bm25_search_indexed(spark, postings_table, stats_table,
     srow = srows[0]
     n, avgdl = srow["n_docs"], (srow["total_dl"] or 0) / max(srow["n_docs"], 1)
 
+    from pyspark import StorageLevel
+
     from .dedup import _h32_py
     tb = sorted({_h32_py(t) % buckets for t in terms})
+    # the pruned postings feed TWO actions (per-term df counts, then the
+    # score sum) — persist the ≤|query-term postings| rows so the
+    # partition-pruned engine scan runs once, not twice (r15); released
+    # after the ≤k-row result materializes eagerly
     post = postings_table.read(
         spark, predicate=P.isin("term_bucket", list(tb))) \
-        .filter(F.col("term").isin(terms))
+        .filter(F.col("term").isin(terms)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     dfs = {r["term"]: r["df"] for r in
            post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
                .collect()}
@@ -324,10 +331,12 @@ def bm25_search_indexed(spark, postings_table, stats_table,
     score = F.lit(0.0)
     for i in range(len(terms)):
         score = score + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
-    return (g.select("id", quantize(score, 4).alias("score"))
-             .filter(F.col("score") > 0)
-             .orderBy(F.col("score").desc(), F.col("id"))
-             .limit(k))
+    out = (g.select("id", quantize(score, 4).alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col("id"))
+            .limit(k).localCheckpoint(eager=True))
+    post.unpersist()
+    return out
 
 
 def sync_bm25_index(spark, source_table, postings_table, stats_table,

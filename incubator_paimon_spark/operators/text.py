@@ -326,31 +326,31 @@ def char_entropy(col: Column) -> Column:
     zero shuffles: sort the chars, mark run boundaries, fold run lengths.
     O(n log n) per document vs the naive frequency-map fold's
     O(n × alphabet) map rebuild per character (VERDICT r6 #3)."""
-    # entropy = -Σ p·log2 p = log2(n) − (Σ_runs cnt·log2 cnt)/n, so one
-    # fold over the sorted chars suffices. The accumulator carries
-    # (prev char, current run length, Σ cnt·log2 cnt of closed runs);
-    # the lambdas reference ONLY acc and the element — embedding the
-    # sorted-array expression inside a HOF lambda would re-evaluate the
-    # sort per element (no CSE inside lambda bodies: measured 340×
-    # slower on 2 k-char docs).
+    # entropy = -Σ p·log2 p = log2(n) − (Σ_runs cnt·log2 cnt)/n. r15
+    # shape: run STARTS via one filter over positions (element_at on the
+    # let-bound sorted array is O(1)), run lengths via zip_with against
+    # the shifted starts, then one double fold — no per-char struct
+    # allocation (the r6 accumulator built a 3-field struct per char,
+    # ~1.4× slower; run terms still sum in run order, so values are
+    # bit-identical — pinned in test_r15_optimizations).
     n = F.length(col)
-    schars = F.array_sort(F.split(col, ""))
 
-    def run_term(run):
-        return F.when(run > 0, run * F.log2(run)).otherwise(F.lit(0.0))
+    def mk(schars):
+        m = F.size(schars)
+        starts = F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: (i == 1) | (F.element_at(schars, i)
+                                  != F.element_at(schars, i - 1)))
+        return bind(starts, lambda st: F.aggregate(
+            F.zip_with(st,
+                       F.concat(F.slice(st, 2, F.size(st) - 1),
+                                F.array(m + 1)),
+                       lambda a, b: (b - a).cast("double")),
+            F.lit(0.0),
+            lambda acc, r: acc + F.when(r > 0,
+                                        r * F.log2(r)).otherwise(F.lit(0.0))))
 
-    total = F.aggregate(
-        schars,
-        F.struct(F.lit("").alias("prev"), F.lit(0.0).alias("run"),
-                 F.lit(0.0).alias("s")),
-        lambda acc, c: F.when(
-            c == acc["prev"],
-            F.struct(acc["prev"].alias("prev"),
-                     (acc["run"] + 1).alias("run"), acc["s"].alias("s"))
-        ).otherwise(
-            F.struct(c.alias("prev"), F.lit(1.0).alias("run"),
-                     (acc["s"] + run_term(acc["run"])).alias("s"))),
-        lambda acc: acc["s"] + run_term(acc["run"]))
+    total = bind(F.array_sort(F.split(col, "")), mk)
     ent = F.log2(n.cast("double")) - total / n
     return F.when(n > 0, ent).otherwise(F.lit(0.0))
 

@@ -519,9 +519,21 @@ def test_connected_components_random_graph_vs_union_find(spark):
     expect = {n: comp_min[find(n)] for n in nodes}
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # both paths: the r15 bounded driver union-find fast path (default)
+    # and the distributed alternating-star loop (cap disabled) must
+    # produce the identical min-id labeling
     got = {r["id"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == expect
+    got_dist = {r["id"]: r["component"]
+                for r in connected_components(
+                    df, driver_edge_cap=None).collect()}
+    assert got_dist == expect
+    # a cap below the edge count must route to the distributed loop too
+    got_small_cap = {r["id"]: r["component"]
+                     for r in connected_components(
+                         df, driver_edge_cap=10).collect()}
+    assert got_small_cap == expect
 
 
 def test_ivf_centroids_dim_768(spark):

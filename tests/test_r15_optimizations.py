@@ -193,6 +193,43 @@ def test_dsir_cached_featurization_matches_pieces(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
 
 
+def test_char_entropy_matches_struct_fold(spark):
+    """The r15 run-length char_entropy == the r6 per-char struct fold,
+    raw doubles (same run-order summation, same log2 calls)."""
+    from incubator_paimon_spark.operators.text import char_entropy
+    d = _docs(spark).select("doc_id", "text").limit(200)
+
+    def old_entropy(col):
+        n = F.length(col)
+        schars = F.array_sort(F.split(col, ""))
+
+        def run_term(run):
+            return F.when(run > 0, run * F.log2(run)).otherwise(F.lit(0.0))
+
+        total = F.aggregate(
+            schars,
+            F.struct(F.lit("").alias("prev"), F.lit(0.0).alias("run"),
+                     F.lit(0.0).alias("s")),
+            lambda acc, c: F.when(
+                c == acc["prev"],
+                F.struct(acc["prev"].alias("prev"),
+                         (acc["run"] + 1).alias("run"), acc["s"].alias("s"))
+            ).otherwise(
+                F.struct(c.alias("prev"), F.lit(1.0).alias("run"),
+                         (acc["s"] + run_term(acc["run"])).alias("s"))),
+            lambda acc: acc["s"] + run_term(acc["run"]))
+        ent = F.log2(n.cast("double")) - total / n
+        return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+    extra = spark.createDataFrame(
+        [(10**6, ""), (10**6 + 1, "aaaa"), (10**6 + 2, "abab x")],
+        "doc_id long, text string")
+    got = d.unionByName(extra) \
+           .select(char_entropy(F.col("text")).alias("n"),
+                   old_entropy(F.col("text")).alias("o")).collect()
+    assert all(r["n"] == r["o"] for r in got)
+
+
 def test_quality_score_and_lang_id_unchanged(spark):
     """quality_score / lang_id after the let-binding == the pre-r15
     multi-tokenize formulas."""
