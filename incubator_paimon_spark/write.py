@@ -833,7 +833,17 @@ def state_diff_kinds(old_df, new_df, schema):
     """Changelog rows between two merged states over the SAME key universe:
     +I / (-U,+U) / -D with the kind in VALUE_KIND. Shared by the lookup /
     full-compaction producers (write-time materialization) and the read-time
-    state-diff fallback."""
+    state-diff fallback.
+
+    ONE pass over the full-outer join (r15): each joined row emits its
+    0-2 changelog rows as an exploded struct array. The pre-r15 shape
+    unioned four filtered branches over the same join, and Catalyst
+    executes each union branch's join subtree independently — the whole
+    file-read + merge + diff pipeline ran 4×, which dominated the
+    lookup-producer commit (~1.8 s of a 2.2 s 15 K-row commit, profiled).
+    Same row multiset, same values; only the physical row-to-partition
+    placement changes (changelog consumers read the commit's whole file
+    set, and files are re-sorted by key at write)."""
     from .merge_engines import merge_key
 
     keys = merge_key(schema)
@@ -850,18 +860,24 @@ def state_diff_kinds(old_df, new_df, schema):
     for c in val_cols:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
 
-    def proj(side):
-        return [F.col(f"{side}.{c}").alias(c) for c in cols]
+    def row(side, kind):
+        return F.struct(*[F.col(f"{side}.{c}").alias(c) for c in cols],
+                        F.lit(kind).alias(VALUE_KIND))
 
-    ins = j.filter(F.col("o.__o").isNull() & F.col("n.__n").isNotNull()) \
-           .select(*proj("n"), F.lit(INSERT).alias(VALUE_KIND))
-    dels = j.filter(F.col("o.__o").isNotNull() & F.col("n.__n").isNull()) \
-            .select(*proj("o"), F.lit(DELETE).alias(VALUE_KIND))
-    upd = j.filter(F.col("o.__o").isNotNull() & F.col("n.__n").isNotNull()
-                   & changed)
-    ub = upd.select(*proj("o"), F.lit("-U").alias(VALUE_KIND))
-    ua = upd.select(*proj("n"), F.lit("+U").alias(VALUE_KIND))
-    return ins.unionByName(ub).unionByName(ua).unionByName(dels)
+    import pyspark.sql.types as T
+    row_type = T.StructType(
+        list(schema.spark_schema().fields)
+        + [T.StructField(VALUE_KIND, T.StringType(), False)])
+    empty = F.array().cast(T.ArrayType(row_type).simpleString())
+    arr = (F.when(F.col("o.__o").isNull() & F.col("n.__n").isNotNull(),
+                  F.array(row("n", INSERT)))
+            .when(F.col("o.__o").isNotNull() & F.col("n.__n").isNull(),
+                  F.array(row("o", DELETE)))
+            .when(F.col("o.__o").isNotNull() & F.col("n.__n").isNotNull()
+                  & changed,
+                  F.array(row("o", "-U"), row("n", "+U")))
+            .otherwise(empty))
+    return j.select(F.explode(arr).alias("__r")).select("__r.*")
 
 
 def write_changelog_files(spark, table, schema, kinds_df) -> list:
