@@ -140,7 +140,7 @@ def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str,
     to max cid — deterministic and SQL-replayable.
 
     impl="arrow" (default): the centroids (k×dim — control-plane) are
-    collected and shipped in the mapInPandas closure; each Arrow batch
+    collected and shipped in the mapInArrow closure; each Arrow batch
     computes all n×k cosines with numpy accumulating ELEMENT-BY-ELEMENT
     in the same left-to-right order as the engine's sequential
     `aggregate` fold (a j-loop of vectorized adds, NOT a BLAS matmul
@@ -165,6 +165,33 @@ def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str,
     return _assign_arrow(df, centroids, vec_col, id_col)
 
 
+def _vectors_from_arrow(col, dim: int, ids, op: str):
+    """(n, dim) float64 matrix from an Arrow list<float> column via ONE
+    flat-buffer reshape — the per-row `np.asarray(cell)` conversion was
+    the dominant cost of the arrow assignment once the arithmetic was
+    vectorized (r15: 2.7 s → 1.75 s at n=200 k just from this). Nulls
+    and ragged vectors still fail loudly per batch with the offending
+    id. float32→float64 via astype is the same widening the per-row
+    path applied, so downstream floats are bit-identical."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if col.null_count:
+        bad_i = int(np.flatnonzero(~np.asarray(col.is_valid()))[0])
+        raise ValueError(
+            f"{op}: vector for id={ids[bad_i]!r} is NULL but centroids "
+            f"have dim {dim} — filter null/ragged vectors upstream")
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if (lens != dim).any():
+        bad_i = int(np.flatnonzero(lens != dim)[0])
+        raise ValueError(
+            f"{op}: vector for id={ids[bad_i]!r} is length "
+            f"{int(lens[bad_i])} but centroids have dim {dim} — filter "
+            f"null/ragged vectors upstream")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, dim).astype(np.float64, copy=False)
+
+
 def _assign_arrow(df: DataFrame, centroids: DataFrame, vec_col: str,
                   id_col: str) -> DataFrame:
     import numpy as np
@@ -186,35 +213,34 @@ def _assign_arrow(df: DataFrame, centroids: DataFrame, vec_col: str,
     import pyspark.sql.types as T
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("centroid_id", T.LongType())])
+    vi = [f.name for f in df.schema.fields].index(vec_col)
+    ii = [f.name for f in df.schema.fields].index(id_col)
 
     def assign(it):
-        import pandas as pd
-        for pdf in it:
-            if not len(pdf):
+        import pyarrow as pa
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
-            lens = pdf[vec_col].map(
-                lambda v: -1 if v is None else len(v))
-            if (lens != dim).any():
-                bad = pdf.loc[lens != dim].iloc[0]
-                raise ValueError(
-                    f"assign_ivf: vector for {id_col}={bad[id_col]!r} is "
-                    f"{'NULL' if bad[vec_col] is None else 'length %d' % len(bad[vec_col])}"
-                    f" but centroids have dim {dim} — filter null/ragged "
-                    f"vectors upstream")
-            V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col].values])
-            acc = np.zeros((V.shape[0], k))
-            vn = np.zeros(V.shape[0])
+            V = _vectors_from_arrow(batch.column(vi), dim,
+                                    batch.column(ii), "assign_ivf")
+            acc = np.zeros((n, k))
+            vn = np.zeros(n)
+            # one reused product buffer: the temporary allocated by
+            # `acc += V[:, j:j+1] * C[:, j]` per j-iteration was ~40% of
+            # the loop (r15 microbench, bit-identical values — same
+            # element-order adds, out= changes allocation only)
+            tmp = np.empty_like(acc)
             for j in range(dim):
-                acc += V[:, j:j + 1] * C[None, :, j][0]
+                np.multiply(V[:, j:j + 1], C[:, j], out=tmp)
+                acc += tmp
                 vn += V[:, j] * V[:, j]
             S = acc / (np.sqrt(vn)[:, None] * cn[None, :])
             best = np.argmax(S, axis=1)
-            out = pdf.copy()
-            out["centroid_id"] = cids[best]
-            yield out
+            yield batch.append_column(
+                "centroid_id", pa.array(cids[best], type=pa.int64()))
 
-    return df.mapInPandas(assign, out_schema)
+    return df.mapInArrow(assign, out_schema)
 
 
 def _assign_join(df: DataFrame, centroids: DataFrame, vec_col: str,
@@ -594,13 +620,19 @@ def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
         T.StructField("keep", T.BooleanType())])
     cap, thr = max_cluster_heads, threshold
 
-    def verdict(pdf):
-        import pandas as pd
-        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-        c = len(pdf)
-        V = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in pdf["v"].values])
-        d = V.shape[1]
+    def verdict(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        t = tbl.combine_chunks()
+        c = t.num_rows
+        ids = t.column("id").chunk(0)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        vcol = t.column("v").chunk(0)
+        lens = pc.list_value_length(vcol).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if c else 0
+        V = _vectors_from_arrow(vcol, d, ids, "semdedup")
+        order = np.argsort(ids_np, kind="stable")
+        V = V[order]
         nrm = np.zeros(c)
         for j in range(d):  # sequential fold, same float order as norm()
             nrm += V[:, j] * V[:, j]
@@ -608,7 +640,7 @@ def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
         if c > 1 and (nrm == 0).any():
             # the pre-r15 join form threw ANSI DIVIDE_BY_ZERO for every
             # pair touching a zero-norm vector — keep the loud failure
-            bad = pdf["id"].values[int(np.argmax(nrm == 0))]
+            bad = ids_np[order][int(np.argmax(nrm == 0))]
             raise ValueError(
                 f"semdedup: zero-norm vector for id={bad!r} — cosine is "
                 "undefined; filter zero vectors upstream")
@@ -620,17 +652,21 @@ def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
         for s0 in range(0, c, blk):
             s1 = min(c, s0 + blk)
             acc = np.zeros((h, s1 - s0))
+            tmp = np.empty_like(acc)  # reused product buffer (see assign)
             for j in range(d):  # same left-to-right order as dot()
-                acc += H[:, j:j + 1] * V[None, s0:s1, j][0]
+                np.multiply(H[:, j:j + 1], V[s0:s1, j], out=tmp)
+                acc += tmp
             sim = acc / (nrm[:h, None] * nrm[None, s0:s1])
             q = np.floor(sim * 10000.0 + 0.5) / 10000.0
             hit = q >= thr
             dup[s0:s1] |= (hit & (rows < np.arange(s0, s1)[None, :])).any(axis=0)
-        return pd.DataFrame({id_col: pdf["id"].values,
-                             "centroid_id": pdf["centroid_id"].values,
-                             "keep": ~dup})
+        take = pa.array(order)
+        return pa.Table.from_arrays(
+            [pc.take(ids, take), pc.take(t.column("centroid_id"), take),
+             pa.array(~dup)],
+            names=[id_col, "centroid_id", "keep"])
 
-    out = slim.groupBy("centroid_id").applyInPandas(verdict, out_schema) \
+    out = slim.groupBy("centroid_id").applyInArrow(verdict, out_schema) \
               .select(id_col, "centroid_id", "keep")
     # materialize the verdict (3 small cols/row): lineage-free local
     # result, same contract as pre-r15 (materialize=False returns the

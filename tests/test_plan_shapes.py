@@ -186,8 +186,8 @@ def test_line_stats_is_zero_shuffle(spark):
 
 def test_semdedup_one_exchange_grouped_verdict(spark):
     """semdedup (r15 shape): the whole post-assignment stage is ONE
-    exchange on centroid_id into the grouped-pandas verdict
-    (FlatMapGroupsInPandas) — no per-cluster self-join, no distinct, no
+    exchange on centroid_id into the grouped-arrow verdict
+    (FlatMapGroupsInArrow) — no per-cluster self-join, no distinct, no
     final verdict join, no persisted assignment (the pre-r15 shape had
     3 exchanges + an InMemoryRelation). No Cartesian anywhere."""
     from incubator_paimon_spark.operators.similarity import semdedup
@@ -200,7 +200,7 @@ def test_semdedup_one_exchange_grouped_verdict(spark):
     p = _plan(lazy)
     assert "CartesianProduct" not in p
     assert "Join" not in p
-    assert "FlatMapGroupsInPandas" in p
+    assert "FlatMapGroupsInArrow" in p
     exchanges = [line for line in p.splitlines() if "Exchange" in line]
     assert len(exchanges) == 1, p
     assert "centroid_id#" in exchanges[0], exchanges[0]
