@@ -93,12 +93,15 @@ def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: length saturation, healthy mean
     word length, some-but-not-too-many stopwords, low punctuation/digit
     noise. Deterministic, SQL-expressible (oracle mirrors it exactly).
-    The word array is let-bound so the mean-word-length and stopword
-    sub-scores share ONE tokenize per row (was 3); the final sum keeps
-    the original left-to-right addition order bit-for-bit."""
-    len_score = F.least(F.length(col).cast("double") / F.lit(400.0), F.lit(1.0))
-
+    The whole score folds inside ONE let-binding of the word array —
+    a single tokenize per row (was 3; and a struct-of-subscores form
+    still re-evaluated the binding once per field reference, since
+    expression dedup does not see through lambda-bearing subtrees).
+    The final sum keeps the original left-to-right addition order
+    bit-for-bit."""
     def mk(ws):
+        len_score = F.least(F.length(col).cast("double") / F.lit(400.0),
+                            F.lit(1.0))
         n = F.size(ws)
         total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
         mwl = F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
@@ -110,13 +113,12 @@ def quality_score(col: Column) -> Column:
         sw = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
         sw_score = F.when((sw >= 0.05) & (sw <= 0.6),
                           F.lit(1.0)).otherwise(F.lit(0.5))
-        return F.struct(mwl_score.alias("m"), sw_score.alias("s"))
+        noise = punct_ratio(col) + digit_ratio(col)
+        noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2)
+        return quantize(len_score * 0.3 + mwl_score * 0.2 + sw_score * 0.25
+                        + noise_score * 0.25, 4)
 
-    scores = bind(words(col), mk)
-    noise = punct_ratio(col) + digit_ratio(col)
-    noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2)
-    return quantize(len_score * 0.3 + scores["m"] * 0.2 + scores["s"] * 0.25
-                    + noise_score * 0.25, 4)
+    return bind(words(col), mk)
 
 
 def lang_id(col: Column) -> Column:
@@ -171,14 +173,20 @@ def fingerprint(col: Column) -> Column:
 
 def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
     """Winnowing-style fingerprint: minimum 32-bit hash over word n-gram
-    shingles (robust to local edits)."""
-    ws = words(col)
-    n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, window)))
-    hashes = F.transform(shingles, lambda s:
-                         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
-    return F.array_min(hashes)
+    shingles (robust to local edits). Word array let-bound — the window
+    lambda would otherwise re-tokenize per shingle."""
+    def mk(ws):
+        n = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+        shingles = F.transform(idx,
+                               lambda i: F.concat_ws(" ", F.slice(ws, i,
+                                                                  window)))
+        hashes = F.transform(shingles, lambda s:
+                             F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                             .cast("long"))
+        return F.array_min(hashes)
+
+    return bind(words(col), mk)
 
 
 def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
@@ -254,12 +262,15 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     whole-stage codegen, no explode/groupBy/join). An earlier draft
     exploded grams through two keyed aggregations and a join — 3 shuffles
     and a double text scan for numbers each row already owns.
+
+    r15: the word and gram-hash arrays are STAGED as columns in their own
+    projections (attribute reads are free; CollapseProject keeps non-cheap
+    aliases referenced more than once), where the inline form re-tokenized
+    per gram window inside the lambda and re-built the gram array once per
+    referencing stat.
     """
-    ws = words(F.col(text_col))
-    grams = F.when(F.size(ws) >= gram_n, F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - gram_n + 1, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, gram_n)))
-    )).otherwise(F.array())
+    ws = F.col("__ws")
+    grams = F.col("__grams")
     # most-frequent-gram count = longest run in the sorted hash array
     init = F.struct(F.lit(None).cast("long").alias("prev"),
                     F.lit(0).alias("run"), F.lit(0).alias("best"))
@@ -278,8 +289,17 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     n_distinct_words = F.size(F.array_distinct(ws))
     frac = lambda num, den: quantize(
         F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 4)
-    return df.select(
-        F.col(id_col).alias("id"), n_words.alias("n_words"),
+    staged = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+    staged = staged.select(
+        "id", "__ws",
+        F.when(F.size(ws) >= gram_n, F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(ws) - gram_n + 1, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, gram_n)))
+        )).otherwise(F.array()).alias("__grams"))
+    return staged.select(
+        "id", n_words.alias("n_words"),
         frac(n_words - n_distinct_words, n_words).alias("dup_word_frac"),
         frac(n_grams - n_distinct_grams, n_grams).alias("dup_gram_frac"),
         frac(top, n_grams).alias("top_gram_frac"))
@@ -304,13 +324,18 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     if overlap >= max_words:
         raise ValueError(f"overlap ({overlap}) must be < max_words ({max_words})")
     stride = max_words - overlap
-    ws = words(F.col(text_col))
-    n_chunks = F.greatest(
-        F.ceil((F.size(ws) - F.lit(overlap)) / F.lit(stride)).cast("int"),
-        F.lit(1))
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda k: F.slice(ws, k * stride + 1, max_words))
+
+    # word array let-bound: the per-chunk slice lambda would otherwise
+    # re-tokenize the document once per chunk (r15)
+    def mk(ws):
+        n_chunks = F.greatest(
+            F.ceil((F.size(ws) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+            F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.slice(ws, k * stride + 1, max_words))
+
+    chunks = bind(words(F.col(text_col)), mk)
     return (df.select(F.col(id_col).alias("id"),
                       F.posexplode(chunks).alias("chunk_id", "cw"))
               .select("id", "chunk_id",
@@ -370,30 +395,35 @@ def gopher_quality_filter(df: DataFrame, text_col: str, id_col: str,
     (id, n_words, mean_word_len, symbol_ratio, stopword_hits,
     ends_terminal, keep) — keep = all rules pass; callers filter or
     route on it. A zero-shuffle scan projection like the other text
-    stats: every rule is a Column expression."""
-    ws = words(F.col(text_col))
+    stats: every rule is a Column expression. The word array is staged
+    as a column in its own projection (r15) so the rules share one
+    tokenize per row instead of one per referencing rule."""
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.col(text_col).alias("__t"),
+                       words(F.col(text_col)).alias("__ws"))
+    ws = F.col("__ws")
     n_words = F.size(ws)
     mean_len = F.when(n_words > 0,
                       F.aggregate(ws, F.lit(0),
                                   lambda a, w: a + F.length(w))
                       .cast("double") / n_words).otherwise(F.lit(0.0))
-    n_chars = F.length(F.col(text_col))
-    symbols = n_chars - F.length(F.regexp_replace(F.col(text_col),
+    n_chars = F.length(F.col("__t"))
+    symbols = n_chars - F.length(F.regexp_replace(F.col("__t"),
                                                   r"[#…]", ""))
     sym_ratio = F.when(n_chars > 0,
                        symbols.cast("double") / n_chars).otherwise(F.lit(0.0))
     lowered = F.transform(ws, lambda w: F.lower(w))
     hits = F.size(F.array_intersect(
         lowered, F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])))
-    ends_terminal = F.col(text_col).rlike(r"[.!?\"']\s*$")
+    ends_terminal = F.col("__t").rlike(r"[.!?\"']\s*$")
     keep = ((n_words >= min_words) & (n_words <= max_words)
             & (mean_len >= min_mean_word_len)
             & (mean_len <= max_mean_word_len)
             & (sym_ratio <= max_symbol_ratio)
             & (hits >= min_stopword_hits)
             & ends_terminal)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return staged.select(
+        "id",
         n_words.alias("n_words"),
         quantize(mean_len, 4).alias("mean_word_len"),
         quantize(sym_ratio, 4).alias("symbol_ratio"),
@@ -412,8 +442,11 @@ def line_stats(df: DataFrame, text_col: str, id_col: str,
     fraction and low on terminal punctuation — the standard line-shape
     quality gate that complements the word-level gopher_quality_filter.
     Pure Column expressions over split(text, '\\n'): a zero-shuffle scan
-    projection at any corpus size."""
-    lines = F.split(F.col(text_col), "\n")
+    projection at any corpus size. The line array is staged as a column
+    (r15) so the six stats share one split per row."""
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.split(F.col(text_col), "\n").alias("__lines"))
+    lines = F.col("__lines")
     n = F.size(lines)
     nd = F.size(F.array_distinct(lines))
     dup_frac = F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0))
@@ -425,8 +458,8 @@ def line_stats(df: DataFrame, text_col: str, id_col: str,
     bullet = frac(lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])\s"))
     total_len = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
     mean_len = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return staged.select(
+        "id",
         n.alias("n_lines"),
         quantize(dup_frac, 4).alias("dup_line_frac"),
         quantize(end_terminal, 4).alias("frac_lines_end_terminal"),
