@@ -46,13 +46,16 @@ def main():
     def persisted_ids() -> set:
         return {int(k) for k in jmap().keySet().toArray()}
 
-    def settle(pred, tries=60) -> bool:
+    def settle(pred, tries=120) -> bool:
+        # generous ceiling (60 s): the ContextCleaner's weak-ref queue
+        # starves under host load and the suite may run concurrently
+        # with other Spark work; a quiet host exits in 1-3 iterations
         for _ in range(tries):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             if pred():
                 return True
-            time.sleep(0.25)
+            time.sleep(0.5)
         return False
 
     SA.dsir_logweights(d, d.limit(10), "text", "doc_id", buckets=256).count()
