@@ -757,7 +757,7 @@ def sync_segment_df_counts(spark, source_table, counts_table,
 # ----------------------------------------------------------------------
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 50,
-                         driver_edge_cap: int | None = 1_000_000) -> DataFrame:
+                         driver_edge_cap: int | None = 200_000) -> DataFrame:
     """Connected components over an undirected edge list via the alternating
     large-star / small-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC'14 — public literature, not the
@@ -771,10 +771,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     hundred edges at bench scale. When the DISTINCT edge set fits under
     `driver_edge_cap` (discovered with one limit(cap+1) pass — LocalLimit
     short-circuits), solve it with driver union-find instead: the result
-    is the identical (id, min-id component) labeling, and 1 M edges is
-    ~16 MB — control-plane sized. Larger graphs take the distributed
-    loop exactly as before (the one partial pass is the probe's cost);
-    pass driver_edge_cap=None/0 to force it.
+    is the identical (id, min-id component) labeling. The default cap
+    (200 k edges) is sized for PYTHON object overhead — collected Rows
+    plus the parent/min dicts run ~100+ bytes per entry, so the fast
+    path holds tens of MB of driver heap, not the raw-longs few MB.
+    Larger graphs take the distributed loop exactly as before (the one
+    partial pass is the probe's cost); pass driver_edge_cap=None/0 to
+    force it, or raise the cap on a driver with headroom.
 
     Distributed shape: each round is two groupBy-min shuffles + a join, no
     collect_list of neighborhoods (hub nodes never materialize their

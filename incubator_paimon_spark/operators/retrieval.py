@@ -82,27 +82,31 @@ def bm25_search(df: DataFrame, text_col: str, id_col: str,
     per_doc = (df.select(F.col(id_col).alias("id"), per_term.alias("pt"))
                  .select("id", "pt.*")
                  .persist(StorageLevel.MEMORY_AND_DISK))
-    row = per_doc.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
-        *[F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
-          for i in range(len(terms))]).collect()[0]
-    n, avgdl = row["n"], float(row["avgdl"] or 0.0)
-    dfs = {t: row[f"df{i}"] or 0 for i, t in enumerate(terms)}
-    score = F.lit(0.0)
-    for t in query_terms:  # per OCCURRENCE, in query order — same float
-        t = t.lower()      # addition order as the pre-r15 scorer
-        idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
-        tf = F.col(f"tf{terms.index(t)}").cast("double")
-        denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double")
-                           / F.lit(avgdl if avgdl else 1.0))
-        score = score + F.lit(idf) * tf * (k1 + 1.0) / denom
-    out = (per_doc.select("id", quantize(score, 4).alias("score"))
-                  .filter(F.col("score") > 0)
-                  .orderBy(F.col("score").desc(), F.col("id"))
-                  .limit(k))
-    if not materialize:
-        return out
-    out = out.localCheckpoint(eager=True)
+    try:
+        row = per_doc.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+            *[F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+              for i in range(len(terms))]).collect()[0]
+        n, avgdl = row["n"], float(row["avgdl"] or 0.0)
+        dfs = {t: row[f"df{i}"] or 0 for i, t in enumerate(terms)}
+        score = F.lit(0.0)
+        for t in query_terms:  # per OCCURRENCE, in query order — same
+            t = t.lower()      # float addition order as pre-r15
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = F.col(f"tf{terms.index(t)}").cast("double")
+            denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double")
+                               / F.lit(avgdl if avgdl else 1.0))
+            score = score + F.lit(idf) * tf * (k1 + 1.0) / denom
+        out = (per_doc.select("id", quantize(score, 4).alias("score"))
+                      .filter(F.col("score") > 0)
+                      .orderBy(F.col("score").desc(), F.col("id"))
+                      .limit(k))
+        if not materialize:
+            return out  # persist deliberately left pinned (caller owns)
+        out = out.localCheckpoint(eager=True)
+    except BaseException:
+        per_doc.unpersist()  # a failed action must not pin the cache
+        raise
     per_doc.unpersist()
     return out
 
@@ -309,6 +313,15 @@ def bm25_search_indexed(spark, postings_table, stats_table,
         spark, predicate=P.isin("term_bucket", list(tb))) \
         .filter(F.col("term").isin(terms)) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _bm25_score_indexed(post, terms, k, k1, b, n, avgdl)
+    finally:
+        post.unpersist()
+
+
+def _bm25_score_indexed(post, terms, k, k1, b, n, avgdl):
+    import math
+
     dfs = {r["term"]: r["df"] for r in
            post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
                .collect()}
@@ -331,12 +344,10 @@ def bm25_search_indexed(spark, postings_table, stats_table,
     score = F.lit(0.0)
     for i in range(len(terms)):
         score = score + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
-    out = (g.select("id", quantize(score, 4).alias("score"))
-            .filter(F.col("score") > 0)
-            .orderBy(F.col("score").desc(), F.col("id"))
-            .limit(k).localCheckpoint(eager=True))
-    post.unpersist()
-    return out
+    return (g.select("id", quantize(score, 4).alias("score"))
+             .filter(F.col("score") > 0)
+             .orderBy(F.col("score").desc(), F.col("id"))
+             .limit(k).localCheckpoint(eager=True))
 
 
 def sync_bm25_index(spark, source_table, postings_table, stats_table,

@@ -338,29 +338,30 @@ def dsir_logweights(df: DataFrame, target: DataFrame, text_col: str,
     arrs = df.select(F.col(id_col).alias("id"),
                      _feature_buckets(F.col(text_col), buckets).alias("bk")) \
              .persist(StorageLevel.MEMORY_AND_DISK)
-    raw_f = arrs.select("id", F.explode("bk").alias("bucket"))
-    tgt_f = _hashed_features(target, text_col, id_col, buckets)
-    # count tables are ≤ buckets rows — cache them so the totals and the
-    # log-ratio join reuse ONE aggregation pass per corpus instead of
-    # re-running the feature explode (bounded memory: ~2 ints × buckets)
-    qc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn")).cache()
-    pc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn")).cache()
-    lw, default_lw = _logratio_local(qc, pc, buckets)
-    # RELEASE the count caches immediately: _logratio_local materialized
-    # the ≤buckets-row log-ratio table on the driver, so nothing lazy
-    # references them — holding them for the lifetime of the returned
-    # DataFrame leaked executor storage across repeated per-corpus calls
-    # in a curation session (VERDICT r7 #3).
-    qc.unpersist()
-    pc.unpersist()
-    # scored corpus IS the q corpus here: every bucket exists in qc, so
-    # default_lw never fires and results match the pre-r8 inner join.
-    # Materialize the (id, log_weight) result eagerly so the feature
-    # arrays can be released NOW — the semdedup localCheckpoint pattern
-    # (VERDICT r7 #3: pinned persists leak across per-corpus calls).
-    out = _score_features(raw_f, lw, default_lw).localCheckpoint(eager=True)
-    arrs.unpersist()
-    return out
+    try:
+        raw_f = arrs.select("id", F.explode("bk").alias("bucket"))
+        tgt_f = _hashed_features(target, text_col, id_col, buckets)
+        # count tables are ≤ buckets rows — cache them so the totals and
+        # the log-ratio join reuse ONE aggregation pass per corpus
+        # instead of re-running the feature explode (bounded memory:
+        # ~2 ints × buckets); released in the finally — a failed action
+        # must not pin them (VERDICT r7 #3's leak class)
+        qc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn")).cache()
+        pc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn")).cache()
+        try:
+            lw, default_lw = _logratio_local(qc, pc, buckets)
+        finally:
+            qc.unpersist()
+            pc.unpersist()
+        # scored corpus IS the q corpus here: every bucket exists in qc,
+        # so default_lw never fires and results match the pre-r8 inner
+        # join. Materialize the (id, log_weight) result eagerly so the
+        # feature arrays can be released NOW — the semdedup
+        # localCheckpoint pattern (VERDICT r7 #3).
+        return _score_features(raw_f, lw,
+                               default_lw).localCheckpoint(eager=True)
+    finally:
+        arrs.unpersist()
 
 
 def _logratio_local(qc: DataFrame, pc: DataFrame, buckets: int):

@@ -165,29 +165,35 @@ def assign_ivf(df: DataFrame, centroids: DataFrame, vec_col: str,
     return _assign_arrow(df, centroids, vec_col, id_col)
 
 
-def _vectors_from_arrow(col, dim: int, ids, op: str):
+def _vectors_from_arrow(col, dim: int | None, ids, op: str):
     """(n, dim) float64 matrix from an Arrow list<float> column via ONE
     flat-buffer reshape — the per-row `np.asarray(cell)` conversion was
     the dominant cost of the arrow assignment once the arithmetic was
     vectorized (r15: 2.7 s → 1.75 s at n=200 k just from this). Nulls
-    and ragged vectors still fail loudly per batch with the offending
-    id. float32→float64 via astype is the same widening the per-row
-    path applied, so downstream floats are bit-identical."""
+    and ragged vectors fail loudly per batch with the offending id;
+    the null check runs FIRST so dim=None (infer from the rows, the
+    verdict path) never reads a null entry's NaN length. float32→float64
+    via astype is the same widening the per-row path applied, so
+    downstream floats are bit-identical."""
     import numpy as np
     import pyarrow.compute as pc
 
     if col.null_count:
         bad_i = int(np.flatnonzero(~np.asarray(col.is_valid()))[0])
         raise ValueError(
-            f"{op}: vector for id={ids[bad_i]!r} is NULL but centroids "
-            f"have dim {dim} — filter null/ragged vectors upstream")
+            f"{op}: vector for id={ids[bad_i]!r} is NULL — filter "
+            f"null/ragged vectors upstream")
     lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if dim is None:
+        dim = int(lens[0]) if len(lens) else 0
     if (lens != dim).any():
         bad_i = int(np.flatnonzero(lens != dim)[0])
         raise ValueError(
             f"{op}: vector for id={ids[bad_i]!r} is length "
-            f"{int(lens[bad_i])} but centroids have dim {dim} — filter "
+            f"{int(lens[bad_i])} but expected dim {dim} — filter "
             f"null/ragged vectors upstream")
+    if dim == 0:
+        return np.zeros((len(lens), 0))
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(-1, dim).astype(np.float64, copy=False)
 
@@ -628,9 +634,8 @@ def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
         ids = t.column("id").chunk(0)
         ids_np = ids.to_numpy(zero_copy_only=False)
         vcol = t.column("v").chunk(0)
-        lens = pc.list_value_length(vcol).to_numpy(zero_copy_only=False)
-        d = int(lens[0]) if c else 0
-        V = _vectors_from_arrow(vcol, d, ids, "semdedup")
+        V = _vectors_from_arrow(vcol, None, ids, "semdedup")
+        d = V.shape[1]
         order = np.argsort(ids_np, kind="stable")
         V = V[order]
         nrm = np.zeros(c)
@@ -647,7 +652,11 @@ def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
         h = c if cap is None else min(cap, c)
         dup = np.zeros(c, dtype=bool)
         H = V[:h]
-        blk = max(1, (1 << 25) // max(h, 1))  # ≤ ~32M doubles per block
+        # two h×blk float64 buffers live at once (acc + tmp; the
+        # sim/quantize steps run IN-PLACE on acc — same IEEE ops in the
+        # same order, just no extra arrays), so peak ≈ 2 × 2^24 × 8 B
+        # ≈ 256 MB per task however large the cluster
+        blk = max(1, (1 << 24) // max(h, 1))
         rows = np.arange(h)[:, None]
         for s0 in range(0, c, blk):
             s1 = min(c, s0 + blk)
@@ -656,9 +665,12 @@ def _semdedup_verdict(slim: DataFrame, id_col: str, threshold: float,
             for j in range(d):  # same left-to-right order as dot()
                 np.multiply(H[:, j:j + 1], V[s0:s1, j], out=tmp)
                 acc += tmp
-            sim = acc / (nrm[:h, None] * nrm[None, s0:s1])
-            q = np.floor(sim * 10000.0 + 0.5) / 10000.0
-            hit = q >= thr
+            np.divide(acc, nrm[:h, None] * nrm[None, s0:s1], out=acc)
+            np.multiply(acc, 10000.0, out=acc)   # quantize(sim, 4),
+            np.add(acc, 0.5, out=acc)            # in place
+            np.floor(acc, out=acc)
+            np.divide(acc, 10000.0, out=acc)
+            hit = acc >= thr
             dup[s0:s1] |= (hit & (rows < np.arange(s0, s1)[None, :])).any(axis=0)
         take = pa.array(order)
         return pa.Table.from_arrays(

@@ -868,7 +868,9 @@ def state_diff_kinds(old_df, new_df, schema):
     row_type = T.StructType(
         list(schema.spark_schema().fields)
         + [T.StructField(VALUE_KIND, T.StringType(), False)])
-    empty = F.array().cast(T.ArrayType(row_type).simpleString())
+    # cast takes the DataType OBJECT: round-tripping through simpleString
+    # DDL breaks on field names that are not plain identifiers
+    empty = F.array().cast(T.ArrayType(row_type))
     arr = (F.when(F.col("o.__o").isNull() & F.col("n.__n").isNotNull(),
                   F.array(row("n", INSERT)))
             .when(F.col("o.__o").isNotNull() & F.col("n.__n").isNull(),

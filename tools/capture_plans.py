@@ -30,6 +30,7 @@ def main():
     spark = get_spark("capture-plans", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
+    failed = []
     for n in names:
         try:
             df = qs[n](spark, sf_dir)
@@ -42,8 +43,14 @@ def main():
                 f.write(buf.getvalue())
             print(f"wrote {path}")
         except Exception as ex:  # noqa: BLE001 — keep capturing the rest
+            failed.append(n)
             print(f"{n}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
     spark.stop()
+    if failed:
+        # a partial capture must not read as success — the committed
+        # plan evidence would silently go missing
+        print(f"FAILED plans: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
