@@ -26,6 +26,13 @@ from datetime import date, datetime, timedelta, timezone
 
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # deterministic marker: fine, uniqueness is per-file
+# Deflate effort for block compression. The reference's Avro writer defaults
+# to SNAPPY (AvroFileFormat.AVRO_OUTPUT_CODEC) — a speed-first codec — and
+# snappy is not in the Python stdlib, so deflate level 1 is the closest
+# stdlib equivalent: ~3× faster than the previous implicit level 6 for ~10%
+# larger blocks (r15 measurement). Any deflate reader decodes any level;
+# decoded rows are identical.
+DEFLATE_LEVEL = 1
 _EPOCH_DATE = date(1970, 1, 1)
 _EPOCH_DT = datetime(1970, 1, 1)
 _EPOCH_DT_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
@@ -309,7 +316,8 @@ def _decode_value(buf, typ):
 
 # -------------------------------------------------------------- container
 def write_container(schema: dict, rows, codec: str = "deflate",
-                    block_rows: int = 4096) -> bytes:
+                    block_rows: int = 4096,
+                    deflate_level: int = DEFLATE_LEVEL) -> bytes:
     """Encode `rows` (dicts) into one Avro container file (as bytes)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
@@ -337,7 +345,8 @@ def write_container(schema: dict, rows, codec: str = "deflate",
             break
         data = block.getvalue()
         if codec == "deflate":
-            data = zlib.compress(data)[2:-4]  # raw deflate per spec
+            # strip zlib header/checksum: raw deflate per spec
+            data = zlib.compress(data, deflate_level)[2:-4]
         write_long(out, n)
         write_long(out, len(data))
         out.write(data)

@@ -281,13 +281,40 @@ def parse_header(buf: io.BytesIO):
     return schema, codec, sync
 
 
+def _finish_table(fields, cols, target_arrow_schema):
+    """Decoded per-field cell lists -> pyarrow Table (projected onto
+    `target_arrow_schema` when given: missing fields → null columns)."""
+    import pyarrow as pa
+
+    arrays, names = [], []
+    have = set()
+    for f, col in zip(fields, cols):
+        at, build = _arrow_builder(f["type"], pa)
+        have.add(f["name"])
+        names.append(f["name"])
+        arrays.append(build(col))
+    tbl = pa.Table.from_arrays(arrays, names=names)
+
+    if target_arrow_schema is None:
+        return tbl
+    n_rows = tbl.num_rows
+    out = []
+    for tf in target_arrow_schema:
+        if tf.name in have:
+            arr = tbl.column(tf.name)
+            if arr.type != tf.type:
+                arr = arr.cast(tf.type)
+        else:
+            arr = pa.nulls(n_rows, tf.type)
+        out.append(arr)
+    return pa.Table.from_arrays(out, schema=target_arrow_schema)
+
+
 def read_container_arrow(data: bytes, target_arrow_schema=None):
     """Decode a whole container file into one pyarrow Table using the
     schema-compiled block decoder. If `target_arrow_schema` is given the
     result carries exactly those columns/types (missing fields → null
     columns), matching the old row-path semantics."""
-    import pyarrow as pa
-
     buf = io.BytesIO(data)
     schema, codec, sync = parse_header(buf)
     decode_block, fields = compile_decoder(schema)
@@ -308,26 +335,100 @@ def read_container_arrow(data: bytes, target_arrow_schema=None):
                              f"({end} of {len(block)} bytes)")
         if buf.read(16) != sync:
             raise ValueError("avro block sync mismatch")
+    return _finish_table(fields, cols, target_arrow_schema)
 
-    arrays, names = [], []
-    builders = {}
-    for f, col in zip(fields, cols):
-        at, build = _arrow_builder(f["type"], pa)
-        builders[f["name"]] = (at, col, build)
-        names.append(f["name"])
-        arrays.append(build(col))
-    tbl = pa.Table.from_arrays(arrays, names=names)
 
-    if target_arrow_schema is None:
-        return tbl
-    n_rows = tbl.num_rows
-    out = []
-    for tf in target_arrow_schema:
-        if tf.name in builders:
-            arr = tbl.column(tf.name)
-            if arr.type != tf.type:
-                arr = arr.cast(tf.type)
-        else:
-            arr = pa.nulls(n_rows, tf.type)
-        out.append(arr)
-    return pa.Table.from_arrays(out, schema=target_arrow_schema)
+def read_container_arrow_split(fh, start: int, end: int,
+                               target_arrow_schema=None):
+    """Decode the blocks of one container whose START offset lies in
+    [start, end) — Hadoop-style sync-marker splitting, so one large
+    container file scans with task parallelism. `fh` is a seekable binary
+    file; only the header plus this split's byte range (and any block
+    overrunning `end`) is read.
+
+    Ownership rule: a block starts right after the header (offset
+    `header_end`) or right after a 16-byte sync marker. A split owns the
+    blocks starting at s with start <= s < end, so consecutive ranges
+    [0,x),[x,N) partition the file's blocks exactly. A block that merely
+    STRADDLES `end` belongs to the split holding its start and is read
+    past `end`. Finding block starts from mid-file scans for the sync
+    marker (the spec's own split design; a payload byte-collision with
+    the 16-byte marker is ~2^-128 per position and surfaces as a loud
+    sync/size mismatch, not silent corruption)."""
+    # header: need schema/codec/sync whatever the range; headers are
+    # usually < 1 KB — start with 64 KB and double on short reads
+    fh.seek(0)
+    prefix = fh.read(1 << 16)
+    while True:
+        try:
+            buf = io.BytesIO(prefix)
+            schema, codec, sync = parse_header(buf)
+            header_end = buf.tell()
+            if len(sync) == 16 and len(prefix) >= header_end:
+                break
+        except Exception:
+            pass
+        more = fh.read(max(len(prefix), 1 << 16))
+        if not more:
+            raise ValueError("avro container header truncated")
+        prefix += more
+    decode_block, fields = compile_decoder(schema)
+    cols = [[] for _ in fields]
+
+    if start <= header_end:
+        pos = header_end
+    else:
+        # first owned block starts at q+16 for the first sync marker q
+        # found at/after start-16; scanning past end-17 cannot yield an
+        # owned start, so the scan window is bounded by the range
+        pos = None
+        blob = b""
+        blob_abs = start - 16
+        fh.seek(blob_abs)
+        while blob_abs + len(blob) < end + 15:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            if len(blob) > 15:
+                blob_abs += len(blob) - 15
+                blob = blob[-15:]
+            blob += chunk
+            q = blob.find(sync)
+            if q != -1:
+                pos = blob_abs + q + 16
+                break
+        if pos is None or pos >= end:
+            return _finish_table(fields, cols, target_arrow_schema)
+
+    fh.seek(pos)
+    data = b""
+
+    def ensure(n):
+        nonlocal data
+        while len(data) < n:
+            chunk = fh.read(max(n - len(data), 1 << 20))
+            if not chunk:
+                break
+            data += chunk
+
+    rel = 0
+    while pos + rel < end:
+        ensure(rel + 20)  # two varint headers are at most 20 bytes
+        if rel >= len(data):
+            break  # clean EOF: split end coincides with file end
+        n, p = _read_varint(data, rel)
+        size, p = _read_varint(data, p)
+        ensure(p + size + 16)
+        block = data[p:p + size]
+        if len(block) != size:
+            raise ValueError("avro split block truncated")
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        endp = decode_block(block, 0, n, cols)
+        if endp != len(block):
+            raise ValueError("avro block under/over-read "
+                             f"({endp} of {len(block)} bytes)")
+        if data[p + size:p + size + 16] != sync:
+            raise ValueError("avro block sync mismatch")
+        rel = p + size + 16
+    return _finish_table(fields, cols, target_arrow_schema)

@@ -2,10 +2,13 @@
 
 Write: the engine stages every commit as parquet (Spark-native, stats from
 footers), then one distributed task per staged file transcodes parquet →
-avro container. Read: mapInArrow over size-packed file groups — each task
-decodes its files and yields the decoder's arrow batches directly, so a
-many-file avro table scans with full executor parallelism (per-core
-decode speed is Python-bound; see avro_codec docstring).
+avro container (per-column vectorized encoder, avro_encode.py). Read:
+mapInArrow over size-packed scan units — whole small files, or sync-marker
+byte-range SPLITS of large containers (avro_read_splits) — each task
+decodes its units and yields the decoder's arrow batches directly, so both
+many-file and few-large-file avro tables scan with full executor
+parallelism (per-core decode speed is Python-bound; see avro_codec
+docstring).
 """
 
 from __future__ import annotations
@@ -66,35 +69,90 @@ def pack_files_by_size(paths: list[str], sizes: list[int],
     return groups
 
 
+# Split granularity for ONE large container file: decode is the scan's
+# bottleneck (~5-8 MB/s/core pure-Python), so a right-sized 128 MB
+# container would otherwise pin a single core for ~20 s. Files above this
+# are cut into byte ranges decoded in parallel via Hadoop-style
+# sync-marker splitting (read_container_arrow_split). 4 MiB ≈ 0.5-1 s of
+# decode per unit — measured the smallest size whose task/arrow round-trip
+# overhead stays invisible on a many-medium-file table (42×5-18 MB scan:
+# 2 MiB units 3.3 s, 4 MiB 2.2 s ≈ whole-file 2.4 s; one 51 MB container:
+# whole-file 10.4 s → 1.6 s at 4 MiB). Throughput-derived, not
+# core-count-derived, so it holds at any cluster size.
+AVRO_SPLIT_BYTES = 4 << 20
+
+
+def avro_read_splits(paths: list[str], sizes: list[int],
+                     split_bytes: int = AVRO_SPLIT_BYTES,
+                     min_bytes: int = AVRO_MIN_TASK_BYTES):
+    """(path, start, end) units for a scan: large files are cut into
+    ~split_bytes ranges ((start, -1) rows never appear — end == size on
+    the last range, and whole small files ride (0, size)). Units are then
+    greedily packed (path-sorted, deterministic) into task groups of at
+    least `min_bytes`, so small files share tasks and task count scales
+    with data volume in both directions."""
+    units: list[tuple[str, int, int, int]] = []  # (path, start, end, bytes)
+    for p, s in sorted(zip(paths, sizes)):
+        if s > split_bytes * 3 // 2:
+            k = (s + split_bytes - 1) // split_bytes
+            cuts = [s * i // k for i in range(k + 1)]
+            units.extend((p, cuts[i], cuts[i + 1], cuts[i + 1] - cuts[i])
+                         for i in range(k))
+        else:
+            units.append((p, 0, s, s))
+    groups: list[list[tuple[str, int, int]]] = []
+    cur: list[tuple[str, int, int]] = []
+    cur_b = 0
+    for p, a, b, nb in units:
+        cur.append((p, a, b))
+        cur_b += nb
+        if cur_b >= min_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def read_avro_files_df(spark, paths: list[str], read_schema,
                        sizes: list[int] | None = None):
     """Distributed avro scan: each task decodes a size-packed group of
-    container files via the schema-compiled columnar decoder
-    (avro_decode.py) with mapInArrow, shipping decoded arrow batches
-    straight back — no arrow→pandas→arrow round-trip and no repartition
-    shuffle (the group list is parallelized into exactly one slice per
-    task). Packing + no-shuffle + arrow-through measured 2× on a 32-file
-    600 K-row table (1.15 s → 0.57 s). `sizes` come from the manifest
-    (free); missing sizes fall back to a driver-side stat. Yields columns
-    in `read_schema` order; missing fields read as null (schema evolution
-    handled by the caller's evolve() pass, same as parquet)."""
+    container files OR byte-range splits of large files via the
+    schema-compiled columnar decoder (avro_decode.py) with mapInArrow,
+    shipping decoded arrow batches straight back — no
+    arrow→pandas→arrow round-trip and no repartition shuffle (the group
+    list is parallelized into exactly one slice per task). Packing +
+    no-shuffle + arrow-through measured 2× on a 32-file 600 K-row table
+    (1.15 s → 0.57 s); sync-marker splits keep that parallelism when the
+    same rows live in ONE right-sized container. `sizes` come from the
+    manifest (free); missing sizes fall back to a driver-side stat.
+    Yields columns in `read_schema` order; missing fields read as null
+    (schema evolution handled by the caller's evolve() pass, same as
+    parquet)."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(read_schema)
     if sizes is None:
         sizes = [for_path(p).size(p) for p in paths]
-    groups = pack_files_by_size(paths, sizes)
+    groups = avro_read_splits(paths, sizes)
     rdd = spark.sparkContext.parallelize([(g,) for g in groups],
                                          max(len(groups), 1))
-    files_df = spark.createDataFrame(rdd, schema="paths array<string>")
+    files_df = spark.createDataFrame(
+        rdd, schema="splits array<struct<path:string,start:long,end:long>>")
 
     def decode(batches):
-        from .avro_decode import read_container_arrow
+        from .avro_decode import (read_container_arrow,
+                                  read_container_arrow_split)
         for b in batches:
-            for grp in b.column("paths").to_pylist():
-                for p in grp:
-                    data = for_path(p).read_bytes(p)
-                    tbl = read_container_arrow(data, target)
+            for grp in b.column("splits").to_pylist():
+                for u in grp:
+                    p, a, z = u["path"], u["start"], u["end"]
+                    io = for_path(p)
+                    if a == 0 and z >= io.size(p):
+                        tbl = read_container_arrow(io.read_bytes(p), target)
+                    else:
+                        with io.open_input(p) as fh:
+                            tbl = read_container_arrow_split(fh, a, z, target)
                     yield from tbl.to_batches()
 
     return files_df.mapInArrow(decode, schema=read_schema)

@@ -248,3 +248,133 @@ def test_pack_files_by_size():
     # leftover small tail still lands in a (final, undersized) group
     g = pack_files_by_size(small[:1], [10], min_bytes=1_000_000)
     assert g == [small[:1]]
+
+
+def test_split_reader_matches_whole_file():
+    """read_container_arrow_split over ANY consecutive partition of the
+    byte range must decode exactly the whole file's rows, each block
+    exactly once (Hadoop sync-marker ownership: a split owns blocks
+    STARTING in [start, end), a straddling block reads past end). Cuts
+    are exercised inside the header, on exact block boundaries, mid-block
+    and mid-sync, for both codecs."""
+    import io
+
+    from incubator_paimon_spark.formats import avro_decode as D
+
+    schema = T.StructType([T.StructField("n", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    avs = A.spark_schema_to_avro(schema)
+    rows = [{"n": i, "s": None if i % 7 == 0 else f"v{i}" * (i % 5)}
+            for i in range(5_000)]
+    for codec in ("deflate", "null"):
+        data = A.write_container(avs, rows, codec=codec, block_rows=128)
+        size = len(data)
+        whole = D.read_container_arrow(data).to_pydict()
+        cut_sets = [
+            [0, size],                       # one split = whole file
+            [0, 3, size],                    # cut inside MAGIC/header
+            [0, size // 3, 2 * size // 3, size],
+            list(range(0, size, 97)) + [size],   # many tiny ragged splits
+            [0, size - 1, size],             # last split owns no block
+        ]
+        for cuts in cut_sets:
+            ns, ss, counts = [], [], []
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                t = D.read_container_arrow_split(io.BytesIO(data), a, b)
+                counts.append(t.num_rows)
+                ns += t.column("n").to_pylist()
+                ss += t.column("s").to_pylist()
+            assert sum(counts) == len(rows), (codec, cuts[:4])
+            assert ns == whole["n"] and ss == whole["s"], (codec, cuts[:4])
+    # target-schema projection applies on the split path too
+    import pyarrow as pa
+    target = pa.schema([pa.field("n", pa.int64()),
+                        pa.field("missing", pa.string())])
+    t = D.read_container_arrow_split(io.BytesIO(data), 0, len(data), target)
+    assert t.schema == target and t.column("missing").null_count == 5_000
+
+
+def test_avro_read_splits_units_and_packing():
+    """Large files cut into ~split_bytes ranges that tile the file exactly;
+    small files ride whole; units pack into >=min_bytes task groups."""
+    from incubator_paimon_spark.formats.avro_spark import avro_read_splits
+
+    groups = avro_read_splits(["/w/big.avro", "/w/tiny1.avro",
+                               "/w/tiny2.avro"],
+                              [10_000_000, 300_000, 300_000],
+                              split_bytes=4_000_000, min_bytes=1_000_000)
+    units = [u for g in groups for u in g]
+    big = sorted(u for u in units if u[0] == "/w/big.avro")
+    # 10 MB / 4 MB -> 3 ranges tiling [0, size) without gap or overlap
+    assert [u[1] for u in big] == [0, 3_333_333, 6_666_666]
+    assert [u[2] for u in big] == [3_333_333, 6_666_666, 10_000_000]
+    assert ("/w/tiny1.avro", 0, 300_000) in units
+    assert ("/w/tiny2.avro", 0, 300_000) in units
+    # a file at 1.5x split_bytes is NOT split (not worth two tasks)
+    g2 = avro_read_splits(["/w/mid.avro"], [5_900_000],
+                          split_bytes=4_000_000, min_bytes=1_000_000)
+    assert g2 == [[("/w/mid.avro", 0, 5_900_000)]]
+    # small units pack to >= min_bytes per task group
+    g3 = avro_read_splits([f"/w/s{i}.avro" for i in range(6)],
+                          [400_000] * 6,
+                          split_bytes=4_000_000, min_bytes=1_000_000)
+    assert [len(g) for g in g3] == [3, 3]
+
+
+def test_columnar_encoder_extreme_values_byte_identical():
+    """Vectorized varint/fixed/string cell producers vs the row encoder at
+    the edges: int64 min/max, every varint byte-length boundary, NaN/inf
+    floats, empty and multi-byte strings, binary, booleans — plus both
+    the dictionary route (few distincts) and the vector route (all
+    distinct), with and without nulls."""
+    import math
+
+    import pyarrow as pa
+
+    from incubator_paimon_spark.formats import avro_encode as E
+
+    lo, hi = -(2 ** 63), 2 ** 63 - 1
+    boundaries = []
+    for k in range(1, 10):
+        for base in ((1 << (7 * k)) // 2, 1 << (7 * k)):
+            boundaries += [v for v in (base - 1, base, base + 1,
+                                       -base, -base + 1) if lo <= v <= hi]
+    longs = ([0, 1, -1, hi, lo] + boundaries)
+    n = len(longs)
+    rows = [{
+        "lng": longs[i],
+        "lng_n": None if i % 3 == 0 else longs[i],
+        "dbl": [math.nan, math.inf, -math.inf, 0.0, -0.0, 1e-308][i % 6],
+        "flt": [math.nan, math.inf, -0.0, 3.5][i % 4],
+        "bl": i % 2 == 0,
+        "s_hi": f"{i}-" + "x" * (i % 37),          # all distinct -> vector
+        "s_lo": ["a", "", "c"][i % 3],             # 3 distinct -> dict LUT
+        "bin": None if i % 5 == 0 else bytes([i % 256]) * (i % 9),
+    } for i in range(n)]
+    schema = T.StructType([
+        T.StructField("lng", T.LongType(), nullable=False),
+        T.StructField("lng_n", T.LongType()),
+        T.StructField("dbl", T.DoubleType(), nullable=False),
+        T.StructField("flt", T.FloatType(), nullable=False),
+        T.StructField("bl", T.BooleanType(), nullable=False),
+        T.StructField("s_hi", T.StringType(), nullable=False),
+        T.StructField("s_lo", T.StringType(), nullable=False),
+        T.StructField("bin", T.BinaryType()),
+    ])
+    avs = A.spark_schema_to_avro(schema)
+    arrow_schema = pa.schema([
+        pa.field("lng", pa.int64(), False),
+        pa.field("lng_n", pa.int64()),
+        pa.field("dbl", pa.float64(), False),
+        pa.field("flt", pa.float32(), False),
+        pa.field("bl", pa.bool_(), False),
+        pa.field("s_hi", pa.string(), False),
+        pa.field("s_lo", pa.string(), False),
+        pa.field("bin", pa.binary())])
+    tbl = pa.Table.from_pydict(
+        {k: [r[k] for r in rows] for k in rows[0]}, schema=arrow_schema)
+    for codec in ("deflate", "null"):
+        a = A.write_container(avs, [dict(r) for r in rows], codec=codec,
+                              block_rows=32)
+        b = E.write_container_arrow(tbl, avs, codec=codec, block_rows=32)
+        assert a == b, codec
