@@ -281,22 +281,14 @@ def parse_header(buf: io.BytesIO):
     return schema, codec, sync
 
 
-def _finish_table(fields, cols, target_arrow_schema):
-    """Decoded per-field cell lists -> pyarrow Table (projected onto
-    `target_arrow_schema` when given: missing fields → null columns)."""
+def _project_table(tbl, target_arrow_schema):
+    """Project a decoded table onto `target_arrow_schema` (missing
+    fields → null columns), matching the old row-path semantics."""
     import pyarrow as pa
-
-    arrays, names = [], []
-    have = set()
-    for f, col in zip(fields, cols):
-        at, build = _arrow_builder(f["type"], pa)
-        have.add(f["name"])
-        names.append(f["name"])
-        arrays.append(build(col))
-    tbl = pa.Table.from_arrays(arrays, names=names)
 
     if target_arrow_schema is None:
         return tbl
+    have = set(tbl.column_names)
     n_rows = tbl.num_rows
     out = []
     for tf in target_arrow_schema:
@@ -310,15 +302,52 @@ def _finish_table(fields, cols, target_arrow_schema):
     return pa.Table.from_arrays(out, schema=target_arrow_schema)
 
 
+def _finish_native(fields, block_arrays, target_arrow_schema):
+    """Per-block array lists (native decode) -> projected pyarrow Table."""
+    import pyarrow as pa
+
+    from .avro_codec import avro_type_to_arrow
+
+    names = [f["name"] for f in fields]
+    if block_arrays:
+        cols = [pa.chunked_array([b[i] for b in block_arrays])
+                for i in range(len(fields))]
+    else:
+        cols = [pa.chunked_array([], type=avro_type_to_arrow(f["type"])[0])
+                for f in fields]
+    return _project_table(pa.Table.from_arrays(cols, names=names),
+                          target_arrow_schema)
+
+
+def _finish_table(fields, cols, target_arrow_schema):
+    """Decoded per-field cell lists -> pyarrow Table (projected onto
+    `target_arrow_schema` when given: missing fields → null columns)."""
+    import pyarrow as pa
+
+    arrays, names = [], []
+    for f, col in zip(fields, cols):
+        at, build = _arrow_builder(f["type"], pa)
+        names.append(f["name"])
+        arrays.append(build(col))
+    return _project_table(pa.Table.from_arrays(arrays, names=names),
+                          target_arrow_schema)
+
+
 def read_container_arrow(data: bytes, target_arrow_schema=None):
     """Decode a whole container file into one pyarrow Table using the
     schema-compiled block decoder. If `target_arrow_schema` is given the
     result carries exactly those columns/types (missing fields → null
     columns), matching the old row-path semantics."""
+    from .avro_native import native_block_decoder
+
     buf = io.BytesIO(data)
     schema, codec, sync = parse_header(buf)
-    decode_block, fields = compile_decoder(schema)
-    cols = [[] for _ in fields]
+    nd = native_block_decoder(schema)
+    if nd is None:
+        decode_block, fields = compile_decoder(schema)
+        cols = [[] for _ in fields]
+    else:
+        fields, blocks = schema["fields"], []
     while True:
         head = buf.read(1)
         if not head:
@@ -329,12 +358,17 @@ def read_container_arrow(data: bytes, target_arrow_schema=None):
         block = buf.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
-        end = decode_block(block, 0, n, cols)
-        if end != len(block):
-            raise ValueError("avro block under/over-read "
-                             f"({end} of {len(block)} bytes)")
+        if nd is not None:
+            blocks.append(nd.decode_block(block, n))
+        else:
+            end = decode_block(block, 0, n, cols)
+            if end != len(block):
+                raise ValueError("avro block under/over-read "
+                                 f"({end} of {len(block)} bytes)")
         if buf.read(16) != sync:
             raise ValueError("avro block sync mismatch")
+    if nd is not None:
+        return _finish_native(fields, blocks, target_arrow_schema)
     return _finish_table(fields, cols, target_arrow_schema)
 
 
@@ -372,8 +406,19 @@ def read_container_arrow_split(fh, start: int, end: int,
         if not more:
             raise ValueError("avro container header truncated")
         prefix += more
-    decode_block, fields = compile_decoder(schema)
-    cols = [[] for _ in fields]
+    from .avro_native import native_block_decoder
+
+    nd = native_block_decoder(schema)
+    if nd is None:
+        decode_block, fields = compile_decoder(schema)
+        cols = [[] for _ in fields]
+    else:
+        fields, blocks = schema["fields"], []
+
+    def _finish():
+        if nd is not None:
+            return _finish_native(fields, blocks, target_arrow_schema)
+        return _finish_table(fields, cols, target_arrow_schema)
 
     if start <= header_end:
         pos = header_end
@@ -398,7 +443,7 @@ def read_container_arrow_split(fh, start: int, end: int,
                 pos = blob_abs + q + 16
                 break
         if pos is None or pos >= end:
-            return _finish_table(fields, cols, target_arrow_schema)
+            return _finish()
 
     fh.seek(pos)
     data = b""
@@ -424,11 +469,14 @@ def read_container_arrow_split(fh, start: int, end: int,
             raise ValueError("avro split block truncated")
         if codec == "deflate":
             block = zlib.decompress(block, -15)
-        endp = decode_block(block, 0, n, cols)
-        if endp != len(block):
-            raise ValueError("avro block under/over-read "
-                             f"({endp} of {len(block)} bytes)")
+        if nd is not None:
+            blocks.append(nd.decode_block(block, n))
+        else:
+            endp = decode_block(block, 0, n, cols)
+            if endp != len(block):
+                raise ValueError("avro block under/over-read "
+                                 f"({endp} of {len(block)} bytes)")
         if data[p + size:p + size + 16] != sync:
             raise ValueError("avro block sync mismatch")
         rel = p + size + 16
-    return _finish_table(fields, cols, target_arrow_schema)
+    return _finish()

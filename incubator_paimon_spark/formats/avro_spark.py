@@ -69,16 +69,18 @@ def pack_files_by_size(paths: list[str], sizes: list[int],
     return groups
 
 
-# Split granularity for ONE large container file: decode is the scan's
-# bottleneck (~5-8 MB/s/core pure-Python), so a right-sized 128 MB
-# container would otherwise pin a single core for ~20 s. Files above this
-# are cut into byte ranges decoded in parallel via Hadoop-style
-# sync-marker splitting (read_container_arrow_split). 4 MiB ≈ 0.5-1 s of
-# decode per unit — measured the smallest size whose task/arrow round-trip
-# overhead stays invisible on a many-medium-file table (42×5-18 MB scan:
-# 2 MiB units 3.3 s, 4 MiB 2.2 s ≈ whole-file 2.4 s; one 51 MB container:
-# whole-file 10.4 s → 1.6 s at 4 MiB). Throughput-derived, not
-# core-count-derived, so it holds at any cluster size.
+# Split granularity for ONE large container file: per-core decode is
+# ~35 MB/s end-to-end with the native block decoder (avro_native.py;
+# ~5-8 MB/s on its pure-Python fallback), so a right-sized 128 MB
+# container would pin a single core for seconds to minutes. Files above
+# this are cut into byte ranges decoded in parallel via Hadoop-style
+# sync-marker splitting (read_container_arrow_split). 4 MiB ≈ 0.1 s
+# (native) to ~1 s (fallback) of decode per unit, above the per-task
+# fixed cost in both regimes, and measured best at both decode speeds
+# (one 51 MB container: whole-file 10.4 s → 1.6 s python / 2.0 → 0.6 s
+# native; 42×5-18 MB scan ≈ whole-file parity either way).
+# Throughput-derived, not core-count-derived, so it holds at any
+# cluster size.
 AVRO_SPLIT_BYTES = 4 << 20
 
 

@@ -378,3 +378,114 @@ def test_columnar_encoder_extreme_values_byte_identical():
                               block_rows=32)
         b = E.write_container_arrow(tbl, avs, codec=codec, block_rows=32)
         assert a == b, codec
+
+
+def test_native_decoder_differential_vs_python():
+    """The C block decoder must produce tables EQUAL to the pure-Python
+    compiled decoder across every supported kind, null pattern, codec,
+    block split, and the numeric edges (int64 min/max, varint byte
+    boundaries, NaN/±inf bit patterns). NaN compared bit-exactly."""
+    import math
+    import struct
+
+    from incubator_paimon_spark.formats import avro_decode as D
+    from incubator_paimon_spark.formats import avro_native as N
+
+    sch = T.StructType([
+        T.StructField("l", T.LongType(), nullable=False),
+        T.StructField("ln", T.LongType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("f", T.FloatType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("bin", T.BinaryType()),
+        T.StructField("dt", T.DateType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("tz", T.TimestampType()),
+        T.StructField("alln", T.LongType()),   # all-null column
+        T.StructField("non", T.LongType()),    # nullable, never null
+    ])
+    avs = A.spark_schema_to_avro(sch)
+    assert N.native_block_decoder(avs) is not None, "schema must qualify"
+    from datetime import timezone
+    lv = [0, 1, -1, 2**63 - 1, -(2**63), 63, -64, 64, -65, 8191, 8192,
+          2**31 - 1, -(2**31), 300]
+    rows = [{
+        "l": lv[i % len(lv)],
+        "ln": None if i % 3 == 0 else lv[(i + 5) % len(lv)],
+        "i": None if i % 7 == 0 else (i * 9973) % (2**31) - 2**30,
+        "d": [math.nan, math.inf, -math.inf, -0.0, 5e-324, 1.5][i % 6]
+        if i % 4 else None,
+        "f": None if i % 5 == 0 else [math.nan, math.inf, 0.5][i % 3],
+        "b": None if i % 11 == 0 else (i % 2 == 0),
+        "s": None if i % 2 == 0 else ("日本" * (i % 9) + f"x{i}" * (i % 23)),
+        "bin": None if i % 6 == 0 else bytes([i % 256]) * (i % 17),
+        "dt": None if i % 3 == 1 else date(1970 + i % 80, 1 + i % 12, 28),
+        "ts": None if i % 9 == 0 else datetime(2024, 2, 3, 4, 5, 6, i % 999),
+        "tz": None if i % 8 == 0 else datetime(1999, 12, 31, 23, 59, 59,
+                                               i % 999, tzinfo=timezone.utc),
+        "alln": None,
+        "non": lv[(i + 7) % len(lv)],
+    } for i in range(731)]
+
+    def bits(v):
+        if isinstance(v, float):
+            return struct.pack("<d", v)
+        return v
+
+    for codec in ("deflate", "null"):
+        data = A.write_container(avs, [dict(r) for r in rows], codec=codec,
+                                 block_rows=100)  # ragged last block
+        import os
+        os.environ["PMN_AVRO_NATIVE"] = "0"
+        try:
+            py = D.read_container_arrow(data)
+        finally:
+            os.environ["PMN_AVRO_NATIVE"] = "1"
+        nat = D.read_container_arrow(data)
+        assert nat.schema == py.schema, codec
+        for name in py.column_names:
+            a = [bits(v) for v in nat.column(name).to_pylist()]
+            b = [bits(v) for v in py.column(name).to_pylist()]
+            assert a == b, (codec, name)
+
+    # split reader parity on the native path
+    import io
+    whole = D.read_container_arrow(data)
+    size = len(data)
+    got = []
+    for a, b in ((0, size // 2), (size // 2, size)):
+        t = D.read_container_arrow_split(io.BytesIO(data), a, b)
+        got += t.column("l").to_pylist()
+    assert got == whole.column("l").to_pylist()
+
+
+def test_native_decoder_fallback_and_kill_switch():
+    """Schemas outside the flat-scalar set (decimal / array / record)
+    must return None from native_block_decoder (Python path serves
+    them); PMN_AVRO_NATIVE=0 forces the fallback for any schema."""
+    import os
+
+    from incubator_paimon_spark.formats import avro_decode as D
+    from incubator_paimon_spark.formats import avro_native as N
+
+    dec = A.spark_schema_to_avro(T.StructType([
+        T.StructField("x", T.DecimalType(10, 2))]))
+    arr = A.spark_schema_to_avro(T.StructType([
+        T.StructField("g", T.ArrayType(T.IntegerType()))]))
+    flat = A.spark_schema_to_avro(T.StructType([
+        T.StructField("k", T.LongType())]))
+    assert N.native_block_decoder(dec) is None
+    assert N.native_block_decoder(arr) is None
+    assert N.native_block_decoder(flat) is not None
+    os.environ["PMN_AVRO_NATIVE"] = "0"
+    try:
+        assert N.native_block_decoder(flat) is None
+    finally:
+        os.environ["PMN_AVRO_NATIVE"] = "1"
+    # complex schema decodes correctly through the fallback
+    rows = [{"x": Decimal("1.25")}, {"x": None}]
+    data = A.write_container(dec, rows)
+    assert D.read_container_arrow(data).column("x").to_pylist() == \
+        [Decimal("1.25"), None]
