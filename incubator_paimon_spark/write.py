@@ -946,6 +946,21 @@ def _produce_lookup_changelog(spark, table, schema, adds, prev):
             if (tuple(sorted((k, str(v)) for k, v in e.partition.items())),
                 e.bucket) in affected]
 
+    if not old_entries:
+        # First commit into every affected bucket: the pre-commit state is
+        # empty, so the diff is definitionally "+I for each merged delta
+        # row" — state_diff_kinds(empty, new_k) can only take its
+        # new-side-only branch, and the delta_keys semi-join is an
+        # identity (every new_state key comes from the delta). Skip both
+        # joins (an empty-side full-outer SMJ costs two Exchanges); same
+        # row multiset and values (r15, guide §2.1).
+        cols = [f.name for f in schema.fields]
+        kinds = (apply_merge(
+                    read_files_df(spark, table, delta_entries, schema,
+                                  with_level=with_level), schema)
+                 .select(*cols).withColumn(VALUE_KIND, F.lit(INSERT)))
+        return write_changelog_files(spark, table, schema, kinds)
+
     delta_df = read_files_df(spark, table, delta_entries, schema,
                              with_level=with_level)
     delta_keys = delta_df.select(*keys).distinct()
@@ -953,13 +968,10 @@ def _produce_lookup_changelog(spark, table, schema, adds, prev):
         read_files_df(spark, table, old_entries + delta_entries, schema,
                       with_level=with_level), schema)
     new_k = new_state.join(delta_keys, keys, "left_semi")
-    if old_entries:
-        old_state = apply_merge(
-            read_files_df(spark, table, old_entries, schema,
-                          with_level=with_level), schema)
-        old_k = old_state.join(delta_keys, keys, "left_semi")
-    else:
-        old_k = spark.createDataFrame([], schema.spark_schema())
+    old_state = apply_merge(
+        read_files_df(spark, table, old_entries, schema,
+                      with_level=with_level), schema)
+    old_k = old_state.join(delta_keys, keys, "left_semi")
     kinds = state_diff_kinds(old_k, new_k, schema)
     return write_changelog_files(spark, table, schema, kinds)
 

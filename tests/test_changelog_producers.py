@@ -37,6 +37,46 @@ def test_lookup_producer_materializes_per_commit(spark, catalog, customer):
     assert [r[0] for r in ua] == [7.0]
 
 
+def test_lookup_first_commit_shortcut_matches_diff_formula(spark, catalog,
+                                                           customer):
+    """The first commit's changelog takes the all-+I fast path (r15); its
+    row multiset must equal state_diff_kinds(empty, merged delta) — pinned
+    against an inline reconstruction of the general formula, with
+    in-commit duplicate keys (later sequence wins) and a -D rowkind row
+    (key must NOT appear in the changelog at all)."""
+    from incubator_paimon_spark.write import state_diff_kinds
+
+    t = catalog.create_table("db.clk_first", customer.schema,
+                             primary_keys=["c_custkey"],
+                             options={"bucket": "2",
+                                      "changelog-producer": "lookup"})
+    dup = customer.limit(5).withColumn("c_acctbal", F.lit(99.0))
+    dels = (customer.orderBy("c_custkey").limit(1)
+            .withColumn("_row_kind", F.lit("-D")))
+    first = (customer.withColumn("_row_kind", F.lit("+I"))
+             .unionByName(dup.withColumn("_row_kind", F.lit("+I")))
+             .unionByName(dels))
+    t.write(spark, first)
+
+    got = changelog_between(spark, t, 0, 1)
+    # general formula over the same post-merge state (read() IS the
+    # merged state of snapshot 1)
+    merged = t.read(spark, snapshot_id=1)
+    empty = spark.createDataFrame([], t.schema.spark_schema())
+    want = state_diff_kinds(empty, merged, t.schema)
+
+    cols = sorted(c for c in got.columns if c in want.columns)
+    canon = lambda df: sorted(map(tuple, df.select(*cols).collect()))
+    assert canon(got) == canon(want)
+    # semantics spot-checks: all +I, dup keys carry the merged value,
+    # the deleted key is absent
+    assert got.filter("_row_kind <> '+I'").count() == 0
+    dk = dels.collect()[0]["c_custkey"]
+    assert got.filter(F.col("c_custkey") == dk).count() == 0
+    assert (got.join(dup.select("c_custkey"), "c_custkey")
+               .filter("c_acctbal <> 99.0").count() == 0)
+
+
 def test_full_compaction_producer_and_stream_skip(spark, catalog, customer):
     t = catalog.create_table("db.cfc", customer.schema,
                              primary_keys=["c_custkey"],
