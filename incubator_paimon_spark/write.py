@@ -426,12 +426,23 @@ class BatchTableWrite:
                 # single parquet source file) would otherwise transcode a
                 # whole commit on one core. JVM formats don't care (one
                 # 100 MB parquet file writes fast); the python codec does.
-                target = spark.sparkContext.defaultParallelism
+                # Capped at the small-file compaction trigger (r15): an
+                # artificial spread past it manufactures > trigger
+                # sub-target-size files and trips the write-time append
+                # compaction on the commit itself — the whole commit was
+                # staged, transcoded, then immediately rewritten (measured
+                # 2x wall on a fresh 600 K-row table). The cap is an
+                # engine-option bound, not a core-count tune; inputs that
+                # already plan more partitions keep their natural layout,
+                # and the columnar encoder holds per-file encode at
+                # ~400 K rows/s/core so trigger-way parallelism amortizes.
+                target = min(spark.sparkContext.defaultParallelism,
+                             opts.num_sorted_run_compaction_trigger)
                 try:
                     cur = df.rdd.getNumPartitions()
                 except Exception:
                     cur = 0
-                if cur < max(target // 2, 1):
+                if cur < target:
                     df = df.repartition(target)
 
         staging = os.path.join(table.path, ".staging", new_uuid())

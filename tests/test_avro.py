@@ -489,3 +489,20 @@ def test_native_decoder_fallback_and_kill_switch():
     data = A.write_container(dec, rows)
     assert D.read_container_arrow(data).column("x").to_pylist() == \
         [Decimal("1.25"), None]
+
+
+def test_avro_append_spread_capped_at_compaction_trigger(spark, catalog,
+                                                         customer):
+    """The transcode-parallelism repartition must not manufacture more
+    sub-target-size files than the append small-file compaction trigger:
+    a fresh single-commit append stays ONE snapshot (no self-inflicted
+    write-time rewrite) with at most `trigger` data files."""
+    t = catalog.create_table("db.av_spread", customer.schema,
+                             options={"file.format": "avro"})
+    t.write(spark, customer)
+    snaps = t.snapshots.list_all()
+    assert [s.commit_kind for s in snaps] == ["APPEND"]
+    trigger = t.schema.core_options.num_sorted_run_compaction_trigger
+    entries = t.new_scan().plan().entries
+    assert 1 <= len(entries) <= trigger, len(entries)
+    assert t.read(spark).count() == customer.count()
