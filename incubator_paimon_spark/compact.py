@@ -322,6 +322,20 @@ def _compact_append(spark, table, predicate, buckets=None, entries=None):
                              key=lambda kv: kv[0] or 0):
         df = read_append_entries(spark, table, vs, schema,
                                  table.snapshots.latest())
+        # Consolidate toward target-file-size (r15): write tasks mirror
+        # read units, and the python-codec formats plan one unit per
+        # small file — so a small-file sweep used to emit as many small
+        # files as it read (measured: 60 x 5.8 MB in -> 50 x 3.5 MB
+        # "compacted" out), defeating the compaction's purpose. Coalesce
+        # (narrow, no shuffle) to ceil(bytes / target-file-size); JVM
+        # formats already arrive packed so this is usually a no-op.
+        n_out = max(1, -(-sum(e.file.file_size for e in vs)
+                         // opts.target_file_size))
+        try:
+            if df.rdd.getNumPartitions() > n_out:
+                df = df.coalesce(n_out)
+        except Exception:  # noqa: BLE001 — sizing is advisory
+            pass
         deletes = [ManifestEntry(ENTRY_DELETE, e.partition, e.bucket, e.file)
                    for e in vs]
         snap = table.new_write().write(

@@ -420,7 +420,7 @@ class BatchTableWrite:
         else:
             df = df.withColumn(BUCKET_COL, F.lit(0))
             layout_cols.append(BUCKET_COL)
-            if opts.file_format == "avro":
+            if opts.file_format == "avro" and not preserve_system_cols:
                 # the avro transcode parallelism equals the staged FILE
                 # count — an append whose input plans one partition (a
                 # single parquet source file) would otherwise transcode a
@@ -436,6 +436,9 @@ class BatchTableWrite:
                 # already plan more partitions keep their natural layout,
                 # and the columnar encoder holds per-file encode at
                 # ~400 K rows/s/core so trigger-way parallelism amortizes.
+                # Compaction rewrites (preserve_system_cols) are exempt:
+                # _compact_append sizes its output partitions to
+                # target-file-size deliberately and must not be re-spread.
                 target = min(spark.sparkContext.defaultParallelism,
                              opts.num_sorted_run_compaction_trigger)
                 try:

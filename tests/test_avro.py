@@ -506,3 +506,24 @@ def test_avro_append_spread_capped_at_compaction_trigger(spark, catalog,
     entries = t.new_scan().plan().entries
     assert 1 <= len(entries) <= trigger, len(entries)
     assert t.read(spark).count() == customer.count()
+
+
+def test_avro_append_compaction_consolidates_small_files(spark, catalog,
+                                                         customer):
+    """Append small-file compaction must CONSOLIDATE: rewrite tasks mirror
+    read units (one per small avro file), so without explicit sizing a
+    sweep of N small files emitted ~N small files again. After the r15
+    coalesce the surviving layout is ceil(bytes / target-file-size) files
+    — one, at this scale."""
+    t = catalog.create_table("db.av_consol", customer.schema,
+                             options={"file.format": "avro"})
+    trigger = t.schema.core_options.num_sorted_run_compaction_trigger
+    # accumulate > trigger small files WITHOUT tripping the write-time
+    # sweep mid-loop masking the layout under test: write-only mode off,
+    # so each commit may compact; what matters is the FINAL state
+    for i in range(trigger + 2):
+        t.write(spark, customer.limit(30))
+    t.compact(spark)
+    entries = t.new_scan().plan().entries
+    assert len(entries) == 1, [e.file.file_size for e in entries]
+    assert t.read(spark).count() == 30 * (trigger + 2)
