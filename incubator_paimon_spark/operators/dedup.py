@@ -192,18 +192,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                             .drop("__rn"))
     left = left_src.alias("l")
     right = exploded.alias("r")
-    pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
-                       & (F.col("l.bh") == F.col("r.bh"))
-                       & (F.col("l.id") < F.col("r.id")))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
-             .dropDuplicates(["id_a", "id_b"]))
-    agree = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+    # Score and threshold BEFORE the dedup exchange (r15, guide §2.2 —
+    # shuffle fewer bytes): est_jaccard is a pure function of the two
+    # signatures, and each signature is determined by its id, so every
+    # duplicate (id_a, id_b) candidate row carries the SAME est — scoring
+    # first and deduping after yields the identical pair set while the
+    # dropDuplicates exchange moves (long, long, double) rows instead of
+    # two num_hashes-long signature arrays (~24 B vs ~270 B per candidate;
+    # on a boilerplate-heavy corpus candidates are the dominant shuffle).
+    # The sub-threshold filter also runs map-side, so pairs that would be
+    # discarded anyway never reach the exchange at all.
+    agree = F.size(F.filter(F.zip_with(F.col("l.sig"), F.col("r.sig"),
                                        lambda a, b: a == b), lambda x: x))
     est = agree.cast("double") / F.lit(num_hashes)
-    return (pairs.withColumn("est_jaccard", quantize(est, 4))
-                 .filter(F.col("est_jaccard") >= min_est_jaccard)
-                 .select("id_a", "id_b", "est_jaccard"))
+    return (left.join(right, (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bh") == F.col("r.bh"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    quantize(est, 4).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 # ----------------------------------------------------------------------
@@ -315,14 +323,18 @@ def minhash_lsh_pairs_between(df_new: DataFrame, df_base: DataFrame | None,
         b = (b.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= max_bucket_size)
               .drop("__rn"))
-    pairs = (n.join(b, ["band", "bh"])
-              .dropDuplicates(["new_id", "base_id"]))
+    # Same restructure as minhash_lsh_pairs (r15, guide §2.2): est is
+    # determined by (new_id, base_id), so score + threshold map-side and
+    # dedup the (long, long, double) projection — the exchange never
+    # carries the two signature arrays.
     agree = F.size(F.filter(F.zip_with(F.col("new_sig"), F.col("base_sig"),
                                        lambda x, y: x == y), lambda x: x))
     est = agree.cast("double") / F.lit(num_hashes)
-    return (pairs.withColumn("est_jaccard", quantize(est, 4))
-                 .filter(F.col("est_jaccard") >= min_est_jaccard)
-                 .select("new_id", "base_id", "est_jaccard"))
+    return (n.join(b, ["band", "bh"])
+             .select("new_id", "base_id",
+                     quantize(est, 4).alias("est_jaccard"))
+             .filter(F.col("est_jaccard") >= min_est_jaccard)
+             .dropDuplicates(["new_id", "base_id"]))
 
 
 # ----------------------------------------------------------------------

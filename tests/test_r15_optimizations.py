@@ -263,3 +263,77 @@ def test_quality_score_and_lang_id_unchanged(spark):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_minhash_pairs_score_before_dedup_matches_old_order(spark):
+    """r15 shuffle-bytes restructure: minhash_lsh_pairs now scores and
+    thresholds BEFORE dropDuplicates (the exchange carries a double, not
+    two signature arrays). est_jaccard is a pure function of the two
+    signatures and each signature is determined by its id, so the pair
+    set must equal the old join->dedup(sigs)->score->filter order —
+    pinned here against an inline reconstruction, for both the self-join
+    and the cross-corpus variant (including a boilerplate clique that
+    produces duplicate band-collision candidates, the case where the
+    dedup exchange actually matters)."""
+    from incubator_paimon_spark.operators.dedup import (
+        minhash_banded, minhash_lsh_pairs, minhash_lsh_pairs_between)
+    from incubator_paimon_spark.operators.text import quantize
+
+    docs = _docs(spark).limit(300)
+    # append a near-identical clique so several (band, bh) buckets collide
+    clique = spark.createDataFrame(
+        [(9000 + i, "the same boilerplate banner text repeated verbatim "
+                    "across mirrored pages " + ("x" if i % 2 else ""))
+         for i in range(8)], "doc_id long, text string")
+    docs = docs.select("doc_id", "text").union(clique)
+
+    nh, bands, n = 16, 4, 3
+    new = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=nh,
+                            bands=bands, shingle_n=n)
+
+    # inline reconstruction of the pre-restructure order
+    exploded = minhash_banded(docs, "text", "doc_id", nh, bands, n)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("band", "bh").orderBy("id")
+    left = (exploded.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= 10_000).drop("__rn")).alias("l")
+    right = exploded.alias("r")
+    pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bh") == F.col("r.bh"))
+                       & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    agree = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                       lambda a, b: a == b), lambda x: x))
+    old = (pairs.withColumn("est_jaccard",
+                            quantize(agree.cast("double") / F.lit(nh), 4))
+                .filter(F.col("est_jaccard") >= 0.5)
+                .select("id_a", "id_b", "est_jaccard"))
+
+    assert sorted(map(tuple, new.collect())) == \
+        sorted(map(tuple, old.collect()))
+    # the clique must actually have produced duplicate candidates for
+    # this pin to exercise the dedup path
+    assert new.filter(F.col("id_a") >= 9000).count() > 0
+
+    new_b = minhash_lsh_pairs_between(clique, docs, "text", "doc_id",
+                                      num_hashes=nh, bands=bands, shingle_n=n)
+    nb = minhash_banded(clique, "text", "doc_id", nh, bands, n,
+                        id_alias="new_id", sig_alias="new_sig")
+    bb = minhash_banded(docs, "text", "doc_id", nh, bands, n,
+                        id_alias="base_id", sig_alias="base_sig")
+    bb = (bb.withColumn("__rn", F.row_number().over(
+              W.partitionBy("band", "bh").orderBy("base_id")))
+            .filter(F.col("__rn") <= 10_000).drop("__rn"))
+    pairs_b = (nb.join(bb, ["band", "bh"])
+                 .dropDuplicates(["new_id", "base_id"]))
+    agree_b = F.size(F.filter(F.zip_with(F.col("new_sig"),
+                                         F.col("base_sig"),
+                                         lambda x, y: x == y), lambda x: x))
+    old_b = (pairs_b.withColumn("est_jaccard",
+                                quantize(agree_b.cast("double") / F.lit(nh), 4))
+                    .filter(F.col("est_jaccard") >= 0.5)
+                    .select("new_id", "base_id", "est_jaccard"))
+    assert sorted(map(tuple, new_b.collect())) == \
+        sorted(map(tuple, old_b.collect()))
