@@ -446,15 +446,25 @@ class BatchTableWrite:
                 except Exception:
                     cur = 0
                 if cur < target:
-                    df = df.repartition(target)
+                    # hash-keyed spread, not round-robin: a keyless
+                    # repartition(n) pays a map-side local sort of its
+                    # whole input (SPARK-23207 sortBeforeRepartition) —
+                    # measured 0.95-1.06 s vs 0.57-0.67 s for the same
+                    # 600 K-row exchange hashed on a deterministic
+                    # content key (guide §2.5: derive synthetic keys
+                    # deterministically; also retry-safe at scale where
+                    # round-robin needs that sort for exactly-once).
+                    # Map-typed columns are unhashable in Spark; if no
+                    # column qualifies, fall back to round-robin.
+                    hashable = [F.col(f.name) for f in df.schema.fields
+                                if f.dataType.typeName() not in
+                                ("map", "variant")]
+                    if hashable:
+                        df = df.repartition(target, F.xxhash64(*hashable))
+                    else:
+                        df = df.repartition(target)
 
         staging = os.path.join(table.path, ".staging", new_uuid())
-        # file.compression reaches the format writer (CoreOptions
-        # FILE_COMPRESSION; snappy default like the reference's
-        # parquet/orc defaults) instead of silently using the session
-        # codec the user never set per table
-        writer = (df.write.mode("overwrite").partitionBy(*layout_cols)
-                    .option("compression", opts.file_compression))
         max_rec = opts.write_max_records_per_file
         if max_rec is None and latest is not None:
             # roll data files near target-file-size (RollingFileWriter):
@@ -473,18 +483,46 @@ class BatchTableWrite:
                                   opts.target_file_size * tot_rows // tot_bytes)
             except Exception:
                 max_rec = None
-        if max_rec:
-            writer = writer.option("maxRecordsPerFile", int(max_rec))
-        # avro stages as parquet (Spark-native write + footer stats), then
-        # a distributed transcode pass rewrites each staged file as an avro
-        # container (AvroFileFormat parity without the spark-avro jar)
-        staged_fmt = "parquet" if opts.file_format == "avro" else opts.file_format
-        writer.format(staged_fmt).save(staging)
-
+        bloom_cols = [c for c in opts.bloom_filter_columns
+                      if c in schema.field_names()]
         fixed_layout = num_buckets > 0 and bool(schema.bucket_keys())
-        adds = self._collect_entries(
-            spark, staging, schema, level,
-            total_buckets=num_buckets if fixed_layout else None)
+        direct_avro = (opts.file_format == "avro" and not bloom_cols
+                       and os.environ.get("PMN_AVRO_DIRECT", "1") != "0")
+        if direct_avro:
+            # direct Arrow → avro staging write (r16): ONE materialization —
+            # the mapInArrow task encodes containers, rolls at max_rec and
+            # computes the footer-parity stats in the same pass
+            # (formats/avro_direct.py; stats parity pinned in
+            # tests/test_avro_direct.py). Bloom-indexed avro tables keep the
+            # staged-parquet path below: the bloom positions job is a Spark
+            # scan over the staged files, which only parquet/orc support.
+            from .formats.avro_direct import write_avro_staging
+            precomputed = write_avro_staging(
+                spark, df, layout_cols, staging,
+                schema.core_options.metadata_stats_mode,
+                int(max_rec) if max_rec else None)
+            adds = self._collect_entries(
+                spark, staging, schema, level,
+                total_buckets=num_buckets if fixed_layout else None,
+                precomputed=precomputed)
+        else:
+            # file.compression reaches the format writer (CoreOptions
+            # FILE_COMPRESSION; snappy default like the reference's
+            # parquet/orc defaults) instead of silently using the session
+            # codec the user never set per table
+            writer = (df.write.mode("overwrite").partitionBy(*layout_cols)
+                        .option("compression", opts.file_compression))
+            if max_rec:
+                writer = writer.option("maxRecordsPerFile", int(max_rec))
+            # avro+bloom fallback: stage as parquet (Spark-native write +
+            # footer stats), then one distributed transcode pass rewrites
+            # each staged file as an avro container
+            staged_fmt = ("parquet" if opts.file_format == "avro"
+                          else opts.file_format)
+            writer.format(staged_fmt).save(staging)
+            adds = self._collect_entries(
+                spark, staging, schema, level,
+                total_buckets=num_buckets if fixed_layout else None)
         if (fixed_layout and adds
                 and overwrite is None and not dynamic_overwrite):
             try:
@@ -493,11 +531,9 @@ class BatchTableWrite:
                 from .fileio import for_path
                 for_path(staging).delete_dir(staging)
                 raise
-        bloom_cols = [c for c in opts.bloom_filter_columns
-                      if c in schema.field_names()]
         if bloom_cols and adds:
             _attach_bloom_index(spark, staging, adds, bloom_cols)
-        if opts.file_format == "avro" and adds:
+        if opts.file_format == "avro" and adds and not direct_avro:
             _transcode_adds_to_avro(spark, adds, schema)
         self._move_into_layout(staging, adds, table.path)
 
@@ -631,38 +667,54 @@ class BatchTableWrite:
 
     # ------------------------------------------------------------------
     def _collect_entries(self, spark, staging: str, schema: TableSchema,
-                         level: int, total_buckets: int | None = None):
+                         level: int, total_buckets: int | None = None,
+                         precomputed: dict | None = None):
         """Walk staging output, collect footer stats distributedly, build ADD
-        entries with final (relative) file names."""
+        entries with final (relative) file names. `precomputed`
+        ({path: (size, stats_dict)}, from the direct avro writer) skips both
+        the walk and the footer reads — the write task already returned
+        them."""
         from .fileio import for_path
         fmt = schema.core_options.file_format
-        staged_fmt = "parquet" if fmt == "avro" else fmt
-        suffix = ".orc" if staged_fmt == "orc" else ".parquet"
-        io = for_path(staging)
-        sizes = {p: sz for p, sz in io.walk_files(staging)
-                 if p.endswith(suffix)}
-        files = sorted(sizes)
-        if not files:
-            return []
-
-        stats_mode = schema.core_options.metadata_stats_mode
-        if staged_fmt != "parquet":
-            # no cheap footer API for ORC via pyarrow — one distributed agg
-            # job over the staging dir computes per-file stats instead
-            stats_by_path = _collect_stats_spark(spark, files, staged_fmt,
-                                                 schema, stats_mode)
-        elif len(files) > 64:
-            # footer reads are ~5ms each; a distributed pass only pays off
-            # once the driver loop rivals the ~1.5s Python-RDD job spin-up
-            sc = spark.sparkContext
-            stats_list = (sc.parallelize(files, min(len(files), 64))
-                          .map(lambda p: (_path_key(p),
-                                          collect_file_stats(p, stats_mode)))
-                          .collect())
-            stats_by_path = dict(stats_list)
+        if precomputed is not None:
+            sizes = {p: v[0] for p, v in precomputed.items()}
+            files = sorted(sizes)
+            if not files:
+                return []
+            stats_by_path = {_path_key(p): v[1]
+                             for p, v in precomputed.items()}
+            suffix = ".avro"
         else:
-            stats_by_path = {_path_key(p): collect_file_stats(p, stats_mode)
-                             for p in files}
+            staged_fmt = "parquet" if fmt == "avro" else fmt
+            suffix = ".orc" if staged_fmt == "orc" else ".parquet"
+            io = for_path(staging)
+            sizes = {p: sz for p, sz in io.walk_files(staging)
+                     if p.endswith(suffix)}
+            files = sorted(sizes)
+            if not files:
+                return []
+
+            stats_mode = schema.core_options.metadata_stats_mode
+            if staged_fmt != "parquet":
+                # no cheap footer API for ORC via pyarrow — one distributed
+                # agg job over the staging dir computes per-file stats
+                stats_by_path = _collect_stats_spark(spark, files, staged_fmt,
+                                                     schema, stats_mode)
+            elif len(files) > 64:
+                # footer reads are ~5ms each; a distributed pass only pays
+                # off once the driver loop rivals the ~1.5s Python-RDD job
+                # spin-up
+                sc = spark.sparkContext
+                stats_list = (sc.parallelize(files, min(len(files), 64))
+                              .map(lambda p: (_path_key(p),
+                                              collect_file_stats(p,
+                                                                 stats_mode)))
+                              .collect())
+                stats_by_path = dict(stats_list)
+            else:
+                stats_by_path = {_path_key(p): collect_file_stats(p,
+                                                                  stats_mode)
+                                 for p in files}
 
         pt_types = {f"{PT_PREFIX}{c}": schema.field_by_name(c).type
                     for c in schema.partition_keys}
